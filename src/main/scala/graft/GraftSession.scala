@@ -1,0 +1,30 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Central SparkSession factory so Verify / Bench / tests share one
+  * scale-aware configuration.
+  */
+object GraftSession {
+
+  /** Apply graft's standard config to a builder. `cpus` sizes local
+    * shuffle parallelism; on a real cluster AQE coalesces post-shuffle
+    * partitions so a larger initial number is safe.
+    */
+  def configure(b: SparkSession.Builder, cpus: String): SparkSession.Builder = b
+    .config("spark.sql.shuffle.partitions", cpus)
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    .config("spark.sql.adaptive.skewJoin.enabled", "true")
+    // events.parquet carries TIMESTAMP(NANOS); Spark only reads it as long
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.sql.parquet.filterPushdown", "true")
+    .config("spark.ui.enabled", "false")
+
+  def local(cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")): SparkSession = {
+    val s = configure(SparkSession.builder().master(s"local[$cpus]"), cpus).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

@@ -1,13 +1,33 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.operators.{MapleJuice, Relational}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Relational.q1PricingSummary(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Relational.queries ++ Map[String, (SparkSession, String) => DataFrame](
+      "mj_wordcount" -> ((s, d) => MapleJuice.wordCount(Tables.documents(s, d))
+        .orderBy("word")),
+      "mj_partition_hash" -> ((s, d) =>
+        MapleJuice.hashPartitionCheck(s, Tables.lineitem(s, d), "l_orderkey")))
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops
+    * (driver records a weaker rows-only check).
+    */
+  def oracleSql: Map[String, String] =
+    Relational.oracle ++ Map(
+      "mj_wordcount" ->
+        """SELECT word, count(*) AS cnt FROM (
+          | SELECT regexp_replace(unnest(string_split_regex(text, '\s+')),
+          |   '[^0-9a-zA-Z]', '', 'g') AS word
+          | FROM documents)
+          |WHERE word <> '' GROUP BY word ORDER BY word""".stripMargin)
 }

@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference's batch-processing surface (MapleJuice) re-expressed
+  * Spark-first.
+  *
+  * Reference semantics (NOT a port — behavior only):
+  *  - Maple (/root/reference/src/maple_client.cpp, mj_master.cpp): a map
+  *    phase over input files; each task emits `key value` lines and may
+  *    pre-aggregate within its input split (see
+  *    /root/reference/mje/src/wc_maple.cpp:24-47, which counts words
+  *    per-file before emitting). In Spark this per-file combine is the
+  *    map-side partial aggregation Catalyst inserts automatically under
+  *    any `groupBy().agg()`, so `maple` is just a typed flatMap and the
+  *    combine comes for free when a `juice` follows.
+  *  - Juice (/root/reference/src/juice_client.cpp): a reduce phase — all
+  *    values for one key are folded by a per-key executable
+  *    (/root/reference/mje/src/wc_juice.cpp:9-44 sums). Spark:
+  *    `groupByKey(...).reduceGroups` / `groupBy().agg`.
+  *  - Partitioners (/root/reference/src/partitioner.cpp): round_robin,
+  *    hash, range assignment of inputs to workers. Spark exposes exactly
+  *    these as `repartition(n)` (round-robin), `repartition(cols)`
+  *    (hash), `repartitionByRange(cols)` (range).
+  *
+  * Scale note: at 100 TB the shuffle between maple and juice is the
+  * dominant cost; by expressing juice as `groupBy().agg()` over Column
+  * expressions we keep map-side combine + whole-stage codegen + AQE,
+  * which the reference's exec-per-key model cannot do.
+  */
+object MapleJuice {
+
+  /** Partition strategies, mirroring partitioner::type in the reference
+    * (/root/reference/src/partitioner.cpp).
+    */
+  sealed trait Partitioner
+  object Partitioner {
+    case object RoundRobin extends Partitioner
+    final case class Hash(cols: Seq[Column]) extends Partitioner
+    final case class Range(cols: Seq[Column]) extends Partitioner
+  }
+
+  /** Redistribute a DataFrame per the reference's partitioner semantics. */
+  def partition(df: DataFrame, strategy: Partitioner, numPartitions: Option[Int] = None): DataFrame =
+    strategy match {
+      case Partitioner.RoundRobin =>
+        numPartitions.map(df.repartition).getOrElse(
+          df.repartition(df.sparkSession.sessionState.conf.numShufflePartitions))
+      case Partitioner.Hash(cols) =>
+        numPartitions.map(n => df.repartition(n, cols: _*)).getOrElse(df.repartition(cols: _*))
+      case Partitioner.Range(cols) =>
+        numPartitions.map(n => df.repartitionByRange(n, cols: _*)).getOrElse(df.repartitionByRange(cols: _*))
+    }
+
+  /** Maple = typed flatMap: each input record yields zero or more
+    * (key, value) pairs. Per-split combine is NOT done here — Catalyst's
+    * partial aggregation performs it when a juice follows, keeping the
+    * whole pipeline in one codegen stage.
+    */
+  def maple[T, K: Encoder, V](input: Dataset[T])(f: T => IterableOnce[(K, V)])(
+      implicit kv: Encoder[(K, V)]): Dataset[(K, V)] =
+    input.flatMap(f)
+
+  /** Juice = per-key fold of all values, like the per-key juice exe. */
+  def juice[K: Encoder, V](pairs: Dataset[(K, V)])(reduce: (V, V) => V)(
+      implicit kv: Encoder[(K, V)]): Dataset[(K, V)] =
+    pairs.groupByKey(_._1).reduceGroups((a, b) => (a._1, reduce(a._2, b._2))).map(_._2)
+
+  /** Declarative juice: groupBy + Column aggregates (preferred — codegen'd,
+    * map-side combined, AQE-coalesced). `keyed` must have a column `key`.
+    */
+  def juiceAgg(keyed: DataFrame, aggs: Column*): DataFrame =
+    keyed.groupBy(col("key")).agg(aggs.head, aggs.tail: _*)
+
+  /** The reference's flagship app: word count with wc_maple's exact
+    * sanitize semantics (/root/reference/mje/src/wc_maple.cpp:10-21 —
+    * keep only [0-9a-zA-Z]; split on whitespace). Pure `functions._`
+    * composition: stays inside whole-stage codegen end-to-end and
+    * aggregates map-side before the shuffle on `word`.
+    */
+  def wordCount(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs
+      .select(explode(split(col(textCol), "\\s+")).as("raw"))
+      .select(regexp_replace(col("raw"), "[^0-9a-zA-Z]", "").as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Hash-partitioning diagnostic: repartition lineitem by l_orderkey and
+    * verify co-location — every key maps to exactly one partition — plus
+    * skew stats. This is what the reference's hash_partitioner guarantees
+    * per input file (/root/reference/src/partitioner.cpp:40-55).
+    */
+  def hashPartitionCheck(spark: SparkSession, df: DataFrame, keyCol: String): DataFrame = {
+    val parted = df.repartition(col(keyCol))
+      .select(col(keyCol), spark_partition_id().as("pid"))
+    val perKey = parted.groupBy(col(keyCol))
+      .agg(countDistinct(col("pid")).as("n_pids"))
+    val split = perKey.filter(col("n_pids") > 1).count()
+    val stats = parted.groupBy(col("pid")).agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n_partitions"), min(col("n")).as("min_rows"),
+        max(col("n")).as("max_rows"))
+    stats.withColumn("keys_split_across_partitions", lit(split))
+  }
+}

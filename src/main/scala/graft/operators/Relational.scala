@@ -1,0 +1,274 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational / analytics queries (SURVEY.md §2.2) — the batch workloads a
+  * MapleJuice user runs, declared via DataFrame so Catalyst gets pushdown,
+  * join reorder, partial agg and AQE. Every aggregate column is aliased
+  * identically to the DuckDB oracle in [[oracle]].
+  *
+  * Scale notes per query are inline; dims (region/nation/supplier) are
+  * broadcast explicitly, fact-fact joins shuffle on their keys.
+  */
+object Relational {
+
+  private def ts(s: String) = to_timestamp(lit(s))
+
+  /** TPC-H Q1-style pricing summary: single scan, map-side partial agg,
+    * tiny shuffle (|flags|×|statuses| groups). Filter pushed to parquet.
+    */
+  def q1PricingSummary(spark: SparkSession, d: String): DataFrame =
+    Tables.lineitem(spark, d)
+      .filter(col("l_shipdate") <= ts("1998-09-02"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))), 2).as("sum_charge"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(avg(col("l_extendedprice")), 4).as("avg_price"),
+        round(avg(col("l_discount")), 6).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** TPC-H Q3-style: filtered customer ⋈ orders ⋈ lineitem, top-10 by
+    * revenue. customer/orders prefiltered so AQE can broadcast the small
+    * side; lineitem shuffles once on l_orderkey.
+    */
+  def q3ShippingPriority(spark: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(spark, d).filter(col("c_mktsegment") === "BUILDING")
+    val o = Tables.orders(spark, d).filter(col("o_orderdate") < ts("1999-01-01"))
+    val l = Tables.lineitem(spark, d).filter(col("l_shipdate") > ts("1999-01-01"))
+    c.join(o, col("c_custkey") === col("o_custkey"))
+      .join(l, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q5-style: revenue per nation. region/nation/supplier are true
+    * dims — broadcast them; lineitem⋈orders is the only big shuffle.
+    */
+  def q5RevenueByNation(spark: SparkSession, d: String): DataFrame = {
+    val r = Tables.region(spark, d).filter(col("r_name") === "ASIA")
+    val n = Tables.nation(spark, d)
+    val s = Tables.supplier(spark, d)
+    val c = Tables.customer(spark, d)
+    val o = Tables.orders(spark, d)
+      .filter(col("o_orderdate") >= ts("1996-01-01") && col("o_orderdate") < ts("1998-01-01"))
+    val l = Tables.lineitem(spark, d)
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** Join + agg + HAVING: customers with ≥5 orders by total spend. */
+  def qTopCustomers(spark: SparkSession, d: String): DataFrame =
+    Tables.customer(spark, d)
+      .join(Tables.orders(spark, d), col("c_custkey") === col("o_custkey"))
+      .groupBy(col("c_custkey"), col("c_name"))
+      .agg(round(sum(col("o_totalprice")), 2).as("total_spent"), count(lit(1)).as("n_orders"))
+      .filter(col("n_orders") >= 5)
+      .orderBy(col("total_spent").desc, col("c_custkey"))
+      .limit(20)
+
+  /** EXISTS → left-semi join (TPC-H Q4-style): no row multiplication, the
+    * semi join short-circuits per key.
+    */
+  def qOrdersWithLineitems(spark: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(spark, d)
+      .filter(col("o_orderdate") >= ts("1997-01-01") && col("o_orderdate") < ts("1997-04-01"))
+    val l = Tables.lineitem(spark, d)
+    o.join(l, col("l_orderkey") === col("o_orderkey") && col("l_shipdate") > col("o_orderdate"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** NOT EXISTS → left-anti join: parts with no shipment in the window. */
+  def qPartsNeverOrdered(spark: SparkSession, d: String): DataFrame = {
+    val recent = Tables.lineitem(spark, d).filter(col("l_shipdate") >= ts("2001-10-01"))
+    Tables.part(spark, d)
+      .join(recent, col("l_partkey") === col("p_partkey"), "left_anti")
+      .select(col("p_partkey"), col("p_name"))
+      .orderBy(col("p_partkey"))
+  }
+
+  /** Window functions: running quantity per supplier. One shuffle on
+    * l_suppkey, sort within partitions — no global sort until the final
+    * (presentation) orderBy.
+    */
+  def qRunningTotals(spark: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+    Tables.lineitem(spark, d)
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        col("l_shipdate"), col("l_quantity"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("running_qty",
+        round(sum(col("l_quantity")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2))
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"), col("rn"), col("running_qty"))
+      .orderBy(col("l_suppkey"), col("rn"))
+  }
+
+  /** dense_rank over an aggregate: suppliers ranked by revenue. */
+  def qRankSuppliers(spark: SparkSession, d: String): DataFrame = {
+    val rev = Tables.supplier(spark, d)
+      .join(Tables.lineitem(spark, d), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_suppkey"), col("s_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+    rev.withColumn("drank", dense_rank().over(Window.orderBy(col("revenue").desc)).cast("long"))
+      .orderBy(col("drank"), col("s_suppkey"))
+  }
+
+  /** ROLLUP: multi-level aggregation in one pass. */
+  def qRollupSales(spark: SparkSession, d: String): DataFrame =
+    Tables.lineitem(spark, d)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum(col("l_extendedprice")), 2).as("sum_price"), count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  /** Exact distinct per group (at 100 TB prefer q_approx_distinct). */
+  def qDistinctUsers(spark: SparkSession, d: String): DataFrame =
+    Tables.events(spark, d)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_users"), count(lit(1)).as("n_events"))
+      .orderBy(col("event_type"))
+
+  /** HLL sketch distinct — the scale path (no exact oracle by design). */
+  def qApproxDistinct(spark: SparkSession, d: String): DataFrame =
+    Tables.events(spark, d)
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"))
+      .orderBy(col("event_type"))
+
+  /** Semi-structured: JSON field extraction from events.props + agg. */
+  def qEventsEnriched(spark: SparkSession, d: String): DataFrame =
+    Tables.events(spark, d)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("double"))
+      .groupBy(col("event_type"))
+      .agg(round(sum(col("value")), 2).as("total_value"), round(avg(col("k")), 4).as("avg_k"))
+      .orderBy(col("event_type"))
+
+  /** Range partitioning (the reference's range_partitioner,
+    * /root/reference/src/partitioner.cpp:58-80) is exactly how Spark
+    * executes a global ORDER BY: sample → range boundaries → shuffle →
+    * in-partition sort.
+    */
+  def qGlobalSortTop(spark: SparkSession, d: String): DataFrame =
+    Tables.orders(spark, d)
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing_summary" -> q1PricingSummary,
+    "q3_shipping_priority" -> q3ShippingPriority,
+    "q5_revenue_by_nation" -> q5RevenueByNation,
+    "q_top_customers" -> qTopCustomers,
+    "q_orders_with_lineitems" -> qOrdersWithLineitems,
+    "q_parts_never_ordered" -> qPartsNeverOrdered,
+    "q_running_totals" -> qRunningTotals,
+    "q_rank_suppliers" -> qRankSuppliers,
+    "q_rollup_sales" -> qRollupSales,
+    "q_distinct_users" -> qDistinctUsers,
+    "q_approx_distinct" -> qApproxDistinct,
+    "q_events_enriched" -> qEventsEnriched,
+    "mj_partition_range" -> qGlobalSortTop)
+
+  val oracle: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity),2) AS sum_qty,
+        | round(sum(l_extendedprice),2) AS sum_base_price,
+        | round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price,
+        | round(sum(l_extendedprice*(1-l_discount)*(1+l_tax)),2) AS sum_charge,
+        | round(avg(l_quantity),4) AS avg_qty,
+        | round(avg(l_extendedprice),4) AS avg_price,
+        | round(avg(l_discount),6) AS avg_disc,
+        | count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_shipping_priority" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+        | round(sum(l_extendedprice*(1-l_discount)),2) AS revenue
+        |FROM customer, orders, lineitem
+        |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+        | AND l_orderkey = o_orderkey
+        | AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+        | AND l_shipdate > TIMESTAMP '1999-01-01 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q5_revenue_by_nation" ->
+      """SELECT n_name, round(sum(l_extendedprice*(1-l_discount)),2) AS revenue
+        |FROM customer, orders, lineitem, supplier, nation, region
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        | AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        | AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        | AND r_name = 'ASIA'
+        | AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        | AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+    "q_top_customers" ->
+      """SELECT c_custkey, c_name, round(sum(o_totalprice),2) AS total_spent,
+        | count(*) AS n_orders
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey, c_name HAVING count(*) >= 5
+        |ORDER BY total_spent DESC, c_custkey LIMIT 20""".stripMargin,
+    "q_orders_with_lineitems" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        | AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+        | AND EXISTS (SELECT 1 FROM lineitem
+        |   WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_parts_never_ordered" ->
+      """SELECT p_partkey, p_name FROM part
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem
+        |  WHERE l_partkey = p_partkey AND l_shipdate >= TIMESTAMP '2001-10-01 00:00:00')
+        |ORDER BY p_partkey""".stripMargin,
+    "q_running_totals" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        | CAST(row_number() OVER w AS BIGINT) AS rn,
+        | round(sum(l_quantity) OVER (PARTITION BY l_suppkey
+        |   ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),2) AS running_qty
+        |FROM lineitem
+        |WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber)
+        |ORDER BY l_suppkey, rn""".stripMargin,
+    "q_rank_suppliers" ->
+      """SELECT s_suppkey, s_name, revenue,
+        | CAST(dense_rank() OVER (ORDER BY revenue DESC) AS BIGINT) AS drank
+        |FROM (SELECT s_suppkey, s_name,
+        |   round(sum(l_extendedprice*(1-l_discount)),2) AS revenue
+        |  FROM supplier JOIN lineitem ON l_suppkey = s_suppkey
+        |  GROUP BY s_suppkey, s_name)
+        |ORDER BY drank, s_suppkey""".stripMargin,
+    "q_rollup_sales" ->
+      """SELECT l_returnflag, l_linestatus, round(sum(l_extendedprice),2) AS sum_price,
+        | count(*) AS n
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q_distinct_users" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_events_enriched" ->
+      """SELECT event_type, round(sum(value),2) AS total_value,
+        | round(avg(CAST(json_extract_string(props, '$.k') AS DOUBLE)),4) AS avg_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "mj_partition_range" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin)
+}

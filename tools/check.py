@@ -1,0 +1,76 @@
+#!/usr/bin/env python3
+"""Local mimic of the driver's correctness gate (dev tool only — the
+Scala library has no python dependency).
+
+Runs DuckDB on oracle_sql.json over the sf parquet tables and compares
+with the parquet results Verify wrote. Columns sorted by name, rows
+sorted by all columns, values hashed after stringify (floats via repr).
+"""
+import json, sys, glob
+import duckdb
+import pandas as pd
+
+sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+out_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/target/verify_out"
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    # normalize dtypes: timestamps -> iso strings, floats -> rounded repr
+    out = {}
+    for c in df.columns:
+        s = df[c]
+        if pd.api.types.is_datetime64_any_dtype(s):
+            out[c] = s.astype("datetime64[us]").astype(str)
+        elif pd.api.types.is_float_dtype(s):
+            out[c] = s.round(9)
+        else:
+            out[c] = s
+    df = pd.DataFrame(out)
+    return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+
+con = duckdb.connect()
+for t in TABLES:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+fails = 0
+for name in sorted(oracle):
+    sql = oracle[name]
+    files = glob.glob(f"{out_dir}/{name}/*.parquet")
+    if not files:
+        print(f"MISSING  {name}: no spark output"); fails += 1; continue
+    try:
+        got = canon(con.sql(f"SELECT * FROM read_parquet({files!r})").df())
+        exp = canon(con.sql(sql).df())
+    except Exception as e:
+        print(f"ERROR    {name}: {e}"); fails += 1; continue
+    if list(got.columns) != list(exp.columns):
+        print(f"SCHEMA   {name}: spark={list(got.columns)} oracle={list(exp.columns)}")
+        fails += 1; continue
+    if len(got) != len(exp):
+        print(f"ROWS     {name}: spark={len(got)} oracle={len(exp)}"); fails += 1; continue
+    eq = got.equals(exp)
+    if not eq:
+        diff = (got != exp) & ~(got.isna() & exp.isna())
+        ndiff = int(diff.values.sum())
+        print(f"VALUES   {name}: {ndiff} differing cells / {got.size}")
+        bad = diff.any(axis=1)
+        print(pd.concat([got[bad].head(3).add_prefix("got_"),
+                         exp[bad].head(3).add_prefix("exp_")], axis=1).to_string())
+        fails += 1
+    else:
+        print(f"OK       {name}: {len(got)} rows")
+
+# rows-only queries (no oracle)
+for path in sorted(glob.glob(f"{out_dir}/*/")):
+    name = path.rstrip("/").split("/")[-1]
+    if name in oracle: continue
+    files = glob.glob(f"{path}/*.parquet")
+    n = con.sql(f"SELECT count(*) FROM read_parquet({files!r})").fetchone()[0] if files else 0
+    print(f"{'OK-ROWS ' if n > 0 else 'EMPTY   '} {name}: {n} rows (no oracle)")
+    if n == 0: fails += 1
+
+print(f"\n{'FAIL' if fails else 'PASS'} ({fails} problems)")
+sys.exit(1 if fails else 0)
