@@ -1,0 +1,116 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis queries over `documents` (SURVEY.md §2.5). Single-scan,
+  * single-pass column pipelines — at 100 TB these are embarrassingly
+  * parallel map work with no shuffle (final orderBy is presentational).
+  */
+object TextAnalysis {
+
+  /** Per-doc stats + composite quality score. */
+  def textStats(spark: SparkSession, d: String): DataFrame =
+    Tables.documents(spark, d)
+      .withColumn("ts", tokens(col("text")))
+      .withColumn("n_chars2", length(col("text")).cast("long"))
+      .withColumn("n_tokens", size(col("ts")).cast("long"))
+      .withColumn("punct_ratio", round(punctRatio(col("text")), 6))
+      .withColumn("stop_ratio", round(stopwordRatio(col("ts"), stopEn), 6))
+      .withColumn("avg_token_len", round(avgTokenLen(col("text"), col("ts")), 6))
+      .withColumn("quality",
+        qualityScore(col("n_chars2"), col("stop_ratio"), col("punct_ratio"), col("avg_token_len")))
+      .select(col("doc_id"), col("n_chars2").as("n_chars"), col("n_tokens"),
+        col("punct_ratio"), col("stop_ratio"), col("avg_token_len"), col("quality"))
+      .orderBy(col("doc_id"))
+
+  /** Stopword-hit language ID (argmax over per-language hit counts, ties
+    * resolved en>es>de>fr, all-zero → unknown).
+    */
+  def langId(spark: SparkSession, d: String): DataFrame =
+    Tables.documents(spark, d)
+      .withColumn("ts", tokens(col("text")))
+      .withColumn("en_hits", hitCount(col("ts"), stopEn))
+      .withColumn("es_hits", hitCount(col("ts"), stopEs))
+      .withColumn("de_hits", hitCount(col("ts"), stopDe))
+      .withColumn("fr_hits", hitCount(col("ts"), stopFr))
+      .withColumn("lang_pred",
+        when(col("en_hits") >= col("es_hits") && col("en_hits") >= col("de_hits") &&
+          col("en_hits") >= col("fr_hits") && col("en_hits") > 0, "en")
+        .when(col("es_hits") >= col("de_hits") && col("es_hits") >= col("fr_hits") &&
+          col("es_hits") > 0, "es")
+        .when(col("de_hits") >= col("fr_hits") && col("de_hits") > 0, "de")
+        .when(col("fr_hits") > 0, "fr")
+        .otherwise("unknown"))
+      .select(col("doc_id"), col("en_hits"), col("es_hits"), col("de_hits"),
+        col("fr_hits"), col("lang_pred"))
+      .orderBy(col("doc_id"))
+
+  /** Whitespace vs BPE-ish token counts. */
+  def tokenCount(spark: SparkSession, d: String): DataFrame =
+    Tables.documents(spark, d)
+      .select(col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_ws_tokens"),
+        bpeTokenCount(col("text")).as("n_bpe_tokens"),
+        length(col("text")).cast("long").as("n_chars"))
+      .orderBy(col("doc_id"))
+
+  /** Rolling-hash document fingerprint. */
+  def fingerprint(spark: SparkSession, d: String): DataFrame =
+    Tables.documents(spark, d)
+      .select(col("doc_id"), rollingFingerprint(col("text")).as("fp"))
+      .orderBy(col("doc_id"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_stats" -> textStats,
+    "text_langid" -> langId,
+    "text_tokencount" -> tokenCount,
+    "text_fingerprint" -> fingerprint)
+
+  private def sqlList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("(", ",", ")")
+  private val toksSql = """list_filter(string_split_regex(text, '\s+'), t -> t <> '')"""
+
+  val oracle: Map[String, String] = Map(
+    "text_stats" ->
+      s"""WITH t AS (SELECT doc_id, text, length(text) AS nc, $toksSql AS ts FROM documents),
+         |s AS (SELECT doc_id, CAST(nc AS BIGINT) AS n_chars, CAST(len(ts) AS BIGINT) AS n_tokens,
+         |  round((nc - length(regexp_replace(text, '[^0-9a-zA-Z\\s]', '', 'g'))) * 1.0 / nullif(nc, 0), 6) AS punct_ratio,
+         |  round(len(list_filter(ts, t -> t IN ${sqlList(stopEn)})) * 1.0 / nullif(len(ts), 0), 6) AS stop_ratio,
+         |  round(length(regexp_replace(text, '\\s', '', 'g')) * 1.0 / nullif(len(ts), 0), 6) AS avg_token_len
+         | FROM t)
+         |SELECT doc_id, n_chars, n_tokens, punct_ratio, stop_ratio, avg_token_len,
+         | round((CASE WHEN n_chars BETWEEN 100 AND 5000 THEN 0.25 ELSE 0 END) +
+         |  (CASE WHEN stop_ratio BETWEEN 0.01 AND 0.6 THEN 0.25 ELSE 0 END) +
+         |  (CASE WHEN punct_ratio < 0.2 THEN 0.25 ELSE 0 END) +
+         |  (CASE WHEN avg_token_len BETWEEN 3.0 AND 10.0 THEN 0.25 ELSE 0 END), 2) AS quality
+         |FROM s ORDER BY doc_id""".stripMargin,
+    "text_langid" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS ts FROM documents),
+         |h AS (SELECT doc_id,
+         |  CAST(len(list_filter(ts, t -> t IN ${sqlList(stopEn)})) AS BIGINT) AS en_hits,
+         |  CAST(len(list_filter(ts, t -> t IN ${sqlList(stopEs)})) AS BIGINT) AS es_hits,
+         |  CAST(len(list_filter(ts, t -> t IN ${sqlList(stopDe)})) AS BIGINT) AS de_hits,
+         |  CAST(len(list_filter(ts, t -> t IN ${sqlList(stopFr)})) AS BIGINT) AS fr_hits
+         | FROM t)
+         |SELECT doc_id, en_hits, es_hits, de_hits, fr_hits,
+         | CASE WHEN en_hits >= es_hits AND en_hits >= de_hits AND en_hits >= fr_hits AND en_hits > 0 THEN 'en'
+         |  WHEN es_hits >= de_hits AND es_hits >= fr_hits AND es_hits > 0 THEN 'es'
+         |  WHEN de_hits >= fr_hits AND de_hits > 0 THEN 'de'
+         |  WHEN fr_hits > 0 THEN 'fr' ELSE 'unknown' END AS lang_pred
+         |FROM h ORDER BY doc_id""".stripMargin,
+    "text_tokencount" ->
+      s"""SELECT doc_id,
+         | CAST(len($toksSql) AS BIGINT) AS n_ws_tokens,
+         | CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_bpe_tokens,
+         | CAST(length(text) AS BIGINT) AS n_chars
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_fingerprint" ->
+      """SELECT doc_id,
+        | list_reduce(
+        |   list_prepend(CAST(0 AS BIGINT),
+        |     list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+        |   (acc, x) -> (acc * 31 + x) % 1000000007) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin)
+}
