@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{MapleJuice, Relational}
+import graft.operators.{MapleJuice, Relational, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
@@ -12,18 +12,19 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ Map[String, (SparkSession, String) => DataFrame](
-      "mj_wordcount" -> ((s, d) => MapleJuice.wordCount(Tables.documents(s, d))
-        .orderBy("word")),
-      "mj_partition_hash" -> ((s, d) =>
-        MapleJuice.hashPartitionCheck(s, Tables.lineitem(s, d), "l_orderkey")))
+    Relational.queries ++ TextAnalysis.queries ++
+      Map[String, (SparkSession, String) => DataFrame](
+        "mj_wordcount" -> ((s, d) => MapleJuice.wordCount(Tables.documents(s, d))
+          .orderBy("word")),
+        "mj_partition_hash" -> ((s, d) =>
+          MapleJuice.hashPartitionCheck(s, Tables.lineitem(s, d), "l_orderkey")))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
     * (driver records a weaker rows-only check).
     */
   def oracleSql: Map[String, String] =
-    Relational.oracle ++ Map(
+    Relational.oracle ++ TextAnalysis.oracle ++ Map(
       "mj_wordcount" ->
         """SELECT word, count(*) AS cnt FROM (
           | SELECT regexp_replace(unnest(string_split_regex(text, '\s+')),

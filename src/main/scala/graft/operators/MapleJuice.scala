@@ -73,16 +73,22 @@ object MapleJuice {
   def juiceAgg(keyed: DataFrame, aggs: Column*): DataFrame =
     keyed.groupBy(col("key")).agg(aggs.head, aggs.tail: _*)
 
-  /** The reference's flagship app: word count with wc_maple's exact
-    * sanitize semantics (/root/reference/mje/src/wc_maple.cpp:10-21 —
-    * keep only [0-9a-zA-Z]; split on whitespace). Pure `functions._`
+  /** The reference's flagship app: word count with wc_maple's sanitize
+    * semantics (/root/reference/mje/src/wc_maple.cpp:10-21 — keep only
+    * [0-9a-zA-Z]; split on whitespace). Intentional divergence: tokens
+    * that sanitize to "" (e.g. "--") are DROPPED here, while the
+    * reference emits an empty-string key for them; a count keyed by ""
+    * is noise for every downstream consumer. Pure `functions._`
     * composition: stays inside whole-stage codegen end-to-end and
     * aggregates map-side before the shuffle on `word`.
     */
   def wordCount(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs
-      .select(explode(split(col(textCol), "\\s+")).as("raw"))
-      .select(regexp_replace(col("raw"), "[^0-9a-zA-Z]", "").as("word"))
+      // One regex pass per document (not per token): stripping non-alnum
+      // doc-wide while keeping \s as separators yields the same token
+      // multiset as wc_maple's per-token sanitize, since removal never
+      // creates or destroys a whitespace boundary.
+      .select(explode(split(regexp_replace(col(textCol), "[^0-9a-zA-Z\\s]", ""), "\\s+")).as("word"))
       .filter(col("word") =!= "")
       .groupBy(col("word"))
       .agg(count(lit(1)).as("cnt"))
@@ -93,14 +99,18 @@ object MapleJuice {
     * per input file (/root/reference/src/partitioner.cpp:40-55).
     */
   def hashPartitionCheck(spark: SparkSession, df: DataFrame, keyCol: String): DataFrame = {
+    // Fully lazy single plan: one shuffle on keyCol, then two tiny
+    // aggregates over the same partitioned relation, cross-joined into
+    // one row. (No eager .count() — constructing the DataFrame runs no
+    // job, and Bench times exactly one execution.)
     val parted = df.repartition(col(keyCol))
       .select(col(keyCol), spark_partition_id().as("pid"))
-    val perKey = parted.groupBy(col(keyCol))
+    val splitKeys = parted.groupBy(col(keyCol))
       .agg(countDistinct(col("pid")).as("n_pids"))
-    val split = perKey.filter(col("n_pids") > 1).count()
+      .agg(count(when(col("n_pids") > 1, 1)).as("keys_split_across_partitions"))
     val stats = parted.groupBy(col("pid")).agg(count(lit(1)).as("n"))
       .agg(count(lit(1)).as("n_partitions"), min(col("n")).as("min_rows"),
         max(col("n")).as("max_rows"))
-    stats.withColumn("keys_split_across_partitions", lit(split))
+    stats.crossJoin(splitKeys)
   }
 }

@@ -121,13 +121,41 @@ object Relational {
       .orderBy(col("l_suppkey"), col("rn"))
   }
 
-  /** dense_rank over an aggregate: suppliers ranked by revenue. */
+  /** dense_rank over an aggregate: suppliers ranked by revenue.
+    *
+    * Scale: `Window.orderBy` with no partitionBy funnels every row through
+    * one task — at millions of suppliers that's the classic single-task
+    * bottleneck. Instead compute dense_rank distributively: dense_rank is
+    * by definition the 1-based index of the row's value in the globally
+    * sorted DISTINCT value list, so (1) range-partition-sort the distinct
+    * revenues (Spark's scalable global sort), (2) zipWithIndex (two-pass,
+    * per-partition offsets — no single task sees all rows), (3) join back
+    * on revenue. The distinct-revenue relation is ≤ |suppliers| rows and
+    * typically far smaller, so the join-back is cheap (broadcast-able).
+    */
   def qRankSuppliers(spark: SparkSession, d: String): DataFrame = {
     val rev = Tables.supplier(spark, d)
       .join(Tables.lineitem(spark, d), col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("s_suppkey"), col("s_name"))
       .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
-    rev.withColumn("drank", dense_rank().over(Window.orderBy(col("revenue").desc)).cast("long"))
+    // Distinct revenues, range-partitioned desc: partition ids are ordered
+    // by value range, so global dense rank = (rows in lower pids) + local
+    // row_number. Stays lazy and declarative; the only single-task window
+    // runs over |partitions| rows, not |suppliers|.
+    val parted = rev.select(col("revenue")).distinct()
+      .repartitionByRange(col("revenue").desc)
+      .withColumn("pid", spark_partition_id())
+    val localRank = parted.withColumn("lrank",
+      row_number().over(Window.partitionBy(col("pid")).orderBy(col("revenue").desc)).cast("long"))
+    val offsets = parted.groupBy(col("pid")).agg(count(lit(1)).as("cnt"))
+      .withColumn("offset",
+        coalesce(sum(col("cnt")).over(
+          Window.orderBy(col("pid")).rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("pid"), col("offset"))
+    val ranks = localRank.join(broadcast(offsets), Seq("pid"))
+      .select(col("revenue"), (col("offset") + col("lrank")).as("drank"))
+    rev.join(ranks, Seq("revenue"))
+      .select(col("s_suppkey"), col("s_name"), col("revenue"), col("drank"))
       .orderBy(col("drank"), col("s_suppkey"))
   }
 
