@@ -1,0 +1,239 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Deduplication for large-scale training-data pipelines (SURVEY.md §2.3),
+  * over the `documents` and `embeddings` tables.
+  *
+  * Scale rules (100 TB):
+  *  - NEVER materialize O(n²): candidate pairs come from inverted-index
+  *    joins — shingle equality (`dedup_ngram_jaccard`), LSH band equality
+  *    (`dedup_minhash_lsh`), 16-bit block equality (`dedup_simhash`) —
+  *    so pair generation is bounded by colliding keys, not |docs|².
+  *  - Exact verification of a candidate pair touches only the two docs'
+  *    bounded shingle sets (array_intersect on collected arrays).
+  *  - The one intentionally-exhaustive op, `dedup_embedding`, broadcasts
+  *    the (tiny relative to text) vector corpus and streams partitions
+  *    against it — the brute-force kernel every ANN system uses as its
+  *    verify path. Past ~10M vectors switch to `ann_lsh_topk`-style
+  *    bucketed candidates; documented divergence, not an accident.
+  */
+object Dedup {
+
+  /** Whitespace tokens (non-empty), as in wc_maple's splitting. */
+  private def toks(text: Column): Column =
+    filter(split(text, "\\s+"), t => t =!= lit(""))
+
+  /** doc_id + distinct word-n-gram shingle set (docs with < n tokens are
+    * dropped — they have no n-shingle).
+    */
+  def shingleSets(docs: DataFrame, n: Int = 3): DataFrame =
+    docs
+      .select(col("doc_id"), toks(col("text")).as("ts"))
+      .filter(size(col("ts")) >= n)
+      .select(col("doc_id"),
+        array_distinct(transform(
+          sequence(lit(0), size(col("ts")) - lit(n)),
+          i => concat_ws(" ", (0 until n).map(k => element_at(col("ts"), i + lit(k + 1))): _*)
+        )).as("shingles"))
+
+  /** Exact dedup: hash the full text, keep the min doc_id per hash group.
+    * One scan + one shuffle on the 128-bit hash; at 100 TB this is the
+    * cheapest possible formulation (map-side partial agg collapses
+    * duplicates before the shuffle).
+    */
+  def exact(docs: DataFrame): DataFrame =
+    docs
+      .groupBy(md5(col("text").cast("binary")).as("text_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("dup_count"))
+      .orderBy(col("keep_id"))
+
+  /** Word-3-gram Jaccard near-dup pairs (inverted-index formulation):
+    * explode shingles → self-join on shingle equality (doc_id_1 < doc_id_2)
+    * → |intersection| per pair → Jaccard = inter / (n1 + n2 - inter).
+    * The join shuffles on `shingle`, so cost is Σ df(shingle)² — bounded
+    * by shingle selectivity, never |docs|². (For adversarial corpora cap
+    * df with a frequent-shingle filter; the synthetic corpus needs none.)
+    */
+  def ngramJaccard(docs: DataFrame, threshold: Double = 0.8, n: Int = 3): DataFrame = {
+    val ex = shingleSets(docs, n)
+      .select(col("doc_id"), size(col("shingles")).as("nsh"), explode(col("shingles")).as("s"))
+    val a = ex.select(col("doc_id").as("doc_id_1"), col("nsh").as("n1"), col("s"))
+    val b = ex.select(col("doc_id").as("doc_id_2"), col("nsh").as("n2"), col("s"))
+    val jac = col("inter") * lit(1.0) / (col("n1") + col("n2") - col("inter"))
+    a.join(b, a("s") === b("s") && col("doc_id_1") < col("doc_id_2"))
+      .groupBy(col("doc_id_1"), col("doc_id_2"))
+      .agg(count(lit(1)).as("inter"), first(col("n1")).as("n1"), first(col("n2")).as("n2"))
+      .filter(jac >= threshold)
+      .select(col("doc_id_1"), col("doc_id_2"), round(jac, 6).as("jaccard"))
+      .orderBy(col("doc_id_1"), col("doc_id_2"))
+  }
+
+  /** MinHash signatures: numPerms columns m0..m{p-1}, m_i = min over the
+    * doc's shingles of xxhash64(shingle, i). Computed via explode +
+    * grouped min aggregates: stays in codegen'd hash-agg with map-side
+    * partial min, one shuffle on doc_id.
+    */
+  def minhashSignatures(shingled: DataFrame, numPerms: Int = 128): DataFrame =
+    shingled
+      .select(col("doc_id"), explode(col("shingles")).as("s"))
+      .groupBy(col("doc_id"))
+      .agg(
+        min(xxhash64(col("s"), lit(0))).as("m0"),
+        (1 until numPerms).map(i => min(xxhash64(col("s"), lit(i))).as(s"m$i")): _*)
+
+  /** MinHash + LSH banding near-dup pairs. 128 perms in 16 bands × 8 rows:
+    * a pair with Jaccard j collides in ≥1 band with prob 1-(1-j⁸)¹⁶
+    * (≈0.95 at j=0.8, ≈0.9999 at j=0.9). Candidates come from a self-join
+    * on (band_id, band_hash) — the LSH inverted index — then are verified
+    * with EXACT Jaccard over the two shingle sets, so emitted pairs are
+    * true near-dups (LSH affects recall only, never precision).
+    */
+  def minhashLsh(docs: DataFrame, threshold: Double = 0.8,
+                 numPerms: Int = 128, bands: Int = 16): DataFrame = {
+    val rows = numPerms / bands
+    val shingled = shingleSets(docs)
+    val sig = minhashSignatures(shingled, numPerms)
+    val banded = sig.select(col("doc_id"), explode(array(
+      (0 until bands).map(b => struct(
+        lit(b).as("band_id"),
+        xxhash64((b * rows until (b + 1) * rows).map(i => col(s"m$i")): _*).as("band_hash"))): _*
+    )).as("band")).select(col("doc_id"), col("band.band_id"), col("band.band_hash"))
+    val cand = banded.as("x").join(banded.as("y"),
+        col("x.band_id") === col("y.band_id") &&
+        col("x.band_hash") === col("y.band_hash") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_id_1"), col("y.doc_id").as("doc_id_2"))
+      .distinct()
+    val jac = col("inter") * lit(1.0) / (col("n1") + col("n2") - col("inter"))
+    cand
+      .join(shingled.select(col("doc_id").as("doc_id_1"), col("shingles").as("s1")), "doc_id_1")
+      .join(shingled.select(col("doc_id").as("doc_id_2"), col("shingles").as("s2")), "doc_id_2")
+      .withColumn("inter", size(array_intersect(col("s1"), col("s2"))))
+      .withColumn("n1", size(col("s1"))).withColumn("n2", size(col("s2")))
+      .filter(jac >= threshold)
+      .select(col("doc_id_1"), col("doc_id_2"), round(jac, 6).as("jaccard"))
+      .orderBy(col("doc_id_1"), col("doc_id_2"))
+  }
+
+  /** 64-bit SimHash per doc over its token multiset: bit i of the
+    * signature is 1 iff Σ_tokens (bit i of xxhash64(token) ? +1 : -1) > 0.
+    * Computed as 64 codegen'd sum aggregates after an explode — one
+    * shuffle on doc_id with map-side combine.
+    */
+  def simhashSignatures(docs: DataFrame): DataFrame = {
+    val h = xxhash64(col("t"))
+    def bitSum(i: Int) =
+      sum(when(shiftright(h, i).bitwiseAND(lit(1L)) === lit(1L), lit(1L)).otherwise(lit(-1L))).as(s"s$i")
+    val sums = docs
+      .select(col("doc_id"), explode(toks(col("text"))).as("t"))
+      .groupBy(col("doc_id"))
+      .agg(bitSum(0), (1 until 64).map(bitSum): _*)
+    sums.select(col("doc_id"),
+      (0 until 64).map(i => when(col(s"s$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
+        .reduce(_ bitwiseOR _).as("simhash"))
+  }
+
+  /** SimHash near-dup pairs at Hamming distance ≤ maxHamming (default 3).
+    * Candidate generation is EXHAUSTIVE by pigeonhole: split the 64 bits
+    * into 4 16-bit blocks — any pair within Hamming 3 agrees on ≥1 whole
+    * block — and self-join on (block_id, block_value). Then filter by the
+    * true bit_count(xor) distance. Inverted-index join again: never n².
+    */
+  def simhash(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val sig = simhashSignatures(docs)
+    val blocks = sig.select(col("doc_id"), col("simhash"), explode(array(
+      (0 until 4).map(b => struct(
+        lit(b).as("block_id"),
+        shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL)).as("block_val"))): _*
+    )).as("blk")).select(col("doc_id"), col("simhash"), col("blk.block_id"), col("blk.block_val"))
+    blocks.as("x").join(blocks.as("y"),
+        col("x.block_id") === col("y.block_id") &&
+        col("x.block_val") === col("y.block_val") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_id_1"), col("y.doc_id").as("doc_id_2"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .orderBy(col("doc_id_1"), col("doc_id_2"))
+  }
+
+  /** Embedding cosine near-dup pairs (exact). The vector corpus —
+    * (id, vec) only, ~0.5 KB/row — is broadcast once; each partition
+    * streams its rows against it in a tight JVM double loop (id_a < id_b
+    * dedupes the triangle). Accumulation order matches DuckDB's
+    * list_cosine_similarity (sequential dot + norms, double) so the
+    * oracle hash-matches. Threshold 0.4 on THIS synthetic corpus (its
+    * max pairwise cosine is ≈0.51; real near-dup pipelines use ~0.95).
+    */
+  def embeddingPairs(embeddings: DataFrame, threshold: Double = 0.4): DataFrame = {
+    val spark = embeddings.sparkSession
+    val corpus: Array[(Long, Array[Double])] = embeddings
+      .select(col("vec_id"), col("embedding").cast(ArrayType(DoubleType)))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    val bc = spark.sparkContext.broadcast(corpus)
+    val thr = threshold
+    val rdd = embeddings
+      .select(col("vec_id"), col("embedding").cast(ArrayType(DoubleType)))
+      .rdd.mapPartitions { it =>
+        val all = bc.value
+        it.flatMap { r =>
+          val ida = r.getLong(0)
+          val va = r.getSeq[Double](1).toArray
+          all.iterator.filter(_._1 > ida).flatMap { case (idb, vb) =>
+            var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+            while (i < va.length) {
+              dot += va(i) * vb(i); na += va(i) * va(i); nb += vb(i) * vb(i); i += 1
+            }
+            val cos = dot / (math.sqrt(na) * math.sqrt(nb))
+            val rcos = BigDecimal(cos).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+            if (rcos >= thr) Some(Row(ida, idb, rcos)) else None
+          }
+        }
+      }
+    spark.createDataFrame(rdd, StructType(Seq(
+      StructField("id_a", LongType), StructField("id_b", LongType),
+      StructField("cos_sim", DoubleType))))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> ((s, d) => exact(Tables.documents(s, d))),
+    "dedup_ngram_jaccard" -> ((s, d) => ngramJaccard(Tables.documents(s, d))),
+    "dedup_minhash_lsh" -> ((s, d) => minhashLsh(Tables.documents(s, d))),
+    "dedup_simhash" -> ((s, d) => simhash(Tables.documents(s, d))),
+    "dedup_embedding" -> ((s, d) => embeddingPairs(Tables.embeddings(s, d))))
+
+  /** DuckDB oracles. minhash/simhash have none (hash-seeded signatures
+    * aren't portable SQL) — driver records rows-only; their correctness
+    * is spec-defined against the exact-Jaccard result (DedupSpec).
+    */
+  val oracle: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS dup_count
+        |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      """WITH t AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ts
+        |  FROM documents),
+        |sh AS (SELECT doc_id,
+        |   list_distinct([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] for i in range(1, len(ts)-1)]) AS shingles
+        |  FROM t WHERE len(ts) >= 3),
+        |ex AS (SELECT doc_id, unnest(shingles) AS s, len(shingles) AS nsh FROM sh),
+        |pairs AS (SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2, count(*) AS inter,
+        |   any_value(a.nsh) AS n1, any_value(b.nsh) AS n2
+        |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT doc_id_1, doc_id_2, round(inter * 1.0 / (n1 + n2 - inter), 6) AS jaccard
+        |FROM pairs WHERE inter * 1.0 / (n1 + n2 - inter) >= 0.8
+        |ORDER BY doc_id_1, doc_id_2""".stripMargin,
+    "dedup_embedding" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        | round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) >= 0.4
+        |ORDER BY id_a, id_b""".stripMargin)
+}
