@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Dedup, MapleJuice, Relational, TextAnalysis}
+import graft.operators.{Dedup, MapleJuice, Relational, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
@@ -12,7 +12,7 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ TextAnalysis.queries ++ Dedup.queries ++
+    Relational.queries ++ TextAnalysis.queries ++ Dedup.queries ++ Similarity.queries ++
       Map[String, (SparkSession, String) => DataFrame](
         "mj_wordcount" -> ((s, d) => MapleJuice.wordCount(Tables.documents(s, d))
           .orderBy("word")),
@@ -24,7 +24,7 @@ object SparkEntry {
     * (driver records a weaker rows-only check).
     */
   def oracleSql: Map[String, String] =
-    Relational.oracle ++ TextAnalysis.oracle ++ Dedup.oracle ++ Map(
+    Relational.oracle ++ TextAnalysis.oracle ++ Dedup.oracle ++ Similarity.oracle ++ Map(
       "mj_wordcount" ->
         """SELECT word, count(*) AS cnt FROM (
           | SELECT regexp_replace(unnest(string_split_regex(text, '\s+')),

@@ -1,0 +1,247 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Approximate-nearest-neighbor search over the `embeddings` table
+  * (SURVEY.md §2.4). Query set = the 10 lowest vec_ids; corpus = the rest.
+  *
+  * Scale design: the query set is always BROADCAST (it's the small side by
+  * construction); the corpus is only ever streamed partition-wise.
+  *  - `ann_brute_topk` — the exact baseline: corpus partitions × broadcast
+  *    queries, tight double loop, then per-query top-k. Linear in corpus,
+  *    embarrassingly parallel; this is the verify path for the ANN ops.
+  *  - `ann_lsh_topk` — random-hyperplane LSH, L tables × B bits: corpus
+  *    and queries are bucketed, candidates come from an equality join on
+  *    (table, bucket) — the inverted index — then exact re-rank. Cost
+  *    scales with bucket collisions, not |corpus|.
+  *  - `ann_ivf_topk` — IVF: k-means-lite centroids (Lloyd on a collected
+  *    sample, deterministic), corpus assigned to nearest cell, queries
+  *    probe the nprobe nearest cells, exact re-rank within probed cells.
+  */
+object Similarity {
+
+  val NumQueries = 10
+
+  /** Sequential-order cosine (dot + norms in one pass, double) — same
+    * accumulation order as the brute kernel and DuckDB's
+    * list_cosine_similarity, so results agree bitwise.
+    */
+  private[operators] def cosine(a: Array[Double], b: Array[Double]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  private def vecs(embeddings: DataFrame): DataFrame =
+    embeddings.select(col("vec_id"), col("embedding").cast(ArrayType(DoubleType)).as("v"))
+
+  private def collectVecs(df: DataFrame): Array[(Long, Array[Double])] =
+    vecs(df).collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+
+  private val simSchema = StructType(Seq(
+    StructField("query_id", LongType), StructField("neighbor_id", LongType),
+    StructField("cos_sim", DoubleType)))
+
+  /** (query_id, neighbor_id, cos_sim) for every (broadcast query) ×
+    * (corpus partition row) pair — the brute-force scan kernel.
+    */
+  def bruteScores(embeddings: DataFrame): DataFrame = {
+    val spark = embeddings.sparkSession
+    val queries = collectVecs(embeddings.filter(col("vec_id") < NumQueries))
+    val bc = spark.sparkContext.broadcast(queries)
+    val rdd = vecs(embeddings.filter(col("vec_id") >= NumQueries)).rdd.mapPartitions { it =>
+      it.flatMap { r =>
+        val id = r.getLong(0); val v = r.getSeq[Double](1).toArray
+        bc.value.iterator.map { case (qid, qv) => Row(qid, id, round6(cosine(qv, v))) }
+      }
+    }
+    spark.createDataFrame(rdd, simSchema)
+  }
+
+  /** Per-query top-k by (cos_sim desc, neighbor_id) — the deterministic
+    * tie-break both Spark and the oracle use. The window partitions by
+    * query_id, so parallelism = |queries| (each task ranks one query's
+    * bounded candidate list).
+    */
+  def topK(scores: DataFrame, k: Int = 5): DataFrame =
+    scores
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cos_sim").desc, col("neighbor_id"))).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"), col("cos_sim"))
+      .orderBy(col("query_id"), col("rnk"))
+
+  def bruteTopK(embeddings: DataFrame, k: Int = 5): DataFrame =
+    topK(bruteScores(embeddings), k)
+
+  // ---------------------------------------------------------------- LSH
+
+  /** Deterministic Gaussian hyperplanes: tables × bits planes of dim
+    * weights (seeded java.util.Random — spec-fixed sequence).
+    */
+  private[operators] def hyperplanes(tables: Int, bits: Int, dim: Int): Array[Array[Array[Double]]] =
+    Array.tabulate(tables, bits) { (t, b) =>
+      val rng = new java.util.Random((t.toLong << 20) | (b.toLong << 4) | 0x5eedL)
+      Array.fill(dim)(rng.nextGaussian())
+    }
+
+  /** (vec_id, table, bucket) — sign-bit bucket of each vector per table. */
+  def lshBuckets(embeddings: DataFrame, tables: Int = 8, bits: Int = 6, dim: Int = 64): DataFrame = {
+    val spark = embeddings.sparkSession
+    val bc = spark.sparkContext.broadcast(hyperplanes(tables, bits, dim))
+    val rdd = vecs(embeddings).rdd.mapPartitions { it =>
+      val planes = bc.value
+      it.flatMap { r =>
+        val id = r.getLong(0); val v = r.getSeq[Double](1).toArray
+        planes.indices.iterator.map { t =>
+          var bucket = 0L
+          var b = 0
+          while (b < planes(t).length) {
+            var dot = 0.0; var i = 0
+            val p = planes(t)(b)
+            while (i < v.length) { dot += p(i) * v(i); i += 1 }
+            if (dot > 0) bucket |= (1L << b)
+            b += 1
+          }
+          Row(id, t, bucket)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, StructType(Seq(
+      StructField("vec_id", LongType), StructField("table", IntegerType),
+      StructField("bucket", LongType))))
+  }
+
+  /** Exact re-rank of candidate (query, neighbor) pairs: join vectors
+    * back and compute cosine declaratively (zip_with + sequential
+    * aggregate — same fold order as the kernel). Candidates are few, so
+    * this stays cheap; at scale the join shuffles on vec_id only.
+    */
+  def rerank(candidates: DataFrame, embeddings: DataFrame, k: Int): DataFrame = {
+    val e = vecs(embeddings)
+    val dot = (a: Column, b: Column) =>
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    val scored = candidates
+      .join(e.select(col("vec_id").as("query_id"), col("v").as("qv")), "query_id")
+      .join(e.select(col("vec_id").as("neighbor_id"), col("v").as("cv")), "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"),
+        round(dot(col("qv"), col("cv")) /
+          (sqrt(dot(col("qv"), col("qv"))) * sqrt(dot(col("cv"), col("cv")))), 6).as("cos_sim"))
+    topK(scored, k)
+  }
+
+  /** LSH top-k: candidates = corpus vectors sharing ≥1 (table, bucket)
+    * with the query, then exact re-rank.
+    */
+  def lshTopK(embeddings: DataFrame, k: Int = 5, tables: Int = 8, bits: Int = 6): DataFrame = {
+    val buckets = lshBuckets(embeddings, tables, bits)
+    val qb = buckets.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("table"), col("bucket"))
+    val cb = buckets.filter(col("vec_id") >= NumQueries)
+      .select(col("vec_id").as("neighbor_id"), col("table"), col("bucket"))
+    val candidates = cb.join(broadcast(qb), Seq("table", "bucket"))
+      .select(col("query_id"), col("neighbor_id")).distinct()
+    rerank(candidates, embeddings, k)
+  }
+
+  // ---------------------------------------------------------------- IVF
+
+  /** k-means-lite (Lloyd) over a collected sample — deterministic: init =
+    * the nCells lowest-vec_id vectors, fixed iteration count, L2. At real
+    * scale the sample is a bounded `limit` pushed to the scan; centroids
+    * are always tiny (nCells × dim doubles) and broadcast.
+    */
+  private[operators] def kmeansLite(sample: Array[(Long, Array[Double])],
+                                    nCells: Int, iters: Int = 5): Array[Array[Double]] = {
+    val dim = sample.head._2.length
+    var centroids = sample.take(nCells).map(_._2.clone)
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(nCells)(new Array[Double](dim))
+      val counts = new Array[Long](nCells)
+      sample.foreach { case (_, v) =>
+        val c = nearestCell(v, centroids)
+        counts(c) += 1
+        var i = 0; while (i < dim) { sums(c)(i) += v(i); i += 1 }
+      }
+      centroids = Array.tabulate(nCells) { c =>
+        if (counts(c) == 0) centroids(c)
+        else { val m = sums(c); var i = 0; while (i < dim) { m(i) /= counts(c); i += 1 }; m }
+      }
+    }
+    centroids
+  }
+
+  private[operators] def nearestCell(v: Array[Double], centroids: Array[Array[Double]]): Int = {
+    var best = 0; var bestD = Double.MaxValue; var c = 0
+    while (c < centroids.length) {
+      var d = 0.0; var i = 0
+      while (i < v.length) { val t = v(i) - centroids(c)(i); d += t * t; i += 1 }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  private[operators] def nearestCells(v: Array[Double], centroids: Array[Array[Double]], n: Int): Array[Int] =
+    centroids.indices.map { c =>
+      var d = 0.0; var i = 0
+      while (i < v.length) { val t = v(i) - centroids(c)(i); d += t * t; i += 1 }
+      (c, d)
+    }.sortBy(_._2).take(n).map(_._1).toArray
+
+  /** IVF top-k: assign corpus to nearest of nCells centroids (one
+    * broadcast + linear scan), probe the nprobe nearest cells per query,
+    * exact re-rank within probed cells.
+    */
+  def ivfTopK(embeddings: DataFrame, k: Int = 5, nCells: Int = 16, nprobe: Int = 4): DataFrame = {
+    val spark = embeddings.sparkSession
+    val sample = collectVecs(embeddings)
+    val centroids = kmeansLite(sample, nCells)
+    val bc = spark.sparkContext.broadcast(centroids)
+    val assigned = spark.createDataFrame(
+      vecs(embeddings.filter(col("vec_id") >= NumQueries)).rdd.mapPartitions { it =>
+        it.map { r => Row(r.getLong(0), nearestCell(r.getSeq[Double](1).toArray, bc.value)) }
+      },
+      StructType(Seq(StructField("neighbor_id", LongType), StructField("cell", IntegerType))))
+    val probes = spark.createDataFrame(
+      vecs(embeddings.filter(col("vec_id") < NumQueries)).rdd.mapPartitions { it =>
+        it.flatMap { r =>
+          val qid = r.getLong(0)
+          nearestCells(r.getSeq[Double](1).toArray, bc.value, nprobe).iterator.map(c => Row(qid, c))
+        }
+      },
+      StructType(Seq(StructField("query_id", LongType), StructField("cell", IntegerType))))
+    val candidates = assigned.join(broadcast(probes), Seq("cell"))
+      .select(col("query_id"), col("neighbor_id")).distinct()
+    rerank(candidates, embeddings, k)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_brute_topk" -> ((s, d) => bruteTopK(Tables.embeddings(s, d))),
+    "ann_lsh_topk" -> ((s, d) => lshTopK(Tables.embeddings(s, d))),
+    "ann_ivf_topk" -> ((s, d) => ivfTopK(Tables.embeddings(s, d))))
+
+  /** Only the brute baseline is SQL-expressible; LSH/IVF are rows-only
+    * with recall specs vs brute (AnnSpec).
+    */
+  val oracle: Map[String, String] = Map(
+    "ann_brute_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        |  FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+        |  FROM embeddings WHERE vec_id >= 10),
+        |s AS (SELECT query_id, neighbor_id,
+        |   round(list_cosine_similarity(qv, cv), 6) AS cos_sim FROM q, c),
+        |r AS (SELECT *, CAST(row_number() OVER (
+        |   PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rnk FROM s)
+        |SELECT query_id, rnk, neighbor_id, cos_sim FROM r WHERE rnk <= 5
+        |ORDER BY query_id, rnk""".stripMargin)
+}
