@@ -13,6 +13,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ TextAnalysis.queries ++ Dedup.queries ++ Similarity.queries ++
+      graft.sources.Sdfs.queries ++ graft.streaming.Events.queries ++
       Map[String, (SparkSession, String) => DataFrame](
         "mj_wordcount" -> ((s, d) => MapleJuice.wordCount(Tables.documents(s, d))
           .orderBy("word")),
@@ -24,7 +25,8 @@ object SparkEntry {
     * (driver records a weaker rows-only check).
     */
   def oracleSql: Map[String, String] =
-    Relational.oracle ++ TextAnalysis.oracle ++ Dedup.oracle ++ Similarity.oracle ++ Map(
+    Relational.oracle ++ TextAnalysis.oracle ++ Dedup.oracle ++ Similarity.oracle ++
+      graft.streaming.Events.oracle ++ Map(
       "mj_wordcount" ->
         """SELECT word, count(*) AS cnt FROM (
           | SELECT regexp_replace(unnest(string_split_regex(text, '\s+')),

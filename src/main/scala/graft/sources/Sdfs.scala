@@ -1,0 +1,122 @@
+package graft.sources
+
+import graft.Tables
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference's DFS surface (SDFS: put / get / append / del / ls /
+  * store / mkdir — /root/reference/inc/sdfs_client.h:20-32) re-expressed
+  * Spark-first: "the DFS" is whatever Hadoop-compatible filesystem the
+  * path points at (HDFS, S3A, local), replication/liveness are the store's
+  * job (SURVEY §6), and a file is a dataset in one of the supported
+  * formats. put/append are DataFrame writes so they scale with executor
+  * count instead of streaming through one client like the reference
+  * (/root/reference/src/sdfs_client.cpp); get is a (pruned, pushed-down)
+  * read.
+  */
+class Sdfs(spark: SparkSession) {
+
+  val formats: Seq[String] = Seq("parquet", "csv", "json", "text")
+
+  private def fs(path: String): FileSystem =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def writer(df: DataFrame, format: String) = {
+    val w = df.write.format(format)
+    if (format == "csv") w.option("header", "true") else w
+  }
+
+  /** SDFS `put` — create/overwrite a dataset at `path`. Distributed
+    * write: one file per partition, rename-committed.
+    */
+  def put(df: DataFrame, path: String, format: String = "parquet"): Unit =
+    writer(df, format).mode(SaveMode.Overwrite).save(path)
+
+  /** SDFS `append` — add rows to an existing dataset (the reference
+    * appends byte ranges to a file; the dataset-level equivalent is
+    * appending files to the directory, no rewrite of existing data).
+    */
+  def append(df: DataFrame, path: String, format: String = "parquet"): Unit =
+    writer(df, format).mode(SaveMode.Append).save(path)
+
+  /** SDFS `get` — read a dataset back. `schema` (DDL string) makes
+    * csv/json reads schema-stable without an inference pass over the
+    * data (never infer at 100 TB).
+    */
+  def get(path: String, format: String = "parquet", schema: Option[String] = None): DataFrame = {
+    val r = spark.read.format(format)
+    val r2 = schema.map(r.schema).getOrElse(r)
+    val r3 = if (format == "csv") r2.option("header", "true") else r2
+    r3.load(path)
+  }
+
+  /** SDFS `ls` — metadata listing as a DataFrame (driver-side metadata
+    * op, like the reference's master lookup).
+    */
+  def ls(path: String): DataFrame = {
+    val f = fs(path)
+    val p = new Path(path)
+    val entries =
+      if (!f.exists(p)) Seq.empty
+      else f.listStatus(p).toSeq.map(s =>
+        (s.getPath.getName, s.getLen, s.isDirectory, s.getModificationTime))
+    import spark.implicits._
+    entries.toDF("name", "size", "is_dir", "mtime").orderBy(col("name"))
+  }
+
+  /** SDFS `del` — remove a dataset (recursive). */
+  def del(path: String): Boolean = fs(path).delete(new Path(path), true)
+
+  /** SDFS `mkdir`. */
+  def mkdir(path: String): Boolean = fs(path).mkdirs(new Path(path))
+
+  def exists(path: String): Boolean = fs(path).exists(new Path(path))
+
+  /** SDFS `store` — the files materialized under a namespace dir (the
+    * reference lists blocks held by one node; here: datasets under a
+    * prefix).
+    */
+  def store(namespaceDir: String): DataFrame = ls(namespaceDir)
+}
+
+object Sdfs {
+  def apply(spark: SparkSession): Sdfs = new Sdfs(spark)
+
+  /** Roundtrip diagnostic (SURVEY `sdfs_roundtrip`): write a lineitem
+    * slice in every format, read each back, report row parity. Write
+    * targets a fresh temp dir (cleaned afterward); the returned frame is
+    * the per-format parity table.
+    */
+  def roundtrip(spark: SparkSession, sfDir: String, rows: Int = 1000): DataFrame = {
+    val sdfs = new Sdfs(spark)
+    val base = java.nio.file.Files.createTempDirectory("graft_sdfs_rt").toString
+    val slice = Tables.lineitem(spark, sfDir)
+      .orderBy(col("l_orderkey"), col("l_linenumber")).limit(rows)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        col("l_quantity"), col("l_returnflag"))
+    val sliceSchema = "l_orderkey BIGINT, l_partkey BIGINT, l_suppkey BIGINT, " +
+      "l_quantity DOUBLE, l_returnflag STRING"
+    val textSlice = slice.select(concat_ws("|", slice.columns.map(col): _*).as("value"))
+    val results =
+      try sdfs.formats.map { fmt =>
+        val path = s"$base/$fmt"
+        val df = if (fmt == "text") textSlice else slice
+        sdfs.put(df, path, fmt)
+        sdfs.append(df.limit(100), path, fmt)
+        val schema = fmt match {
+          case "text" => None
+          case _ => Some(sliceSchema)
+        }
+        val back = sdfs.get(path, fmt, schema).count()
+        val expected = rows + 100L
+        (fmt, expected, back, back == expected)
+      }
+      finally sdfs.del(base)
+    import spark.implicits._
+    results.toDF("format", "rows_written", "rows_read", "parity").orderBy(col("format"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sdfs_roundtrip" -> ((s, d) => roundtrip(s, d)))
+}

@@ -1,0 +1,196 @@
+package graft.streaming
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.{LongType, StructType}
+
+/** One raw event for stateful processing (ts in epoch micros). */
+case class RawEvent(user_id: Long, ts_us: Long, value: Double)
+
+/** Sessionizer state: out-of-order buffer of not-yet-closed events +
+  * next session ordinal for this user.
+  */
+case class SessState(buf: List[(Long, Double)], nextSid: Long)
+
+/** One emitted session. */
+case class SessionOut(user_id: Long, sid: Long, start_us: Long, end_us: Long,
+                      n_events: Long, total_value: Double)
+
+/** Structured Streaming over the `events` table (SURVEY.md §2.7). The
+  * reference's streaming story is files continuously APPENDED to SDFS
+  * (/root/reference/inc/sdfs_client.h:23 `append_operation`); Spark's
+  * equivalent is a file streaming source watching a directory, which is
+  * exactly what these queries run — each new file is a micro-batch.
+  *
+  * Scale: state is keyed (user_id) and partitioned by the shuffle; the
+  * watermark bounds state size (events older than watermark are closed
+  * and evicted), so memory is O(open sessions), not O(stream).
+  */
+object Events {
+
+  private val GapMs = 30L * 60 * 1000
+  private var counter = 0
+
+  private def nextName(prefix: String): String =
+    synchronized { counter += 1; s"${prefix}_$counter" }
+
+  /** The events schema as stored (ts is INT64 nanos under
+    * spark.sql.legacy.parquet.nanosAsLong), read off parquet footers —
+    * never inferred from data.
+    */
+  private def rawSchema(spark: SparkSession, sfDir: String): StructType =
+    spark.read.parquet(s"$sfDir/events.parquet").schema
+
+  /** ts (nanos-as-long) → TimestampType micros, matching
+    * [[graft.Tables.events]].
+    */
+  private def withTs(df: DataFrame): DataFrame =
+    if (df.schema("ts").dataType == LongType)
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else df
+
+  /** Tumbling 1-hour window counts/sums per event_type, complete mode
+    * into a memory sink. `readStream` over the sf dir's events file —
+    * the same plan runs unchanged against a directory receiving appended
+    * files on a real cluster.
+    */
+  def windowAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    // file streaming source watches a DIRECTORY (each new file = a
+    // micro-batch) — stage the events file into one
+    val dir = java.nio.file.Files.createTempDirectory("graft_window_agg")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      dir.resolve("events.parquet"))
+    val stream = withTs(
+      spark.readStream.schema(rawSchema(spark, sfDir)).parquet(dir.toString))
+    val agg = stream
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("total_value"))
+    val name = nextName("graft_window_agg")
+    val q = agg.writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Complete).start()
+    try { q.processAllAvailable() } finally q.stop()
+    spark.table(name)
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+      .orderBy(col("window_start"), col("event_type"))
+  }
+
+  /** Per-user 30-minute-gap sessionization via flatMapGroupsWithState
+    * (event-time timeout). A session is emitted once the watermark passes
+    * its last event + gap — no earlier event can still arrive, no later
+    * one can join it. Bounded input is flushed by appending sentinel
+    * files with a far-future ts (the SDFS-append idiom: advancing the
+    * watermark IS new data arriving); sentinels carry a marker user_id
+    * and are filtered before grouping.
+    */
+  def sessionize(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val SentinelUser = -1L
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_sessionize")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      dir.resolve("events.parquet"))
+
+    val raw = withTs(spark.readStream.schema(rawSchema(spark, sfDir)).parquet(dir.toString))
+    // keep the watermarked `ts` column through the projection — dropping
+    // it would strip the watermark the event-time timeout needs
+    val events = raw
+      .selectExpr("user_id", "unix_micros(ts) AS ts_us", "value", "ts")
+      .withWatermark("ts", "0 seconds")
+      .as[RawEvent]
+
+    val sessions = events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[RawEvent], state: GroupState[SessState]) =>
+          if (userId == SentinelUser) {
+            // sentinel rows only advance the watermark; no state, no output
+            Iterator.empty
+          } else {
+            val prior = state.getOption.getOrElse(SessState(Nil, 1L))
+            val buf0 = prior.buf ++ rows.map(e => (e.ts_us, e.value)).toList
+            val wmUs = state.getCurrentWatermarkMs() * 1000
+            val gapUs = GapMs * 1000
+            val sorted = buf0.sortBy(_._1)
+            // split into sessions: gap strictly > 30 min starts a new one
+            val sessionsAll = sorted.foldLeft(List.empty[List[(Long, Double)]]) {
+              case (acc, ev) => acc match {
+                case cur :: rest if ev._1 - cur.head._1 <= gapUs => (ev :: cur) :: rest
+                case _ => List(ev) :: acc
+              }
+            }.map(_.reverse).reverse // chronological sessions, each chronological
+            // a session is closed iff no future event can join it AND all
+            // its events have arrived: watermark passed end + gap
+            val (closed, open) = sessionsAll.partition(s => s.last._1 + gapUs < wmUs)
+            val out = closed.zipWithIndex.map { case (s, i) =>
+              SessionOut(userId, prior.nextSid + i, s.head._1, s.last._1,
+                s.length.toLong, s.map(_._2).sum)
+            }
+            val remaining = open.flatten
+            if (remaining.isEmpty) state.remove()
+            else {
+              state.update(SessState(remaining, prior.nextSid + closed.length))
+              val lastEndMs = remaining.map(_._1).max / 1000
+              state.setTimeoutTimestamp(
+                math.max(lastEndMs + GapMs + 1, state.getCurrentWatermarkMs() + 1000))
+            }
+            out.iterator
+          }
+      }
+
+    val name = nextName("graft_sessionize")
+    val q = sessions.writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append).start()
+    try {
+      q.processAllAvailable()
+      // Flush: two sentinel batches — the first advances the watermark
+      // past every real session's close point, the second lets the
+      // engine fire the resulting event-time timeouts.
+      val maxTs = spark.read.parquet(s"$sfDir/events.parquet")
+        .agg(max(col("ts"))).head.getLong(0)
+      val base = spark.read.parquet(s"$sfDir/events.parquet").limit(1)
+      for (i <- 1 to 2) {
+        base.withColumn("ts", lit(maxTs + i * 24L * 3600 * 1000 * 1000 * 1000))
+          .withColumn("user_id", lit(SentinelUser))
+          .write.mode("append").parquet(dir.toString)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    spark.table(name)
+      .select(col("user_id"), col("sid"),
+        timestamp_micros(col("start_us")).as("session_start"),
+        timestamp_micros(col("end_us")).as("session_end"),
+        col("n_events"), round(col("total_value"), 2).as("total_value"))
+      .orderBy(col("user_id"), col("sid"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_window_agg" -> windowAgg,
+    "stream_sessionize" -> sessionize)
+
+  val oracle: Map[String, String] = Map(
+    "stream_window_agg" ->
+      """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start, event_type,
+        | count(*) AS n_events, round(sum(value), 2) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "stream_sessionize" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+        |m AS (SELECT user_id, ts, value,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |        OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+        | FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |g AS (SELECT user_id, ts, value,
+        |  sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        | FROM m)
+        |SELECT user_id, CAST(sid AS BIGINT) AS sid, min(ts) AS session_start,
+        | max(ts) AS session_end, count(*) AS n_events, round(sum(value), 2) AS total_value
+        |FROM g GROUP BY user_id, sid ORDER BY user_id, sid""".stripMargin)
+}
