@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Dedup, MapleJuice, Relational, Similarity, TextAnalysis}
+import graft.operators.{Dedup, MapleJuice, Multimodal, Relational, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
@@ -13,7 +13,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ TextAnalysis.queries ++ Dedup.queries ++ Similarity.queries ++
-      graft.sources.Sdfs.queries ++ graft.streaming.Events.queries ++
+      graft.sources.Sdfs.queries ++ graft.streaming.Events.queries ++ Multimodal.queries ++
       Map[String, (SparkSession, String) => DataFrame](
         "mj_wordcount" -> ((s, d) => MapleJuice.wordCount(Tables.documents(s, d))
           .orderBy("word")),
@@ -26,7 +26,7 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     Relational.oracle ++ TextAnalysis.oracle ++ Dedup.oracle ++ Similarity.oracle ++
-      graft.streaming.Events.oracle ++ Map(
+      graft.streaming.Events.oracle ++ Multimodal.oracle ++ Map(
       "mj_wordcount" ->
         """SELECT word, count(*) AS cnt FROM (
           | SELECT regexp_replace(unnest(string_split_regex(text, '\s+')),

@@ -1,0 +1,108 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One media object: opaque binary payload + typed metadata. */
+case class MediaRow(media_id: Long, kind: String, payload: Array[Byte],
+                    width: Int, height: Int, sample_rate: Int)
+
+/** Output of the (stubbed) decode/feature-extract stage. */
+case class MediaFeatures(media_id: Long, kind: String, batch_size: Int,
+                         n_bytes: Long, byte_sum: Long, f0: Double, f1: Double)
+
+/** Multimodal plumbing (SURVEY.md §2.6): image/audio/video handled as
+  * opaque `binary` columns with typed metadata, decoded/feature-extracted
+  * in BATCHES via mapPartitions — the Spark-side shape of a Pandas-UDF /
+  * mapInPandas pipeline. No media libraries exist in this container, so
+  * the decode kernel is a clearly-marked DETERMINISTIC STUB
+  * ([[Multimodal.stubDecode]]); everything around it — schema, binary
+  * payload, partitioning, batch accumulation, feature struct — is real
+  * and is what a production decoder would drop into.
+  *
+  * Scale: decode is the expensive stage, so it must see batches (GPU /
+  * vectorized codecs amortize per-call cost); `mapPartitions` + grouped(N)
+  * gives exactly that with zero shuffle — decode parallelism = input
+  * partitions.
+  */
+object Multimodal {
+
+  val BatchSize = 32
+
+  /** Synthesize the media table from `documents`: payload = UTF-8 bytes
+    * (an opaque blob as far as the pipeline is concerned), kind cycles
+    * image/audio/video, metadata derived deterministically. At 100 TB
+    * this is a straight map over the scan — no shuffle.
+    */
+  def mediaTable(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").as("media_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (col("doc_id") % 3 + 1).cast("int")).as("kind"),
+      col("text").cast("binary").as("payload"),
+      (lit(64) + (col("doc_id") * 37) % 1024).cast("int").as("width"),
+      (lit(64) + (col("doc_id") * 53) % 768).cast("int").as("height"),
+      when(col("doc_id") % 3 === 1, 16000).otherwise(0).as("sample_rate"))
+
+  /** `mm_binary_meta`: the typed-metadata view of the binary column —
+    * byte size via octet_length semantics, per-kind counts stay in SQL.
+    */
+  def binaryMeta(docs: DataFrame): DataFrame =
+    mediaTable(docs)
+      .select(col("media_id"), col("kind"),
+        length(col("payload")).cast("long").as("n_bytes"),
+        col("width"), col("height"), col("sample_rate"))
+      .orderBy(col("media_id"))
+
+  /** STUB decode — stands in for the real image/audio codec (not in this
+    * container). Deterministic pure function of the payload bytes so the
+    * pipeline is testable end-to-end; replace the body with e.g. a JNI /
+    * ONNX call without touching any plumbing. Processes a whole batch at
+    * once, like a vectorized decoder would.
+    */
+  def stubDecode(batch: Seq[MediaRow]): Seq[MediaFeatures] =
+    batch.map { m =>
+      var sum = 0L; var i = 0
+      while (i < m.payload.length) { sum += m.payload(i) & 0xff; i += 1 }
+      MediaFeatures(m.media_id, m.kind, batch.size, m.payload.length.toLong, sum,
+        f0 = (sum % 1000) / 1000.0,
+        f1 = if (m.payload.isEmpty) 0.0 else sum.toDouble / m.payload.length)
+    }
+
+  /** `mm_batch_pipeline`: Dataset[MediaRow] → per-partition batches of
+    * [[BatchSize]] → [[stubDecode]] → Dataset[MediaFeatures]. The
+    * grouped iterator never materializes a partition — memory is
+    * O(BatchSize), not O(partition).
+    */
+  def batchPipeline(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.grouped(BatchSize).flatMap(b => stubDecode(b)))
+  }
+
+  def mediaDataset(docs: DataFrame): Dataset[MediaRow] = {
+    import docs.sparkSession.implicits._
+    mediaTable(docs).as[MediaRow]
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_binary_meta" -> ((s, d) => binaryMeta(Tables.documents(s, d))),
+    // batch_size depends on physical partitioning → project it away in
+    // the driver-visible result; the spec asserts the batching itself
+    "mm_batch_pipeline" -> ((s, d) =>
+      batchPipeline(mediaDataset(Tables.documents(s, d)))
+        .toDF()
+        .select(col("media_id"), col("kind"), col("n_bytes"), col("byte_sum"),
+          round(col("f0"), 6).as("f0"), round(col("f1"), 6).as("f1"))
+        .orderBy(col("media_id"))))
+
+  val oracle: Map[String, String] = Map(
+    "mm_binary_meta" ->
+      """SELECT doc_id AS media_id,
+        | CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        | CAST(64 + (doc_id * 37) % 1024 AS INT) AS width,
+        | CAST(64 + (doc_id * 53) % 768 AS INT) AS height,
+        | CAST(CASE WHEN doc_id % 3 = 1 THEN 16000 ELSE 0 END AS INT) AS sample_rate
+        |FROM documents ORDER BY media_id""".stripMargin)
+}
