@@ -30,7 +30,7 @@ object Similarity {
     * accumulation order as the brute kernel and DuckDB's
     * list_cosine_similarity, so results agree bitwise.
     */
-  private[operators] def cosine(a: Array[Double], b: Array[Double]): Double = {
+  private[graft] def cosine(a: Array[Double], b: Array[Double]): Double = {
     var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
     while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
     dot / (math.sqrt(na) * math.sqrt(nb))
@@ -87,7 +87,7 @@ object Similarity {
   /** Deterministic Gaussian hyperplanes: tables × bits planes of dim
     * weights (seeded java.util.Random — spec-fixed sequence).
     */
-  private[operators] def hyperplanes(tables: Int, bits: Int, dim: Int): Array[Array[Array[Double]]] =
+  private[graft] def hyperplanes(tables: Int, bits: Int, dim: Int): Array[Array[Array[Double]]] =
     Array.tabulate(tables, bits) { (t, b) =>
       val rng = new java.util.Random((t.toLong << 20) | (b.toLong << 4) | 0x5eedL)
       Array.fill(dim)(rng.nextGaussian())
@@ -159,7 +159,7 @@ object Similarity {
     * scale the sample is a bounded `limit` pushed to the scan; centroids
     * are always tiny (nCells × dim doubles) and broadcast.
     */
-  private[operators] def kmeansLite(sample: Array[(Long, Array[Double])],
+  private[graft] def kmeansLite(sample: Array[(Long, Array[Double])],
                                     nCells: Int, iters: Int = 5): Array[Array[Double]] = {
     val dim = sample.head._2.length
     var centroids = sample.take(nCells).map(_._2.clone)
@@ -179,7 +179,7 @@ object Similarity {
     centroids
   }
 
-  private[operators] def nearestCell(v: Array[Double], centroids: Array[Array[Double]]): Int = {
+  private[graft] def nearestCell(v: Array[Double], centroids: Array[Array[Double]]): Int = {
     var best = 0; var bestD = Double.MaxValue; var c = 0
     while (c < centroids.length) {
       var d = 0.0; var i = 0
@@ -190,7 +190,7 @@ object Similarity {
     best
   }
 
-  private[operators] def nearestCells(v: Array[Double], centroids: Array[Array[Double]], n: Int): Array[Int] =
+  private[graft] def nearestCells(v: Array[Double], centroids: Array[Array[Double]], n: Int): Array[Int] =
     centroids.indices.map { c =>
       var d = 0.0; var i = 0
       while (i < v.length) { val t = v(i) - centroids(c)(i); d += t * t; i += 1 }

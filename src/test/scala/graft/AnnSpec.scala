@@ -1,0 +1,50 @@
+package graft
+
+import graft.operators.Similarity
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Recall specs for the approximate ANN paths (SURVEY §2.4): LSH and IVF
+  * are defined by recall@k against the exact brute-force baseline on the
+  * same corpus, plus the candidate-pruning property that makes them the
+  * scale path.
+  */
+class AnnSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private lazy val emb = Tables.embeddings(spark, TestSpark.sf)
+
+  private def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(2))).toSet // (query_id, neighbor_id)
+
+  private lazy val brute = pairs(Similarity.bruteTopK(emb))
+
+  test("brute topk returns k neighbors per query, ranked by cosine desc") {
+    val rows = Similarity.bruteTopK(emb).collect()
+    assert(rows.length == Similarity.NumQueries * 5)
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val byRank = rs.sortBy(_.getLong(1)).map(_.getDouble(3))
+      assert(byRank.sliding(2).forall { case Array(a, b) => a >= b; case _ => true })
+    }
+  }
+
+  test("LSH topk recall@5 vs brute") {
+    val lsh = pairs(Similarity.lshTopK(emb))
+    val recall = (lsh & brute).size.toDouble / brute.size
+    assert(recall >= 0.6, s"LSH recall $recall below floor")
+  }
+
+  test("IVF topk recall@5 vs brute, with real pruning") {
+    val ivf = pairs(Similarity.ivfTopK(emb))
+    val recall = (ivf & brute).size.toDouble / brute.size
+    assert(recall >= 0.5, s"IVF recall $recall below floor")
+  }
+
+  test("hyperplanes and centroids are deterministic") {
+    val a = Similarity.hyperplanes(2, 3, 4)
+    val b = Similarity.hyperplanes(2, 3, 4)
+    assert(a.flatten.flatten.toSeq == b.flatten.flatten.toSeq)
+    val sample = Array((1L, Array(1.0, 0.0)), (2L, Array(0.0, 1.0)), (3L, Array(1.0, 1.0)))
+    val c1 = Similarity.kmeansLite(sample, 2)
+    val c2 = Similarity.kmeansLite(sample, 2)
+    assert(c1.flatten.toSeq == c2.flatten.toSeq)
+  }
+}

@@ -1,0 +1,67 @@
+package graft
+
+import graft.operators.Dedup
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Specs for the non-SQL-oracled dedup ops (SURVEY §2.3): MinHash-LSH and
+  * SimHash are defined by their relationship to exact Jaccard / exact
+  * Hamming on the same corpus.
+  */
+class DedupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def docs(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("exact dedup keeps min doc_id and counts duplicates") {
+    val d = docs(1L -> "aaa", 2L -> "bbb", 3L -> "aaa", 4L -> "aaa")
+    val got = Dedup.exact(d).collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toSet // (keep_id, dup_count)
+    assert(got == Set((1L, 3L), (2L, 1L)))
+  }
+
+  test("ngram jaccard: identical docs pair at 1.0, disjoint docs don't pair") {
+    val d = docs(
+      1L -> "one two three four five",
+      2L -> "one two three four five",
+      3L -> "six seven eight nine ten")
+    val pairs = Dedup.ngramJaccard(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.toSeq == Seq((1L, 2L, 1.0)))
+  }
+
+  test("minhash-LSH finds the exact-jaccard pairs on the documents table (high recall, perfect precision)") {
+    val d = graft.Tables.documents(spark, TestSpark.sf)
+    val exact = Dedup.ngramJaccard(d).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLsh(d).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "corpus should contain planted near-dups")
+    // precision 1.0 by construction: every emitted pair is exact-verified
+    assert(lsh.subsetOf(exact))
+    // banding theory: P(candidate | j>=0.8) >= 0.94 -> recall well above 0.8
+    assert(lsh.size.toDouble / exact.size >= 0.8)
+  }
+
+  test("simhash: identical docs at hamming 0; near-identical docs within threshold") {
+    val d = docs(
+      1L -> "the quick brown fox jumps over the lazy dog again and again today",
+      2L -> "the quick brown fox jumps over the lazy dog again and again today",
+      3L -> "completely different words entirely unrelated content here now then")
+    val pairs = Dedup.simhash(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0))
+    assert(!pairs.exists(p => p._2 == 3L || p._1 == 3L))
+  }
+
+  test("embedding pairs: cosine of identical vectors is 1.0") {
+    import spark.implicits._
+    val e = Seq(
+      (1L, Array(1.0f, 2.0f, 3.0f)),
+      (2L, Array(1.0f, 2.0f, 3.0f)),
+      (3L, Array(-3.0f, 1.0f, 0.5f))).toDF("vec_id", "embedding")
+    val got = Dedup.embeddingPairs(e, threshold = 0.99).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == Seq((1L, 2L, 1.0)))
+  }
+}

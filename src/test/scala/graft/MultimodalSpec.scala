@@ -1,0 +1,44 @@
+package graft
+
+import graft.operators.Multimodal
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Spec for `mm_batch_pipeline` (SURVEY §2.6): the batching contract —
+  * decode sees batches of ≤ BatchSize, every row is processed exactly
+  * once, features are a deterministic function of the payload.
+  */
+class MultimodalSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("batch pipeline: every row processed once, batches bounded by BatchSize") {
+    val media = Multimodal.mediaDataset(Tables.documents(spark, TestSpark.sf))
+      .repartition(3)
+    val out = Multimodal.batchPipeline(media).collect()
+    assert(out.length == 500)
+    assert(out.map(_.media_id).distinct.length == 500)
+    assert(out.forall(f => f.batch_size > 0 && f.batch_size <= Multimodal.BatchSize))
+    // full batches dominate: rows per partition >> BatchSize
+    assert(out.count(_.batch_size == Multimodal.BatchSize) > out.length / 2)
+  }
+
+  test("stub decode is deterministic and byte-exact") {
+    val payload = "hello".getBytes("UTF-8")
+    val row = graft.operators.MediaRow(7L, "image", payload, 64, 64, 0)
+    val f = Multimodal.stubDecode(Seq(row)).head
+    val expectedSum = payload.map(_ & 0xff).sum.toLong // h+e+l+l+o = 532
+    assert(f.n_bytes == 5L && f.byte_sum == expectedSum)
+    assert(f.f0 == (expectedSum % 1000) / 1000.0)
+    assert(f.f1 == expectedSum.toDouble / 5)
+    assert(Multimodal.stubDecode(Seq(row)).head == f)
+  }
+
+  test("binary metadata: byte length equals UTF-8 length, kinds cycle") {
+    val meta = Multimodal.binaryMeta(Tables.documents(spark, TestSpark.sf)).collect()
+    assert(meta.map(_.getString(1)).toSet == Set("image", "audio", "video"))
+    // audio rows (doc_id % 3 == 1) carry a sample rate, others don't
+    meta.foreach { r =>
+      val isAudio = r.getLong(0) % 3 == 1
+      assert(r.getInt(5) == (if (isAudio) 16000 else 0))
+    }
+  }
+}

@@ -1,0 +1,72 @@
+package graft
+
+import graft.sources.Sdfs
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Spec for the `sdfs_sources_sinks` surface (SURVEY §2.1): the SDFS
+  * client verbs (/root/reference/inc/sdfs_client.h:20-32) mapped onto
+  * Hadoop FS + Spark readers/writers.
+  */
+class SdfsSpec extends AnyFunSuite with BeforeAndAfterAll {
+  private lazy val spark = TestSpark.spark
+  private lazy val sdfs = Sdfs(spark)
+  private val base = java.nio.file.Files.createTempDirectory("graft_sdfs_spec").toString
+
+  override def afterAll(): Unit = sdfs.del(base)
+
+  private def df = {
+    import spark.implicits._
+    Seq((1L, "a", 1.5), (2L, "b", 2.5), (3L, "c", 3.5)).toDF("id", "s", "x")
+  }
+
+  test("mkdir + exists + del") {
+    val p = s"$base/d1"
+    assert(!sdfs.exists(p))
+    assert(sdfs.mkdir(p))
+    assert(sdfs.exists(p))
+    assert(sdfs.del(p))
+    assert(!sdfs.exists(p))
+  }
+
+  test("put + get roundtrip preserves rows and schema (all formats)") {
+    for (fmt <- sdfs.formats.filter(_ != "text")) {
+      val p = s"$base/rt_$fmt"
+      sdfs.put(df, p, fmt)
+      val back = sdfs.get(p, fmt, Some("id BIGINT, s STRING, x DOUBLE"))
+      assert(back.count() == 3, fmt)
+      assert(back.schema.fieldNames.toSeq == Seq("id", "s", "x"), fmt)
+      assert(back.agg(org.apache.spark.sql.functions.sum("x")).head.getDouble(0) == 7.5, fmt)
+    }
+  }
+
+  test("append adds rows without rewriting existing data") {
+    val p = s"$base/app"
+    sdfs.put(df, p)
+    val filesBefore = sdfs.ls(p).filter("name LIKE 'part-%'").count()
+    sdfs.append(df, p)
+    assert(sdfs.get(p).count() == 6)
+    assert(sdfs.ls(p).filter("name LIKE 'part-%'").count() > filesBefore)
+  }
+
+  test("ls lists names and sizes") {
+    val p = s"$base/lsdir"
+    sdfs.put(df, p)
+    val names = sdfs.ls(p).collect().map(_.getString(0))
+    assert(names.exists(_.startsWith("part-")))
+    assert(names.contains("_SUCCESS"))
+  }
+
+  test("text format roundtrip") {
+    import spark.implicits._
+    val p = s"$base/txt"
+    sdfs.put(Seq("l1", "l2").toDF("value"), p, "text")
+    assert(sdfs.get(p, "text").as[String].collect().toSet == Set("l1", "l2"))
+  }
+
+  test("roundtrip query reports parity for every format") {
+    val rows = Sdfs.roundtrip(spark, TestSpark.sf, rows = 200).collect()
+    assert(rows.length == 4)
+    rows.foreach(r => assert(r.getBoolean(3), s"format ${r.getString(0)} lost rows"))
+  }
+}
