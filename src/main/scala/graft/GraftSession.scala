@@ -33,6 +33,13 @@ object GraftSession {
   def local(cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")): SparkSession = {
     val s = configure(SparkSession.builder().master(s"local[$cpus]"), cpus).getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    registerFunctions(s)
     s
+  }
+
+  /** Register graft's native Catalyst expressions with a session. */
+  def registerFunctions(s: SparkSession): Unit = {
+    graft.functions.CosineSim.register(s)
+    graft.functions.SimHashAgg.register(s)
   }
 }

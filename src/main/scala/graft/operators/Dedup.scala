@@ -136,21 +136,16 @@ object Dedup {
 
   /** 64-bit SimHash per doc over its token multiset: bit i of the
     * signature is 1 iff Σ_tokens (bit i of xxhash64(token) ? +1 : -1) > 0.
-    * Computed as 64 codegen'd sum aggregates after an explode — one
-    * shuffle on doc_id with map-side combine.
+    * Computed by the native [[graft.functions.SimHashAgg]] typed
+    * aggregate — one 64-int buffer per group and one branch-free update
+    * per token, instead of 64 separate sum(when(...)) aggregate columns.
+    * One shuffle on doc_id with ordinary map-side partial aggregation.
     */
-  def simhashSignatures(docs: DataFrame): DataFrame = {
-    val h = xxhash64(col("t"))
-    def bitSum(i: Int) =
-      sum(when(shiftright(h, i).bitwiseAND(lit(1L)) === lit(1L), lit(1L)).otherwise(lit(-1L))).as(s"s$i")
-    val sums = docs
+  def simhashSignatures(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), explode(toks(col("text"))).as("t"))
       .groupBy(col("doc_id"))
-      .agg(bitSum(0), (1 until 64).map(bitSum): _*)
-    sums.select(col("doc_id"),
-      (0 until 64).map(i => when(col(s"s$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
-        .reduce(_ bitwiseOR _).as("simhash"))
-  }
+      .agg(graft.functions.SimHashAgg.simhashAgg(xxhash64(col("t"))).as("simhash"))
 
   /** SimHash near-dup pairs at Hamming distance ≤ maxHamming (default 3).
     * Candidate generation is EXHAUSTIVE by pigeonhole: split the 64 bits

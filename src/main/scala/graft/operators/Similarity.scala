@@ -121,20 +121,19 @@ object Similarity {
   }
 
   /** Exact re-rank of candidate (query, neighbor) pairs: join vectors
-    * back and compute cosine declaratively (zip_with + sequential
-    * aggregate — same fold order as the kernel). Candidates are few, so
-    * this stays cheap; at scale the join shuffles on vec_id only.
+    * back and score with the native [[graft.functions.CosineSim]]
+    * expression — a single fused codegen'd loop (dot + norms in one
+    * pass), same accumulation order as the brute kernel. At scale the
+    * join shuffles on vec_id only and scoring stays inside
+    * whole-stage codegen.
     */
   def rerank(candidates: DataFrame, embeddings: DataFrame, k: Int): DataFrame = {
     val e = vecs(embeddings)
-    val dot = (a: Column, b: Column) =>
-      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
     val scored = candidates
       .join(e.select(col("vec_id").as("query_id"), col("v").as("qv")), "query_id")
       .join(e.select(col("vec_id").as("neighbor_id"), col("v").as("cv")), "neighbor_id")
       .select(col("query_id"), col("neighbor_id"),
-        round(dot(col("qv"), col("cv")) /
-          (sqrt(dot(col("qv"), col("qv"))) * sqrt(dot(col("cv"), col("cv")))), 6).as("cos_sim"))
+        round(graft.functions.CosineSim.cosineSim(col("qv"), col("cv")), 6).as("cos_sim"))
     topK(scored, k)
   }
 

@@ -51,7 +51,19 @@ for name in sorted(oracle):
         fails += 1; continue
     if len(got) != len(exp):
         print(f"ROWS     {name}: spark={len(got)} oracle={len(exp)}"); fails += 1; continue
-    eq = got.equals(exp)
+    # float columns: tolerance compare (round(9) exact-equality can flip
+    # on values straddling a rounding tie)
+    import numpy as np
+    eq = True
+    for c in got.columns:
+        g, e = got[c], exp[c]
+        if pd.api.types.is_float_dtype(g) and pd.api.types.is_float_dtype(e):
+            ok = np.isclose(g, e, atol=1e-9, rtol=0, equal_nan=True).all()
+        else:
+            ok = g.equals(e)
+        if not ok:
+            eq = False
+            break
     if not eq:
         diff = (got != exp) & ~(got.isna() & exp.isna())
         ndiff = int(diff.values.sum())
