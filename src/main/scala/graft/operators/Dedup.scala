@@ -1,9 +1,9 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types._
+import org.apache.spark.sql.types.{ArrayType, DoubleType}
 
 /** Deduplication for large-scale training-data pipelines (SURVEY.md §2.3),
   * over the `documents` and `embeddings` tables.
@@ -171,44 +171,24 @@ object Dedup {
       .orderBy(col("doc_id_1"), col("doc_id_2"))
   }
 
-  /** Embedding cosine near-dup pairs (exact). The vector corpus —
-    * (id, vec) only, ~0.5 KB/row — is broadcast once; each partition
-    * streams its rows against it in a tight JVM double loop (id_a < id_b
-    * dedupes the triangle). Accumulation order matches DuckDB's
-    * list_cosine_similarity (sequential dot + norms, double) so the
-    * oracle hash-matches. Threshold 0.4 on THIS synthetic corpus (its
-    * max pairwise cosine is ≈0.51; real near-dup pipelines use ~0.95).
+  /** Embedding cosine near-dup pairs (exact). Declarative broadcast
+    * nested-loop over the id_a < id_b triangle, scored by the native
+    * codegen'd [[graft.functions.CosineSim]] (sequential dot+norms —
+    * same accumulation order as DuckDB's list_cosine_similarity, so the
+    * oracle hash-matches). The broadcast side is (id, vec) only —
+    * ~0.5 KB/vector, fine to ~1M vectors; past that, exact all-pairs is
+    * the wrong op anyway — use the LSH/ANN candidates path. Threshold
+    * 0.4 on THIS synthetic corpus (its max pairwise cosine is ≈0.51;
+    * real near-dup pipelines use ~0.95).
     */
   def embeddingPairs(embeddings: DataFrame, threshold: Double = 0.4): DataFrame = {
-    val spark = embeddings.sparkSession
-    val corpus: Array[(Long, Array[Double])] = embeddings
-      .select(col("vec_id"), col("embedding").cast(ArrayType(DoubleType)))
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-      .sortBy(_._1)
-    val bc = spark.sparkContext.broadcast(corpus)
-    val thr = threshold
-    val rdd = embeddings
-      .select(col("vec_id"), col("embedding").cast(ArrayType(DoubleType)))
-      .rdd.mapPartitions { it =>
-        val all = bc.value
-        it.flatMap { r =>
-          val ida = r.getLong(0)
-          val va = r.getSeq[Double](1).toArray
-          all.iterator.filter(_._1 > ida).flatMap { case (idb, vb) =>
-            var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-            while (i < va.length) {
-              dot += va(i) * vb(i); na += va(i) * va(i); nb += vb(i) * vb(i); i += 1
-            }
-            val cos = dot / (math.sqrt(na) * math.sqrt(nb))
-            val rcos = BigDecimal(cos).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-            if (rcos >= thr) Some(Row(ida, idb, rcos)) else None
-          }
-        }
-      }
-    spark.createDataFrame(rdd, StructType(Seq(
-      StructField("id_a", LongType), StructField("id_b", LongType),
-      StructField("cos_sim", DoubleType))))
+    val e = embeddings.select(col("vec_id"), col("embedding").cast(ArrayType(DoubleType)).as("v"))
+    val a = e.select(col("vec_id").as("id_a"), col("v").as("va"))
+    val b = e.select(col("vec_id").as("id_b"), col("v").as("vb"))
+    a.join(broadcast(b), col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(graft.functions.CosineSim.cosineSim(col("va"), col("vb")), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
       .orderBy(col("id_a"), col("id_b"))
   }
 

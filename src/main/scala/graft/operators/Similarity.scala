@@ -26,43 +26,26 @@ object Similarity {
 
   val NumQueries = 10
 
-  /** Sequential-order cosine (dot + norms in one pass, double) — same
-    * accumulation order as the brute kernel and DuckDB's
-    * list_cosine_similarity, so results agree bitwise.
-    */
-  private[graft] def cosine(a: Array[Double], b: Array[Double]): Double = {
-    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-    while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
-    dot / (math.sqrt(na) * math.sqrt(nb))
-  }
-
-  private def round6(x: Double): Double =
-    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-
   private def vecs(embeddings: DataFrame): DataFrame =
     embeddings.select(col("vec_id"), col("embedding").cast(ArrayType(DoubleType)).as("v"))
 
   private def collectVecs(df: DataFrame): Array[(Long, Array[Double])] =
     vecs(df).collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
 
-  private val simSchema = StructType(Seq(
-    StructField("query_id", LongType), StructField("neighbor_id", LongType),
-    StructField("cos_sim", DoubleType)))
-
   /** (query_id, neighbor_id, cos_sim) for every (broadcast query) ×
-    * (corpus partition row) pair — the brute-force scan kernel.
+    * (corpus row) pair — the brute-force scan, fully declarative: the
+    * query set broadcasts, the corpus streams through one codegen'd
+    * stage scoring with the native [[graft.functions.CosineSim]] loop.
+    * Linear in |corpus|, embarrassingly parallel.
     */
   def bruteScores(embeddings: DataFrame): DataFrame = {
-    val spark = embeddings.sparkSession
-    val queries = collectVecs(embeddings.filter(col("vec_id") < NumQueries))
-    val bc = spark.sparkContext.broadcast(queries)
-    val rdd = vecs(embeddings.filter(col("vec_id") >= NumQueries)).rdd.mapPartitions { it =>
-      it.flatMap { r =>
-        val id = r.getLong(0); val v = r.getSeq[Double](1).toArray
-        bc.value.iterator.map { case (qid, qv) => Row(qid, id, round6(cosine(qv, v))) }
-      }
-    }
-    spark.createDataFrame(rdd, simSchema)
+    val q = vecs(embeddings.filter(col("vec_id") < NumQueries))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val c = vecs(embeddings.filter(col("vec_id") >= NumQueries))
+      .select(col("vec_id").as("neighbor_id"), col("v").as("cv"))
+    c.crossJoin(broadcast(q))
+      .select(col("query_id"), col("neighbor_id"),
+        round(graft.functions.CosineSim.cosineSim(col("qv"), col("cv")), 6).as("cos_sim"))
   }
 
   /** Per-query top-k by (cos_sim desc, neighbor_id) — the deterministic
