@@ -1,0 +1,41 @@
+package graft
+
+import graft.streaming.Events
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Spec for §2.7: the streaming results must equal the same computation
+  * done in batch over the full events table (stream/batch unification —
+  * the property Structured Streaming guarantees when watermarks are
+  * honored and state is flushed).
+  */
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("stream_window_agg equals the batch tumbling-window aggregation") {
+    val streamed = Events.windowAgg(spark, TestSpark.sf)
+    val batch = Tables.events(spark, TestSpark.sf)
+      .groupBy(date_trunc("hour", col("ts")).as("window_start"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("total_value"))
+      .orderBy(col("window_start"), col("event_type"))
+    assert(streamed.collect().toSeq == batch.collect().toSeq)
+  }
+
+  test("stream_sessionize equals the batch gaps-and-islands sessionization") {
+    val streamed = Events.sessionize(spark, TestSpark.sf)
+    Tables.events(spark, TestSpark.sf).createOrReplaceTempView("ev_batch")
+    val batch = spark.sql(
+      """WITH m AS (SELECT user_id, ts, value,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |        OR ts > lag(ts) OVER w + INTERVAL 30 MINUTES THEN 1 ELSE 0 END AS new_s
+        | FROM ev_batch WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |g AS (SELECT user_id, ts, value,
+        |  sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM m)
+        |SELECT user_id, CAST(sid AS BIGINT) AS sid, min(ts) AS session_start,
+        | max(ts) AS session_end, count(*) AS n_events,
+        | round(sum(value), 2) AS total_value
+        |FROM g GROUP BY user_id, sid ORDER BY user_id, sid""".stripMargin)
+    assert(streamed.collect().toSeq == batch.collect().toSeq)
+  }
+}
