@@ -58,14 +58,28 @@ object Dedup {
     * by shingle selectivity, never |docs|². (For adversarial corpora cap
     * df with a frequent-shingle filter; the synthetic corpus needs none.)
     */
-  def ngramJaccard(docs: DataFrame, threshold: Double = 0.8, n: Int = 3): DataFrame = {
+  /** `maxShingleDf`: skew guard for adversarial corpora — drop shingles
+    * whose document frequency exceeds the cap before the self-join
+    * (boilerplate shingles shared by k docs contribute k² pair rows; a
+    * df cap bounds the hottest key). Off by default: it trades recall
+    * for boundedness and the exact oracle requires the uncapped join.
+    */
+  def ngramJaccard(docs: DataFrame, threshold: Double = 0.8, n: Int = 3,
+                   maxShingleDf: Option[Int] = None): DataFrame = {
     // Join on the 64-bit shingle hash, not the shingle string: identical
     // pair counts (collision odds ~|shingles|²/2⁶⁴) but the shuffle
     // moves 8-byte keys instead of ~25-byte strings and the sort-merge
     // compares longs — measured 7× faster at sf0.1.
-    val ex = shingleSets(docs, n)
+    val exAll = shingleSets(docs, n)
       .select(col("doc_id"), size(col("shingles")).as("nsh"),
         explode(transform(col("shingles"), s => xxhash64(s))).as("s"))
+    val ex = maxShingleDf match {
+      case Some(cap) =>
+        val hot = exAll.groupBy(col("s")).agg(count(lit(1)).as("df"))
+          .filter(col("df") > cap).select(col("s"))
+        exAll.join(broadcast(hot), Seq("s"), "left_anti")
+      case None => exAll
+    }
     val a = ex.select(col("doc_id").as("doc_id_1"), col("nsh").as("n1"), col("s"))
     val b = ex.select(col("doc_id").as("doc_id_2"), col("nsh").as("n2"), col("s"))
     val jac = col("inter") * lit(1.0) / (col("n1") + col("n2") - col("inter"))

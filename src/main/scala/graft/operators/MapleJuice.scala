@@ -73,6 +73,28 @@ object MapleJuice {
   def juiceAgg(keyed: DataFrame, aggs: Column*): DataFrame =
     keyed.groupBy(col("key")).agg(aggs.head, aggs.tail: _*)
 
+  /** The reference's whole job submission (maple exe + partitioner +
+    * juice exe — /root/reference/src/mj_master.cpp) as one call: map
+    * phase, optional explicit repartition, reduce phase. When
+    * `partitioner` is None the juice shuffle partitions by key on its
+    * own — preferred, since an extra repartition is a second shuffle;
+    * pass one only to reproduce the reference's explicit placement.
+    */
+  def run[T, K: Encoder, V](input: Dataset[T],
+                            partitioner: Option[Partitioner] = None,
+                            numPartitions: Option[Int] = None)(
+      mapleFn: T => IterableOnce[(K, V)])(juiceFn: (V, V) => V)(
+      implicit kv: Encoder[(K, V)]): Dataset[(K, V)] = {
+    val mapped = maple(input)(mapleFn)
+    val placed = partitioner match {
+      case Some(p) => mapped.sparkSession.createDataset(
+        partition(mapped.toDF("key", "value"), p, numPartitions)
+          .as[(K, V)](kv).rdd)(kv)
+      case None => mapped
+    }
+    juice(placed)(juiceFn)
+  }
+
   /** The reference's flagship app: word count with wc_maple's sanitize
     * semantics (/root/reference/mje/src/wc_maple.cpp:10-21 — keep only
     * [0-9a-zA-Z]; split on whitespace). Intentional divergence: tokens

@@ -32,6 +32,19 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.toSeq == Seq((1L, 2L, 1.0)))
   }
 
+  test("ngram jaccard df cap drops pairs that only share ultra-common shingles") {
+    val d = docs(
+      1L -> "a b c d e",
+      2L -> "a b c d e",
+      3L -> "a b c q r")
+    // shingle "a b c" appears in all 3 docs; cap df at 2 removes it
+    val capped = Dedup.ngramJaccard(d, threshold = 0.1, maxShingleDf = Some(2)).collect()
+    val uncapped = Dedup.ngramJaccard(d, threshold = 0.1).collect()
+    assert(uncapped.length >= capped.length)
+    // identical docs still pair via their unique shingles
+    assert(capped.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L))
+  }
+
   test("minhash-LSH finds the exact-jaccard pairs on the documents table (high recall, perfect precision)") {
     val d = graft.Tables.documents(spark, TestSpark.sf)
     val exact = Dedup.ngramJaccard(d).collect().map(r => (r.getLong(0), r.getLong(1))).toSet

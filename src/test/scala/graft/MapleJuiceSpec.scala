@@ -34,6 +34,15 @@ class MapleJuiceSpec extends AnyFunSuite {
     assert(got == Map("a" -> 2L, "b" -> 2L, "c" -> 1L))
   }
 
+  test("run() = maple + partitioner + juice in one job submission") {
+    import spark.implicits._
+    val docs = Seq("x y x", "y z").toDS()
+    val counts = MapleJuice.run(docs, Some(Partitioner.Hash(Seq(col("key")))), Some(4)) {
+      line => line.split(" ").toSeq.map(w => (w, 1L))
+    }(_ + _).collect().toMap
+    assert(counts == Map("x" -> 2L, "y" -> 2L, "z" -> 1L))
+  }
+
   test("hash partitioner co-locates keys (every key in exactly one partition)") {
     import spark.implicits._
     val df = (1 to 1000).map(i => (i % 13, i)).toDF("k", "v")
