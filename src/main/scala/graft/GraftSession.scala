@@ -41,5 +41,6 @@ object GraftSession {
   def registerFunctions(s: SparkSession): Unit = {
     graft.functions.CosineSim.register(s)
     graft.functions.SimHashAgg.register(s)
+    graft.functions.TopKAgg.register(s)
   }
 }

@@ -1,8 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -49,17 +48,21 @@ object Similarity {
   }
 
   /** Per-query top-k by (cos_sim desc, neighbor_id) — the deterministic
-    * tie-break both Spark and the oracle use. The window partitions by
-    * query_id, so parallelism = |queries| (each task ranks one query's
-    * bounded candidate list).
+    * tie-break both Spark and the oracle use. Uses the k-bounded
+    * [[graft.functions.TopKAgg]] aggregate, NOT a window: the window
+    * formulation (row_number over partitionBy(query_id)) shuffles every
+    * scored candidate to one task per query and sorts them all, while
+    * the aggregate reduces each map partition to ≤ k entries per query
+    * before the exchange — at a 100 TB corpus the shuffle carries
+    * |queries|·k·|partitions| rows instead of the whole score stream.
     */
   def topK(scores: DataFrame, k: Int = 5): DataFrame =
     scores
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy(col("query_id"))
-          .orderBy(col("cos_sim").desc, col("neighbor_id"))).cast("long"))
-      .filter(col("rnk") <= k)
-      .select(col("query_id"), col("rnk"), col("neighbor_id"), col("cos_sim"))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopKAgg.topKAgg(col("cos_sim"), col("neighbor_id"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rnk"),
+        col("col.id").as("neighbor_id"), col("col.score").as("cos_sim"))
       .orderBy(col("query_id"), col("rnk"))
 
   def bruteTopK(embeddings: DataFrame, k: Int = 5): DataFrame =

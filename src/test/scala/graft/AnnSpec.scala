@@ -38,6 +38,20 @@ class AnnSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"IVF recall $recall below floor")
   }
 
+  test("TopKAgg keeps the k best with (score desc, id asc) tie-break under any arrival order") {
+    import spark.implicits._
+    val scores = Seq(
+      (1L, 0.5, 10L), (1L, 0.9, 11L), (1L, 0.9, 12L), (1L, 0.1, 13L), (1L, 0.7, 14L),
+      (2L, 0.3, 20L), (2L, 0.3, 21L))
+      .toDF("query_id", "cos_sim", "neighbor_id")
+      .repartition(5) // force partial buffers + merge
+    val got = Similarity.topK(scores, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq(
+      (1L, 1L, 11L, 0.9), (1L, 2L, 12L, 0.9), (1L, 3L, 14L, 0.7),
+      (2L, 1L, 20L, 0.3), (2L, 2L, 21L, 0.3)))
+  }
+
   test("hyperplanes and centroids are deterministic") {
     val a = Similarity.hyperplanes(2, 3, 4)
     val b = Similarity.hyperplanes(2, 3, 4)
