@@ -42,5 +42,6 @@ object GraftSession {
     graft.functions.CosineSim.register(s)
     graft.functions.SimHashAgg.register(s)
     graft.functions.TopKAgg.register(s)
+    graft.functions.RollingHash.register(s)
   }
 }

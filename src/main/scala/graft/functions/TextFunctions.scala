@@ -45,16 +45,15 @@ object TextFunctions {
   def bpeTokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).cast("long")
 
-  /** Rolling polynomial fingerprint over the character stream:
-    * fp = fold(chars, acc -> (acc*31 + codepoint) mod 1e9+7).
-    * Built on the `aggregate` higher-order function — one pass, no UDF,
-    * identical arithmetic to the DuckDB list_reduce oracle.
+  /** Rolling polynomial fingerprint over the codepoint stream:
+    * fp = fold(codepoints, acc -> (acc*31 + cp) mod 1e9+7). Backed by
+    * the native codegen'd [[graft.functions.RollingHash]] expression
+    * (one fused loop; the equivalent aggregate-over-split HOF pays an
+    * interpreted lambda per character) — identical arithmetic to the
+    * DuckDB list_reduce oracle.
     */
   def rollingFingerprint(text: Column): Column =
-    aggregate(
-      filter(split(text, ""), c => c =!= lit("")),
-      lit(0L),
-      (acc, c) => (acc * lit(31L) + ascii(c).cast("long")) % lit(1000000007L))
+    RollingHash.rollingHash(text)
 
   /** Stopword lists used by quality scoring and language ID. */
   val stopEn = Seq("the", "a", "and", "of", "to", "is", "in", "that", "it", "for")
