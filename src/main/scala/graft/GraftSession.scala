@@ -43,5 +43,6 @@ object GraftSession {
     graft.functions.SimHashAgg.register(s)
     graft.functions.TopKAgg.register(s)
     graft.functions.RollingHash.register(s)
+    graft.functions.ShingleFunctions.register(s)
   }
 }

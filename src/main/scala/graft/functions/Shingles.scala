@@ -1,0 +1,149 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native text → hash-set expressions for the dedup pipeline.
+  *
+  * Why custom Expressions: the `functions._` formulation of word
+  * shingling (filter(split) → transform(sequence, concat_ws) →
+  * array_distinct → transform(xxhash64)) is five interpreted
+  * higher-order passes that materialize a token array, a shingle-string
+  * array, and a distinct array per document. On a 100 TB text scan that
+  * per-document interpreter overhead dominates the actual work. Each
+  * expression here is ONE fused JVM loop over the string, called from
+  * generated code, producing exactly the values the composed form
+  * produced (same whitespace split as regex \s+, same space-joined
+  * shingle bytes, same xxhash64 seed-42 as the builtin).
+  */
+object Shingles {
+
+  private def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
+  /** Whitespace tokens of `s` (empties dropped), as UTF8String slices. */
+  private def tokenize(s: UTF8String): java.util.ArrayList[UTF8String] = {
+    val str = s.toString
+    val out = new java.util.ArrayList[UTF8String]()
+    var i = 0
+    val n = str.length
+    while (i < n) {
+      while (i < n && isWs(str.charAt(i))) i += 1
+      val start = i
+      while (i < n && !isWs(str.charAt(i))) i += 1
+      if (i > start) out.add(UTF8String.fromString(str.substring(start, i)))
+    }
+    out
+  }
+
+  /** Distinct xxhash64(seed 42) values of the space-joined word n-grams
+    * of `s`, in first-occurrence order. Equals the composed
+    * array_distinct(transform(...xxhash64(concat_ws(" ", ...)))) result
+    * (modulo 64-bit hash collisions, which that form inherits too once
+    * pairs are joined on the hash).
+    */
+  def shingleHashes(s: UTF8String, n: Int): GenericArrayData = {
+    val toks = tokenize(s)
+    val count = toks.size - n + 1
+    if (count <= 0) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    while (i < count) {
+      sb.setLength(0)
+      var k = 0
+      while (k < n) {
+        if (k > 0) sb.append(' ')
+        sb.append(toks.get(i + k).toString)
+        k += 1
+      }
+      seen.add(XXH64.hashUTF8String(UTF8String.fromString(sb.toString), 42L))
+      i += 1
+    }
+    val arr = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { arr(j) = it.next().longValue(); j += 1 }
+    new GenericArrayData(arr)
+  }
+
+  /** 64-bit SimHash of the token multiset of `s`: bit i set iff
+    * Σ_tokens (bit i of xxhash64(token) ? +1 : -1) > 0. Token hashes are
+    * bit-identical to the builtin xxhash64(token), so this scalar equals
+    * the explode + [[SimHashAgg]] formulation — without the explode, the
+    * shuffle, or the aggregation: a pure map over the scan.
+    */
+  def simhash(s: UTF8String): Long = {
+    val toks = tokenize(s)
+    val counts = new Array[Int](64)
+    var t = 0
+    while (t < toks.size) {
+      val h = XXH64.hashUTF8String(toks.get(t), 42L)
+      var i = 0
+      while (i < 64) { counts(i) += ((((h >>> i) & 1L).toInt) << 1) - 1; i += 1 }
+      t += 1
+    }
+    var sig = 0L
+    var i = 0
+    while (i < 64) { if (counts(i) > 0) sig |= (1L << i); i += 1 }
+    sig
+  }
+}
+
+/** array<long> of distinct word-n-gram shingle hashes of a string. */
+case class ShingleHashesExpr(child: Expression, n: Int) extends UnaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"shingle_hashes expects a string input, got ${child.dataType}")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    Shingles.shingleHashes(v.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Shingles.shingleHashes($c, $n)")
+  override protected def withNewChildInternal(c: Expression): ShingleHashesExpr = copy(child = c)
+}
+
+/** Scalar 64-bit SimHash of a string's whitespace tokens. */
+case class SimHashExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"simhash expects a string input, got ${child.dataType}")
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any = Shingles.simhash(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Shingles.simhash($c)")
+  override protected def withNewChildInternal(c: Expression): SimHashExpr = copy(child = c)
+}
+
+object ShingleFunctions {
+  import org.apache.spark.sql.catalyst.expressions.{IntegerLiteral, Literal}
+
+  val ShingleName = "graft_shingle_hashes"
+  val SimHashName = "graft_simhash"
+
+  def register(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      ShingleName, exprs => exprs(1) match {
+        case IntegerLiteral(n) => ShingleHashesExpr(exprs(0), n)
+        case other => throw new IllegalArgumentException(
+          s"$ShingleName n must be an integer literal, got $other")
+      }, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      SimHashName, exprs => SimHashExpr(exprs.head), "scala_udf")
+  }
+
+  def shingleHashes(text: Column, n: Int): Column =
+    org.apache.spark.sql.functions.call_function(
+      ShingleName, text, org.apache.spark.sql.functions.lit(n))
+
+  def simhash(text: Column): Column =
+    org.apache.spark.sql.functions.call_function(SimHashName, text)
+}

@@ -27,8 +27,8 @@ object Dedup {
   private def toks(text: Column): Column =
     filter(split(text, "\\s+"), t => t =!= lit(""))
 
-  /** doc_id + distinct word-n-gram shingle set (docs with < n tokens are
-    * dropped — they have no n-shingle).
+  /** doc_id + distinct word-n-gram shingle set as STRINGS (user-facing;
+    * docs with < n tokens are dropped — they have no n-shingle).
     */
   def shingleSets(docs: DataFrame, n: Int = 3): DataFrame =
     docs
@@ -39,6 +39,18 @@ object Dedup {
           sequence(lit(0), size(col("ts")) - lit(n)),
           i => concat_ws(" ", (0 until n).map(k => element_at(col("ts"), i + lit(k + 1))): _*)
         )).as("shingles"))
+
+  /** doc_id + distinct 64-bit shingle HASHES via the native fused
+    * [[graft.functions.ShingleHashesExpr]] loop — what every dedup op
+    * joins on. One codegen'd pass per document instead of five
+    * interpreted higher-order passes; values identical to
+    * xxhash64(space-joined shingle) of [[shingleSets]].
+    */
+  def shingleHashSets(docs: DataFrame, n: Int = 3): DataFrame =
+    docs
+      .select(col("doc_id"),
+        graft.functions.ShingleFunctions.shingleHashes(col("text"), n).as("shingles"))
+      .filter(size(col("shingles")) > 0)
 
   /** Exact dedup: hash the full text, keep the min doc_id per hash group.
     * One scan + one shuffle on the 128-bit hash; at 100 TB this is the
@@ -70,9 +82,9 @@ object Dedup {
     // pair counts (collision odds ~|shingles|²/2⁶⁴) but the shuffle
     // moves 8-byte keys instead of ~25-byte strings and the sort-merge
     // compares longs — measured 7× faster at sf0.1.
-    val exAll = shingleSets(docs, n)
+    val exAll = shingleHashSets(docs, n)
       .select(col("doc_id"), size(col("shingles")).as("nsh"),
-        explode(transform(col("shingles"), s => xxhash64(s))).as("s"))
+        explode(col("shingles")).as("s"))
     val ex = maxShingleDf match {
       case Some(cap) =>
         val hot = exAll.groupBy(col("s")).agg(count(lit(1)).as("df"))
@@ -106,7 +118,7 @@ object Dedup {
     shingled
       .select(col("doc_id"), explode(col("shingles")).as("s"))
       .select(col("doc_id"),
-        xxhash64(col("s"), lit(0)).cast("double").as("h1"),
+        col("s").cast("double").as("h1"),
         xxhash64(col("s"), lit(1)).cast("double").as("h2"))
       .groupBy(col("doc_id"))
       .agg(
@@ -124,7 +136,7 @@ object Dedup {
   def minhashLsh(docs: DataFrame, threshold: Double = 0.8,
                  numPerms: Int = 128, bands: Int = 16): DataFrame = {
     val rows = numPerms / bands
-    val shingled = shingleSets(docs)
+    val shingled = shingleHashSets(docs)
     val sig = minhashSignatures(shingled, numPerms)
     val banded = sig.select(col("doc_id"), explode(array(
       (0 until bands).map(b => struct(
@@ -150,16 +162,17 @@ object Dedup {
 
   /** 64-bit SimHash per doc over its token multiset: bit i of the
     * signature is 1 iff Σ_tokens (bit i of xxhash64(token) ? +1 : -1) > 0.
-    * Computed by the native [[graft.functions.SimHashAgg]] typed
-    * aggregate — one 64-int buffer per group and one branch-free update
-    * per token, instead of 64 separate sum(when(...)) aggregate columns.
-    * One shuffle on doc_id with ordinary map-side partial aggregation.
+    * Computed by the native scalar [[graft.functions.SimHashExpr]] — a
+    * pure map over the scan, no explode and NO SHUFFLE at all. (The
+    * equivalent explode + [[graft.functions.SimHashAgg]] aggregation
+    * exists for pre-tokenized inputs; DedupSpec asserts both paths
+    * produce identical signatures.) Docs with no tokens are dropped,
+    * matching the grouped formulation.
     */
   def simhashSignatures(docs: DataFrame): DataFrame =
     docs
-      .select(col("doc_id"), explode(toks(col("text"))).as("t"))
-      .groupBy(col("doc_id"))
-      .agg(graft.functions.SimHashAgg.simhashAgg(xxhash64(col("t"))).as("simhash"))
+      .filter(col("text").rlike("\\S"))
+      .select(col("doc_id"), graft.functions.ShingleFunctions.simhash(col("text")).as("simhash"))
 
   /** SimHash near-dup pairs at Hamming distance ≤ maxHamming (default 3).
     * Candidate generation is EXHAUSTIVE by pigeonhole: split the 64 bits

@@ -67,6 +67,27 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._2 == 3L || p._1 == 3L))
   }
 
+  test("native shingle hashes equal xxhash64 of the composed string shingles") {
+    import org.apache.spark.sql.functions._
+    val d = graft.Tables.documents(spark, TestSpark.sf)
+    val composed = Dedup.shingleSets(d)
+      .select(col("doc_id"), array_sort(transform(col("shingles"), s => xxhash64(s))).as("h"))
+    val native = Dedup.shingleHashSets(d)
+      .select(col("doc_id"), array_sort(col("shingles")).as("h"))
+    assert(composed.exceptAll(native).isEmpty && native.exceptAll(composed).isEmpty)
+  }
+
+  test("scalar SimHashExpr equals the explode + SimHashAgg formulation") {
+    import org.apache.spark.sql.functions._
+    val d = graft.Tables.documents(spark, TestSpark.sf)
+    val viaAgg = d
+      .select(col("doc_id"), explode(filter(split(col("text"), "\\s+"), t => t =!= lit(""))).as("t"))
+      .groupBy(col("doc_id"))
+      .agg(graft.functions.SimHashAgg.simhashAgg(xxhash64(col("t"))).as("simhash"))
+    val viaScalar = Dedup.simhashSignatures(d)
+    assert(viaAgg.exceptAll(viaScalar).isEmpty && viaScalar.exceptAll(viaAgg).isEmpty)
+  }
+
   test("embedding pairs: cosine of identical vectors is 1.0") {
     import spark.implicits._
     val e = Seq(
