@@ -124,7 +124,7 @@ case class SimHashExpr(child: Expression) extends UnaryExpression {
 }
 
 object ShingleFunctions {
-  import org.apache.spark.sql.catalyst.expressions.{IntegerLiteral, Literal}
+  import org.apache.spark.sql.catalyst.expressions.IntegerLiteral
 
   val ShingleName = "graft_shingle_hashes"
   val SimHashName = "graft_simhash"

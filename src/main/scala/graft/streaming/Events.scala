@@ -153,7 +153,7 @@ object Events {
       // past every real session's close point, the second lets the
       // engine fire the resulting event-time timeouts.
       val maxTs = spark.read.parquet(s"$sfDir/events.parquet")
-        .agg(max(col("ts"))).head.getLong(0)
+        .agg(max(col("ts"))).head().getLong(0)
       val base = spark.read.parquet(s"$sfDir/events.parquet").limit(1)
       for (i <- 1 to 2) {
         base.withColumn("ts", lit(maxTs + i * 24L * 3600 * 1000 * 1000 * 1000))
