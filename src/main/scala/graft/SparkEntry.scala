@@ -26,7 +26,7 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     Relational.oracle ++ TextAnalysis.oracle ++ Dedup.oracle ++ Similarity.oracle ++
-      graft.streaming.Events.oracle ++ Multimodal.oracle ++ Map(
+      graft.streaming.Events.oracle ++ Multimodal.oracle ++ graft.sources.Sdfs.oracle ++ Map(
       "mj_wordcount" ->
         """SELECT word, count(*) AS cnt FROM (
           | SELECT regexp_replace(unnest(string_split_regex(text, '\s+')),

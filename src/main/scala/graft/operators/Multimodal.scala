@@ -97,6 +97,19 @@ object Multimodal {
         .orderBy(col("media_id"))))
 
   val oracle: Map[String, String] = Map(
+    // the corpus is ASCII, so the UTF-8 byte sum equals the codepoint sum
+    // and the stub-decode features are SQL-expressible end-to-end
+    "mm_batch_pipeline" ->
+      """WITH s AS (SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  CAST(list_sum(list_transform(string_split(text, ''), c -> unicode(c))) AS BIGINT) AS byte_sum
+        | FROM documents)
+        |SELECT doc_id AS media_id,
+        | CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        | n_bytes, byte_sum,
+        | round((byte_sum % 1000) / 1000.0, 6) AS f0,
+        | round(byte_sum * 1.0 / n_bytes, 6) AS f1
+        |FROM s ORDER BY media_id""".stripMargin,
     "mm_binary_meta" ->
       """SELECT doc_id AS media_id,
         | CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,

@@ -186,9 +186,12 @@ object Similarity {
     * broadcast + linear scan), probe the nprobe nearest cells per query,
     * exact re-rank within probed cells.
     */
-  def ivfTopK(embeddings: DataFrame, k: Int = 5, nCells: Int = 16, nprobe: Int = 4): DataFrame = {
+  def ivfTopK(embeddings: DataFrame, k: Int = 5, nCells: Int = 16, nprobe: Int = 4,
+              maxSample: Int = 4096): DataFrame = {
     val spark = embeddings.sparkSession
-    val sample = collectVecs(embeddings)
+    // centroid training reads a BOUNDED sample (limit pushed into the
+    // scan) — never the whole corpus; assignment below streams everything
+    val sample = collectVecs(embeddings.limit(maxSample))
     val centroids = kmeansLite(sample, nCells)
     val bc = spark.sparkContext.broadcast(centroids)
     val assigned = spark.createDataFrame(

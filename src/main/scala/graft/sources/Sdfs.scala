@@ -119,4 +119,16 @@ object Sdfs {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sdfs_roundtrip" -> ((s, d) => roundtrip(s, d)))
+
+  /** The roundtrip result is fully determined (1000 put + 100 appended
+    * rows per format), so the oracle pins the expected parity table —
+    * any lost or duplicated rows in a format's write/append/read path
+    * breaks the hash match.
+    */
+  val oracle: Map[String, String] = Map(
+    "sdfs_roundtrip" ->
+      """SELECT format, CAST(1100 AS BIGINT) AS rows_written,
+        | CAST(1100 AS BIGINT) AS rows_read, true AS parity
+        |FROM (VALUES ('csv'), ('json'), ('parquet'), ('text')) AS t(format)
+        |ORDER BY format""".stripMargin)
 }
