@@ -44,5 +44,6 @@ object GraftSession {
     graft.functions.TopKAgg.register(s)
     graft.functions.RollingHash.register(s)
     graft.functions.ShingleFunctions.register(s)
+    graft.functions.TokenStats.register(s)
   }
 }

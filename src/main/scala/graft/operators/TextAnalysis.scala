@@ -11,15 +11,20 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  /** Per-doc stats + composite quality score. */
+  /** Per-doc stats + composite quality score. Token-derived columns come
+    * from ONE fused [[graft.functions.TokenStats]] pass (same \s+ split
+    * and stoplist semantics as the composed HOF form; oracle unchanged).
+    */
   def textStats(spark: SparkSession, d: String): DataFrame =
     Tables.documents(spark, d)
-      .withColumn("ts", tokens(col("text")))
+      .withColumn("st", graft.functions.TokenStats.tokenStats(col("text")))
       .withColumn("n_chars2", length(col("text")).cast("long"))
-      .withColumn("n_tokens", size(col("ts")).cast("long"))
+      .withColumn("n_tokens", col("st.n_tokens"))
       .withColumn("punct_ratio", round(punctRatio(col("text")), 6))
-      .withColumn("stop_ratio", round(stopwordRatio(col("ts"), stopEn), 6))
-      .withColumn("avg_token_len", round(avgTokenLen(col("text"), col("ts")), 6))
+      .withColumn("stop_ratio", round(
+        col("st.en_hits").cast("double") / nullif(col("st.n_tokens"), lit(0L)).cast("double"), 6))
+      .withColumn("avg_token_len", round(
+        col("st.n_nonws_chars").cast("double") / nullif(col("st.n_tokens"), lit(0L)).cast("double"), 6))
       .withColumn("quality",
         qualityScore(col("n_chars2"), col("stop_ratio"), col("punct_ratio"), col("avg_token_len")))
       .select(col("doc_id"), col("n_chars2").as("n_chars"), col("n_tokens"),
@@ -31,11 +36,11 @@ object TextAnalysis {
     */
   def langId(spark: SparkSession, d: String): DataFrame =
     Tables.documents(spark, d)
-      .withColumn("ts", tokens(col("text")))
-      .withColumn("en_hits", hitCount(col("ts"), stopEn))
-      .withColumn("es_hits", hitCount(col("ts"), stopEs))
-      .withColumn("de_hits", hitCount(col("ts"), stopDe))
-      .withColumn("fr_hits", hitCount(col("ts"), stopFr))
+      .withColumn("st", graft.functions.TokenStats.tokenStats(col("text")))
+      .withColumn("en_hits", col("st.en_hits"))
+      .withColumn("es_hits", col("st.es_hits"))
+      .withColumn("de_hits", col("st.de_hits"))
+      .withColumn("fr_hits", col("st.fr_hits"))
       .withColumn("lang_pred",
         when(col("en_hits") >= col("es_hits") && col("en_hits") >= col("de_hits") &&
           col("en_hits") >= col("fr_hits") && col("en_hits") > 0, "en")
@@ -52,7 +57,7 @@ object TextAnalysis {
   def tokenCount(spark: SparkSession, d: String): DataFrame =
     Tables.documents(spark, d)
       .select(col("doc_id"),
-        size(tokens(col("text"))).cast("long").as("n_ws_tokens"),
+        graft.functions.TokenStats.tokenStats(col("text")).getField("n_tokens").as("n_ws_tokens"),
         bpeTokenCount(col("text")).as("n_bpe_tokens"),
         length(col("text")).cast("long").as("n_chars"))
       .orderBy(col("doc_id"))
