@@ -11,8 +11,24 @@ object GraftSession {
     * shuffle parallelism; on a real cluster AQE coalesces post-shuffle
     * partitions so a larger initial number is safe.
     */
-  def configure(b: SparkSession.Builder, cpus: String): SparkSession.Builder = b
-    .config("spark.sql.shuffle.partitions", cpus)
+  def configure(b: SparkSession.Builder, cpus: String): SparkSession.Builder =
+    configureCommon(b)
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+
+  /** Cluster-mode builder: same engine config minus the local-only knobs.
+    * Master/deploy come from spark-submit; shuffle partitions are left to
+    * the cluster default + AQE coalescing (set them per-job when the
+    * fact-table size is known). Call this (or [[registerFunctions]] on an
+    * existing session) before using graft's native functions.
+    */
+  def cluster(appName: String = "graft"): SparkSession = {
+    val s = configureCommon(SparkSession.builder().appName(appName)).getOrCreate()
+    registerFunctions(s)
+    s
+  }
+
+  private def configureCommon(b: SparkSession.Builder): SparkSession.Builder = b
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
@@ -23,12 +39,11 @@ object GraftSession {
     // InferFiltersFromGenerate duplicates the generator expression into a
     // pushed-down size()>0 / isnotnull filter — for expensive array
     // builders (shingling, banding) that re-evaluates the whole
-    // interpreted HOF chain up to 3x per row (measured 3x slowdown on
-    // dedup ops). The inferred filters only prune rows explode would
-    // drop anyway; skip the rule.
+    // interpreted chain up to 3x per row (measured 3x slowdown on dedup
+    // ops). The inferred filters only prune rows explode would drop
+    // anyway; skip the rule.
     .config("spark.sql.optimizer.excludedRules",
       "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
-    .config("spark.ui.enabled", "false")
 
   def local(cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")): SparkSession = {
     val s = configure(SparkSession.builder().master(s"local[$cpus]"), cpus).getOrCreate()
@@ -45,5 +60,6 @@ object GraftSession {
     graft.functions.RollingHash.register(s)
     graft.functions.ShingleFunctions.register(s)
     graft.functions.TokenStats.register(s)
+    graft.functions.LshBuckets.register(s)
   }
 }

@@ -70,41 +70,21 @@ object Similarity {
 
   // ---------------------------------------------------------------- LSH
 
-  /** Deterministic Gaussian hyperplanes: tables × bits planes of dim
-    * weights (seeded java.util.Random — spec-fixed sequence).
+  /** Deterministic Gaussian hyperplanes (delegates to the expression's
+    * per-JVM plane cache — same seed schedule everywhere).
     */
   private[graft] def hyperplanes(tables: Int, bits: Int, dim: Int): Array[Array[Array[Double]]] =
-    Array.tabulate(tables, bits) { (t, b) =>
-      val rng = new java.util.Random((t.toLong << 20) | (b.toLong << 4) | 0x5eedL)
-      Array.fill(dim)(rng.nextGaussian())
-    }
+    graft.functions.LshBuckets.planes(tables, bits, dim)
 
-  /** (vec_id, table, bucket) — sign-bit bucket of each vector per table. */
-  def lshBuckets(embeddings: DataFrame, tables: Int = 8, bits: Int = 6, dim: Int = 64): DataFrame = {
-    val spark = embeddings.sparkSession
-    val bc = spark.sparkContext.broadcast(hyperplanes(tables, bits, dim))
-    val rdd = vecs(embeddings).rdd.mapPartitions { it =>
-      val planes = bc.value
-      it.flatMap { r =>
-        val id = r.getLong(0); val v = r.getSeq[Double](1).toArray
-        planes.indices.iterator.map { t =>
-          var bucket = 0L
-          var b = 0
-          while (b < planes(t).length) {
-            var dot = 0.0; var i = 0
-            val p = planes(t)(b)
-            while (i < v.length) { dot += p(i) * v(i); i += 1 }
-            if (dot > 0) bucket |= (1L << b)
-            b += 1
-          }
-          Row(id, t, bucket)
-        }
-      }
-    }
-    spark.createDataFrame(rdd, StructType(Seq(
-      StructField("vec_id", LongType), StructField("table", IntegerType),
-      StructField("bucket", LongType))))
-  }
+  /** (vec_id, table, bucket) — sign-bit bucket of each vector per table,
+    * via the native [[graft.functions.LshBucketsExpr]] matrix pass +
+    * posexplode. Declarative: one codegen'd scan stage, no RDD.
+    */
+  def lshBuckets(embeddings: DataFrame, tables: Int = 8, bits: Int = 6): DataFrame =
+    vecs(embeddings)
+      .select(col("vec_id"),
+        posexplode(graft.functions.LshBuckets.lshBuckets(col("v"), tables, bits)))
+      .select(col("vec_id"), col("pos").as("table"), col("col").as("bucket"))
 
   /** Exact re-rank of candidate (query, neighbor) pairs: join vectors
     * back and score with the native [[graft.functions.CosineSim]]

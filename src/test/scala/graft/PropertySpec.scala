@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Randomized property tests (seeded — deterministic) pinning the native
+  * expressions to their composed / reference formulations across the
+  * input space; the unit specs cover the curated cases.
+  */
+class PropertySpec extends AnyFunSuite {
+
+  private val WsChars = " \t\n\f\r"
+
+  private def randomTexts(seed: Long, n: Int): Seq[String] = {
+    val rng = new scala.util.Random(seed)
+    val alphabet = "abcXYZ019.- \t\n"
+    (0 until n).map { _ =>
+      val len = rng.nextInt(60)
+      (0 until len).map(_ => alphabet(rng.nextInt(alphabet.length))).mkString
+    }
+  }
+
+  test("RollingHash.compute equals the reference fold on random strings") {
+    for (s <- randomTexts(1L, 500)) {
+      val expected = s.foldLeft(0L)((acc, c) => (acc * 31 + c.toLong) % 1000000007L)
+      assert(graft.functions.RollingHash.compute(UTF8String.fromString(s)) == expected, s"text=$s")
+    }
+  }
+
+  test("TokenStats equals regex-split semantics on random strings") {
+    for (s <- randomTexts(2L, 500)) {
+      val row = graft.functions.TokenStats.compute(UTF8String.fromString(s))
+      assert(row.getLong(0) == s.split("\\s+").count(_.nonEmpty).toLong, s"tokens of $s")
+      assert(row.getLong(1) == s.count(c => !WsChars.contains(c)).toLong, s"nonws of $s")
+    }
+  }
+
+  test("TopKAgg buffer equals sort-take on random score streams") {
+    val rng = new scala.util.Random(3L)
+    for (_ <- 0 until 300) {
+      val xs = Seq.fill(rng.nextInt(40))((rng.nextDouble() * 2 - 1, rng.nextInt(50).toLong))
+      val k = 5
+      val buf = new graft.functions.TopKAgg.Buffer(k)
+      xs.foreach { case (s, id) => buf.insert(s, id) }
+      val got = (0 until buf.size).map(i => (buf.scores(i), buf.ids(i)))
+        .sortBy { case (s, id) => (-s, id) }
+      val expected = xs.sortBy { case (s, id) => (-s, id) }.take(k)
+      assert(got == expected, s"stream=$xs")
+    }
+  }
+
+  test("shingle hashes: deterministic, bounded by token count, match composed hashes") {
+    for (s <- randomTexts(4L, 300)) {
+      val u = UTF8String.fromString(s)
+      val a = graft.functions.Shingles.shingleHashes(u, 3)
+      assert(a.array.toSeq == graft.functions.Shingles.shingleHashes(u, 3).array.toSeq)
+      val toks = s.split("\\s+").filter(_.nonEmpty)
+      assert(a.numElements() <= math.max(0, toks.length - 2), s"text=$s")
+      if (toks.length >= 3) {
+        val expected = toks.sliding(3).map(_.mkString(" ")).toSeq.distinct
+          .map(sh => org.apache.spark.sql.catalyst.expressions.XXH64
+            .hashUTF8String(UTF8String.fromString(sh), 42L))
+        assert(a.array.toSeq == expected, s"text=$s")
+      }
+    }
+  }
+}
