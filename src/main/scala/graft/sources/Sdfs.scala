@@ -65,6 +65,17 @@ class Sdfs(spark: SparkSession) {
     entries.toDF("name", "size", "is_dir", "mtime").orderBy(col("name"))
   }
 
+  /** SDFS `put <local> <sdfs>` in its literal file form: upload one local
+    * file into the DFS (the dataset-level [[put]] is the scalable path —
+    * this is the byte-faithful verb for opaque files).
+    */
+  def putFile(localPath: String, dfsPath: String): Unit =
+    fs(dfsPath).copyFromLocalFile(false, true, new Path(localPath), new Path(dfsPath))
+
+  /** SDFS `get <sdfs> <local>` in its literal file form. */
+  def getFile(dfsPath: String, localPath: String): Unit =
+    fs(dfsPath).copyToLocalFile(false, new Path(dfsPath), new Path(localPath), true)
+
   /** SDFS `del` — remove a dataset (recursive). */
   def del(path: String): Boolean = fs(path).delete(new Path(path), true)
 

@@ -57,6 +57,18 @@ class SdfsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(names.contains("_SUCCESS"))
   }
 
+  test("putFile/getFile move byte-identical single files") {
+    val src = java.nio.file.Files.createTempFile("graft_src", ".bin")
+    val bytes = Array.tabulate[Byte](4096)(i => (i * 31).toByte)
+    java.nio.file.Files.write(src, bytes)
+    val dfs = s"$base/files/blob.bin"
+    sdfs.putFile(src.toString, dfs)
+    assert(sdfs.exists(dfs))
+    val back = java.nio.file.Files.createTempDirectory("graft_back").resolve("blob.bin")
+    sdfs.getFile(dfs, back.toString)
+    assert(java.nio.file.Files.readAllBytes(back).toSeq == bytes.toSeq)
+  }
+
   test("text format roundtrip") {
     import spark.implicits._
     val p = s"$base/txt"
