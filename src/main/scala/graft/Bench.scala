@@ -16,7 +16,10 @@ object Bench {
     }
     def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
       .replaceAll("[\\n\\r\\t]", " ") + "\""
-    val qs = results.map { case (k, v) => q(k) + ":" + f"$v%.3f" }.mkString("{", ",", "}")
+    // Locale.ROOT: a comma-decimal default locale would emit invalid JSON
+    val qs = results.map { case (k, v) =>
+      q(k) + ":" + String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    }.mkString("{", ",", "}")
     val errs = errors.map(q).mkString("[", ",", "]")
     val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")

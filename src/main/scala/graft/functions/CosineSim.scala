@@ -31,17 +31,8 @@ case class CosineSim(left: Expression, right: Expression)
   }
   override def dataType: DataType = DoubleType
 
-  override def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData]
-    val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
-    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-    while (i < n) {
-      val xi = x.getDouble(i); val yi = y.getDouble(i)
-      dot += xi * yi; na += xi * xi; nb += yi * yi; i += 1
-    }
-    dot / (math.sqrt(na) * math.sqrt(nb))
-  }
+  override def nullSafeEval(a: Any, b: Any): Any =
+    CosineSim.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
@@ -53,7 +44,11 @@ case class CosineSim(left: Expression, right: Expression)
       val xi = ctx.freshName("xi")
       val yi = ctx.freshName("yi")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |if ($a.numElements() != $b.numElements()) {
+         |  throw new IllegalArgumentException("cosine_sim: array length mismatch: "
+         |    + $a.numElements() + " vs " + $b.numElements());
+         |}
+         |int $n = $a.numElements();
          |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  double $xi = $a.getDouble($i);
@@ -69,6 +64,24 @@ case class CosineSim(left: Expression, right: Expression)
 }
 
 object CosineSim {
+  /** Shared by interpreted eval and (inlined equivalent in) codegen.
+    * Mismatched lengths are an error — a silent prefix-cosine would mask
+    * schema drift that the DuckDB oracle (list_cosine_similarity) would
+    * reject. Zero-norm vectors yield NaN per IEEE; rankers drop NaN.
+    */
+  def compute(x: ArrayData, y: ArrayData): Double = {
+    if (x.numElements() != y.numElements())
+      throw new IllegalArgumentException(
+        s"cosine_sim: array length mismatch: ${x.numElements()} vs ${y.numElements()}")
+    val n = x.numElements()
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < n) {
+      val xi = x.getDouble(i); val yi = y.getDouble(i)
+      dot += xi * yi; na += xi * xi; nb += yi * yi; i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
   val Name = "graft_cosine_sim"
 
   /** Expose through the session's FunctionRegistry (the public path from

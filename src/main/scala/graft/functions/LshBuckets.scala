@@ -50,7 +50,10 @@ object LshBuckets {
   def planes(tables: Int, bits: Int, dim: Int): Array[Array[Array[Double]]] =
     cache.computeIfAbsent((tables, bits, dim), { case (t0, b0, d0) =>
       Array.tabulate(t0, b0) { (t, b) =>
-        val rng = new java.util.Random((t.toLong << 20) | (b.toLong << 4) | 0x5eedL)
+        // multiplicative mixing — OR-ing small fields into a constant
+        // with overlapping bits collides seeds across bit indices,
+        // which silently degenerates the plane set
+        val rng = new java.util.Random(t * 1000003L + b * 31L + 0x5eedL)
         Array.fill(d0)(rng.nextGaussian())
       }
     })

@@ -25,8 +25,11 @@ object Shingles {
   private def isWs(c: Char): Boolean =
     c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
 
-  /** Whitespace tokens of `s` (empties dropped), as UTF8String slices. */
-  private def tokenize(s: UTF8String): java.util.ArrayList[UTF8String] = {
+  /** Whitespace tokens of `s` (empties dropped) — THE tokenizer every
+    * native text expression shares ([[TokenStats]] included), so the
+    * \s+-equivalence invariant lives in exactly one place.
+    */
+  private[functions] def tokenize(s: UTF8String): java.util.ArrayList[UTF8String] = {
     val str = s.toString
     val out = new java.util.ArrayList[UTF8String]()
     var i = 0

@@ -28,27 +28,20 @@ object TokenStats {
       s
     }
 
-  private def isWs(c: Char): Boolean =
-    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
-
   def compute(s: UTF8String): InternalRow = {
-    val str = s.toString
+    val toks = Shingles.tokenize(s) // the one shared \s+-equivalent tokenizer
     var nTokens = 0L
     var nonWs = 0L
     val hits = new Array[Long](4)
     var i = 0
-    val n = str.length
-    while (i < n) {
-      while (i < n && isWs(str.charAt(i))) i += 1
-      val start = i
-      while (i < n && !isWs(str.charAt(i))) i += 1
-      if (i > start) {
-        nTokens += 1
-        nonWs += i - start
-        val tok = str.substring(start, i)
-        var l = 0
-        while (l < 4) { if (stopSets(l).contains(tok)) hits(l) += 1; l += 1 }
-      }
+    while (i < toks.size) {
+      val t = toks.get(i)
+      nTokens += 1
+      nonWs += t.numChars()
+      val tok = t.toString
+      var l = 0
+      while (l < 4) { if (stopSets(l).contains(tok)) hits(l) += 1; l += 1 }
+      i += 1
     }
     InternalRow(nTokens, nonWs, hits(0), hits(1), hits(2), hits(3))
   }

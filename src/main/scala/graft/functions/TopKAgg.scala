@@ -107,6 +107,9 @@ object TopKAgg {
     }
 
     def insert(s: Double, id: Long): Unit = {
+      // NaN scores are unrankable and would wedge in the buffer (`beats`
+      // is false in both directions) — drop them at the door
+      if (s != s) return
       if (size < k) {
         scores(size) = s; ids(size) = id; size += 1; worst = -1
       } else {

@@ -104,12 +104,17 @@ object Similarity {
   }
 
   /** LSH top-k: candidates = corpus vectors sharing ≥1 (table, bucket)
-    * with the query, then exact re-rank.
+    * with the query, then exact re-rank. Queries MULTIPROBE: each query
+    * also probes every 1-bit-flip of its bucket (bits+1 probes per
+    * table), the standard recall lever that costs probe-count on the
+    * tiny broadcast side instead of more tables over the full corpus.
     */
-  def lshTopK(embeddings: DataFrame, k: Int = 5, tables: Int = 8, bits: Int = 6): DataFrame = {
+  def lshTopK(embeddings: DataFrame, k: Int = 5, tables: Int = 16, bits: Int = 6): DataFrame = {
     val buckets = lshBuckets(embeddings, tables, bits)
+    val probes = array(col("bucket") +:
+      (0 until bits).map(b => col("bucket").bitwiseXOR(lit(1L << b))): _*)
     val qb = buckets.filter(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("query_id"), col("table"), col("bucket"))
+      .select(col("vec_id").as("query_id"), col("table"), explode(probes).as("bucket"))
     val cb = buckets.filter(col("vec_id") >= NumQueries)
       .select(col("vec_id").as("neighbor_id"), col("table"), col("bucket"))
     val candidates = cb.join(broadcast(qb), Seq("table", "bucket"))

@@ -73,10 +73,26 @@ object Events {
     val q = agg.writeStream.format("memory").queryName(name)
       .outputMode(OutputMode.Complete).start()
     try { q.processAllAvailable() } finally q.stop()
-    spark.table(name)
+    val result = spark.table(name)
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("total_value"))
       .orderBy(col("window_start"), col("event_type"))
+    detach(result, name, dir)
+  }
+
+  /** Materialize a bounded streaming result off its memory-sink table,
+    * then drop the table and delete the staging dir — repeated calls in
+    * one session must not accumulate pinned sink tables or /tmp copies.
+    */
+  private def detach(result: DataFrame, name: String,
+                     dir: java.nio.file.Path): DataFrame = {
+    val spark = result.sparkSession
+    val rows = result.collect()
+    spark.catalog.dropTempView(name)
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+      .iterator().asScala.foreach(p => java.nio.file.Files.deleteIfExists(p))
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), result.schema)
   }
 
   /** Per-user 30-minute-gap sessionization via flatMapGroupsWithState
@@ -85,7 +101,8 @@ object Events {
     * one can join it. Bounded input is flushed by appending sentinel
     * files with a far-future ts (the SDFS-append idiom: advancing the
     * watermark IS new data arriving); sentinels carry a marker user_id
-    * and are filtered before grouping.
+    * and are discarded inside the state function (their only effect is
+    * the watermark advance).
     */
   def sessionize(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
@@ -163,12 +180,13 @@ object Events {
       }
     } finally q.stop()
 
-    spark.table(name)
+    val result = spark.table(name)
       .select(col("user_id"), col("sid"),
         timestamp_micros(col("start_us")).as("session_start"),
         timestamp_micros(col("end_us")).as("session_end"),
         col("n_events"), round(col("total_value"), 2).as("total_value"))
       .orderBy(col("user_id"), col("sid"))
+    detach(result, name, dir)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
