@@ -132,6 +132,14 @@ object Relational {
     * per-partition offsets — no single task sees all rows), (3) join back
     * on revenue. The distinct-revenue relation is ≤ |suppliers| rows and
     * typically far smaller, so the join-back is cheap (broadcast-able).
+    *
+    * Caveat: the two consumers of `parted` (local ranks, per-pid offsets)
+    * and the two evaluations of `rev` must observe identical shuffle
+    * output; Spark guarantees this via exchange/stage reuse (the subtrees
+    * canonicalize equal and spark.sql.exchangeReuseEnabled defaults
+    * true — AQE additionally reuses materialized stages). Disabling
+    * exchange reuse could let range-boundary sampling diverge between
+    * branches.
     */
   def qRankSuppliers(spark: SparkSession, d: String): DataFrame = {
     val rev = Tables.supplier(spark, d)

@@ -89,6 +89,24 @@ class Sdfs(spark: SparkSession) {
     * prefix).
     */
   def store(namespaceDir: String): DataFrame = ls(namespaceDir)
+
+  /** Write a catalog table bucketed (and sorted) by join keys. Two
+    * tables bucketed the same way join WITHOUT a shuffle on either side
+    * — the co-location the reference's hash partitioner gives MapleJuice
+    * jobs (/root/reference/src/partitioner.cpp:40-55), persisted at the
+    * storage layer. At 100 TB this converts every recurring fact-fact
+    * join on the bucket keys from a full shuffle into a local merge.
+    */
+  def putBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
+                  numBuckets: Int, format: String = "parquet"): Unit =
+    df.write.format(format)
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .mode(SaveMode.Overwrite)
+      .saveAsTable(table)
+
+  /** Read a bucketed catalog table (bucket metadata intact). */
+  def getTable(table: String): DataFrame = spark.table(table)
 }
 
 object Sdfs {

@@ -76,6 +76,33 @@ class SdfsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sdfs.get(p, "text").as[String].collect().toSet == Set("l1", "l2"))
   }
 
+  test("bucketed tables join without a shuffle on either side") {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, TestSpark.sf)
+      .select("l_orderkey", "l_quantity")
+    val o = Tables.orders(spark, TestSpark.sf)
+      .select("o_orderkey", "o_totalprice")
+    sdfs.putBucketed(li, "li_bucketed", Seq("l_orderkey"), 4)
+    sdfs.putBucketed(o.withColumnRenamed("o_orderkey", "l_orderkey"),
+      "o_bucketed", Seq("l_orderkey"), 4)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = sdfs.getTable("li_bucketed")
+        .join(sdfs.getTable("o_bucketed"), "l_orderkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join should not shuffle:\n$plan")
+      // co-location preserved correctness: same count as the plain join
+      assert(joined.count() ==
+        li.join(o, li("l_orderkey") === o("o_orderkey")).count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS li_bucketed")
+      spark.sql("DROP TABLE IF EXISTS o_bucketed")
+    }
+  }
+
   test("roundtrip query reports parity for every format") {
     val rows = Sdfs.roundtrip(spark, TestSpark.sf, rows = 200).collect()
     assert(rows.length == 4)
