@@ -39,4 +39,13 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** Register every table as a temp view so the whole surface is
+    * reachable from `spark.sql` (events with the ts fix applied).
+    */
+  def registerViews(s: SparkSession, d: String): Unit =
+    names.foreach {
+      case "events" => events(s, d).createOrReplaceTempView("events")
+      case n => load(s, d, n).createOrReplaceTempView(n)
+    }
 }

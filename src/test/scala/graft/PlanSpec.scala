@@ -1,0 +1,47 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape specs backing SURVEY §5's scale rules: pushdown reaches
+  * the parquet scan, dims broadcast, aggregates combine map-side, and
+  * the SQL surface is reachable through registered views.
+  */
+class PlanSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, TestSpark.sf).queryExecution.executedPlan.toString
+
+  test("q1: ship-date filter is pushed to the parquet scan, unused columns pruned") {
+    val plan = planOf("q1_pricing_summary")
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"))
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!readSchema.contains("l_comment") && !readSchema.contains("l_partkey"),
+      s"scan reads more than the query needs: $readSchema")
+  }
+
+  test("q5: every dimension joins as a broadcast, never a shuffle join") {
+    val plan = planOf("q5_revenue_by_nation")
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("SortMergeJoin"), "a dim fell back to a shuffled join")
+  }
+
+  test("aggregations combine map-side (partial before the exchange)") {
+    for (q <- Seq("q1_pricing_summary", "mj_wordcount", "q_distinct_users")) {
+      val plan = planOf(q)
+      assert(plan.contains("partial_"), s"$q has no partial aggregation:\n$plan")
+    }
+  }
+
+  test("top-k relational queries use TakeOrderedAndProject, not a global sort") {
+    val plan = planOf("q3_shipping_priority")
+    assert(plan.contains("TakeOrderedAndProject"))
+  }
+
+  test("registered views make the surface sql-queryable") {
+    Tables.registerViews(spark, TestSpark.sf)
+    val n = spark.sql(
+      "SELECT count(*) FROM lineitem JOIN orders ON l_orderkey = o_orderkey").head().getLong(0)
+    assert(n > 0)
+  }
+}
