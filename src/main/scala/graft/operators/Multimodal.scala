@@ -85,6 +85,45 @@ object Multimodal {
     mediaTable(docs).as[MediaRow]
   }
 
+  /** STUB resize — stands in for an image scaler: recomputes metadata
+    * exactly, "resamples" the payload deterministically to the byte
+    * budget a w×h thumbnail would occupy (stride subsampling). The
+    * plumbing (pure row transform, no shuffle) is what a real scaler
+    * drops into.
+    */
+  def stubResize(m: MediaRow, w: Int, h: Int): MediaRow = {
+    val budget = math.max(1, math.min(m.payload.length, w * h / 8))
+    val stride = math.max(1, m.payload.length / budget)
+    val out = Array.tabulate(math.max(1, m.payload.length / stride))(i => m.payload(i * stride))
+    m.copy(payload = out, width = w, height = h)
+  }
+
+  /** STUB frame sampler — for video rows, emit n evenly-spaced "frames"
+    * (deterministic payload slices with their frame index); non-video
+    * rows pass through as a single frame. Shape-wise this is exactly
+    * uniform frame sampling before per-frame feature extraction.
+    */
+  def stubFrameSample(m: MediaRow, n: Int): Seq[(Int, MediaRow)] =
+    if (m.kind != "video" || m.payload.length < n || n <= 1) Seq(0 -> m)
+    else {
+      val span = m.payload.length / n
+      (0 until n).map { f =>
+        f -> m.copy(payload = m.payload.slice(f * span, (f + 1) * span))
+      }
+    }
+
+  /** Frame-level pipeline: sample frames (video) → batch → decode.
+    * Composes the same mapPartitions batching as [[batchPipeline]]; at
+    * 100 TB frame explosion happens inside the partition, never through
+    * a shuffle.
+    */
+  def framePipeline(media: Dataset[MediaRow], framesPerVideo: Int = 4): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_
+      .flatMap(m => stubFrameSample(m, framesPerVideo).map(_._2))
+      .grouped(BatchSize).flatMap(b => stubDecode(b)))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_binary_meta" -> ((s, d) => binaryMeta(Tables.documents(s, d))),
     // batch_size depends on physical partitioning → project it away in

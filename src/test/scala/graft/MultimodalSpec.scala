@@ -32,6 +32,22 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.stubDecode(Seq(row)).head == f)
   }
 
+  test("stub resize is deterministic and honors the thumbnail byte budget") {
+    val m = graft.operators.MediaRow(1L, "image", Array.tabulate[Byte](1000)(_.toByte), 640, 480, 0)
+    val r = Multimodal.stubResize(m, 64, 64)
+    assert(r.width == 64 && r.height == 64)
+    assert(r.payload.length <= m.payload.length)
+    assert(Multimodal.stubResize(m, 64, 64).payload.toSeq == r.payload.toSeq)
+  }
+
+  test("frame pipeline expands videos to n frames, passes others through") {
+    val media = Multimodal.mediaDataset(Tables.documents(spark, TestSpark.sf))
+    val videos = media.filter(_.kind == "video").count()
+    val others = media.filter(_.kind != "video").count()
+    val frames = Multimodal.framePipeline(media, framesPerVideo = 4).count()
+    assert(frames == videos * 4 + others)
+  }
+
   test("binary metadata: byte length equals UTF-8 length, kinds cycle") {
     val meta = Multimodal.binaryMeta(Tables.documents(spark, TestSpark.sf)).collect()
     assert(meta.map(_.getString(1)).toSet == Set("image", "audio", "video"))
