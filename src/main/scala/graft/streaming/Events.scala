@@ -51,12 +51,27 @@ object Events {
       df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else df
 
+  /** State-store parallelism for a streaming query: a streaming query
+    * PINS spark.sql.shuffle.partitions at start, and every partition is
+    * one state store paying per-batch checkpoint I/O — so size it to
+    * keyspace/throughput, not to the session's batch default. The
+    * defaults here fit the test keyspace (≤10k users); a production
+    * deployment passes its own or None to inherit the session setting.
+    */
+  private def withStateParallelism[T](spark: SparkSession, n: Option[Int])(f: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    n.foreach(p => spark.conf.set(key, p.toString))
+    try f finally spark.conf.set(key, prev)
+  }
+
   /** Tumbling 1-hour window counts/sums per event_type, complete mode
     * into a memory sink. `readStream` over the sf dir's events file —
     * the same plan runs unchanged against a directory receiving appended
     * files on a real cluster.
     */
-  def windowAgg(spark: SparkSession, sfDir: String): DataFrame = {
+  def windowAgg(spark: SparkSession, sfDir: String,
+                statePartitions: Option[Int] = Some(8)): DataFrame = {
     // file streaming source watches a DIRECTORY (each new file = a
     // micro-batch) — stage the events file into one
     val dir = java.nio.file.Files.createTempDirectory("graft_window_agg")
@@ -70,9 +85,11 @@ object Events {
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("total_value"))
     val name = nextName("graft_window_agg")
-    val q = agg.writeStream.format("memory").queryName(name)
-      .outputMode(OutputMode.Complete).start()
-    try { q.processAllAvailable() } finally q.stop()
+    withStateParallelism(spark, statePartitions) {
+      val q = agg.writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Complete).start()
+      try { q.processAllAvailable() } finally q.stop()
+    }
     val result = spark.table(name)
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("total_value"))
@@ -104,7 +121,8 @@ object Events {
     * and are discarded inside the state function (their only effect is
     * the watermark advance).
     */
-  def sessionize(spark: SparkSession, sfDir: String): DataFrame = {
+  def sessionize(spark: SparkSession, sfDir: String,
+                 statePartitions: Option[Int] = Some(8)): DataFrame = {
     import spark.implicits._
     val SentinelUser = -1L
 
@@ -162,23 +180,25 @@ object Events {
       }
 
     val name = nextName("graft_sessionize")
-    val q = sessions.writeStream.format("memory").queryName(name)
-      .outputMode(OutputMode.Append).start()
-    try {
-      q.processAllAvailable()
-      // Flush: two sentinel batches — the first advances the watermark
-      // past every real session's close point, the second lets the
-      // engine fire the resulting event-time timeouts.
-      val maxTs = spark.read.parquet(s"$sfDir/events.parquet")
-        .agg(max(col("ts"))).head().getLong(0)
-      val base = spark.read.parquet(s"$sfDir/events.parquet").limit(1)
-      for (i <- 1 to 2) {
-        base.withColumn("ts", lit(maxTs + i * 24L * 3600 * 1000 * 1000 * 1000))
-          .withColumn("user_id", lit(SentinelUser))
-          .write.mode("append").parquet(dir.toString)
+    withStateParallelism(spark, statePartitions) {
+      val q = sessions.writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append).start()
+      try {
         q.processAllAvailable()
-      }
-    } finally q.stop()
+        // Flush: two sentinel batches — the first advances the watermark
+        // past every real session's close point, the second lets the
+        // engine fire the resulting event-time timeouts.
+        val maxTs = spark.read.parquet(s"$sfDir/events.parquet")
+          .agg(max(col("ts"))).head().getLong(0)
+        val base = spark.read.parquet(s"$sfDir/events.parquet").limit(1)
+        for (i <- 1 to 2) {
+          base.withColumn("ts", lit(maxTs + i * 24L * 3600 * 1000 * 1000 * 1000))
+            .withColumn("user_id", lit(SentinelUser))
+            .write.mode("append").parquet(dir.toString)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+    }
 
     val result = spark.table(name)
       .select(col("user_id"), col("sid"),
@@ -190,8 +210,8 @@ object Events {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "stream_window_agg" -> windowAgg,
-    "stream_sessionize" -> sessionize)
+    "stream_window_agg" -> ((s, d) => windowAgg(s, d)),
+    "stream_sessionize" -> ((s, d) => sessionize(s, d)))
 
   val oracle: Map[String, String] = Map(
     "stream_window_agg" ->
