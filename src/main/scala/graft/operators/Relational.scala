@@ -107,10 +107,18 @@ object Relational {
   /** Window functions: running quantity per supplier. One shuffle on
     * l_suppkey, sort within partitions — no global sort until the final
     * (presentation) orderBy.
+    *
+    * The window order includes l_quantity as the last tie-breaker: the
+    * synthetic lineitem has duplicate (l_orderkey, l_linenumber) keys,
+    * and without a TOTAL order on the summed column the running sums are
+    * engine-sort-order-dependent (observed as a flaky one-cell oracle
+    * mismatch at sf0.1). With quantity in the order, rows that still tie
+    * are identical in every projected column, so the output multiset is
+    * deterministic.
     */
   def qRunningTotals(spark: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy(col("l_suppkey"))
-      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
     Tables.lineitem(spark, d)
       .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
         col("l_shipdate"), col("l_quantity"))
@@ -279,10 +287,11 @@ object Relational {
       """SELECT l_suppkey, l_orderkey, l_linenumber,
         | CAST(row_number() OVER w AS BIGINT) AS rn,
         | round(sum(l_quantity) OVER (PARTITION BY l_suppkey
-        |   ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |   ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),2) AS running_qty
         |FROM lineitem
-        |WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber)
+        |WINDOW w AS (PARTITION BY l_suppkey
+        |  ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity)
         |ORDER BY l_suppkey, rn""".stripMargin,
     "q_rank_suppliers" ->
       """SELECT s_suppkey, s_name, revenue,
