@@ -47,7 +47,7 @@ object LshBuckets {
     */
   private val cache = new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int), Array[Array[Array[Double]]]]()
 
-  def planes(tables: Int, bits: Int, dim: Int): Array[Array[Array[Double]]] =
+  private def planesCached(tables: Int, bits: Int, dim: Int): Array[Array[Array[Double]]] =
     cache.computeIfAbsent((tables, bits, dim), { case (t0, b0, d0) =>
       Array.tabulate(t0, b0) { (t, b) =>
         // multiplicative mixing — OR-ing small fields into a constant
@@ -58,12 +58,19 @@ object LshBuckets {
       }
     })
 
+  /** Public accessor returns a deep copy: the cached matrix backs every
+    * lsh_buckets evaluation in the JVM, so caller mutation of a shared
+    * reference would silently corrupt all bucketing.
+    */
+  def planes(tables: Int, bits: Int, dim: Int): Array[Array[Array[Double]]] =
+    planesCached(tables, bits, dim).map(_.map(_.clone()))
+
   def compute(vec: ArrayData, tables: Int, bits: Int): GenericArrayData = {
     val dim = vec.numElements()
     val v = new Array[Double](dim)
     var i = 0
     while (i < dim) { v(i) = vec.getDouble(i); i += 1 }
-    val ps = planes(tables, bits, dim)
+    val ps = planesCached(tables, bits, dim)
     val out = new Array[Any](tables)
     var t = 0
     while (t < tables) {

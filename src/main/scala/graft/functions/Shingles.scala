@@ -27,18 +27,21 @@ object Shingles {
 
   /** Whitespace tokens of `s` (empties dropped) — THE tokenizer every
     * native text expression shares ([[TokenStats]] included), so the
-    * \s+-equivalence invariant lives in exactly one place.
+    * \s+-equivalence invariant lives in exactly one place. Returns java
+    * Strings: consumers that need hashing parity convert the individual
+    * token (one conversion), instead of every token paying an encode AND
+    * a decode.
     */
-  private[functions] def tokenize(s: UTF8String): java.util.ArrayList[UTF8String] = {
+  private[functions] def tokenize(s: UTF8String): java.util.ArrayList[String] = {
     val str = s.toString
-    val out = new java.util.ArrayList[UTF8String]()
+    val out = new java.util.ArrayList[String]()
     var i = 0
     val n = str.length
     while (i < n) {
       while (i < n && isWs(str.charAt(i))) i += 1
       val start = i
       while (i < n && !isWs(str.charAt(i))) i += 1
-      if (i > start) out.add(UTF8String.fromString(str.substring(start, i)))
+      if (i > start) out.add(str.substring(start, i))
     }
     out
   }
@@ -61,7 +64,7 @@ object Shingles {
       var k = 0
       while (k < n) {
         if (k > 0) sb.append(' ')
-        sb.append(toks.get(i + k).toString)
+        sb.append(toks.get(i + k))
         k += 1
       }
       seen.add(XXH64.hashUTF8String(UTF8String.fromString(sb.toString), 42L))
@@ -85,7 +88,7 @@ object Shingles {
     val counts = new Array[Int](64)
     var t = 0
     while (t < toks.size) {
-      val h = XXH64.hashUTF8String(toks.get(t), 42L)
+      val h = XXH64.hashUTF8String(UTF8String.fromString(toks.get(t)), 42L)
       var i = 0
       while (i < 64) { counts(i) += ((((h >>> i) & 1L).toInt) << 1) - 1; i += 1 }
       t += 1

@@ -35,10 +35,9 @@ object TokenStats {
     val hits = new Array[Long](4)
     var i = 0
     while (i < toks.size) {
-      val t = toks.get(i)
+      val tok = toks.get(i)
       nTokens += 1
-      nonWs += t.numChars()
-      val tok = t.toString
+      nonWs += tok.codePointCount(0, tok.length)
       var l = 0
       while (l < 4) { if (stopSets(l).contains(tok)) hits(l) += 1; l += 1 }
       i += 1

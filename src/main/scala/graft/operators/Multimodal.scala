@@ -12,6 +12,11 @@ case class MediaRow(media_id: Long, kind: String, payload: Array[Byte],
 case class MediaFeatures(media_id: Long, kind: String, batch_size: Int,
                          n_bytes: Long, byte_sum: Long, f0: Double, f1: Double)
 
+/** Per-frame features: media id + frame ordinal + the decode output. */
+case class FrameFeatures(media_id: Long, frame_id: Int, kind: String,
+                         batch_size: Int, n_bytes: Long, byte_sum: Long,
+                         f0: Double, f1: Double)
+
 /** Multimodal plumbing (SURVEY.md §2.6): image/audio/video handled as
   * opaque `binary` columns with typed metadata, decoded/feature-extracted
   * in BATCHES via mapPartitions — the Spark-side shape of a Pandas-UDF /
@@ -92,9 +97,11 @@ object Multimodal {
     * drops into.
     */
   def stubResize(m: MediaRow, w: Int, h: Int): MediaRow = {
+    if (m.payload.isEmpty) return m.copy(width = w, height = h)
     val budget = math.max(1, math.min(m.payload.length, w * h / 8))
-    val stride = math.max(1, m.payload.length / budget)
-    val out = Array.tabulate(math.max(1, m.payload.length / stride))(i => m.payload(i * stride))
+    // ceil stride so the output never exceeds the thumbnail byte budget
+    val stride = (m.payload.length + budget - 1) / budget
+    val out = Array.tabulate((m.payload.length + stride - 1) / stride)(i => m.payload(i * stride))
     m.copy(payload = out, width = w, height = h)
   }
 
@@ -112,16 +119,23 @@ object Multimodal {
       }
     }
 
-  /** Frame-level pipeline: sample frames (video) → batch → decode.
-    * Composes the same mapPartitions batching as [[batchPipeline]]; at
-    * 100 TB frame explosion happens inside the partition, never through
-    * a shuffle.
+  /** Frame-level pipeline: sample frames (video) → batch → decode,
+    * keeping the frame ordinal on every output row so per-frame features
+    * stay attributable. Composes the same mapPartitions batching as
+    * [[batchPipeline]]; at 100 TB frame explosion happens inside the
+    * partition, never through a shuffle.
     */
-  def framePipeline(media: Dataset[MediaRow], framesPerVideo: Int = 4): Dataset[MediaFeatures] = {
+  def framePipeline(media: Dataset[MediaRow], framesPerVideo: Int = 4): Dataset[FrameFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions(_
-      .flatMap(m => stubFrameSample(m, framesPerVideo).map(_._2))
-      .grouped(BatchSize).flatMap(b => stubDecode(b)))
+      .flatMap(m => stubFrameSample(m, framesPerVideo))
+      .grouped(BatchSize)
+      .flatMap { batch =>
+        stubDecode(batch.map(_._2)).zip(batch).map { case (f, (frameId, _)) =>
+          FrameFeatures(f.media_id, frameId, f.kind, f.batch_size, f.n_bytes,
+            f.byte_sum, f.f0, f.f1)
+        }
+      })
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -98,12 +98,17 @@ class Sdfs(spark: SparkSession) {
     * join on the bucket keys from a full shuffle into a local merge.
     */
   def putBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
-                  numBuckets: Int, format: String = "parquet"): Unit =
-    df.write.format(format)
+                  numBuckets: Int, format: String = "parquet",
+                  path: Option[String] = None): Unit = {
+    val w = df.write.format(format)
       .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
       .sortBy(bucketCols.head, bucketCols.tail: _*)
       .mode(SaveMode.Overwrite)
-      .saveAsTable(table)
+    // external table at a DFS path keeps the data inside the SDFS
+    // namespace (visible to ls/del/store); omit for a managed table
+    // under the session warehouse
+    path.fold(w)(p => w.option("path", p)).saveAsTable(table)
+  }
 
   /** Read a bucketed catalog table (bucket metadata intact). */
   def getTable(table: String): DataFrame = spark.table(table)

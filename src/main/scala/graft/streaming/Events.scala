@@ -58,12 +58,15 @@ object Events {
     * defaults here fit the test keyspace (≤10k users); a production
     * deployment passes its own or None to inherit the session setting.
     */
-  private def withStateParallelism[T](spark: SparkSession, n: Option[Int])(f: => T): T = {
-    val key = "spark.sql.shuffle.partitions"
-    val prev = spark.conf.get(key)
-    n.foreach(p => spark.conf.set(key, p.toString))
-    try f finally spark.conf.set(key, prev)
-  }
+  private def withStateParallelism[T](spark: SparkSession, n: Option[Int])(f: => T): T =
+    // serialized: the save/restore of a session-global conf is not
+    // reentrant — concurrent callers would restore each other's values
+    synchronized {
+      val key = "spark.sql.shuffle.partitions"
+      val prev = spark.conf.get(key)
+      n.foreach(p => spark.conf.set(key, p.toString))
+      try f finally spark.conf.set(key, prev)
+    }
 
   /** Tumbling 1-hour window counts/sums per event_type, complete mode
     * into a memory sink. `readStream` over the sf dir's events file —
@@ -85,31 +88,41 @@ object Events {
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("total_value"))
     val name = nextName("graft_window_agg")
-    withStateParallelism(spark, statePartitions) {
-      val q = agg.writeStream.format("memory").queryName(name)
-        .outputMode(OutputMode.Complete).start()
-      try { q.processAllAvailable() } finally q.stop()
-    }
-    val result = spark.table(name)
-      .select(col("window.start").as("window_start"), col("event_type"),
-        col("n_events"), col("total_value"))
-      .orderBy(col("window_start"), col("event_type"))
-    detach(result, name, dir)
+    try {
+      withStateParallelism(spark, statePartitions) {
+        val q = agg.writeStream.format("memory").queryName(name)
+          .outputMode(OutputMode.Complete).start()
+        try { q.processAllAvailable() } finally q.stop()
+      }
+      detach(spark.table(name)
+        .select(col("window.start").as("window_start"), col("event_type"),
+          col("n_events"), col("total_value"))
+        .orderBy(col("window_start"), col("event_type")))
+    } finally cleanup(spark, name, dir)
   }
 
-  /** Materialize a bounded streaming result off its memory-sink table,
-    * then drop the table and delete the staging dir — repeated calls in
-    * one session must not accumulate pinned sink tables or /tmp copies.
+  /** Materialize a bounded streaming result off its memory-sink table —
+    * repeated calls in one session must not accumulate pinned sink
+    * tables or /tmp copies, so callers pair this with [[cleanup]] in a
+    * finally.
     */
-  private def detach(result: DataFrame, name: String,
-                     dir: java.nio.file.Path): DataFrame = {
+  private def detach(result: DataFrame): DataFrame = {
     val spark = result.sparkSession
     val rows = result.collect()
-    spark.catalog.dropTempView(name)
-    import scala.jdk.CollectionConverters._
-    java.nio.file.Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
-      .iterator().asScala.foreach(p => java.nio.file.Files.deleteIfExists(p))
     spark.createDataFrame(java.util.Arrays.asList(rows: _*), result.schema)
+  }
+
+  /** Drop the memory-sink table and delete the staging dir; runs on both
+    * success and failure paths, tolerating partial setup.
+    */
+  private def cleanup(spark: SparkSession, name: String, dir: java.nio.file.Path): Unit = {
+    try spark.catalog.dropTempView(name) catch { case _: Exception => }
+    val walk = java.nio.file.Files.walk(dir)
+    try {
+      import scala.jdk.CollectionConverters._
+      walk.sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(p => java.nio.file.Files.deleteIfExists(p))
+    } finally walk.close()
   }
 
   /** Per-user 30-minute-gap sessionization via flatMapGroupsWithState
@@ -180,7 +193,8 @@ object Events {
       }
 
     val name = nextName("graft_sessionize")
-    withStateParallelism(spark, statePartitions) {
+    try {
+      withStateParallelism(spark, statePartitions) {
       val q = sessions.writeStream.format("memory").queryName(name)
         .outputMode(OutputMode.Append).start()
       try {
@@ -198,15 +212,14 @@ object Events {
           q.processAllAvailable()
         }
       } finally q.stop()
-    }
-
-    val result = spark.table(name)
-      .select(col("user_id"), col("sid"),
-        timestamp_micros(col("start_us")).as("session_start"),
-        timestamp_micros(col("end_us")).as("session_end"),
-        col("n_events"), round(col("total_value"), 2).as("total_value"))
-      .orderBy(col("user_id"), col("sid"))
-    detach(result, name, dir)
+      }
+      detach(spark.table(name)
+        .select(col("user_id"), col("sid"),
+          timestamp_micros(col("start_us")).as("session_start"),
+          timestamp_micros(col("end_us")).as("session_end"),
+          col("n_events"), round(col("total_value"), 2).as("total_value"))
+        .orderBy(col("user_id"), col("sid")))
+    } finally cleanup(spark, name, dir)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -9,11 +9,11 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class PropertySpec extends AnyFunSuite {
 
-  private val WsChars = " \t\n\f\r"
+  private val WsChars = " \t\n\u000B\f\r"
 
   private def randomTexts(seed: Long, n: Int): Seq[String] = {
     val rng = new scala.util.Random(seed)
-    val alphabet = "abcXYZ019.- \t\n"
+    val alphabet = "abcXYZ019.- \t\n\u000B"
     (0 until n).map { _ =>
       val len = rng.nextInt(60)
       (0 until len).map(_ => alphabet(rng.nextInt(alphabet.length))).mkString
