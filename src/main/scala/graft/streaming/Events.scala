@@ -133,6 +133,12 @@ object Events {
     * watermark IS new data arriving); sentinels carry a marker user_id
     * and are discarded inside the state function (their only effect is
     * the watermark advance).
+    *
+    * Session ordinals (sid) are per-user and monotonic while the user
+    * has live state; once every session closes the state is evicted, so
+    * a user who reappears after full eviction restarts at sid 1 —
+    * callers needing globally unique ids should key on
+    * (user_id, session_start).
     */
   def sessionize(spark: SparkSession, sfDir: String,
                  statePartitions: Option[Int] = Some(8)): DataFrame = {
