@@ -18,7 +18,7 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType}
   *  - The one intentionally-exhaustive op, `dedup_embedding`, broadcasts
   *    the (tiny relative to text) vector corpus and streams partitions
   *    against it — the brute-force kernel every ANN system uses as its
-  *    verify path. Past ~10M vectors switch to `ann_lsh_topk`-style
+  *    verify path. Past ~1M vectors switch to `ann_lsh_topk`-style
   *    bucketed candidates; documented divergence, not an accident.
   */
 object Dedup {
@@ -67,10 +67,9 @@ object Dedup {
     * explode shingles → self-join on shingle equality (doc_id_1 < doc_id_2)
     * → |intersection| per pair → Jaccard = inter / (n1 + n2 - inter).
     * The join shuffles on `shingle`, so cost is Σ df(shingle)² — bounded
-    * by shingle selectivity, never |docs|². (For adversarial corpora cap
-    * df with a frequent-shingle filter; the synthetic corpus needs none.)
-    */
-  /** `maxShingleDf`: skew guard for adversarial corpora — drop shingles
+    * by shingle selectivity, never |docs|².
+    *
+    * `maxShingleDf`: skew guard for adversarial corpora — drop shingles
     * whose document frequency exceeds the cap before the self-join
     * (boilerplate shingles shared by k docs contribute k² pair rows; a
     * df cap bounds the hottest key). Off by default: it trades recall
