@@ -10,15 +10,22 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     Relational.q1PricingSummary(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2. Each entry
+    * (re-)registers graft's native functions on the session it's given —
+    * idempotent, so callers that didn't build their session through
+    * [[GraftSession]] still resolve the custom expressions.
+    */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ TextAnalysis.queries ++ Dedup.queries ++ Similarity.queries ++
+    (Relational.queries ++ TextAnalysis.queries ++ Dedup.queries ++ Similarity.queries ++
       graft.sources.Sdfs.queries ++ graft.streaming.Events.queries ++ Multimodal.queries ++
       Map[String, (SparkSession, String) => DataFrame](
         "mj_wordcount" -> ((s, d) => MapleJuice.wordCount(Tables.documents(s, d))
           .orderBy("word")),
         "mj_partition_hash" -> ((s, d) =>
-          MapleJuice.hashPartitionCheck(s, Tables.lineitem(s, d), "l_orderkey")))
+          MapleJuice.hashPartitionCheck(s, Tables.lineitem(s, d), "l_orderkey"))))
+      .map { case (name, fn) =>
+        name -> ((s: SparkSession, d: String) => { GraftSession.registerFunctions(s); fn(s, d) })
+      }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
