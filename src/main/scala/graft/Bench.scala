@@ -7,10 +7,15 @@ object Bench {
     // (scan, agg, window, custom expressions) once so the timed loop
     // measures steady-state execution, not first-invocation compilation.
     try {
-      val warmSf = "/root/testdata/sf0.001"
+      val warmSf = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
       for (q <- Seq("q1_pricing_summary", "ann_brute_topk", "dedup_minhash_lsh"))
         SparkEntry.queries(q)(spark, warmSf).write.format("noop").mode("overwrite").save()
-    } catch { case _: Throwable => }
+    } catch { case scala.util.control.NonFatal(e) =>
+      // a broken warm-up must not silently shift the timed loop back to
+      // cold-compilation measurements — note it (fatal errors propagate)
+      System.err.println(s"bench warm-up skipped: ${e.getClass.getSimpleName}: " +
+        String.valueOf(e.getMessage).take(200))
+    }
     val errors = scala.collection.mutable.ListBuffer.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

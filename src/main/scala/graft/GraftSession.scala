@@ -52,14 +52,20 @@ object GraftSession {
     s
   }
 
-  /** Register graft's native Catalyst expressions with a session. */
-  def registerFunctions(s: SparkSession): Unit = {
-    graft.functions.CosineSim.register(s)
-    graft.functions.SimHashAgg.register(s)
-    graft.functions.TopKAgg.register(s)
-    graft.functions.RollingHash.register(s)
-    graft.functions.ShingleFunctions.register(s)
-    graft.functions.TokenStats.register(s)
-    graft.functions.LshBuckets.register(s)
-  }
+  /** Register graft's native Catalyst expressions with a session.
+    * Idempotent AND quiet: re-registering an existing function logs a
+    * "replaced a previously registered function" WARN per function per
+    * call, which at one registration per query turns bench/verify logs
+    * into noise — skip when the marker function is already present.
+    */
+  def registerFunctions(s: SparkSession): Unit =
+    if (!s.catalog.functionExists("graft_cosine_sim")) {
+      graft.functions.CosineSim.register(s)
+      graft.functions.SimHashAgg.register(s)
+      graft.functions.TopKAgg.register(s)
+      graft.functions.RollingHash.register(s)
+      graft.functions.ShingleFunctions.register(s)
+      graft.functions.TokenStats.register(s)
+      graft.functions.LshBuckets.register(s)
+    }
 }

@@ -39,5 +39,11 @@ object SparkEntry {
           | SELECT regexp_replace(unnest(string_split_regex(text, '\s+')),
           |   '[^0-9a-zA-Z]', '', 'g') AS word
           | FROM documents)
-          |WHERE word <> '' GROUP BY word ORDER BY word""".stripMargin)
+          |WHERE word <> '' GROUP BY word ORDER BY word""".stripMargin,
+      // the hash partitioner's contract is data-determined: every key in
+      // exactly one partition (split count 0), no row lost or duplicated
+      "mj_partition_hash" ->
+        """SELECT count(DISTINCT l_orderkey) AS n_keys, count(*) AS total_rows,
+          | CAST(0 AS BIGINT) AS keys_split_across_partitions
+          |FROM lineitem""".stripMargin)
 }

@@ -115,24 +115,35 @@ object MapleJuice {
       .groupBy(col("word"))
       .agg(count(lit(1)).as("cnt"))
 
-  /** Hash-partitioning diagnostic: repartition lineitem by l_orderkey and
-    * verify co-location — every key maps to exactly one partition — plus
-    * skew stats. This is what the reference's hash_partitioner guarantees
-    * per input file (/root/reference/src/partitioner.cpp:40-55).
+  /** Hash-partitioning diagnostic: repartition by `keyCol` and verify the
+    * hash partitioner's contract — every key maps to exactly ONE partition
+    * and no row is lost or duplicated. This is what the reference's
+    * hash_partitioner guarantees per input file
+    * (/root/reference/src/partitioner.cpp:40-55).
+    *
+    * The output row (n_keys, total_rows, keys_split_across_partitions) is
+    * fully determined by the DATA — the split count must be 0 for any
+    * correct hash partitioner — so a SQL oracle can hash-verify it: a
+    * co-location or row-loss bug flips the row. Fully lazy single plan:
+    * one shuffle on keyCol, one two-level aggregate.
     */
-  def hashPartitionCheck(spark: SparkSession, df: DataFrame, keyCol: String): DataFrame = {
-    // Fully lazy single plan: one shuffle on keyCol, then two tiny
-    // aggregates over the same partitioned relation, cross-joined into
-    // one row. (No eager .count() — constructing the DataFrame runs no
-    // job, and Bench times exactly one execution.)
-    val parted = df.repartition(col(keyCol))
+  def hashPartitionCheck(spark: SparkSession, df: DataFrame, keyCol: String): DataFrame =
+    df.repartition(col(keyCol))
       .select(col(keyCol), spark_partition_id().as("pid"))
-    val splitKeys = parted.groupBy(col(keyCol))
-      .agg(countDistinct(col("pid")).as("n_pids"))
-      .agg(count(when(col("n_pids") > 1, 1)).as("keys_split_across_partitions"))
-    val stats = parted.groupBy(col("pid")).agg(count(lit(1)).as("n"))
+      .groupBy(col(keyCol))
+      .agg(countDistinct(col("pid")).as("n_pids"), count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n_keys"), sum(col("n")).as("total_rows"),
+        count(when(col("n_pids") > 1, 1)).as("keys_split_across_partitions"))
+
+  /** Partition-skew stats after a hash repartition (partition count,
+    * min/max rows per partition). Partitioner- and parallelism-dependent
+    * by nature, so diagnostic-only — the invariant checking lives in
+    * [[hashPartitionCheck]].
+    */
+  def hashPartitionStats(df: DataFrame, keyCol: String): DataFrame =
+    df.repartition(col(keyCol))
+      .select(spark_partition_id().as("pid"))
+      .groupBy(col("pid")).agg(count(lit(1)).as("n"))
       .agg(count(lit(1)).as("n_partitions"), min(col("n")).as("min_rows"),
         max(col("n")).as("max_rows"))
-    stats.crossJoin(splitKeys)
-  }
 }

@@ -151,17 +151,20 @@ object Multimodal {
 
   val oracle: Map[String, String] = Map(
     // the corpus is ASCII, so the UTF-8 byte sum equals the codepoint sum
-    // and the stub-decode features are SQL-expressible end-to-end
+    // and the stub-decode features are SQL-expressible end-to-end.
+    // Empty documents: list_sum over [] is NULL in DuckDB and x/0 errors,
+    // while stubDecode emits byte_sum=0, f1=0.0 — COALESCE + CASE mirror
+    // the stub's empty-payload branch (ADVICE r2).
     "mm_batch_pipeline" ->
       """WITH s AS (SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-        |  CAST(list_sum(list_transform(string_split(text, ''), c -> unicode(c))) AS BIGINT) AS byte_sum
+        |  CAST(COALESCE(list_sum(list_transform(string_split(text, ''), c -> unicode(c))), 0) AS BIGINT) AS byte_sum
         | FROM documents)
         |SELECT doc_id AS media_id,
         | CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
         | n_bytes, byte_sum,
         | round((byte_sum % 1000) / 1000.0, 6) AS f0,
-        | round(byte_sum * 1.0 / n_bytes, 6) AS f1
+        | CASE WHEN n_bytes = 0 THEN 0.0 ELSE round(byte_sum * 1.0 / n_bytes, 6) END AS f1
         |FROM s ORDER BY media_id""".stripMargin,
     "mm_binary_meta" ->
       """SELECT doc_id AS media_id,

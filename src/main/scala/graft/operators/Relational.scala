@@ -133,45 +133,43 @@ object Relational {
     *
     * Scale: `Window.orderBy` with no partitionBy funnels every row through
     * one task — at millions of suppliers that's the classic single-task
-    * bottleneck. Instead compute dense_rank distributively: dense_rank is
-    * by definition the 1-based index of the row's value in the globally
-    * sorted DISTINCT value list, so (1) range-partition-sort the distinct
-    * revenues (Spark's scalable global sort), (2) zipWithIndex (two-pass,
-    * per-partition offsets — no single task sees all rows), (3) join back
-    * on revenue. The distinct-revenue relation is ≤ |suppliers| rows and
-    * typically far smaller, so the join-back is cheap (broadcast-able).
+    * bottleneck. Instead compute dense_rank distributively, IN ONE PLAN
+    * over the supplier rows themselves: (1) range-partition the aggregated
+    * relation by revenue desc (equal values land in one partition, so a
+    * local dense_rank is globally consistent), (2) dense_rank within each
+    * partition, (3) add per-partition offsets — the cumulative count of
+    * distinct revenues in lower partitions, where each partition's
+    * distinct count is simply its max local dense_rank. The only
+    * single-task window runs over |partitions| rows, and the offsets join
+    * back is a broadcast on the int partition id.
     *
-    * Caveat: the two consumers of `parted` (local ranks, per-pid offsets)
-    * and the two evaluations of `rev` must observe identical shuffle
-    * output; Spark guarantees this via exchange/stage reuse (the subtrees
-    * canonicalize equal and spark.sql.exchangeReuseEnabled defaults
-    * true — AQE additionally reuses materialized stages). Disabling
-    * exchange reuse could let range-boundary sampling diverge between
-    * branches.
+    * Robustness (ADVICE r2): the previous formulation joined ranks back
+    * to the aggregate on the double-typed `revenue` itself, so a bitwise
+    * divergence between two evaluations of the FP-order-sensitive sum
+    * could silently drop or misrank suppliers. Here rank is computed
+    * alongside the full row — no join ever compares a floating-point
+    * value, so a recomputed branch can shift a boundary rank by at most
+    * the divergence in the value itself (already bounded by the
+    * round(...,2)), never drop a row. The offsets are derived from the
+    * ranked branch (max lrank per pid), not from a second scan of `rev`.
     */
   def qRankSuppliers(spark: SparkSession, d: String): DataFrame = {
     val rev = Tables.supplier(spark, d)
       .join(Tables.lineitem(spark, d), col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("s_suppkey"), col("s_name"))
       .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
-    // Distinct revenues, range-partitioned desc: partition ids are ordered
-    // by value range, so global dense rank = (rows in lower pids) + local
-    // row_number. Stays lazy and declarative; the only single-task window
-    // runs over |partitions| rows, not |suppliers|.
-    val parted = rev.select(col("revenue")).distinct()
-      .repartitionByRange(col("revenue").desc)
+    val parted = rev.repartitionByRange(col("revenue").desc)
       .withColumn("pid", spark_partition_id())
-    val localRank = parted.withColumn("lrank",
-      row_number().over(Window.partitionBy(col("pid")).orderBy(col("revenue").desc)).cast("long"))
-    val offsets = parted.groupBy(col("pid")).agg(count(lit(1)).as("cnt"))
+    val local = parted.withColumn("lrank",
+      dense_rank().over(Window.partitionBy(col("pid")).orderBy(col("revenue").desc)).cast("long"))
+    val offsets = local.groupBy(col("pid")).agg(max(col("lrank")).as("cnt"))
       .withColumn("offset",
         coalesce(sum(col("cnt")).over(
           Window.orderBy(col("pid")).rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select(col("pid"), col("offset"))
-    val ranks = localRank.join(broadcast(offsets), Seq("pid"))
-      .select(col("revenue"), (col("offset") + col("lrank")).as("drank"))
-    rev.join(ranks, Seq("revenue"))
-      .select(col("s_suppkey"), col("s_name"), col("revenue"), col("drank"))
+    local.join(broadcast(offsets), Seq("pid"))
+      .select(col("s_suppkey"), col("s_name"), col("revenue"),
+        (col("offset") + col("lrank")).as("drank"))
       .orderBy(col("drank"), col("s_suppkey"))
   }
 

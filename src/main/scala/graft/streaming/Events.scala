@@ -57,15 +57,18 @@ object Events {
     * keyspace/throughput, not to the session's batch default. The
     * defaults here fit the test keyspace (≤10k users); a production
     * deployment passes its own or None to inherit the session setting.
+    *
+    * The override lives on a CHILD session (`spark.newSession()`: shared
+    * SparkContext + cached data, its own SQLConf and temp-view catalog),
+    * so a concurrent batch query on the caller's session can never be
+    * planned with the temporary value (ADVICE r2 — the old save/restore
+    * of the session-global conf raced with other users of the session).
     */
-  private def withStateParallelism[T](spark: SparkSession, n: Option[Int])(f: => T): T =
-    // serialized: the save/restore of a session-global conf is not
-    // reentrant — concurrent callers would restore each other's values
-    synchronized {
-      val key = "spark.sql.shuffle.partitions"
-      val prev = spark.conf.get(key)
-      n.foreach(p => spark.conf.set(key, p.toString))
-      try f finally spark.conf.set(key, prev)
+  private def sessionFor(spark: SparkSession, n: Option[Int]): SparkSession =
+    n.fold(spark) { p =>
+      val ss = spark.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", p.toString)
+      ss
     }
 
   /** Tumbling 1-hour window counts/sums per event_type, complete mode
@@ -75,6 +78,7 @@ object Events {
     */
   def windowAgg(spark: SparkSession, sfDir: String,
                 statePartitions: Option[Int] = Some(8)): DataFrame = {
+    val ss = sessionFor(spark, statePartitions)
     // file streaming source watches a DIRECTORY (each new file = a
     // micro-batch) — stage the events file into one
     val dir = java.nio.file.Files.createTempDirectory("graft_window_agg")
@@ -82,34 +86,32 @@ object Events {
       java.nio.file.Paths.get(s"$sfDir/events.parquet"),
       dir.resolve("events.parquet"))
     val stream = withTs(
-      spark.readStream.schema(rawSchema(spark, sfDir)).parquet(dir.toString))
+      ss.readStream.schema(rawSchema(ss, sfDir)).parquet(dir.toString))
     val agg = stream
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("total_value"))
     val name = nextName("graft_window_agg")
     try {
-      withStateParallelism(spark, statePartitions) {
-        val q = agg.writeStream.format("memory").queryName(name)
-          .outputMode(OutputMode.Complete).start()
-        try { q.processAllAvailable() } finally q.stop()
-      }
-      detach(spark.table(name)
+      val q = agg.writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Complete).start()
+      try { q.processAllAvailable() } finally q.stop()
+      detach(spark, ss.table(name)
         .select(col("window.start").as("window_start"), col("event_type"),
           col("n_events"), col("total_value"))
         .orderBy(col("window_start"), col("event_type")))
-    } finally cleanup(spark, name, dir)
+    } finally cleanup(ss, name, dir)
   }
 
-  /** Materialize a bounded streaming result off its memory-sink table —
-    * repeated calls in one session must not accumulate pinned sink
-    * tables or /tmp copies, so callers pair this with [[cleanup]] in a
-    * finally.
+  /** Materialize a bounded streaming result off its memory-sink table
+    * onto the CALLER's session — repeated calls must not accumulate
+    * pinned sink tables or /tmp copies (callers pair this with
+    * [[cleanup]] in a finally), and the returned frame must not be tied
+    * to the child session's conf.
     */
-  private def detach(result: DataFrame): DataFrame = {
-    val spark = result.sparkSession
+  private def detach(target: SparkSession, result: DataFrame): DataFrame = {
     val rows = result.collect()
-    spark.createDataFrame(java.util.Arrays.asList(rows: _*), result.schema)
+    target.createDataFrame(java.util.Arrays.asList(rows: _*), result.schema)
   }
 
   /** Drop the memory-sink table and delete the staging dir; runs on both
@@ -142,7 +144,8 @@ object Events {
     */
   def sessionize(spark: SparkSession, sfDir: String,
                  statePartitions: Option[Int] = Some(8)): DataFrame = {
-    import spark.implicits._
+    val ss = sessionFor(spark, statePartitions)
+    import ss.implicits._
     val SentinelUser = -1L
 
     val dir = java.nio.file.Files.createTempDirectory("graft_sessionize")
@@ -150,7 +153,7 @@ object Events {
       java.nio.file.Paths.get(s"$sfDir/events.parquet"),
       dir.resolve("events.parquet"))
 
-    val raw = withTs(spark.readStream.schema(rawSchema(spark, sfDir)).parquet(dir.toString))
+    val raw = withTs(ss.readStream.schema(rawSchema(ss, sfDir)).parquet(dir.toString))
     // keep the watermarked `ts` column through the projection — dropping
     // it would strip the watermark the event-time timeout needs
     val events = raw
@@ -200,7 +203,6 @@ object Events {
 
     val name = nextName("graft_sessionize")
     try {
-      withStateParallelism(spark, statePartitions) {
       val q = sessions.writeStream.format("memory").queryName(name)
         .outputMode(OutputMode.Append).start()
       try {
@@ -208,9 +210,9 @@ object Events {
         // Flush: two sentinel batches — the first advances the watermark
         // past every real session's close point, the second lets the
         // engine fire the resulting event-time timeouts.
-        val maxTs = spark.read.parquet(s"$sfDir/events.parquet")
+        val maxTs = ss.read.parquet(s"$sfDir/events.parquet")
           .agg(max(col("ts"))).head().getLong(0)
-        val base = spark.read.parquet(s"$sfDir/events.parquet").limit(1)
+        val base = ss.read.parquet(s"$sfDir/events.parquet").limit(1)
         for (i <- 1 to 2) {
           base.withColumn("ts", lit(maxTs + i * 24L * 3600 * 1000 * 1000 * 1000))
             .withColumn("user_id", lit(SentinelUser))
@@ -218,14 +220,13 @@ object Events {
           q.processAllAvailable()
         }
       } finally q.stop()
-      }
-      detach(spark.table(name)
+      detach(spark, ss.table(name)
         .select(col("user_id"), col("sid"),
           timestamp_micros(col("start_us")).as("session_start"),
           timestamp_micros(col("end_us")).as("session_end"),
           col("n_events"), round(col("total_value"), 2).as("total_value"))
         .orderBy(col("user_id"), col("sid")))
-    } finally cleanup(spark, name, dir)
+    } finally cleanup(ss, name, dir)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
