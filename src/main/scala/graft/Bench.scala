@@ -17,7 +17,12 @@ object Bench {
         String.valueOf(e.getMessage).take(200))
     }
     val errors = scala.collection.mutable.ListBuffer.empty[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional args = query names to time (default: all) — for targeted
+    // profiling without paying the full suite
+    val selected =
+      if (args.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.view.filterKeys(args.toSet).toMap
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink: full plan executes (every column materialized), nothing
       // written — unlike count(), Catalyst can't prune unevaluated aggs.

@@ -40,6 +40,20 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 
+  /** Fan a scan out to the session's shuffle parallelism before an
+    * expensive per-row kernel. A sub-128MB table arrives as ONE file
+    * split (spark.sql.files.maxPartitionBytes), so every downstream
+    * map-side kernel — shingle hashing, simhash, LSH bucketing, cosine
+    * scoring — would run in a single task regardless of cluster size;
+    * the round-robin exchange of the raw rows costs far less than the
+    * kernels it parallelizes. Opt-in per operator (NOT in the loaders):
+    * on a many-split corpus the same call still rebalances uneven
+    * splits, but cheap map-only consumers shouldn't pay the extra
+    * exchange.
+    */
+  def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sessionState.conf.numShufflePartitions)
+
   /** Register every table as a temp view so the whole surface is
     * reachable from `spark.sql` (events with the ts fix applied).
     */

@@ -47,7 +47,7 @@ object Dedup {
     * xxhash64(space-joined shingle) of [[shingleSets]].
     */
   def shingleHashSets(docs: DataFrame, n: Int = 3): DataFrame =
-    docs
+    Tables.spread(docs) // hashing dominates; without this a 1-split corpus shingles in ONE task
       .select(col("doc_id"),
         graft.functions.ShingleFunctions.shingleHashes(col("text"), n).as("shingles"))
       .filter(size(col("shingles")) > 0)
@@ -169,7 +169,7 @@ object Dedup {
     * matching the grouped formulation.
     */
   def simhashSignatures(docs: DataFrame): DataFrame =
-    docs
+    Tables.spread(docs) // map-only op: parallelism = input splits unless fanned out
       .filter(col("text").rlike("\\S"))
       .select(col("doc_id"), graft.functions.ShingleFunctions.simhash(col("text")).as("simhash"))
 
@@ -209,7 +209,10 @@ object Dedup {
     */
   def embeddingPairs(embeddings: DataFrame, threshold: Double = 0.4): DataFrame = {
     val e = embeddings.select(col("vec_id"), col("embedding").cast(ArrayType(DoubleType)).as("v"))
-    val a = e.select(col("vec_id").as("id_a"), col("v").as("va"))
+    // spread the streamed side: the broadcast nested-loop scores
+    // |a|·|b| pairs in the probe-side tasks, so a 1-split probe side
+    // serializes the entire O(n²·dim) kernel into one task
+    val a = Tables.spread(e).select(col("vec_id").as("id_a"), col("v").as("va"))
     val b = e.select(col("vec_id").as("id_b"), col("v").as("vb"))
     a.join(broadcast(b), col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),

@@ -105,7 +105,7 @@ object MapleJuice {
     * aggregates map-side before the shuffle on `word`.
     */
   def wordCount(docs: DataFrame, textCol: String = "text"): DataFrame =
-    docs
+    graft.Tables.spread(docs) // regex+explode run pre-shuffle: parallelism = input splits
       // One regex pass per document (not per token): stripping non-alnum
       // doc-wide while keeping \s as separators yields the same token
       // multiset as wc_maple's per-token sanitize, since removal never

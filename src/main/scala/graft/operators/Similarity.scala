@@ -40,7 +40,7 @@ object Similarity {
   def bruteScores(embeddings: DataFrame): DataFrame = {
     val q = vecs(embeddings.filter(col("vec_id") < NumQueries))
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
-    val c = vecs(embeddings.filter(col("vec_id") >= NumQueries))
+    val c = Tables.spread(vecs(embeddings.filter(col("vec_id") >= NumQueries)))
       .select(col("vec_id").as("neighbor_id"), col("v").as("cv"))
     c.crossJoin(broadcast(q))
       .select(col("query_id"), col("neighbor_id"),
@@ -81,7 +81,7 @@ object Similarity {
     * posexplode. Declarative: one codegen'd scan stage, no RDD.
     */
   def lshBuckets(embeddings: DataFrame, tables: Int = 8, bits: Int = 6): DataFrame =
-    vecs(embeddings)
+    Tables.spread(vecs(embeddings)) // the matrix pass runs per input split — fan a small scan out
       .select(col("vec_id"),
         posexplode(graft.functions.LshBuckets.lshBuckets(col("v"), tables, bits)))
       .select(col("vec_id"), col("pos").as("table"), col("col").as("bucket"))
@@ -180,7 +180,7 @@ object Similarity {
     val centroids = kmeansLite(sample, nCells)
     val bc = spark.sparkContext.broadcast(centroids)
     val assigned = spark.createDataFrame(
-      vecs(embeddings.filter(col("vec_id") >= NumQueries)).rdd.mapPartitions { it =>
+      Tables.spread(vecs(embeddings.filter(col("vec_id") >= NumQueries))).rdd.mapPartitions { it =>
         it.map { r => Row(r.getLong(0), nearestCell(r.getSeq[Double](1).toArray, bc.value)) }
       },
       StructType(Seq(StructField("neighbor_id", LongType), StructField("cell", IntegerType))))

@@ -1,0 +1,15 @@
+package graft.tools
+import graft._
+object Probe {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.local()
+    val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val name = args(0)
+    val df = SparkEntry.queries(name)(spark, d)
+    df.explain("formatted")
+    val t0 = System.nanoTime()
+    df.write.format("noop").mode("overwrite").save()
+    println(f"TIMED $name ${(System.nanoTime()-t0)/1e9}%.2f s")
+    spark.stop()
+  }
+}
