@@ -1,0 +1,247 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus-construction operators (SURVEY.md §2.8) — the steps between
+  * "raw documents" and "training set" that a large-scale pipeline runs
+  * after per-doc analysis (§2.5) and pair-finding (§2.3): deterministic
+  * train/validation/test splits, vocabulary extraction, near-duplicate
+  * CLUSTERING (pairs → canonical groups), and the end-to-end cleaning
+  * pipeline that composes them.
+  *
+  * Scale rules:
+  *  - Split assignment is content-hashed, not row-numbered: the split of
+  *    a document depends only on its bytes, so re-ingesting, re-sharding
+  *    or growing the corpus never moves a doc across splits (no global
+  *    ordering, no shuffle — pure map work).
+  *  - Vocabulary is one explode + one hash-agg shuffle with map-side
+  *    combine; top-k is TakeOrderedAndProject (per-partition heaps),
+  *    never a global sort of the vocab.
+  *  - Connected components touch only the near-dup EDGE set (bounded by
+  *    the §2.3 candidate joins) — never the corpus. Label propagation is
+  *    one small join per round, diameter-bounded; lineage is truncated
+  *    every round so plans stay flat.
+  */
+object Corpus {
+
+  // ---------------------------------------------------------------- splits
+
+  /** Deterministic train/validation/test assignment by content hash:
+    * bucket = first two hex chars of md5(text) (256 uniform buckets),
+    * split boundaries at 0xcd (~80%) and 0xe6 (~10%/10%). Lexicographic
+    * compare of fixed-width lowercase hex == numeric compare, and both
+    * Spark and DuckDB lowercase md5, so the oracle is exact.
+    */
+  def sampleSplit(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), substring(md5(col("text").cast("binary")), 1, 2).as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < "cd", "train")
+          .when(col("bucket") < "e6", "validation")
+          .otherwise("test"))
+      .orderBy(col("doc_id"))
+
+  // ------------------------------------------------------------ vocabulary
+
+  /** Corpus vocabulary: term frequency + document frequency per token
+    * (wc_maple sanitize semantics — /root/reference/mje/src/wc_maple.cpp:10-21
+    * — strip non-alnum, split on whitespace), top-k by frequency.
+    * One explode feeding ONE shuffle: count and distinct-doc count come
+    * from the same (word, doc_id) pre-aggregation, and the final top-k is
+    * TakeOrderedAndProject, so no global sort of the vocabulary ever runs.
+    */
+  def vocabTopK(docs: DataFrame, k: Int = 1000): DataFrame = {
+    val words = Tables.spread(docs) // regex+explode kernel: fan out a 1-split corpus
+      .select(col("doc_id"),
+        explode(filter(
+          split(regexp_replace(col("text"), "[^0-9a-zA-Z\\s]", ""), "\\s+"),
+          w => w =!= lit(""))).as("word"))
+    words
+      .groupBy(col("word"), col("doc_id")).agg(count(lit(1)).as("n")) // map-side combinable
+      .groupBy(col("word")).agg(sum(col("n")).as("cnt"), count(lit(1)).as("doc_freq"))
+      .orderBy(col("cnt").desc, col("word"))
+      .limit(k)
+  }
+
+  // ------------------------------------------- near-dup clustering (CC)
+
+  /** Connected components by iterative min-label propagation over an
+    * undirected edge list (`src`, `dst`): every vertex converges to the
+    * smallest vertex id reachable from it. Each round is one shuffle
+    * join (edges ⋈ labels) + one min-aggregate, and `localCheckpoint`
+    * truncates lineage so round N's plan doesn't embed rounds 1..N-1.
+    * Rounds needed = graph diameter — right for near-dup graphs, whose
+    * components are tiny cliques/chains (dup clusters), ~2-4 rounds. For
+    * adversarial long-path graphs at scale, switch to the large-star /
+    * small-star formulation (Kiveris et al., "Connected Components in
+    * MapReduce"), which converges in O(log n) rounds of the same
+    * join+min shape.
+    */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 25): DataFrame = {
+    val sym = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint(true) // edge set is read every round — materialize once
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val msgs = sym
+        .join(labels.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst").as("m_id")).agg(min(col("label")).as("nbr_min"))
+      val next = labels
+        .join(msgs, labels("id") === msgs("m_id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"),
+          (coalesce(col("nbr_min"), col("label")) < col("label")).as("chg"))
+        .localCheckpoint(true)
+      changed = next.filter(col("chg")).count()
+      labels = next.select(col("id"), col("label"))
+      iter += 1
+    }
+    labels
+  }
+
+  /** Near-duplicate clusters: connected components over the exact
+    * word-3-gram Jaccard ≥ 0.8 pair graph (§2.3 `dedup_ngram_jaccard`).
+    * Output is one row per clustered doc with its cluster's canonical
+    * (minimum) doc_id — the "which docs are the same document" answer a
+    * dedup pass acts on. Docs with no near-dup partner don't appear
+    * (singleton clusters are the identity and would dominate output).
+    */
+  def dedupClusters(docs: DataFrame): DataFrame =
+    connectedComponents(
+      Dedup.ngramJaccard(docs)
+        .select(col("doc_id_1").as("src"), col("doc_id_2").as("dst")))
+      .select(col("id").as("doc_id"), col("label").as("cluster_id"))
+      .orderBy(col("doc_id"))
+
+  // -------------------------------------------------- end-to-end pipeline
+
+  /** The cleaning pipeline end-to-end, composed declaratively:
+    * per-doc stats/quality/language (ONE fused TokenStats pass, §2.5) →
+    * near-dup clustering (§2.3 pairs → components) → keep docs that are
+    * their cluster's canonical member AND score quality ≥ 0.75. The
+    * cluster drop-list is a broadcast anti-join (near-dup members are a
+    * vanishing fraction of a real corpus); everything else is map work
+    * on the single documents scan.
+    *
+    * Byte-identical docs are near-dups at Jaccard 1.0, so exact dedup is
+    * subsumed — except docs with fewer than 3 tokens (no 3-gram
+    * shingles), which never enter the pair graph; a corpus of those
+    * should run `dedup_exact` instead.
+    */
+  def cleanCorpus(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d)
+    val dropList = dedupClusters(docs)
+      .filter(col("doc_id") =!= col("cluster_id")) // canonical member survives
+      .select(col("doc_id"))
+    val scored = docs
+      .withColumn("st", graft.functions.TokenStats.tokenStats(col("text")))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .withColumn("n_tokens", col("st.n_tokens"))
+      .withColumn("punct_ratio", round(punctRatio(col("text")), 6))
+      .withColumn("stop_ratio", round(
+        col("st.en_hits").cast("double") / nullif(col("st.n_tokens"), lit(0L)).cast("double"), 6))
+      .withColumn("avg_token_len", round(
+        col("st.n_nonws_chars").cast("double") / nullif(col("st.n_tokens"), lit(0L)).cast("double"), 6))
+      .withColumn("quality",
+        qualityScore(col("n_chars"), col("stop_ratio"), col("punct_ratio"), col("avg_token_len")))
+      .withColumn("lang_pred", langPred(
+        col("st.en_hits"), col("st.es_hits"), col("st.de_hits"), col("st.fr_hits")))
+    scored
+      .join(broadcast(dropList), Seq("doc_id"), "left_anti")
+      .filter(col("quality") >= 0.75)
+      .select(col("doc_id"), col("n_tokens"), col("quality"), col("lang_pred"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Argmax language over stopword hit counts, ties en>es>de>fr, all-zero
+    * → unknown (same decision rule as §2.5 `text_langid`).
+    */
+  private def langPred(en: Column, es: Column, de: Column, fr: Column): Column =
+    when(en >= es && en >= de && en >= fr && en > 0, "en")
+      .when(es >= de && es >= fr && es > 0, "es")
+      .when(de >= fr && de > 0, "de")
+      .when(fr > 0, "fr")
+      .otherwise("unknown")
+
+  // --------------------------------------------------------------- driver
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_split" -> ((s, d) => sampleSplit(Tables.documents(s, d))),
+    "vocab_topk" -> ((s, d) => vocabTopK(Tables.documents(s, d))),
+    "dedup_clusters" -> ((s, d) => dedupClusters(Tables.documents(s, d))),
+    "pipe_clean_corpus" -> ((s, d) => cleanCorpus(s, d)))
+
+  /** The §2.3 ngram-Jaccard pair SQL, reused as the edge set of the
+    * clustering oracles (kept in lockstep with Dedup.oracle).
+    */
+  private val pairsCte =
+    """t AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ts
+      |  FROM documents),
+      |sh AS (SELECT doc_id,
+      |   list_distinct([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] for i in range(1, len(ts)-1)]) AS shingles
+      |  FROM t WHERE len(ts) >= 3),
+      |ex AS (SELECT doc_id, unnest(shingles) AS s, len(shingles) AS nsh FROM sh),
+      |pairs AS (SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2, count(*) AS inter,
+      |   any_value(a.nsh) AS n1, any_value(b.nsh) AS n2
+      |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2
+      |  HAVING count(*) * 1.0 / (any_value(a.nsh) + any_value(b.nsh) - count(*)) >= 0.8),
+      |edges AS (SELECT doc_id_1 AS src, doc_id_2 AS dst FROM pairs
+      |  UNION SELECT doc_id_2, doc_id_1 FROM pairs),
+      |reach AS (SELECT src, dst FROM edges
+      |  UNION SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+      |   WHERE e.dst <> r.src),
+      |clusters AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+      |  FROM reach GROUP BY src)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "sample_split" ->
+      """SELECT doc_id, substr(md5(text), 1, 2) AS bucket,
+        | CASE WHEN substr(md5(text), 1, 2) < 'cd' THEN 'train'
+        |      WHEN substr(md5(text), 1, 2) < 'e6' THEN 'validation'
+        |      ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "vocab_topk" ->
+      """SELECT word, count(*) AS cnt, count(DISTINCT doc_id) AS doc_freq FROM (
+        | SELECT doc_id, unnest(list_filter(
+        |   string_split_regex(regexp_replace(text, '[^0-9a-zA-Z\s]', '', 'g'), '\s+'),
+        |   w -> w <> '')) AS word
+        | FROM documents)
+        |GROUP BY word ORDER BY cnt DESC, word LIMIT 1000""".stripMargin,
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE $pairsCte
+         |SELECT doc_id, cluster_id FROM clusters ORDER BY doc_id""".stripMargin,
+    "pipe_clean_corpus" ->
+      s"""WITH RECURSIVE $pairsCte,
+         |drop_list AS (SELECT doc_id FROM clusters WHERE doc_id <> cluster_id),
+         |stats AS (SELECT d.doc_id, length(d.text) AS nc,
+         |   list_filter(string_split_regex(d.text, '\\s+'), x -> x <> '') AS ts, d.text
+         |  FROM documents d WHERE d.doc_id NOT IN (SELECT doc_id FROM drop_list)),
+         |s2 AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tokens,
+         |  round((nc - length(regexp_replace(text, '[^0-9a-zA-Z\\s]', '', 'g'))) * 1.0 / nullif(nc, 0), 6) AS punct_ratio,
+         |  round(len(list_filter(ts, t -> t IN ('the','a','and','of','to','is','in','that','it','for'))) * 1.0 / nullif(len(ts), 0), 6) AS stop_ratio,
+         |  round(length(regexp_replace(text, '\\s', '', 'g')) * 1.0 / nullif(len(ts), 0), 6) AS avg_token_len,
+         |  CAST(len(list_filter(ts, t -> t IN ('the','a','and','of','to','is','in','that','it','for'))) AS BIGINT) AS en_hits,
+         |  CAST(len(list_filter(ts, t -> t IN ('el','la','de','que','y','en','un','es','se','no'))) AS BIGINT) AS es_hits,
+         |  CAST(len(list_filter(ts, t -> t IN ('der','die','und','das','ist','ein','zu','mit','den','von'))) AS BIGINT) AS de_hits,
+         |  CAST(len(list_filter(ts, t -> t IN ('le','les','et','des','une','du','dans','pour','sur','avec'))) AS BIGINT) AS fr_hits,
+         |  nc FROM stats),
+         |s3 AS (SELECT doc_id, n_tokens,
+         |  round((CASE WHEN nc BETWEEN 100 AND 5000 THEN 0.25 ELSE 0 END) +
+         |   (CASE WHEN stop_ratio BETWEEN 0.01 AND 0.6 THEN 0.25 ELSE 0 END) +
+         |   (CASE WHEN punct_ratio < 0.2 THEN 0.25 ELSE 0 END) +
+         |   (CASE WHEN avg_token_len BETWEEN 3.0 AND 10.0 THEN 0.25 ELSE 0 END), 2) AS quality,
+         |  CASE WHEN en_hits >= es_hits AND en_hits >= de_hits AND en_hits >= fr_hits AND en_hits > 0 THEN 'en'
+         |   WHEN es_hits >= de_hits AND es_hits >= fr_hits AND es_hits > 0 THEN 'es'
+         |   WHEN de_hits >= fr_hits AND de_hits > 0 THEN 'de'
+         |   WHEN fr_hits > 0 THEN 'fr' ELSE 'unknown' END AS lang_pred
+         | FROM s2)
+         |SELECT doc_id, n_tokens, quality, lang_pred FROM s3
+         |WHERE quality >= 0.75 ORDER BY doc_id""".stripMargin)
+}
