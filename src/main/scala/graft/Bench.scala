@@ -18,29 +18,54 @@ object Bench {
     }
     val errors = scala.collection.mutable.ListBuffer.empty[String]
     // optional args = query names to time (default: all) — for targeted
-    // profiling without paying the full suite
+    // profiling without paying the full suite. Unknown names are a hard
+    // error: silently dropping a typo'd name would report a partial run
+    // as a successful benchmark.
+    val unknown = args.toSet -- SparkEntry.queries.keySet
+    if (unknown.nonEmpty) {
+      System.err.println(s"unknown queries: ${unknown.toSeq.sorted.mkString(", ")}\n" +
+        s"available: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}")
+      spark.stop(); sys.exit(2)
+    }
     val selected =
       if (args.isEmpty) SparkEntry.queries
       else SparkEntry.queries.view.filterKeys(args.toSet).toMap
+    // Repetitions per query, reporting the MEDIAN: this VM CPU-throttles
+    // under sustained load, and a single throttled run once recorded a
+    // phantom 3x "regression" of a round that was actually faster. The
+    // median of N runs is stable against a throttle window hitting any
+    // one rep; min would hide a real regression that only shows warm.
+    val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS").map(_.toInt).getOrElse(3).max(1)
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // noop sink: full plan executes (every column materialized), nothing
-      // written — unlike count(), Catalyst can't prune unevaluated aggs.
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        errors += s"$name: ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        // noop sink: full plan executes (every column materialized), nothing
+        // written — unlike count(), Catalyst can't prune unevaluated aggs.
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable =>
+          errors += s"$name: ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
+        }
+        (System.nanoTime() - t0) / 1e9
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      (name, median(times), times)
     }
     def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
       .replaceAll("[\\n\\r\\t]", " ") + "\""
     // Locale.ROOT: a comma-decimal default locale would emit invalid JSON
-    val qs = results.map { case (k, v) =>
-      q(k) + ":" + String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    def fmt(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qs = results.map { case (k, v, _) => q(k) + ":" + fmt(v) }.mkString("{", ",", "}")
+    // per-rep raw times: lets a reader see whether a slow median was one
+    // throttled rep or a consistent cost
+    val repsJson = results.map { case (k, _, ts) =>
+      q(k) + ":" + ts.map(fmt).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val errs = errors.map(q).mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$repsJson,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
     // A failed query must fail the bench loudly, not record a ~0s success.
     if (errors.nonEmpty) { System.err.println(errors.mkString("\n")); sys.exit(1) }

@@ -41,18 +41,28 @@ object Tables {
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 
   /** Fan a scan out to the session's shuffle parallelism before an
-    * expensive per-row kernel. A sub-128MB table arrives as ONE file
-    * split (spark.sql.files.maxPartitionBytes), so every downstream
-    * map-side kernel — shingle hashing, simhash, LSH bucketing, cosine
-    * scoring — would run in a single task regardless of cluster size;
-    * the round-robin exchange of the raw rows costs far less than the
-    * kernels it parallelizes. Opt-in per operator (NOT in the loaders):
-    * on a many-split corpus the same call still rebalances uneven
-    * splits, but cheap map-only consumers shouldn't pay the extra
-    * exchange.
+    * expensive per-row kernel — but ONLY when the input is actually
+    * under-split. A sub-128MB table arrives as ONE file split
+    * (spark.sql.files.maxPartitionBytes), so every downstream map-side
+    * kernel — shingle hashing, simhash, LSH bucketing, cosine scoring —
+    * would run in a single task regardless of cluster size; the
+    * round-robin exchange of those few raw rows costs far less than the
+    * kernels it parallelizes.
+    *
+    * The gate is what makes this safe at 100 TB: a full-scale corpus
+    * already arrives as ~800k splits, and an unconditional
+    * `repartition(n)` there would be a full exchange (plus sort) of the
+    * entire corpus text for zero parallelism gain. When the scan already
+    * has at least the session's shuffle parallelism, this is the
+    * identity — no Exchange enters the plan (asserted by PlanSpec).
+    * Opt-in per operator (NOT in the loaders): cheap map-only consumers
+    * shouldn't pay the exchange even on a single split.
     */
-  def spread(df: DataFrame): DataFrame =
-    df.repartition(df.sparkSession.sessionState.conf.numShufflePartitions)
+  def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sessionState.conf.numShufflePartitions
+    // getNumPartitions plans the scan (file listing) but executes nothing
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
 
   /** Register every table as a temp view so the whole surface is
     * reachable from `spark.sql` (events with the ts fix applied).

@@ -84,6 +84,11 @@ object Corpus {
     val sym = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint(true) // edge set is read every round — materialize once
+    // Dup-free corpora (empty pair graph) skip the label machinery
+    // entirely — the checkpointed edge set answers isEmpty as a limit-1
+    // probe, and the result is the empty labeled-vertex relation.
+    if (sym.isEmpty)
+      return sym.select(col("src").as("id"), col("src").as("label"))
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint(true)
@@ -103,6 +108,17 @@ object Corpus {
       labels = next.select(col("id"), col("label"))
       iter += 1
     }
+    // Returning non-converged labels would be a SILENT wrong answer
+    // (docs of one component split across several cluster ids, diverging
+    // from the oracle's transitive closure). Fail loudly instead: the
+    // caller raises maxIter, or — for adversarial long-path graphs at
+    // scale — switches to the large-star/small-star formulation.
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds " +
+          s"($changed labels still changing) — raise maxIter (rounds needed = " +
+          "component diameter) or use the large-star/small-star formulation " +
+          "for long-path graphs")
     labels
   }
 
@@ -113,12 +129,21 @@ object Corpus {
     * dedup pass acts on. Docs with no near-dup partner don't appear
     * (singleton clusters are the identity and would dominate output).
     */
-  def dedupClusters(docs: DataFrame): DataFrame =
-    connectedComponents(
-      Dedup.ngramJaccard(docs)
-        .select(col("doc_id_1").as("src"), col("doc_id_2").as("dst")))
-      .select(col("id").as("doc_id"), col("label").as("cluster_id"))
-      .orderBy(col("doc_id"))
+  def dedupClusters(docs: DataFrame): DataFrame = {
+    // One shingle pass, persisted across the pair-join's two sides (the
+    // self-join otherwise recomputes the shingle kernel per side); the
+    // CC loop materializes everything downstream eagerly (localCheckpoint
+    // per round), so the cache can be dropped before returning — the
+    // returned plan reads only the checkpointed label RDD.
+    val shingled = Dedup.shingleHashSets(docs).persist()
+    try
+      connectedComponents(
+        Dedup.ngramJaccardPairs(shingled)
+          .select(col("doc_id_1").as("src"), col("doc_id_2").as("dst")))
+        .select(col("id").as("doc_id"), col("label").as("cluster_id"))
+        .orderBy(col("doc_id"))
+    finally shingled.unpersist(blocking = false)
+  }
 
   // -------------------------------------------------- end-to-end pipeline
 
@@ -126,9 +151,11 @@ object Corpus {
     * per-doc stats/quality/language (ONE fused TokenStats pass, §2.5) →
     * near-dup clustering (§2.3 pairs → components) → keep docs that are
     * their cluster's canonical member AND score quality ≥ 0.75. The
-    * cluster drop-list is a broadcast anti-join (near-dup members are a
-    * vanishing fraction of a real corpus); everything else is map work
-    * on the single documents scan.
+    * shingle pass is persisted across the pair-join's two sides; the
+    * drop-list anti-join strategy is left to AQE — it broadcasts when
+    * the list is small, but real web corpora run 30-50% near-dup, where
+    * a forced broadcast would blow the driver, so no hint. Everything
+    * else is map work on the single documents scan.
     *
     * Byte-identical docs are near-dups at Jaccard 1.0, so exact dedup is
     * subsumed — except docs with fewer than 3 tokens (no 3-gram
@@ -137,9 +164,17 @@ object Corpus {
     */
   def cleanCorpus(spark: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(spark, d)
-    val dropList = dedupClusters(docs)
-      .filter(col("doc_id") =!= col("cluster_id")) // canonical member survives
-      .select(col("doc_id"))
+    // dedupClusters minus its user-facing sort (the anti-join destroys
+    // ordering anyway); shingle pass persisted, dropped once the CC loop
+    // has materialized its labels
+    val shingled = Dedup.shingleHashSets(docs).persist()
+    val dropList = try
+      connectedComponents(
+        Dedup.ngramJaccardPairs(shingled)
+          .select(col("doc_id_1").as("src"), col("doc_id_2").as("dst")))
+        .filter(col("id") =!= col("label")) // canonical member survives
+        .select(col("id").as("doc_id"))
+    finally shingled.unpersist(blocking = false)
     val scored = docs
       .withColumn("st", graft.functions.TokenStats.tokenStats(col("text")))
       .withColumn("n_chars", length(col("text")).cast("long"))
@@ -154,7 +189,7 @@ object Corpus {
       .withColumn("lang_pred", langPred(
         col("st.en_hits"), col("st.es_hits"), col("st.de_hits"), col("st.fr_hits")))
     scored
-      .join(broadcast(dropList), Seq("doc_id"), "left_anti")
+      .join(dropList, Seq("doc_id"), "left_anti")
       .filter(col("quality") >= 0.75)
       .select(col("doc_id"), col("n_tokens"), col("quality"), col("lang_pred"))
       .orderBy(col("doc_id"))

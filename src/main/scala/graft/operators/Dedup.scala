@@ -76,12 +76,25 @@ object Dedup {
     * for boundedness and the exact oracle requires the uncapped join.
     */
   def ngramJaccard(docs: DataFrame, threshold: Double = 0.8, n: Int = 3,
-                   maxShingleDf: Option[Int] = None): DataFrame = {
+                   maxShingleDf: Option[Int] = None): DataFrame =
+    ngramJaccardPairs(shingleHashSets(docs, n), threshold, maxShingleDf)
+      .orderBy(col("doc_id_1"), col("doc_id_2"))
+
+  /** The pair-join core of [[ngramJaccard]] over a PRE-SHINGLED input
+    * (`doc_id`, `shingles` from [[shingleHashSets]]) and WITHOUT the
+    * user-facing global sort. Composite operators (near-dup clustering,
+    * the cleaning pipeline) call this directly so they can persist one
+    * shingle pass across the self-join's two sides and never pay an
+    * ordering their downstream consumers (CC, anti-join) would destroy
+    * anyway.
+    */
+  private[operators] def ngramJaccardPairs(shingled: DataFrame, threshold: Double = 0.8,
+                                           maxShingleDf: Option[Int] = None): DataFrame = {
     // Join on the 64-bit shingle hash, not the shingle string: identical
     // pair counts (collision odds ~|shingles|²/2⁶⁴) but the shuffle
     // moves 8-byte keys instead of ~25-byte strings and the sort-merge
     // compares longs — measured 7× faster at sf0.1.
-    val exAll = shingleHashSets(docs, n)
+    val exAll = shingled
       .select(col("doc_id"), size(col("shingles")).as("nsh"),
         explode(col("shingles")).as("s"))
     val ex = maxShingleDf match {
@@ -99,7 +112,6 @@ object Dedup {
       .agg(count(lit(1)).as("inter"), first(col("n1")).as("n1"), first(col("n2")).as("n2"))
       .filter(jac >= threshold)
       .select(col("doc_id_1"), col("doc_id_2"), round(jac, 6).as("jaccard"))
-      .orderBy(col("doc_id_1"), col("doc_id_2"))
   }
 
   /** MinHash signatures: numPerms columns m0..m{p-1}, m_i = min over the

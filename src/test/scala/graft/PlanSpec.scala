@@ -38,6 +38,25 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"))
   }
 
+  test("spread fans out an under-split scan but is the identity on pre-split input") {
+    import spark.implicits._
+    val target = spark.sessionState.conf.numShufflePartitions
+    // single-split local relation: spread must insert the exchange
+    val small = Seq.tabulate(100)(i => (i.toLong, s"doc $i")).toDF("doc_id", "text").coalesce(1)
+    assert(Tables.spread(small).rdd.getNumPartitions == target)
+    // pre-split (>= session parallelism): spread must NOT add an Exchange —
+    // at 100 TB the input arrives as ~800k splits and a repartition there
+    // is a full exchange of the corpus for zero parallelism gain
+    val wide = Seq.tabulate(100)(i => (i.toLong, s"doc $i")).toDF("doc_id", "text")
+      .repartition(target + 4)
+    val spreadWide = Tables.spread(wide)
+    assert(spreadWide.rdd.getNumPartitions == target + 4)
+    val extra = spreadWide.queryExecution.executedPlan.toString
+      .linesIterator.count(_.contains("Exchange")) -
+      wide.queryExecution.executedPlan.toString.linesIterator.count(_.contains("Exchange"))
+    assert(extra == 0, "spread inserted an Exchange on a pre-split input")
+  }
+
   test("registered views make the surface sql-queryable") {
     Tables.registerViews(spark, TestSpark.sf)
     val n = spark.sql(
