@@ -72,8 +72,20 @@ object Dedup {
     * `maxShingleDf`: skew guard for adversarial corpora — drop shingles
     * whose document frequency exceeds the cap before the self-join
     * (boilerplate shingles shared by k docs contribute k² pair rows; a
-    * df cap bounds the hottest key). Off by default: it trades recall
-    * for boundedness and the exact oracle requires the uncapped join.
+    * df cap bounds the hottest key). Off by default here because the
+    * exact oracle requires the uncapped join; **at 100 TB the cap IS the
+    * default recipe**: web corpora carry shared headers/footers whose
+    * shingles have df in the millions, and one such shingle alone would
+    * shuffle df² pair rows. Run with `maxShingleDf ≈ 1000`: pairs missed
+    * are only those whose overlap is mostly ultra-common boilerplate
+    * (near-dups by Jaccard ≥0.8 share rarer shingles too). n1/n2 stay
+    * the FULL set sizes while `inter` counts only surviving shingles, so
+    * the capped jaccard is a LOWER BOUND — emitted pairs are true
+    * ≥-threshold pairs, and a borderline pair's exact value is recovered
+    * by re-verifying the candidate against its two full shingle sets
+    * (the [[minhashLsh]] verify join does exactly this). DedupSpec pins
+    * the bound: a 20-doc boilerplate corpus emits C(20,2)=190 pairs
+    * uncapped, 0 capped at df=5.
     */
   def ngramJaccard(docs: DataFrame, threshold: Double = 0.8, n: Int = 3,
                    maxShingleDf: Option[Int] = None): DataFrame =

@@ -28,17 +28,30 @@ class Sdfs(spark: SparkSession) {
   }
 
   /** SDFS `put` — create/overwrite a dataset at `path`. Distributed
-    * write: one file per partition, rename-committed.
+    * write: one file per partition, rename-committed. `metadata` maps
+    * the reference's key-value `sdfs_metadata` attached on put
+    * (/root/reference/inc/sdfs_client.h:20, sdfs.h:8): stored as a
+    * `_`-prefixed sidecar INSIDE the dataset dir, so Spark scans ignore
+    * it and del/ls/store see it as part of the dataset.
     */
-  def put(df: DataFrame, path: String, format: String = "parquet"): Unit =
+  def put(df: DataFrame, path: String, format: String = "parquet",
+          metadata: Map[String, String] = Map.empty): Unit = {
     writer(df, format).mode(SaveMode.Overwrite).save(path)
+    if (metadata.nonEmpty) putMetadata(path, metadata)
+  }
 
   /** SDFS `append` — add rows to an existing dataset (the reference
     * appends byte ranges to a file; the dataset-level equivalent is
     * appending files to the directory, no rewrite of existing data).
+    * A non-empty `metadata` replaces the dataset's metadata, matching
+    * the reference's append-updates-metadata contract
+    * (/root/reference/inc/sdfs_client.h:23).
     */
-  def append(df: DataFrame, path: String, format: String = "parquet"): Unit =
+  def append(df: DataFrame, path: String, format: String = "parquet",
+             metadata: Map[String, String] = Map.empty): Unit = {
     writer(df, format).mode(SaveMode.Append).save(path)
+    if (metadata.nonEmpty) putMetadata(path, metadata)
+  }
 
   /** SDFS `get` — read a dataset back. `schema` (DDL string) makes
     * csv/json reads schema-stable without an inference pass over the
@@ -76,13 +89,102 @@ class Sdfs(spark: SparkSession) {
   def getFile(dfsPath: String, localPath: String): Unit =
     fs(dfsPath).copyToLocalFile(false, new Path(dfsPath), new Path(localPath), true)
 
-  /** SDFS `del` — remove a dataset (recursive). */
-  def del(path: String): Boolean = fs(path).delete(new Path(path), true)
+  // ------------------------------------------------------------- metadata
+
+  /** Where a path's metadata sidecar lives: inside the dir for dataset
+    * paths (`_`-prefixed → invisible to Spark file scans), a hidden
+    * `.`-prefixed sibling for single-file paths (so a scan of the parent
+    * never picks it up).
+    */
+  private def metaPath(path: String): Path = {
+    val p = new Path(path)
+    val f = fs(path)
+    if (f.exists(p) && f.getFileStatus(p).isDirectory) new Path(p, "_sdfs_metadata")
+    else new Path(p.getParent, s".${p.getName}._sdfs_metadata")
+  }
+
+  /** Attach/replace the key-value metadata of an existing file or
+    * dataset — the reference's `sdfs_metadata` on put/append
+    * (/root/reference/inc/sdfs.h:8). Serialized as java.util.Properties
+    * (JDK-escaped, arbitrary string keys/values safe); driver-side, the
+    * payload is tiny by contract.
+    */
+  def putMetadata(path: String, metadata: Map[String, String]): Unit = {
+    val props = new java.util.Properties()
+    metadata.foreach { case (k, v) => props.setProperty(k, v) }
+    val out = fs(path).create(metaPath(path), true)
+    try props.store(out, null) finally out.close()
+  }
+
+  /** SDFS `get_metadata` (/root/reference/inc/sdfs_client.h:28) — None
+    * when the path has no metadata attached.
+    */
+  def getMetadata(path: String): Option[Map[String, String]] = {
+    val mp = metaPath(path)
+    val f = fs(path)
+    if (!f.exists(mp)) None
+    else {
+      val in = f.open(mp)
+      try {
+        val props = new java.util.Properties()
+        props.load(in)
+        import scala.jdk.CollectionConverters._
+        Some(props.asScala.toMap)
+      } finally in.close()
+    }
+  }
+
+  /** SDFS `get_num_shards` (/root/reference/inc/sdfs_client.h:39) — how
+    * many data files a dataset is split into (the reference counts the
+    * shards a file was partitioned across). Driver-side metadata walk:
+    * counts non-hidden leaf files (skips `_SUCCESS`, sidecars, commit
+    * markers), recursing through partition subdirectories; a single-file
+    * path is one shard.
+    */
+  def getNumShards(path: String): Int = {
+    val f = fs(path)
+    val p = new Path(path)
+    if (!f.getFileStatus(p).isDirectory) 1
+    else {
+      val it = f.listFiles(p, true)
+      var n = 0
+      while (it.hasNext) {
+        val s = it.next()
+        val name = s.getPath.getName
+        if (!name.startsWith("_") && !name.startsWith(".")) n += 1
+      }
+      n
+    }
+  }
+
+  // ----------------------------------------------------- namespace verbs
+
+  /** SDFS `del` — remove a dataset (recursive); also drops a single
+    * file's hidden metadata sidecar so metadata can't outlive its file.
+    */
+  def del(path: String): Boolean = {
+    val mp = metaPath(path)
+    val f = fs(path)
+    val deleted = f.delete(new Path(path), true)
+    if (f.exists(mp)) f.delete(mp, false)
+    deleted
+  }
 
   /** SDFS `mkdir`. */
   def mkdir(path: String): Boolean = fs(path).mkdirs(new Path(path))
 
+  /** SDFS `rmdir` (/root/reference/inc/sdfs_client.h:34) — remove a
+    * directory and every file within (the reference's recursive form).
+    */
+  def rmdir(path: String): Boolean = del(path)
+
   def exists(path: String): Boolean = fs(path).exists(new Path(path))
+
+  /** SDFS `ls_files` / `ls_dirs` (/root/reference/inc/sdfs_client.h:36-37)
+    * — the reference's split listing verbs, as filtered views of [[ls]].
+    */
+  def lsFiles(path: String): DataFrame = ls(path).filter(!col("is_dir"))
+  def lsDirs(path: String): DataFrame = ls(path).filter(col("is_dir"))
 
   /** SDFS `store` — the files materialized under a namespace dir (the
     * reference lists blocks held by one node; here: datasets under a

@@ -119,12 +119,77 @@ object Events {
     */
   private def cleanup(spark: SparkSession, name: String, dir: java.nio.file.Path): Unit = {
     try spark.catalog.dropTempView(name) catch { case _: Exception => }
+    deleteDir(dir)
+  }
+
+  private def deleteDir(dir: java.nio.file.Path): Unit = {
     val walk = java.nio.file.Files.walk(dir)
     try {
       import scala.jdk.CollectionConverters._
       walk.sorted(java.util.Comparator.reverseOrder())
         .iterator().asScala.foreach(p => java.nio.file.Files.deleteIfExists(p))
     } finally walk.close()
+  }
+
+  /** The PRODUCTION sink path for [[windowAgg]]: the same watermarked
+    * tumbling-window plan written in APPEND mode to a parquet directory
+    * with a checkpoint — each window materializes exactly once, when the
+    * watermark passes its end, and the sink's `_spark_metadata` log makes
+    * the directory an exactly-once batch-readable dataset. (The memory
+    * sink in [[windowAgg]] is the bounded verify harness; THIS is what a
+    * deployment writes — swap "parquet" for kafka/delta as needed.)
+    *
+    * Sentinel rows (marker event_type, far-future ts) flush bounded
+    * input by advancing the watermark past every real window's close.
+    * They are NOT filtered inside the streaming plan: Catalyst pushes
+    * deterministic filters below the EventTimeWatermark operator, so an
+    * in-plan sentinel filter would drop them before they can advance
+    * event time and the final windows would never finalize (the
+    * sessionize query dodges this by discarding sentinels inside the
+    * state function, which nothing can push into). Instead sentinels
+    * aggregate into their own far-future marker windows, which are
+    * excluded when reading the sink — the price is one marker window in
+    * the sink files, clearly tagged. Returns the finalized windows READ
+    * BACK FROM THE SINK FILES — the downstream consumer's view.
+    */
+  def windowAggToFiles(spark: SparkSession, sfDir: String,
+                       statePartitions: Option[Int] = Some(8)): DataFrame = {
+    val ss = sessionFor(spark, statePartitions)
+    val SentinelType = "__sentinel"
+    val src = java.nio.file.Files.createTempDirectory("graft_window_file_src")
+    val sink = java.nio.file.Files.createTempDirectory("graft_window_file_sink")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_window_file_ckpt")
+    try {
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+        src.resolve("events.parquet"))
+      val stream = withTs(ss.readStream.schema(rawSchema(ss, sfDir)).parquet(src.toString))
+      val agg = stream
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("total_value"))
+        .select(col("window.start").as("window_start"), col("event_type"),
+          col("n_events"), col("total_value"))
+      val q = agg.writeStream.format("parquet")
+        .option("path", sink.toString)
+        .option("checkpointLocation", ckpt.toString)
+        .outputMode(OutputMode.Append).start()
+      try {
+        q.processAllAvailable()
+        val maxTs = ss.read.parquet(s"$sfDir/events.parquet")
+          .agg(max(col("ts"))).head().getLong(0)
+        val base = ss.read.parquet(s"$sfDir/events.parquet").limit(1)
+        for (i <- 1 to 2) {
+          base.withColumn("ts", lit(maxTs + i * 24L * 3600 * 1000 * 1000 * 1000))
+            .withColumn("event_type", lit(SentinelType))
+            .write.mode("append").parquet(src.toString)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      detach(spark, spark.read.parquet(sink.toString)
+        .filter(col("event_type") =!= SentinelType)
+        .orderBy(col("window_start"), col("event_type")))
+    } finally { deleteDir(src); deleteDir(sink); deleteDir(ckpt) }
   }
 
   /** Per-user 30-minute-gap sessionization via flatMapGroupsWithState

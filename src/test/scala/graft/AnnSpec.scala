@@ -29,13 +29,15 @@ class AnnSpec extends AnyFunSuite {
   test("LSH topk recall@5 vs brute") {
     val lsh = pairs(Similarity.lshTopK(emb))
     val recall = (lsh & brute).size.toDouble / brute.size
-    assert(recall >= 0.6, s"LSH recall $recall below floor")
+    // floor tight enough to catch a bucketing regression: 16 tables ×
+    // 6 bits with 1-bit multiprobe measurably delivers ≥0.9 here
+    assert(recall >= 0.85, s"LSH recall $recall below floor")
   }
 
   test("IVF topk recall@5 vs brute, with real pruning") {
     val ivf = pairs(Similarity.ivfTopK(emb))
     val recall = (ivf & brute).size.toDouble / brute.size
-    assert(recall >= 0.5, s"IVF recall $recall below floor")
+    assert(recall >= 0.7, s"IVF recall $recall below floor")
   }
 
   test("TopKAgg keeps the k best with (score desc, id asc) tie-break under any arrival order") {

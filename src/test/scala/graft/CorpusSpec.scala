@@ -1,0 +1,61 @@
+package graft
+
+import graft.operators.{Corpus, Dedup}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Specs for the corpus-construction operators (SURVEY §2.8) beyond the
+  * driver's DuckDB oracles: connected-components edge cases (empty graph,
+  * convergence guard) that the fixed test corpus can't exercise.
+  */
+class CorpusSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def edges(rows: (Long, Long)*) = {
+    import spark.implicits._
+    rows.toDF("src", "dst")
+  }
+
+  test("connectedComponents on an empty edge set short-circuits to the empty relation") {
+    val labels = Corpus.connectedComponents(edges())
+    assert(labels.columns.toSeq == Seq("id", "label"))
+    assert(labels.isEmpty)
+  }
+
+  test("dedupClusters on a dup-free corpus is empty (no label machinery runs)") {
+    import spark.implicits._
+    val d = Seq(
+      1L -> "alpha beta gamma delta epsilon",
+      2L -> "one two three four five",
+      3L -> "red orange yellow green blue").toDF("doc_id", "text")
+    assert(Corpus.dedupClusters(d).isEmpty)
+  }
+
+  test("connectedComponents labels a chain with its minimum id") {
+    val labels = Corpus.connectedComponents(
+      edges(1L -> 2L, 2L -> 3L, 3L -> 4L, 10L -> 11L))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("connectedComponents throws rather than return non-converged labels") {
+    // label needs 4 rounds to travel the chain; with maxIter=1 every
+    // label is still changing — silent wrong output would split the
+    // component across several cluster ids
+    val chain = edges(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 5L)
+    val e = intercept[IllegalStateException](
+      Corpus.connectedComponents(chain, maxIter = 1))
+    assert(e.getMessage.contains("did not converge"))
+  }
+
+  test("cleanCorpus quality gate keeps high-quality canonical docs only") {
+    // structural sanity on the real corpus: every surviving doc is
+    // quality >= 0.75 and no surviving doc is a non-canonical dup member
+    val out = Corpus.cleanCorpus(spark, TestSpark.sf)
+    val kept = out.collect()
+    assert(kept.nonEmpty)
+    assert(kept.forall(_.getDouble(2) >= 0.75))
+    val dropIds = Corpus.dedupClusters(Tables.documents(spark, TestSpark.sf))
+      .filter("doc_id <> cluster_id").collect().map(_.getLong(0)).toSet
+    assert(kept.forall(r => !dropIds.contains(r.getLong(0))))
+  }
+}

@@ -45,6 +45,21 @@ class DedupSpec extends AnyFunSuite {
     assert(capped.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L))
   }
 
+  test("df cap bounds pair counts on a boilerplate-heavy corpus") {
+    // 20 docs sharing a 10-token boilerplate prefix + a unique suffix:
+    // the 8 boilerplate shingles each have df=20, so the uncapped
+    // inverted-index join emits all C(20,2)=190 pairs — the k² blowup a
+    // shared header/footer causes at corpus scale. Capping df at 5 drops
+    // exactly those shingles (every other shingle has df=1), bounding
+    // the join's output to zero pairs.
+    val boiler = "b1 b2 b3 b4 b5 b6 b7 b8 b9 b10"
+    val d = docs((1L to 20L).map(i => i -> s"$boiler u${i}a u${i}b u${i}c"): _*)
+    val uncapped = Dedup.ngramJaccard(d, threshold = 0.5).count()
+    val capped = Dedup.ngramJaccard(d, threshold = 0.5, maxShingleDf = Some(5)).count()
+    assert(uncapped == 190L, s"boilerplate should pair everything, got $uncapped")
+    assert(capped == 0L, s"df cap should drop every boilerplate-only pair, got $capped")
+  }
+
   test("minhash-LSH finds the exact-jaccard pairs on the documents table (high recall, perfect precision)") {
     val d = graft.Tables.documents(spark, TestSpark.sf)
     val exact = Dedup.ngramJaccard(d).collect().map(r => (r.getLong(0), r.getLong(1))).toSet

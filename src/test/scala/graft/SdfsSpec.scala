@@ -76,6 +76,61 @@ class SdfsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sdfs.get(p, "text").as[String].collect().toSet == Set("l1", "l2"))
   }
 
+  test("metadata attaches on put, reads back, and append replaces it") {
+    val p = s"$base/meta_ds"
+    sdfs.put(df, p, "parquet", metadata = Map("owner" -> "graft", "v" -> "1"))
+    assert(sdfs.getMetadata(p).contains(Map("owner" -> "graft", "v" -> "1")))
+    // the sidecar must be invisible to the Spark scan
+    assert(sdfs.get(p).count() == 3)
+    sdfs.append(df, p, "parquet", metadata = Map("v" -> "2"))
+    assert(sdfs.getMetadata(p).contains(Map("v" -> "2")))
+    // no metadata attached => None
+    val bare = s"$base/meta_none"
+    sdfs.put(df, bare)
+    assert(sdfs.getMetadata(bare).isEmpty)
+  }
+
+  test("single-file metadata roundtrips and dies with its file") {
+    val src = java.nio.file.Files.createTempFile("graft_meta", ".bin")
+    java.nio.file.Files.write(src, Array[Byte](1, 2, 3))
+    val dfs = s"$base/meta_files/one.bin"
+    sdfs.putFile(src.toString, dfs)
+    sdfs.putMetadata(dfs, Map("k" -> "value with spaces=and:colons"))
+    assert(sdfs.getMetadata(dfs).contains(Map("k" -> "value with spaces=and:colons")))
+    sdfs.del(dfs)
+    assert(sdfs.getMetadata(dfs).isEmpty, "sidecar must not outlive its file")
+  }
+
+  test("get_num_shards counts data files, not commit markers") {
+    val p = s"$base/shards"
+    // enough rows that every round-robin partition is non-empty — Spark
+    // writes no file for an empty partition, so a tiny frame would
+    // under-count the requested sharding
+    sdfs.put(spark.range(100).toDF("n").repartition(4), p)
+    assert(sdfs.getNumShards(p) == 4)
+    // metadata sidecar and _SUCCESS don't count as shards
+    sdfs.putMetadata(p, Map("a" -> "b"))
+    assert(sdfs.getNumShards(p) == 4)
+    val single = s"$base/files2/one.bin"
+    val src = java.nio.file.Files.createTempFile("graft_shard", ".bin")
+    java.nio.file.Files.write(src, Array[Byte](9))
+    sdfs.putFile(src.toString, single)
+    assert(sdfs.getNumShards(single) == 1)
+  }
+
+  test("ls_files / ls_dirs split the listing; rmdir removes recursively") {
+    val p = s"$base/split_ls"
+    sdfs.mkdir(s"$p/subdir")
+    sdfs.put(df, s"$p/ds")
+    val src = java.nio.file.Files.createTempFile("graft_ls", ".txt")
+    java.nio.file.Files.write(src, "x".getBytes)
+    sdfs.putFile(src.toString, s"$p/plain.txt")
+    assert(sdfs.lsFiles(p).collect().map(_.getString(0)).toSeq == Seq("plain.txt"))
+    assert(sdfs.lsDirs(p).collect().map(_.getString(0)).toSeq == Seq("ds", "subdir"))
+    assert(sdfs.rmdir(p))
+    assert(!sdfs.exists(p))
+  }
+
   test("bucketed tables join without a shuffle on either side") {
     import spark.implicits._
     val li = Tables.lineitem(spark, TestSpark.sf)

@@ -21,6 +21,15 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.collect().toSeq == batch.collect().toSeq)
   }
 
+  test("file-sink append path finalizes the same windows as the memory-sink harness") {
+    val fromFiles = Events.windowAggToFiles(spark, TestSpark.sf)
+    val batch = Tables.events(spark, TestSpark.sf)
+      .groupBy(date_trunc("hour", col("ts")).as("window_start"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("total_value"))
+      .orderBy(col("window_start"), col("event_type"))
+    assert(fromFiles.collect().toSeq == batch.collect().toSeq)
+  }
+
   test("stream_sessionize equals the batch gaps-and-islands sessionization") {
     val streamed = Events.sessionize(spark, TestSpark.sf)
     Tables.events(spark, TestSpark.sf).createOrReplaceTempView("ev_batch")
