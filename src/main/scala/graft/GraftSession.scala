@@ -56,16 +56,23 @@ object GraftSession {
     * Idempotent AND quiet: re-registering an existing function logs a
     * "replaced a previously registered function" WARN per function per
     * call, which at one registration per query turns bench/verify logs
-    * into noise — skip when the marker function is already present.
+    * into noise. Presence is checked PER registration (ADVICE r3): a
+    * single marker function would leave the session permanently
+    * half-registered — with no error and no retry — if any registration
+    * after the marker's ever threw once.
     */
-  def registerFunctions(s: SparkSession): Unit =
-    if (!s.catalog.functionExists("graft_cosine_sim")) {
-      graft.functions.CosineSim.register(s)
-      graft.functions.SimHashAgg.register(s)
-      graft.functions.TopKAgg.register(s)
-      graft.functions.RollingHash.register(s)
-      graft.functions.ShingleFunctions.register(s)
-      graft.functions.TokenStats.register(s)
-      graft.functions.LshBuckets.register(s)
-    }
+  def registerFunctions(s: SparkSession): Unit = {
+    import graft.functions._
+    val regs: Seq[(Seq[String], SparkSession => Unit)] = Seq(
+      Seq(CosineSim.Name) -> (CosineSim.register _),
+      Seq(SimHashAgg.Name) -> (SimHashAgg.register _),
+      Seq(TopKAgg.Name) -> (TopKAgg.register _),
+      Seq(RollingHash.Name) -> (RollingHash.register _),
+      Seq(ShingleFunctions.ShingleName, ShingleFunctions.SimHashName) ->
+        (ShingleFunctions.register _),
+      Seq(TokenStats.Name) -> (TokenStats.register _),
+      Seq(LshBuckets.Name) -> (LshBuckets.register _))
+    for ((names, reg) <- regs if !names.forall(s.catalog.functionExists))
+      reg(s)
+  }
 }

@@ -158,8 +158,15 @@ object Relational {
       .join(Tables.lineitem(spark, d), col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("s_suppkey"), col("s_name"))
       .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+    // localCheckpoint: the range partitioner's boundaries come from a
+    // nondeterministic SAMPLE of rev, and `parted` feeds two consumers
+    // (the offsets aggregate and the final join) — materializing the pid
+    // assignment once makes both observe identical boundaries regardless
+    // of spark.sql.exchangeReuseEnabled or a stage retry (ADVICE r3).
+    // Cost: |suppliers-with-sales| aggregated rows, tiny at any scale.
     val parted = rev.repartitionByRange(col("revenue").desc)
       .withColumn("pid", spark_partition_id())
+      .localCheckpoint()
     val local = parted.withColumn("lrank",
       dense_rank().over(Window.partitionBy(col("pid")).orderBy(col("revenue").desc)).cast("long"))
     val offsets = local.groupBy(col("pid")).agg(max(col("lrank")).as("cnt"))

@@ -2,6 +2,11 @@ package graft.tools
 import graft._
 object Probe {
   def main(args: Array[String]): Unit = {
+    if (args.length != 1 || !SparkEntry.queries.contains(args(0))) {
+      System.err.println("usage: graft.tools.Probe <query>\navailable: " +
+        SparkEntry.queries.keys.toSeq.sorted.mkString(", "))
+      sys.exit(2)
+    }
     val spark = GraftSession.local()
     val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val name = args(0)
