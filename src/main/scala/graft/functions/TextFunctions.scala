@@ -61,6 +61,17 @@ object TextFunctions {
   val stopDe = Seq("der", "die", "und", "das", "ist", "ein", "zu", "mit", "den", "von")
   val stopFr = Seq("le", "les", "et", "des", "une", "du", "dans", "pour", "sur", "avec")
 
+  /** Argmax language over stopword hit counts, ties en>es>de>fr, all-zero
+    * → unknown — the shared decision rule of `text_langid`, the cleaning
+    * pipeline, and stratified sampling.
+    */
+  def langPredict(en: Column, es: Column, de: Column, fr: Column): Column =
+    when(en >= es && en >= de && en >= fr && en > 0, "en")
+      .when(es >= de && es >= fr && es > 0, "es")
+      .when(de >= fr && de > 0, "de")
+      .when(fr > 0, "fr")
+      .otherwise("unknown")
+
   /** Composite 0–1 quality score: length band + stopword band + punct cap
     * + mean-token-length band, 0.25 each (the usual cheap pre-filter
     * before expensive dedup/classification stages).

@@ -186,7 +186,7 @@ object Corpus {
         col("st.n_nonws_chars").cast("double") / nullif(col("st.n_tokens"), lit(0L)).cast("double"), 6))
       .withColumn("quality",
         qualityScore(col("n_chars"), col("stop_ratio"), col("punct_ratio"), col("avg_token_len")))
-      .withColumn("lang_pred", langPred(
+      .withColumn("lang_pred", langPredict(
         col("st.en_hits"), col("st.es_hits"), col("st.de_hits"), col("st.fr_hits")))
     scored
       .join(dropList, Seq("doc_id"), "left_anti")
@@ -194,16 +194,6 @@ object Corpus {
       .select(col("doc_id"), col("n_tokens"), col("quality"), col("lang_pred"))
       .orderBy(col("doc_id"))
   }
-
-  /** Argmax language over stopword hit counts, ties en>es>de>fr, all-zero
-    * → unknown (same decision rule as §2.5 `text_langid`).
-    */
-  private def langPred(en: Column, es: Column, de: Column, fr: Column): Column =
-    when(en >= es && en >= de && en >= fr && en > 0, "en")
-      .when(es >= de && es >= fr && es > 0, "es")
-      .when(de >= fr && de > 0, "de")
-      .when(fr > 0, "fr")
-      .otherwise("unknown")
 
   // --------------------------------------------------------------- driver
 

@@ -1,0 +1,232 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-set assembly operators (SURVEY.md §2.7, training-pipeline
+  * extension) — the steps AFTER cleaning that turn a corpus into model
+  * input: language rebalancing, benchmark decontamination, per-doc
+  * keyterm extraction, and sequence packing. None exist in the reference
+  * (its pipeline stops at MapleJuice aggregation); they are the
+  * capabilities a 100 TB pretraining pipeline layers on top.
+  *
+  * Scale rules:
+  *  - Sampling is content-hashed (like [[Corpus.sampleSplit]]) with a
+  *    DIFFERENT salt, so the keep/drop decision is independent of the
+  *    train/test assignment and stable under re-ingest — pure map work.
+  *  - Decontamination reuses the §2.3 inverted-index join shape: shuffle
+  *    on the 64-bit shingle hash, cost Σ df(shingle)·(test hits), never
+  *    |train|·|test|.
+  *  - TF-IDF is two hash-aggs + one join keyed on the word — the same
+  *    keys the aggregation already shuffled on — and the per-doc top-k
+  *    window partitions on doc_id (full parallelism, no global sort).
+  *  - Packing needs a GLOBAL prefix sum; a naive unpartitioned window is
+  *    a single-task bottleneck, so it runs the two-phase formulation:
+  *    per-range-partition local sums + a |partitions|-row offset table
+  *    broadcast back (same shape as [[Relational.qRankSuppliers]]).
+  */
+object Training {
+
+  // ------------------------------------------------- stratified sampling
+
+  /** Deterministic stratified downsampling by predicted language: doc is
+    * kept iff its salted content-hash bucket falls under its language's
+    * keep fraction (256 uniform md5 buckets, like [[Corpus.sampleSplit]]
+    * but salted `strat:` so the keep decision is INDEPENDENT of the
+    * train/test split — an unsalted reuse of the split hash would drop
+    * every sampled-out language's validation/test docs first). Languages
+    * absent from `fractions` are kept whole. Re-ingest/re-shard stable;
+    * zero shuffles.
+    */
+  def stratifiedSample(docs: DataFrame,
+                       fractions: Map[String, Double] = Map("en" -> 0.5)): DataFrame = {
+    val lang = langPredict(
+      col("st.en_hits"), col("st.es_hits"), col("st.de_hits"), col("st.fr_hits"))
+    val bucket = substring(md5(concat(lit("strat:"), col("text")).cast("binary")), 1, 2)
+    val keep = fractions.foldLeft(lit(true)) { case (acc, (l, f)) =>
+      if (f >= 1.0) acc
+      else {
+        val cap = f"${math.max(0, (256 * f).toInt)}%02x"
+        when(col("lang_pred") === l, bucket < cap).otherwise(acc)
+      }
+    }
+    docs
+      .withColumn("st", graft.functions.TokenStats.tokenStats(col("text")))
+      .withColumn("lang_pred", lang)
+      .filter(keep)
+      .select(col("doc_id"), col("lang_pred"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ------------------------------------------------ n-gram decontamination
+
+  /** Benchmark decontamination: which TRAIN docs share at least one
+    * word-`n`-gram with any TEST doc (split per [[Corpus.sampleSplit]])?
+    * The standard pretraining hygiene check (GPT-3 appendix C / PaLM
+    * style, 8-13-gram overlap; n=5 here because the test corpus is
+    * short-doc). Inverted-index join on the 64-bit shingle hash — the
+    * §2.3 scale shape: the shuffle carries (hash, doc) pairs, cost
+    * bounded by shingle selectivity, never |train|·|test|. Output: one
+    * row per contaminated train doc with how many test docs it collides
+    * with and how many of its distinct shingles are shared.
+    */
+  def decontamNgram(docs: DataFrame, n: Int = 5): DataFrame = {
+    val split = Corpus.sampleSplit(docs).select(col("doc_id"), col("split"))
+    val ex = Dedup.shingleHashSets(docs, n)
+      .join(split, "doc_id")
+      .select(col("doc_id"), col("split"), explode(col("shingles")).as("s"))
+    val train = ex.filter(col("split") === "train").select(col("doc_id"), col("s"))
+    val test = ex.filter(col("split") === "test")
+      .select(col("doc_id").as("test_id"), col("s"))
+    train.join(test, "s")
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("test_id")).as("n_test_docs"),
+        countDistinct(col("s")).as("n_shared_shingles"))
+      .orderBy(col("doc_id"))
+  }
+
+  // --------------------------------------------------------------- tf-idf
+
+  /** Per-doc top-`k` terms by TF-IDF (wc_maple sanitize semantics —
+    * /root/reference/mje/src/wc_maple.cpp:10-21 — so the term space
+    * matches `vocab_topk`): score = tf · ln(N/df), ROUNDED to 6dp BEFORE
+    * ranking so Spark and the oracle rank identical values identically
+    * (ties broken by word). Two hash-aggs (doc,word) → (word), one join
+    * back on `word` — the key the agg already shuffled on — N broadcast
+    * as a 1-row aggregate, and the top-k window partitions by doc_id:
+    * every stage is full-width, nothing global.
+    */
+  def tfidfTopTerms(docs: DataFrame, k: Int = 3): DataFrame = {
+    val words = Tables.spread(docs) // regex+explode kernel: fan out a 1-split corpus
+      .select(col("doc_id"),
+        explode(filter(
+          split(regexp_replace(col("text"), "[^0-9a-zA-Z\\s]", ""), "\\s+"),
+          w => w =!= lit(""))).as("word"))
+    val tf = words.groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
+    val docFreq = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(docFreq, "word").crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
+    scored
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("word"))))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col("word"), col("tf"), col("df"), col("score"))
+      .orderBy(col("doc_id"), col("score").desc, col("word"))
+  }
+
+  // ------------------------------------------------------ sequence packing
+
+  /** Sequence packing prologue: concatenate docs in doc_id order and
+    * assign each its global token start offset and containing sequence
+    * id (`start_offset / seqLen`) — the concatenate-and-chunk layout LLM
+    * pretraining feeds (docs may straddle sequence boundaries; the
+    * chunker slices fixed windows downstream).
+    *
+    * The global prefix sum runs TWO-PHASE (an unpartitioned window would
+    * drag every row through one task): range-partition by doc_id, local
+    * cumulative sums per partition via a pid-partitioned window, then a
+    * |partitions|-row offset table (window over ≤ shuffle-partition
+    * rows) broadcast back. localCheckpoint pins the nondeterministic
+    * range-sample so both consumers see one pid assignment (the
+    * [[Relational.qRankSuppliers]] pattern).
+    */
+  def packSequences(docs: DataFrame, seqLen: Int = 2048): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      graft.functions.TokenStats.tokenStats(col("text")).getField("n_tokens").as("n_tokens"))
+    val parted = toks.repartitionByRange(col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint()
+    val local = parted.withColumn("local_before",
+      sum(col("n_tokens")).over(
+        Window.partitionBy(col("pid")).orderBy(col("doc_id"))) - col("n_tokens"))
+    val offsets = parted.groupBy(col("pid")).agg(sum(col("n_tokens")).as("tot"))
+      .withColumn("offset",
+        coalesce(sum(col("tot")).over(
+          Window.orderBy(col("pid")).rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("pid"), col("offset"))
+    local.join(broadcast(offsets), Seq("pid"))
+      .withColumn("start_offset", col("offset") + col("local_before"))
+      .select(col("doc_id"), col("n_tokens"), col("start_offset"),
+        floor(col("start_offset") / seqLen).cast("long").as("seq_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  // --------------------------------------------------------------- driver
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_stratified" -> ((s, d) => stratifiedSample(Tables.documents(s, d))),
+    "decontam_ngram" -> ((s, d) => decontamNgram(Tables.documents(s, d))),
+    "tfidf_topterms" -> ((s, d) => tfidfTopTerms(Tables.documents(s, d))),
+    "pack_sequences" -> ((s, d) => packSequences(Tables.documents(s, d))))
+
+  private def sqlList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("(", ",", ")")
+
+  val oracle: Map[String, String] = Map(
+    "sample_stratified" ->
+      s"""WITH t AS (SELECT doc_id, text,
+         |  list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ts FROM documents),
+         |h AS (SELECT doc_id, text,
+         |  len(list_filter(ts, x -> x IN ${sqlList(stopEn)})) AS en_hits,
+         |  len(list_filter(ts, x -> x IN ${sqlList(stopEs)})) AS es_hits,
+         |  len(list_filter(ts, x -> x IN ${sqlList(stopDe)})) AS de_hits,
+         |  len(list_filter(ts, x -> x IN ${sqlList(stopFr)})) AS fr_hits
+         | FROM t),
+         |l AS (SELECT doc_id, text,
+         |  CASE WHEN en_hits >= es_hits AND en_hits >= de_hits AND en_hits >= fr_hits AND en_hits > 0 THEN 'en'
+         |   WHEN es_hits >= de_hits AND es_hits >= fr_hits AND es_hits > 0 THEN 'es'
+         |   WHEN de_hits >= fr_hits AND de_hits > 0 THEN 'de'
+         |   WHEN fr_hits > 0 THEN 'fr' ELSE 'unknown' END AS lang_pred
+         | FROM h)
+         |SELECT doc_id, lang_pred FROM l
+         |WHERE lang_pred <> 'en' OR substr(md5('strat:' || text), 1, 2) < '80'
+         |ORDER BY doc_id""".stripMargin,
+    "decontam_ngram" ->
+      """WITH t AS (SELECT doc_id, text,
+        |  list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ts FROM documents),
+        |sp AS (SELECT doc_id, ts,
+        |  CASE WHEN substr(md5(text), 1, 2) < 'cd' THEN 'train'
+        |       WHEN substr(md5(text), 1, 2) < 'e6' THEN 'validation'
+        |       ELSE 'test' END AS split
+        | FROM t),
+        |sh AS (SELECT doc_id, split, list_distinct(
+        |   [ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3] || ' ' || ts[i+4]
+        |    for i in range(1, len(ts) - 3)]) AS shingles
+        |  FROM sp WHERE len(ts) >= 5),
+        |ex AS (SELECT doc_id, split, unnest(shingles) AS s FROM sh),
+        |tr AS (SELECT doc_id, s FROM ex WHERE split = 'train'),
+        |te AS (SELECT doc_id AS test_id, s FROM ex WHERE split = 'test')
+        |SELECT tr.doc_id, count(DISTINCT te.test_id) AS n_test_docs,
+        | count(DISTINCT tr.s) AS n_shared_shingles
+        |FROM tr JOIN te ON tr.s = te.s
+        |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin,
+    "tfidf_topterms" ->
+      """WITH w AS (SELECT doc_id, unnest(list_filter(
+        |   string_split_regex(regexp_replace(text, '[^0-9a-zA-Z\s]', '', 'g'), '\s+'),
+        |   x -> x <> '')) AS word FROM documents),
+        |tf AS (SELECT doc_id, word, count(*) AS tf FROM w GROUP BY 1, 2),
+        |dfx AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |s AS (SELECT tf.doc_id, tf.word, tf.tf, dfx.df,
+        |   round(tf.tf * ln(n.n_docs * 1.0 / dfx.df), 6) AS score
+        |  FROM tf JOIN dfx ON tf.word = dfx.word CROSS JOIN n),
+        |r AS (SELECT *, row_number() OVER (
+        |   PARTITION BY doc_id ORDER BY score DESC, word) AS rk FROM s)
+        |SELECT doc_id, word, tf, df, score FROM r WHERE rk <= 3
+        |ORDER BY doc_id, score DESC, word""".stripMargin,
+    "pack_sequences" ->
+      """WITH t AS (SELECT doc_id,
+        |  CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
+        | FROM documents),
+        |c AS (SELECT doc_id, n_tokens,
+        |  CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset
+        | FROM t)
+        |SELECT doc_id, n_tokens, start_offset,
+        | CAST(floor(start_offset / 2048.0) AS BIGINT) AS seq_id
+        |FROM c ORDER BY doc_id""".stripMargin)
+}

@@ -1,0 +1,107 @@
+package graft
+
+import graft.operators.{Corpus, Dedup, Training}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Specs for the training-set assembly operators (SURVEY §2.7 extension)
+  * beyond the driver's DuckDB oracles: sampling-rate/independence
+  * properties, hash-vs-string shingle equivalence for decontamination,
+  * and partitioning-invariance of the two-phase packing prefix sum.
+  */
+class TrainingSpec extends AnyFunSuite {
+  private lazy val spark = { val s = TestSpark.spark; GraftSession.registerFunctions(s); s }
+  private lazy val docs = Tables.documents(spark, TestSpark.sf)
+
+  test("stratified sampling keeps unsampled languages whole and halves en deterministically") {
+    val langs = operators.TextAnalysis.langId(spark, TestSpark.sf)
+      .select(col("doc_id"), col("lang_pred"))
+    val byLang = langs.groupBy("lang_pred").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = Training.stratifiedSample(docs)
+    val keptByLang = kept.groupBy("lang_pred").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // non-en strata untouched
+    for ((l, n) <- byLang if l != "en")
+      assert(keptByLang.getOrElse(l, 0L) == n, s"stratum $l must be kept whole")
+    // en downsampled to ~50% (md5 buckets are uniform; the fixed corpus
+    // lands within a generous binomial band) and deterministically: two
+    // runs agree row-for-row
+    val en = byLang.getOrElse("en", 0L)
+    val enKept = keptByLang.getOrElse("en", 0L)
+    assert(enKept < en && math.abs(enKept - en / 2.0) < en * 0.2,
+      s"en kept $enKept of $en, expected ~half")
+    assert(kept.collect().toSeq == Training.stratifiedSample(docs).collect().toSeq)
+    // keep-all fractions = identity assignment
+    assert(Training.stratifiedSample(docs, Map.empty).count() == docs.count())
+  }
+
+  test("stratified keep decision is independent of the train/test split hash") {
+    // the strat: salt must decorrelate sampling from splitting — if the
+    // same unsalted bucket drove both, every kept en doc would sit in
+    // 'train' (buckets < 80 ⊂ < cd) and en validation/test would vanish
+    val kept = Training.stratifiedSample(docs).select("doc_id")
+    val splits = Corpus.sampleSplit(docs).select(col("doc_id"), col("split"))
+    val keptSplits = kept.join(splits, "doc_id")
+      .groupBy("split").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(keptSplits.getOrElse("validation", 0L) + keptSplits.getOrElse("test", 0L) > 0,
+      "sampling must not be correlated with the split assignment")
+  }
+
+  test("decontam hash join finds exactly the string-shingle overlaps") {
+    // recompute with STRING shingles (no 64-bit hashing): identical
+    // result modulo hash collisions, so equality pins collision-freedom
+    // and join correctness at once
+    val split = Corpus.sampleSplit(docs).select(col("doc_id"), col("split"))
+    val ex = Dedup.shingleSets(docs, 5)
+      .join(split, "doc_id")
+      .select(col("doc_id"), col("split"), explode(col("shingles")).as("s"))
+    val tr = ex.filter(col("split") === "train").select(col("doc_id"), col("s"))
+    val te = ex.filter(col("split") === "test").select(col("doc_id").as("test_id"), col("s"))
+    val viaStrings = tr.join(te, "s")
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("test_id")).as("n_test_docs"),
+        countDistinct(col("s")).as("n_shared_shingles"))
+      .orderBy(col("doc_id"))
+      .collect().toSeq
+    assert(Training.decontamNgram(docs).collect().toSeq == viaStrings)
+  }
+
+  test("tfidf ranks a hand-checked corpus correctly") {
+    import spark.implicits._
+    // "rare" appears only in doc 1 (idf=ln(3)), "shared" in all three
+    // (idf=0, never a top term over a positive-idf one)
+    val d = Seq(
+      1L -> "shared rare rare",
+      2L -> "shared only2",
+      3L -> "shared only3").toDF("doc_id", "text")
+    val out = Training.tfidfTopTerms(d, k = 1).collect()
+    assert(out.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "rare"), (2L, "only2"), (3L, "only3")))
+    // doc 1's winner: tf=2 · ln(3/1)
+    assert(math.abs(out(0).getDouble(4) - 2 * math.log(3.0)) < 1e-5)
+    // per-doc row cap and monotone scores on the real corpus
+    val full = Training.tfidfTopTerms(docs)
+    val byDoc = full.collect().groupBy(_.getLong(0))
+    assert(byDoc.values.forall(_.length <= 3))
+    assert(byDoc.values.forall(rs => rs.map(_.getDouble(4)).sameElements(
+      rs.map(_.getDouble(4)).sorted(Ordering[Double].reverse))))
+  }
+
+  test("pack_sequences two-phase prefix sum equals the single-window sum, any partitioning") {
+    import org.apache.spark.sql.expressions.Window
+    val expected = docs
+      .select(col("doc_id"),
+        graft.functions.TokenStats.tokenStats(col("text")).getField("n_tokens").as("n_tokens"))
+      .withColumn("start_offset",
+        coalesce(sum(col("n_tokens")).over(
+          Window.orderBy(col("doc_id")).rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("seq_id", floor(col("start_offset") / 2048).cast("long"))
+      .orderBy(col("doc_id")).collect().toSeq
+    assert(Training.packSequences(docs).collect().toSeq == expected)
+    // offsets are a GLOBAL property — they must not depend on how the
+    // input happens to be split
+    assert(Training.packSequences(docs.repartition(7)).collect().toSeq == expected)
+    assert(Training.packSequences(docs.coalesce(1)).collect().toSeq == expected)
+  }
+}
