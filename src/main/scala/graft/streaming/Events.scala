@@ -192,6 +192,48 @@ object Events {
     } finally { deleteDir(src); deleteDir(sink); deleteDir(ckpt) }
   }
 
+  /** Exactly-once event delivery over an at-least-once stream: drop
+    * redelivered events by `event_id` with watermark-bounded state
+    * (`dropDuplicatesWithinWatermark`) — the standard idempotent-ingest
+    * front of a streaming pipeline. State holds one key per event inside
+    * the dedup horizon (the watermark delay) and is evicted beyond it,
+    * so memory is O(events per horizon), not O(stream); a redelivery
+    * arriving LATER than the horizon would be re-emitted, so deployments
+    * size the delay to the delivery layer's max redelivery lag (here 30
+    * days ≫ the bounded corpus, making the dedup exact).
+    *
+    * Harness: stage the events file as batch 1, then REPLAY a tenth of
+    * it as a second micro-batch (simulated at-least-once redelivery);
+    * the query must emit each event exactly once.
+    */
+  def dedupEvents(spark: SparkSession, sfDir: String,
+                  statePartitions: Option[Int] = Some(8)): DataFrame = {
+    val ss = sessionFor(spark, statePartitions)
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_dedup")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      dir.resolve("events.parquet"))
+    val deduped = withTs(ss.readStream.schema(rawSchema(ss, sfDir)).parquet(dir.toString))
+      .withWatermark("ts", "30 days")
+      .dropDuplicatesWithinWatermark("event_id")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+    val name = nextName("graft_stream_dedup")
+    try {
+      val q = deduped.writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append).start()
+      try {
+        q.processAllAvailable()
+        // redeliver every 10th event with its ORIGINAL (raw long-nanos)
+        // payload — exactly what an at-least-once source replays
+        ss.read.parquet(s"$sfDir/events.parquet")
+          .filter(col("event_id") % 10 === 0)
+          .write.mode("append").parquet(dir.toString)
+        q.processAllAvailable()
+      } finally q.stop()
+      detach(spark, ss.table(name).orderBy(col("event_id")))
+    } finally cleanup(ss, name, dir)
+  }
+
   /** Per-user 30-minute-gap sessionization via flatMapGroupsWithState
     * (event-time timeout). A session is emitted once the watermark passes
     * its last event + gap — no earlier event can still arrive, no later
@@ -296,9 +338,15 @@ object Events {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_window_agg" -> ((s, d) => windowAgg(s, d)),
+    "stream_dedup" -> ((s, d) => dedupEvents(s, d)),
     "stream_sessionize" -> ((s, d) => sessionize(s, d)))
 
   val oracle: Map[String, String] = Map(
+    // dedup of original ∪ replayed-subset = the original relation
+    // (event_id is unique in the source, checked across all SFs)
+    "stream_dedup" ->
+      """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value
+        |FROM events ORDER BY event_id""".stripMargin,
     "stream_window_agg" ->
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start, event_type,
         | count(*) AS n_events, round(sum(value), 2) AS total_value

@@ -30,6 +30,16 @@ class StreamingSpec extends AnyFunSuite {
     assert(fromFiles.collect().toSeq == batch.collect().toSeq)
   }
 
+  test("stream_dedup drops a replayed micro-batch, emitting each event exactly once") {
+    val deduped = Events.dedupEvents(spark, TestSpark.sf)
+    val original = Tables.events(spark, TestSpark.sf)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .orderBy(col("event_id"))
+    // the harness redelivers every 10th event; without dedup the sink
+    // would hold 1.1x the source — equality pins exactly-once
+    assert(deduped.collect().toSeq == original.collect().toSeq)
+  }
+
   test("stream_sessionize equals the batch gaps-and-islands sessionization") {
     val streamed = Events.sessionize(spark, TestSpark.sf)
     Tables.events(spark, TestSpark.sf).createOrReplaceTempView("ev_batch")
