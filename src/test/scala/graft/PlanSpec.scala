@@ -57,6 +57,29 @@ class PlanSpec extends AnyFunSuite {
     assert(extra == 0, "spread inserted an Exchange on a pre-split input")
   }
 
+  test("tfidf top-k ranks via WindowGroupLimit, never a global sort of the term space") {
+    GraftSession.registerFunctions(spark)
+    val plan = planOf("tfidf_topterms")
+    // rank-limit pushdown: per-doc partial top-k before the exchange
+    assert(plan.contains("WindowGroupLimit"), s"no rank-limit pushdown:\n$plan")
+    // N joins as a 1-row broadcast, never shuffled
+    assert(!plan.contains("CartesianProduct"), "n_docs should broadcast, not cartesian")
+  }
+
+  test("pack_sequences: the only unpartitioned window runs over the offsets relation") {
+    GraftSession.registerFunctions(spark)
+    val df = graft.operators.Training.packSequences(
+      Tables.documents(spark, TestSpark.sf))
+    val plan = df.queryExecution.executedPlan.toString
+    // the per-row cumulative sum must partition by pid (full width) —
+    // an unpartitioned data-width window would drag the corpus through
+    // one task at 100 TB
+    assert(plan.contains("windowspecdefinition(pid"),
+      s"local cumsum lost its pid partitioning:\n$plan")
+    // and the offsets join comes back as a broadcast
+    assert(plan.contains("BroadcastHashJoin"), "offset table should broadcast")
+  }
+
   test("registered views make the surface sql-queryable") {
     Tables.registerViews(spark, TestSpark.sf)
     val n = spark.sql(
