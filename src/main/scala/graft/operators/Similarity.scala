@@ -197,10 +197,87 @@ object Similarity {
     rerank(candidates, embeddings, k)
   }
 
+  // ----------------------------------------------------------------- PQ
+
+  /** Product-quantization top-k (asymmetric distance computation + exact
+    * re-rank): split the 64-dim space into `m` subspaces, train a `ksub`-
+    * centroid codebook per subspace (same bounded-sample Lloyd trainer as
+    * IVF), encode each corpus vector as `m` small codes, and score
+    * query-vs-code by table lookup — `m` adds per candidate instead of a
+    * `dim`-wide dot product.
+    *
+    * THE 100 TB point: the scan reads `m` bytes per vector instead of
+    * `dim·8` (64× compression at m=8/dim=64) — a PQ pass over a corpus
+    * that no longer fits as raw floats is memory-bandwidth-bound on codes.
+    * Approximate cosine = lut-dot / (‖q‖·‖recon(c)‖), both norms also
+    * table lookups; the top `k·refine` ADC candidates per query are then
+    * exactly re-ranked ([[rerank]]), so emitted scores are true cosines.
+    */
+  def pqTopK(embeddings: DataFrame, k: Int = 5, m: Int = 8, ksub: Int = 32,
+             refine: Int = 8, maxSample: Int = 4096): DataFrame = {
+    val spark = embeddings.sparkSession
+    val sample = collectVecs(embeddings.limit(maxSample))
+    val dim = sample.head._2.length
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val dsub = dim / m
+    val codebooks: Array[Array[Array[Double]]] = Array.tabulate(m) { j =>
+      kmeansLite(sample.map { case (id, v) => (id, v.slice(j * dsub, (j + 1) * dsub)) }, ksub)
+    }
+    val bcCb = spark.sparkContext.broadcast(codebooks)
+    // encode: corpus streams once, emitting m-code rows — this tiny
+    // relation is what every later scan touches
+    val codes = spark.createDataFrame(
+      Tables.spread(vecs(embeddings.filter(col("vec_id") >= NumQueries))).rdd.mapPartitions { it =>
+        val cb = bcCb.value
+        it.map { r =>
+          val v = r.getSeq[Double](1).toArray
+          Row(r.getLong(0),
+            (0 until cb.length).map(j => nearestCell(v.slice(j * dsub, (j + 1) * dsub), cb(j))))
+        }
+      },
+      StructType(Seq(StructField("neighbor_id", LongType),
+        StructField("code", ArrayType(IntegerType)))))
+    // per-query lookup tables: dot(q_j, centroid_{j,t}); plus the
+    // query-independent ‖centroid‖² table for the reconstruction norm
+    val qs = collectVecs(embeddings.filter(col("vec_id") < NumQueries))
+    val qluts = qs.map { case (qid, q) =>
+      val lut = Array.tabulate(codebooks.length, ksub) { (j, t) =>
+        var s = 0.0; var i = 0; val c = codebooks(j)(t)
+        while (i < dsub) { s += q(j * dsub + i) * c(i); i += 1 }
+        s
+      }
+      (qid, lut, math.sqrt(q.map(x => x * x).sum))
+    }
+    val cnorm2 = codebooks.map(_.map(c => c.map(x => x * x).sum))
+    val bcQ = spark.sparkContext.broadcast((qluts, cnorm2))
+    val adc = spark.createDataFrame(
+      codes.rdd.mapPartitions { it =>
+        val (luts, cn) = bcQ.value
+        it.flatMap { r =>
+          val nid = r.getLong(0)
+          val code = r.getSeq[Int](1)
+          var rn2 = 0.0
+          var j = 0
+          while (j < code.length) { rn2 += cn(j)(code(j)); j += 1 }
+          val rnorm = math.sqrt(rn2)
+          luts.iterator.map { case (qid, lut, qnorm) =>
+            var dp = 0.0
+            var i = 0
+            while (i < code.length) { dp += lut(i)(code(i)); i += 1 }
+            Row(qid, nid, if (rnorm * qnorm == 0) 0.0 else dp / (rnorm * qnorm))
+          }
+        }
+      },
+      StructType(Seq(StructField("query_id", LongType),
+        StructField("neighbor_id", LongType), StructField("cos_sim", DoubleType))))
+    rerank(topK(adc, k * refine).select(col("query_id"), col("neighbor_id")), embeddings, k)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_brute_topk" -> ((s, d) => bruteTopK(Tables.embeddings(s, d))),
     "ann_lsh_topk" -> ((s, d) => lshTopK(Tables.embeddings(s, d))),
-    "ann_ivf_topk" -> ((s, d) => ivfTopK(Tables.embeddings(s, d))))
+    "ann_ivf_topk" -> ((s, d) => ivfTopK(Tables.embeddings(s, d))),
+    "ann_pq_topk" -> ((s, d) => pqTopK(Tables.embeddings(s, d))))
 
   /** Only the brute baseline is SQL-expressible; LSH/IVF are rows-only
     * with recall specs vs brute (AnnSpec).

@@ -40,6 +40,18 @@ class AnnSpec extends AnyFunSuite {
     assert(recall >= 0.7, s"IVF recall $recall below floor")
   }
 
+  test("PQ topk recall@5 vs brute, scores exact after re-rank") {
+    val pq = Similarity.pqTopK(emb)
+    val recall = (pairs(pq) & brute).size.toDouble / brute.size
+    assert(recall >= 0.7, s"PQ recall $recall below floor")
+    // emitted scores are TRUE cosines (re-ranked), not ADC approximations:
+    // every (query, neighbor, score) triple must appear in the brute scan
+    val bruteScores = Similarity.bruteScores(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(pq.collect().forall(r =>
+      bruteScores((r.getLong(0), r.getLong(2), r.getDouble(3)))))
+  }
+
   test("TopKAgg keeps the k best with (score desc, id asc) tie-break under any arrival order") {
     import spark.implicits._
     val scores = Seq(
