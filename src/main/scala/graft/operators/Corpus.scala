@@ -37,12 +37,21 @@ object Corpus {
     */
   def sampleSplit(docs: DataFrame): DataFrame =
     docs
-      .select(col("doc_id"), substring(md5(col("text").cast("binary")), 1, 2).as("bucket"))
-      .withColumn("split",
-        when(col("bucket") < "cd", "train")
-          .when(col("bucket") < "e6", "validation")
-          .otherwise("test"))
+      .select(col("doc_id"), splitBucket(col("text")).as("bucket"))
+      .withColumn("split", splitOfBucket(col("bucket")))
       .orderBy(col("doc_id"))
+
+  /** The content-hash bucket and bucket→split rule, exposed so other
+    * operators (decontamination) can attach the split inside their own
+    * scan projection instead of shuffle-joining this relation back on.
+    */
+  def splitBucket(text: Column): Column =
+    substring(md5(text.cast("binary")), 1, 2)
+
+  def splitOfBucket(bucket: Column): Column =
+    when(bucket < "cd", "train")
+      .when(bucket < "e6", "validation")
+      .otherwise("test")
 
   // ------------------------------------------------------------ vocabulary
 

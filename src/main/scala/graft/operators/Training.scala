@@ -45,7 +45,7 @@ object Training {
                        fractions: Map[String, Double] = Map("en" -> 0.5)): DataFrame = {
     val lang = langPredict(
       col("st.en_hits"), col("st.es_hits"), col("st.de_hits"), col("st.fr_hits"))
-    val bucket = substring(md5(concat(lit("strat:"), col("text")).cast("binary")), 1, 2)
+    val bucket = Corpus.splitBucket(concat(lit("strat:"), col("text")))
     val keep = fractions.foldLeft(lit(true)) { case (acc, (l, f)) =>
       if (f >= 1.0) acc
       else {
@@ -74,9 +74,15 @@ object Training {
     * with and how many of its distinct shingles are shared.
     */
   def decontamNgram(docs: DataFrame, n: Int = 5): DataFrame = {
-    val split = Corpus.sampleSplit(docs).select(col("doc_id"), col("split"))
-    val ex = Dedup.shingleHashSets(docs, n)
-      .join(split, "doc_id")
+    // split + shingles both derive from `text`, so compute them in ONE
+    // projection — joining sampleSplit back by doc_id would shuffle the
+    // full corpus-wide shingle relation just to re-attach a column the
+    // scan already had in hand
+    val ex = Tables.spread(docs)
+      .select(col("doc_id"),
+        Corpus.splitOfBucket(Corpus.splitBucket(col("text"))).as("split"),
+        graft.functions.ShingleFunctions.shingleHashes(col("text"), n).as("shingles"))
+      .filter(size(col("shingles")) > 0)
       .select(col("doc_id"), col("split"), explode(col("shingles")).as("s"))
     val train = ex.filter(col("split") === "train").select(col("doc_id"), col("s"))
     val test = ex.filter(col("split") === "test")
