@@ -132,16 +132,20 @@ object Similarity {
   private[graft] def kmeansLite(sample: Array[(Long, Array[Double])],
                                     nCells: Int, iters: Int = 5): Array[Array[Double]] = {
     val dim = sample.head._2.length
-    var centroids = sample.take(nCells).map(_._2.clone)
+    // a sample smaller than the requested cell count trains that many
+    // cells — callers must size lookups off the RETURNED length, not
+    // the request (a tiny corpus would otherwise index past the init)
+    val n = math.min(nCells, sample.length)
+    var centroids = sample.take(n).map(_._2.clone)
     for (_ <- 0 until iters) {
-      val sums = Array.fill(nCells)(new Array[Double](dim))
-      val counts = new Array[Long](nCells)
+      val sums = Array.fill(n)(new Array[Double](dim))
+      val counts = new Array[Long](n)
       sample.foreach { case (_, v) =>
         val c = nearestCell(v, centroids)
         counts(c) += 1
         var i = 0; while (i < dim) { sums(c)(i) += v(i); i += 1 }
       }
-      centroids = Array.tabulate(nCells) { c =>
+      centroids = Array.tabulate(n) { c =>
         if (counts(c) == 0) centroids(c)
         else { val m = sums(c); var i = 0; while (i < dim) { m(i) /= counts(c); i += 1 }; m }
       }
@@ -241,10 +245,14 @@ object Similarity {
     // query-independent ‖centroid‖² table for the reconstruction norm
     val qs = collectVecs(embeddings.filter(col("vec_id") < NumQueries))
     val qluts = qs.map { case (qid, q) =>
-      val lut = Array.tabulate(codebooks.length, ksub) { (j, t) =>
-        var s = 0.0; var i = 0; val c = codebooks(j)(t)
-        while (i < dsub) { s += q(j * dsub + i) * c(i); i += 1 }
-        s
+      // sized off each codebook's ACTUAL length (a tiny corpus trains
+      // fewer than ksub cells)
+      val lut = Array.tabulate(codebooks.length) { j =>
+        codebooks(j).map { c =>
+          var s = 0.0; var i = 0
+          while (i < dsub) { s += q(j * dsub + i) * c(i); i += 1 }
+          s
+        }
       }
       (qid, lut, math.sqrt(q.map(x => x * x).sum))
     }

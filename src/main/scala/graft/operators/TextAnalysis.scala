@@ -41,14 +41,8 @@ object TextAnalysis {
       .withColumn("es_hits", col("st.es_hits"))
       .withColumn("de_hits", col("st.de_hits"))
       .withColumn("fr_hits", col("st.fr_hits"))
-      .withColumn("lang_pred",
-        when(col("en_hits") >= col("es_hits") && col("en_hits") >= col("de_hits") &&
-          col("en_hits") >= col("fr_hits") && col("en_hits") > 0, "en")
-        .when(col("es_hits") >= col("de_hits") && col("es_hits") >= col("fr_hits") &&
-          col("es_hits") > 0, "es")
-        .when(col("de_hits") >= col("fr_hits") && col("de_hits") > 0, "de")
-        .when(col("fr_hits") > 0, "fr")
-        .otherwise("unknown"))
+      .withColumn("lang_pred", langPredict(
+        col("en_hits"), col("es_hits"), col("de_hits"), col("fr_hits")))
       .select(col("doc_id"), col("en_hits"), col("es_hits"), col("de_hits"),
         col("fr_hits"), col("lang_pred"))
       .orderBy(col("doc_id"))

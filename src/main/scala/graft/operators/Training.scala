@@ -53,7 +53,7 @@ object Training {
         when(col("lang_pred") === l, bucket < cap).otherwise(acc)
       }
     }
-    docs
+    Tables.spread(docs) // TokenStats kernel: fan out a 1-split corpus
       .withColumn("st", graft.functions.TokenStats.tokenStats(col("text")))
       .withColumn("lang_pred", lang)
       .filter(keep)
@@ -67,8 +67,10 @@ object Training {
     * word-`n`-gram with any TEST doc (split per [[Corpus.sampleSplit]])?
     * The standard pretraining hygiene check (GPT-3 appendix C / PaLM
     * style, 8-13-gram overlap; n=5 here because the test corpus is
-    * short-doc). Inverted-index join on the 64-bit shingle hash — the
-    * §2.3 scale shape: the shuffle carries (hash, doc) pairs, cost
+    * short-doc). Inverted-index aggregation on the 64-bit shingle hash —
+    * the §2.3 scale shape, single-pass: one scan computes split +
+    * shingles together, one shuffle groups by hash, and only shingles
+    * with BOTH a train and a test posting expand into pairs — cost
     * bounded by shingle selectivity, never |train|·|test|. Output: one
     * row per contaminated train doc with how many test docs it collides
     * with and how many of its distinct shingles are shared.
@@ -84,10 +86,20 @@ object Training {
         graft.functions.ShingleFunctions.shingleHashes(col("text"), n).as("shingles"))
       .filter(size(col("shingles")) > 0)
       .select(col("doc_id"), col("split"), explode(col("shingles")).as("s"))
-    val train = ex.filter(col("split") === "train").select(col("doc_id"), col("s"))
-    val test = ex.filter(col("split") === "test")
-      .select(col("doc_id").as("test_id"), col("s"))
-    train.join(test, "s")
+    // ONE scan, one shuffle: a train/test fork joined back on `s` would
+    // run the shingle kernel once per side; instead gather each
+    // shingle's train and test posting lists in a single aggregation
+    // and expand only the contaminated shingles (both lists non-empty).
+    // List length is df(shingle) — the same skew bound as the §2.3 join
+    // formulation, with maxShingleDf-style capping as the recipe for
+    // boilerplate-heavy corpora.
+    val perShingle = ex.groupBy(col("s")).agg(
+      collect_set(when(col("split") === "train", col("doc_id"))).as("trains"),
+      collect_set(when(col("split") === "test", col("doc_id"))).as("tests"))
+      .filter(size(col("trains")) > 0 && size(col("tests")) > 0)
+    perShingle
+      .select(col("s"), explode(col("trains")).as("doc_id"), col("tests"))
+      .select(col("s"), col("doc_id"), explode(col("tests")).as("test_id"))
       .groupBy(col("doc_id"))
       .agg(countDistinct(col("test_id")).as("n_test_docs"),
         countDistinct(col("s")).as("n_shared_shingles"))

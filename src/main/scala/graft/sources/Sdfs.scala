@@ -146,12 +146,18 @@ class Sdfs(spark: SparkSession) {
     val p = new Path(path)
     if (!f.getFileStatus(p).isDirectory) 1
     else {
+      val root = f.getFileStatus(p).getPath.toUri.getPath
       val it = f.listFiles(p, true)
       var n = 0
       while (it.hasNext) {
         val s = it.next()
-        val name = s.getPath.getName
-        if (!name.startsWith("_") && !name.startsWith(".")) n += 1
+        // hidden-ness applies to EVERY path component under the dataset
+        // root, not just the leaf: a streaming sink's _spark_metadata/
+        // or an interrupted job's _temporary/ contain files with plain
+        // names that are not shards
+        val rel = s.getPath.toUri.getPath.stripPrefix(root).stripPrefix("/")
+        if (!rel.split('/').exists(seg => seg.startsWith("_") || seg.startsWith(".")))
+          n += 1
       }
       n
     }

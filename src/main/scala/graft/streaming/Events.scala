@@ -122,6 +122,26 @@ object Events {
     deleteDir(dir)
   }
 
+  /** Max raw event time of the staged file, whatever type the raw
+    * schema carries (long nanos under nanosAsLong, or a real timestamp
+    * column) — sentinel rows must be typed to the RAW schema or the
+    * file source rejects the appended batch.
+    */
+  private def maxRawTs(ss: SparkSession, sfDir: String): Any =
+    ss.read.parquet(s"$sfDir/events.parquet").agg(max(col("ts"))).head().get(0)
+
+  /** A ts literal `days` days past `rawMax`, in `rawMax`'s own type. */
+  private def farFutureTs(rawMax: Any, days: Int): org.apache.spark.sql.Column =
+    rawMax match {
+      case l: java.lang.Long =>
+        lit(l + days * 24L * 3600 * 1000 * 1000 * 1000)
+      case t: java.sql.Timestamp =>
+        lit(java.sql.Timestamp.from(t.toInstant.plusSeconds(days * 86400L)))
+      case i: java.time.Instant => lit(i.plusSeconds(days * 86400L))
+      case other => throw new IllegalStateException(
+        s"events.ts read back as unsupported ${other.getClass}")
+    }
+
   private def deleteDir(dir: java.nio.file.Path): Unit = {
     val walk = java.nio.file.Files.walk(dir)
     try {
@@ -176,11 +196,10 @@ object Events {
         .outputMode(OutputMode.Append).start()
       try {
         q.processAllAvailable()
-        val maxTs = ss.read.parquet(s"$sfDir/events.parquet")
-          .agg(max(col("ts"))).head().getLong(0)
+        val rawMax = maxRawTs(ss, sfDir)
         val base = ss.read.parquet(s"$sfDir/events.parquet").limit(1)
         for (i <- 1 to 2) {
-          base.withColumn("ts", lit(maxTs + i * 24L * 3600 * 1000 * 1000 * 1000))
+          base.withColumn("ts", farFutureTs(rawMax, i))
             .withColumn("event_type", lit(SentinelType))
             .write.mode("append").parquet(src.toString)
           q.processAllAvailable()
@@ -317,11 +336,10 @@ object Events {
         // Flush: two sentinel batches — the first advances the watermark
         // past every real session's close point, the second lets the
         // engine fire the resulting event-time timeouts.
-        val maxTs = ss.read.parquet(s"$sfDir/events.parquet")
-          .agg(max(col("ts"))).head().getLong(0)
+        val rawMax = maxRawTs(ss, sfDir)
         val base = ss.read.parquet(s"$sfDir/events.parquet").limit(1)
         for (i <- 1 to 2) {
-          base.withColumn("ts", lit(maxTs + i * 24L * 3600 * 1000 * 1000 * 1000))
+          base.withColumn("ts", farFutureTs(rawMax, i))
             .withColumn("user_id", lit(SentinelUser))
             .write.mode("append").parquet(dir.toString)
           q.processAllAvailable()

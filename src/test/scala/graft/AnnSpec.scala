@@ -66,6 +66,14 @@ class AnnSpec extends AnyFunSuite {
       (2L, 1L, 20L, 0.3), (2L, 2L, 21L, 0.3)))
   }
 
+  test("PQ and IVF survive a corpus smaller than their cell counts") {
+    // kmeansLite trains min(nCells, |sample|) cells; lookups must size
+    // off the returned length, not the request
+    val tiny = emb.filter(org.apache.spark.sql.functions.col("vec_id") < 22) // 10 queries + 12 corpus
+    assert(Similarity.pqTopK(tiny).count() > 0)
+    assert(Similarity.ivfTopK(tiny).count() > 0)
+  }
+
   test("hyperplanes and centroids are deterministic") {
     val a = Similarity.hyperplanes(2, 3, 4)
     val b = Similarity.hyperplanes(2, 3, 4)

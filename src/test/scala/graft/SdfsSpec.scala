@@ -111,6 +111,13 @@ class SdfsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // metadata sidecar and _SUCCESS don't count as shards
     sdfs.putMetadata(p, Map("a" -> "b"))
     assert(sdfs.getNumShards(p) == 4)
+    // nor do files INSIDE hidden directories (a streaming sink's
+    // _spark_metadata log holds plain-named batch files)
+    sdfs.mkdir(s"$p/_spark_metadata")
+    val mlog = java.nio.file.Files.createTempFile("graft_mlog", "")
+    java.nio.file.Files.write(mlog, "v1".getBytes)
+    sdfs.putFile(mlog.toString, s"$p/_spark_metadata/0")
+    assert(sdfs.getNumShards(p) == 4)
     val single = s"$base/files2/one.bin"
     val src = java.nio.file.Files.createTempFile("graft_shard", ".bin")
     java.nio.file.Files.write(src, Array[Byte](9))
