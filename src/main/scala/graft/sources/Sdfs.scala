@@ -163,6 +163,36 @@ class Sdfs(spark: SparkSession) {
     }
   }
 
+  /** Compact a dataset's small files into ~`targetBytes` files. The
+    * operational follow-up to [[append]] and streaming sinks, which
+    * accumulate one file per micro-batch/partition: at 100 TB a table of
+    * 1 MB files pays open/footer costs per file and floods file listings,
+    * so compaction is a scheduled hygiene pass. Uses `coalesce` (each
+    * output task reads several input files, NO shuffle of the data) and
+    * swaps directories by rename, so a reader holds either the old or
+    * the new dataset, never a mix. The metadata sidecar survives.
+    * Returns the number of files written.
+    */
+  def compact(path: String, format: String = "parquet",
+              targetBytes: Long = 128L << 20): Int = {
+    val f = fs(path)
+    val p = new Path(path)
+    val bytes = f.getContentSummary(p).getLength
+    val n = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    val meta = getMetadata(path)
+    val tmp = new Path(p.getParent, s".${p.getName}.compacting")
+    if (f.exists(tmp)) f.delete(tmp, true)
+    writer(get(path, format).coalesce(n), format)
+      .mode(SaveMode.Overwrite).save(tmp.toString)
+    val old = new Path(p.getParent, s".${p.getName}.old")
+    if (f.exists(old)) f.delete(old, true)
+    f.rename(p, old)
+    f.rename(tmp, p)
+    f.delete(old, true)
+    meta.foreach(putMetadata(path, _))
+    n
+  }
+
   // ----------------------------------------------------- namespace verbs
 
   /** SDFS `del` — remove a dataset (recursive); also drops a single

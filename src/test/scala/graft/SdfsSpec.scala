@@ -125,6 +125,20 @@ class SdfsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sdfs.getNumShards(single) == 1)
   }
 
+  test("compact merges append-accumulated small files, preserving rows and metadata") {
+    import spark.implicits._
+    val p = s"$base/compact_me"
+    val part = spark.range(50).toDF("n")
+    sdfs.put(part.repartition(4), p, "parquet", metadata = Map("v" -> "1"))
+    for (_ <- 1 to 4) sdfs.append(part.repartition(4), p)
+    assert(sdfs.getNumShards(p) == 20)
+    val before = sdfs.get(p).as[Long].collect().sorted.toSeq
+    val written = sdfs.compact(p) // 20 tiny files fit one target block
+    assert(written == 1 && sdfs.getNumShards(p) == 1)
+    assert(sdfs.get(p).as[Long].collect().sorted.toSeq == before)
+    assert(sdfs.getMetadata(p).contains(Map("v" -> "1")), "metadata must survive the swap")
+  }
+
   test("ls_files / ls_dirs split the listing; rmdir removes recursively") {
     val p = s"$base/split_ls"
     sdfs.mkdir(s"$p/subdir")
