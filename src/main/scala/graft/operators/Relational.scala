@@ -209,6 +209,38 @@ object Relational {
       .agg(round(sum(col("value")), 2).as("total_value"), round(avg(col("k")), 4).as("avg_k"))
       .orderBy(col("event_type"))
 
+  /** AS-OF join: each purchase matched to the same user's most recent
+    * click at or before it — the temporal join Spark has no native
+    * operator for. A naive formulation (range-predicate join + max) is a
+    * BroadcastNestedLoop / O(clicks·purchases) blowup per user; this is
+    * the UNION-TAG formulation: pour both sides into one relation,
+    * window by user ordered by (ts, side), and carry the last click
+    * forward with `last(..., ignoreNulls)`. ONE shuffle on user_id,
+    * frame-bounded memory, no pair explosion — the scale-correct as-of
+    * shape. Ordering puts a click BEFORE a purchase at equal ts, giving
+    * the inclusive (`ts_click <= ts_purchase`) match DuckDB's ASOF JOIN
+    * defines; with no prior click the match columns are NULL (left
+    * semantics). Ties (two clicks, same user, same ts) would make any
+    * as-of nondeterministic — the events table has none at any SF.
+    */
+  def qAsofJoin(spark: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(spark, d)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"), col("value"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_type"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev
+      .withColumn("last_click_ts",
+        last(when(col("event_type") === "click", col("ts")), ignoreNulls = true).over(w))
+      .withColumn("last_click_value",
+        last(when(col("event_type") === "click", col("value")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("last_click_ts"), col("last_click_value"))
+      .orderBy(col("event_id"))
+  }
+
   /** Range partitioning (the reference's range_partitioner,
     * /root/reference/src/partitioner.cpp:58-80) is exactly how Spark
     * executes a global ORDER BY: sample → range boundaries → shuffle →
@@ -233,6 +265,7 @@ object Relational {
     "q_distinct_users" -> qDistinctUsers,
     "q_approx_distinct" -> qApproxDistinct,
     "q_events_enriched" -> qEventsEnriched,
+    "q_asof_join" -> qAsofJoin,
     "mj_partition_range" -> qGlobalSortTop)
 
   val oracle: Map[String, String] = Map(
@@ -318,6 +351,13 @@ object Relational {
       """SELECT event_type, round(sum(value),2) AS total_value,
         | round(avg(CAST(json_extract_string(props, '$.k') AS DOUBLE)),4) AS avg_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_asof_join" ->
+      """SELECT p.event_id, p.user_id, CAST(p.ts AS TIMESTAMP) AS ts,
+        | CAST(c.ts AS TIMESTAMP) AS last_click_ts, c.value AS last_click_value
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        | ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY p.event_id""".stripMargin,
     "mj_partition_range" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin)
