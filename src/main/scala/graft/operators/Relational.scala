@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -241,6 +241,34 @@ object Relational {
       .orderBy(col("event_id"))
   }
 
+  /** Banded RANGE join: every (purchase, click-from-same-user-within-the-
+    * hour-before) pair. Spark plans a raw range predicate as a
+    * BroadcastNestedLoop / per-user cross product; the scalable shape is
+    * INTERVAL BUCKETING: align clicks to 1-hour buckets, have each
+    * purchase probe its own and the previous bucket (any click within
+    * the band lives in one of the two), equi-join on (user, bucket), and
+    * post-filter the exact band. The join becomes a hash join whose cost
+    * tracks true match density instead of the cross product; each pair
+    * is found exactly once (a click sits in one bucket).
+    */
+  def qRangeJoin(spark: SparkSession, d: String): DataFrame = {
+    val BandUs = 3600L * 1000 * 1000
+    val ev = Tables.events(spark, d)
+    val bucketOf = (t: Column) => floor(unix_micros(t) / BandUs)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("click_ts"),
+        bucketOf(col("ts")).as("bucket"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"), col("ts"),
+        explode(array(bucketOf(col("ts")), bucketOf(col("ts")) - 1)).as("bucket"))
+    purchases.join(clicks, Seq("user_id", "bucket"))
+      .filter(col("click_ts") >= col("ts") - expr("INTERVAL 1 HOUR") &&
+        col("click_ts") < col("ts"))
+      .select(col("purchase_id"), col("click_id"), col("user_id"),
+        (unix_micros(col("ts")) - unix_micros(col("click_ts"))).as("gap_us"))
+      .orderBy(col("purchase_id"), col("click_id"))
+  }
+
   /** Range partitioning (the reference's range_partitioner,
     * /root/reference/src/partitioner.cpp:58-80) is exactly how Spark
     * executes a global ORDER BY: sample → range boundaries → shuffle →
@@ -266,6 +294,7 @@ object Relational {
     "q_approx_distinct" -> qApproxDistinct,
     "q_events_enriched" -> qEventsEnriched,
     "q_asof_join" -> qAsofJoin,
+    "q_range_join" -> qRangeJoin,
     "mj_partition_range" -> qGlobalSortTop)
 
   val oracle: Map[String, String] = Map(
@@ -358,6 +387,14 @@ object Relational {
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
         | ON p.user_id = c.user_id AND p.ts >= c.ts
         |ORDER BY p.event_id""".stripMargin,
+    "q_range_join" ->
+      """SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id,
+        | CAST(epoch_us(CAST(p.ts AS TIMESTAMP)) - epoch_us(CAST(c.ts AS TIMESTAMP)) AS BIGINT) AS gap_us
+        |FROM events p JOIN events c
+        | ON p.user_id = c.user_id
+        | AND p.event_type = 'purchase' AND c.event_type = 'click'
+        | AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts < p.ts
+        |ORDER BY purchase_id, click_id""".stripMargin,
     "mj_partition_range" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin)

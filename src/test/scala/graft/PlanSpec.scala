@@ -80,6 +80,12 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), "offset table should broadcast")
   }
 
+  test("range join plans as an equi-join on (user, bucket), never a nested loop") {
+    val plan = planOf("q_range_join")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"range predicate fell back to a pair blowup:\n$plan")
+  }
+
   test("registered views make the surface sql-queryable") {
     Tables.registerViews(spark, TestSpark.sf)
     val n = spark.sql(
