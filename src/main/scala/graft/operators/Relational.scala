@@ -269,6 +269,23 @@ object Relational {
       .orderBy(col("purchase_id"), col("click_id"))
   }
 
+  /** Exact grouped percentiles (linear interpolation, the quantile_cont
+    * contract). Exact percentile sorts each group — fine per event_type
+    * here; at 100 TB swap `percentile` for `approx_percentile(value, p,
+    * accuracy)` (t-digest-style mergeable sketch, map-side combinable,
+    * no group sort) the same way q_distinct_users pairs with
+    * q_approx_distinct. The sketch variant has no exact oracle, so the
+    * oracle-checked row is the exact form.
+    */
+  def qPercentiles(spark: SparkSession, d: String): DataFrame =
+    Tables.events(spark, d)
+      .groupBy(col("event_type"))
+      .agg(
+        round(expr("percentile(value, 0.5)"), 6).as("p50"),
+        round(expr("percentile(value, 0.95)"), 6).as("p95"),
+        round(expr("percentile(value, 0.99)"), 6).as("p99"))
+      .orderBy(col("event_type"))
+
   /** Range partitioning (the reference's range_partitioner,
     * /root/reference/src/partitioner.cpp:58-80) is exactly how Spark
     * executes a global ORDER BY: sample → range boundaries → shuffle →
@@ -295,6 +312,7 @@ object Relational {
     "q_events_enriched" -> qEventsEnriched,
     "q_asof_join" -> qAsofJoin,
     "q_range_join" -> qRangeJoin,
+    "q_percentiles" -> qPercentiles,
     "mj_partition_range" -> qGlobalSortTop)
 
   val oracle: Map[String, String] = Map(
@@ -395,6 +413,12 @@ object Relational {
         | AND p.event_type = 'purchase' AND c.event_type = 'click'
         | AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts < p.ts
         |ORDER BY purchase_id, click_id""".stripMargin,
+    "q_percentiles" ->
+      """SELECT event_type,
+        | round(quantile_cont(value, 0.5), 6) AS p50,
+        | round(quantile_cont(value, 0.95), 6) AS p95,
+        | round(quantile_cont(value, 0.99), 6) AS p99
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "mj_partition_range" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin)

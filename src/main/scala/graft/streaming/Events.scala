@@ -253,6 +253,66 @@ object Events {
     } finally cleanup(ss, name, dir)
   }
 
+  /** STREAM-STREAM inner join with a time band: purchases joined to the
+    * same user's clicks within the hour before, both sides unbounded
+    * streams — the shape batch `q_range_join` computes, run as a
+    * watermarked stateful join. Each side keeps state only as long as
+    * the band + watermark delay allows a future match (Spark derives the
+    * eviction bound from the join's time-range condition), so state is
+    * O(events per band window), not O(stream).
+    *
+    * Flush sentinels must SURVIVE each side's event_type filter to reach
+    * the watermark operator (the same Catalyst-pushes-filters lesson as
+    * [[windowAggToFiles]]), so each flush batch carries one sentinel
+    * click AND one sentinel purchase at the SAME far-future ts — the
+    * band's strict `click_ts < purchase_ts` means the pair can never
+    * join itself into the output.
+    */
+  def streamStreamJoin(spark: SparkSession, sfDir: String,
+                       statePartitions: Option[Int] = Some(8)): DataFrame = {
+    val ss = sessionFor(spark, statePartitions)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ss_join")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      dir.resolve("events.parquet"))
+    val raw = withTs(ss.readStream.schema(rawSchema(ss, sfDir)).parquet(dir.toString))
+    val clicks = raw.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    val purchases = raw.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"), col("ts"))
+      .withWatermark("ts", "1 hour")
+    val joined = purchases.join(clicks,
+      col("user_id") === col("c_user") &&
+        col("click_ts") >= col("ts") - expr("INTERVAL 1 HOUR") &&
+        col("click_ts") < col("ts"))
+      .select(col("purchase_id"), col("click_id"), col("user_id"),
+        (unix_micros(col("ts")) - unix_micros(col("click_ts"))).as("gap_us"))
+    val name = nextName("graft_ss_join")
+    try {
+      val q = joined.writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append).start()
+      try {
+        q.processAllAvailable()
+        val rawMax = maxRawTs(ss, sfDir)
+        val base = ss.read.parquet(s"$sfDir/events.parquet").limit(1)
+        for (i <- 1 to 2) {
+          val sentinelTs = farFutureTs(rawMax, i)
+          base.withColumn("ts", sentinelTs).withColumn("event_type", lit("click"))
+            .unionByName(
+              base.withColumn("ts", sentinelTs).withColumn("event_type", lit("purchase")))
+            .withColumn("user_id", lit(-1L))
+            .write.mode("append").parquet(dir.toString)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      detach(spark, ss.table(name)
+        .filter(col("user_id") =!= -1L) // belt-and-braces: sentinels can't band-join anyway
+        .orderBy(col("purchase_id"), col("click_id")))
+    } finally cleanup(ss, name, dir)
+  }
+
   /** Per-user 30-minute-gap sessionization via flatMapGroupsWithState
     * (event-time timeout). A session is emitted once the watermark passes
     * its last event + gap — no earlier event can still arrive, no later
@@ -357,6 +417,7 @@ object Events {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_window_agg" -> ((s, d) => windowAgg(s, d)),
     "stream_dedup" -> ((s, d) => dedupEvents(s, d)),
+    "stream_stream_join" -> ((s, d) => streamStreamJoin(s, d)),
     "stream_sessionize" -> ((s, d) => sessionize(s, d)))
 
   val oracle: Map[String, String] = Map(
@@ -365,6 +426,16 @@ object Events {
     "stream_dedup" ->
       """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value
         |FROM events ORDER BY event_id""".stripMargin,
+    // the batch range-predicate join — the streamed band join must
+    // converge to exactly this relation once both streams flush
+    "stream_stream_join" ->
+      """SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id,
+        | CAST(epoch_us(CAST(p.ts AS TIMESTAMP)) - epoch_us(CAST(c.ts AS TIMESTAMP)) AS BIGINT) AS gap_us
+        |FROM events p JOIN events c
+        | ON p.user_id = c.user_id
+        | AND p.event_type = 'purchase' AND c.event_type = 'click'
+        | AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts < p.ts
+        |ORDER BY purchase_id, click_id""".stripMargin,
     "stream_window_agg" ->
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start, event_type,
         | count(*) AS n_events, round(sum(value), 2) AS total_value

@@ -40,6 +40,12 @@ class StreamingSpec extends AnyFunSuite {
     assert(deduped.collect().toSeq == original.collect().toSeq)
   }
 
+  test("stream-stream band join converges to the batch range join") {
+    val streamed = Events.streamStreamJoin(spark, TestSpark.sf)
+    val batch = graft.operators.Relational.qRangeJoin(spark, TestSpark.sf)
+    assert(streamed.collect().toSeq == batch.collect().toSeq)
+  }
+
   test("stream_sessionize equals the batch gaps-and-islands sessionization") {
     val streamed = Events.sessionize(spark, TestSpark.sf)
     Tables.events(spark, TestSpark.sf).createOrReplaceTempView("ev_batch")
