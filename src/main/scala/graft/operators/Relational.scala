@@ -315,6 +315,22 @@ object Relational {
     "q_percentiles" -> qPercentiles,
     "mj_partition_range" -> qGlobalSortTop)
 
+  /** The band-join oracle, shared with the streaming formulation
+    * (`stream_stream_join` must converge to exactly this relation). Band
+    * predicates compare the µs-truncated ts, matching Spark's loaders.
+    */
+  val rangeJoinOracle: String =
+    """WITH p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+      |  FROM events WHERE event_type = 'purchase'),
+      |c AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+      |  FROM events WHERE event_type = 'click')
+      |SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id,
+      | CAST(epoch_us(p.ts) - epoch_us(c.ts) AS BIGINT) AS gap_us
+      |FROM p JOIN c
+      | ON p.user_id = c.user_id
+      | AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts < p.ts
+      |ORDER BY purchase_id, click_id""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
@@ -398,21 +414,21 @@ object Relational {
       """SELECT event_type, round(sum(value),2) AS total_value,
         | round(avg(CAST(json_extract_string(props, '$.k') AS DOUBLE)),4) AS avg_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // join predicates compare the µs-truncated ts (CAST in the CTEs, not
+    // just the projection): Spark's loaders truncate ns→µs up front, so
+    // comparing raw TIMESTAMP_NS here could disagree on pairs within 1µs
+    // of a boundary
     "q_asof_join" ->
-      """SELECT p.event_id, p.user_id, CAST(p.ts AS TIMESTAMP) AS ts,
-        | CAST(c.ts AS TIMESTAMP) AS last_click_ts, c.value AS last_click_value
-        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      """WITH p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+        |  FROM events WHERE event_type = 'click')
+        |SELECT p.event_id, p.user_id, p.ts,
+        | c.ts AS last_click_ts, c.value AS last_click_value
+        |FROM p ASOF LEFT JOIN c
         | ON p.user_id = c.user_id AND p.ts >= c.ts
         |ORDER BY p.event_id""".stripMargin,
-    "q_range_join" ->
-      """SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id,
-        | CAST(epoch_us(CAST(p.ts AS TIMESTAMP)) - epoch_us(CAST(c.ts AS TIMESTAMP)) AS BIGINT) AS gap_us
-        |FROM events p JOIN events c
-        | ON p.user_id = c.user_id
-        | AND p.event_type = 'purchase' AND c.event_type = 'click'
-        | AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts < p.ts
-        |ORDER BY purchase_id, click_id""".stripMargin,
+    "q_range_join" -> rangeJoinOracle,
     "q_percentiles" ->
       """SELECT event_type,
         | round(quantile_cont(value, 0.5), 6) AS p50,

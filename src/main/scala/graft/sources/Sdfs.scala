@@ -168,29 +168,47 @@ class Sdfs(spark: SparkSession) {
     * accumulate one file per micro-batch/partition: at 100 TB a table of
     * 1 MB files pays open/footer costs per file and floods file listings,
     * so compaction is a scheduled hygiene pass. Uses `coalesce` (each
-    * output task reads several input files, NO shuffle of the data) and
-    * swaps directories by rename, so a reader holds either the old or
-    * the new dataset, never a mix. The metadata sidecar survives.
-    * Returns the number of files written.
+    * output task reads several input files, NO shuffle of the data;
+    * coalesce cannot SPLIT partitions, so non-splittable inputs may
+    * yield fewer files than the target) and swaps directories by rename.
+    * Each rename is atomic, but the PAIR is not: a reader racing the
+    * swap can observe a briefly missing path — schedule compaction in a
+    * maintenance window, or point readers through a catalog that flips
+    * after the swap. The metadata sidecar survives. Pass `schema` for
+    * csv/json datasets (self-describing formats don't need it; without
+    * it a text-format compact would schema-infer, and a JSON rewrite
+    * drops all-null columns). Returns the number of data files the
+    * compacted dataset holds.
+    *
+    * Every rename/delete is CHECKED: Hadoop FS mutations report failure
+    * by returning false, and an unchecked false on the swap would delete
+    * the only canonical copy or nest the rewrite inside a concurrently
+    * recreated dataset dir.
     */
   def compact(path: String, format: String = "parquet",
-              targetBytes: Long = 128L << 20): Int = {
+              targetBytes: Long = 128L << 20, schema: Option[String] = None): Int = {
+    def checked(ok: Boolean, what: String): Unit =
+      if (!ok) throw new java.io.IOException(s"compact($path): $what failed")
     val f = fs(path)
     val p = new Path(path)
     val bytes = f.getContentSummary(p).getLength
     val n = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
     val meta = getMetadata(path)
     val tmp = new Path(p.getParent, s".${p.getName}.compacting")
-    if (f.exists(tmp)) f.delete(tmp, true)
-    writer(get(path, format).coalesce(n), format)
+    if (f.exists(tmp)) checked(f.delete(tmp, true), s"clearing stale $tmp")
+    writer(get(path, format, schema).coalesce(n), format)
       .mode(SaveMode.Overwrite).save(tmp.toString)
     val old = new Path(p.getParent, s".${p.getName}.old")
-    if (f.exists(old)) f.delete(old, true)
-    f.rename(p, old)
-    f.rename(tmp, p)
-    f.delete(old, true)
+    if (f.exists(old)) checked(f.delete(old, true), s"clearing stale $old")
+    checked(f.rename(p, old), s"moving live dataset aside to $old")
+    try checked(f.rename(tmp, p), "swapping compacted dataset in")
+    catch { case e: Throwable =>
+      // put the original back so a failed swap never leaves the path empty
+      f.rename(old, p); throw e
+    }
+    checked(f.delete(old, true), s"removing $old")
     meta.foreach(putMetadata(path, _))
-    n
+    getNumShards(path)
   }
 
   // ----------------------------------------------------- namespace verbs

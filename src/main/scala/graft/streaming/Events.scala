@@ -261,12 +261,12 @@ object Events {
     * eviction bound from the join's time-range condition), so state is
     * O(events per band window), not O(stream).
     *
-    * Flush sentinels must SURVIVE each side's event_type filter to reach
-    * the watermark operator (the same Catalyst-pushes-filters lesson as
-    * [[windowAggToFiles]]), so each flush batch carries one sentinel
-    * click AND one sentinel purchase at the SAME far-future ts — the
-    * band's strict `click_ts < purchase_ts` means the pair can never
-    * join itself into the output.
+    * No flush sentinels: an INNER stream-stream join emits a pair in the
+    * micro-batch where both sides are present — the watermark bounds
+    * state EVICTION only, never output release (outer joins are the ones
+    * that hold unmatched rows until the watermark passes). With the
+    * bounded input arriving in one batch, the first processAllAvailable
+    * already yields the complete relation.
     */
   def streamStreamJoin(spark: SparkSession, sfDir: String,
                        statePartitions: Option[Int] = Some(8)): DataFrame = {
@@ -293,22 +293,8 @@ object Events {
     try {
       val q = joined.writeStream.format("memory").queryName(name)
         .outputMode(OutputMode.Append).start()
-      try {
-        q.processAllAvailable()
-        val rawMax = maxRawTs(ss, sfDir)
-        val base = ss.read.parquet(s"$sfDir/events.parquet").limit(1)
-        for (i <- 1 to 2) {
-          val sentinelTs = farFutureTs(rawMax, i)
-          base.withColumn("ts", sentinelTs).withColumn("event_type", lit("click"))
-            .unionByName(
-              base.withColumn("ts", sentinelTs).withColumn("event_type", lit("purchase")))
-            .withColumn("user_id", lit(-1L))
-            .write.mode("append").parquet(dir.toString)
-          q.processAllAvailable()
-        }
-      } finally q.stop()
+      try q.processAllAvailable() finally q.stop()
       detach(spark, ss.table(name)
-        .filter(col("user_id") =!= -1L) // belt-and-braces: sentinels can't band-join anyway
         .orderBy(col("purchase_id"), col("click_id")))
     } finally cleanup(ss, name, dir)
   }
@@ -427,15 +413,8 @@ object Events {
       """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value
         |FROM events ORDER BY event_id""".stripMargin,
     // the batch range-predicate join — the streamed band join must
-    // converge to exactly this relation once both streams flush
-    "stream_stream_join" ->
-      """SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id,
-        | CAST(epoch_us(CAST(p.ts AS TIMESTAMP)) - epoch_us(CAST(c.ts AS TIMESTAMP)) AS BIGINT) AS gap_us
-        |FROM events p JOIN events c
-        | ON p.user_id = c.user_id
-        | AND p.event_type = 'purchase' AND c.event_type = 'click'
-        | AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts < p.ts
-        |ORDER BY purchase_id, click_id""".stripMargin,
+    // converge to exactly this relation
+    "stream_stream_join" -> graft.operators.Relational.rangeJoinOracle,
     "stream_window_agg" ->
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start, event_type,
         | count(*) AS n_events, round(sum(value), 2) AS total_value
