@@ -147,7 +147,13 @@ object Multimodal {
         .toDF()
         .select(col("media_id"), col("kind"), col("n_bytes"), col("byte_sum"),
           round(col("f0"), 6).as("f0"), round(col("f1"), 6).as("f1"))
-        .orderBy(col("media_id"))))
+        .orderBy(col("media_id"))),
+    "mm_frame_features" -> ((s, d) =>
+      framePipeline(mediaDataset(Tables.documents(s, d)))
+        .toDF()
+        .select(col("media_id"), col("frame_id"), col("kind"), col("n_bytes"),
+          col("byte_sum"), round(col("f0"), 6).as("f0"), round(col("f1"), 6).as("f1"))
+        .orderBy(col("media_id"), col("frame_id"))))
 
   val oracle: Map[String, String] = Map(
     // the corpus is ASCII, so the UTF-8 byte sum equals the codepoint sum
@@ -166,6 +172,30 @@ object Multimodal {
         | round((byte_sum % 1000) / 1000.0, 6) AS f0,
         | CASE WHEN n_bytes = 0 THEN 0.0 ELSE round(byte_sum * 1.0 / n_bytes, 6) END AS f1
         |FROM s ORDER BY media_id""".stripMargin,
+    // uniform frame sampling mirrored in SQL: video rows with >= 4 bytes
+    // emit 4 stride-span character slices (ASCII corpus: chars == bytes;
+    // the len % 4 tail is dropped, matching stubFrameSample's slice
+    // bounds); everything else passes through as frame 0
+    "mm_frame_features" ->
+      """WITH m AS (SELECT doc_id AS media_id,
+        |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |  text FROM documents),
+        |fr AS (
+        | SELECT media_id, kind, 0 AS frame_id, text AS payload FROM m
+        |  WHERE kind <> 'video' OR length(text) < 4
+        | UNION ALL
+        | SELECT media_id, kind, CAST(f AS INT) AS frame_id,
+        |   substr(text, CAST(f * (length(text) // 4) + 1 AS INT), CAST(length(text) // 4 AS INT)) AS payload
+        |  FROM m, range(0, 4) r(f)
+        |  WHERE kind = 'video' AND length(text) >= 4),
+        |s AS (SELECT media_id, frame_id, kind,
+        |  CAST(octet_length(encode(payload)) AS BIGINT) AS n_bytes,
+        |  CAST(COALESCE(list_sum(list_transform(string_split(payload, ''), c -> unicode(c))), 0) AS BIGINT) AS byte_sum
+        | FROM fr)
+        |SELECT media_id, frame_id, kind, n_bytes, byte_sum,
+        | round((byte_sum % 1000) / 1000.0, 6) AS f0,
+        | CASE WHEN n_bytes = 0 THEN 0.0 ELSE round(byte_sum * 1.0 / n_bytes, 6) END AS f1
+        |FROM s ORDER BY media_id, frame_id""".stripMargin,
     "mm_binary_meta" ->
       """SELECT doc_id AS media_id,
         | CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
