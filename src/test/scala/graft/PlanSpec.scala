@@ -86,6 +86,24 @@ class PlanSpec extends AnyFunSuite {
       s"range predicate fell back to a pair blowup:\n$plan")
   }
 
+  test("no batch query plans an undocumented cross product") {
+    GraftSession.registerFunctions(spark)
+    // documented broadcast-cross cases: the capped exact-verify kernel
+    // (dedup_embedding), the brute ANN baseline's broadcast query set,
+    // and 1-row scalar broadcasts (tfidf's N, mj_partition_hash's
+    // invariant row); everything else crossing is a regression
+    val allowedCross = Set("dedup_embedding", "ann_brute_topk", "ann_pq_topk",
+      "tfidf_topterms", "mj_partition_hash")
+    // streaming queries and the roundtrip EXECUTE in construction (their
+    // result is already a local relation) — nothing to audit lazily
+    val skip = (n: String) => n.startsWith("stream_") || n == "sdfs_roundtrip"
+    for (name <- SparkEntry.queries.keys if !skip(name) && !allowedCross(name)) {
+      val plan = planOf(name)
+      assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+        s"$name plans a cross product:\n$plan")
+    }
+  }
+
   test("registered views make the surface sql-queryable") {
     Tables.registerViews(spark, TestSpark.sf)
     val n = spark.sql(
