@@ -103,6 +103,37 @@ object Events {
     } finally cleanup(ss, name, dir)
   }
 
+  /** SLIDING 1-hour window (15-minute slide) counts/sums per event_type:
+    * each event lands in exactly 4 overlapping windows — the trend-line
+    * aggregation a tumbling window can't express. Same complete-mode
+    * memory-sink harness as [[windowAgg]]; state is one row per (open
+    * window × event_type), bounded by the watermark closing windows.
+    */
+  def slidingWindowAgg(spark: SparkSession, sfDir: String,
+                       statePartitions: Option[Int] = Some(8)): DataFrame = {
+    val ss = sessionFor(spark, statePartitions)
+    val dir = java.nio.file.Files.createTempDirectory("graft_sliding_agg")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      dir.resolve("events.parquet"))
+    val stream = withTs(
+      ss.readStream.schema(rawSchema(ss, sfDir)).parquet(dir.toString))
+    val agg = stream
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("total_value"))
+    val name = nextName("graft_sliding_agg")
+    try {
+      val q = agg.writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Complete).start()
+      try { q.processAllAvailable() } finally q.stop()
+      detach(spark, ss.table(name)
+        .select(col("window.start").as("window_start"), col("event_type"),
+          col("n_events"), col("total_value"))
+        .orderBy(col("window_start"), col("event_type")))
+    } finally cleanup(ss, name, dir)
+  }
+
   /** Materialize a bounded streaming result off its memory-sink table
     * onto the CALLER's session — repeated calls must not accumulate
     * pinned sink tables or /tmp copies (callers pair this with
@@ -402,6 +433,7 @@ object Events {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_window_agg" -> ((s, d) => windowAgg(s, d)),
+    "stream_sliding_agg" -> ((s, d) => slidingWindowAgg(s, d)),
     "stream_dedup" -> ((s, d) => dedupEvents(s, d)),
     "stream_stream_join" -> ((s, d) => streamStreamJoin(s, d)),
     "stream_sessionize" -> ((s, d) => sessionize(s, d)))
@@ -419,6 +451,18 @@ object Events {
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start, event_type,
         | count(*) AS n_events, round(sum(value), 2) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // every event belongs to exactly 4 sliding windows: the 15-minute
+    // slide marks within the hour before it (epoch-aligned, matching
+    // Spark's window() alignment)
+    "stream_sliding_agg" ->
+      """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events),
+        |w AS (SELECT time_bucket(INTERVAL '15 minutes', ts)
+        |        - CAST(k AS INT) * INTERVAL '15 minutes' AS window_start,
+        |       event_type, value
+        |  FROM e, range(0, 4) r(k))
+        |SELECT window_start, event_type, count(*) AS n_events,
+        | round(sum(value), 2) AS total_value
+        |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "stream_sessionize" ->
       """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
         |m AS (SELECT user_id, ts, value,

@@ -30,6 +30,23 @@ class StreamingSpec extends AnyFunSuite {
     assert(fromFiles.collect().toSeq == batch.collect().toSeq)
   }
 
+  test("sliding windows put every event in exactly 4 overlapping windows") {
+    val streamed = Events.slidingWindowAgg(spark, TestSpark.sf)
+    val nEvents = Tables.events(spark, TestSpark.sf).count()
+    assert(streamed.agg(sum(col("n_events"))).head().getLong(0) == 4 * nEvents)
+    // batch equivalence: explode each event to its 4 slide marks
+    val batch = Tables.events(spark, TestSpark.sf)
+      .select(col("ts"), col("event_type"), col("value"),
+        explode(sequence(lit(0), lit(3))).as("k"))
+      .select((timestamp_seconds(floor(unix_micros(col("ts")) / 1e6 / 900) * 900
+          - col("k") * 900)).as("window_start"),
+        col("event_type"), col("value"))
+      .groupBy(col("window_start"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("total_value"))
+      .orderBy(col("window_start"), col("event_type"))
+    assert(streamed.collect().toSeq == batch.collect().toSeq)
+  }
+
   test("stream_dedup drops a replayed micro-batch, emitting each event exactly once") {
     val deduped = Events.dedupEvents(spark, TestSpark.sf)
     val original = Tables.events(spark, TestSpark.sf)
