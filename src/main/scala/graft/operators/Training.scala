@@ -75,7 +75,8 @@ object Training {
     * row per contaminated train doc with how many test docs it collides
     * with and how many of its distinct shingles are shared.
     */
-  def decontamNgram(docs: DataFrame, n: Int = 5): DataFrame = {
+  def decontamNgram(docs: DataFrame, n: Int = 5,
+                    maxShingleDf: Option[Int] = None): DataFrame = {
     // split + shingles both derive from `text`, so compute them in ONE
     // projection — joining sampleSplit back by doc_id would shuffle the
     // full corpus-wide shingle relation just to re-attach a column the
@@ -90,10 +91,22 @@ object Training {
     // run the shingle kernel once per side; instead gather each
     // shingle's train and test posting lists in a single aggregation
     // and expand only the contaminated shingles (both lists non-empty).
-    // List length is df(shingle) — the same skew bound as the §2.3 join
-    // formulation, with maxShingleDf-style capping as the recipe for
-    // boilerplate-heavy corpora.
-    val perShingle = ex.groupBy(col("s")).agg(
+    // List length is df(shingle): `maxShingleDf` pre-drops shingles
+    // hotter than the cap (same knob and rationale as
+    // [[Dedup.ngramJaccard]]) — at 100 TB a shared header's 5-gram with
+    // df in the millions would otherwise materialize a multi-million-
+    // element posting array in one agg buffer. Off by default because
+    // the exact oracle needs the uncapped form; the cap only SHRINKS the
+    // flagged set (boilerplate-only overlaps stop counting as
+    // contamination — usually the desired reading anyway).
+    val exCapped = maxShingleDf match {
+      case Some(cap) =>
+        val hot = ex.groupBy(col("s")).agg(count(lit(1)).as("df"))
+          .filter(col("df") > cap).select(col("s"))
+        ex.join(broadcast(hot), Seq("s"), "left_anti")
+      case None => ex
+    }
+    val perShingle = exCapped.groupBy(col("s")).agg(
       collect_set(when(col("split") === "train", col("doc_id"))).as("trains"),
       collect_set(when(col("split") === "test", col("doc_id"))).as("tests"))
       .filter(size(col("trains")) > 0 && size(col("tests")) > 0)

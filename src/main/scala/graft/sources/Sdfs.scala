@@ -203,11 +203,17 @@ class Sdfs(spark: SparkSession) {
     checked(f.rename(p, old), s"moving live dataset aside to $old")
     try checked(f.rename(tmp, p), "swapping compacted dataset in")
     catch { case e: Throwable =>
-      // put the original back so a failed swap never leaves the path empty
-      f.rename(old, p); throw e
+      // put the original back so a failed swap never leaves the path
+      // empty; if even the restore fails, say so rather than masking it
+      if (!f.rename(old, p))
+        e.addSuppressed(new java.io.IOException(
+          s"compact($path): restoring original from $old ALSO failed — data is at $old"))
+      throw e
     }
-    checked(f.delete(old, true), s"removing $old")
+    // re-attach metadata BEFORE dropping the old copy: a failure here
+    // leaves the sidecar recoverable at $old instead of gone
     meta.foreach(putMetadata(path, _))
+    checked(f.delete(old, true), s"removing $old")
     getNumShards(path)
   }
 

@@ -1,9 +1,8 @@
 package graft.streaming
 
-import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
 import org.apache.spark.sql.types.{LongType, StructType}
 
 /** One raw event for stateful processing (ts in epoch micros). */
@@ -18,15 +17,16 @@ case class SessState(buf: List[(Long, Double)], nextSid: Long)
 case class SessionOut(user_id: Long, sid: Long, start_us: Long, end_us: Long,
                       n_events: Long, total_value: Double)
 
-/** Structured Streaming over the `events` table (SURVEY.md §2.7). The
+/** Structured Streaming over the `events` table (SURVEY.md §2.8). The
   * reference's streaming story is files continuously APPENDED to SDFS
   * (/root/reference/inc/sdfs_client.h:23 `append_operation`); Spark's
   * equivalent is a file streaming source watching a directory, which is
   * exactly what these queries run — each new file is a micro-batch.
   *
-  * Scale: state is keyed (user_id) and partitioned by the shuffle; the
-  * watermark bounds state size (events older than watermark are closed
-  * and evicted), so memory is O(open sessions), not O(stream).
+  * Scale: state is keyed (user_id / window / join key) and partitioned by
+  * the shuffle; the watermark bounds state size (events older than the
+  * watermark are closed and evicted), so memory is O(open state), not
+  * O(stream).
   */
 object Events {
 
@@ -71,87 +71,71 @@ object Events {
       ss
     }
 
-  /** Tumbling 1-hour window counts/sums per event_type, complete mode
-    * into a memory sink. `readStream` over the sf dir's events file —
-    * the same plan runs unchanged against a directory receiving appended
-    * files on a real cluster.
-    */
-  def windowAgg(spark: SparkSession, sfDir: String,
-                statePartitions: Option[Int] = Some(8)): DataFrame = {
-    val ss = sessionFor(spark, statePartitions)
-    // file streaming source watches a DIRECTORY (each new file = a
-    // micro-batch) — stage the events file into one
-    val dir = java.nio.file.Files.createTempDirectory("graft_window_agg")
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
-      dir.resolve("events.parquet"))
-    val stream = withTs(
-      ss.readStream.schema(rawSchema(ss, sfDir)).parquet(dir.toString))
-    val agg = stream
-      .withWatermark("ts", "1 hour")
-      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("total_value"))
-    val name = nextName("graft_window_agg")
-    try {
-      val q = agg.writeStream.format("memory").queryName(name)
-        .outputMode(OutputMode.Complete).start()
-      try { q.processAllAvailable() } finally q.stop()
-      detach(spark, ss.table(name)
-        .select(col("window.start").as("window_start"), col("event_type"),
-          col("n_events"), col("total_value"))
-        .orderBy(col("window_start"), col("event_type")))
-    } finally cleanup(ss, name, dir)
-  }
+  // -------------------------------------------------- bounded-run harness
 
-  /** SLIDING 1-hour window (15-minute slide) counts/sums per event_type:
-    * each event lands in exactly 4 overlapping windows — the trend-line
-    * aggregation a tumbling window can't express. Same complete-mode
-    * memory-sink harness as [[windowAgg]]; state is one row per (open
-    * window × event_type), bounded by the watermark closing windows.
+  /** Run a streaming plan over the staged events file to completion and
+    * return the finalized sink table — THE harness every bounded verify
+    * query shares (one definition of staging, lifecycle and cleanup; a
+    * hardening fix lands everywhere at once).
+    *
+    * `build` maps the raw watched stream to the result stream; `finish`
+    * post-processes the sink table (projection/order); `flush` runs after
+    * the first drain for operators that need extra micro-batches
+    * (sentinel watermark advances, redelivery replays) — it gets the
+    * child session, the watched directory, and the running query.
     */
-  def slidingWindowAgg(spark: SparkSession, sfDir: String,
-                       statePartitions: Option[Int] = Some(8)): DataFrame = {
+  private def runBounded(spark: SparkSession, sfDir: String,
+                         statePartitions: Option[Int], mode: OutputMode, prefix: String,
+                         finish: DataFrame => DataFrame = identity,
+                         flush: (SparkSession, java.nio.file.Path, StreamingQuery) => Unit =
+                           (_, _, _) => ())(
+                         build: DataFrame => DataFrame): DataFrame = {
     val ss = sessionFor(spark, statePartitions)
-    val dir = java.nio.file.Files.createTempDirectory("graft_sliding_agg")
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
-      dir.resolve("events.parquet"))
-    val stream = withTs(
-      ss.readStream.schema(rawSchema(ss, sfDir)).parquet(dir.toString))
-    val agg = stream
-      .withWatermark("ts", "1 hour")
-      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
-      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("total_value"))
-    val name = nextName("graft_sliding_agg")
+    val dir = java.nio.file.Files.createTempDirectory(prefix)
     try {
-      val q = agg.writeStream.format("memory").queryName(name)
-        .outputMode(OutputMode.Complete).start()
-      try { q.processAllAvailable() } finally q.stop()
-      detach(spark, ss.table(name)
-        .select(col("window.start").as("window_start"), col("event_type"),
-          col("n_events"), col("total_value"))
-        .orderBy(col("window_start"), col("event_type")))
-    } finally cleanup(ss, name, dir)
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+        dir.resolve("events.parquet"))
+      val result = build(withTs(ss.readStream.schema(rawSchema(ss, sfDir)).parquet(dir.toString)))
+      val name = nextName(prefix)
+      try {
+        val q = result.writeStream.format("memory").queryName(name)
+          .outputMode(mode).start()
+        try { q.processAllAvailable(); flush(ss, dir, q) } finally q.stop()
+        detach(spark, finish(ss.table(name)))
+      } finally {
+        try ss.catalog.dropTempView(name) catch { case _: Exception => }
+      }
+    } finally deleteDirQuietly(dir)
   }
 
   /** Materialize a bounded streaming result off its memory-sink table
     * onto the CALLER's session — repeated calls must not accumulate
-    * pinned sink tables or /tmp copies (callers pair this with
-    * [[cleanup]] in a finally), and the returned frame must not be tied
-    * to the child session's conf.
+    * pinned sink tables or /tmp copies, and the returned frame must not
+    * be tied to the child session's conf.
     */
   private def detach(target: SparkSession, result: DataFrame): DataFrame = {
     val rows = result.collect()
     target.createDataFrame(java.util.Arrays.asList(rows: _*), result.schema)
   }
 
-  /** Drop the memory-sink table and delete the staging dir; runs on both
-    * success and failure paths, tolerating partial setup.
-    */
-  private def cleanup(spark: SparkSession, name: String, dir: java.nio.file.Path): Unit = {
-    try spark.catalog.dropTempView(name) catch { case _: Exception => }
-    deleteDir(dir)
+  private def deleteDir(dir: java.nio.file.Path): Unit = {
+    val walk = java.nio.file.Files.walk(dir)
+    try {
+      import scala.jdk.CollectionConverters._
+      walk.sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(p => java.nio.file.Files.deleteIfExists(p))
+    } finally walk.close()
   }
+
+  /** Best-effort delete for cleanup paths: one stubborn file must not
+    * abort the remaining cleanup or mask the query's real exception.
+    */
+  private def deleteDirQuietly(dir: java.nio.file.Path): Unit =
+    try deleteDir(dir)
+    catch { case e: Exception =>
+      System.err.println(s"cleanup of $dir failed: ${e.getMessage}")
+    }
 
   /** Max raw event time of the staged file, whatever type the raw
     * schema carries (long nanos under nanosAsLong, or a real timestamp
@@ -169,18 +153,112 @@ object Events {
       case t: java.sql.Timestamp =>
         lit(java.sql.Timestamp.from(t.toInstant.plusSeconds(days * 86400L)))
       case i: java.time.Instant => lit(i.plusSeconds(days * 86400L))
+      case null => throw new IllegalStateException(
+        "events table is empty — no max event time to flush against")
       case other => throw new IllegalStateException(
         s"events.ts read back as unsupported ${other.getClass}")
     }
 
-  private def deleteDir(dir: java.nio.file.Path): Unit = {
-    val walk = java.nio.file.Files.walk(dir)
-    try {
-      import scala.jdk.CollectionConverters._
-      walk.sorted(java.util.Comparator.reverseOrder())
-        .iterator().asScala.foreach(p => java.nio.file.Files.deleteIfExists(p))
-    } finally walk.close()
-  }
+  // ------------------------------------------------------------- queries
+
+  /** Tumbling 1-hour window counts/sums per event_type, complete mode
+    * into a memory sink. The same plan runs unchanged against a
+    * directory receiving appended files on a real cluster.
+    */
+  def windowAgg(spark: SparkSession, sfDir: String,
+                statePartitions: Option[Int] = Some(8)): DataFrame =
+    runBounded(spark, sfDir, statePartitions, OutputMode.Complete, "graft_window_agg",
+      finish = _.select(col("window.start").as("window_start"), col("event_type"),
+          col("n_events"), col("total_value"))
+        .orderBy(col("window_start"), col("event_type"))) { stream =>
+      stream
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("total_value"))
+    }
+
+  /** SLIDING 1-hour window (15-minute slide) counts/sums per event_type:
+    * each event lands in exactly 4 overlapping windows — the trend-line
+    * aggregation a tumbling window can't express. State is one row per
+    * (open window × event_type), bounded by the watermark closing
+    * windows.
+    */
+  def slidingWindowAgg(spark: SparkSession, sfDir: String,
+                       statePartitions: Option[Int] = Some(8)): DataFrame =
+    runBounded(spark, sfDir, statePartitions, OutputMode.Complete, "graft_sliding_agg",
+      finish = _.select(col("window.start").as("window_start"), col("event_type"),
+          col("n_events"), col("total_value"))
+        .orderBy(col("window_start"), col("event_type"))) { stream =>
+      stream
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("total_value"))
+    }
+
+  /** Exactly-once event delivery over an at-least-once stream: drop
+    * redelivered events by `event_id` with watermark-bounded state
+    * (`dropDuplicatesWithinWatermark`) — the standard idempotent-ingest
+    * front of a streaming pipeline. State holds one key per event inside
+    * the dedup horizon (the watermark delay) and is evicted beyond it,
+    * so memory is O(events per horizon), not O(stream); a redelivery
+    * arriving LATER than the horizon would be re-emitted, so deployments
+    * size the delay to the delivery layer's max redelivery lag (here 30
+    * days ≫ the bounded corpus, making the dedup exact).
+    *
+    * Harness: batch 1 is the staged file; the flush REPLAYS a tenth of
+    * it with original raw payloads as a second micro-batch (simulated
+    * at-least-once redelivery); the query must emit each event exactly
+    * once.
+    */
+  def dedupEvents(spark: SparkSession, sfDir: String,
+                  statePartitions: Option[Int] = Some(8)): DataFrame =
+    runBounded(spark, sfDir, statePartitions, OutputMode.Append, "graft_stream_dedup",
+      finish = _.orderBy(col("event_id")),
+      flush = (ss, dir, q) => {
+        ss.read.parquet(s"$sfDir/events.parquet")
+          .filter(col("event_id") % 10 === 0)
+          .write.mode("append").parquet(dir.toString)
+        q.processAllAvailable()
+      }) { stream =>
+      stream
+        .withWatermark("ts", "30 days")
+        .dropDuplicatesWithinWatermark("event_id")
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+    }
+
+  /** STREAM-STREAM inner join with a time band: purchases joined to the
+    * same user's clicks within the hour before, both sides unbounded
+    * streams — the shape batch `q_range_join` computes, run as a
+    * watermarked stateful join. Each side keeps state only as long as
+    * the band + watermark delay allows a future match (Spark derives the
+    * eviction bound from the join's time-range condition), so state is
+    * O(events per band window), not O(stream).
+    *
+    * No flush sentinels: an INNER stream-stream join emits a pair in the
+    * micro-batch where both sides are present — the watermark bounds
+    * state EVICTION only, never output release (outer joins are the ones
+    * that hold unmatched rows until the watermark passes). With the
+    * bounded input arriving in one batch, the first drain already yields
+    * the complete relation.
+    */
+  def streamStreamJoin(spark: SparkSession, sfDir: String,
+                       statePartitions: Option[Int] = Some(8)): DataFrame =
+    runBounded(spark, sfDir, statePartitions, OutputMode.Append, "graft_ss_join",
+      finish = _.orderBy(col("purchase_id"), col("click_id"))) { raw =>
+      val clicks = raw.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+          col("ts").as("click_ts"))
+        .withWatermark("click_ts", "1 hour")
+      val purchases = raw.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"), col("ts"))
+        .withWatermark("ts", "1 hour")
+      purchases.join(clicks,
+        col("user_id") === col("c_user") &&
+          col("click_ts") >= col("ts") - expr("INTERVAL 1 HOUR") &&
+          col("click_ts") < col("ts"))
+        .select(col("purchase_id"), col("click_id"), col("user_id"),
+          (unix_micros(col("ts")) - unix_micros(col("click_ts"))).as("gap_us"))
+    }
 
   /** The PRODUCTION sink path for [[windowAgg]]: the same watermarked
     * tumbling-window plan written in APPEND mode to a parquet directory
@@ -208,126 +286,42 @@ object Events {
     val ss = sessionFor(spark, statePartitions)
     val SentinelType = "__sentinel"
     val src = java.nio.file.Files.createTempDirectory("graft_window_file_src")
-    val sink = java.nio.file.Files.createTempDirectory("graft_window_file_sink")
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_window_file_ckpt")
     try {
-      java.nio.file.Files.copy(
-        java.nio.file.Paths.get(s"$sfDir/events.parquet"),
-        src.resolve("events.parquet"))
-      val stream = withTs(ss.readStream.schema(rawSchema(ss, sfDir)).parquet(src.toString))
-      val agg = stream
-        .withWatermark("ts", "1 hour")
-        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-        .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("total_value"))
-        .select(col("window.start").as("window_start"), col("event_type"),
-          col("n_events"), col("total_value"))
-      val q = agg.writeStream.format("parquet")
-        .option("path", sink.toString)
-        .option("checkpointLocation", ckpt.toString)
-        .outputMode(OutputMode.Append).start()
+      val sink = java.nio.file.Files.createTempDirectory("graft_window_file_sink")
       try {
-        q.processAllAvailable()
-        val rawMax = maxRawTs(ss, sfDir)
-        val base = ss.read.parquet(s"$sfDir/events.parquet").limit(1)
-        for (i <- 1 to 2) {
-          base.withColumn("ts", farFutureTs(rawMax, i))
-            .withColumn("event_type", lit(SentinelType))
-            .write.mode("append").parquet(src.toString)
-          q.processAllAvailable()
-        }
-      } finally q.stop()
-      detach(spark, spark.read.parquet(sink.toString)
-        .filter(col("event_type") =!= SentinelType)
-        .orderBy(col("window_start"), col("event_type")))
-    } finally { deleteDir(src); deleteDir(sink); deleteDir(ckpt) }
-  }
-
-  /** Exactly-once event delivery over an at-least-once stream: drop
-    * redelivered events by `event_id` with watermark-bounded state
-    * (`dropDuplicatesWithinWatermark`) — the standard idempotent-ingest
-    * front of a streaming pipeline. State holds one key per event inside
-    * the dedup horizon (the watermark delay) and is evicted beyond it,
-    * so memory is O(events per horizon), not O(stream); a redelivery
-    * arriving LATER than the horizon would be re-emitted, so deployments
-    * size the delay to the delivery layer's max redelivery lag (here 30
-    * days ≫ the bounded corpus, making the dedup exact).
-    *
-    * Harness: stage the events file as batch 1, then REPLAY a tenth of
-    * it as a second micro-batch (simulated at-least-once redelivery);
-    * the query must emit each event exactly once.
-    */
-  def dedupEvents(spark: SparkSession, sfDir: String,
-                  statePartitions: Option[Int] = Some(8)): DataFrame = {
-    val ss = sessionFor(spark, statePartitions)
-    val dir = java.nio.file.Files.createTempDirectory("graft_stream_dedup")
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
-      dir.resolve("events.parquet"))
-    val deduped = withTs(ss.readStream.schema(rawSchema(ss, sfDir)).parquet(dir.toString))
-      .withWatermark("ts", "30 days")
-      .dropDuplicatesWithinWatermark("event_id")
-      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
-    val name = nextName("graft_stream_dedup")
-    try {
-      val q = deduped.writeStream.format("memory").queryName(name)
-        .outputMode(OutputMode.Append).start()
-      try {
-        q.processAllAvailable()
-        // redeliver every 10th event with its ORIGINAL (raw long-nanos)
-        // payload — exactly what an at-least-once source replays
-        ss.read.parquet(s"$sfDir/events.parquet")
-          .filter(col("event_id") % 10 === 0)
-          .write.mode("append").parquet(dir.toString)
-        q.processAllAvailable()
-      } finally q.stop()
-      detach(spark, ss.table(name).orderBy(col("event_id")))
-    } finally cleanup(ss, name, dir)
-  }
-
-  /** STREAM-STREAM inner join with a time band: purchases joined to the
-    * same user's clicks within the hour before, both sides unbounded
-    * streams — the shape batch `q_range_join` computes, run as a
-    * watermarked stateful join. Each side keeps state only as long as
-    * the band + watermark delay allows a future match (Spark derives the
-    * eviction bound from the join's time-range condition), so state is
-    * O(events per band window), not O(stream).
-    *
-    * No flush sentinels: an INNER stream-stream join emits a pair in the
-    * micro-batch where both sides are present — the watermark bounds
-    * state EVICTION only, never output release (outer joins are the ones
-    * that hold unmatched rows until the watermark passes). With the
-    * bounded input arriving in one batch, the first processAllAvailable
-    * already yields the complete relation.
-    */
-  def streamStreamJoin(spark: SparkSession, sfDir: String,
-                       statePartitions: Option[Int] = Some(8)): DataFrame = {
-    val ss = sessionFor(spark, statePartitions)
-    val dir = java.nio.file.Files.createTempDirectory("graft_ss_join")
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
-      dir.resolve("events.parquet"))
-    val raw = withTs(ss.readStream.schema(rawSchema(ss, sfDir)).parquet(dir.toString))
-    val clicks = raw.filter(col("event_type") === "click")
-      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
-        col("ts").as("click_ts"))
-      .withWatermark("click_ts", "1 hour")
-    val purchases = raw.filter(col("event_type") === "purchase")
-      .select(col("user_id"), col("event_id").as("purchase_id"), col("ts"))
-      .withWatermark("ts", "1 hour")
-    val joined = purchases.join(clicks,
-      col("user_id") === col("c_user") &&
-        col("click_ts") >= col("ts") - expr("INTERVAL 1 HOUR") &&
-        col("click_ts") < col("ts"))
-      .select(col("purchase_id"), col("click_id"), col("user_id"),
-        (unix_micros(col("ts")) - unix_micros(col("click_ts"))).as("gap_us"))
-    val name = nextName("graft_ss_join")
-    try {
-      val q = joined.writeStream.format("memory").queryName(name)
-        .outputMode(OutputMode.Append).start()
-      try q.processAllAvailable() finally q.stop()
-      detach(spark, ss.table(name)
-        .orderBy(col("purchase_id"), col("click_id")))
-    } finally cleanup(ss, name, dir)
+        val ckpt = java.nio.file.Files.createTempDirectory("graft_window_file_ckpt")
+        try {
+          java.nio.file.Files.copy(
+            java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+            src.resolve("events.parquet"))
+          val stream = withTs(ss.readStream.schema(rawSchema(ss, sfDir)).parquet(src.toString))
+          val agg = stream
+            .withWatermark("ts", "1 hour")
+            .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+            .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("total_value"))
+            .select(col("window.start").as("window_start"), col("event_type"),
+              col("n_events"), col("total_value"))
+          val q = agg.writeStream.format("parquet")
+            .option("path", sink.toString)
+            .option("checkpointLocation", ckpt.toString)
+            .outputMode(OutputMode.Append).start()
+          try {
+            q.processAllAvailable()
+            val rawMax = maxRawTs(ss, sfDir)
+            val base = ss.read.parquet(s"$sfDir/events.parquet").limit(1)
+            for (i <- 1 to 2) {
+              base.withColumn("ts", farFutureTs(rawMax, i))
+                .withColumn("event_type", lit(SentinelType))
+                .write.mode("append").parquet(src.toString)
+              q.processAllAvailable()
+            }
+          } finally q.stop()
+          detach(spark, spark.read.parquet(sink.toString)
+            .filter(col("event_type") =!= SentinelType)
+            .orderBy(col("window_start"), col("event_type")))
+        } finally deleteDirQuietly(ckpt)
+      } finally deleteDirQuietly(sink)
+    } finally deleteDirQuietly(src)
   }
 
   /** Per-user 30-minute-gap sessionization via flatMapGroupsWithState
@@ -347,72 +341,17 @@ object Events {
     */
   def sessionize(spark: SparkSession, sfDir: String,
                  statePartitions: Option[Int] = Some(8)): DataFrame = {
-    val ss = sessionFor(spark, statePartitions)
-    import ss.implicits._
     val SentinelUser = -1L
-
-    val dir = java.nio.file.Files.createTempDirectory("graft_sessionize")
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
-      dir.resolve("events.parquet"))
-
-    val raw = withTs(ss.readStream.schema(rawSchema(ss, sfDir)).parquet(dir.toString))
-    // keep the watermarked `ts` column through the projection — dropping
-    // it would strip the watermark the event-time timeout needs
-    val events = raw
-      .selectExpr("user_id", "unix_micros(ts) AS ts_us", "value", "ts")
-      .withWatermark("ts", "0 seconds")
-      .as[RawEvent]
-
-    val sessions = events
-      .groupByKey(_.user_id)
-      .flatMapGroupsWithState[SessState, SessionOut](
-        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (userId: Long, rows: Iterator[RawEvent], state: GroupState[SessState]) =>
-          if (userId == SentinelUser) {
-            // sentinel rows only advance the watermark; no state, no output
-            Iterator.empty
-          } else {
-            val prior = state.getOption.getOrElse(SessState(Nil, 1L))
-            val buf0 = prior.buf ++ rows.map(e => (e.ts_us, e.value)).toList
-            val wmUs = state.getCurrentWatermarkMs() * 1000
-            val gapUs = GapMs * 1000
-            val sorted = buf0.sortBy(_._1)
-            // split into sessions: gap strictly > 30 min starts a new one
-            val sessionsAll = sorted.foldLeft(List.empty[List[(Long, Double)]]) {
-              case (acc, ev) => acc match {
-                case cur :: rest if ev._1 - cur.head._1 <= gapUs => (ev :: cur) :: rest
-                case _ => List(ev) :: acc
-              }
-            }.map(_.reverse).reverse // chronological sessions, each chronological
-            // a session is closed iff no future event can join it AND all
-            // its events have arrived: watermark passed end + gap
-            val (closed, open) = sessionsAll.partition(s => s.last._1 + gapUs < wmUs)
-            val out = closed.zipWithIndex.map { case (s, i) =>
-              SessionOut(userId, prior.nextSid + i, s.head._1, s.last._1,
-                s.length.toLong, s.map(_._2).sum)
-            }
-            val remaining = open.flatten
-            if (remaining.isEmpty) state.remove()
-            else {
-              state.update(SessState(remaining, prior.nextSid + closed.length))
-              val lastEndMs = remaining.map(_._1).max / 1000
-              state.setTimeoutTimestamp(
-                math.max(lastEndMs + GapMs + 1, state.getCurrentWatermarkMs() + 1000))
-            }
-            out.iterator
-          }
-      }
-
-    val name = nextName("graft_sessionize")
-    try {
-      val q = sessions.writeStream.format("memory").queryName(name)
-        .outputMode(OutputMode.Append).start()
-      try {
-        q.processAllAvailable()
-        // Flush: two sentinel batches — the first advances the watermark
-        // past every real session's close point, the second lets the
-        // engine fire the resulting event-time timeouts.
+    runBounded(spark, sfDir, statePartitions, OutputMode.Append, "graft_sessionize",
+      finish = _.select(col("user_id"), col("sid"),
+          timestamp_micros(col("start_us")).as("session_start"),
+          timestamp_micros(col("end_us")).as("session_end"),
+          col("n_events"), round(col("total_value"), 2).as("total_value"))
+        .orderBy(col("user_id"), col("sid")),
+      flush = (ss, dir, q) => {
+        // Two sentinel batches — the first advances the watermark past
+        // every real session's close point, the second lets the engine
+        // fire the resulting event-time timeouts.
         val rawMax = maxRawTs(ss, sfDir)
         val base = ss.read.parquet(s"$sfDir/events.parquet").limit(1)
         for (i <- 1 to 2) {
@@ -421,14 +360,55 @@ object Events {
             .write.mode("append").parquet(dir.toString)
           q.processAllAvailable()
         }
-      } finally q.stop()
-      detach(spark, ss.table(name)
-        .select(col("user_id"), col("sid"),
-          timestamp_micros(col("start_us")).as("session_start"),
-          timestamp_micros(col("end_us")).as("session_end"),
-          col("n_events"), round(col("total_value"), 2).as("total_value"))
-        .orderBy(col("user_id"), col("sid")))
-    } finally cleanup(ss, name, dir)
+      }) { raw =>
+      val ss = raw.sparkSession
+      import ss.implicits._
+      // keep the watermarked `ts` column through the projection — dropping
+      // it would strip the watermark the event-time timeout needs
+      val events = raw
+        .selectExpr("user_id", "unix_micros(ts) AS ts_us", "value", "ts")
+        .withWatermark("ts", "0 seconds")
+        .as[RawEvent]
+      events
+        .groupByKey(_.user_id)
+        .flatMapGroupsWithState[SessState, SessionOut](
+          OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+          (userId: Long, rows: Iterator[RawEvent], state: GroupState[SessState]) =>
+            if (userId == SentinelUser) {
+              // sentinel rows only advance the watermark; no state, no output
+              Iterator.empty
+            } else {
+              val prior = state.getOption.getOrElse(SessState(Nil, 1L))
+              val buf0 = prior.buf ++ rows.map(e => (e.ts_us, e.value)).toList
+              val wmUs = state.getCurrentWatermarkMs() * 1000
+              val gapUs = GapMs * 1000
+              val sorted = buf0.sortBy(_._1)
+              // split into sessions: gap strictly > 30 min starts a new one
+              val sessionsAll = sorted.foldLeft(List.empty[List[(Long, Double)]]) {
+                case (acc, ev) => acc match {
+                  case cur :: rest if ev._1 - cur.head._1 <= gapUs => (ev :: cur) :: rest
+                  case _ => List(ev) :: acc
+                }
+              }.map(_.reverse).reverse // chronological sessions, each chronological
+              // a session is closed iff no future event can join it AND all
+              // its events have arrived: watermark passed end + gap
+              val (closed, open) = sessionsAll.partition(s => s.last._1 + gapUs < wmUs)
+              val out = closed.zipWithIndex.map { case (s, i) =>
+                SessionOut(userId, prior.nextSid + i, s.head._1, s.last._1,
+                  s.length.toLong, s.map(_._2).sum)
+              }
+              val remaining = open.flatten
+              if (remaining.isEmpty) state.remove()
+              else {
+                state.update(SessState(remaining, prior.nextSid + closed.length))
+                val lastEndMs = remaining.map(_._1).max / 1000
+                state.setTimeoutTimestamp(
+                  math.max(lastEndMs + GapMs + 1, state.getCurrentWatermarkMs() + 1000))
+              }
+              out.iterator
+            }
+        }.toDF()
+    }
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -67,6 +67,20 @@ class TrainingSpec extends AnyFunSuite {
     assert(Training.decontamNgram(docs).collect().toSeq == viaStrings)
   }
 
+  test("decontam df cap drops boilerplate-only contamination") {
+    import spark.implicits._
+    // 40 docs sharing a boilerplate prefix (so its 5-grams have df=40)
+    // with unique suffixes; md5 splits put some in train and some in
+    // test, so uncapped decontam flags boilerplate-only overlaps —
+    // capping df at 10 drops them all
+    val boiler = "b1 b2 b3 b4 b5 b6 b7 b8"
+    val d = (1L to 40L).map(i => i -> s"$boiler u${i}x u${i}y u${i}z").toDF("doc_id", "text")
+    val uncapped = Training.decontamNgram(d).count()
+    val capped = Training.decontamNgram(d, maxShingleDf = Some(10)).count()
+    assert(uncapped > 0, "boilerplate 5-grams should cross the split boundary")
+    assert(capped == 0, s"df cap should drop boilerplate-only contamination, got $capped")
+  }
+
   test("tfidf ranks a hand-checked corpus correctly") {
     import spark.implicits._
     // "rare" appears only in doc 1 (idf=ln(3)), "shared" in all three
