@@ -1,5 +1,6 @@
 package graft.streaming
 
+import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
@@ -226,6 +227,25 @@ object Events {
         .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
     }
 
+  /** STREAM-STATIC enrichment: the unbounded event stream joined to the
+    * static `customer` dimension — the lookup-join every ingest pipeline
+    * runs before aggregation. The static side BROADCASTS (it's a dim:
+    * read once, shipped to every task), so enrichment is stateless map
+    * work per micro-batch — no streaming state, no shuffle of the
+    * stream, and the dim can be swapped for a slowly-changing snapshot
+    * between restarts.
+    */
+  def enrich(spark: SparkSession, sfDir: String,
+             statePartitions: Option[Int] = Some(8)): DataFrame =
+    runBounded(spark, sfDir, statePartitions, OutputMode.Append, "graft_stream_enrich",
+      finish = _.orderBy(col("event_id"))) { stream =>
+      val dim = broadcast(Tables.customer(stream.sparkSession, sfDir)
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment")))
+      stream.join(dim, col("user_id") === col("c_custkey"))
+        .select(col("event_id"), col("user_id"), col("c_name"), col("c_mktsegment"),
+          col("event_type"), col("value"))
+    }
+
   /** STREAM-STREAM inner join with a time band: purchases joined to the
     * same user's clicks within the hour before, both sides unbounded
     * streams — the shape batch `q_range_join` computes, run as a
@@ -415,6 +435,7 @@ object Events {
     "stream_window_agg" -> ((s, d) => windowAgg(s, d)),
     "stream_sliding_agg" -> ((s, d) => slidingWindowAgg(s, d)),
     "stream_dedup" -> ((s, d) => dedupEvents(s, d)),
+    "stream_enrich" -> ((s, d) => enrich(s, d)),
     "stream_stream_join" -> ((s, d) => streamStreamJoin(s, d)),
     "stream_sessionize" -> ((s, d) => sessionize(s, d)))
 
@@ -427,6 +448,10 @@ object Events {
     // the batch range-predicate join — the streamed band join must
     // converge to exactly this relation
     "stream_stream_join" -> graft.operators.Relational.rangeJoinOracle,
+    "stream_enrich" ->
+      """SELECT e.event_id, e.user_id, c.c_name, c.c_mktsegment, e.event_type, e.value
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |ORDER BY e.event_id""".stripMargin,
     "stream_window_agg" ->
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start, event_type,
         | count(*) AS n_events, round(sum(value), 2) AS total_value

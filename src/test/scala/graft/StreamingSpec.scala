@@ -57,6 +57,16 @@ class StreamingSpec extends AnyFunSuite {
     assert(deduped.collect().toSeq == original.collect().toSeq)
   }
 
+  test("stream-static enrichment equals the batch lookup join") {
+    val streamed = Events.enrich(spark, TestSpark.sf)
+    val batch = Tables.events(spark, TestSpark.sf)
+      .join(Tables.customer(spark, TestSpark.sf), col("user_id") === col("c_custkey"))
+      .select(col("event_id"), col("user_id"), col("c_name"), col("c_mktsegment"),
+        col("event_type"), col("value"))
+      .orderBy(col("event_id"))
+    assert(streamed.collect().toSeq == batch.collect().toSeq)
+  }
+
   test("stream-stream band join converges to the batch range join") {
     val streamed = Events.streamStreamJoin(spark, TestSpark.sf)
     val batch = graft.operators.Relational.qRangeJoin(spark, TestSpark.sf)
