@@ -187,6 +187,16 @@ object Relational {
       .agg(round(sum(col("l_extendedprice")), 2).as("sum_price"), count(lit(1)).as("n"))
       .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
 
+  /** CUBE: all 2ⁿ grouping combinations in one pass (ROLLUP's superset —
+    * adds the (∅, linestatus) margin). Spark expands grouping sets before
+    * the aggregate, so partial aggregation still combines map-side.
+    */
+  def qCubeSales(spark: SparkSession, d: String): DataFrame =
+    Tables.lineitem(spark, d)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum(col("l_extendedprice")), 2).as("sum_price"), count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
   /** Exact distinct per group (at 100 TB prefer q_approx_distinct). */
   def qDistinctUsers(spark: SparkSession, d: String): DataFrame =
     Tables.events(spark, d)
@@ -307,6 +317,7 @@ object Relational {
     "q_running_totals" -> qRunningTotals,
     "q_rank_suppliers" -> qRankSuppliers,
     "q_rollup_sales" -> qRollupSales,
+    "q_cube_sales" -> qCubeSales,
     "q_distinct_users" -> qDistinctUsers,
     "q_approx_distinct" -> qApproxDistinct,
     "q_events_enriched" -> qEventsEnriched,
@@ -406,6 +417,11 @@ object Relational {
       """SELECT l_returnflag, l_linestatus, round(sum(l_extendedprice),2) AS sum_price,
         | count(*) AS n
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q_cube_sales" ->
+      """SELECT l_returnflag, l_linestatus, round(sum(l_extendedprice),2) AS sum_price,
+        | count(*) AS n
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
     "q_distinct_users" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events

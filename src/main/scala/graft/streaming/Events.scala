@@ -344,6 +344,47 @@ object Events {
     } finally deleteDirQuietly(src)
   }
 
+  /** Per-user session AGGREGATES via Spark's built-in `session_window` —
+    * the declarative counterpart to [[sessionize]]: when the need is
+    * per-session aggregates (not custom per-session logic or ordinals),
+    * the native session window is the simpler, state-store-optimized
+    * path. A session's window end is last-event + gap, so the emitted
+    * `session_end` subtracts the gap back to the last event time,
+    * matching the gaps-and-islands oracle exactly (the corpus has no
+    * same-user gap of exactly 30 minutes, where the two formulations'
+    * boundary semantics would differ).
+    *
+    * Sentinels flow UNFILTERED through the plan (Catalyst would push any
+    * filter below the watermark operator) into their own marker-user
+    * sessions, dropped on read-back.
+    */
+  def sessionWindowAgg(spark: SparkSession, sfDir: String,
+                       statePartitions: Option[Int] = Some(8)): DataFrame = {
+    val SentinelUser = -1L
+    runBounded(spark, sfDir, statePartitions, OutputMode.Append, "graft_session_window",
+      finish = _.filter(col("user_id") =!= SentinelUser)
+        .orderBy(col("user_id"), col("session_start")),
+      flush = (ss, dir, q) => {
+        val rawMax = maxRawTs(ss, sfDir)
+        val base = ss.read.parquet(s"$sfDir/events.parquet").limit(1)
+        for (i <- 1 to 2) {
+          base.withColumn("ts", farFutureTs(rawMax, i))
+            .withColumn("user_id", lit(SentinelUser))
+            .write.mode("append").parquet(dir.toString)
+          q.processAllAvailable()
+        }
+      }) { stream =>
+      stream
+        .withWatermark("ts", "0 seconds")
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("total_value"))
+        .select(col("user_id"),
+          col("session_window.start").as("session_start"),
+          (col("session_window.end") - expr("INTERVAL 30 MINUTES")).as("session_end"),
+          col("n_events"), col("total_value"))
+    }
+  }
+
   /** Per-user 30-minute-gap sessionization via flatMapGroupsWithState
     * (event-time timeout). A session is emitted once the watermark passes
     * its last event + gap — no earlier event can still arrive, no later
@@ -437,6 +478,7 @@ object Events {
     "stream_dedup" -> ((s, d) => dedupEvents(s, d)),
     "stream_enrich" -> ((s, d) => enrich(s, d)),
     "stream_stream_join" -> ((s, d) => streamStreamJoin(s, d)),
+    "stream_session_window" -> ((s, d) => sessionWindowAgg(s, d)),
     "stream_sessionize" -> ((s, d) => sessionize(s, d)))
 
   val oracle: Map[String, String] = Map(
@@ -468,6 +510,20 @@ object Events {
         |SELECT window_start, event_type, count(*) AS n_events,
         | round(sum(value), 2) AS total_value
         |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // same islands as stream_sessionize, aggregated without ordinals
+    "stream_session_window" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+        |m AS (SELECT user_id, ts, value,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |        OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+        | FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |g AS (SELECT user_id, ts, value,
+        |  sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        | FROM m)
+        |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+        | count(*) AS n_events, round(sum(value), 2) AS total_value
+        |FROM g GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
     "stream_sessionize" ->
       """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
         |m AS (SELECT user_id, ts, value,

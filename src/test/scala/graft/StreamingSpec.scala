@@ -73,6 +73,16 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.collect().toSeq == batch.collect().toSeq)
   }
 
+  test("built-in session_window agrees island-for-island with the custom sessionizer") {
+    val builtin = Events.sessionWindowAgg(spark, TestSpark.sf)
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"), col("total_value")).collect().toSeq
+    val custom = Events.sessionize(spark, TestSpark.sf)
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"), col("total_value")).collect().toSeq
+    assert(builtin == custom)
+  }
+
   test("stream_sessionize equals the batch gaps-and-islands sessionization") {
     val streamed = Events.sessionize(spark, TestSpark.sf)
     Tables.events(spark, TestSpark.sf).createOrReplaceTempView("ev_batch")
