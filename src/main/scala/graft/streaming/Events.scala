@@ -32,6 +32,9 @@ case class SessionOut(user_id: Long, sid: Long, start_us: Long, end_us: Long,
 object Events {
 
   private val GapMs = 30L * 60 * 1000
+  /** The same gap as a window-duration string — session_window and the
+    * session_end back-shift MUST agree, so both derive from GapMs. */
+  private val GapStr = s"${GapMs / 60000} minutes"
   private var counter = 0
 
   private def nextName(prefix: String): String =
@@ -138,6 +141,27 @@ object Events {
       System.err.println(s"cleanup of $dir failed: ${e.getMessage}")
     }
 
+  /** The standard bounded-input flush: two micro-batches of one sentinel
+    * row each, `overrideCol` replaced by the marker value and ts pushed
+    * a day further each round — the first batch advances the watermark
+    * past every real window/session close, the second lets the engine
+    * emit what that advance finalized. ONE definition; the three
+    * sentinel-flushing queries must not drift on typing or batch count.
+    */
+  private def sentinelFlush(sfDir: String, overrideCol: String,
+                            value: org.apache.spark.sql.Column)(
+                            ss: SparkSession, dir: java.nio.file.Path,
+                            q: StreamingQuery): Unit = {
+    val rawMax = maxRawTs(ss, sfDir)
+    val base = ss.read.parquet(s"$sfDir/events.parquet").limit(1)
+    for (i <- 1 to 2) {
+      base.withColumn("ts", farFutureTs(rawMax, i))
+        .withColumn(overrideCol, value)
+        .write.mode("append").parquet(dir.toString)
+      q.processAllAvailable()
+    }
+  }
+
   /** Max raw event time of the staged file, whatever type the raw
     * schema carries (long nanos under nanosAsLong, or a real timestamp
     * column) — sentinel rows must be typed to the RAW schema or the
@@ -236,7 +260,9 @@ object Events {
     * between restarts.
     */
   def enrich(spark: SparkSession, sfDir: String,
-             statePartitions: Option[Int] = Some(8)): DataFrame =
+             statePartitions: Option[Int] = None): DataFrame =
+    // stateless + shuffle-free: no state stores to size, so inherit the
+    // caller's session instead of pinning shuffle partitions on a child
     runBounded(spark, sfDir, statePartitions, OutputMode.Append, "graft_stream_enrich",
       finish = _.orderBy(col("event_id"))) { stream =>
       val dim = broadcast(Tables.customer(stream.sparkSession, sfDir)
@@ -327,14 +353,7 @@ object Events {
             .outputMode(OutputMode.Append).start()
           try {
             q.processAllAvailable()
-            val rawMax = maxRawTs(ss, sfDir)
-            val base = ss.read.parquet(s"$sfDir/events.parquet").limit(1)
-            for (i <- 1 to 2) {
-              base.withColumn("ts", farFutureTs(rawMax, i))
-                .withColumn("event_type", lit(SentinelType))
-                .write.mode("append").parquet(src.toString)
-              q.processAllAvailable()
-            }
+            sentinelFlush(sfDir, "event_type", lit(SentinelType))(ss, src, q)
           } finally q.stop()
           detach(spark, spark.read.parquet(sink.toString)
             .filter(col("event_type") =!= SentinelType)
@@ -364,23 +383,14 @@ object Events {
     runBounded(spark, sfDir, statePartitions, OutputMode.Append, "graft_session_window",
       finish = _.filter(col("user_id") =!= SentinelUser)
         .orderBy(col("user_id"), col("session_start")),
-      flush = (ss, dir, q) => {
-        val rawMax = maxRawTs(ss, sfDir)
-        val base = ss.read.parquet(s"$sfDir/events.parquet").limit(1)
-        for (i <- 1 to 2) {
-          base.withColumn("ts", farFutureTs(rawMax, i))
-            .withColumn("user_id", lit(SentinelUser))
-            .write.mode("append").parquet(dir.toString)
-          q.processAllAvailable()
-        }
-      }) { stream =>
+      flush = sentinelFlush(sfDir, "user_id", lit(SentinelUser))) { stream =>
       stream
         .withWatermark("ts", "0 seconds")
-        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .groupBy(session_window(col("ts"), GapStr), col("user_id"))
         .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("total_value"))
         .select(col("user_id"),
           col("session_window.start").as("session_start"),
-          (col("session_window.end") - expr("INTERVAL 30 MINUTES")).as("session_end"),
+          (col("session_window.end") - expr(s"INTERVAL $GapStr")).as("session_end"),
           col("n_events"), col("total_value"))
     }
   }
@@ -409,19 +419,7 @@ object Events {
           timestamp_micros(col("end_us")).as("session_end"),
           col("n_events"), round(col("total_value"), 2).as("total_value"))
         .orderBy(col("user_id"), col("sid")),
-      flush = (ss, dir, q) => {
-        // Two sentinel batches — the first advances the watermark past
-        // every real session's close point, the second lets the engine
-        // fire the resulting event-time timeouts.
-        val rawMax = maxRawTs(ss, sfDir)
-        val base = ss.read.parquet(s"$sfDir/events.parquet").limit(1)
-        for (i <- 1 to 2) {
-          base.withColumn("ts", farFutureTs(rawMax, i))
-            .withColumn("user_id", lit(SentinelUser))
-            .write.mode("append").parquet(dir.toString)
-          q.processAllAvailable()
-        }
-      }) { raw =>
+      flush = sentinelFlush(sfDir, "user_id", lit(SentinelUser))) { raw =>
       val ss = raw.sparkSession
       import ss.implicits._
       // keep the watermarked `ts` column through the projection — dropping
