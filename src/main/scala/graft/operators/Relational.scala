@@ -296,6 +296,22 @@ object Relational {
         round(expr("percentile(value, 0.99)"), 6).as("p99"))
       .orderBy(col("event_type"))
 
+  /** Sketch percentiles — the 100 TB path [[qPercentiles]] documents:
+    * `approx_percentile` keeps a bounded mergeable digest per group
+    * (map-side combinable, no per-group sort). No exact oracle by
+    * design (sketch output depends on the algorithm), so the driver
+    * records rows-only; the exact row is the oracle-checked twin —
+    * the same pairing as q_distinct_users / q_approx_distinct.
+    */
+  def qApproxPercentiles(spark: SparkSession, d: String): DataFrame =
+    Tables.events(spark, d)
+      .groupBy(col("event_type"))
+      .agg(
+        round(expr("approx_percentile(value, 0.5, 10000)"), 6).as("p50"),
+        round(expr("approx_percentile(value, 0.95, 10000)"), 6).as("p95"),
+        round(expr("approx_percentile(value, 0.99, 10000)"), 6).as("p99"))
+      .orderBy(col("event_type"))
+
   /** Range partitioning (the reference's range_partitioner,
     * /root/reference/src/partitioner.cpp:58-80) is exactly how Spark
     * executes a global ORDER BY: sample → range boundaries → shuffle →
@@ -324,6 +340,7 @@ object Relational {
     "q_asof_join" -> qAsofJoin,
     "q_range_join" -> qRangeJoin,
     "q_percentiles" -> qPercentiles,
+    "q_approx_percentiles" -> qApproxPercentiles,
     "mj_partition_range" -> qGlobalSortTop)
 
   /** The band-join oracle, shared with the streaming formulation

@@ -20,6 +20,33 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("sketch percentiles land inside the exact ±1% quantile band") {
+    // approx_percentile returns an ACTUAL data value (no interpolation),
+    // so in a sparse tail it can legitimately sit far from the
+    // interpolated exact p — the right property is rank accuracy: the
+    // sketch's answer must lie between the exact (p-1%) and (p+1%)
+    // quantiles of the same group
+    import org.apache.spark.sql.functions._
+    val spark = TestSpark.spark
+    val bands = Tables.events(spark, TestSpark.sf)
+      .groupBy(col("event_type"))
+      .agg(
+        expr("percentile(value, 0.49)").as("lo50"), expr("percentile(value, 0.51)").as("hi50"),
+        expr("percentile(value, 0.94)").as("lo95"), expr("percentile(value, 0.96)").as("hi95"),
+        expr("percentile(value, 0.98)").as("lo99"), expr("percentile(value, 1.0)").as("hi99"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(1), r.getDouble(2)), (r.getDouble(3), r.getDouble(4)),
+          (r.getDouble(5), r.getDouble(6)))).toMap
+    val approx = graft.operators.Relational.qApproxPercentiles(spark, TestSpark.sf)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(approx.keySet == bands.keySet)
+    for ((k, (b50, b95, b99)) <- bands; (a50, a95, a99) = approx(k)) {
+      assert(a50 >= b50._1 && a50 <= b50._2, s"$k p50 $a50 outside $b50")
+      assert(a95 >= b95._1 && a95 <= b95._2, s"$k p95 $a95 outside $b95")
+      assert(a99 >= b99._1 && a99 <= b99._2, s"$k p99 $a99 outside $b99")
+    }
+  }
+
   test("RollingHash.compute equals the reference fold on random strings") {
     for (s <- randomTexts(1L, 500)) {
       val expected = s.foldLeft(0L)((acc, c) => (acc * 31 + c.toLong) % 1000000007L)
