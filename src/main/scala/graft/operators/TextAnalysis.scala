@@ -62,11 +62,35 @@ object TextAnalysis {
       .select(col("doc_id"), rollingFingerprint(col("text")).as("fp"))
       .orderBy(col("doc_id"))
 
+  /** Conjunctive keyword search: docs containing ALL query terms
+    * (wc_maple sanitize term space, same as `vocab_topk`). Formulated as
+    * a posting-list intersection — explode to (doc, term) postings, keep
+    * only the query terms, group by doc requiring |terms| distinct hits.
+    * At 100 TB the postings relation is what a search deployment
+    * PRE-BUILDS (partitioned by term); each query is then a k-way
+    * posting intersection over the probed terms only, never a full-text
+    * scan — this operator is that intersection, with the posting build
+    * inlined because the bench corpus is scanned fresh.
+    */
+  def search(docs: DataFrame, terms: Seq[String] = Seq("the", "data")): DataFrame =
+    Tables.spread(docs)
+      .select(col("doc_id"),
+        explode(filter(
+          split(regexp_replace(col("text"), "[^0-9a-zA-Z\\s]", ""), "\\s+"),
+          w => w =!= lit(""))).as("word"))
+      .filter(col("word").isin(terms: _*))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("word")).as("n_matched"))
+      .filter(col("n_matched") === terms.size)
+      .select(col("doc_id"))
+      .orderBy(col("doc_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_stats" -> textStats,
     "text_langid" -> langId,
     "text_tokencount" -> tokenCount,
-    "text_fingerprint" -> fingerprint)
+    "text_fingerprint" -> fingerprint,
+    "text_search" -> ((s, d) => search(Tables.documents(s, d))))
 
   private def sqlList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("(", ",", ")")
   private val toksSql = """list_filter(string_split_regex(text, '\s+'), t -> t <> '')"""
@@ -105,6 +129,13 @@ object TextAnalysis {
          | CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_bpe_tokens,
          | CAST(length(text) AS BIGINT) AS n_chars
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_search" ->
+      """WITH w AS (SELECT doc_id, unnest(list_filter(
+        |   string_split_regex(regexp_replace(text, '[^0-9a-zA-Z\s]', '', 'g'), '\s+'),
+        |   x -> x <> '')) AS word FROM documents)
+        |SELECT doc_id FROM w WHERE word IN ('the', 'data')
+        |GROUP BY doc_id HAVING count(DISTINCT word) = 2
+        |ORDER BY doc_id""".stripMargin,
     "text_fingerprint" ->
       """SELECT doc_id,
         | list_reduce(
