@@ -68,14 +68,37 @@ object Events {
     * planned with the temporary value (ADVICE r2 — the old save/restore
     * of the session-global conf raced with other users of the session).
     */
-  private def sessionFor(spark: SparkSession, n: Option[Int]): SparkSession =
-    n.fold(spark) { p =>
+  private def sessionFor(spark: SparkSession, n: Option[Int],
+                         extraConf: Map[String, String] = Map.empty): SparkSession =
+    if (n.isEmpty && extraConf.isEmpty) spark
+    else {
       val ss = spark.newSession()
-      ss.conf.set("spark.sql.shuffle.partitions", p.toString)
+      n.foreach(p => ss.conf.set("spark.sql.shuffle.partitions", p.toString))
+      extraConf.foreach { case (k, v) => ss.conf.set(k, v) }
       ss
     }
 
   // -------------------------------------------------- bounded-run harness
+
+  /** Scratch-dir root for the bounded harness: prefer a tmpfs (/dev/shm)
+    * over the disk-backed java.io.tmpdir. The checkpoint a bounded verify
+    * run writes is ephemeral — deleted on return, never restarted from —
+    * but every micro-batch fsyncs its offset WAL, commit log and state
+    * delta into it, and on a disk-backed /tmp those fsyncs dominate the
+    * fixed cost of each of the ~6 batches a sentinel-flushed query runs
+    * (measured ~0.5-1.2s per ZERO-row batch). A production deployment
+    * points checkpointLocation at durable shared storage instead — that
+    * path is what [[windowAggToFiles]] demonstrates.
+    */
+  private val scratchRoot: Option[java.nio.file.Path] = {
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    if (java.nio.file.Files.isDirectory(shm) && java.nio.file.Files.isWritable(shm)) Some(shm)
+    else None
+  }
+
+  private def scratchDir(prefix: String): java.nio.file.Path =
+    scratchRoot.fold(java.nio.file.Files.createTempDirectory(prefix))(
+      java.nio.file.Files.createTempDirectory(_, prefix))
 
   /** Run a streaming plan over the staged events file to completion and
     * return the finalized sink table — THE harness every bounded verify
@@ -92,10 +115,22 @@ object Events {
                          statePartitions: Option[Int], mode: OutputMode, prefix: String,
                          finish: DataFrame => DataFrame = identity,
                          flush: (SparkSession, java.nio.file.Path, StreamingQuery) => Unit =
-                           (_, _, _) => ())(
+                           (_, _, _) => (),
+                         extraConf: Map[String, String] = Map.empty)(
                          build: DataFrame => DataFrame): DataFrame = {
-    val ss = sessionFor(spark, statePartitions)
-    val dir = java.nio.file.Files.createTempDirectory(prefix)
+    // No-data micro-batches exist to finalize state for a LIVE stream
+    // that went quiet — for the bounded harness every one is a paid
+    // no-op (~0.5-1.9s each, three per sentinel-flushed run): each
+    // sentinel APPEND is a data batch that already runs with the
+    // previously-advanced watermark, so eviction + emission happen in
+    // the data batches processAllAvailable actually waits for. (This is
+    // also why the flush appends TWO sentinel batches: the second one's
+    // data batch is the guaranteed-awaited carrier of the first one's
+    // watermark advance.)
+    val conf = Map("spark.sql.streaming.noDataMicroBatches.enabled" -> "false") ++ extraConf
+    val ss = sessionFor(spark, statePartitions,
+      if (statePartitions.isEmpty && extraConf.isEmpty) Map.empty else conf)
+    val dir = scratchDir(prefix)
     try {
       java.nio.file.Files.copy(
         java.nio.file.Paths.get(s"$sfDir/events.parquet"),
@@ -104,8 +139,10 @@ object Events {
       val name = nextName(prefix)
       try {
         val q = result.writeStream.format("memory").queryName(name)
+          .option("checkpointLocation", dir.resolve("_ckpt").toString)
           .outputMode(mode).start()
-        try { q.processAllAvailable(); flush(ss, dir, q) } finally q.stop()
+        try { q.processAllAvailable(); flush(ss, dir, q) }
+        finally { dumpProgress(name, q); q.stop() }
         detach(spark, finish(ss.table(name)))
       } finally {
         try ss.catalog.dropTempView(name) catch { case _: Exception => }
@@ -122,6 +159,28 @@ object Events {
     val rows = result.collect()
     target.createDataFrame(java.util.Arrays.asList(rows: _*), result.schema)
   }
+
+  /** Opt-in per-batch diagnostics (SPARK_GRAFT_STREAM_DEBUG=1): batch
+    * duration breakdown + state-store op counts per micro-batch, straight
+    * off the engine's own StreamingQueryProgress — the data needed to
+    * tell "the first drain is slow" from "the sentinel flush batches are
+    * slow" without attaching a listener to the child session.
+    */
+  private def dumpProgress(name: String, q: StreamingQuery): Unit =
+    if (sys.env.get("SPARK_GRAFT_STREAM_DEBUG").contains("1"))
+      q.recentProgress.foreach { p =>
+        val d = p.durationMs
+        val state = p.stateOperators.map { s =>
+          s"op=${s.operatorName} rowsTotal=${s.numRowsTotal} upd=${s.numRowsUpdated}" +
+            s" rm=${s.numRowsRemoved} commitMs=${s.commitTimeMs} mem=${s.memoryUsedBytes}"
+        }.mkString("; ")
+        System.err.println(
+          s"[stream-debug] $name batch=${p.batchId} rows=${p.numInputRows}" +
+            s" triggerMs=${d.get("triggerExecution")} addBatchMs=${d.get("addBatch")}" +
+            s" stateMs=[getBatch=${d.get("getBatch")} wal=${d.get("walCommit")}" +
+            s" commit=${d.get("commitOffsets")} queryPlanning=${d.get("queryPlanning")}]" +
+            s" :: $state")
+      }
 
   private def deleteDir(dir: java.nio.file.Path): Unit = {
     val walk = java.nio.file.Files.walk(dir)
@@ -329,13 +388,16 @@ object Events {
     */
   def windowAggToFiles(spark: SparkSession, sfDir: String,
                        statePartitions: Option[Int] = Some(8)): DataFrame = {
-    val ss = sessionFor(spark, statePartitions)
+    // same rationale as runBounded: sentinel data batches carry the
+    // watermark advance; no-data batches only add per-batch overhead
+    val ss = sessionFor(spark, statePartitions,
+      Map("spark.sql.streaming.noDataMicroBatches.enabled" -> "false"))
     val SentinelType = "__sentinel"
-    val src = java.nio.file.Files.createTempDirectory("graft_window_file_src")
+    val src = scratchDir("graft_window_file_src")
     try {
-      val sink = java.nio.file.Files.createTempDirectory("graft_window_file_sink")
+      val sink = scratchDir("graft_window_file_sink")
       try {
-        val ckpt = java.nio.file.Files.createTempDirectory("graft_window_file_ckpt")
+        val ckpt = scratchDir("graft_window_file_ckpt")
         try {
           java.nio.file.Files.copy(
             java.nio.file.Paths.get(s"$sfDir/events.parquet"),
@@ -383,7 +445,15 @@ object Events {
     runBounded(spark, sfDir, statePartitions, OutputMode.Append, "graft_session_window",
       finish = _.filter(col("user_id") =!= SentinelUser)
         .orderBy(col("user_id"), col("session_start")),
-      flush = sentinelFlush(sfDir, "user_id", lit(SentinelUser))) { stream =>
+      flush = sentinelFlush(sfDir, "user_id", lit(SentinelUser)),
+      // Merge sessions per input partition BEFORE the shuffle + state
+      // store (off by default in Spark). Without it the store holds one
+      // per-EVENT session fragment — measured 95,465 state rows for
+      // 9,549 real sessions at sf0.1 — so the save commit and the
+      // watermark-advance eviction batch each pay a ~10x-inflated scan.
+      // With it, the shuffle and the store carry ~|sessions| rows.
+      extraConf = Map(
+        "spark.sql.streaming.sessionWindow.merge.sessions.in.local.partition" -> "true")) { stream =>
       stream
         .withWatermark("ts", "0 seconds")
         .groupBy(session_window(col("ts"), GapStr), col("user_id"))
