@@ -30,18 +30,43 @@ object Bench {
     val selected =
       if (args.isEmpty) SparkEntry.queries
       else SparkEntry.queries.view.filterKeys(args.toSet).toMap
-    // Repetitions per query, reporting the MEDIAN: this VM CPU-throttles
-    // under sustained load, and a single throttled run once recorded a
-    // phantom 3x "regression" of a round that was actually faster. The
-    // median of N runs is stable against a throttle window hitting any
-    // one rep; min would hide a real regression that only shows warm.
+    // INTERLEAVED repetitions: run the whole suite `reps` times and take
+    // each query's MEDIAN across passes. This VM CPU-throttles under
+    // sustained load in windows long enough to cover all back-to-back
+    // reps of one query — which once recorded a constant-size groupBy at
+    // 11s whose true cost is <2s. Interleaving means a throttle window
+    // lands on DIFFERENT queries each pass, so the per-query median
+    // survives any single throttled pass.
     val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS").map(_.toInt).getOrElse(3).max(1)
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
-    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to reps).map { _ =>
+    // Throttle canary: a fixed pure-CPU reference task (no I/O, no
+    // shuffle — parallel xor-sum over a range) timed between every
+    // CanaryEvery queries. Its cost is constant by construction, so its
+    // recorded spread IS the machine's speed variation during the run:
+    // a reader sees max/min ≈ 1 and trusts the medians, or sees 3x and
+    // knows which stretch of the run to distrust.
+    val CanaryEvery = 8
+    val canaryTimes = scala.collection.mutable.ListBuffer.empty[Double]
+    def canary(): Unit = {
+      import org.apache.spark.sql.functions.{sum, col}
+      val t0 = System.nanoTime()
+      spark.range(0, 100000000L, 1, 32)
+        .select(sum(col("id").bitwiseXOR(2654435761L)).as("x"))
+        .write.format("noop").mode("overwrite").save()
+      canaryTimes += (System.nanoTime() - t0) / 1e9
+    }
+    // untimed first execution: the canary's own codegen compilation
+    // otherwise inflates its first sample (~3x), faking a throttle
+    canary(); canaryTimes.clear()
+    val names = selected.toSeq.sortBy(_._1)
+    val times =
+      scala.collection.mutable.LinkedHashMap(names.map { case (n, _) => n -> List.empty[Double] }: _*)
+    for (_ <- 1 to reps) {
+      for (((name, fn), i) <- names.zipWithIndex) {
+        if (i % CanaryEvery == 0) canary()
         val t0 = System.nanoTime()
         // noop sink: full plan executes (every column materialized), nothing
         // written — unlike count(), Catalyst can't prune unevaluated aggs.
@@ -49,23 +74,27 @@ object Bench {
         catch { case e: Throwable =>
           errors += s"$name: ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
         }
-        (System.nanoTime() - t0) / 1e9
+        times(name) = times(name) :+ (System.nanoTime() - t0) / 1e9
       }
-      (name, median(times), times)
+      canary()
     }
+    val results = times.toSeq.map { case (n, ts) => (n, median(ts), ts) }
     def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
       .replaceAll("[\\n\\r\\t]", " ") + "\""
     // Locale.ROOT: a comma-decimal default locale would emit invalid JSON
     def fmt(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v, _) => q(k) + ":" + fmt(v) }.mkString("{", ",", "}")
-    // per-rep raw times: lets a reader see whether a slow median was one
-    // throttled rep or a consistent cost
+    // per-pass raw times: lets a reader see whether a slow median was one
+    // throttled pass or a consistent cost
     val repsJson = results.map { case (k, _, ts) =>
       q(k) + ":" + ts.map(fmt).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
-    val errs = errors.map(q).mkString("[", ",", "]")
+    val canaryJson = canaryTimes.map(fmt).mkString("[", ",", "]")
+    val canarySpread =
+      if (canaryTimes.isEmpty || canaryTimes.min == 0) 0.0 else canaryTimes.max / canaryTimes.min
+    val errs = errors.toSeq.distinct.map(q).mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$repsJson,"errors":$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$repsJson,"canary":$canaryJson,"canary_spread":${fmt(canarySpread)},"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
     // A failed query must fail the bench loudly, not record a ~0s success.
     if (errors.nonEmpty) { System.err.println(errors.mkString("\n")); sys.exit(1) }
