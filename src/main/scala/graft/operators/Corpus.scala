@@ -27,6 +27,13 @@ import org.apache.spark.sql.functions._
   */
 object Corpus {
 
+  /** Driver-loop observability for the CC rounds: a production run needs
+    * to SEE divergence building (changed-label counts not shrinking)
+    * before the convergence guard throws, and the driver loop is the only
+    * place that knows the per-round numbers.
+    */
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   // ---------------------------------------------------------------- splits
 
   /** Deterministic train/validation/test assignment by content hash:
@@ -101,6 +108,9 @@ object Corpus {
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint(true)
+    if (log.isInfoEnabled)
+      log.info(s"connectedComponents: ${sym.count()} directed edges, " +
+        s"${labels.count()} vertices, maxIter=$maxIter")
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
@@ -116,6 +126,10 @@ object Corpus {
       changed = next.filter(col("chg")).count()
       labels = next.select(col("id"), col("label"))
       iter += 1
+      // the divergence early-warning: this count shrinking toward 0 is
+      // convergence; holding steady round over round is a long chain
+      // heading for the guard below
+      log.info(s"connectedComponents round $iter: $changed labels changed")
     }
     // Returning non-converged labels would be a SILENT wrong answer
     // (docs of one component split across several cluster ids, diverging
@@ -129,6 +143,86 @@ object Corpus {
           "component diameter) or use the large-star/small-star formulation " +
           "for long-path graphs")
     labels
+  }
+
+  /** Connected components by alternating large-star / small-star edge
+    * rewriting (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond") — the ADVERSARIAL-GRAPH twin of [[connectedComponents]]:
+    * min-label propagation needs diameter-many rounds (a 1000-vertex
+    * path needs 999), star contraction halves path lengths every
+    * round and converges in O(log n) rounds of the same join+min shape.
+    *
+    *  - large-star: every node points its LARGER neighbors at the
+    *    minimum of its closed neighborhood — long paths fold in half.
+    *  - small-star: every node and its smaller neighbors re-point at the
+    *    neighborhood minimum — components flatten into stars.
+    *
+    * Each phase is one groupBy-min + one join over the current edge set
+    * (which only ever shrinks toward one edge per non-root vertex), with
+    * lineage truncated per round. Convergence = the canonical edge set
+    * reaches a fixed point (counts first, then an exact except-check, so
+    * no hash-collision false positive can end the loop early); at the
+    * fixed point every edge is (vertex, component-minimum). Use this
+    * over [[connectedComponents]] when component diameters are unknown
+    * or adversarial; near-dup clique graphs converge in ~2 rounds either
+    * way, which is why the min-label variant stays the default.
+    */
+  def connectedComponentsStar(edges: DataFrame, maxIter: Int = 50): DataFrame = {
+    // vertex set up front: star rewriting drops self-loops, but a vertex
+    // appearing ONLY in self-loops is still a (singleton) component
+    val vertices = edges.select(col("src").as("id"))
+      .union(edges.select(col("dst").as("id"))).distinct().localCheckpoint(true)
+    if (vertices.isEmpty)
+      return vertices.select(col("id"), col("id").as("label"))
+    // canonical undirected form: (u, v) with u > v, self-loops dropped
+    var e = edges
+      .select(greatest(col("src"), col("dst")).as("u"), least(col("src"), col("dst")).as("v"))
+      .filter(col("u") =!= col("v")).distinct().localCheckpoint(true)
+    var eCount = e.count()
+    log.info(s"connectedComponentsStar: $eCount canonical edges, maxIter=$maxIter")
+    var converged = eCount == 0
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // large-star over BOTH directions: node a sees neighborhood minimum
+      // m = min(N(a) ∪ {a}); each larger neighbor b > a re-points to m
+      val nbr = e.select(col("u").as("a"), col("v").as("b"))
+        .union(e.select(col("v").as("a"), col("u").as("b")))
+      val mins = nbr.groupBy(col("a")).agg(min(col("b")).as("mn"))
+        .select(col("a"), least(col("a"), col("mn")).as("m"))
+      val large = nbr.join(mins, "a")
+        .filter(col("b") > col("a")) // b > a >= m, so (b, m) is canonical
+        .select(col("b").as("u"), col("m").as("v")).distinct()
+      // small-star on the large-star output (already canonical u > v):
+      // node u and its smaller neighbors all re-point at min(N⁻(u) ∪ {u})
+      val minsS = large.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val small = large.join(minsS, "u").select(col("v").as("a"), col("m").as("b"))
+        .union(minsS.select(col("u").as("a"), col("m").as("b")))
+        .select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+        .localCheckpoint(true)
+      val smallCount = small.count()
+      // fixed point: same canonical edge set as last round (count gate
+      // first; the except probe runs only when counts agree)
+      converged = smallCount == eCount && small.exceptAll(e).isEmpty
+      e = small
+      eCount = smallCount
+      iter += 1
+      log.info(s"connectedComponentsStar round $iter: $eCount edges" +
+        (if (converged) " (fixed point)" else ""))
+    }
+    if (!converged && eCount > 0)
+      throw new IllegalStateException(
+        s"connectedComponentsStar did not reach a fixed point in $maxIter rounds " +
+          s"($eCount edges) — star contraction needs O(log n) rounds, so raise " +
+          "maxIter only for astronomically large vertex ids")
+    // at the fixed point every edge is (vertex, its component minimum);
+    // roots label themselves, edge-set dropouts (self-loop-only vertices)
+    // are singletons
+    val labeled = e.select(col("u").as("id"), col("v").as("label"))
+      .union(e.select(col("v").as("id"), col("v").as("label")))
+      .groupBy(col("id")).agg(min(col("label")).as("label"))
+    vertices.join(labeled, Seq("id"), "left")
+      .select(col("id"), coalesce(col("label"), col("id")).as("label"))
   }
 
   /** Near-duplicate clusters: connected components over the exact

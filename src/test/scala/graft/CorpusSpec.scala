@@ -47,6 +47,43 @@ class CorpusSpec extends AnyFunSuite {
     assert(e.getMessage.contains("did not converge"))
   }
 
+  test("connectedComponentsStar converges on a 1000-vertex path graph") {
+    // min-label propagation needs 999 rounds here (and throws at its
+    // default 25); star contraction must fold the path in O(log n)
+    val path = edges((0L until 999L).map(i => i -> (i + 1)): _*)
+    val labels = Corpus.connectedComponentsStar(path)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(labels.length == 1000)
+    assert(labels.forall(_._2 == 0L), "every path vertex must label to the minimum (0)")
+  }
+
+  test("connectedComponentsStar matches min-label CC on mixed graphs") {
+    val g = edges(
+      1L -> 2L, 2L -> 3L, 3L -> 4L, // chain
+      10L -> 11L, 11L -> 12L, 10L -> 12L, // triangle
+      20L -> 20L, // self-loop-only vertex = singleton component
+      30L -> 31L) // pair
+    val star = Corpus.connectedComponentsStar(g)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val minLabel = Corpus.connectedComponents(g)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(star == minLabel)
+    assert(star(20L) == 20L)
+  }
+
+  test("connectedComponentsStar on the documents pair graph equals the min-label clusters") {
+    // dedup_clusters' oracle-checked output must be reproducible by the
+    // adversarial-graph formulation — same edge set, same labels
+    val pairEdges = Dedup.ngramJaccard(Tables.documents(spark, TestSpark.sf))
+      .select(org.apache.spark.sql.functions.col("doc_id_1").as("src"),
+        org.apache.spark.sql.functions.col("doc_id_2").as("dst"))
+    val star = Corpus.connectedComponentsStar(pairEdges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val minLabel = Corpus.connectedComponents(pairEdges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(star == minLabel)
+  }
+
   test("cleanCorpus quality gate keeps high-quality canonical docs only") {
     // structural sanity on the real corpus: every surviving doc is
     // quality >= 0.75 and no surviving doc is a non-canonical dup member
