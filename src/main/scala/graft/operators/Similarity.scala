@@ -1,9 +1,21 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+
+/** Typed-row shapes for the IVF/PQ partition kernels: Tungsten encodes
+  * these as primitive fields + primitive arrays (no GenericRow boxing),
+  * and the surrounding plan stays a single
+  * Deserialize→MapPartitions→Serialize pipeline instead of dropping to
+  * an RDD + createDataFrame round-trip that severs codegen.
+  */
+private[operators] case class VecRow(vec_id: Long, v: Array[Double])
+private[operators] case class CellAssign(neighbor_id: Long, cell: Int)
+private[operators] case class CellProbe(query_id: Long, cell: Int)
+private[operators] case class PqCode(neighbor_id: Long, code: Array[Int])
+private[operators] case class AdcScore(query_id: Long, neighbor_id: Long, cos_sim: Double)
 
 /** Approximate-nearest-neighbor search over the `embeddings` table
   * (SURVEY.md §2.4). Query set = the 10 lowest vec_ids; corpus = the rest.
@@ -178,24 +190,23 @@ object Similarity {
   def ivfTopK(embeddings: DataFrame, k: Int = 5, nCells: Int = 16, nprobe: Int = 4,
               maxSample: Int = 4096): DataFrame = {
     val spark = embeddings.sparkSession
+    import spark.implicits._
     // centroid training reads a BOUNDED sample (limit pushed into the
     // scan) — never the whole corpus; assignment below streams everything
     val sample = collectVecs(embeddings.limit(maxSample))
     val centroids = kmeansLite(sample, nCells)
     val bc = spark.sparkContext.broadcast(centroids)
-    val assigned = spark.createDataFrame(
-      Tables.spread(vecs(embeddings.filter(col("vec_id") >= NumQueries))).rdd.mapPartitions { it =>
-        it.map { r => Row(r.getLong(0), nearestCell(r.getSeq[Double](1).toArray, bc.value)) }
-      },
-      StructType(Seq(StructField("neighbor_id", LongType), StructField("cell", IntegerType))))
-    val probes = spark.createDataFrame(
-      vecs(embeddings.filter(col("vec_id") < NumQueries)).rdd.mapPartitions { it =>
-        it.flatMap { r =>
-          val qid = r.getLong(0)
-          nearestCells(r.getSeq[Double](1).toArray, bc.value, nprobe).iterator.map(c => Row(qid, c))
-        }
-      },
-      StructType(Seq(StructField("query_id", LongType), StructField("cell", IntegerType))))
+    // typed mapPartitions: the assign kernel runs on encoder-decoded
+    // primitives and its output serializes straight back to Tungsten rows
+    val assigned = Tables.spread(vecs(embeddings.filter(col("vec_id") >= NumQueries)))
+      .as[VecRow]
+      .mapPartitions(it => it.map(r => CellAssign(r.vec_id, nearestCell(r.v, bc.value))))
+      .toDF()
+    val probes = vecs(embeddings.filter(col("vec_id") < NumQueries))
+      .as[VecRow]
+      .mapPartitions(it => it.flatMap(r =>
+        nearestCells(r.v, bc.value, nprobe).iterator.map(c => CellProbe(r.vec_id, c))))
+      .toDF()
     val candidates = assigned.join(broadcast(probes), Seq("cell"))
       .select(col("query_id"), col("neighbor_id")).distinct()
     rerank(candidates, embeddings, k)
@@ -228,19 +239,18 @@ object Similarity {
       kmeansLite(sample.map { case (id, v) => (id, v.slice(j * dsub, (j + 1) * dsub)) }, ksub)
     }
     val bcCb = spark.sparkContext.broadcast(codebooks)
-    // encode: corpus streams once, emitting m-code rows — this tiny
-    // relation is what every later scan touches
-    val codes = spark.createDataFrame(
-      Tables.spread(vecs(embeddings.filter(col("vec_id") >= NumQueries))).rdd.mapPartitions { it =>
+    import spark.implicits._
+    // encode: corpus streams once through a typed kernel, emitting m-code
+    // rows — this tiny relation is what every later scan touches
+    val codes = Tables.spread(vecs(embeddings.filter(col("vec_id") >= NumQueries)))
+      .as[VecRow]
+      .mapPartitions { it =>
         val cb = bcCb.value
         it.map { r =>
-          val v = r.getSeq[Double](1).toArray
-          Row(r.getLong(0),
-            (0 until cb.length).map(j => nearestCell(v.slice(j * dsub, (j + 1) * dsub), cb(j))))
+          PqCode(r.vec_id,
+            Array.tabulate(cb.length)(j => nearestCell(r.v.slice(j * dsub, (j + 1) * dsub), cb(j))))
         }
-      },
-      StructType(Seq(StructField("neighbor_id", LongType),
-        StructField("code", ArrayType(IntegerType)))))
+      }
     // per-query lookup tables: dot(q_j, centroid_{j,t}); plus the
     // query-independent ‖centroid‖² table for the reconstruction norm
     val qs = collectVecs(embeddings.filter(col("vec_id") < NumQueries))
@@ -258,27 +268,53 @@ object Similarity {
     }
     val cnorm2 = codebooks.map(_.map(c => c.map(x => x * x).sum))
     val bcQ = spark.sparkContext.broadcast((qluts, cnorm2))
-    val adc = spark.createDataFrame(
-      codes.rdd.mapPartitions { it =>
-        val (luts, cn) = bcQ.value
-        it.flatMap { r =>
-          val nid = r.getLong(0)
-          val code = r.getSeq[Int](1)
-          var rn2 = 0.0
-          var j = 0
-          while (j < code.length) { rn2 += cn(j)(code(j)); j += 1 }
-          val rnorm = math.sqrt(rn2)
-          luts.iterator.map { case (qid, lut, qnorm) =>
-            var dp = 0.0
-            var i = 0
-            while (i < code.length) { dp += lut(i)(code(i)); i += 1 }
-            Row(qid, nid, if (rnorm * qnorm == 0) 0.0 else dp / (rnorm * qnorm))
+    // ADC scan with the top-(k·refine) selection FOLDED INTO the
+    // partition loop: a per-(query, partition) bounded heap keeps only
+    // the k·refine best candidates, so the exchange after the scan
+    // carries ≤ |queries|·k·refine rows per partition instead of
+    // |queries| × |corpus rows in partition|. The global union of
+    // per-partition top-c sets is a superset of the global top-c, so
+    // the downstream [[topK]] merge sees exactly the same winners —
+    // same tie-break too (score desc, neighbor_id asc): the heap evicts
+    // by lowest score, then HIGHEST id.
+    val cap = k * refine
+    val adc = codes.mapPartitions { it =>
+      val (luts, cn) = bcQ.value
+      // worst-on-top ordering: max element = (lowest cos_sim, highest id)
+      val worstFirst = Ordering.by((x: (Double, Long)) => (-x._1, x._2))
+      val heaps = luts.map { case (qid, _, _) =>
+        qid -> new scala.collection.mutable.PriorityQueue[(Double, Long)]()(worstFirst)
+      }
+      it.foreach { r =>
+        val code = r.code
+        var rn2 = 0.0
+        var j = 0
+        while (j < code.length) { rn2 += cn(j)(code(j)); j += 1 }
+        val rnorm = math.sqrt(rn2)
+        var qi = 0
+        while (qi < luts.length) {
+          val (_, lut, qnorm) = luts(qi)
+          var dp = 0.0
+          var i = 0
+          while (i < code.length) { dp += lut(i)(code(i)); i += 1 }
+          val s = if (rnorm * qnorm == 0) 0.0 else dp / (rnorm * qnorm)
+          val heap = heaps(qi)._2
+          if (heap.size < cap) heap.enqueue((s, r.neighbor_id))
+          else {
+            val (ws, wid) = heap.head
+            if (s > ws || (s == ws && r.neighbor_id < wid)) {
+              heap.dequeue()
+              heap.enqueue((s, r.neighbor_id))
+            }
           }
+          qi += 1
         }
-      },
-      StructType(Seq(StructField("query_id", LongType),
-        StructField("neighbor_id", LongType), StructField("cos_sim", DoubleType))))
-    rerank(topK(adc, k * refine).select(col("query_id"), col("neighbor_id")), embeddings, k)
+      }
+      heaps.iterator.flatMap { case (qid, heap) =>
+        heap.iterator.map { case (s, nid) => AdcScore(qid, nid, s) }
+      }
+    }.toDF()
+    rerank(topK(adc, cap).select(col("query_id"), col("neighbor_id")), embeddings, k)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
