@@ -274,6 +274,28 @@ class Sdfs(spark: SparkSession) {
 
   /** Read a bucketed catalog table (bucket metadata intact). */
   def getTable(table: String): DataFrame = spark.table(table)
+
+  /** Write a dataset laid out as one directory tree per distinct value
+    * of `partitionCols` (`col=value/...`, Hive layout) — the storage-side
+    * twin of the reference's key-hashed file placement
+    * (/root/reference/src/partitioner.cpp:40-55), with the placement key
+    * readable back from the PATH: a query filtering on the partition
+    * columns is planned against only the matching directories
+    * (PartitionFilters on the scan), so at 100 TB a one-partition read
+    * costs one directory, not a full-table listing + row-level filter.
+    * Pick low-cardinality, always-filtered columns (date, split, tenant);
+    * a high-cardinality partition key degenerates into millions of tiny
+    * directories — that's what [[putBucketed]] is for.
+    */
+  def putPartitioned(df: DataFrame, path: String, partitionCols: Seq[String],
+                     format: String = "parquet",
+                     metadata: Map[String, String] = Map.empty): Unit = {
+    require(partitionCols.nonEmpty, "putPartitioned needs at least one partition column")
+    writer(df, format)
+      .partitionBy(partitionCols: _*)
+      .mode(SaveMode.Overwrite).save(path)
+    if (metadata.nonEmpty) putMetadata(path, metadata)
+  }
 }
 
 object Sdfs {

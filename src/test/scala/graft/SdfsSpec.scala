@@ -179,6 +179,35 @@ class SdfsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("putPartitioned lays out partition dirs and a filtered read prunes to them") {
+    import spark.implicits._
+    val p = s"$base/parted"
+    val docs = Seq(
+      (1L, "train", "x"), (2L, "train", "y"), (3L, "validation", "z"),
+      (4L, "test", "w"), (5L, "train", "v")).toDF("doc_id", "split", "text")
+    sdfs.putPartitioned(docs, p, Seq("split"), metadata = Map("owner" -> "graft"))
+    // Hive layout on disk: one directory per partition value
+    val dirs = sdfs.lsDirs(p).collect().map(_.getString(0)).toSet
+    assert(dirs == Set("split=train", "split=validation", "split=test"))
+    assert(sdfs.getMetadata(p).contains(Map("owner" -> "graft")))
+    val filtered = sdfs.get(p).filter(org.apache.spark.sql.functions.col("split") === "train")
+    assert(filtered.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 5L))
+    // pruning happens at PLANNING (PartitionFilters), not as a row-level
+    // parquet pushdown: the scan must never open the other directories
+    val scan = filtered.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.getOrElse(fail("no FileSourceScanExec in the filtered read"))
+    val partFilters = scan.metadata("PartitionFilters")
+    assert(partFilters.contains("split"), s"PartitionFilters missing the split predicate: $partFilters")
+    assert(!scan.metadata("PushedFilters").contains("split"),
+      "split must prune partitions, not be a row-level pushed filter")
+    // the collect() above ran THIS plan instance: its file-count metric
+    // is the number of files the scan actually opened
+    val trainFiles = sdfs.lsFiles(s"$p/split=train").count()
+    assert(scan.metrics("numFiles").value == trainFiles,
+      s"scan opened ${scan.metrics("numFiles").value} files; split=train holds $trainFiles")
+  }
+
   test("roundtrip query reports parity for every format") {
     val rows = Sdfs.roundtrip(spark, TestSpark.sf, rows = 200).collect()
     assert(rows.length == 4)
