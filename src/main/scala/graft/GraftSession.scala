@@ -28,7 +28,27 @@ object GraftSession {
     s
   }
 
-  private def configureCommon(b: SparkSession.Builder): SparkSession.Builder = b
+  /** Streaming state-store backend, opt-in via SPARK_GRAFT_STATE_STORE:
+    * `rocksdb` (or a full provider class name) swaps the default
+    * HDFS-backed in-memory store for RocksDB. The in-memory store holds
+    * every key of every state partition on-heap — at 100 TB-pipeline
+    * keyspaces (billions of dedup keys, sessions) that's the first thing
+    * a deployment replaces; RocksDB keeps working-set state off-heap and
+    * spills to local SSD with changelog checkpointing. Benchmarks at the
+    * test scale favor the in-memory store, which is why it stays the
+    * default.
+    */
+  private def stateStoreProvider: Option[String] =
+    sys.env.get("SPARK_GRAFT_STATE_STORE").map {
+      case "rocksdb" =>
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+      case full => full
+    }
+
+  private def configureCommon(b: SparkSession.Builder): SparkSession.Builder = {
+    stateStoreProvider.foreach(p =>
+      b.config("spark.sql.streaming.stateStore.providerClass", p))
+    b
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
@@ -44,6 +64,7 @@ object GraftSession {
     // anyway; skip the rule.
     .config("spark.sql.optimizer.excludedRules",
       "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
+  }
 
   def local(cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")): SparkSession = {
     val s = configure(SparkSession.builder().master(s"local[$cpus]"), cpus).getOrCreate()

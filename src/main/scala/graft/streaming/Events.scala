@@ -100,6 +100,19 @@ object Events {
     scratchRoot.fold(java.nio.file.Files.createTempDirectory(prefix))(
       java.nio.file.Files.createTempDirectory(_, prefix))
 
+  /** State-store provider override for the harness's child sessions,
+    * read per run from the `graft.stateStore.providerClass` JVM property
+    * ([[graft.GraftSession]] documents the deployment-level env knob).
+    * A property (not a builder conf) so one JVM — a spec — can run the
+    * same query under the default HDFS-backed store and RocksDB and
+    * compare results; at 100 TB keyspaces swapping to RocksDB is the
+    * first deployment move, and the swap must be a config, not a code
+    * change.
+    */
+  private def providerConf: Map[String, String] =
+    sys.props.get("graft.stateStore.providerClass")
+      .map("spark.sql.streaming.stateStore.providerClass" -> _).toMap
+
   /** Run a streaming plan over the staged events file to completion and
     * return the finalized sink table — THE harness every bounded verify
     * query shares (one definition of staging, lifecycle and cleanup; a
@@ -127,9 +140,11 @@ object Events {
     // also why the flush appends TWO sentinel batches: the second one's
     // data batch is the guaranteed-awaited carrier of the first one's
     // watermark advance.)
-    val conf = Map("spark.sql.streaming.noDataMicroBatches.enabled" -> "false") ++ extraConf
+    val conf = Map("spark.sql.streaming.noDataMicroBatches.enabled" -> "false") ++
+      providerConf ++ extraConf
     val ss = sessionFor(spark, statePartitions,
-      if (statePartitions.isEmpty && extraConf.isEmpty) Map.empty else conf)
+      if (statePartitions.isEmpty && extraConf.isEmpty && providerConf.isEmpty) Map.empty
+      else conf)
     val dir = scratchDir(prefix)
     try {
       java.nio.file.Files.copy(
@@ -391,7 +406,7 @@ object Events {
     // same rationale as runBounded: sentinel data batches carry the
     // watermark advance; no-data batches only add per-batch overhead
     val ss = sessionFor(spark, statePartitions,
-      Map("spark.sql.streaming.noDataMicroBatches.enabled" -> "false"))
+      Map("spark.sql.streaming.noDataMicroBatches.enabled" -> "false") ++ providerConf)
     val SentinelType = "__sentinel"
     val src = scratchDir("graft_window_file_src")
     try {

@@ -100,6 +100,90 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("RocksDB state store yields byte-identical results to the default provider") {
+    // the provider is a deployment swap (100 TB keyspaces don't fit the
+    // on-heap default) — results must not depend on it. Exercised on the
+    // two heaviest state shapes: merging session windows and
+    // watermark-bounded dedup.
+    val Rocks = "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    val defaultSessions = Events.sessionWindowAgg(spark, TestSpark.sf).collect().toSeq
+    val defaultDedup = Events.dedupEvents(spark, TestSpark.sf).collect().toSeq
+    System.setProperty("graft.stateStore.providerClass", Rocks)
+    try {
+      assert(Events.sessionWindowAgg(spark, TestSpark.sf).collect().toSeq == defaultSessions)
+      assert(Events.dedupEvents(spark, TestSpark.sf).collect().toSeq == defaultDedup)
+    } finally System.clearProperty("graft.stateStore.providerClass")
+  }
+
+  test("AvailableNow restart finalizes closed windows sentinel-free; the last window needs the sentinel") {
+    // Investigation pinned as a spec: can bounded append-mode windows
+    // finalize WITHOUT sentinel rows polluting the watched directory?
+    //  - Yes, up to the watermark: a single Trigger.AvailableNow run
+    //    drains the data AND runs a trailing no-data batch that applies
+    //    the just-advanced watermark, emitting every window provably
+    //    closed by maxTs - delay before stopping. No sentinels, no
+    //    source-dir pollution. (A restart on the same checkpoint adds
+    //    nothing — the watermark can't advance without data.)
+    //  - The final open window(s) can NEVER finalize this way: a
+    //    watermark only passes a window's end on evidence of later
+    //    events, and a bounded directory has none. Closing the last
+    //    window takes future data — which is exactly the sentinel
+    //    append (the SDFS-append idiom). So the production pattern is:
+    //    AvailableNow for steady-state incremental finalization;
+    //    sentinels (or one trailing heartbeat event) only to RETIRE a
+    //    stream. The memory-sink harness keeps sentinels because the
+    //    verify contract needs every window, including the last.
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = java.nio.file.Files.createTempDirectory("graft_avnow")
+    try {
+      val src = java.nio.file.Files.createDirectory(dir.resolve("src"))
+      val sink = dir.resolve("sink").toString
+      val ckpt = dir.resolve("ckpt").toString
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"${TestSpark.sf}/events.parquet"),
+        src.resolve("events.parquet"))
+      val schema = spark.read.parquet(s"${TestSpark.sf}/events.parquet").schema
+      def runOnce(): Unit = {
+        val raw = spark.readStream.schema(schema).parquet(src.toString)
+        val ts = if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+          raw.withColumn("ts", timestamp_micros(expr("ts div 1000"))) else raw
+        val q = ts.withWatermark("ts", "1 hour")
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("n_events"))
+          .select(col("window.end").as("window_end"), col("event_type"), col("n_events"))
+          .writeStream.format("parquet")
+          .option("path", sink).option("checkpointLocation", ckpt)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        assert(q.awaitTermination(180000), "AvailableNow run did not terminate")
+      }
+      runOnce() // one run: drain + trailing no-data batch applies the watermark
+      val batch = Tables.events(spark, TestSpark.sf)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("window.end").as("window_end"), col("event_type"), col("n_events"))
+      val maxTs = Tables.events(spark, TestSpark.sf).agg(max(col("ts"))).head().getTimestamp(0)
+      val wm = java.sql.Timestamp.from(maxTs.toInstant.minusSeconds(3600))
+      val closed = batch.filter(col("window_end") <= lit(wm))
+      val open = batch.filter(col("window_end") > lit(wm))
+      def sinkRows() = spark.read.parquet(sink).collect().toSet.map(
+        (r: org.apache.spark.sql.Row) => r.toSeq)
+      assert(sinkRows() == closed.collect().toSet.map((r: org.apache.spark.sql.Row) => r.toSeq),
+        "one AvailableNow run must emit exactly the windows the watermark closed")
+      runOnce() // restart on the same checkpoint: no data, no advance, no output
+      assert(sinkRows() == closed.collect().toSet.map((r: org.apache.spark.sql.Row) => r.toSeq),
+        "a data-less restart must not emit anything further")
+      assert(open.count() > 0,
+        "the final open window(s) must still be missing — that's what sentinels are for")
+    } finally {
+      val walk = java.nio.file.Files.walk(dir)
+      try {
+        import scala.jdk.CollectionConverters._
+        walk.sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(p => java.nio.file.Files.deleteIfExists(p))
+      } finally walk.close()
+    }
+  }
+
   test("stream_sessionize equals the batch gaps-and-islands sessionization") {
     val streamed = Events.sessionize(spark, TestSpark.sf)
     Tables.events(spark, TestSpark.sf).createOrReplaceTempView("ev_batch")
