@@ -92,9 +92,13 @@ object Bench {
     val canaryJson = canaryTimes.map(fmt).mkString("[", ",", "]")
     val canarySpread =
       if (canaryTimes.isEmpty || canaryTimes.min == 0) 0.0 else canaryTimes.max / canaryTimes.min
+    // cross-RUN comparisons should divide each query median by this: two
+    // runs of identical code on a machine running 1.4x slower disagree
+    // ~1.4x on every query, and the canary median carries that factor
+    val canaryMedian = if (canaryTimes.isEmpty) 0.0 else median(canaryTimes.toSeq)
     val errs = errors.toSeq.distinct.map(q).mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$repsJson,"canary":$canaryJson,"canary_spread":${fmt(canarySpread)},"errors":$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$repsJson,"canary":$canaryJson,"canary_median":${fmt(canaryMedian)},"canary_spread":${fmt(canarySpread)},"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
     // A failed query must fail the bench loudly, not record a ~0s success.
     if (errors.nonEmpty) { System.err.println(errors.mkString("\n")); sys.exit(1) }
