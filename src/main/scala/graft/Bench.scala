@@ -76,8 +76,10 @@ object Bench {
         }
         times(name) = times(name) :+ (System.nanoTime() - t0) / 1e9
       }
-      canary()
     }
+    // one closing sample (inside the loop it would land back-to-back with
+    // the next pass's opening canary, measuring the same instant twice)
+    canary()
     val results = times.toSeq.map { case (n, ts) => (n, median(ts), ts) }
     def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
       .replaceAll("[\\n\\r\\t]", " ") + "\""

@@ -38,12 +38,17 @@ object GraftSession {
     * test scale favor the in-memory store, which is why it stays the
     * default.
     */
+  /** One resolver for every state-store knob (env here, JVM property in
+    * the streaming harness) — both accept `rocksdb` or a full class name.
+    */
+  private[graft] def resolveStateStoreProvider(v: String): String = v match {
+    case "rocksdb" =>
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    case full => full
+  }
+
   private def stateStoreProvider: Option[String] =
-    sys.env.get("SPARK_GRAFT_STATE_STORE").map {
-      case "rocksdb" =>
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
-      case full => full
-    }
+    sys.env.get("SPARK_GRAFT_STATE_STORE").map(resolveStateStoreProvider)
 
   private def configureCommon(b: SparkSession.Builder): SparkSession.Builder = {
     stateStoreProvider.foreach(p =>

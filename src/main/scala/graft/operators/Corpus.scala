@@ -34,6 +34,20 @@ object Corpus {
     */
   private val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
+  /** Deterministically release a `localCheckpoint(true)`-backed frame's
+    * cached blocks. `Dataset.unpersist` can't do it (checkpoint blocks
+    * are RDD-level cache, not CacheManager entries) and the ContextCleaner
+    * only reclaims them on a driver GC — with driver heaps sized for
+    * 100 TB coordination that can be never, leaving O(rounds) superseded
+    * label/edge copies pinned in the block manager. Falls through
+    * silently for frames that aren't checkpoint-backed.
+    */
+  private def releaseCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.logical match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+      case _ => ()
+    }
+
   // ---------------------------------------------------------------- splits
 
   /** Deterministic train/validation/test assignment by content hash:
@@ -105,9 +119,10 @@ object Corpus {
     // probe, and the result is the empty labeled-vertex relation.
     if (sym.isEmpty)
       return sym.select(col("src").as("id"), col("src").as("label"))
-    var labels = sym.select(col("src").as("id")).distinct()
+    var lastCkpt = sym.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint(true)
+    var labels = lastCkpt
     if (log.isInfoEnabled)
       log.info(s"connectedComponents: ${sym.count()} directed edges, " +
         s"${labels.count()} vertices, maxIter=$maxIter")
@@ -124,6 +139,10 @@ object Corpus {
           (coalesce(col("nbr_min"), col("label")) < col("label")).as("chg"))
         .localCheckpoint(true)
       changed = next.filter(col("chg")).count()
+      // `next` is materialized — drop the superseded round's checkpoint
+      // blocks so resident label copies stay at 2, not O(rounds)
+      releaseCheckpoint(lastCkpt)
+      lastCkpt = next
       labels = next.select(col("id"), col("label"))
       iter += 1
       // the divergence early-warning: this count shrinking toward 0 is
@@ -131,6 +150,9 @@ object Corpus {
       // heading for the guard below
       log.info(s"connectedComponents round $iter: $changed labels changed")
     }
+    // the returned labels read only the final round's checkpoint; the
+    // edge set is no longer referenced by anything
+    releaseCheckpoint(sym)
     // Returning non-converged labels would be a SILENT wrong answer
     // (docs of one component split across several cluster ids, diverging
     // from the oracle's transitive closure). Fail loudly instead: the
@@ -204,6 +226,9 @@ object Corpus {
       // fixed point: same canonical edge set as last round (count gate
       // first; the except probe runs only when counts agree)
       converged = smallCount == eCount && small.exceptAll(e).isEmpty
+      // superseded round's checkpoint blocks released — edge-set copies
+      // in the block manager stay at 2, not O(rounds)
+      releaseCheckpoint(e)
       e = small
       eCount = smallCount
       iter += 1
@@ -213,8 +238,9 @@ object Corpus {
     if (!converged && eCount > 0)
       throw new IllegalStateException(
         s"connectedComponentsStar did not reach a fixed point in $maxIter rounds " +
-          s"($eCount edges) — star contraction needs O(log n) rounds, so raise " +
-          "maxIter only for astronomically large vertex ids")
+          s"($eCount edges) — rounds scale with log(largest component size), so " +
+          "either the graph is vastly larger than maxIter allows for (raise it) " +
+          "or an upstream bug is feeding a pathological edge set")
     // at the fixed point every edge is (vertex, its component minimum);
     // roots label themselves, edge-set dropouts (self-loop-only vertices)
     // are singletons

@@ -96,13 +96,21 @@ object Events {
     else None
   }
 
-  private def scratchDir(prefix: String): java.nio.file.Path =
-    scratchRoot.fold(java.nio.file.Files.createTempDirectory(prefix))(
-      java.nio.file.Files.createTempDirectory(_, prefix))
+  /** `neededBytes` = the data the run will stage (state/WAL are small
+    * multiples of it); tmpfs is only used when it has comfortable
+    * headroom — an ENOSPC mid-run or tmpfs pages competing with executor
+    * memory would be a far worse trade than disk-speed checkpoints.
+    */
+  private def scratchDir(prefix: String, neededBytes: Long = 0): java.nio.file.Path =
+    scratchRoot
+      .filter(_.toFile.getUsableSpace > math.max(neededBytes * 8, 4L << 30))
+      .fold(java.nio.file.Files.createTempDirectory(prefix))(
+        java.nio.file.Files.createTempDirectory(_, prefix))
 
   /** State-store provider override for the harness's child sessions,
     * read per run from the `graft.stateStore.providerClass` JVM property
-    * ([[graft.GraftSession]] documents the deployment-level env knob).
+    * ([[graft.GraftSession]] documents the deployment-level env knob);
+    * accepts the same values (`rocksdb` shorthand or a full class name).
     * A property (not a builder conf) so one JVM — a spec — can run the
     * same query under the default HDFS-backed store and RocksDB and
     * compare results; at 100 TB keyspaces swapping to RocksDB is the
@@ -111,7 +119,8 @@ object Events {
     */
   private def providerConf: Map[String, String] =
     sys.props.get("graft.stateStore.providerClass")
-      .map("spark.sql.streaming.stateStore.providerClass" -> _).toMap
+      .map(v => "spark.sql.streaming.stateStore.providerClass" ->
+        graft.GraftSession.resolveStateStoreProvider(v)).toMap
 
   /** Run a streaming plan over the staged events file to completion and
     * return the finalized sink table — THE harness every bounded verify
@@ -139,17 +148,15 @@ object Events {
     // the data batches processAllAvailable actually waits for. (This is
     // also why the flush appends TWO sentinel batches: the second one's
     // data batch is the guaranteed-awaited carrier of the first one's
-    // watermark advance.)
+    // watermark advance.) Applied to EVERY harness query — one
+    // finalization regime, not one per statePartitions shape.
     val conf = Map("spark.sql.streaming.noDataMicroBatches.enabled" -> "false") ++
       providerConf ++ extraConf
-    val ss = sessionFor(spark, statePartitions,
-      if (statePartitions.isEmpty && extraConf.isEmpty && providerConf.isEmpty) Map.empty
-      else conf)
-    val dir = scratchDir(prefix)
+    val ss = sessionFor(spark, statePartitions, conf)
+    val staged = java.nio.file.Paths.get(s"$sfDir/events.parquet")
+    val dir = scratchDir(prefix, java.nio.file.Files.size(staged))
     try {
-      java.nio.file.Files.copy(
-        java.nio.file.Paths.get(s"$sfDir/events.parquet"),
-        dir.resolve("events.parquet"))
+      java.nio.file.Files.copy(staged, dir.resolve("events.parquet"))
       val result = build(withTs(ss.readStream.schema(rawSchema(ss, sfDir)).parquet(dir.toString)))
       val name = nextName(prefix)
       try {
@@ -335,8 +342,9 @@ object Events {
     */
   def enrich(spark: SparkSession, sfDir: String,
              statePartitions: Option[Int] = None): DataFrame =
-    // stateless + shuffle-free: no state stores to size, so inherit the
-    // caller's session instead of pinning shuffle partitions on a child
+    // stateless + shuffle-free: no state stores to size, so no pinned
+    // shuffle partitions (the child session only carries the harness's
+    // shared finalization conf)
     runBounded(spark, sfDir, statePartitions, OutputMode.Append, "graft_stream_enrich",
       finish = _.orderBy(col("event_id"))) { stream =>
       val dim = broadcast(Tables.customer(stream.sparkSession, sfDir)
@@ -408,15 +416,15 @@ object Events {
     val ss = sessionFor(spark, statePartitions,
       Map("spark.sql.streaming.noDataMicroBatches.enabled" -> "false") ++ providerConf)
     val SentinelType = "__sentinel"
-    val src = scratchDir("graft_window_file_src")
+    val staged = java.nio.file.Paths.get(s"$sfDir/events.parquet")
+    val stagedBytes = java.nio.file.Files.size(staged)
+    val src = scratchDir("graft_window_file_src", stagedBytes)
     try {
-      val sink = scratchDir("graft_window_file_sink")
+      val sink = scratchDir("graft_window_file_sink", stagedBytes)
       try {
-        val ckpt = scratchDir("graft_window_file_ckpt")
+        val ckpt = scratchDir("graft_window_file_ckpt", stagedBytes)
         try {
-          java.nio.file.Files.copy(
-            java.nio.file.Paths.get(s"$sfDir/events.parquet"),
-            src.resolve("events.parquet"))
+          java.nio.file.Files.copy(staged, src.resolve("events.parquet"))
           val stream = withTs(ss.readStream.schema(rawSchema(ss, sfDir)).parquet(src.toString))
           val agg = stream
             .withWatermark("ts", "1 hour")
