@@ -272,7 +272,7 @@ object Events {
     * directory receiving appended files on a real cluster.
     */
   def windowAgg(spark: SparkSession, sfDir: String,
-                statePartitions: Option[Int] = Some(8)): DataFrame =
+                statePartitions: Option[Int] = Some(4)): DataFrame =
     runBounded(spark, sfDir, statePartitions, OutputMode.Complete, "graft_window_agg",
       finish = _.select(col("window.start").as("window_start"), col("event_type"),
           col("n_events"), col("total_value"))
@@ -290,7 +290,7 @@ object Events {
     * windows.
     */
   def slidingWindowAgg(spark: SparkSession, sfDir: String,
-                       statePartitions: Option[Int] = Some(8)): DataFrame =
+                       statePartitions: Option[Int] = Some(4)): DataFrame =
     runBounded(spark, sfDir, statePartitions, OutputMode.Complete, "graft_sliding_agg",
       finish = _.select(col("window.start").as("window_start"), col("event_type"),
           col("n_events"), col("total_value"))
@@ -317,7 +317,7 @@ object Events {
     * once.
     */
   def dedupEvents(spark: SparkSession, sfDir: String,
-                  statePartitions: Option[Int] = Some(8)): DataFrame =
+                  statePartitions: Option[Int] = Some(4)): DataFrame =
     runBounded(spark, sfDir, statePartitions, OutputMode.Append, "graft_stream_dedup",
       finish = _.orderBy(col("event_id")),
       flush = (ss, dir, q) => {
@@ -370,7 +370,7 @@ object Events {
     * the complete relation.
     */
   def streamStreamJoin(spark: SparkSession, sfDir: String,
-                       statePartitions: Option[Int] = Some(8)): DataFrame =
+                       statePartitions: Option[Int] = Some(4)): DataFrame =
     runBounded(spark, sfDir, statePartitions, OutputMode.Append, "graft_ss_join",
       finish = _.orderBy(col("purchase_id"), col("click_id"))) { raw =>
       val clicks = raw.filter(col("event_type") === "click")
@@ -410,7 +410,7 @@ object Events {
     * BACK FROM THE SINK FILES — the downstream consumer's view.
     */
   def windowAggToFiles(spark: SparkSession, sfDir: String,
-                       statePartitions: Option[Int] = Some(8)): DataFrame = {
+                       statePartitions: Option[Int] = Some(4)): DataFrame = {
     // same rationale as runBounded: sentinel data batches carry the
     // watermark advance; no-data batches only add per-batch overhead
     val ss = sessionFor(spark, statePartitions,
@@ -463,7 +463,7 @@ object Events {
     * sessions, dropped on read-back.
     */
   def sessionWindowAgg(spark: SparkSession, sfDir: String,
-                       statePartitions: Option[Int] = Some(8)): DataFrame = {
+                       statePartitions: Option[Int] = Some(4)): DataFrame = {
     val SentinelUser = -1L
     runBounded(spark, sfDir, statePartitions, OutputMode.Append, "graft_session_window",
       finish = _.filter(col("user_id") =!= SentinelUser)
@@ -504,7 +504,7 @@ object Events {
     * (user_id, session_start).
     */
   def sessionize(spark: SparkSession, sfDir: String,
-                 statePartitions: Option[Int] = Some(8)): DataFrame = {
+                 statePartitions: Option[Int] = Some(4)): DataFrame = {
     val SentinelUser = -1L
     runBounded(spark, sfDir, statePartitions, OutputMode.Append, "graft_sessionize",
       finish = _.select(col("user_id"), col("sid"),
