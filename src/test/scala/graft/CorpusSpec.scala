@@ -57,6 +57,13 @@ class CorpusSpec extends AnyFunSuite {
     assert(labels.forall(_._2 == 0L), "every path vertex must label to the minimum (0)")
   }
 
+  test("connectedComponentsStar throws rather than return a non-fixed-point edge set") {
+    val chain = edges(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 5L)
+    val e = intercept[IllegalStateException](
+      Corpus.connectedComponentsStar(chain, maxIter = 1))
+    assert(e.getMessage.contains("fixed point"))
+  }
+
   test("connectedComponentsStar matches min-label CC on mixed graphs") {
     val g = edges(
       1L -> 2L, 2L -> 3L, 3L -> 4L, // chain

@@ -20,6 +20,18 @@ class PlanSpec extends AnyFunSuite {
       s"scan reads more than the query needs: $readSchema")
   }
 
+  test("IVF/PQ kernels stay in the typed Tungsten pipeline, never an RDD scan") {
+    // the assign/encode/ADC kernels must plan as
+    // Deserialize→MapPartitions→Serialize over the parquet scan; a
+    // regression to createDataFrame(rdd) shows up as a Scan ExistingRDD
+    // leaf (severed codegen, GenericRow boxing, lost column pruning)
+    for (q <- Seq("ann_ivf_topk", "ann_pq_topk")) {
+      val plan = planOf(q)
+      assert(!plan.contains("ExistingRDD"), s"$q kernel dropped out of the typed pipeline")
+      assert(plan.contains("SerializeFromObject"), s"$q lost its typed mapPartitions stage")
+    }
+  }
+
   test("q5: every dimension joins as a broadcast, never a shuffle join") {
     val plan = planOf("q5_revenue_by_nation")
     assert(plan.contains("BroadcastHashJoin"))
