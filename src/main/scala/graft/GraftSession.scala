@@ -28,6 +28,16 @@ object GraftSession {
     s
   }
 
+  /** One resolver for every state-store knob (the env var here, the JVM
+    * property in the streaming harness) — both accept `rocksdb` or a
+    * full provider class name.
+    */
+  private[graft] def resolveStateStoreProvider(v: String): String = v match {
+    case "rocksdb" =>
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    case full => full
+  }
+
   /** Streaming state-store backend, opt-in via SPARK_GRAFT_STATE_STORE:
     * `rocksdb` (or a full provider class name) swaps the default
     * HDFS-backed in-memory store for RocksDB. The in-memory store holds
@@ -38,15 +48,6 @@ object GraftSession {
     * test scale favor the in-memory store, which is why it stays the
     * default.
     */
-  /** One resolver for every state-store knob (env here, JVM property in
-    * the streaming harness) — both accept `rocksdb` or a full class name.
-    */
-  private[graft] def resolveStateStoreProvider(v: String): String = v match {
-    case "rocksdb" =>
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
-    case full => full
-  }
-
   private def stateStoreProvider: Option[String] =
     sys.env.get("SPARK_GRAFT_STATE_STORE").map(resolveStateStoreProvider)
 
@@ -74,6 +75,13 @@ object GraftSession {
   def local(cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")): SparkSession = {
     val s = configure(SparkSession.builder().master(s"local[$cpus]"), cpus).getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    // The CC loops deterministically unpersist superseded localCheckpoint
+    // frames (Corpus.releaseCheckpoint); Spark WARNs on every such
+    // unpersist that the truncated lineage can't recompute — intended
+    // there, and at one line per round per query it drowns bench/verify
+    // logs. Quiet that single logger; real errors still surface.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd.MapPartitionsRDD", org.apache.logging.log4j.Level.ERROR)
     registerFunctions(s)
     s
   }

@@ -40,7 +40,10 @@ object Corpus {
     * only reclaims them on a driver GC — with driver heaps sized for
     * 100 TB coordination that can be never, leaving O(rounds) superseded
     * label/edge copies pinned in the block manager. Falls through
-    * silently for frames that aren't checkpoint-backed.
+    * silently for frames that aren't checkpoint-backed. Spark WARNs that
+    * the truncated lineage can't recompute after unpersisting — here
+    * that's the point (the frame is never read again); GraftSession
+    * quiets that one logger.
     */
   private def releaseCheckpoint(df: DataFrame): Unit =
     df.queryExecution.logical match {
@@ -157,13 +160,17 @@ object Corpus {
     // (docs of one component split across several cluster ids, diverging
     // from the oracle's transitive closure). Fail loudly instead: the
     // caller raises maxIter, or — for adversarial long-path graphs at
-    // scale — switches to the large-star/small-star formulation.
-    if (changed > 0)
+    // scale — switches to the large-star/small-star formulation. The
+    // final checkpoint is released first: the message tells the caller
+    // to RETRY, and each failed attempt must not pin another label set.
+    if (changed > 0) {
+      releaseCheckpoint(lastCkpt)
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter rounds " +
           s"($changed labels still changing) — raise maxIter (rounds needed = " +
           "component diameter) or use the large-star/small-star formulation " +
           "for long-path graphs")
+    }
     labels
   }
 
@@ -235,12 +242,17 @@ object Corpus {
       log.info(s"connectedComponentsStar round $iter: $eCount edges" +
         (if (converged) " (fixed point)" else ""))
     }
-    if (!converged && eCount > 0)
+    if (!converged && eCount > 0) {
+      // retry-path hygiene: a retry recomputes from the raw edges, so
+      // nothing from this attempt may stay pinned
+      releaseCheckpoint(e)
+      releaseCheckpoint(vertices)
       throw new IllegalStateException(
         s"connectedComponentsStar did not reach a fixed point in $maxIter rounds " +
           s"($eCount edges) — rounds scale with log(largest component size), so " +
           "either the graph is vastly larger than maxIter allows for (raise it) " +
           "or an upstream bug is feeding a pathological edge set")
+    }
     // at the fixed point every edge is (vertex, its component minimum);
     // roots label themselves, edge-set dropouts (self-loop-only vertices)
     // are singletons

@@ -99,11 +99,15 @@ object Events {
   /** `neededBytes` = the data the run will stage (state/WAL are small
     * multiples of it); tmpfs is only used when it has comfortable
     * headroom — an ENOSPC mid-run or tmpfs pages competing with executor
-    * memory would be a far worse trade than disk-speed checkpoints.
+    * memory would be a far worse trade than disk-speed checkpoints. The
+    * demand scales with the staged data (8x, plus a constant for the
+    * WAL/commit logs) so a small-/dev/shm host (container default 64 MB,
+    * small VM) still gets the tmpfs path for small stage files instead
+    * of silently losing it to a flat multi-GiB floor.
     */
   private def scratchDir(prefix: String, neededBytes: Long = 0): java.nio.file.Path =
     scratchRoot
-      .filter(_.toFile.getUsableSpace > math.max(neededBytes * 8, 4L << 30))
+      .filter(_.toFile.getUsableSpace > neededBytes * 8 + (64L << 20))
       .fold(java.nio.file.Files.createTempDirectory(prefix))(
         java.nio.file.Files.createTempDirectory(_, prefix))
 
