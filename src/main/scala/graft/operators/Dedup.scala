@@ -89,7 +89,13 @@ object Dedup {
     */
   def ngramJaccard(docs: DataFrame, threshold: Double = 0.8, n: Int = 3,
                    maxShingleDf: Option[Int] = None): DataFrame =
-    ngramJaccardPairs(shingleHashSets(docs, n), threshold, maxShingleDf)
+    // one materialized shingle pass feeding BOTH sides of the pair
+    // self-join (the kernel is the dominant cost and would otherwise run
+    // twice); localCheckpoint rather than persist because the returned
+    // frame is lazy — there is no post-materialization point to
+    // unpersist at, and the checkpointed pass is exactly what the
+    // composite callers (dedupClusters, cleanCorpus) already share
+    ngramJaccardPairs(shingleHashSets(docs, n).localCheckpoint(true), threshold, maxShingleDf)
       .orderBy(col("doc_id_1"), col("doc_id_2"))
 
   /** The pair-join core of [[ngramJaccard]] over a PRE-SHINGLED input
@@ -159,7 +165,11 @@ object Dedup {
   def minhashLsh(docs: DataFrame, threshold: Double = 0.8,
                  numPerms: Int = 128, bands: Int = 16): DataFrame = {
     val rows = numPerms / bands
-    val shingled = shingleHashSets(docs)
+    // one materialized shingle pass: the signature path and the two
+    // verify-join sides otherwise each re-run the kernel (3x the
+    // dominant cost); see ngramJaccard for the checkpoint-vs-persist
+    // rationale
+    val shingled = shingleHashSets(docs).localCheckpoint(true)
     val sig = minhashSignatures(shingled, numPerms)
     val banded = sig.select(col("doc_id"), explode(array(
       (0 until bands).map(b => struct(
