@@ -105,6 +105,7 @@ object GraftSession {
       Seq(ShingleFunctions.ShingleName, ShingleFunctions.SimHashName) ->
         (ShingleFunctions.register _),
       Seq(TokenStats.Name) -> (TokenStats.register _),
+      Seq(RepetitionStats.Name) -> (RepetitionStats.register _),
       Seq(LshBuckets.Name) -> (LshBuckets.register _))
     for ((names, reg) <- regs if !names.forall(s.catalog.functionExists))
       reg(s)

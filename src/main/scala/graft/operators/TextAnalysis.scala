@@ -62,6 +62,28 @@ object TextAnalysis {
       .select(col("doc_id"), rollingFingerprint(col("text")).as("fp"))
       .orderBy(col("doc_id"))
 
+  /** Intra-document repetition signals — the Gopher/MassiveText-style
+    * quality filters (top n-gram fraction, duplicate n-gram fraction)
+    * that catch documents dominated by a repeated phrase, which plain
+    * token stats miss. One fused [[graft.functions.RepetitionStats]]
+    * pass per doc (no shuffle; the three grouped-count passes the HOF
+    * form would need collapse into one loop). Fractions are
+    * round-6dp-at-the-end like every ratio query here. A cleaning
+    * pipeline drops docs above thresholds on these columns; the query
+    * emits the scores so the threshold stays a consumer decision.
+    */
+  def repetition(spark: SparkSession, d: String): DataFrame =
+    Tables.documents(spark, d)
+      .withColumn("rs", graft.functions.RepetitionStats.repetitionStats(col("text")))
+      .select(col("doc_id"), col("rs.n_tokens").as("n_tokens"),
+        round(col("rs.top_unigram_count").cast("double") /
+          nullif(col("rs.n_tokens"), lit(0L)), 6).as("top_unigram_frac"),
+        round(col("rs.top_bigram_count").cast("double") /
+          nullif(greatest(col("rs.n_tokens") - 1, lit(0L)), lit(0L)), 6).as("top_bigram_frac"),
+        round(col("rs.n_dup_trigrams").cast("double") /
+          nullif(col("rs.n_trigrams"), lit(0L)), 6).as("dup_trigram_frac"))
+      .orderBy(col("doc_id"))
+
   /** Conjunctive keyword search: docs containing ALL query terms
     * (wc_maple sanitize term space, same as `vocab_topk`). Formulated as
     * a posting-list intersection — explode to (doc, term) postings, keep
@@ -90,6 +112,7 @@ object TextAnalysis {
     "text_langid" -> langId,
     "text_tokencount" -> tokenCount,
     "text_fingerprint" -> fingerprint,
+    "text_repetition" -> repetition,
     "text_search" -> ((s, d) => search(Tables.documents(s, d))))
 
   private def sqlList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("(", ",", ")")
@@ -136,6 +159,26 @@ object TextAnalysis {
         |SELECT doc_id FROM w WHERE word IN ('the', 'data')
         |GROUP BY doc_id HAVING count(DISTINCT word) = 2
         |ORDER BY doc_id""".stripMargin,
+    "text_repetition" ->
+      """WITH t AS (SELECT doc_id,
+        |  list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS ts FROM documents),
+        |g AS (SELECT doc_id, ts,
+        |  [ts[i] || ' ' || ts[i+1] for i in range(1, len(ts))] AS bg,
+        |  [ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] for i in range(1, len(ts) - 1)] AS tg
+        | FROM t),
+        |c AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tokens,
+        |  coalesce(list_max(list_transform(list_distinct(ts),
+        |    x -> len(list_filter(ts, y -> y = x)))), 0) AS top_uni,
+        |  coalesce(list_max(list_transform(list_distinct(bg),
+        |    x -> len(list_filter(bg, y -> y = x)))), 0) AS top_bi,
+        |  greatest(len(tg), 0) AS n_tri,
+        |  len(list_filter(tg, x -> len(list_filter(tg, y -> y = x)) >= 2)) AS dup_tri
+        | FROM g)
+        |SELECT doc_id, n_tokens,
+        | round(CAST(top_uni AS DOUBLE) / nullif(n_tokens, 0), 6) AS top_unigram_frac,
+        | round(CAST(top_bi AS DOUBLE) / nullif(greatest(n_tokens - 1, 0), 0), 6) AS top_bigram_frac,
+        | round(CAST(dup_tri AS DOUBLE) / nullif(n_tri, 0), 6) AS dup_trigram_frac
+        |FROM c ORDER BY doc_id""".stripMargin,
     "text_fingerprint" ->
       """SELECT doc_id,
         | list_reduce(

@@ -39,4 +39,31 @@ class TextFunctionsSpec extends AnyFunSuite {
     val r = one[Double](stopwordRatio(tokens(col("text")), stopEn), "the cat sat")
     assert(math.abs(r - 1.0 / 3.0) < 1e-9)
   }
+
+  test("repetitionStats counters on a hand-checked doc") {
+    val rs = graft.functions.RepetitionStats.repetitionStats(col("text"))
+    // "a b a b a": unigrams a×3 b×2 → top 3; bigrams "a b"×2 "b a"×2 →
+    // top 2; trigrams "a b a"×2 "b a b"×1 → 3 total, 2 duplicate occs
+    val r = {
+      import spark.implicits._
+      Seq("a b a b a").toDF("text").select(rs.getField("n_tokens"),
+        rs.getField("top_unigram_count"), rs.getField("top_bigram_count"),
+        rs.getField("n_trigrams"), rs.getField("n_dup_trigrams")).collect().head
+    }
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ==
+      ((5L, 3L, 2L, 3L, 2L)))
+  }
+
+  test("repetitionStats edge cases: empty, one token, no repetition") {
+    import spark.implicits._
+    val rs = graft.functions.RepetitionStats.repetitionStats(col("text"))
+    val rows = Seq("", "solo", "w x y z").toDF("text")
+      .select(rs.getField("n_tokens"), rs.getField("top_unigram_count"),
+        rs.getField("top_bigram_count"), rs.getField("n_trigrams"),
+        rs.getField("n_dup_trigrams")).collect()
+    assert(rows(0).toSeq == Seq(0L, 0L, 0L, 0L, 0L))
+    assert(rows(1).toSeq == Seq(1L, 1L, 0L, 0L, 0L))
+    // distinct 4-token doc: tops are 1, two trigrams, zero duplicates
+    assert(rows(2).toSeq == Seq(4L, 1L, 1L, 2L, 0L))
+  }
 }
