@@ -75,17 +75,23 @@ object Training {
     * row per contaminated train doc with how many test docs it collides
     * with and how many of its distinct shingles are shared.
     */
-  def decontamNgram(docs: DataFrame, n: Int = 5,
-                    maxShingleDf: Option[Int] = None): DataFrame = {
-    // split + shingles both derive from `text`, so compute them in ONE
-    // projection — joining sampleSplit back by doc_id would shuffle the
-    // full corpus-wide shingle relation just to re-attach a column the
-    // scan already had in hand
-    val ex = Tables.spread(docs)
+  /** Per-doc (split, distinct word-n-gram hash array) in ONE projection —
+    * split + shingles both derive from `text`, so computing them together
+    * avoids joining [[Corpus.sampleSplit]] back by doc_id (which would
+    * shuffle the corpus-wide shingle relation just to re-attach a column
+    * the scan already had in hand). Shared by both decontamination
+    * formulations.
+    */
+  private def splitShingled(docs: DataFrame, n: Int): DataFrame =
+    Tables.spread(docs)
       .select(col("doc_id"),
         Corpus.splitOfBucket(Corpus.splitBucket(col("text"))).as("split"),
         graft.functions.ShingleFunctions.shingleHashes(col("text"), n).as("shingles"))
       .filter(size(col("shingles")) > 0)
+
+  def decontamNgram(docs: DataFrame, n: Int = 5,
+                    maxShingleDf: Option[Int] = None): DataFrame = {
+    val ex = splitShingled(docs, n)
       .select(col("doc_id"), col("split"), explode(col("shingles")).as("s"))
     // ONE scan, one shuffle: a train/test fork joined back on `s` would
     // run the shingle kernel once per side; instead gather each
@@ -116,6 +122,110 @@ object Training {
       .groupBy(col("doc_id"))
       .agg(countDistinct(col("test_id")).as("n_test_docs"),
         countDistinct(col("s")).as("n_shared_shingles"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ----------------------------------------------------- mixture weighting
+
+  /** Target-weighted corpus mixture: downsample each stratum of `by`
+    * (default the `lang` metadata column) so the kept corpus approaches
+    * the requested composition `weights` — the domain/language weighting
+    * step of every pretraining data recipe (e.g. "30% en, 25% es, …"),
+    * where a raw crawl's composition never matches the target mix.
+    *
+    * Formulation: with n_s docs in stratum s and target weight w_s, the
+    * largest mixture total no stratum can oversample is
+    * T = min_s(n_s / w_s) (the binding stratum keeps everything); each
+    * stratum then keeps rate_s = w_s·T / n_s of its docs. The keep
+    * decision is the deterministic salted content-hash of
+    * [[stratifiedSample]] (256 md5 buckets, salt `mix:` — independent of
+    * both the split hash and the strat hash), quantized to
+    * cap_s = ⌊256·rate_s⌋ buckets. Strata absent from `weights` are
+    * weight-0: dropped entirely (a mixture spec IS the whole recipe).
+    *
+    * Scale shape: the stratum statistics are one tiny aggregation
+    * (|strata| rows — scans ONLY the stratum column thanks to column
+    * pruning), the caps table broadcasts back, and the keep decision is
+    * pure map work on the main scan. No driver loop, no shuffle of the
+    * corpus itself, re-ingest/re-shard stable.
+    */
+  def corpusMix(docs: DataFrame,
+                weights: Map[String, Double] = DefaultMixWeights,
+                by: String = "lang"): DataFrame = {
+    import docs.sparkSession.implicits._
+    val w = weights.toSeq.toDF(by, "w")
+    val n = docs.groupBy(col(by)).agg(count(lit(1)).cast("double").as("n_s"))
+    val r = n.join(broadcast(w), by)
+    val t = r.agg(min(col("n_s") / col("w")).as("t"))
+    val caps = r.crossJoin(broadcast(t))
+      .withColumn("cap",
+        floor(lit(256.0) * least(lit(1.0), col("w") * col("t") / col("n_s"))).cast("int"))
+      .select(col(by), col("cap"))
+    docs.join(broadcast(caps), by)
+      .filter(col("cap") >= 256 or
+        (Corpus.splitBucket(concat(lit("mix:"), col("text"))) <
+          format_string("%02x", col("cap"))))
+      .select(col("doc_id"), col(by))
+      .orderBy(col("doc_id"))
+  }
+
+  /** en-heavy target over the corpus's five metadata languages. */
+  val DefaultMixWeights: Map[String, Double] =
+    Map("en" -> 0.3, "es" -> 0.25, "de" -> 0.2, "fr" -> 0.15, "zh" -> 0.1)
+
+  // -------------------------------------------- Bloom-gated decontamination
+
+  /** Decontamination, Bloom-sketch formulation: broadcast a Bloom filter
+    * of the TEST split's shingle hashes, probe every TRAIN doc's shingle
+    * array against it in the scan (pure map — the train corpus is never
+    * shuffled), and exactly confirm the few survivors with a broadcast
+    * join so false positives drop out. Output: contaminated train docs
+    * with their distinct shared-shingle count — the
+    * [[decontamNgram]] relation minus the per-test-doc attribution.
+    *
+    * Why this exists alongside [[decontamNgram]]: the inverted-index
+    * join is exact and attributes which test docs collide, but it
+    * shuffles EVERY train shingle. At 100 TB train / fixed-size test
+    * benchmarks, the right shape is this one — the test side compresses
+    * to a few MB of Bloom bits (heldout benchmarks are ~10⁶ shingles
+    * regardless of train size), the train side stays map-only, and the
+    * confirm join touches only docs the sketch already flagged (the
+    * contamination rate, not the corpus). Same pairing discipline as
+    * q_percentiles / q_approx_percentiles: exact twin verifies, sketch
+    * twin scales.
+    *
+    * The Bloom probe is a Scala UDF (the filter lives in a broadcast
+    * variable; no Catalyst expression can close over driver-built sketch
+    * state) — acceptable because it runs once per doc against an
+    * already-computed long array, not per token, and everything around
+    * it stays codegen'd. The confirm step makes FP rate a pure
+    * performance knob, so the result is exact and hash-checkable.
+    */
+  def decontamBloom(docs: DataFrame, n: Int = 5, fpp: Double = 0.01): DataFrame = {
+    val spark = docs.sparkSession
+    val ss = splitShingled(docs, n)
+    // test side: tiny by definition (the heldout benchmark). Persist
+    // across its two driver actions (count for sizing, bloomFilter
+    // build); the confirm join below recomputes it lazily post-
+    // unpersist — one cheap pass over the small split.
+    val testShingles = ss.filter(col("split") === "test")
+      .select(explode(col("shingles")).as("s")).distinct()
+    testShingles.persist()
+    val bf = try {
+      val nTest = testShingles.count()
+      testShingles.stat.bloomFilter("s", math.max(nTest, 1L), fpp)
+    } finally testShingles.unpersist(false)
+    val bfB = spark.sparkContext.broadcast(bf)
+    val mightHit = udf((ss: Seq[Long]) => {
+      val f = bfB.value
+      ss.exists(f.mightContainLong)
+    })
+    ss.filter(col("split") === "train")
+      .filter(mightHit(col("shingles"))) // map-only corpus gate
+      .select(col("doc_id"), explode(col("shingles")).as("s"))
+      .join(broadcast(testShingles), "s") // exact confirm: FPs drop here
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared_shingles"))
       .orderBy(col("doc_id"))
   }
 
@@ -191,7 +301,9 @@ object Training {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sample_stratified" -> ((s, d) => stratifiedSample(Tables.documents(s, d))),
+    "corpus_mix" -> ((s, d) => corpusMix(Tables.documents(s, d))),
     "decontam_ngram" -> ((s, d) => decontamNgram(Tables.documents(s, d))),
+    "decontam_bloom" -> ((s, d) => decontamBloom(Tables.documents(s, d))),
     "tfidf_topterms" -> ((s, d) => tfidfTopTerms(Tables.documents(s, d))),
     "pack_sequences" -> ((s, d) => packSequences(Tables.documents(s, d))))
 
@@ -216,6 +328,20 @@ object Training {
          |SELECT doc_id, lang_pred FROM l
          |WHERE lang_pred <> 'en' OR substr(md5('strat:' || text), 1, 2) < '80'
          |ORDER BY doc_id""".stripMargin,
+    "corpus_mix" -> {
+      val values = DefaultMixWeights.toSeq.sortBy(_._1)
+        .map { case (l, wt) => s"('$l', CAST($wt AS DOUBLE))" }.mkString(", ")
+      s"""WITH w(lang, w) AS (VALUES $values),
+         |n AS (SELECT lang, CAST(count(*) AS DOUBLE) AS n_s FROM documents GROUP BY lang),
+         |r AS (SELECT n.lang, n_s, w FROM n JOIN w USING (lang)),
+         |t AS (SELECT min(n_s / w) AS t FROM r),
+         |caps AS (SELECT lang,
+         |   CAST(floor(256 * least(CAST(1.0 AS DOUBLE), w * t.t / n_s)) AS INT) AS cap
+         |  FROM r CROSS JOIN t)
+         |SELECT d.doc_id, d.lang FROM documents d JOIN caps USING (lang)
+         |WHERE cap >= 256 OR substr(md5('mix:' || text), 1, 2) < printf('%02x', cap)
+         |ORDER BY doc_id""".stripMargin
+    },
     "decontam_ngram" ->
       """WITH t AS (SELECT doc_id, text,
         |  list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ts FROM documents),
@@ -233,6 +359,24 @@ object Training {
         |te AS (SELECT doc_id AS test_id, s FROM ex WHERE split = 'test')
         |SELECT tr.doc_id, count(DISTINCT te.test_id) AS n_test_docs,
         | count(DISTINCT tr.s) AS n_shared_shingles
+        |FROM tr JOIN te ON tr.s = te.s
+        |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin,
+    "decontam_bloom" ->
+      """WITH t AS (SELECT doc_id, text,
+        |  list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ts FROM documents),
+        |sp AS (SELECT doc_id, ts,
+        |  CASE WHEN substr(md5(text), 1, 2) < 'cd' THEN 'train'
+        |       WHEN substr(md5(text), 1, 2) < 'e6' THEN 'validation'
+        |       ELSE 'test' END AS split
+        | FROM t),
+        |sh AS (SELECT doc_id, split, list_distinct(
+        |   [ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3] || ' ' || ts[i+4]
+        |    for i in range(1, len(ts) - 3)]) AS shingles
+        |  FROM sp WHERE len(ts) >= 5),
+        |ex AS (SELECT doc_id, split, unnest(shingles) AS s FROM sh),
+        |tr AS (SELECT doc_id, s FROM ex WHERE split = 'train'),
+        |te AS (SELECT DISTINCT s FROM ex WHERE split = 'test')
+        |SELECT tr.doc_id, count(*) AS n_shared_shingles
         |FROM tr JOIN te ON tr.s = te.s
         |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin,
     "tfidf_topterms" ->

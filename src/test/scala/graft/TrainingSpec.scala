@@ -81,6 +81,44 @@ class TrainingSpec extends AnyFunSuite {
     assert(capped == 0, s"df cap should drop boilerplate-only contamination, got $capped")
   }
 
+  test("corpus_mix keeps the binding stratum whole, halves oversupplied ones, drops unweighted") {
+    import spark.implicits._
+    // strata: a×400, b×200, c×100, d×50; weights a=.5 b=.25 c=.25 →
+    // T = min(400/.5, 200/.25, 100/.25) = 400 → rates a=.5, b=.5, c=1.0
+    val d = ((1 to 400).map(i => (i.toLong, s"a doc $i", "a")) ++
+      (1 to 200).map(i => (400L + i, s"b doc $i", "b")) ++
+      (1 to 100).map(i => (600L + i, s"c doc $i", "c")) ++
+      (1 to 50).map(i => (700L + i, s"d doc $i", "d")))
+      .toDF("doc_id", "text", "lang")
+    val got = Training.corpusMix(d, Map("a" -> 0.5, "b" -> 0.25, "c" -> 0.25))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val byLang = got.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byLang.getOrElse("c", 0) == 100, "binding stratum must keep every doc")
+    assert(!byLang.contains("d"), "unweighted strata are weight-0: dropped")
+    // halved strata: cap = 128/256 exactly; allow binomial noise
+    assert(byLang("a") > 140 && byLang("a") < 260, s"a kept ${byLang("a")}, want ~200")
+    assert(byLang("b") > 60 && byLang("b") < 140, s"b kept ${byLang("b")}, want ~100")
+    // deterministic: the keep set is content-hashed, not sampled
+    assert(Training.corpusMix(d, Map("a" -> 0.5, "b" -> 0.25, "c" -> 0.25))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq == got.toSeq)
+  }
+
+  test("decontam_bloom equals exact decontam minus the per-test attribution") {
+    val exact = Training.decontamNgram(docs)
+      .select(col("doc_id"), col("n_shared_shingles")).collect().toSeq
+    assert(Training.decontamBloom(docs).collect().toSeq == exact)
+  }
+
+  test("decontam_bloom is exact at ANY false-positive rate (confirm join kills FPs)") {
+    // fpp=0.5 makes the sketch nearly useless as a gate — half the clean
+    // corpus leaks through to the confirm join — but the OUTPUT must not
+    // change by a single row: FP rate is a performance knob, not a
+    // correctness one. This is the property that keeps the query
+    // hash-checkable against the exact SQL oracle.
+    assert(Training.decontamBloom(docs, fpp = 0.5).collect().toSeq ==
+      Training.decontamBloom(docs, fpp = 0.001).collect().toSeq)
+  }
+
   test("tfidf ranks a hand-checked corpus correctly") {
     import spark.implicits._
     // "rare" appears only in doc 1 (idf=ln(3)), "shared" in all three
