@@ -102,8 +102,8 @@ object GraftSession {
       Seq(SimHashAgg.Name) -> (SimHashAgg.register _),
       Seq(TopKAgg.Name) -> (TopKAgg.register _),
       Seq(RollingHash.Name) -> (RollingHash.register _),
-      Seq(ShingleFunctions.ShingleName, ShingleFunctions.SimHashName) ->
-        (ShingleFunctions.register _),
+      Seq(ShingleFunctions.ShingleName, ShingleFunctions.ShingleSeqName,
+        ShingleFunctions.SimHashName) -> (ShingleFunctions.register _),
       Seq(TokenStats.Name) -> (TokenStats.register _),
       Seq(RepetitionStats.Name) -> (RepetitionStats.register _),
       Seq(LshBuckets.Name) -> (LshBuckets.register _))

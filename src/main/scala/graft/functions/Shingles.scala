@@ -77,6 +77,34 @@ object Shingles {
     new GenericArrayData(arr)
   }
 
+  /** ALL xxhash64(seed 42) values of the space-joined word n-grams of
+    * `s`, in text order, duplicates KEPT — the positioned variant of
+    * [[shingleHashes]]: element i is the hash of the n-gram starting at
+    * token i, so `posexplode` recovers (token position, anchor hash)
+    * pairs. Needed by span-level dedup, where a repeated n-gram INSIDE
+    * one document is signal, not noise, and positions locate the span.
+    */
+  def shingleHashSeq(s: UTF8String, n: Int): GenericArrayData = {
+    val toks = tokenize(s)
+    val count = toks.size - n + 1
+    if (count <= 0) return new GenericArrayData(Array.empty[Any])
+    val arr = new Array[Any](count)
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    while (i < count) {
+      sb.setLength(0)
+      var k = 0
+      while (k < n) {
+        if (k > 0) sb.append(' ')
+        sb.append(toks.get(i + k))
+        k += 1
+      }
+      arr(i) = XXH64.hashUTF8String(UTF8String.fromString(sb.toString), 42L)
+      i += 1
+    }
+    new GenericArrayData(arr)
+  }
+
   /** 64-bit SimHash of the token multiset of `s`: bit i set iff
     * Σ_tokens (bit i of xxhash64(token) ? +1 : -1) > 0. Token hashes are
     * bit-identical to the builtin xxhash64(token), so this scalar equals
@@ -115,6 +143,23 @@ case class ShingleHashesExpr(child: Expression, n: Int) extends UnaryExpression 
   override protected def withNewChildInternal(c: Expression): ShingleHashesExpr = copy(child = c)
 }
 
+/** array<long> of ALL word-n-gram shingle hashes in text order
+  * (positions preserved, duplicates kept).
+  */
+case class ShingleHashSeqExpr(child: Expression, n: Int) extends UnaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"shingle_hash_seq expects a string input, got ${child.dataType}")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    Shingles.shingleHashSeq(v.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Shingles.shingleHashSeq($c, $n)")
+  override protected def withNewChildInternal(c: Expression): ShingleHashSeqExpr = copy(child = c)
+}
+
 /** Scalar 64-bit SimHash of a string's whitespace tokens. */
 case class SimHashExpr(child: Expression) extends UnaryExpression {
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
@@ -133,6 +178,7 @@ object ShingleFunctions {
   import org.apache.spark.sql.catalyst.expressions.IntegerLiteral
 
   val ShingleName = "graft_shingle_hashes"
+  val ShingleSeqName = "graft_shingle_hash_seq"
   val SimHashName = "graft_simhash"
 
   def register(spark: SparkSession): Unit = {
@@ -143,12 +189,22 @@ object ShingleFunctions {
           s"$ShingleName n must be an integer literal, got $other")
       }, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      ShingleSeqName, exprs => exprs(1) match {
+        case IntegerLiteral(n) => ShingleHashSeqExpr(exprs(0), n)
+        case other => throw new IllegalArgumentException(
+          s"$ShingleSeqName n must be an integer literal, got $other")
+      }, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       SimHashName, exprs => SimHashExpr(exprs.head), "scala_udf")
   }
 
   def shingleHashes(text: Column, n: Int): Column =
     org.apache.spark.sql.functions.call_function(
       ShingleName, text, org.apache.spark.sql.functions.lit(n))
+
+  def shingleHashSeq(text: Column, n: Int): Column =
+    org.apache.spark.sql.functions.call_function(
+      ShingleSeqName, text, org.apache.spark.sql.functions.lit(n))
 
   def simhash(text: Column): Column =
     org.apache.spark.sql.functions.call_function(SimHashName, text)

@@ -255,7 +255,68 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  // ------------------------------------------------- substring-level spans
+
+  /** Span-level exact-substring duplication — which token ranges of each
+    * doc are verbatim repeats of text occurring elsewhere in the corpus
+    * (or elsewhere in the SAME doc)? This is the substring-dedup signal
+    * of Lee et al.'s "Deduplicating Training Data Makes Language Models
+    * Better": doc-level Jaccard misses a unique page that embeds one
+    * copied paragraph, span-level catches exactly the paragraph.
+    *
+    * Their suffix-array formulation is a single-machine construction;
+    * the shuffle-native equivalent used here: every token position emits
+    * its word-`n`-gram anchor hash (positioned [[graft.functions
+    * .ShingleHashSeqExpr]] — duplicates KEPT, order preserved), ONE
+    * groupBy on the 64-bit anchor marks anchors occurring ≥2 times, and
+    * a per-doc gaps-and-islands pass merges consecutive duplicated
+    * positions into maximal spans: a repeated m-token substring (m ≥ n)
+    * appears as m-n+1 consecutive duplicated anchors → one span of
+    * `span_tokens` = m. Costs: one shuffle on the anchor hash (bounded
+    * by corpus size, partial-agg combined map-side) + one doc_id-
+    * partitioned window over only the DUPLICATED anchors (the
+    * contamination, not the corpus).
+    *
+    * `maxAnchorDf` is the same 100 TB skew guard as
+    * [[ngramJaccard]]'s: an anchor with df=k fans k rows back out of its
+    * group — fine — but the collect_list buffer for a boilerplate anchor
+    * with df in the millions is not; the cap drops anchors hotter than
+    * it BEFORE the group, splitting long boilerplate spans at the cost
+    * of missing only ultra-common text. `minSpanTokens` keeps spans at
+    * or above a length floor (Lee et al. use 50; default emits all).
+    */
+  def substringSpans(docs: DataFrame, n: Int = 5, minSpanTokens: Int = 0,
+                     maxAnchorDf: Option[Int] = None): DataFrame = {
+    val anchors = Tables.spread(docs)
+      .select(col("doc_id"),
+        posexplode(graft.functions.ShingleFunctions.shingleHashSeq(col("text"), n)))
+      .withColumnRenamed("col", "h")
+    val capped = maxAnchorDf match {
+      case Some(cap) =>
+        val hot = anchors.groupBy(col("h")).agg(count(lit(1)).as("df"))
+          .filter(col("df") > cap).select(col("h"))
+        anchors.join(broadcast(hot), Seq("h"), "left_anti")
+      case None => anchors
+    }
+    val dup = capped.groupBy(col("h"))
+      .agg(collect_list(struct(col("doc_id"), col("pos"))).as("occ"))
+      .filter(size(col("occ")) >= 2)
+      .select(explode(col("occ")).as("o"))
+      .select(col("o.doc_id").as("doc_id"), col("o.pos").as("pos"))
+    import org.apache.spark.sql.expressions.Window
+    val runs = dup.withColumn("grp",
+      col("pos") - row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
+    runs.groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("pos")).cast("long").as("span_start"),
+        (max(col("pos")) - min(col("pos")) + lit(n)).cast("long").as("span_tokens"))
+      .filter(col("span_tokens") >= minSpanTokens)
+      .select(col("doc_id"), col("span_start"), col("span_tokens"))
+      .orderBy(col("doc_id"), col("span_start"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_substring" -> ((s, d) => substringSpans(Tables.documents(s, d))),
     "dedup_exact" -> ((s, d) => exact(Tables.documents(s, d))),
     "dedup_ngram_jaccard" -> ((s, d) => ngramJaccard(Tables.documents(s, d))),
     "dedup_minhash_lsh" -> ((s, d) => minhashLsh(Tables.documents(s, d))),
@@ -267,6 +328,20 @@ object Dedup {
     * is spec-defined against the exact-Jaccard result (DedupSpec).
     */
   val oracle: Map[String, String] = Map(
+    "dedup_substring" ->
+      """WITH t AS (SELECT doc_id,
+        |  list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ts FROM documents),
+        |a AS (SELECT doc_id, unnest(range(1, len(ts) - 3)) AS i, ts FROM t),
+        |g AS (SELECT doc_id, i - 1 AS pos,
+        |  ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3] || ' ' || ts[i+4] AS ng
+        | FROM a),
+        |d AS (SELECT doc_id, pos FROM g
+        | WHERE ng IN (SELECT ng FROM g GROUP BY ng HAVING count(*) >= 2)),
+        |r AS (SELECT doc_id, pos,
+        |  pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM d)
+        |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+        | CAST(max(pos) - min(pos) + 5 AS BIGINT) AS span_tokens
+        |FROM r GROUP BY doc_id, grp ORDER BY doc_id, span_start""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS dup_count
         |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,

@@ -82,6 +82,35 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._2 == 3L || p._1 == 3L))
   }
 
+  test("substring spans find exactly the copied paragraph, cross- and intra-doc") {
+    // C1..C7 is a 7-token "paragraph" copied into both docs; with n=5
+    // its pure-C anchors (3 of them, consecutive) are the only
+    // duplicated 5-grams, so each doc reports ONE span of 7 tokens at
+    // the paragraph's position. Boundary-straddling 5-grams mix unique
+    // tokens and must not extend the span.
+    val para = "C1 C2 C3 C4 C5 C6 C7"
+    val d = docs(1L -> s"u1 u2 u3 $para u4 u5", 2L -> s"w1 w2 $para w3")
+    val got = Dedup.substringSpans(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((1L, 3L, 7L), (2L, 2L, 7L)))
+    // intra-doc: the same phrase twice in ONE doc is signal too
+    val intra = docs(9L -> s"$para x1 x2 x3 $para")
+    val gi = Dedup.substringSpans(intra).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(gi == Seq((9L, 0L, 7L), (9L, 10L, 7L)))
+  }
+
+  test("substring spans: minSpanTokens floor and anchor df cap both prune") {
+    val para = "C1 C2 C3 C4 C5 C6 C7"
+    val d = docs(1L -> s"u1 u2 u3 $para u4 u5", 2L -> s"w1 w2 $para w3",
+      3L -> "z1 z2 D1 D2 D3 D4 D5 z3", 4L -> "y1 D1 D2 D3 D4 D5 y2 y3")
+    // D-para is 5 tokens → span_tokens=5; a floor of 6 keeps only C spans
+    val floored = Dedup.substringSpans(d, minSpanTokens = 6).collect()
+    assert(floored.forall(_.getLong(2) >= 6) && floored.length == 2)
+    // df cap at 1 drops every duplicated anchor (all have df=2) → empty
+    assert(Dedup.substringSpans(d, maxAnchorDf = Some(1)).isEmpty)
+  }
+
   test("native shingle hashes equal xxhash64 of the composed string shingles") {
     import org.apache.spark.sql.functions._
     val d = graft.Tables.documents(spark, TestSpark.sf)

@@ -103,9 +103,10 @@ class PlanSpec extends AnyFunSuite {
     // documented broadcast-cross cases: the capped exact-verify kernel
     // (dedup_embedding), the brute ANN baseline's broadcast query set,
     // and 1-row scalar broadcasts (tfidf's N, mj_partition_hash's
-    // invariant row); everything else crossing is a regression
+    // invariant row, corpus_mix's mixture total T); everything else
+    // crossing is a regression
     val allowedCross = Set("dedup_embedding", "ann_brute_topk", "ann_pq_topk",
-      "tfidf_topterms", "mj_partition_hash")
+      "tfidf_topterms", "mj_partition_hash", "corpus_mix")
     // streaming queries and the roundtrip EXECUTE in construction (their
     // result is already a local relation) — nothing to audit lazily
     val skip = (n: String) => n.startsWith("stream_") || n == "sdfs_roundtrip"
