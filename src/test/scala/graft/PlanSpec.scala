@@ -92,6 +92,32 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), "offset table should broadcast")
   }
 
+  test("round-5 pipeline ops keep their scale shapes in the physical plan") {
+    // text_repetition: pure map work — the ONLY exchange is the
+    // presentational orderBy's range partitioning
+    val rep = planOf("text_repetition")
+    assert(rep.linesIterator.count(_.contains("Exchange")) == 1 &&
+      rep.contains("rangepartitioning"),
+      s"text_repetition should shuffle only for the final sort:\n$rep")
+    // corpus_mix: the corpus side joins the caps table as a broadcast;
+    // a shuffled join here would exchange the whole corpus to attach a
+    // |strata|-row table
+    val mix = planOf("corpus_mix")
+    assert(!mix.contains("SortMergeJoin"), s"corpus_mix caps join fell back to a shuffle:\n$mix")
+    // dedup_substring: anchor dup-marking combines map-side, and the
+    // island window partitions by doc_id (full width — an unpartitioned
+    // window would serialize the duplicated-anchor relation)
+    val sub = planOf("dedup_substring")
+    assert(sub.contains("partial_"), s"dedup_substring anchor agg lost map-side combine:\n$sub")
+    assert(sub.contains("windowspecdefinition(doc_id"),
+      s"dedup_substring island window lost doc_id partitioning:\n$sub")
+    // decontam_bloom: the confirm join must broadcast the (tiny) test
+    // shingle set — SortMergeJoin would re-shuffle the gated train side
+    val bloom = planOf("decontam_bloom")
+    assert(bloom.contains("BroadcastHashJoin") && !bloom.contains("SortMergeJoin"),
+      s"decontam_bloom confirm join fell back to a shuffle:\n$bloom")
+  }
+
   test("range join plans as an equi-join on (user, bucket), never a nested loop") {
     val plan = planOf("q_range_join")
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
