@@ -15,6 +15,7 @@ private[operators] case class VecRow(vec_id: Long, v: Array[Double])
 private[operators] case class CellAssign(neighbor_id: Long, cell: Int)
 private[operators] case class CellProbe(query_id: Long, cell: Int)
 private[operators] case class PqCode(neighbor_id: Long, code: Array[Int])
+private[operators] case class IvfPqCode(neighbor_id: Long, cell: Int, code: Array[Int])
 private[operators] case class AdcScore(query_id: Long, neighbor_id: Long, cos_sim: Double)
 
 /** Approximate-nearest-neighbor search over the `embeddings` table
@@ -317,7 +318,141 @@ object Similarity {
     rerank(topK(adc, cap).select(col("query_id"), col("neighbor_id")), embeddings, k)
   }
 
+  // -------------------------------------------------------------- IVF+PQ
+
+  /** IVF+PQ composite (the FAISS `IVFPQ` layout) — the production shape
+    * for billion-vector corpora, combining both scale levers at once:
+    * the coarse quantizer prunes WHICH vectors are scanned (probed cells
+    * only, never the full corpus) and PQ residual codes shrink WHAT is
+    * read per vector (m bytes instead of dim·8). Neither alone does
+    * this: plain IVF re-ranks probed cells against full vectors; plain
+    * PQ scans every code.
+    *
+    * Residual encoding: each corpus vector stores (cell,
+    * code(v − centroid_cell)) — residuals cluster far tighter than raw
+    * vectors, so the same codebook budget quantizes much finer. The
+    * codebooks are SHARED across cells (standard FAISS), which keeps the
+    * query-side LUT cell-independent:
+    *   dot(q, v) ≈ dot(q, c_cell) + Σ_j lut_j[code_j]
+    * with the reconstruction norm from two more broadcast tables
+    * (‖c‖², dot(c_cell|j, cb_j[t])) — every per-candidate score is m
+    * table adds, exactly like [[pqTopK]]'s ADC, but each corpus row is
+    * scored ONLY against the queries that probed its cell. Top-(k·
+    * refine) selection stays folded into the partition loop (bounded
+    * heaps), and survivors are exactly re-ranked, so emitted scores are
+    * true cosines.
+    */
+  def ivfpqTopK(embeddings: DataFrame, k: Int = 5, nCells: Int = 16, nprobe: Int = 4,
+                m: Int = 8, ksub: Int = 32, refine: Int = 8,
+                maxSample: Int = 4096): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val sample = collectVecs(embeddings.limit(maxSample))
+    val dim = sample.head._2.length
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val dsub = dim / m
+    val centroids = kmeansLite(sample, nCells)
+    // residual codebooks: quantize v − its coarse centroid, per subspace
+    val residuals = sample.map { case (id, v) =>
+      val c = centroids(nearestCell(v, centroids))
+      (id, Array.tabulate(dim)(i => v(i) - c(i)))
+    }
+    val codebooks: Array[Array[Array[Double]]] = Array.tabulate(m) { j =>
+      kmeansLite(residuals.map { case (id, r) => (id, r.slice(j * dsub, (j + 1) * dsub)) }, ksub)
+    }
+    val bcTrain = spark.sparkContext.broadcast((centroids, codebooks))
+    // encode: one typed streaming pass — (cell, residual code) per vector
+    val codes = Tables.spread(vecs(embeddings.filter(col("vec_id") >= NumQueries)))
+      .as[VecRow]
+      .mapPartitions { it =>
+        val (cents, cb) = bcTrain.value
+        it.map { r =>
+          val cell = nearestCell(r.v, cents)
+          val cent = cents(cell)
+          val res = Array.tabulate(r.v.length)(i => r.v(i) - cent(i))
+          IvfPqCode(r.vec_id, cell,
+            Array.tabulate(cb.length)(j => nearestCell(res.slice(j * dsub, (j + 1) * dsub), cb(j))))
+        }
+      }
+    // query-side broadcast state, all tiny:
+    //   per query: residual LUT (m × ksub), dot(q, c) + probe flag per
+    //   cell, ‖q‖; shared: ‖cb entry‖², dot(c_cell|j, cb_j[t]) (the
+    //   cross term of the reconstruction norm), ‖c‖²
+    val qs = collectVecs(embeddings.filter(col("vec_id") < NumQueries))
+    val qstate = qs.map { case (qid, q) =>
+      val lut = Array.tabulate(codebooks.length) { j =>
+        codebooks(j).map { c =>
+          var s = 0.0; var i = 0
+          while (i < dsub) { s += q(j * dsub + i) * c(i); i += 1 }
+          s
+        }
+      }
+      val qc = centroids.map { c =>
+        var s = 0.0; var i = 0; while (i < dim) { s += q(i) * c(i); i += 1 }; s
+      }
+      val probed = nearestCells(q, centroids, nprobe).toSet
+      (qid, lut, qc, probed, math.sqrt(q.map(x => x * x).sum))
+    }
+    val rn2 = codebooks.map(_.map(c => c.map(x => x * x).sum))
+    val cdot = centroids.map { c =>
+      Array.tabulate(codebooks.length) { j =>
+        codebooks(j).map { e =>
+          var s = 0.0; var i = 0
+          while (i < dsub) { s += c(j * dsub + i) * e(i); i += 1 }
+          s
+        }
+      }
+    }
+    val cn2 = centroids.map(c => c.map(x => x * x).sum)
+    val bcQ = spark.sparkContext.broadcast((qstate, rn2, cdot, cn2))
+    val cap = k * refine
+    val adc = codes.mapPartitions { it =>
+      val (queries, rnorm2, cdots, cnorm2) = bcQ.value
+      val worstFirst = Ordering.by((x: (Double, Long)) => (-x._1, x._2))
+      val heaps = queries.map { case (qid, _, _, _, _) =>
+        qid -> new scala.collection.mutable.PriorityQueue[(Double, Long)]()(worstFirst)
+      }
+      it.foreach { r =>
+        val code = r.code
+        val cell = r.cell
+        // ‖c + recon(res)‖² = ‖c‖² + 2·Σ cdot + Σ ‖cb‖² — query-free
+        var n2 = cnorm2(cell)
+        var j = 0
+        while (j < code.length) {
+          n2 += 2.0 * cdots(cell)(j)(code(j)) + rnorm2(j)(code(j))
+          j += 1
+        }
+        val rnorm = math.sqrt(math.max(n2, 0.0))
+        var qi = 0
+        while (qi < queries.length) {
+          val (_, lut, qc, probed, qnorm) = queries(qi)
+          if (probed.contains(cell)) { // cell pruning: the IVF half
+            var dp = qc(cell)
+            var i = 0
+            while (i < code.length) { dp += lut(i)(code(i)); i += 1 }
+            val s = if (rnorm * qnorm == 0) 0.0 else dp / (rnorm * qnorm)
+            val heap = heaps(qi)._2
+            if (heap.size < cap) heap.enqueue((s, r.neighbor_id))
+            else {
+              val (ws, wid) = heap.head
+              if (s > ws || (s == ws && r.neighbor_id < wid)) {
+                heap.dequeue()
+                heap.enqueue((s, r.neighbor_id))
+              }
+            }
+          }
+          qi += 1
+        }
+      }
+      heaps.iterator.flatMap { case (qid, heap) =>
+        heap.iterator.map { case (s, nid) => AdcScore(qid, nid, s) }
+      }
+    }.toDF()
+    rerank(topK(adc, cap).select(col("query_id"), col("neighbor_id")), embeddings, k)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_ivfpq_topk" -> ((s, d) => ivfpqTopK(Tables.embeddings(s, d))),
     "ann_brute_topk" -> ((s, d) => bruteTopK(Tables.embeddings(s, d))),
     "ann_lsh_topk" -> ((s, d) => lshTopK(Tables.embeddings(s, d))),
     "ann_ivf_topk" -> ((s, d) => ivfTopK(Tables.embeddings(s, d))),

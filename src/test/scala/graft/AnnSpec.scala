@@ -52,6 +52,19 @@ class AnnSpec extends AnyFunSuite {
       bruteScores((r.getLong(0), r.getLong(2), r.getDouble(3)))))
   }
 
+  test("IVF+PQ topk recall@5 vs brute, scores exact after re-rank") {
+    val ivfpq = Similarity.ivfpqTopK(emb)
+    val recall = (pairs(ivfpq) & brute).size.toDouble / brute.size
+    // both approximations stack (cell pruning AND residual codes), so
+    // the floor sits at the IVF/PQ level — residual encoding typically
+    // lands it well above
+    assert(recall >= 0.7, s"IVF+PQ recall $recall below floor")
+    val bruteScores = Similarity.bruteScores(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(ivfpq.collect().forall(r =>
+      bruteScores((r.getLong(0), r.getLong(2), r.getDouble(3)))))
+  }
+
   test("TopKAgg keeps the k best with (score desc, id asc) tie-break under any arrival order") {
     import spark.implicits._
     val scores = Seq(
@@ -72,6 +85,7 @@ class AnnSpec extends AnyFunSuite {
     val tiny = emb.filter(org.apache.spark.sql.functions.col("vec_id") < 22) // 10 queries + 12 corpus
     assert(Similarity.pqTopK(tiny).count() > 0)
     assert(Similarity.ivfTopK(tiny).count() > 0)
+    assert(Similarity.ivfpqTopK(tiny).count() > 0)
   }
 
   test("hyperplanes and centroids are deterministic") {

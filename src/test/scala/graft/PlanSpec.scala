@@ -25,7 +25,7 @@ class PlanSpec extends AnyFunSuite {
     // Deserialize→MapPartitions→Serialize over the parquet scan; a
     // regression to createDataFrame(rdd) shows up as a Scan ExistingRDD
     // leaf (severed codegen, GenericRow boxing, lost column pruning)
-    for (q <- Seq("ann_ivf_topk", "ann_pq_topk")) {
+    for (q <- Seq("ann_ivf_topk", "ann_pq_topk", "ann_ivfpq_topk")) {
       val plan = planOf(q)
       assert(!plan.contains("ExistingRDD"), s"$q kernel dropped out of the typed pipeline")
       assert(plan.contains("SerializeFromObject"), s"$q lost its typed mapPartitions stage")
