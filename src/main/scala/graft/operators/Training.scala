@@ -213,7 +213,12 @@ object Training {
     testShingles.persist()
     val bf = try {
       val nTest = testShingles.count()
-      testShingles.stat.bloomFilter("s", math.max(nTest, 1L), fpp)
+      // Spark's stat.bloomFilter NPEs on an EMPTY relation (the sketch
+      // aggregate produces no row to read back) — and an empty test
+      // split means no contamination is possible anyway
+      if (nTest == 0)
+        return docs.select(col("doc_id"), lit(0L).as("n_shared_shingles")).limit(0)
+      testShingles.stat.bloomFilter("s", nTest, fpp)
     } finally testShingles.unpersist(false)
     val bfB = spark.sparkContext.broadcast(bf)
     val mightHit = udf((ss: Seq[Long]) => {
