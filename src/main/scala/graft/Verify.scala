@@ -6,7 +6,7 @@ object Verify {
   def main(args: Array[String]): Unit = {
     // args: sfDir outDir [queryName...] — extra names restrict the run
     // (and the dumped oracle json) to those queries: dev-loop iteration
-    // on one operator without paying the full 53-query dump. The driver
+    // on one operator without paying the full-suite dump. The driver
     // always passes exactly two args, so its contract is unchanged.
     val (sfDir, outDir) = (args(0), args(1))
     val only = args.drop(2).toSet

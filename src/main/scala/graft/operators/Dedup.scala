@@ -91,11 +91,13 @@ object Dedup {
                    maxShingleDf: Option[Int] = None): DataFrame =
     // one materialized shingle pass feeding BOTH sides of the pair
     // self-join (the kernel is the dominant cost and would otherwise run
-    // twice); localCheckpoint rather than persist because the returned
-    // frame is lazy — there is no post-materialization point to
-    // unpersist at, and the checkpointed pass is exactly what the
-    // composite callers (dedupClusters, cleanCorpus) already share
-    ngramJaccardPairs(shingleHashSets(docs, n).localCheckpoint(true), threshold, maxShingleDf)
+    // twice). persist, NOT localCheckpoint: the returned frame is lazy,
+    // so there is no post-materialization point to unpersist at — and an
+    // unreleased checkpoint pins its blocks until a driver GC (maybe
+    // never), while an unreleased CACHE block is LRU-evictable with the
+    // lineage intact to recompute. Composite callers (dedupClusters,
+    // cleanCorpus) persist their own shared pass and DO unpersist.
+    ngramJaccardPairs(shingleHashSets(docs, n).persist(), threshold, maxShingleDf)
       .orderBy(col("doc_id_1"), col("doc_id_2"))
 
   /** The pair-join core of [[ngramJaccard]] over a PRE-SHINGLED input
@@ -167,9 +169,9 @@ object Dedup {
     val rows = numPerms / bands
     // one materialized shingle pass: the signature path and the two
     // verify-join sides otherwise each re-run the kernel (3x the
-    // dominant cost); see ngramJaccard for the checkpoint-vs-persist
-    // rationale
-    val shingled = shingleHashSets(docs).localCheckpoint(true)
+    // dominant cost); see ngramJaccard for the persist-not-checkpoint
+    // rationale (evictable cache vs pinned-until-GC blocks)
+    val shingled = shingleHashSets(docs).persist()
     val sig = minhashSignatures(shingled, numPerms)
     val banded = sig.select(col("doc_id"), explode(array(
       (0 until bands).map(b => struct(
@@ -287,10 +289,14 @@ object Dedup {
     */
   def substringSpans(docs: DataFrame, n: Int = 5, minSpanTokens: Int = 0,
                      maxAnchorDf: Option[Int] = None): DataFrame = {
-    val anchors = Tables.spread(docs)
+    val anchorsRaw = Tables.spread(docs)
       .select(col("doc_id"),
         posexplode(graft.functions.ShingleFunctions.shingleHashSeq(col("text"), n)))
       .withColumnRenamed("col", "h")
+    // with a df cap the anchor relation feeds TWO consumers (the hot-key
+    // count and the anti-joined main path) — persist so the positioned-
+    // shingle kernel runs once, not twice (evictable, lineage intact)
+    val anchors = if (maxAnchorDf.isDefined) anchorsRaw.persist() else anchorsRaw
     val capped = maxAnchorDf match {
       case Some(cap) =>
         val hot = anchors.groupBy(col("h")).agg(count(lit(1)).as("df"))

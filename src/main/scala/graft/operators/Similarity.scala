@@ -408,11 +408,15 @@ object Similarity {
     val cap = k * refine
     val adc = codes.mapPartitions { it =>
       val (queries, rnorm2, cdots, cnorm2) = bcQ.value
+      // rows in cells NO query probed skip even the reconstruction-norm
+      // loop — with nprobe·|queries| ≪ nCells most of the corpus exits
+      // on this one set probe, which is the whole point of the IVF half
+      val probedAnywhere: Set[Int] = queries.iterator.flatMap(_._4).toSet
       val worstFirst = Ordering.by((x: (Double, Long)) => (-x._1, x._2))
       val heaps = queries.map { case (qid, _, _, _, _) =>
         qid -> new scala.collection.mutable.PriorityQueue[(Double, Long)]()(worstFirst)
       }
-      it.foreach { r =>
+      it.foreach { r => if (probedAnywhere(r.cell)) {
         val code = r.code
         val cell = r.cell
         // ‖c + recon(res)‖² = ‖c‖² + 2·Σ cdot + Σ ‖cb‖² — query-free
@@ -443,7 +447,7 @@ object Similarity {
           }
           qi += 1
         }
-      }
+      }}
       heaps.iterator.flatMap { case (qid, heap) =>
         heap.iterator.map { case (s, nid) => AdcScore(qid, nid, s) }
       }

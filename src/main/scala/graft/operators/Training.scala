@@ -157,9 +157,17 @@ object Training {
     val n = docs.groupBy(col(by)).agg(count(lit(1)).cast("double").as("n_s"))
     val r = n.join(broadcast(w), by)
     val t = r.agg(min(col("n_s") / col("w")).as("t"))
+    // the binding stratum's rate is 1.0 mathematically but w·T/n_s
+    // rounds BELOW 1 in IEEE doubles for ~5% of (w, n) pairs (e.g.
+    // w=0.009, n=5 → 0.9999999999999998), and floor would then yield cap
+    // 255 — silently dropping the stratum's 'ff'-bucket docs. The +1e-6
+    // nudge (far above double error at this scale, far below the 1/256
+    // quantization step) lands exact boundaries on their integer; the
+    // oracle applies the identical nudge, so parity holds either way.
     val caps = r.crossJoin(broadcast(t))
       .withColumn("cap",
-        floor(lit(256.0) * least(lit(1.0), col("w") * col("t") / col("n_s"))).cast("int"))
+        floor(lit(256.0) * least(lit(1.0), col("w") * col("t") / col("n_s")) + lit(1e-6))
+          .cast("int"))
       .select(col(by), col("cap"))
     docs.join(broadcast(caps), by)
       .filter(col("cap") >= 256 or
@@ -204,22 +212,26 @@ object Training {
   def decontamBloom(docs: DataFrame, n: Int = 5, fpp: Double = 0.01): DataFrame = {
     val spark = docs.sparkSession
     val ss = splitShingled(docs, n)
-    // test side: tiny by definition (the heldout benchmark). Persist
-    // across its two driver actions (count for sizing, bloomFilter
-    // build); the confirm join below recomputes it lazily post-
-    // unpersist — one cheap pass over the small split.
+    // test side: tiny by definition (the heldout benchmark), but
+    // DERIVING it scans the full corpus (split is content-hashed) — so
+    // materialize it ONCE with an eager localCheckpoint shared by all
+    // three consumers: the sizing count, the bloomFilter build, and the
+    // confirm join's broadcast below. A persist/unpersist-before-return
+    // dance would make the lazy confirm join re-scan the whole corpus at
+    // execution; the pinned blocks here are the sketch-sized test set,
+    // not the corpus.
     val testShingles = ss.filter(col("split") === "test")
       .select(explode(col("shingles")).as("s")).distinct()
-    testShingles.persist()
-    val bf = try {
-      val nTest = testShingles.count()
-      // Spark's stat.bloomFilter NPEs on an EMPTY relation (the sketch
-      // aggregate produces no row to read back) — and an empty test
-      // split means no contamination is possible anyway
-      if (nTest == 0)
-        return docs.select(col("doc_id"), lit(0L).as("n_shared_shingles")).limit(0)
-      testShingles.stat.bloomFilter("s", nTest, fpp)
-    } finally testShingles.unpersist(false)
+      .localCheckpoint(true)
+    val nTest = testShingles.count()
+    // Spark's stat.bloomFilter NPEs on an EMPTY relation (the sketch
+    // aggregate produces no row to read back) — and an empty test
+    // split means no contamination is possible anyway
+    if (nTest == 0) {
+      Corpus.releaseCheckpoint(testShingles)
+      return docs.select(col("doc_id"), lit(0L).as("n_shared_shingles")).limit(0)
+    }
+    val bf = testShingles.stat.bloomFilter("s", nTest, fpp)
     val bfB = spark.sparkContext.broadcast(bf)
     val mightHit = udf((ss: Seq[Long]) => {
       val f = bfB.value
@@ -341,7 +353,7 @@ object Training {
          |r AS (SELECT n.lang, n_s, w FROM n JOIN w USING (lang)),
          |t AS (SELECT min(n_s / w) AS t FROM r),
          |caps AS (SELECT lang,
-         |   CAST(floor(256 * least(CAST(1.0 AS DOUBLE), w * t.t / n_s)) AS INT) AS cap
+         |   CAST(floor(256 * least(CAST(1.0 AS DOUBLE), w * t.t / n_s) + 1e-6) AS INT) AS cap
          |  FROM r CROSS JOIN t)
          |SELECT d.doc_id, d.lang FROM documents d JOIN caps USING (lang)
          |WHERE cap >= 256 OR substr(md5('mix:' || text), 1, 2) < printf('%02x', cap)

@@ -30,8 +30,8 @@ class RobustnessSpec extends AnyFunSuite {
       graft.functions.ShingleFunctions.simhash(col("text")).as("sim"))
       .orderBy(col("doc_id")).collect()
     assert(out.length == 4)
-    // null text → every derived column null
-    assert((1 to 4).forall(i => out(1).isNullAt(i)))
+    // null text → every derived column null (simhash included)
+    assert((1 to 5).forall(i => out(1).isNullAt(i)))
     // empty + whitespace-only text → zero counts, empty arrays, not nulls
     for (r <- Seq(out(2), out(3))) {
       assert(r.getStruct(1).getLong(0) == 0L && r.getStruct(2).getLong(0) == 0L)

@@ -103,6 +103,23 @@ class TrainingSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getString(1))).toSeq == got.toSeq)
   }
 
+  test("corpus_mix binding stratum survives IEEE rounding at the 1.0 boundary") {
+    import spark.implicits._
+    // w=0.009 with n=5 makes the binding stratum's rate compute as
+    // 0.9999999999999998 in doubles (w·(n/w)/n rounds below 1 for
+    // non-dyadic w), which floors to cap 255 without the epsilon nudge —
+    // and 'a doc 247' lives in md5('mix:'…) bucket 'ff', exactly the doc
+    // a 255-cap silently drops. The oracle mirrors the same arithmetic,
+    // so only this spec can catch it.
+    val d = ((Seq(247) ++ (1 to 4)).map(i => (i.toLong, s"a doc $i", "a")) ++
+      (1 to 600).map(i => (1000L + i, s"b doc $i", "b")))
+      .toDF("doc_id", "text", "lang")
+    val kept = Training.corpusMix(d, Map("a" -> 0.009, "b" -> 0.991))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(kept.count(_._2 == "a") == 5,
+      s"binding stratum lost docs to the floor boundary: ${kept.filter(_._2 == "a").toSeq}")
+  }
+
   test("decontam_bloom equals exact decontam minus the per-test attribution") {
     val exact = Training.decontamNgram(docs)
       .select(col("doc_id"), col("n_shared_shingles")).collect().toSeq
