@@ -142,7 +142,8 @@ object Events {
                          finish: DataFrame => DataFrame = identity,
                          flush: (SparkSession, java.nio.file.Path, StreamingQuery) => Unit =
                            (_, _, _) => (),
-                         extraConf: Map[String, String] = Map.empty)(
+                         extraConf: Map[String, String] = Map.empty,
+                         table: String = "events")(
                          build: DataFrame => DataFrame): DataFrame = {
     // No-data micro-batches exist to finalize state for a LIVE stream
     // that went quiet — for the bounded harness every one is a paid
@@ -157,11 +158,18 @@ object Events {
     val conf = Map("spark.sql.streaming.noDataMicroBatches.enabled" -> "false") ++
       providerConf ++ extraConf
     val ss = sessionFor(spark, statePartitions, conf)
-    val staged = java.nio.file.Paths.get(s"$sfDir/events.parquet")
+    // the child session has its OWN temp-function registry — graft's
+    // native expressions (the ingest quality gate) must resolve there too
+    graft.GraftSession.registerFunctions(ss)
+    val staged = java.nio.file.Paths.get(s"$sfDir/$table.parquet")
     val dir = scratchDir(prefix, java.nio.file.Files.size(staged))
     try {
-      java.nio.file.Files.copy(staged, dir.resolve("events.parquet"))
-      val result = build(withTs(ss.readStream.schema(rawSchema(ss, sfDir)).parquet(dir.toString)))
+      java.nio.file.Files.copy(staged, dir.resolve(s"$table.parquet"))
+      val schema = ss.read.parquet(staged.toString).schema
+      val raw = ss.readStream.schema(schema).parquet(dir.toString)
+      // event tables carry a raw nanos ts that every consumer expects as
+      // TimestampType; timestamp-free tables (documents) stream as-is
+      val result = build(if (schema.fieldNames.contains("ts")) withTs(raw) else raw)
       val name = nextName(prefix)
       try {
         val q = result.writeStream.format("memory").queryName(name)
@@ -567,7 +575,39 @@ object Events {
     }
   }
 
+  /** Continuous corpus ingestion: stream the DOCUMENTS table through a
+    * quality gate (fused [[graft.functions.TokenStats]] — stateless map
+    * work, composable with any §2.5 scorer) into content-hash exact
+    * dedup, emitting one row per distinct surviving text with its
+    * arrival count and canonical keep id. This is §2.3's `dedup_exact`
+    * relation maintained INCREMENTALLY — the shape a crawl pipeline
+    * runs: docs arrive forever, the clean deduped corpus is always
+    * current.
+    *
+    * State honesty at 100 TB: content-hash dedup has NO time bound — a
+    * duplicate may arrive years later — so its state is one (16-byte
+    * hash, counters) row per distinct doc, FOREVER. That is the real
+    * cost of streaming corpus dedup (every production pipeline pays it
+    * as a persistent KV store); the deployment swap to RocksDB
+    * (`SPARK_GRAFT_STATE_STORE=rocksdb`, spec-verified identical) is the
+    * knob that makes the keyspace disk-backed. min/count in Complete
+    * mode keep the emitted relation deterministic (arrival-order-free),
+    * which is what makes the query oracle-checkable.
+    */
+  def ingestDedup(spark: SparkSession, sfDir: String,
+                  statePartitions: Option[Int] = Some(4),
+                  minTokens: Int = 10): DataFrame =
+    runBounded(spark, sfDir, statePartitions, OutputMode.Complete, "graft_ingest",
+      finish = _.orderBy(col("text_hash")), table = "documents") { docs =>
+      docs
+        .filter(graft.functions.TokenStats.tokenStats(col("text"))
+          .getField("n_tokens") >= minTokens)
+        .groupBy(md5(col("text").cast("binary")).as("text_hash"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_arrivals"))
+    }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_ingest_dedup" -> ((s, d) => ingestDedup(s, d)),
     "stream_window_agg" -> ((s, d) => windowAgg(s, d)),
     "stream_sliding_agg" -> ((s, d) => slidingWindowAgg(s, d)),
     "stream_dedup" -> ((s, d) => dedupEvents(s, d)),
@@ -577,6 +617,14 @@ object Events {
     "stream_sessionize" -> ((s, d) => sessionize(s, d)))
 
   val oracle: Map[String, String] = Map(
+    // the incrementally-maintained dedup_exact relation over
+    // quality-passing docs — arrival-order-free by construction
+    "stream_ingest_dedup" ->
+      """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
+        | count(*) AS n_arrivals
+        |FROM documents
+        |WHERE len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) >= 10
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // dedup of original ∪ replayed-subset = the original relation
     // (event_id is unique in the source, checked across all SFs)
     "stream_dedup" ->

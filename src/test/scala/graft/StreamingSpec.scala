@@ -47,6 +47,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.collect().toSeq == batch.collect().toSeq)
   }
 
+  test("stream_ingest_dedup gates short docs and counts duplicate arrivals") {
+    import spark.implicits._
+    // synthetic corpus staged as a real parquet table: one text arriving
+    // 3x under different ids, one distinct survivor, one sub-gate doc
+    val long1 = (1 to 12).map(i => s"w$i").mkString(" ")
+    val long2 = (1 to 12).map(i => s"x$i").mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ingest_spec")
+    try {
+      // the harness stages `$sfDir/documents.parquet` as a single FILE
+      // (the testdata layout), so promote the one part file to that name
+      val stage = s"$dir/stage"
+      Seq((5L, long1), (9L, long1), (1L, long1), (2L, long2), (3L, "too short"))
+        .toDF("doc_id", "text")
+        .coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath, dir.resolve("documents.parquet"))
+      val got = Events.ingestDedup(spark, dir.toString)
+        .select(col("keep_id"), col("n_arrivals")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      // short doc gone; triplicate collapses to min id with count 3
+      assert(got == Set((1L, 3L), (2L, 1L)))
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   test("stream_dedup drops a replayed micro-batch, emitting each event exactly once") {
     val deduped = Events.dedupEvents(spark, TestSpark.sf)
     val original = Tables.events(spark, TestSpark.sf)
