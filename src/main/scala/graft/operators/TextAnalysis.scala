@@ -84,6 +84,39 @@ object TextAnalysis {
           nullif(col("rs.n_trigrams"), lit(0L)), 6).as("dup_trigram_frac"))
       .orderBy(col("doc_id"))
 
+  /** PII patterns shared by the Spark query and (verbatim) the DuckDB
+    * oracle — anchored word-ish boundaries, no constructs where Java
+    * regex and RE2 disagree (no backrefs, no lookaround).
+    */
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val PhoneRe = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
+  private val IpRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** PII scrubbing — the redaction pass every pretraining pipeline runs
+    * before anything else sees the text: detect emails / phone numbers /
+    * IPv4 literals, count them per doc, and emit the hash of the
+    * redacted text (placeholders `<EMAIL>`/`<PHONE>`/`<IP>`).
+    * Replacement order matters and is fixed (emails first — they embed
+    * dots and digits the narrower patterns could partially claim;
+    * placeholders contain neither, so later passes can't re-match
+    * earlier redactions). Pure map work over the scan: at 100 TB this
+    * pass rides the same single pass as the other §2.5 scorers, no
+    * shuffle. Emitting the scrubbed HASH (not the text) keeps the
+    * verify relation narrow; a production pipeline selects the scrubbed
+    * column itself instead.
+    */
+  def scrubPii(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("scrubbed",
+        regexp_replace(regexp_replace(regexp_replace(col("text"),
+          EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>"), IpRe, "<IP>"))
+      .select(col("doc_id"),
+        regexp_count(col("text"), lit(EmailRe)).cast("long").as("n_emails"),
+        regexp_count(col("text"), lit(PhoneRe)).cast("long").as("n_phones"),
+        regexp_count(col("text"), lit(IpRe)).cast("long").as("n_ips"),
+        md5(col("scrubbed").cast("binary")).as("scrubbed_hash"))
+      .orderBy(col("doc_id"))
+
   /** Conjunctive keyword search: docs containing ALL query terms
     * (wc_maple sanitize term space, same as `vocab_topk`). Formulated as
     * a posting-list intersection — explode to (doc, term) postings, keep
@@ -113,6 +146,7 @@ object TextAnalysis {
     "text_tokencount" -> tokenCount,
     "text_fingerprint" -> fingerprint,
     "text_repetition" -> repetition,
+    "text_scrub_pii" -> ((s, d) => scrubPii(Tables.documents(s, d))),
     "text_search" -> ((s, d) => search(Tables.documents(s, d))))
 
   private def sqlList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("(", ",", ")")
@@ -152,6 +186,18 @@ object TextAnalysis {
          | CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_bpe_tokens,
          | CAST(length(text) AS BIGINT) AS n_chars
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_scrub_pii" -> {
+      // the SAME pattern strings the query uses, spliced verbatim —
+      // the two engines must never drift on a character class
+      val (e, p, i) = (EmailRe, PhoneRe, IpRe)
+      s"""SELECT doc_id,
+         | CAST(len(regexp_extract_all(text, '$e')) AS BIGINT) AS n_emails,
+         | CAST(len(regexp_extract_all(text, '$p')) AS BIGINT) AS n_phones,
+         | CAST(len(regexp_extract_all(text, '$i')) AS BIGINT) AS n_ips,
+         | md5(regexp_replace(regexp_replace(regexp_replace(text,
+         |   '$e', '<EMAIL>', 'g'), '$p', '<PHONE>', 'g'), '$i', '<IP>', 'g')) AS scrubbed_hash
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
     "text_search" ->
       """WITH w AS (SELECT doc_id, unnest(list_filter(
         |   string_split_regex(regexp_replace(text, '[^0-9a-zA-Z\s]', '', 'g'), '\s+'),

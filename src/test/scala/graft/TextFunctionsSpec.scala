@@ -40,6 +40,25 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(math.abs(r - 1.0 / 3.0) < 1e-9)
   }
 
+  test("scrubPii detects and redacts emails, phones and IPs, in the fixed order") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "mail bob@example.com or alice@test.org, call 555-123-4567, host 10.0.0.1"),
+      (2L, "clean text, version 1.2 is not an ip, 12-34 not a phone"))
+      .toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.scrubPii(d).collect()
+    assert((got(0).getLong(1), got(0).getLong(2), got(0).getLong(3)) == ((2L, 1L, 1L)))
+    assert((got(1).getLong(1), got(1).getLong(2), got(1).getLong(3)) == ((0L, 0L, 0L)))
+    // the clean doc's hash is the hash of its unmodified text; the PII
+    // doc's is the hash of the placeholder form — raw PII never survives
+    val scrubbed = "mail <EMAIL> or <EMAIL>, call <PHONE>, host <IP>"
+    val hashes = Seq(scrubbed, "clean text, version 1.2 is not an ip, 12-34 not a phone")
+      .toDF("t")
+      .select(org.apache.spark.sql.functions.md5(col("t").cast("binary")))
+      .collect().map(_.getString(0))
+    assert(got.map(_.getString(4)).toSeq == hashes.toSeq)
+  }
+
   test("repetitionStats counters on a hand-checked doc") {
     val rs = graft.functions.RepetitionStats.repetitionStats(col("text"))
     // "a b a b a": unigrams a×3 b×2 → top 3; bigrams "a b"×2 "b a"×2 →
