@@ -293,9 +293,19 @@ object Training {
     * range-sample so both consumers see one pid assignment (the
     * [[Relational.qRankSuppliers]] pattern).
     */
-  def packSequences(docs: DataFrame, seqLen: Int = 2048): DataFrame = {
-    val toks = docs.select(col("doc_id"),
-      graft.functions.TokenStats.tokenStats(col("text")).getField("n_tokens").as("n_tokens"))
+  def packSequences(docs: DataFrame, seqLen: Int = 2048): DataFrame =
+    packOffsets(
+      docs.select(col("doc_id"),
+        graft.functions.TokenStats.tokenStats(col("text")).getField("n_tokens").as("n_tokens")),
+      seqLen)
+      .orderBy(col("doc_id"))
+
+  /** The prefix-sum core of [[packSequences]] over a pre-tokencounted
+    * (`doc_id`, `n_tokens`) relation — reused by [[trainingManifest]],
+    * which packs an already-scored kept set. Unordered output (callers
+    * sort or join).
+    */
+  private[operators] def packOffsets(toks: DataFrame, seqLen: Int = 2048): DataFrame = {
     val parted = toks.repartitionByRange(col("doc_id"))
       .withColumn("pid", spark_partition_id())
       .localCheckpoint()
@@ -311,6 +321,51 @@ object Training {
       .withColumn("start_offset", col("offset") + col("local_before"))
       .select(col("doc_id"), col("n_tokens"), col("start_offset"),
         floor(col("start_offset") / seqLen).cast("long").as("seq_id"))
+  }
+
+  // ------------------------------------------------------ training manifest
+
+  /** The end-to-end capstone: raw documents → THE relation a trainer
+    * consumes, one call. Composes the pipeline's stages in their
+    * production order:
+    *
+    *  1. clean ([[Corpus.cleanCorpus]]): quality + langid scoring fused
+    *     in one scan, near-dup clusters dropped (CC over the ngram-
+    *     Jaccard pair graph);
+    *  2. split ([[Corpus.sampleSplit]]): content-hashed train/val/test;
+    *  3. decontaminate ([[decontamNgram]]): TRAIN docs sharing a
+    *     5-gram with any test doc are dropped — only train pays this
+    *     (dropping val/test rows for overlapping TRAIN would invert the
+    *     hygiene direction);
+    *  4. pack ([[packOffsets]]): two-phase prefix sum assigns every
+    *     surviving train doc its global token offset + sequence id.
+    *     Non-train rows carry the documented -1 sentinel (they are
+    *     evaluated, not packed).
+    *
+    * Every stage keeps its own scale shape (documented at its
+    * definition); the composition adds two joins: split attach (map-side
+    * vs the scored scan under AQE) and the contaminated-list anti
+    * filter, both keyed on doc_id. The contaminated list and the packed
+    * offsets are contamination-/train-sized, never corpus-wide
+    * relations.
+    */
+  def trainingManifest(spark: SparkSession, d: String, seqLen: Int = 2048): DataFrame = {
+    val docs = graft.Tables.documents(spark, d)
+    val kept = Corpus.cleanCorpus(spark, d)
+    val split = Corpus.sampleSplit(docs).select(col("doc_id"), col("split"))
+    val contaminated = decontamNgram(docs)
+      .select(col("doc_id"), lit(true).as("contam"))
+    val base = kept.join(split, "doc_id")
+      .join(contaminated, Seq("doc_id"), "left")
+      .filter(col("split") =!= lit("train") || col("contam").isNull)
+      .select(col("doc_id"), col("split"), col("lang_pred"), col("quality"), col("n_tokens"))
+    val packed = packOffsets(
+      base.filter(col("split") === "train").select(col("doc_id"), col("n_tokens")), seqLen)
+      .select(col("doc_id"), col("start_offset"), col("seq_id"))
+    base.join(packed, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("split"), col("lang_pred"), col("quality"), col("n_tokens"),
+        coalesce(col("start_offset"), lit(-1L)).as("start_offset"),
+        coalesce(col("seq_id"), lit(-1L)).as("seq_id"))
       .orderBy(col("doc_id"))
   }
 

@@ -136,6 +136,32 @@ class TrainingSpec extends AnyFunSuite {
       Training.decontamBloom(docs, fpp = 0.001).collect().toSeq)
   }
 
+  test("training manifest composes clean + split + decontam + pack coherently") {
+    val m = Training.trainingManifest(spark, TestSpark.sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(3), r.getLong(4),
+        r.getLong(5), r.getLong(6)))
+    assert(m.nonEmpty)
+    // every row passed the clean gate
+    assert(m.forall(_._3 >= 0.75))
+    // train rows: offsets are the exact prefix sums of n_tokens in
+    // doc_id order (contiguous packing, no gaps, no overlap) and seq_id
+    // is the 2048-chunk of the offset; non-train rows carry the -1
+    // sentinels
+    val train = m.filter(_._2 == "train").sortBy(_._1)
+    var expected = 0L
+    for ((_, _, _, nTok, off, sid) <- train) {
+      assert(off == expected, s"offset gap: got $off want $expected")
+      assert(sid == expected / 2048)
+      expected += nTok
+    }
+    assert(m.filter(_._2 != "train").forall(r => r._5 == -1L && r._6 == -1L))
+    // decontamination direction: no contaminated doc survives in TRAIN,
+    // while contaminated ids may legitimately appear as val/test rows
+    val contam = Training.decontamNgram(Tables.documents(spark, TestSpark.sf))
+      .collect().map(_.getLong(0)).toSet
+    assert(train.forall(r => !contam(r._1)))
+  }
+
   test("tfidf ranks a hand-checked corpus correctly") {
     import spark.implicits._
     // "rare" appears only in doc 1 (idf=ln(3)), "shared" in all three
