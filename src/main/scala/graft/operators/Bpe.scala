@@ -81,7 +81,10 @@ object Bpe {
     val merges = scala.collection.mutable.ListBuffer.empty[Merge]
     var round = 0
     var exhausted = false
-    while (round < numMerges && !exhausted) {
+    // finally-release: a throw mid-round (executor loss, cancelled job)
+    // must not leave the current shapes checkpoint pinned — the same
+    // throw-path discipline as connectedComponents
+    try while (round < numMerges && !exhausted) {
       val top = shapes
         .select(col("freq"), explode(pairsOf(col("shape"))).as("p"))
         .groupBy(col("p.0").as("left"), col("p.1").as("right"))
@@ -101,8 +104,7 @@ object Bpe {
         shapes = next
         round += 1
       }
-    }
-    Corpus.releaseCheckpoint(shapes)
+    } finally Corpus.releaseCheckpoint(shapes)
     merges.toList
   }
 

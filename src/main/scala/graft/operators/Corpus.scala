@@ -370,6 +370,38 @@ object Corpus {
       |clusters AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
       |  FROM reach GROUP BY src)""".stripMargin
 
+  /** The clean-corpus scoring chain (drop near-dups → token stats →
+    * quality + langid), shared by the `pipe_clean_corpus` and
+    * `pipe_training_manifest` oracles so stopword lists / quality
+    * weights / the langid cascade live in exactly one SQL string.
+    * Requires `clusters` (from [[pairsCte]]) to be in scope; exposes
+    * `s3(doc_id, n_tokens, quality, lang_pred)`, unfiltered.
+    */
+  private val scoringCtes =
+    """drop_list AS (SELECT doc_id FROM clusters WHERE doc_id <> cluster_id),
+      |stats AS (SELECT d.doc_id, length(d.text) AS nc,
+      |   list_filter(string_split_regex(d.text, '\s+'), x -> x <> '') AS ts, d.text
+      |  FROM documents d WHERE d.doc_id NOT IN (SELECT doc_id FROM drop_list)),
+      |s2 AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tokens,
+      |  round((nc - length(regexp_replace(text, '[^0-9a-zA-Z\s]', '', 'g'))) * 1.0 / nullif(nc, 0), 6) AS punct_ratio,
+      |  round(len(list_filter(ts, t -> t IN ('the','a','and','of','to','is','in','that','it','for'))) * 1.0 / nullif(len(ts), 0), 6) AS stop_ratio,
+      |  round(length(regexp_replace(text, '\s', '', 'g')) * 1.0 / nullif(len(ts), 0), 6) AS avg_token_len,
+      |  CAST(len(list_filter(ts, t -> t IN ('the','a','and','of','to','is','in','that','it','for'))) AS BIGINT) AS en_hits,
+      |  CAST(len(list_filter(ts, t -> t IN ('el','la','de','que','y','en','un','es','se','no'))) AS BIGINT) AS es_hits,
+      |  CAST(len(list_filter(ts, t -> t IN ('der','die','und','das','ist','ein','zu','mit','den','von'))) AS BIGINT) AS de_hits,
+      |  CAST(len(list_filter(ts, t -> t IN ('le','les','et','des','une','du','dans','pour','sur','avec'))) AS BIGINT) AS fr_hits,
+      |  nc FROM stats),
+      |s3 AS (SELECT doc_id, n_tokens,
+      |  round((CASE WHEN nc BETWEEN 100 AND 5000 THEN 0.25 ELSE 0 END) +
+      |   (CASE WHEN stop_ratio BETWEEN 0.01 AND 0.6 THEN 0.25 ELSE 0 END) +
+      |   (CASE WHEN punct_ratio < 0.2 THEN 0.25 ELSE 0 END) +
+      |   (CASE WHEN avg_token_len BETWEEN 3.0 AND 10.0 THEN 0.25 ELSE 0 END), 2) AS quality,
+      |  CASE WHEN en_hits >= es_hits AND en_hits >= de_hits AND en_hits >= fr_hits AND en_hits > 0 THEN 'en'
+      |   WHEN es_hits >= de_hits AND es_hits >= fr_hits AND es_hits > 0 THEN 'es'
+      |   WHEN de_hits >= fr_hits AND de_hits > 0 THEN 'de'
+      |   WHEN fr_hits > 0 THEN 'fr' ELSE 'unknown' END AS lang_pred
+      | FROM s2)""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "sample_split" ->
       """SELECT doc_id, substr(md5(text), 1, 2) AS bucket,
@@ -389,56 +421,12 @@ object Corpus {
          |SELECT doc_id, cluster_id FROM clusters ORDER BY doc_id""".stripMargin,
     "pipe_clean_corpus" ->
       s"""WITH RECURSIVE $pairsCte,
-         |drop_list AS (SELECT doc_id FROM clusters WHERE doc_id <> cluster_id),
-         |stats AS (SELECT d.doc_id, length(d.text) AS nc,
-         |   list_filter(string_split_regex(d.text, '\\s+'), x -> x <> '') AS ts, d.text
-         |  FROM documents d WHERE d.doc_id NOT IN (SELECT doc_id FROM drop_list)),
-         |s2 AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tokens,
-         |  round((nc - length(regexp_replace(text, '[^0-9a-zA-Z\\s]', '', 'g'))) * 1.0 / nullif(nc, 0), 6) AS punct_ratio,
-         |  round(len(list_filter(ts, t -> t IN ('the','a','and','of','to','is','in','that','it','for'))) * 1.0 / nullif(len(ts), 0), 6) AS stop_ratio,
-         |  round(length(regexp_replace(text, '\\s', '', 'g')) * 1.0 / nullif(len(ts), 0), 6) AS avg_token_len,
-         |  CAST(len(list_filter(ts, t -> t IN ('the','a','and','of','to','is','in','that','it','for'))) AS BIGINT) AS en_hits,
-         |  CAST(len(list_filter(ts, t -> t IN ('el','la','de','que','y','en','un','es','se','no'))) AS BIGINT) AS es_hits,
-         |  CAST(len(list_filter(ts, t -> t IN ('der','die','und','das','ist','ein','zu','mit','den','von'))) AS BIGINT) AS de_hits,
-         |  CAST(len(list_filter(ts, t -> t IN ('le','les','et','des','une','du','dans','pour','sur','avec'))) AS BIGINT) AS fr_hits,
-         |  nc FROM stats),
-         |s3 AS (SELECT doc_id, n_tokens,
-         |  round((CASE WHEN nc BETWEEN 100 AND 5000 THEN 0.25 ELSE 0 END) +
-         |   (CASE WHEN stop_ratio BETWEEN 0.01 AND 0.6 THEN 0.25 ELSE 0 END) +
-         |   (CASE WHEN punct_ratio < 0.2 THEN 0.25 ELSE 0 END) +
-         |   (CASE WHEN avg_token_len BETWEEN 3.0 AND 10.0 THEN 0.25 ELSE 0 END), 2) AS quality,
-         |  CASE WHEN en_hits >= es_hits AND en_hits >= de_hits AND en_hits >= fr_hits AND en_hits > 0 THEN 'en'
-         |   WHEN es_hits >= de_hits AND es_hits >= fr_hits AND es_hits > 0 THEN 'es'
-         |   WHEN de_hits >= fr_hits AND de_hits > 0 THEN 'de'
-         |   WHEN fr_hits > 0 THEN 'fr' ELSE 'unknown' END AS lang_pred
-         | FROM s2)
+         |$scoringCtes
          |SELECT doc_id, n_tokens, quality, lang_pred FROM s3
          |WHERE quality >= 0.75 ORDER BY doc_id""".stripMargin,
     "pipe_training_manifest" ->
       s"""WITH RECURSIVE $pairsCte,
-         |drop_list AS (SELECT doc_id FROM clusters WHERE doc_id <> cluster_id),
-         |stats AS (SELECT d.doc_id, length(d.text) AS nc,
-         |   list_filter(string_split_regex(d.text, '\\s+'), x -> x <> '') AS ts, d.text
-         |  FROM documents d WHERE d.doc_id NOT IN (SELECT doc_id FROM drop_list)),
-         |s2 AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tokens,
-         |  round((nc - length(regexp_replace(text, '[^0-9a-zA-Z\\s]', '', 'g'))) * 1.0 / nullif(nc, 0), 6) AS punct_ratio,
-         |  round(len(list_filter(ts, t -> t IN ('the','a','and','of','to','is','in','that','it','for'))) * 1.0 / nullif(len(ts), 0), 6) AS stop_ratio,
-         |  round(length(regexp_replace(text, '\\s', '', 'g')) * 1.0 / nullif(len(ts), 0), 6) AS avg_token_len,
-         |  CAST(len(list_filter(ts, t -> t IN ('the','a','and','of','to','is','in','that','it','for'))) AS BIGINT) AS en_hits,
-         |  CAST(len(list_filter(ts, t -> t IN ('el','la','de','que','y','en','un','es','se','no'))) AS BIGINT) AS es_hits,
-         |  CAST(len(list_filter(ts, t -> t IN ('der','die','und','das','ist','ein','zu','mit','den','von'))) AS BIGINT) AS de_hits,
-         |  CAST(len(list_filter(ts, t -> t IN ('le','les','et','des','une','du','dans','pour','sur','avec'))) AS BIGINT) AS fr_hits,
-         |  nc FROM stats),
-         |s3 AS (SELECT doc_id, n_tokens,
-         |  round((CASE WHEN nc BETWEEN 100 AND 5000 THEN 0.25 ELSE 0 END) +
-         |   (CASE WHEN stop_ratio BETWEEN 0.01 AND 0.6 THEN 0.25 ELSE 0 END) +
-         |   (CASE WHEN punct_ratio < 0.2 THEN 0.25 ELSE 0 END) +
-         |   (CASE WHEN avg_token_len BETWEEN 3.0 AND 10.0 THEN 0.25 ELSE 0 END), 2) AS quality,
-         |  CASE WHEN en_hits >= es_hits AND en_hits >= de_hits AND en_hits >= fr_hits AND en_hits > 0 THEN 'en'
-         |   WHEN es_hits >= de_hits AND es_hits >= fr_hits AND es_hits > 0 THEN 'es'
-         |   WHEN de_hits >= fr_hits AND de_hits > 0 THEN 'de'
-         |   WHEN fr_hits > 0 THEN 'fr' ELSE 'unknown' END AS lang_pred
-         | FROM s2),
+         |$scoringCtes,
          |splits AS (SELECT doc_id,
          |  CASE WHEN substr(md5(text), 1, 2) < 'cd' THEN 'train'
          |       WHEN substr(md5(text), 1, 2) < 'e6' THEN 'validation'
@@ -447,8 +435,7 @@ object Corpus {
          |dt AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS dts
          |  FROM documents),
          |dsh AS (SELECT dt.doc_id, sp.split, list_distinct(
-         |   [dts[i] || ' ' || dts[i+1] || ' ' || dts[i+2] || ' ' || dts[i+3] || ' ' || dts[i+4]
-         |    for i in range(1, len(dts) - 3)]) AS shingles
+         |   ${Training.fiveGramListOf("dts")}) AS shingles
          |  FROM dt JOIN splits sp USING (doc_id) WHERE len(dts) >= 5),
          |dex AS (SELECT doc_id, split, unnest(shingles) AS s FROM dsh),
          |contam AS (SELECT DISTINCT a.doc_id FROM dex a JOIN dex b ON a.s = b.s

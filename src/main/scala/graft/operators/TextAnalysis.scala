@@ -107,13 +107,18 @@ object TextAnalysis {
     */
   def scrubPii(docs: DataFrame): DataFrame =
     docs
-      .withColumn("scrubbed",
-        regexp_replace(regexp_replace(regexp_replace(col("text"),
-          EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>"), IpRe, "<IP>"))
+      // each stage counts on the PREVIOUS stage's output, so every count
+      // equals the number of its placeholders actually present in the
+      // final text — counting everything on the raw text would report
+      // phantom phones/IPs for digit runs the email pass already claimed
+      // (e.g. "555-123-4567@corp.com" is ONE email, zero phones)
+      .withColumn("s1", regexp_replace(col("text"), EmailRe, "<EMAIL>"))
+      .withColumn("s2", regexp_replace(col("s1"), PhoneRe, "<PHONE>"))
+      .withColumn("scrubbed", regexp_replace(col("s2"), IpRe, "<IP>"))
       .select(col("doc_id"),
         regexp_count(col("text"), lit(EmailRe)).cast("long").as("n_emails"),
-        regexp_count(col("text"), lit(PhoneRe)).cast("long").as("n_phones"),
-        regexp_count(col("text"), lit(IpRe)).cast("long").as("n_ips"),
+        regexp_count(col("s1"), lit(PhoneRe)).cast("long").as("n_phones"),
+        regexp_count(col("s2"), lit(IpRe)).cast("long").as("n_ips"),
         md5(col("scrubbed").cast("binary")).as("scrubbed_hash"))
       .orderBy(col("doc_id"))
 
@@ -190,13 +195,15 @@ object TextAnalysis {
       // the SAME pattern strings the query uses, spliced verbatim —
       // the two engines must never drift on a character class
       val (e, p, i) = (EmailRe, PhoneRe, IpRe)
-      s"""SELECT doc_id,
+      s"""WITH st AS (SELECT doc_id, text,
+         |  regexp_replace(text, '$e', '<EMAIL>', 'g') AS s1 FROM documents),
+         |st2 AS (SELECT *, regexp_replace(s1, '$p', '<PHONE>', 'g') AS s2 FROM st)
+         |SELECT doc_id,
          | CAST(len(regexp_extract_all(text, '$e')) AS BIGINT) AS n_emails,
-         | CAST(len(regexp_extract_all(text, '$p')) AS BIGINT) AS n_phones,
-         | CAST(len(regexp_extract_all(text, '$i')) AS BIGINT) AS n_ips,
-         | md5(regexp_replace(regexp_replace(regexp_replace(text,
-         |   '$e', '<EMAIL>', 'g'), '$p', '<PHONE>', 'g'), '$i', '<IP>', 'g')) AS scrubbed_hash
-         |FROM documents ORDER BY doc_id""".stripMargin
+         | CAST(len(regexp_extract_all(s1, '$p')) AS BIGINT) AS n_phones,
+         | CAST(len(regexp_extract_all(s2, '$i')) AS BIGINT) AS n_ips,
+         | md5(regexp_replace(s2, '$i', '<IP>', 'g')) AS scrubbed_hash
+         |FROM st2 ORDER BY doc_id""".stripMargin
     },
     "text_search" ->
       """WITH w AS (SELECT doc_id, unnest(list_filter(

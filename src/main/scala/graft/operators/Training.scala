@@ -355,10 +355,16 @@ object Training {
     val split = Corpus.sampleSplit(docs).select(col("doc_id"), col("split"))
     val contaminated = decontamNgram(docs)
       .select(col("doc_id"), lit(true).as("contam"))
+    // persist: base feeds BOTH the pack input (which packOffsets forces
+    // EAGERLY via its localCheckpoint) and the final join — without it
+    // the whole clean+split+decontam chain above runs twice, once per
+    // consumer. Evictable cache, lineage intact (the lazy-return
+    // pattern of ngramJaccard).
     val base = kept.join(split, "doc_id")
       .join(contaminated, Seq("doc_id"), "left")
       .filter(col("split") =!= lit("train") || col("contam").isNull)
       .select(col("doc_id"), col("split"), col("lang_pred"), col("quality"), col("n_tokens"))
+      .persist()
     val packed = packOffsets(
       base.filter(col("split") === "train").select(col("doc_id"), col("n_tokens")), seqLen)
       .select(col("doc_id"), col("start_offset"), col("seq_id"))
@@ -380,6 +386,34 @@ object Training {
     "pack_sequences" -> ((s, d) => packSequences(Tables.documents(s, d))))
 
   private def sqlList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("(", ",", ")")
+
+  /** DuckDB word-5-gram list comprehension over token-list column `ts` —
+    * ONE definition of the shingle width/shape shared by the
+    * decontam_ngram, decontam_bloom and pipe_training_manifest oracles
+    * (a width change edited in one of three copies would silently split
+    * the oracles from each other).
+    */
+  private[operators] def fiveGramListOf(ts: String): String =
+    s"[$ts[i] || ' ' || $ts[i+1] || ' ' || $ts[i+2] || ' ' || $ts[i+3] || ' ' || $ts[i+4]\n" +
+      s"    for i in range(1, len($ts) - 3)]"
+
+  /** Shared decontamination-oracle preamble (tokens → content-hash split
+    * → distinct 5-gram shingles → exploded postings): decontam_ngram and
+    * decontam_bloom must stay character-identical up to their final
+    * train/test aggregation.
+    */
+  private val decontamCtes =
+    """t AS (SELECT doc_id, text,
+      |  list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ts FROM documents),
+      |sp AS (SELECT doc_id, ts,
+      |  CASE WHEN substr(md5(text), 1, 2) < 'cd' THEN 'train'
+      |       WHEN substr(md5(text), 1, 2) < 'e6' THEN 'validation'
+      |       ELSE 'test' END AS split
+      | FROM t),
+      |sh AS (SELECT doc_id, split, list_distinct(
+      |   """.stripMargin + fiveGramListOf("ts") + """) AS shingles
+      |  FROM sp WHERE len(ts) >= 5),
+      |ex AS (SELECT doc_id, split, unnest(shingles) AS s FROM sh)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "sample_stratified" ->
@@ -415,42 +449,20 @@ object Training {
          |ORDER BY doc_id""".stripMargin
     },
     "decontam_ngram" ->
-      """WITH t AS (SELECT doc_id, text,
-        |  list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ts FROM documents),
-        |sp AS (SELECT doc_id, ts,
-        |  CASE WHEN substr(md5(text), 1, 2) < 'cd' THEN 'train'
-        |       WHEN substr(md5(text), 1, 2) < 'e6' THEN 'validation'
-        |       ELSE 'test' END AS split
-        | FROM t),
-        |sh AS (SELECT doc_id, split, list_distinct(
-        |   [ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3] || ' ' || ts[i+4]
-        |    for i in range(1, len(ts) - 3)]) AS shingles
-        |  FROM sp WHERE len(ts) >= 5),
-        |ex AS (SELECT doc_id, split, unnest(shingles) AS s FROM sh),
-        |tr AS (SELECT doc_id, s FROM ex WHERE split = 'train'),
-        |te AS (SELECT doc_id AS test_id, s FROM ex WHERE split = 'test')
-        |SELECT tr.doc_id, count(DISTINCT te.test_id) AS n_test_docs,
-        | count(DISTINCT tr.s) AS n_shared_shingles
-        |FROM tr JOIN te ON tr.s = te.s
-        |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin,
+      s"""WITH $decontamCtes,
+         |tr AS (SELECT doc_id, s FROM ex WHERE split = 'train'),
+         |te AS (SELECT doc_id AS test_id, s FROM ex WHERE split = 'test')
+         |SELECT tr.doc_id, count(DISTINCT te.test_id) AS n_test_docs,
+         | count(DISTINCT tr.s) AS n_shared_shingles
+         |FROM tr JOIN te ON tr.s = te.s
+         |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin,
     "decontam_bloom" ->
-      """WITH t AS (SELECT doc_id, text,
-        |  list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ts FROM documents),
-        |sp AS (SELECT doc_id, ts,
-        |  CASE WHEN substr(md5(text), 1, 2) < 'cd' THEN 'train'
-        |       WHEN substr(md5(text), 1, 2) < 'e6' THEN 'validation'
-        |       ELSE 'test' END AS split
-        | FROM t),
-        |sh AS (SELECT doc_id, split, list_distinct(
-        |   [ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3] || ' ' || ts[i+4]
-        |    for i in range(1, len(ts) - 3)]) AS shingles
-        |  FROM sp WHERE len(ts) >= 5),
-        |ex AS (SELECT doc_id, split, unnest(shingles) AS s FROM sh),
-        |tr AS (SELECT doc_id, s FROM ex WHERE split = 'train'),
-        |te AS (SELECT DISTINCT s FROM ex WHERE split = 'test')
-        |SELECT tr.doc_id, count(*) AS n_shared_shingles
-        |FROM tr JOIN te ON tr.s = te.s
-        |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin,
+      s"""WITH $decontamCtes,
+         |tr AS (SELECT doc_id, s FROM ex WHERE split = 'train'),
+         |te AS (SELECT DISTINCT s FROM ex WHERE split = 'test')
+         |SELECT tr.doc_id, count(*) AS n_shared_shingles
+         |FROM tr JOIN te ON tr.s = te.s
+         |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin,
     "tfidf_topterms" ->
       """WITH w AS (SELECT doc_id, unnest(list_filter(
         |   string_split_regex(regexp_replace(text, '[^0-9a-zA-Z\s]', '', 'g'), '\s+'),

@@ -40,12 +40,13 @@ object Events {
   private def nextName(prefix: String): String =
     synchronized { counter += 1; s"${prefix}_$counter" }
 
-  /** The events schema as stored (ts is INT64 nanos under
+  /** A staged table's schema as stored (events' ts is INT64 nanos under
     * spark.sql.legacy.parquet.nanosAsLong), read off parquet footers —
-    * never inferred from data.
+    * never inferred from data. ONE definition for every harness site.
     */
-  private def rawSchema(spark: SparkSession, sfDir: String): StructType =
-    spark.read.parquet(s"$sfDir/events.parquet").schema
+  private def rawSchema(spark: SparkSession, sfDir: String,
+                        table: String = "events"): StructType =
+    spark.read.parquet(s"$sfDir/$table.parquet").schema
 
   /** ts (nanos-as-long) → TimestampType micros, matching
     * [[graft.Tables.events]].
@@ -165,7 +166,7 @@ object Events {
     val dir = scratchDir(prefix, java.nio.file.Files.size(staged))
     try {
       java.nio.file.Files.copy(staged, dir.resolve(s"$table.parquet"))
-      val schema = ss.read.parquet(staged.toString).schema
+      val schema = rawSchema(ss, sfDir, table)
       val raw = ss.readStream.schema(schema).parquet(dir.toString)
       // event tables carry a raw nanos ts that every consumer expects as
       // TimestampType; timestamp-free tables (documents) stream as-is

@@ -44,15 +44,21 @@ class TextFunctionsSpec extends AnyFunSuite {
     import spark.implicits._
     val d = Seq(
       (1L, "mail bob@example.com or alice@test.org, call 555-123-4567, host 10.0.0.1"),
-      (2L, "clean text, version 1.2 is not an ip, 12-34 not a phone"))
+      (2L, "clean text, version 1.2 is not an ip, 12-34 not a phone"),
+      // the email pass claims the whole token INCLUDING its digit run —
+      // counts must reflect the placeholders actually emitted (1 email,
+      // 0 phones), not raw-text pattern hits
+      (3L, "reach 555-123-4567@corp.com today"))
       .toDF("doc_id", "text")
     val got = graft.operators.TextAnalysis.scrubPii(d).collect()
     assert((got(0).getLong(1), got(0).getLong(2), got(0).getLong(3)) == ((2L, 1L, 1L)))
     assert((got(1).getLong(1), got(1).getLong(2), got(1).getLong(3)) == ((0L, 0L, 0L)))
+    assert((got(2).getLong(1), got(2).getLong(2), got(2).getLong(3)) == ((1L, 0L, 0L)))
     // the clean doc's hash is the hash of its unmodified text; the PII
     // doc's is the hash of the placeholder form — raw PII never survives
     val scrubbed = "mail <EMAIL> or <EMAIL>, call <PHONE>, host <IP>"
-    val hashes = Seq(scrubbed, "clean text, version 1.2 is not an ip, 12-34 not a phone")
+    val hashes = Seq(scrubbed, "clean text, version 1.2 is not an ip, 12-34 not a phone",
+      "reach <EMAIL> today")
       .toDF("t")
       .select(org.apache.spark.sql.functions.md5(col("t").cast("binary")))
       .collect().map(_.getString(0))
