@@ -91,6 +91,11 @@ object Bench {
     val repsJson = results.map { case (k, _, ts) =>
       q(k) + ":" + ts.map(fmt).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
+    // per-query MIN across passes: the least-throttled observation — the
+    // closest thing to the query's true cost this machine can record
+    val minsJson = results.map { case (k, _, ts) =>
+      q(k) + ":" + fmt(ts.min)
+    }.mkString("{", ",", "}")
     val canaryJson = canaryTimes.map(fmt).mkString("[", ",", "]")
     val canarySpread =
       if (canaryTimes.isEmpty || canaryTimes.min == 0) 0.0 else canaryTimes.max / canaryTimes.min
@@ -98,9 +103,18 @@ object Bench {
     // runs of identical code on a machine running 1.4x slower disagree
     // ~1.4x on every query, and the canary median carries that factor
     val canaryMedian = if (canaryTimes.isEmpty) 0.0 else median(canaryTimes.toSeq)
+    // CANARY-NORMALIZED medians (ADVICE/VERDICT r5): query_median /
+    // canary_median — a machine-speed-free number. Two runs of identical
+    // code agree on `normalized` regardless of how throttled each run
+    // was; a real regression moves it. Units: multiples of the canary's
+    // cost (the fixed 100M-row xor-sum), not seconds.
+    val normJson =
+      if (canaryMedian == 0.0) "{}"
+      else results.map { case (k, v, _) => q(k) + ":" + fmt(v / canaryMedian) }
+        .mkString("{", ",", "}")
     val errs = errors.toSeq.distinct.map(q).mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$repsJson,"canary":$canaryJson,"canary_median":${fmt(canaryMedian)},"canary_spread":${fmt(canarySpread)},"errors":$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$repsJson,"mins":$minsJson,"normalized":$normJson,"canary":$canaryJson,"canary_median":${fmt(canaryMedian)},"canary_spread":${fmt(canarySpread)},"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
     // A failed query must fail the bench loudly, not record a ~0s success.
     if (errors.nonEmpty) { System.err.println(errors.mkString("\n")); sys.exit(1) }

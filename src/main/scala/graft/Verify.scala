@@ -37,7 +37,13 @@ object Verify {
     } + "\""
     val json = selected(SparkEntry.oracleSql)
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // A restricted (dev-loop) run dumps to a DIFFERENT file: if it shared
+    // the full-run name, a later reader of this outDir would silently
+    // compare only the restricted query set and report it as a full pass
+    // (ADVICE r5). tools/check.py falls back to the partial file with a
+    // loud banner.
+    val oracleFile = if (only.isEmpty) "oracle_sql.json" else "oracle_sql.partial.json"
+    Files.writeString(Paths.get(s"$outDir/$oracleFile"), json)
     spark.stop()
   }
 }

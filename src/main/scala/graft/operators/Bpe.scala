@@ -28,12 +28,12 @@ import org.apache.spark.sql.functions._
   *    pure codegen'd map work, no shuffle.
   *
   * Shapes are delimiter-encoded: symbols separated AND bounded by a
-  * doubled ``, so the merge pattern `␟l␟␟r␟` (a) can never match
+  * doubled `␟`, so the merge pattern `␟l␟␟r␟` (a) can never match
   * inside a longer symbol, and (b) leaves a `␟` on each side after every
   * replacement, which keeps BACK-TO-BACK occurrences matchable — one
   * left-to-right `replace` pass then merges "a a a a" into "aa aa"
   * exactly like the reference implementation's non-overlapping scan.
-  * (Caveat: the corpus alphabet must not contain ``; a byte-level
+  * (Caveat: the corpus alphabet must not contain `␟`; a byte-level
   * production tokenizer would escape it first.)
   *
   * The shapes relation is re-materialized per round via localCheckpoint
@@ -53,7 +53,10 @@ object Bpe {
     */
   case class Merge(rank: Int, left: String, right: String, freq: Long)
 
-  private val S = ""
+  // The shape delimiter (U+001F) as a VISIBLE escape, not a raw control
+  // char in source — the literal codepoint renders as an empty string in
+  // editors/diffs, so accidental corruption would be invisible (ADVICE r5).
+  private val S = "\u001f"
   private val EndWord = "</w>"
 
   /** `␟␟sym₁␟␟sym₂␟␟…␟␟</w>␟␟` — the delimiter-encoded symbol string. */
