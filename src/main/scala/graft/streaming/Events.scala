@@ -607,8 +607,89 @@ object Events {
         .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_arrivals"))
     }
 
+  /** The PRODUCTION sink path for [[ingestDedup]] — the treatment
+    * [[windowAggToFiles]] gives the windowing queries, applied to the
+    * unbounded-state dedup. Complete mode re-emits the ENTIRE deduped
+    * relation into the sink every micro-batch — O(|distinct docs|) sink
+    * writes per batch, undeployable at 100 TB. This twin runs the same
+    * aggregation in UPDATE mode, so each micro-batch emits only the keys
+    * whose state CHANGED in that batch, and `foreachBatch` lands every
+    * delta as its own `batch=<epoch>` parquet directory keyed by
+    * `text_hash` — a merge-on-read changelog sink:
+    *
+    *  - per-batch writes are O(changed keys), not O(all keys);
+    *  - `mode(Overwrite)` into the epoch's OWN directory makes retries
+    *    idempotent (a replayed epoch rewrites its delta, never appends a
+    *    duplicate) — the standard exactly-once foreachBatch recipe;
+    *  - the consumer view resolves last-write-wins per key (`max_by` on
+    *    the epoch) — one partial-agg'd shuffle. At 100 TB a periodic
+    *    compaction job runs THIS read, rewrites it as the new base
+    *    snapshot, and prunes the consumed deltas, bounding read
+    *    amplification; swap the parquet delta dirs for Delta/Iceberg
+    *    MERGE and the plumbing is unchanged.
+    *
+    * The bounded harness stages the corpus in two arrivals (doc_id % 5
+    * split) so the run demonstrably exercises the incremental path: the
+    * second delta must touch only the second arrival's keys.
+    * `deltaProbe`, when set, receives (epoch, emitted rows) per batch —
+    * the counter a deployment monitors (and the spec asserts on).
+    * Returns the CONSUMER's view read back from the delta chain.
+    */
+  def ingestDedupToFiles(spark: SparkSession, sfDir: String,
+                         statePartitions: Option[Int] = Some(4),
+                         minTokens: Int = 10,
+                         deltaProbe: Option[scala.collection.mutable.Buffer[(Long, Long)]] = None): DataFrame = {
+    val ss = sessionFor(spark, statePartitions,
+      Map("spark.sql.streaming.noDataMicroBatches.enabled" -> "false") ++ providerConf)
+    graft.GraftSession.registerFunctions(ss)
+    val staged = java.nio.file.Paths.get(s"$sfDir/documents.parquet")
+    val stagedBytes = java.nio.file.Files.size(staged)
+    val src = scratchDir("graft_ingest_file_src", stagedBytes)
+    try {
+      val sink = scratchDir("graft_ingest_file_sink", stagedBytes)
+      try {
+        val ckpt = scratchDir("graft_ingest_file_ckpt", stagedBytes)
+        try {
+          val docs = ss.read.parquet(staged.toString)
+          // arrival 1: most of the corpus; arrival 2 lands after the
+          // first drain, forcing a second (incremental) micro-batch
+          docs.filter(col("doc_id") % 5 =!= 0).write.mode("append").parquet(src.toString)
+          val stream = ss.readStream.schema(rawSchema(ss, sfDir, "documents")).parquet(src.toString)
+          val deduped = stream
+            .filter(graft.functions.TokenStats.tokenStats(col("text"))
+              .getField("n_tokens") >= minTokens)
+            .groupBy(md5(col("text").cast("binary")).as("text_hash"))
+            .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_arrivals"))
+          val q = deduped.writeStream
+            .outputMode(OutputMode.Update)
+            .option("checkpointLocation", ckpt.toString)
+            .foreachBatch { (batch: DataFrame, epoch: Long) =>
+              val delta = if (deltaProbe.isDefined) batch.persist() else batch
+              delta.write.mode("overwrite").parquet(s"$sink/batch=$epoch")
+              deltaProbe.foreach { p => p += ((epoch, delta.count())); delta.unpersist() }
+            }
+            .start()
+          try {
+            q.processAllAvailable()
+            docs.filter(col("doc_id") % 5 === 0).write.mode("append").parquet(src.toString)
+            q.processAllAvailable()
+          } finally { dumpProgress("graft_ingest_files", q); q.stop() }
+          // consumer view: last-write-wins per key across the delta chain
+          val lww = spark.read.parquet(sink.toString)
+            .groupBy(col("text_hash"))
+            .agg(max_by(struct(col("keep_id"), col("n_arrivals")), col("batch")).as("v"))
+            .select(col("text_hash"), col("v.keep_id").as("keep_id"),
+              col("v.n_arrivals").as("n_arrivals"))
+            .orderBy(col("text_hash"))
+          detach(spark, lww)
+        } finally deleteDirQuietly(ckpt)
+      } finally deleteDirQuietly(sink)
+    } finally deleteDirQuietly(src)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_ingest_dedup" -> ((s, d) => ingestDedup(s, d)),
+    "stream_ingest_dedup_files" -> ((s, d) => ingestDedupToFiles(s, d)),
     "stream_window_agg" -> ((s, d) => windowAgg(s, d)),
     "stream_sliding_agg" -> ((s, d) => slidingWindowAgg(s, d)),
     "stream_dedup" -> ((s, d) => dedupEvents(s, d)),
@@ -621,6 +702,15 @@ object Events {
     // the incrementally-maintained dedup_exact relation over
     // quality-passing docs — arrival-order-free by construction
     "stream_ingest_dedup" ->
+      """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
+        | count(*) AS n_arrivals
+        |FROM documents
+        |WHERE len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) >= 10
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the production Update-mode delta-chain sink must resolve to the
+    // SAME relation: the two staged arrivals partition the corpus, so
+    // last-write-wins over the deltas equals the batch dedup
+    "stream_ingest_dedup_files" ->
       """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
         | count(*) AS n_arrivals
         |FROM documents

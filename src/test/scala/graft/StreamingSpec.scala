@@ -76,6 +76,25 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("update-mode delta-chain sink resolves to the complete-mode dedup relation") {
+    // the production twin: per-batch foreachBatch deltas + last-write-wins
+    // read-back must equal the memory-sink Complete-mode verify relation
+    val probe = scala.collection.mutable.ListBuffer.empty[(Long, Long)]
+    val fromFiles = Events.ingestDedupToFiles(spark, TestSpark.sf, deltaProbe = Some(probe))
+      .collect().toSeq
+    val complete = Events.ingestDedup(spark, TestSpark.sf).collect().toSeq
+    assert(fromFiles == complete)
+    // the scale property the Complete-mode sink lacks: the second
+    // arrival's delta emits ONLY the keys that arrival touched — strictly
+    // fewer rows than the full relation (the %5 split guarantees both
+    // arrivals are non-empty at every SF)
+    val emitted = probe.toMap
+    assert(emitted.keySet == Set(0L, 1L), s"expected exactly 2 data batches, got $probe")
+    assert(emitted(1L) > 0, "second arrival must touch at least one key")
+    assert(emitted(1L) < complete.size.toLong,
+      s"update-mode delta re-emitted the whole relation: ${emitted(1L)} of ${complete.size} keys")
+  }
+
   test("stream_dedup drops a replayed micro-batch, emitting each event exactly once") {
     val deduped = Events.dedupEvents(spark, TestSpark.sf)
     val original = Tables.events(spark, TestSpark.sf)
