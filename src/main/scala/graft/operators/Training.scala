@@ -202,12 +202,14 @@ object Training {
     * q_percentiles / q_approx_percentiles: exact twin verifies, sketch
     * twin scales.
     *
-    * The Bloom probe is a Scala UDF (the filter lives in a broadcast
-    * variable; no Catalyst expression can close over driver-built sketch
-    * state) — acceptable because it runs once per doc against an
-    * already-computed long array, not per token, and everything around
-    * it stays codegen'd. The confirm step makes FP rate a pure
-    * performance knob, so the result is exact and hash-checkable.
+    * The Bloom probe is the native codegen'd
+    * [[graft.functions.BloomAnyContain]] expression (sketch shipped as a
+    * `Broadcast[BloomFilter]`, fetched once per operator instance): the
+    * corpus gate stays inside whole-stage codegen reading primitive
+    * longs off Tungsten ArrayData — no Seq[Long] boxing per row, no
+    * ScalaUDF node in the plan (PlanSpec pins this). The confirm step
+    * makes FP rate a pure performance knob, so the result is exact and
+    * hash-checkable.
     */
   def decontamBloom(docs: DataFrame, n: Int = 5, fpp: Double = 0.01): DataFrame = {
     val spark = docs.sparkSession
@@ -233,12 +235,9 @@ object Training {
     }
     val bf = testShingles.stat.bloomFilter("s", nTest, fpp)
     val bfB = spark.sparkContext.broadcast(bf)
-    val mightHit = udf((ss: Seq[Long]) => {
-      val f = bfB.value
-      ss.exists(f.mightContainLong)
-    })
     ss.filter(col("split") === "train")
-      .filter(mightHit(col("shingles"))) // map-only corpus gate
+      // map-only corpus gate, native + codegen'd
+      .filter(graft.functions.BloomProbe.anyContain(spark, col("shingles"), bfB))
       .select(col("doc_id"), explode(col("shingles")).as("s"))
       .join(broadcast(testShingles), "s") // exact confirm: FPs drop here
       .groupBy(col("doc_id"))

@@ -116,6 +116,13 @@ class PlanSpec extends AnyFunSuite {
     val bloom = planOf("decontam_bloom")
     assert(bloom.contains("BroadcastHashJoin") && !bloom.contains("SortMergeJoin"),
       s"decontam_bloom confirm join fell back to a shuffle:\n$bloom")
+    // ... and the sketch probe is the native BloomAnyContain expression,
+    // INSIDE codegen — a ScalaUDF node here means the corpus gate
+    // regressed to boxed Seq[Long] probing (VERDICT r5 #3)
+    assert(!bloom.contains("ScalaUDF"),
+      s"decontam_bloom probe regressed to a Scala UDF:\n$bloom")
+    assert(bloom.contains("graft_bloom_any"),
+      s"decontam_bloom gate is not the native bloom probe:\n$bloom")
   }
 
   test("range join plans as an equi-join on (user, bucket), never a nested loop") {

@@ -65,6 +65,32 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(got.map(_.getString(4)).toSeq == hashes.toSeq)
   }
 
+  test("bloom probe: native any-contain matches direct sketch probes, null-safe") {
+    import spark.implicits._
+    val bf = org.apache.spark.util.sketch.BloomFilter.create(100, 0.01)
+    Seq(7L, 42L, 9000L).foreach(bf.putLong)
+    val bfB = spark.sparkContext.broadcast(bf)
+    val df = Seq(
+      (1L, Some(Seq(1L, 2L, 42L))), // one member → true
+      (2L, Some(Seq(1L, 2L, 3L))),  // no members → false (fpp 0.01 on 3 probes)
+      (3L, Some(Seq.empty[Long])),  // empty array → false
+      (4L, None)                    // null array → null → row dropped by filter
+    ).toDF("id", "arr")
+    val gated = df.filter(graft.functions.BloomProbe.anyContain(spark, col("arr"), bfB))
+      .select(col("id")).collect().map(_.getLong(0)).toSet
+    assert(gated == Set(1L))
+    // interpreted path (no codegen): same verdicts
+    val expr = graft.functions.BloomAnyContain(
+      org.apache.spark.sql.catalyst.expressions.BoundReference(
+        0, org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType), true), bfB)
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    def row(xs: Seq[Long]) = org.apache.spark.sql.catalyst.InternalRow(ArrayData.toArrayData(xs.toArray))
+    assert(expr.eval(row(Seq(1L, 9000L))) == true)
+    assert(expr.eval(row(Seq(1L, 2L))) == false)
+    assert(expr.eval(row(Seq.empty)) == false)
+    assert(expr.eval(org.apache.spark.sql.catalyst.InternalRow(null)) == null)
+  }
+
   test("repetitionStats counters on a hand-checked doc") {
     val rs = graft.functions.RepetitionStats.repetitionStats(col("text"))
     // "a b a b a": unigrams a×3 b×2 → top 3; bigrams "a b"×2 "b a"×2 →
