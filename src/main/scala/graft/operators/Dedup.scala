@@ -195,6 +195,39 @@ object Dedup {
       .orderBy(col("doc_id_1"), col("doc_id_2"))
   }
 
+  /** Containment verdict for [[minhashLsh]] — the oracle-checkable form
+    * of a hash-seeded sketch op (VERDICT r5 #7). The LSH signature
+    * itself is not portable SQL, but the EMITTED relation has two exact
+    * properties SQL can pin: every emitted pair must be in the exact
+    * Jaccard relation with the IDENTICAL jaccard value (the verify join
+    * makes precision 1.0 by construction), and recall against the exact
+    * relation must clear the spec floor (banding math: ≥0.95 expected at
+    * j=0.8 with 16×8 bands). This query full-outer-joins the LSH output
+    * against [[ngramJaccard]]'s and aggregates those invariants into one
+    * row the DuckDB oracle reproduces from the exact pairs CTE alone:
+    * `n_false_pairs`/`n_jaccard_mismatch` MUST be 0 and `recall_ok`
+    * MUST be true (oracle constants), while `n_exact_pairs` ties the
+    * verdict to the real data. Any precision break, score drift, or
+    * recall collapse hash-mismatches the row.
+    */
+  def minhashLshCheck(docs: DataFrame, threshold: Double = 0.8,
+                      recallFloor: Double = 0.9): DataFrame = {
+    val lsh = minhashLsh(docs, threshold)
+      .select(col("doc_id_1"), col("doc_id_2"), col("jaccard").as("lsh_jaccard"))
+    val exact = ngramJaccard(docs, threshold)
+      .select(col("doc_id_1"), col("doc_id_2"), col("jaccard").as("exact_jaccard"))
+    val both = col("lsh_jaccard").isNotNull && col("exact_jaccard").isNotNull
+    lsh.join(exact, Seq("doc_id_1", "doc_id_2"), "full_outer")
+      .agg(
+        count(col("exact_jaccard")).as("n_exact_pairs"),
+        coalesce(sum(when(col("lsh_jaccard").isNotNull && col("exact_jaccard").isNull, 1L)
+          .otherwise(0L)), lit(0L)).as("n_false_pairs"),
+        coalesce(sum(when(both && col("lsh_jaccard") =!= col("exact_jaccard"), 1L)
+          .otherwise(0L)), lit(0L)).as("n_jaccard_mismatch"),
+        (coalesce(sum(when(both, 1L).otherwise(0L)), lit(0L)) >=
+          lit(recallFloor) * count(col("exact_jaccard"))).as("recall_ok"))
+  }
+
   /** 64-bit SimHash per doc over its token multiset: bit i of the
     * signature is 1 iff Σ_tokens (bit i of xxhash64(token) ? +1 : -1) > 0.
     * Computed by the native scalar [[graft.functions.SimHashExpr]] — a
@@ -326,14 +359,41 @@ object Dedup {
     "dedup_exact" -> ((s, d) => exact(Tables.documents(s, d))),
     "dedup_ngram_jaccard" -> ((s, d) => ngramJaccard(Tables.documents(s, d))),
     "dedup_minhash_lsh" -> ((s, d) => minhashLsh(Tables.documents(s, d))),
+    "dedup_minhash_lsh_check" -> ((s, d) => minhashLshCheck(Tables.documents(s, d))),
     "dedup_simhash" -> ((s, d) => simhash(Tables.documents(s, d))),
     "dedup_embedding" -> ((s, d) => embeddingPairs(Tables.embeddings(s, d))))
 
-  /** DuckDB oracles. minhash/simhash have none (hash-seeded signatures
-    * aren't portable SQL) — driver records rows-only; their correctness
-    * is spec-defined against the exact-Jaccard result (DedupSpec).
+  /** The exact word-3-gram Jaccard pair relation as DuckDB CTEs — ONE
+    * definition shared by the dedup_ngram_jaccard oracle and the
+    * dedup_minhash_lsh_check containment oracle (a width/threshold edit
+    * in one copy would silently split the two).
+    */
+  private val jaccardPairsCtes =
+    """t AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ts
+      |  FROM documents),
+      |sh AS (SELECT doc_id,
+      |   list_distinct([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] for i in range(1, len(ts)-1)]) AS shingles
+      |  FROM t WHERE len(ts) >= 3),
+      |ex AS (SELECT doc_id, unnest(shingles) AS s, len(shingles) AS nsh FROM sh),
+      |pairs AS (SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2, count(*) AS inter,
+      |   any_value(a.nsh) AS n1, any_value(b.nsh) AS n2
+      |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)""".stripMargin
+
+  /** DuckDB oracles. minhash/simhash signatures have none (hash-seeded,
+    * not portable SQL) — driver records rows-only for the pair relations;
+    * minhash additionally gets the `_check` containment oracle above, and
+    * both are spec-defined against the exact-Jaccard result (DedupSpec).
     */
   val oracle: Map[String, String] = Map(
+    // the sketch path's exact invariants, reproduced from the exact pairs
+    // alone: zero false pairs, zero score drift, recall over the floor
+    "dedup_minhash_lsh_check" ->
+      s"""WITH $jaccardPairsCtes,
+         |kept AS (SELECT doc_id_1, doc_id_2 FROM pairs
+         |  WHERE inter * 1.0 / (n1 + n2 - inter) >= 0.8)
+         |SELECT count(*) AS n_exact_pairs, CAST(0 AS BIGINT) AS n_false_pairs,
+         | CAST(0 AS BIGINT) AS n_jaccard_mismatch, true AS recall_ok
+         |FROM kept""".stripMargin,
     "dedup_substring" ->
       """WITH t AS (SELECT doc_id,
         |  list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ts FROM documents),
@@ -352,18 +412,10 @@ object Dedup {
       """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS dup_count
         |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
     "dedup_ngram_jaccard" ->
-      """WITH t AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ts
-        |  FROM documents),
-        |sh AS (SELECT doc_id,
-        |   list_distinct([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] for i in range(1, len(ts)-1)]) AS shingles
-        |  FROM t WHERE len(ts) >= 3),
-        |ex AS (SELECT doc_id, unnest(shingles) AS s, len(shingles) AS nsh FROM sh),
-        |pairs AS (SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2, count(*) AS inter,
-        |   any_value(a.nsh) AS n1, any_value(b.nsh) AS n2
-        |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
-        |SELECT doc_id_1, doc_id_2, round(inter * 1.0 / (n1 + n2 - inter), 6) AS jaccard
-        |FROM pairs WHERE inter * 1.0 / (n1 + n2 - inter) >= 0.8
-        |ORDER BY doc_id_1, doc_id_2""".stripMargin,
+      s"""WITH $jaccardPairsCtes
+         |SELECT doc_id_1, doc_id_2, round(inter * 1.0 / (n1 + n2 - inter), 6) AS jaccard
+         |FROM pairs WHERE inter * 1.0 / (n1 + n2 - inter) >= 0.8
+         |ORDER BY doc_id_1, doc_id_2""".stripMargin,
     "dedup_embedding" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         | round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim

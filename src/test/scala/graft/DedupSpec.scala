@@ -71,6 +71,16 @@ class DedupSpec extends AnyFunSuite {
     assert(lsh.size.toDouble / exact.size >= 0.8)
   }
 
+  test("minhash-LSH containment verdict: zero false pairs, zero drift, recall over floor") {
+    // the oracle-checkable form of the sketch op: one row of exact
+    // invariants the driver hash-matches against the exact pairs CTE
+    val row = Dedup.minhashLshCheck(graft.Tables.documents(spark, TestSpark.sf)).head()
+    assert(row.getLong(0) > 0, "corpus should contain planted near-dups")
+    assert(row.getLong(1) == 0L, s"false pairs: $row")
+    assert(row.getLong(2) == 0L, s"jaccard drift between sketch and exact path: $row")
+    assert(row.getBoolean(3), s"recall under floor: $row")
+  }
+
   test("simhash: identical docs at hamming 0; near-identical docs within threshold") {
     val d = docs(
       1L -> "the quick brown fox jumps over the lazy dog again and again today",
