@@ -60,29 +60,50 @@ object Multimodal {
         col("width"), col("height"), col("sample_rate"))
       .orderBy(col("media_id"))
 
-  /** STUB decode — stands in for the real image/audio codec (not in this
-    * container). Deterministic pure function of the payload bytes so the
-    * pipeline is testable end-to-end; replace the body with e.g. a JNI /
-    * ONNX call without touching any plumbing. Processes a whole batch at
-    * once, like a vectorized decoder would.
+  /** The decode seam (VERDICT r5 #8): the ONE injection point where a
+    * real codec enters the pipeline. Implementations must be
+    * Serializable (the instance ships inside the task closure to every
+    * executor) and batch-shaped (a whole `Seq` per call — GPU/vectorized
+    * codecs amortize per-call cost across the batch). Swapping in a
+    * JNI/ONNX decoder touches NOTHING but this trait: partitioning,
+    * batching, schema and frame attribution all live in the pipeline.
+    * Stateful codecs should lazily initialize native handles on first
+    * `decode` (once per executor JVM, not per task — standard
+    * lazy-transient discipline).
     */
-  def stubDecode(batch: Seq[MediaRow]): Seq[MediaFeatures] =
-    batch.map { m =>
-      var sum = 0L; var i = 0
-      while (i < m.payload.length) { sum += m.payload(i) & 0xff; i += 1 }
-      MediaFeatures(m.media_id, m.kind, batch.size, m.payload.length.toLong, sum,
-        f0 = (sum % 1000) / 1000.0,
-        f1 = if (m.payload.isEmpty) 0.0 else sum.toDouble / m.payload.length)
-    }
+  trait MediaDecoder extends Serializable {
+    def decode(batch: Seq[MediaRow]): Seq[MediaFeatures]
+  }
+
+  /** STUB decoder — stands in for the real image/audio codec (not in
+    * this container). Deterministic pure function of the payload bytes
+    * so the pipeline is testable end-to-end.
+    */
+  object StubDecoder extends MediaDecoder {
+    def decode(batch: Seq[MediaRow]): Seq[MediaFeatures] =
+      batch.map { m =>
+        var sum = 0L; var i = 0
+        while (i < m.payload.length) { sum += m.payload(i) & 0xff; i += 1 }
+        MediaFeatures(m.media_id, m.kind, batch.size, m.payload.length.toLong, sum,
+          f0 = (sum % 1000) / 1000.0,
+          f1 = if (m.payload.isEmpty) 0.0 else sum.toDouble / m.payload.length)
+      }
+  }
+
+  /** The default decode kernel ([[StubDecoder]]) as a function — kept as
+    * the direct-call surface specs and docs reference.
+    */
+  def stubDecode(batch: Seq[MediaRow]): Seq[MediaFeatures] = StubDecoder.decode(batch)
 
   /** `mm_batch_pipeline`: Dataset[MediaRow] → per-partition batches of
-    * [[BatchSize]] → [[stubDecode]] → Dataset[MediaFeatures]. The
+    * [[BatchSize]] → `decoder.decode` → Dataset[MediaFeatures]. The
     * grouped iterator never materializes a partition — memory is
     * O(BatchSize), not O(partition).
     */
-  def batchPipeline(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+  def batchPipeline(media: Dataset[MediaRow],
+                    decoder: MediaDecoder = StubDecoder): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
-    media.mapPartitions(_.grouped(BatchSize).flatMap(b => stubDecode(b)))
+    media.mapPartitions(_.grouped(BatchSize).flatMap(b => decoder.decode(b)))
   }
 
   def mediaDataset(docs: DataFrame): Dataset[MediaRow] = {
@@ -125,13 +146,14 @@ object Multimodal {
     * [[batchPipeline]]; at 100 TB frame explosion happens inside the
     * partition, never through a shuffle.
     */
-  def framePipeline(media: Dataset[MediaRow], framesPerVideo: Int = 4): Dataset[FrameFeatures] = {
+  def framePipeline(media: Dataset[MediaRow], framesPerVideo: Int = 4,
+                    decoder: MediaDecoder = StubDecoder): Dataset[FrameFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions(_
       .flatMap(m => stubFrameSample(m, framesPerVideo))
       .grouped(BatchSize)
       .flatMap { batch =>
-        stubDecode(batch.map(_._2)).zip(batch).map { case (f, (frameId, _)) =>
+        decoder.decode(batch.map(_._2)).zip(batch).map { case (f, (frameId, _)) =>
           FrameFeatures(f.media_id, frameId, f.kind, f.batch_size, f.n_bytes,
             f.byte_sum, f.f0, f.f1)
         }

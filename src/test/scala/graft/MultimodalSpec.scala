@@ -32,6 +32,35 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.stubDecode(Seq(row)).head == f)
   }
 
+  test("decoder seam: a second decoder drops into the same plumbing unchanged") {
+    // proves the injection point is real: a different (still
+    // deterministic) decode kernel rides the identical batching/
+    // partitioning and only the FEATURES change — what swapping in a
+    // JNI/ONNX codec would look like
+    object XorDecoder extends Multimodal.MediaDecoder {
+      def decode(batch: Seq[graft.operators.MediaRow]): Seq[graft.operators.MediaFeatures] =
+        batch.map { m =>
+          var x = 0L; var i = 0
+          while (i < m.payload.length) { x ^= (m.payload(i) & 0xffL) << (i % 48); i += 1 }
+          graft.operators.MediaFeatures(m.media_id, m.kind, batch.size,
+            m.payload.length.toLong, x, f0 = (x % 7919) / 7919.0, f1 = -1.0)
+        }
+    }
+    val media = Multimodal.mediaDataset(Tables.documents(spark, TestSpark.sf)).repartition(3)
+    val out = Multimodal.batchPipeline(media, XorDecoder).collect()
+    // same batching contract as the stub path...
+    assert(out.length == 500 && out.map(_.media_id).distinct.length == 500)
+    assert(out.forall(f => f.batch_size > 0 && f.batch_size <= Multimodal.BatchSize))
+    // ...but the features are THIS decoder's, computed inside the executors
+    assert(out.forall(_.f1 == -1.0))
+    val one = out.find(_.n_bytes > 0).get
+    val local = media.filter(_.media_id == one.media_id).head()
+    assert(XorDecoder.decode(Seq(local)).head.byte_sum == one.byte_sum)
+    // frame pipeline takes the same seam
+    val frames = Multimodal.framePipeline(media, framesPerVideo = 4, XorDecoder)
+    assert(frames.take(5).forall(_.f1 == -1.0))
+  }
+
   test("stub resize is deterministic and honors the thumbnail byte budget") {
     val m = graft.operators.MediaRow(1L, "image", Array.tabulate[Byte](1000)(_.toByte), 640, 480, 0)
     val r = Multimodal.stubResize(m, 64, 64)
