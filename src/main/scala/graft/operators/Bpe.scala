@@ -78,42 +78,117 @@ object Bpe {
     arrays_zip(slice(syms, lit(1), size(syms) - 1), slice(syms, lit(2), size(syms) - 1))
   }
 
-  /** Train `numMerges` BPE merges over the corpus' whitespace words. */
-  def train(docs: DataFrame, numMerges: Int = 50): Seq[Merge] = {
+  /** Train `numMerges` BPE merges over the corpus' whitespace words.
+    *
+    * `batchSize` > 1 learns UP TO that many merges per round (per
+    * pair-count shuffle) — the distributed-BPE batching that makes 50k
+    * merges affordable: real tokenizer training at one shuffle per merge
+    * is 50k jobs. Batching is EXACT, not approximate — the merge table
+    * is provably identical to `batchSize = 1`:
+    *
+    *  - candidates are scanned in m=1's own order (count desc, then the
+    *    lexicographic tie-break), so selection order IS m=1's order;
+    *  - a further candidate joins the batch only if it shares no symbol
+    *    with any selected pair — disjointness means applying the earlier
+    *    merges cannot change its count (no adjacency involving its
+    *    symbols is created or destroyed), so recorded freqs match m=1;
+    *  - the chain guard: merging (a,b) CREATES pairs (x,ab)/(ab,y),
+    *    whose counts are bounded by the conflicting pairs (x,a)/(b,y) —
+    *    every occurrence of a new pair contains an occurrence of the old
+    *    neighbor. A candidate is only batched while its count is
+    *    STRICTLY above every conflicting pair seen so far (and above the
+    *    fetch horizon when the candidate list was truncated); otherwise
+    *    the round stops, because m=1 might rank a newly-created pair
+    *    first. On chain-heavy corpora (Sennrich's example) this
+    *    degenerates to one merge per round — correctly, since BPE chains
+    *    are inherently sequential; on flat regions of a real vocabulary
+    *    it batches, cutting rounds toward numMerges / batchSize.
+    *
+    * `roundsProbe`, when set, receives the selected-merge count per
+    * round — the job-count evidence the spec asserts on.
+    */
+  def train(docs: DataFrame, numMerges: Int = 50, batchSize: Int = 1,
+            roundsProbe: Option[scala.collection.mutable.Buffer[Int]] = None): Seq[Merge] = {
     var shapes = wordShapes(docs).localCheckpoint(true)
     val merges = scala.collection.mutable.ListBuffer.empty[Merge]
-    var round = 0
     var exhausted = false
     // finally-release: a throw mid-round (executor loss, cancelled job)
     // must not leave the current shapes checkpoint pinned — the same
     // throw-path discipline as connectedComponents
-    try while (round < numMerges && !exhausted) {
+    try while (merges.size < numMerges && !exhausted) {
+      val want = math.min(batchSize, numMerges - merges.size)
+      val fetch = math.max(want * 8, 32)
       val top = shapes
         .select(col("freq"), explode(pairsOf(col("shape"))).as("p"))
         .groupBy(col("p.0").as("left"), col("p.1").as("right"))
         .agg(sum(col("freq")).as("pfreq"))
         .orderBy(col("pfreq").desc, col("left"), col("right"))
-        .limit(1)
+        .limit(fetch)
         .collect()
       if (top.isEmpty) exhausted = true
       else {
-        val (l, r, f) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
-        merges += Merge(round, l, r, f)
+        val truncated = top.length == fetch
+        val horizon = if (truncated) top.last.getLong(2) else Long.MinValue
+        val selected = scala.collection.mutable.ListBuffer.empty[(String, String, Long)]
+        val used = scala.collection.mutable.Set.empty[String]
+        var conflictMax = Long.MinValue
+        var stop = false
+        val it = top.iterator
+        while (!stop && selected.size < want && it.hasNext) {
+          val row = it.next()
+          val (l, r, f) = (row.getString(0), row.getString(1), row.getLong(2))
+          if (used(l) || used(r)) conflictMax = math.max(conflictMax, f)
+          else if (selected.isEmpty || (f > conflictMax && f > horizon)) {
+            selected += ((l, r, f)); used += l; used += r
+          } else stop = true // a created pair could outrank everything below
+        }
+        selected.foreach { case (l, r, f) => merges += Merge(merges.size, l, r, f) }
+        roundsProbe.foreach(_ += selected.size)
         val next = shapes
-          .select(replace(col("shape"),
-            lit(S + l + S + S + r + S), lit(S + l + r + S)).as("shape"), col("freq"))
+          .select(selected.foldLeft(col("shape")) { case (c, (l, r, _)) =>
+            replace(c, lit(S + l + S + S + r + S), lit(S + l + r + S))
+          }.as("shape"), col("freq"))
           .localCheckpoint(true)
         Corpus.releaseCheckpoint(shapes)
         shapes = next
-        round += 1
       }
     } finally Corpus.releaseCheckpoint(shapes)
     merges.toList
   }
 
+  /** CORPUS-WIDE tokenization with a learned merge table (VERDICT r5
+    * #4): docs → (doc_id, tokens array, n_bpe_tokens), the trainer-facing
+    * relation. Every word becomes its delimiter-encoded shape, shapes
+    * concatenate per doc (safe: no merge has `left = </w>` — `</w>` is
+    * always word-final, so the (</w>, next-word) pair is never counted,
+    * never learned, and the quadruple delimiter at each word junction
+    * can't match any `␟l␟␟r␟` pattern), and the merge table applies as a
+    * chain of codegen'd `replace` columns in rank order — ONE fused map
+    * pass over the scan, no shuffle, no UDF. The merge table itself is
+    * the broadcast-sized artifact a tokenizer ships; it enters the plan
+    * as string literals.
+    *
+    * At 100 TB: cost is |merges| codegen'd scans of each doc's shape
+    * string, embarrassingly parallel. (A production tokenizer amortizes
+    * further with an Aho-Corasick-style single pass; the relational form
+    * keeps the exact non-overlapping left-to-right semantics of
+    * [[applyMerges]], which BpeSpec pins word-for-word.)
+    */
+  def tokenize(docs: DataFrame, merges: Seq[Merge]): DataFrame = {
+    val words = filter(split(col("text"), "\\s+"), w => w =!= lit(""))
+    val shape0 = array_join(transform(words, w => shapeOf(w)), "")
+    val mergedShape = merges.sortBy(_.rank).foldLeft(shape0) { (c, m) =>
+      replace(c, lit(S + m.left + S + S + m.right + S), lit(S + m.left + m.right + S))
+    }
+    Tables.spread(docs)
+      .select(col("doc_id"),
+        filter(split(mergedShape, S + S), s => s =!= lit("")).as("tokens"))
+      .withColumn("n_bpe_tokens", size(col("tokens")).cast("long"))
+  }
+
   /** Tokenize one word with a learned merge table (driver-side utility —
-    * the spec's round-trip check; production application runs the same
-    * replace chain inside a map over the scan).
+    * the spec's round-trip check; [[tokenize]] runs the same replace
+    * chain as codegen'd column work over the whole corpus).
     */
   def applyMerges(word: String, merges: Seq[Merge]): Seq[String] = {
     var shape = S + S + (word.split("").toSeq :+ EndWord).mkString(S + S) + S + S

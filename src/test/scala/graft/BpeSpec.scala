@@ -48,6 +48,69 @@ class BpeSpec extends AnyFunSuite {
     assert(Bpe.applyMerges("aaaa", m) == Seq("aa", "aa", "</w>"))
   }
 
+  test("corpus-wide tokenize equals per-word applyMerges, word for word") {
+    import spark.implicits._
+    val merges = Bpe.train(corpus, numMerges = 5)
+    val docs = Seq((1L, "low lower newest"), (2L, "widest low"), (3L, ""),
+      (4L, "  lowest  ")).toDF("doc_id", "text")
+    val got = Bpe.tokenize(docs, merges).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[String](1), r.getLong(2))).toList
+    def ref(text: String): Seq[String] =
+      text.split("\\s+").filter(_.nonEmpty).toSeq.flatMap(w => Bpe.applyMerges(w, merges))
+    for ((id, toks, n) <- got) {
+      val expect = ref(Seq("low lower newest", "widest low", "", "  lowest  ")(id.toInt - 1))
+      assert(toks == expect, s"doc $id")
+      assert(n == expect.length.toLong)
+    }
+    // and the tokens reconstruct the text: strip </w>, join words
+    val doc1 = got.head._2.mkString.split("</w>").filter(_.nonEmpty).mkString(" ")
+    assert(doc1 == "low lower newest")
+  }
+
+  test("batched training is exact: merge table identical to one-merge-per-round") {
+    import spark.implicits._
+    // chain-heavy corpus (Sennrich): ties force mostly-serial rounds
+    // ((e,s)/(s,t) tie at 9, (l,o)/(o,w) tie at 7), but (est,</w>)=9 +
+    // (l,o)=7 batch together — (est,</w>)'s conflicts all count ≤6, so
+    // no created pair can reach 7. The TABLE must equal m=1 exactly.
+    val rounds = scala.collection.mutable.ListBuffer.empty[Int]
+    val batched = Bpe.train(corpus, numMerges = 5, batchSize = 8, Some(rounds))
+    assert(batched == Bpe.train(corpus, numMerges = 5))
+    assert(rounds.sum == 5 && rounds.length < 5,
+      s"batching should shave at least one round while staying exact: $rounds")
+    // flat corpus: (a,b)=9 across two contexts outranks its neighbors
+    // (b,q)=5/(b,r)=4, and (c,d)=7 > 5 clears the chain guard — so
+    // round 0 legitimately learns BOTH; m=1 must agree on the table
+    val flat = (Seq.fill(5)("abq") ++ Seq.fill(4)("abr") ++
+      Seq.fill(4)("cds") ++ Seq.fill(3)("cdt"))
+      .zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+    val rounds2 = scala.collection.mutable.ListBuffer.empty[Int]
+    val batched2 = Bpe.train(flat, numMerges = 2, batchSize = 8, Some(rounds2))
+    assert(batched2 == Bpe.train(flat, numMerges = 2))
+    assert(batched2.map(m => (m.left, m.right, m.freq)) ==
+      Seq(("a", "b", 9L), ("c", "d", 7L)))
+    assert(rounds2.toList == List(2), s"flat corpus should batch both merges: $rounds2")
+  }
+
+  test("pack_sequences_bpe: offsets are the running sum of BPE token counts") {
+    import spark.implicits._
+    val docs = (Seq.fill(3)("low low lower") ++ Seq.fill(3)("newest widest"))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val packed = graft.operators.Training.packSequencesBpe(docs, numMerges = 5, seqLen = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // recompute the reference on the driver from the same merge table
+    val merges = Bpe.train(docs, numMerges = 5, batchSize = 8)
+    val counts = docs.orderBy("doc_id").collect().map { r =>
+      (r.getLong(0), r.getString(1).split("\\s+").filter(_.nonEmpty)
+        .flatMap(w => Bpe.applyMerges(w, merges)).length.toLong)
+    }
+    var off = 0L
+    val expect = counts.map { case (id, n) =>
+      val row = (id, n, off, off / 4); off += n; row
+    }.toSeq
+    assert(packed.toSeq == expect)
+  }
+
   test("training exhausts gracefully when every pair is merged") {
     import spark.implicits._
     val d = Seq((1L, "ab")).toDF("doc_id", "text")
