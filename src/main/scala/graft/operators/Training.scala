@@ -322,6 +322,28 @@ object Training {
         floor(col("start_offset") / seqLen).cast("long").as("seq_id"))
   }
 
+  /** [[packSequences]] with the REAL token counter: learn a BPE merge
+    * table over the corpus ([[Bpe.train]], batched rounds), tokenize
+    * corpus-wide ([[Bpe.tokenize]] — the codegen'd replace chain, one
+    * map pass), and pack by `n_bpe_tokens` instead of whitespace counts.
+    * This is the production packing input: sequence budgets are consumed
+    * by TOKENIZER tokens, and whitespace counts misprice non-English and
+    * code by 2-4x. Same two-phase prefix sum, same output schema.
+    *
+    * No SQL oracle by design: the merge table is the fixpoint of an
+    * iterative corpus-wide optimization, not a single statement; BpeSpec
+    * pins tokenize word-for-word against the driver-side reference and
+    * the offsets are the (oracle-checked) packOffsets machinery.
+    */
+  def packSequencesBpe(docs: DataFrame, numMerges: Int = 24,
+                       seqLen: Int = 2048): DataFrame = {
+    val merges = Bpe.train(docs, numMerges, batchSize = 8)
+    packOffsets(
+      Bpe.tokenize(docs, merges).select(col("doc_id"), col("n_bpe_tokens").as("n_tokens")),
+      seqLen)
+      .orderBy(col("doc_id"))
+  }
+
   // ------------------------------------------------------ training manifest
 
   /** The end-to-end capstone: raw documents → THE relation a trainer
@@ -382,7 +404,8 @@ object Training {
     "decontam_ngram" -> ((s, d) => decontamNgram(Tables.documents(s, d))),
     "decontam_bloom" -> ((s, d) => decontamBloom(Tables.documents(s, d))),
     "tfidf_topterms" -> ((s, d) => tfidfTopTerms(Tables.documents(s, d))),
-    "pack_sequences" -> ((s, d) => packSequences(Tables.documents(s, d))))
+    "pack_sequences" -> ((s, d) => packSequences(Tables.documents(s, d))),
+    "pack_sequences_bpe" -> ((s, d) => packSequencesBpe(Tables.documents(s, d))))
 
   private def sqlList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("(", ",", ")")
 
