@@ -370,7 +370,20 @@ object Training {
     * offsets are contamination-/train-sized, never corpus-wide
     * relations.
     */
-  def trainingManifest(spark: SparkSession, d: String, seqLen: Int = 2048): DataFrame = {
+  /** `bpeMerges = Some(n)` swaps the token counter (VERDICT r5 #4): a
+    * BPE table of n merges is learned on the KEPT TRAIN docs only (the
+    * tokenizer must not see validation/test text — the same hygiene
+    * direction as decontamination), the whole kept corpus is tokenized
+    * with it ([[Bpe.tokenize]], one codegen'd map pass), and `n_tokens`
+    * becomes the BPE count EVERYWHERE — offsets, sequence ids and the
+    * emitted column stay mutually consistent, and eval docs carry the
+    * same unit the trainer's loss accounting uses. Default stays the
+    * whitespace counter: it's oracle-checkable end-to-end, while the
+    * merge-table fixpoint is not single-statement SQL (the BPE path is
+    * spec-pinned instead — TrainingSpec).
+    */
+  def trainingManifest(spark: SparkSession, d: String, seqLen: Int = 2048,
+                       bpeMerges: Option[Int] = None): DataFrame = {
     val docs = graft.Tables.documents(spark, d)
     val kept = Corpus.cleanCorpus(spark, d)
     val split = Corpus.sampleSplit(docs).select(col("doc_id"), col("split"))
@@ -381,11 +394,23 @@ object Training {
     // the whole clean+split+decontam chain above runs twice, once per
     // consumer. Evictable cache, lineage intact (the lazy-return
     // pattern of ngramJaccard).
-    val base = kept.join(split, "doc_id")
+    val whitespaceBase = kept.join(split, "doc_id")
       .join(contaminated, Seq("doc_id"), "left")
       .filter(col("split") =!= lit("train") || col("contam").isNull)
       .select(col("doc_id"), col("split"), col("lang_pred"), col("quality"), col("n_tokens"))
       .persist()
+    val base = bpeMerges match {
+      case None => whitespaceBase
+      case Some(n) =>
+        val trainDocs = docs.join(
+          whitespaceBase.filter(col("split") === "train").select(col("doc_id")), "doc_id")
+        val merges = Bpe.train(trainDocs, n, batchSize = 8)
+        val counts = Bpe.tokenize(docs.join(whitespaceBase.select(col("doc_id")), "doc_id"), merges)
+          .select(col("doc_id"), col("n_bpe_tokens"))
+        whitespaceBase.drop("n_tokens").join(counts, "doc_id")
+          .withColumnRenamed("n_bpe_tokens", "n_tokens")
+          .persist()
+    }
     val packed = packOffsets(
       base.filter(col("split") === "train").select(col("doc_id"), col("n_tokens")), seqLen)
       .select(col("doc_id"), col("start_offset"), col("seq_id"))

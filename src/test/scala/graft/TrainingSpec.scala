@@ -162,6 +162,29 @@ class TrainingSpec extends AnyFunSuite {
     assert(train.forall(r => !contam(r._1)))
   }
 
+  test("training manifest with BPE counts: self-consistent offsets in tokenizer units") {
+    // the production token counter: n_tokens, offsets and seq ids must
+    // stay mutually consistent when BPE counts replace whitespace counts
+    val m = Training.trainingManifest(spark, TestSpark.sf, seqLen = 512, bpeMerges = Some(8))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(m.nonEmpty)
+    val train = m.filter(_._2 == "train").sortBy(_._1)
+    var expected = 0L
+    for ((_, _, nTok, off, sid) <- train) {
+      assert(off == expected, s"offset gap: got $off want $expected")
+      assert(sid == expected / 512)
+      expected += nTok
+    }
+    assert(m.filter(_._2 != "train").forall(r => r._4 == -1L && r._5 == -1L))
+    // the counter really changed units: with only 8 merges learned, BPE
+    // token counts sit strictly ABOVE whitespace word counts (chars are
+    // only partially merged) for every non-trivial doc
+    val ws = Training.trainingManifest(spark, TestSpark.sf).collect()
+      .map(r => (r.getLong(0), r.getLong(4))).toMap
+    val diff = train.count { case (id, _, nTok, _, _) => nTok > ws(id) }
+    assert(diff == train.length, s"only $diff/${train.length} docs counted in BPE units")
+  }
+
   test("tfidf ranks a hand-checked corpus correctly") {
     import spark.implicits._
     // "rare" appears only in doc 1 (idf=ln(3)), "shared" in all three
