@@ -691,6 +691,7 @@ object Events {
     "stream_ingest_dedup" -> ((s, d) => ingestDedup(s, d)),
     "stream_ingest_dedup_files" -> ((s, d) => ingestDedupToFiles(s, d)),
     "stream_window_agg" -> ((s, d) => windowAgg(s, d)),
+    "stream_window_agg_files" -> ((s, d) => windowAggToFiles(s, d)),
     "stream_sliding_agg" -> ((s, d) => slidingWindowAgg(s, d)),
     "stream_dedup" -> ((s, d) => dedupEvents(s, d)),
     "stream_enrich" -> ((s, d) => enrich(s, d)),
@@ -729,6 +730,12 @@ object Events {
         |FROM events e JOIN customer c ON e.user_id = c.c_custkey
         |ORDER BY e.event_id""".stripMargin,
     "stream_window_agg" ->
+      """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start, event_type,
+        | count(*) AS n_events, round(sum(value), 2) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // the append-mode file-sink production path must finalize exactly
+    // the same windows as the memory-sink verify harness
+    "stream_window_agg_files" ->
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start, event_type,
         | count(*) AS n_events, round(sum(value), 2) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
