@@ -165,13 +165,20 @@ object Dedup {
     * true near-dups (LSH affects recall only, never precision).
     */
   def minhashLsh(docs: DataFrame, threshold: Double = 0.8,
-                 numPerms: Int = 128, bands: Int = 16): DataFrame = {
-    val rows = numPerms / bands
+                 numPerms: Int = 128, bands: Int = 16): DataFrame =
     // one materialized shingle pass: the signature path and the two
     // verify-join sides otherwise each re-run the kernel (3x the
     // dominant cost); see ngramJaccard for the persist-not-checkpoint
     // rationale (evictable cache vs pinned-until-GC blocks)
-    val shingled = shingleHashSets(docs).persist()
+    minhashLshPairs(shingleHashSets(docs).persist(), threshold, numPerms, bands)
+
+  /** The banding + exact-verify core of [[minhashLsh]] over a
+    * PRE-SHINGLED (and ideally persisted) input — shared with
+    * [[minhashLshCheck]], which reuses the same pass for the exact side.
+    */
+  private[operators] def minhashLshPairs(shingled: DataFrame, threshold: Double = 0.8,
+                                         numPerms: Int = 128, bands: Int = 16): DataFrame = {
+    val rows = numPerms / bands
     val sig = minhashSignatures(shingled, numPerms)
     val banded = sig.select(col("doc_id"), explode(array(
       (0 until bands).map(b => struct(
@@ -212,9 +219,13 @@ object Dedup {
     */
   def minhashLshCheck(docs: DataFrame, threshold: Double = 0.8,
                       recallFloor: Double = 0.9): DataFrame = {
-    val lsh = minhashLsh(docs, threshold)
+    // ONE shingle pass feeds the sketch path AND the exact side — the
+    // kernel is the dominant cost and the whole point of the check is
+    // comparing the two paths over identical shingle sets
+    val shingled = shingleHashSets(docs).persist()
+    val lsh = minhashLshPairs(shingled, threshold)
       .select(col("doc_id_1"), col("doc_id_2"), col("jaccard").as("lsh_jaccard"))
-    val exact = ngramJaccard(docs, threshold)
+    val exact = ngramJaccardPairs(shingled, threshold)
       .select(col("doc_id_1"), col("doc_id_2"), col("jaccard").as("exact_jaccard"))
     val both = col("lsh_jaccard").isNotNull && col("exact_jaccard").isNotNull
     lsh.join(exact, Seq("doc_id_1", "doc_id_2"), "full_outer")
