@@ -277,6 +277,37 @@ object Dedup {
       .orderBy(col("doc_id_1"), col("doc_id_2"))
   }
 
+  /** Containment verdict for [[simhash]] — the one sketch op left
+    * without an oracle-checkable companion. The signature is hash-seeded
+    * (rows-only), but one invariant is exact and SQL-reproducible:
+    * IDENTICAL texts hash to IDENTICAL signatures (hamming 0), so every
+    * exact-duplicate pair — derivable in SQL from the corpus — MUST
+    * appear in the emitted ≤-maxHamming relation. The pigeonhole
+    * candidate join is exhaustive at hamming 0 by construction, so
+    * `n_missed` is deterministically 0; a broken signature, block join
+    * or hamming filter breaks containment and hash-mismatches the row.
+    * (Restricted to docs with ≥1 token — signature-less docs are dropped
+    * by [[simhashSignatures]], mirrored in the oracle.)
+    */
+  def simhashCheck(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val groups = docs.filter(col("text").rlike("\\S"))
+      .groupBy(md5(col("text").cast("binary")).as("h"))
+      .agg(collect_list(col("doc_id")).as("ids"))
+      .filter(size(col("ids")) >= 2)
+    val exactPairs = groups
+      .select(explode(col("ids")).as("doc_id_1"), col("ids"))
+      .select(col("doc_id_1"), explode(col("ids")).as("doc_id_2"))
+      .filter(col("doc_id_1") < col("doc_id_2"))
+      .persist()
+    val missed = exactPairs.join(
+      simhash(docs, maxHamming).select(col("doc_id_1"), col("doc_id_2")),
+      Seq("doc_id_1", "doc_id_2"), "left_anti")
+    exactPairs.agg(count(lit(1)).as("n_exact_dup_pairs"))
+      .crossJoin(missed.agg(count(lit(1)).as("n_missed")))
+      .select(col("n_exact_dup_pairs"), col("n_missed"),
+        (col("n_missed") === 0).as("all_found"))
+  }
+
   /** Embedding cosine near-dup pairs (exact). Declarative broadcast
     * nested-loop over the id_a < id_b triangle, scored by the native
     * codegen'd [[graft.functions.CosineSim]] (sequential dot+norms —
@@ -372,6 +403,7 @@ object Dedup {
     "dedup_minhash_lsh" -> ((s, d) => minhashLsh(Tables.documents(s, d))),
     "dedup_minhash_lsh_check" -> ((s, d) => minhashLshCheck(Tables.documents(s, d))),
     "dedup_simhash" -> ((s, d) => simhash(Tables.documents(s, d))),
+    "dedup_simhash_check" -> ((s, d) => simhashCheck(Tables.documents(s, d))),
     "dedup_embedding" -> ((s, d) => embeddingPairs(Tables.embeddings(s, d))))
 
   /** The exact word-3-gram Jaccard pair relation as DuckDB CTEs — ONE
@@ -396,6 +428,15 @@ object Dedup {
     * both are spec-defined against the exact-Jaccard result (DedupSpec).
     */
   val oracle: Map[String, String] = Map(
+    // identical texts → identical signatures: every exact-dup pair must
+    // appear in the simhash relation (pigeonhole is exhaustive at h=0)
+    "dedup_simhash_check" ->
+      """WITH d AS (SELECT doc_id, md5(text) AS h FROM documents
+        |  WHERE regexp_matches(text, '\S')),
+        |g AS (SELECT h, count(*) AS c FROM d GROUP BY h HAVING count(*) >= 2)
+        |SELECT CAST(coalesce(sum(c * (c - 1) / 2), 0) AS BIGINT) AS n_exact_dup_pairs,
+        | CAST(0 AS BIGINT) AS n_missed, true AS all_found
+        |FROM g""".stripMargin,
     // the sketch path's exact invariants, reproduced from the exact pairs
     // alone: zero false pairs, zero score drift, recall over the floor
     "dedup_minhash_lsh_check" ->

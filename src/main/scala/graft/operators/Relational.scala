@@ -211,6 +211,58 @@ object Relational {
       .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"))
       .orderBy(col("event_type"))
 
+  /** Sketch-accuracy verdict for [[qApproxDistinct]] — the containment-
+    * oracle pattern (VERDICT r5 #7) applied to HLL: the sketch output
+    * itself is algorithm-defined (no SQL oracle), but its CONTRACT is
+    * checkable — every group's estimate within `tol` of the exact
+    * distinct count (rsd 0.01 ⇒ 5% is a generous ceiling). One row of
+    * invariants the DuckDB oracle reproduces from the exact side alone;
+    * an estimator regression hash-mismatches it.
+    */
+  def qApproxDistinctCheck(spark: SparkSession, d: String, tol: Double = 0.05): DataFrame =
+    Tables.events(spark, d)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("exact"),
+        approx_count_distinct(col("user_id"), 0.01).as("approx"))
+      .agg(count(lit(1)).as("n_groups"),
+        coalesce(sum(when(
+          abs(col("approx") - col("exact")) > lit(tol) * col("exact"), 1L).otherwise(0L)),
+          lit(0L)).as("n_outside_tol"))
+      .select(col("n_groups"), col("n_outside_tol"),
+        (col("n_outside_tol") === 0).as("all_within"))
+
+  /** Sketch-accuracy verdict for [[qApproxPercentiles]], checked in
+    * RANK space — the digest's actual contract. The sketch returns a
+    * data ELEMENT within rank error accuracy⁻¹ (1e-4) of the target
+    * percentile, while the exact twin linearly interpolates; comparing
+    * the two in value space fails on small groups where one
+    * inter-element gap exceeds any sensible relative tolerance (seen at
+    * sf0.001). The element the sketch may legally return always lies
+    * between the interpolated quantiles at p ± (1/n_group + 1e-4), so
+    * the check brackets each estimate with exact quantiles one
+    * `rankSlack` away: 0.01 covers the smallest driver-SF group (~120
+    * rows) with the digest's 1e-4 to spare. The 1e-6 margin absorbs the
+    * 6dp rounding both twins apply.
+    */
+  def qApproxPercentilesCheck(spark: SparkSession, d: String,
+                              rankSlack: Double = 0.01): DataFrame = {
+    def q(p: Double) = round(expr(s"percentile(value, $p)"), 6)
+    val bounds = Tables.events(spark, d).groupBy(col("event_type")).agg(
+      q(0.50 - rankSlack).as("lo50"), q(0.50 + rankSlack).as("hi50"),
+      q(0.95 - rankSlack).as("lo95"), q(0.95 + rankSlack).as("hi95"),
+      q(0.99 - rankSlack).as("lo99"), q(math.min(1.0, 0.99 + rankSlack)).as("hi99"))
+    val off = (a: Column, lo: Column, hi: Column) =>
+      when(a < lo - lit(1e-6) || a > hi + lit(1e-6), 1L).otherwise(0L)
+    bounds.join(qApproxPercentiles(spark, d), "event_type")
+      .agg(count(lit(1)).as("n_groups"),
+        coalesce(sum(
+          off(col("p50"), col("lo50"), col("hi50")) +
+          off(col("p95"), col("lo95"), col("hi95")) +
+          off(col("p99"), col("lo99"), col("hi99"))), lit(0L)).as("n_outside_tol"))
+      .select(col("n_groups"), col("n_outside_tol"),
+        (col("n_outside_tol") === 0).as("all_within"))
+  }
+
   /** Semi-structured: JSON field extraction from events.props + agg. */
   def qEventsEnriched(spark: SparkSession, d: String): DataFrame =
     Tables.events(spark, d)
@@ -341,6 +393,8 @@ object Relational {
     "q_range_join" -> qRangeJoin,
     "q_percentiles" -> qPercentiles,
     "q_approx_percentiles" -> qApproxPercentiles,
+    "q_approx_distinct_check" -> ((s, d) => qApproxDistinctCheck(s, d)),
+    "q_approx_percentiles_check" -> ((s, d) => qApproxPercentilesCheck(s, d)),
     "mj_partition_range" -> qGlobalSortTop)
 
   /** The band-join oracle, shared with the streaming formulation
@@ -468,6 +522,16 @@ object Relational {
         | round(quantile_cont(value, 0.95), 6) AS p95,
         | round(quantile_cont(value, 0.99), 6) AS p99
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // sketch-accuracy verdicts: the invariants are reproduced from the
+    // exact side alone — zero groups may sit outside tolerance
+    "q_approx_distinct_check" ->
+      """SELECT count(DISTINCT event_type) AS n_groups,
+        | CAST(0 AS BIGINT) AS n_outside_tol, true AS all_within
+        |FROM events""".stripMargin,
+    "q_approx_percentiles_check" ->
+      """SELECT count(DISTINCT event_type) AS n_groups,
+        | CAST(0 AS BIGINT) AS n_outside_tol, true AS all_within
+        |FROM events""".stripMargin,
     "mj_partition_range" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin)

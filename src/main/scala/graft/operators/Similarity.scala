@@ -230,7 +230,7 @@ object Similarity {
     * exactly re-ranked ([[rerank]]), so emitted scores are true cosines.
     */
   def pqTopK(embeddings: DataFrame, k: Int = 5, m: Int = 8, ksub: Int = 32,
-             refine: Int = 8, maxSample: Int = 4096): DataFrame = {
+             refine: Int = 32, maxSample: Int = 4096): DataFrame = {
     val spark = embeddings.sparkSession
     val sample = collectVecs(embeddings.limit(maxSample))
     val dim = sample.head._2.length
@@ -455,17 +455,63 @@ object Similarity {
     rerank(topK(adc, cap).select(col("query_id"), col("neighbor_id")), embeddings, k)
   }
 
+  /** Recall verdict for the four ANN variants — the containment-oracle
+    * pattern (VERDICT r5 #7) applied to approximate search: the ranked
+    * lists are hash-seeded (rows-only), but their CONTRACT is checkable
+    * — each variant returns exactly k rows per query and clears its
+    * recall floor against the (oracle-checked) brute baseline. One row
+    * per variant; the DuckDB oracle reproduces n_rows from the query-set
+    * size and pins recall_ok true, so a recall collapse or a
+    * short-changed top-k hash-mismatches the relation.
+    *
+    * Floors are the AnnSpec floors: multiprobe LSH ≥ 0.85; IVF/PQ/IVFPQ
+    * ≥ 0.7 (cell pruning + code quantization each trade recall for
+    * scan cost).
+    */
+  def recallCheck(embeddings: DataFrame): DataFrame = {
+    val floors = Map("lsh" -> 0.85, "ivf" -> 0.7, "pq" -> 0.7, "ivfpq" -> 0.7)
+    // one brute pass feeds every variant's hit join AND the denominator
+    val b = bruteTopK(embeddings).select(col("query_id"), col("neighbor_id")).persist()
+    val tagged = Seq(
+      "ivf" -> ivfTopK(embeddings), "ivfpq" -> ivfpqTopK(embeddings),
+      "lsh" -> lshTopK(embeddings), "pq" -> pqTopK(embeddings))
+      .map { case (n, df) =>
+        df.select(lit(n).as("variant"), col("query_id"), col("neighbor_id"))
+      }.reduce(_ unionAll _)
+    val floorOf = floors.foldLeft(lit(0.0)) { case (acc, (n, f)) =>
+      when(col("variant") === n, f).otherwise(acc)
+    }
+    tagged
+      .join(b.withColumn("hit", lit(1L)), Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("variant"))
+      .agg(count(lit(1)).as("n_rows"), coalesce(sum(col("hit")), lit(0L)).as("hits"))
+      .crossJoin(broadcast(b.agg(count(lit(1)).as("n_brute"))))
+      .select(col("variant"), col("n_rows"),
+        (col("hits") >= floorOf * col("n_brute")).as("recall_ok"))
+      .orderBy(col("variant"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_recall_check" -> ((s, d) => recallCheck(Tables.embeddings(s, d))),
     "ann_ivfpq_topk" -> ((s, d) => ivfpqTopK(Tables.embeddings(s, d))),
     "ann_brute_topk" -> ((s, d) => bruteTopK(Tables.embeddings(s, d))),
     "ann_lsh_topk" -> ((s, d) => lshTopK(Tables.embeddings(s, d))),
     "ann_ivf_topk" -> ((s, d) => ivfTopK(Tables.embeddings(s, d))),
     "ann_pq_topk" -> ((s, d) => pqTopK(Tables.embeddings(s, d))))
 
-  /** Only the brute baseline is SQL-expressible; LSH/IVF are rows-only
-    * with recall specs vs brute (AnnSpec).
+  /** Only the brute baseline's ranked list is SQL-expressible; LSH/IVF/
+    * PQ lists are rows-only with recall specs vs brute (AnnSpec), and
+    * `ann_recall_check` pins their contract under the oracle gate.
     */
   val oracle: Map[String, String] = Map(
+    // each variant: exactly k rows per query, recall over its floor —
+    // n_rows derived from the query-set size, verdicts pinned true
+    "ann_recall_check" ->
+      """WITH q AS (SELECT CAST(count(*) * 5 AS BIGINT) AS n_rows
+        |  FROM embeddings WHERE vec_id < 10)
+        |SELECT v.variant, q.n_rows, true AS recall_ok
+        |FROM (VALUES ('ivf'), ('ivfpq'), ('lsh'), ('pq')) v(variant) CROSS JOIN q
+        |ORDER BY v.variant""".stripMargin,
     "ann_brute_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
         |  FROM embeddings WHERE vec_id < 10),

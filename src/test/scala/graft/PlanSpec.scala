@@ -139,7 +139,9 @@ class PlanSpec extends AnyFunSuite {
     // invariant row, corpus_mix's mixture total T); everything else
     // crossing is a regression
     val allowedCross = Set("dedup_embedding", "ann_brute_topk", "ann_pq_topk",
-      "tfidf_topterms", "mj_partition_hash", "corpus_mix")
+      "tfidf_topterms", "mj_partition_hash", "corpus_mix",
+      // verdict queries: 1-row aggregate broadcasts (denominators)
+      "ann_recall_check", "dedup_simhash_check")
     // streaming queries and the roundtrip EXECUTE in construction (their
     // result is already a local relation) — nothing to audit lazily
     val skip = (n: String) => n.startsWith("stream_") || n == "sdfs_roundtrip"
