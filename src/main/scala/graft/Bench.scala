@@ -75,6 +75,12 @@ object Bench {
           errors += s"$name: ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
         }
         times(name) = times(name) :+ (System.nanoTime() - t0) / 1e9
+        // UNTIMED cache release (ADVICE r5): several operators persist a
+        // shared pass and return lazily (no post-materialization point to
+        // unpersist at); without this hook those evictable blocks
+        // accumulate across the 69-query suite and crowd the storage
+        // pool of every LATER query's run
+        spark.catalog.clearCache()
       }
     }
     // one closing sample (inside the loop it would land back-to-back with
