@@ -85,9 +85,18 @@ case class BloomAnyContain(child: Expression, bloom: Broadcast[BloomFilter])
 object BloomProbe {
 
   /** Column API: `anyContain(shingles, sketch)` — registers a builder
-    * bound to this sketch (idempotent per broadcast id) and resolves it
-    * through the session's FunctionRegistry, the same public path every
-    * graft native expression uses.
+    * bound to this sketch under a broadcast-id-keyed name and resolves
+    * it through the session's FunctionRegistry (the public path from a
+    * custom Expression to a Column; the direct Column constructors are
+    * all private[sql] in Spark 4).
+    *
+    * The builder closure strongly pins the sketch, so the entry MUST
+    * NOT outlive its use: callers invoke [[release]] as soon as the
+    * consuming DataFrame is built — DataFrame analysis is EAGER, so by
+    * then the call has resolved into a concrete [[BloomAnyContain]]
+    * node and the registry entry is dead weight. Without the release, a
+    * long-lived session invoking the probe repeatedly would accumulate
+    * MB-scale sketches the ContextCleaner can never collect.
     */
   def anyContain(spark: SparkSession, arr: Column, bloom: Broadcast[BloomFilter]): Column = {
     val name = s"graft_bloom_any_b${bloom.id}"
@@ -95,4 +104,13 @@ object BloomProbe {
       name, exprs => BloomAnyContain(exprs.head, bloom), "scala_udf")
     org.apache.spark.sql.functions.call_function(name, arr)
   }
+
+  /** Drop the registry entry for `bloom`'s probe. Call after every
+    * DataFrame using [[anyContain]]'s Column has been CONSTRUCTED
+    * (analysis is eager; execution may happen any time later — the
+    * resolved plan holds its own reference to the sketch).
+    */
+  def release(spark: SparkSession, bloom: Broadcast[BloomFilter]): Unit =
+    spark.sessionState.functionRegistry.dropFunction(
+      org.apache.spark.sql.catalyst.FunctionIdentifier(s"graft_bloom_any_b${bloom.id}"))
 }

@@ -89,20 +89,24 @@ object Bpe {
     *  - candidates are scanned in m=1's own order (count desc, then the
     *    lexicographic tie-break), so selection order IS m=1's order;
     *  - a further candidate joins the batch only if it shares no symbol
-    *    with any selected pair — disjointness means applying the earlier
-    *    merges cannot change its count (no adjacency involving its
-    *    symbols is created or destroyed), so recorded freqs match m=1;
+    *    with any selected pair OR ITS MERGE RESULT — disjointness means
+    *    applying the earlier merges cannot change its count, and the
+    *    result string counts as a symbol because a pre-existing pair
+    *    mentioning it gains occurrences when the merge applies;
     *  - the chain guard: merging (a,b) CREATES pairs (x,ab)/(ab,y),
     *    whose counts are bounded by the conflicting pairs (x,a)/(b,y) —
     *    every occurrence of a new pair contains an occurrence of the old
-    *    neighbor. A candidate is only batched while its count is
-    *    STRICTLY above every conflicting pair seen so far (and above the
-    *    fetch horizon when the candidate list was truncated); otherwise
-    *    the round stops, because m=1 might rank a newly-created pair
-    *    first. On chain-heavy corpora (Sennrich's example) this
-    *    degenerates to one merge per round — correctly, since BPE chains
-    *    are inherently sequential; on flat regions of a real vocabulary
-    *    it batches, cutting rounds toward numMerges / batchSize.
+    *    neighbor. A candidate is batched only while its count STRICTLY
+    *    exceeds the threat bound: the max count over every conflicting
+    *    pair in the WHOLE fetch (a tie-count conflict can sort after the
+    *    candidate, so a prefix scan is not enough) and the truncation
+    *    horizon, doubled when a risen created-symbol pair is possible.
+    *    Otherwise the round stops, because serial BPE's recount might
+    *    rank a changed pair first. On chain-heavy corpora (Sennrich's
+    *    example) batches degenerate toward one merge per round —
+    *    correctly, since BPE chains are inherently sequential; on flat
+    *    regions of a real vocabulary it batches, cutting rounds toward
+    *    numMerges / batchSize.
     *
     * `roundsProbe`, when set, receives the selected-merge count per
     * round — the job-count evidence the spec asserts on.
@@ -117,7 +121,12 @@ object Bpe {
     // throw-path discipline as connectedComponents
     try while (merges.size < numMerges && !exhausted) {
       val want = math.min(batchSize, numMerges - merges.size)
-      val fetch = math.max(want * 8, 32)
+      // deep fetch: on a truncated candidate list the safety bound
+      // doubles the truncation horizon, so batching only engages while a
+      // candidate's count clears 2x the fetch's floor — a deeper fetch
+      // (a few KB collected) lowers that floor into the Zipf tail and
+      // keeps the head batchable
+      val fetch = math.max(want * 64, 256)
       val top = shapes
         .select(col("freq"), explode(pairsOf(col("shape"))).as("p"))
         .groupBy(col("p.0").as("left"), col("p.1").as("right"))
@@ -128,19 +137,51 @@ object Bpe {
       if (top.isEmpty) exhausted = true
       else {
         val truncated = top.length == fetch
-        val horizon = if (truncated) top.last.getLong(2) else Long.MinValue
+        val horizon = if (truncated) top.last.getLong(2) else 0L
+        val rows = top.map(r => (r.getString(0), r.getString(1), r.getLong(2)))
         val selected = scala.collection.mutable.ListBuffer.empty[(String, String, Long)]
+        val selectedPairs = scala.collection.mutable.Set.empty[(String, String)]
         val used = scala.collection.mutable.Set.empty[String]
-        var conflictMax = Long.MinValue
+        val createdSyms = scala.collection.mutable.Set.empty[String]
+        def pick(l: String, r: String, f: Long): Unit = {
+          selected += ((l, r, f)); selectedPairs += ((l, r))
+          used += l; used += r
+          // the merge RESULT is a symbol too: a pre-existing pair that
+          // mentions it (possible when another split already built the
+          // same string) gains occurrences when this merge applies, so
+          // it must count as a conflict, not a disjoint candidate
+          createdSyms += (l + r); used += (l + r)
+        }
+        pick(rows.head._1, rows.head._2, rows.head._3) // the classic m=1 step
+        var pos = 1
         var stop = false
-        val it = top.iterator
-        while (!stop && selected.size < want && it.hasNext) {
-          val row = it.next()
-          val (l, r, f) = (row.getString(0), row.getString(1), row.getLong(2))
-          if (used(l) || used(r)) conflictMax = math.max(conflictMax, f)
-          else if (selected.isEmpty || (f > conflictMax && f > horizon)) {
-            selected += ((l, r, f)); used += l; used += r
-          } else stop = true // a created pair could outrank everything below
+        while (!stop && selected.size < want && pos < rows.length) {
+          val (l, r, f) = rows(pos)
+          if (used(l) || used(r)) pos += 1 // conflict row — scanned below
+          else {
+            // Threat bound — the highest count any pair could carry when
+            // serial BPE recounts after applying the selection, scanned
+            // over the WHOLE fetch (a tie-count conflict can sort AFTER
+            // the candidate in lex order, so a running prefix max is not
+            // enough):
+            //  - an untouched pair keeps its count ≤ M;
+            //  - a pair mentioning a created symbol can RISE by one
+            //    conflicting neighbor's count (x,l+r gains ≤ count(x,l))
+            //    → ≤ 2M, applicable when such a pair is visible in the
+            //    fetch or could hide below a truncated horizon;
+            // where M = max(visible conflict counts, truncation horizon).
+            val conflicts = rows.filter { case (cl, cr, _) =>
+              !selectedPairs((cl, cr)) && (used(cl) || used(cr))
+            }
+            val base = if (conflicts.isEmpty) 0L else conflicts.map(_._3).max
+            val createdSeen = conflicts.exists { case (cl, cr, _) =>
+              createdSyms(cl) || createdSyms(cr)
+            }
+            val m = math.max(base, horizon)
+            val threat = if (createdSeen || truncated) 2 * m else m
+            if (f > threat) { pick(l, r, f); pos += 1 }
+            else stop = true // serial recount could outrank this candidate
+          }
         }
         selected.foreach { case (l, r, f) => merges += Merge(merges.size, l, r, f) }
         roundsProbe.foreach(_ += selected.size)

@@ -235,7 +235,7 @@ object Training {
     }
     val bf = testShingles.stat.bloomFilter("s", nTest, fpp)
     val bfB = spark.sparkContext.broadcast(bf)
-    ss.filter(col("split") === "train")
+    val flagged = ss.filter(col("split") === "train")
       // map-only corpus gate, native + codegen'd
       .filter(graft.functions.BloomProbe.anyContain(spark, col("shingles"), bfB))
       .select(col("doc_id"), explode(col("shingles")).as("s"))
@@ -243,6 +243,11 @@ object Training {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shared_shingles"))
       .orderBy(col("doc_id"))
+    // the frame above is ANALYZED (eagerly) — the probe call is resolved
+    // into the plan, so the registry entry (which strongly pins the
+    // sketch) can and must go now
+    graft.functions.BloomProbe.release(spark, bfB)
+    flagged
   }
 
   // --------------------------------------------------------------- tf-idf

@@ -699,24 +699,32 @@ object Events {
     "stream_session_window" -> ((s, d) => sessionWindowAgg(s, d)),
     "stream_sessionize" -> ((s, d) => sessionize(s, d)))
 
+  /** The incrementally-maintained dedup_exact relation over quality-
+    * passing docs — arrival-order-free by construction. ONE definition
+    * for the memory-sink verify twin AND the Update-mode delta-chain
+    * production twin: an edit to the gate (minTokens) in a lone copy
+    * would silently decouple the pair.
+    */
+  private val ingestDedupOracle =
+    """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
+      | count(*) AS n_arrivals
+      |FROM documents
+      |WHERE len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) >= 10
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Tumbling-window oracle, shared by the memory-sink and file-sink
+    * twins for the same drift-proofing reason. */
+  private val windowAggOracle =
+    """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start, event_type,
+      | count(*) AS n_events, round(sum(value), 2) AS total_value
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val oracle: Map[String, String] = Map(
-    // the incrementally-maintained dedup_exact relation over
-    // quality-passing docs — arrival-order-free by construction
-    "stream_ingest_dedup" ->
-      """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
-        | count(*) AS n_arrivals
-        |FROM documents
-        |WHERE len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) >= 10
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "stream_ingest_dedup" -> ingestDedupOracle,
     // the production Update-mode delta-chain sink must resolve to the
     // SAME relation: the two staged arrivals partition the corpus, so
     // last-write-wins over the deltas equals the batch dedup
-    "stream_ingest_dedup_files" ->
-      """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
-        | count(*) AS n_arrivals
-        |FROM documents
-        |WHERE len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) >= 10
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "stream_ingest_dedup_files" -> ingestDedupOracle,
     // dedup of original ∪ replayed-subset = the original relation
     // (event_id is unique in the source, checked across all SFs)
     "stream_dedup" ->
@@ -729,16 +737,10 @@ object Events {
       """SELECT e.event_id, e.user_id, c.c_name, c.c_mktsegment, e.event_type, e.value
         |FROM events e JOIN customer c ON e.user_id = c.c_custkey
         |ORDER BY e.event_id""".stripMargin,
-    "stream_window_agg" ->
-      """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start, event_type,
-        | count(*) AS n_events, round(sum(value), 2) AS total_value
-        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "stream_window_agg" -> windowAggOracle,
     // the append-mode file-sink production path must finalize exactly
     // the same windows as the memory-sink verify harness
-    "stream_window_agg_files" ->
-      """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start, event_type,
-        | count(*) AS n_events, round(sum(value), 2) AS total_value
-        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "stream_window_agg_files" -> windowAggOracle,
     // every event belongs to exactly 4 sliding windows: the 15-minute
     // slide marks within the hour before it (epoch-aligned, matching
     // Spark's window() alignment)

@@ -90,6 +90,17 @@ class BpeSpec extends AnyFunSuite {
     assert(batched2.map(m => (m.left, m.right, m.freq)) ==
       Seq(("a", "b", 9L), ("c", "d", 7L)))
     assert(rounds2.toList == List(2), s"flat corpus should batch both merges: $rounds2")
+    // adversarial tie: 'azy'x9 + 'az'x1 + 'bd'x9 — round 0 has (a,z)=10
+    // and a 9-tie where the conflict (z,y) sorts AFTER the disjoint
+    // candidate (b,d), while merging (a,z) creates (az,y)=9 whose left
+    // 'az' wins the lexicographic tie against 'b'. A prefix-scan guard
+    // batches (b,d) and diverges from serial, which learns (az,y) at
+    // rank 1; the whole-fetch threat bound must serialize this round.
+    val adversarial = (Seq.fill(9)("azy") ++ Seq("az") ++ Seq.fill(9)("bd"))
+      .zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+    val batched3 = Bpe.train(adversarial, numMerges = 3, batchSize = 8)
+    assert(batched3 == Bpe.train(adversarial, numMerges = 3))
+    assert(batched3.take(2).map(m => (m.left, m.right)) == Seq(("a", "z"), ("az", "y")))
   }
 
   test("pack_sequences_bpe: offsets are the running sum of BPE token counts") {

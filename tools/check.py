@@ -35,13 +35,21 @@ for t in TABLES:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
 import os
-if os.path.exists(f"{out_dir}/oracle_sql.json"):
-    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+# Prefer the NEWEST dump: a restricted Verify run into a previously-full
+# outDir must be reported as the partial run it is (stale full-suite
+# results would otherwise pass as a fresh full run), and a full re-run
+# supersedes an older partial.
+full, part = f"{out_dir}/oracle_sql.json", f"{out_dir}/oracle_sql.partial.json"
+mtime = lambda p: os.path.getmtime(p) if os.path.exists(p) else -1.0
+if mtime(part) > mtime(full):
+    oracle = json.load(open(part))
+    print(f"### PARTIAL RUN: restricted oracle dump ({len(oracle)} queries); "
+          f"other results in this outDir are stale ###")
+    # drop stale full-run outputs from the rows-only sweep below
+    stale_ok = set(oracle)
 else:
-    # restricted Verify runs dump under a distinct name so a partial dump
-    # can never masquerade as a full-suite pass
-    oracle = json.load(open(f"{out_dir}/oracle_sql.partial.json"))
-    print(f"### PARTIAL RUN: restricted oracle dump ({len(oracle)} queries) ###")
+    oracle = json.load(open(full))
+    stale_ok = None
 fails = 0
 for name in sorted(oracle):
     sql = oracle[name]
@@ -82,10 +90,13 @@ for name in sorted(oracle):
     else:
         print(f"OK       {name}: {len(got)} rows")
 
-# rows-only queries (no oracle)
+# rows-only queries (no oracle). On a partial run, only dirs refreshed
+# by THIS run count — stale full-suite leftovers are not re-reported.
 for path in sorted(glob.glob(f"{out_dir}/*/")):
     name = path.rstrip("/").split("/")[-1]
     if name in oracle: continue
+    if stale_ok is not None and os.path.getmtime(path.rstrip("/")) < mtime(part) - 600:
+        continue
     files = glob.glob(f"{path}/*.parquet")
     n = con.sql(f"SELECT count(*) FROM read_parquet({files!r})").fetchone()[0] if files else 0
     print(f"{'OK-ROWS ' if n > 0 else 'EMPTY   '} {name}: {n} rows (no oracle)")
