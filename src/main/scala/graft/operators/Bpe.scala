@@ -100,13 +100,19 @@ object Bpe {
     *    exceeds the threat bound: the max count over every conflicting
     *    pair in the WHOLE fetch (a tie-count conflict can sort after the
     *    candidate, so a prefix scan is not enough) and the truncation
-    *    horizon, doubled when a risen created-symbol pair is possible.
-    *    Otherwise the round stops, because serial BPE's recount might
-    *    rank a changed pair first. On chain-heavy corpora (Sennrich's
-    *    example) batches degenerate toward one merge per round —
-    *    correctly, since BPE chains are inherently sequential; on flat
-    *    regions of a real vocabulary it batches, cutting rounds toward
-    *    numMerges / batchSize.
+    *    horizon. Otherwise the round stops, because serial BPE's recount
+    *    might rank a changed pair first;
+    *  - the result-collision stop: the bound above assumes no
+    *    PRE-EXISTING pair gains occurrences, which holds exactly when
+    *    every batched result string is brand-new — so the batch closes
+    *    whenever a candidate's result equals an earlier merge's result
+    *    (or the word marker), the only way a multi-char symbol can
+    *    pre-exist.
+    *
+    *    On chain-heavy corpora (Sennrich's example) batches degenerate
+    *    toward one merge per round — correctly, since BPE chains are
+    *    inherently sequential; on flat regions of a real vocabulary it
+    *    batches, cutting rounds toward numMerges / batchSize.
     *
     * `roundsProbe`, when set, receives the selected-merge count per
     * round — the job-count evidence the spec asserts on.
@@ -115,18 +121,22 @@ object Bpe {
             roundsProbe: Option[scala.collection.mutable.Buffer[Int]] = None): Seq[Merge] = {
     var shapes = wordShapes(docs).localCheckpoint(true)
     val merges = scala.collection.mutable.ListBuffer.empty[Merge]
+    // every multi-char symbol in the relation is some earlier merge's
+    // result string (or the word marker): the set a candidate's result
+    // must MISS for the no-risen-pairs argument below to hold
+    val priorResults = scala.collection.mutable.Set[String](EndWord)
     var exhausted = false
     // finally-release: a throw mid-round (executor loss, cancelled job)
     // must not leave the current shapes checkpoint pinned — the same
     // throw-path discipline as connectedComponents
     try while (merges.size < numMerges && !exhausted) {
       val want = math.min(batchSize, numMerges - merges.size)
-      // deep fetch: on a truncated candidate list the safety bound
-      // doubles the truncation horizon, so batching only engages while a
-      // candidate's count clears 2x the fetch's floor — a deeper fetch
-      // (a few KB collected) lowers that floor into the Zipf tail and
-      // keeps the head batchable
-      val fetch = math.max(want * 64, 256)
+      // deep fetch (batching only): the guard needs the truncation
+      // horizon low in the Zipf tail for the head to clear it, and the
+      // whole-fetch conflict scan needs tie-count conflicts visible; a
+      // few KB of driver collect buys both. Serial training (want=1)
+      // uses only the head row — fetch exactly that.
+      val fetch = if (want == 1) 1 else math.max(want * 64, 256)
       val top = shapes
         .select(col("freq"), explode(pairsOf(col("shape"))).as("p"))
         .groupBy(col("p.0").as("left"), col("p.1").as("right"))
@@ -153,37 +163,45 @@ object Bpe {
           createdSyms += (l + r); used += (l + r)
         }
         pick(rows.head._1, rows.head._2, rows.head._3) // the classic m=1 step
+        // RESULT-COLLISION stop: if a selected merge's result string
+        // already exists as a symbol (an earlier merge built the same
+        // string through a different split — the only way a multi-char
+        // symbol pre-exists), pre-existing pairs mentioning it GAIN
+        // occurrences when the merge applies, and those gains compound
+        // across a batch beyond any fixed multiple of the conflict max
+        // (a pair between TWO colliding results rises by up to three
+        // neighbors' counts). No cheap bound survives, so the batch
+        // closes at the collision; the head pick itself is always legal
+        // (it IS the serial step).
+        var stop = priorResults(rows.head._1 + rows.head._2)
         var pos = 1
-        var stop = false
         while (!stop && selected.size < want && pos < rows.length) {
           val (l, r, f) = rows(pos)
           if (used(l) || used(r)) pos += 1 // conflict row — scanned below
+          else if (priorResults(l + r) || createdSyms(l + r)) stop = true
           else {
-            // Threat bound — the highest count any pair could carry when
+            // Threat bound — the highest count any pair can carry when
             // serial BPE recounts after applying the selection, scanned
             // over the WHOLE fetch (a tie-count conflict can sort AFTER
             // the candidate in lex order, so a running prefix max is not
-            // enough):
-            //  - an untouched pair keeps its count ≤ M;
-            //  - a pair mentioning a created symbol can RISE by one
-            //    conflicting neighbor's count (x,l+r gains ≤ count(x,l))
-            //    → ≤ 2M, applicable when such a pair is visible in the
-            //    fetch or could hide below a truncated horizon;
-            // where M = max(visible conflict counts, truncation horizon).
+            // enough). With every selected result string brand-new (the
+            // collision stop above), NO pre-existing pair mentions a
+            // created symbol, so nothing rises: untouched pairs keep
+            // their counts (≤ base visible, ≤ horizon unfetched) and
+            // brand-new pairs (x, l+r) inherit ≤ one conflicting
+            // neighbor's count (every occurrence contains an (x, l) or
+            // (r, y) occurrence) — all ≤ m.
             val conflicts = rows.filter { case (cl, cr, _) =>
               !selectedPairs((cl, cr)) && (used(cl) || used(cr))
             }
             val base = if (conflicts.isEmpty) 0L else conflicts.map(_._3).max
-            val createdSeen = conflicts.exists { case (cl, cr, _) =>
-              createdSyms(cl) || createdSyms(cr)
-            }
             val m = math.max(base, horizon)
-            val threat = if (createdSeen || truncated) 2 * m else m
-            if (f > threat) { pick(l, r, f); pos += 1 }
+            if (f > m) { pick(l, r, f); pos += 1 }
             else stop = true // serial recount could outrank this candidate
           }
         }
         selected.foreach { case (l, r, f) => merges += Merge(merges.size, l, r, f) }
+        priorResults ++= createdSyms
         roundsProbe.foreach(_ += selected.size)
         val next = shapes
           .select(selected.foldLeft(col("shape")) { case (c, (l, r, _)) =>

@@ -235,19 +235,20 @@ object Training {
     }
     val bf = testShingles.stat.bloomFilter("s", nTest, fpp)
     val bfB = spark.sparkContext.broadcast(bf)
-    val flagged = ss.filter(col("split") === "train")
-      // map-only corpus gate, native + codegen'd
-      .filter(graft.functions.BloomProbe.anyContain(spark, col("shingles"), bfB))
-      .select(col("doc_id"), explode(col("shingles")).as("s"))
-      .join(broadcast(testShingles), "s") // exact confirm: FPs drop here
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_shared_shingles"))
-      .orderBy(col("doc_id"))
-    // the frame above is ANALYZED (eagerly) — the probe call is resolved
-    // into the plan, so the registry entry (which strongly pins the
-    // sketch) can and must go now
-    graft.functions.BloomProbe.release(spark, bfB)
-    flagged
+    // finally-release: once the frame is constructed (analysis is eager)
+    // the probe call is resolved into the plan and the registry entry —
+    // which strongly pins the sketch — must go, INCLUDING when analysis
+    // itself throws (a leaked entry would outlive the failed query)
+    try {
+      ss.filter(col("split") === "train")
+        // map-only corpus gate, native + codegen'd
+        .filter(graft.functions.BloomProbe.anyContain(spark, col("shingles"), bfB))
+        .select(col("doc_id"), explode(col("shingles")).as("s"))
+        .join(broadcast(testShingles), "s") // exact confirm: FPs drop here
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shared_shingles"))
+        .orderBy(col("doc_id"))
+    } finally graft.functions.BloomProbe.release(spark, bfB)
   }
 
   // --------------------------------------------------------------- tf-idf

@@ -101,6 +101,15 @@ class BpeSpec extends AnyFunSuite {
     val batched3 = Bpe.train(adversarial, numMerges = 3, batchSize = 8)
     assert(batched3 == Bpe.train(adversarial, numMerges = 3))
     assert(batched3.take(2).map(m => (m.left, m.right)) == Seq(("a", "z"), ("az", "y")))
+    // result-collision path: '</w>' assembled from corpus characters
+    // collides with the word marker partway through the chain — the
+    // batch must close at the collision and stay serial-equivalent
+    // (both paths share the replace mechanics, so equality is the
+    // meaningful assertion even in this degenerate corpus)
+    val marker = (Seq.fill(10)("</w>") ++ Seq.fill(3)("ok"))
+      .zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+    assert(Bpe.train(marker, numMerges = 6, batchSize = 8) ==
+      Bpe.train(marker, numMerges = 6))
   }
 
   test("pack_sequences_bpe: offsets are the running sum of BPE token counts") {

@@ -76,8 +76,14 @@ class TextFunctionsSpec extends AnyFunSuite {
       (3L, Some(Seq.empty[Long])),  // empty array → false
       (4L, None)                    // null array → null → row dropped by filter
     ).toDF("id", "arr")
-    val gated = df.filter(graft.functions.BloomProbe.anyContain(spark, col("arr"), bfB))
-      .select(col("id")).collect().map(_.getLong(0)).toSet
+    // the release contract: the registry entry goes as soon as the
+    // consuming frame is BUILT (analysis is eager); execution afterwards
+    // must still work off the resolved plan
+    val gatedDf = df.filter(graft.functions.BloomProbe.anyContain(spark, col("arr"), bfB))
+      .select(col("id"))
+    graft.functions.BloomProbe.release(spark, bfB)
+    assert(!spark.catalog.functionExists(s"graft_bloom_any_b${bfB.id}"))
+    val gated = gatedDf.collect().map(_.getLong(0)).toSet
     assert(gated == Set(1L))
     // interpreted path (no codegen): same verdicts
     val expr = graft.functions.BloomAnyContain(

@@ -34,22 +34,21 @@ con = duckdb.connect()
 for t in TABLES:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
-import os
+import os, sys as _sys
 # Prefer the NEWEST dump: a restricted Verify run into a previously-full
 # outDir must be reported as the partial run it is (stale full-suite
 # results would otherwise pass as a fresh full run), and a full re-run
-# supersedes an older partial.
+# supersedes an older partial. Ties (1s-granularity filesystems) resolve
+# toward PARTIAL — the safe direction: it verifies less, never more.
 full, part = f"{out_dir}/oracle_sql.json", f"{out_dir}/oracle_sql.partial.json"
 mtime = lambda p: os.path.getmtime(p) if os.path.exists(p) else -1.0
-if mtime(part) > mtime(full):
-    oracle = json.load(open(part))
+if mtime(full) < 0 and mtime(part) < 0:
+    _sys.exit(f"no oracle dump in {out_dir} — run graft.Verify first")
+partial_run = mtime(part) >= mtime(full)
+oracle = json.load(open(part if partial_run else full))
+if partial_run:
     print(f"### PARTIAL RUN: restricted oracle dump ({len(oracle)} queries); "
-          f"other results in this outDir are stale ###")
-    # drop stale full-run outputs from the rows-only sweep below
-    stale_ok = set(oracle)
-else:
-    oracle = json.load(open(full))
-    stale_ok = None
+          f"results not refreshed by it are not checked ###")
 fails = 0
 for name in sorted(oracle):
     sql = oracle[name]
@@ -91,11 +90,13 @@ for name in sorted(oracle):
         print(f"OK       {name}: {len(got)} rows")
 
 # rows-only queries (no oracle). On a partial run, only dirs refreshed
-# by THIS run count — stale full-suite leftovers are not re-reported.
+# by THIS run count: Verify writes result dirs before its oracle dump,
+# so anything predating the LAST FULL dump is a stale leftover (no
+# arbitrary time window — the full dump's own timestamp is the fence).
 for path in sorted(glob.glob(f"{out_dir}/*/")):
     name = path.rstrip("/").split("/")[-1]
     if name in oracle: continue
-    if stale_ok is not None and os.path.getmtime(path.rstrip("/")) < mtime(part) - 600:
+    if partial_run and os.path.getmtime(path.rstrip("/")) <= mtime(full):
         continue
     files = glob.glob(f"{path}/*.parquet")
     n = con.sql(f"SELECT count(*) FROM read_parquet({files!r})").fetchone()[0] if files else 0
