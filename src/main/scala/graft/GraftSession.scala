@@ -103,7 +103,7 @@ object GraftSession {
       Seq(TopKAgg.Name) -> (TopKAgg.register _),
       Seq(RollingHash.Name) -> (RollingHash.register _),
       Seq(ShingleFunctions.ShingleName, ShingleFunctions.ShingleSeqName,
-        ShingleFunctions.SimHashName) -> (ShingleFunctions.register _),
+        ShingleFunctions.SimHashName, ShingleFunctions.MinHashName) -> (ShingleFunctions.register _),
       Seq(TokenStats.Name) -> (TokenStats.register _),
       Seq(RepetitionStats.Name) -> (RepetitionStats.register _),
       Seq(LshBuckets.Name) -> (LshBuckets.register _))

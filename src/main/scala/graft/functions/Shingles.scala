@@ -105,6 +105,40 @@ object Shingles {
     new GenericArrayData(arr)
   }
 
+  /** MinHash signature of a shingle-hash set in ONE fused loop:
+    * m_i = min over shingles s of (h1(s) + i·h2(s)), the Broder-style
+    * two-hash affine permutation family. Values are BIT-IDENTICAL to
+    * the explode + 128-grouped-min formulation this replaces
+    * (h1 = s as double; h2 = xxhash64(s, 1) as double, reproduced via
+    * the builtin's exact fold: hashInt(1, hashLong(s, 42)); per-perm
+    * candidate computed as the same one-mult-one-add) — DedupSpec pins
+    * the equality against the relational twin. The payoff is the SHAPE:
+    * signatures become pure map work over the scan — no explode of
+    * |shingles| rows, no hash-agg buffers, no shuffle of |docs|×128
+    * partial mins. Returns null for an empty shingle set (the grouped
+    * form emits no row; downstream explodes drop null identically).
+    */
+  def minhashSig(shingles: org.apache.spark.sql.catalyst.util.ArrayData,
+                 numPerms: Int): GenericArrayData = {
+    val n = shingles.numElements()
+    if (n == 0) return null
+    val mins = Array.fill(numPerms)(Double.PositiveInfinity)
+    var j = 0
+    while (j < n) {
+      val s = shingles.getLong(j)
+      val h1 = s.toDouble
+      val h2 = XXH64.hashInt(1, XXH64.hashLong(s, 42L)).toDouble
+      var i = 0
+      while (i < numPerms) {
+        val c = h1 + i.toDouble * h2
+        if (c < mins(i)) mins(i) = c
+        i += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(mins)
+  }
+
   /** 64-bit SimHash of the token multiset of `s`: bit i set iff
     * Σ_tokens (bit i of xxhash64(token) ? +1 : -1) > 0. Token hashes are
     * bit-identical to the builtin xxhash64(token), so this scalar equals
@@ -160,6 +194,35 @@ case class ShingleHashSeqExpr(child: Expression, n: Int) extends UnaryExpression
   override protected def withNewChildInternal(c: Expression): ShingleHashSeqExpr = copy(child = c)
 }
 
+/** array<double> MinHash signature (numPerms mins) of an array<long>
+  * shingle-hash set; null on an empty set.
+  */
+case class MinHashSigExpr(child: Expression, numPerms: Int) extends UnaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"minhash_sig expects array<bigint>, got $other")
+    }
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  // the kernel returns null for an empty set even on non-null input
+  override def nullable: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    Shingles.minhashSig(v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], numPerms)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // defineCodeGen assumes non-null output from non-null input; the
+    // empty-set null needs the explicit form
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |${ev.value} = graft.functions.Shingles.minhashSig($c, $numPerms);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin
+    })
+  }
+  override protected def withNewChildInternal(c: Expression): MinHashSigExpr = copy(child = c)
+}
+
 /** Scalar 64-bit SimHash of a string's whitespace tokens. */
 case class SimHashExpr(child: Expression) extends UnaryExpression {
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
@@ -180,6 +243,7 @@ object ShingleFunctions {
   val ShingleName = "graft_shingle_hashes"
   val ShingleSeqName = "graft_shingle_hash_seq"
   val SimHashName = "graft_simhash"
+  val MinHashName = "graft_minhash_sig"
 
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -196,6 +260,12 @@ object ShingleFunctions {
       }, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       SimHashName, exprs => SimHashExpr(exprs.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      MinHashName, exprs => exprs(1) match {
+        case IntegerLiteral(p) => MinHashSigExpr(exprs(0), p)
+        case other => throw new IllegalArgumentException(
+          s"$MinHashName numPerms must be an integer literal, got $other")
+      }, "scala_udf")
   }
 
   def shingleHashes(text: Column, n: Int): Column =
@@ -208,4 +278,8 @@ object ShingleFunctions {
 
   def simhash(text: Column): Column =
     org.apache.spark.sql.functions.call_function(SimHashName, text)
+
+  def minhashSig(shingles: Column, numPerms: Int): Column =
+    org.apache.spark.sql.functions.call_function(
+      MinHashName, shingles, org.apache.spark.sql.functions.lit(numPerms))
 }

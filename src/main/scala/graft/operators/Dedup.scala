@@ -134,28 +134,26 @@ object Dedup {
       .select(col("doc_id_1"), col("doc_id_2"), round(jac, 6).as("jaccard"))
   }
 
-  /** MinHash signatures: numPerms columns m0..m{p-1}, m_i = min over the
-    * doc's shingles of permutation i. Permutations use the standard
-    * two-hash affine combination h1 + i·h2 (Broder-style — what Spark
-    * MLlib's MinHashLSH does too): 2 xxhash64 evals per shingle + one
-    * mult-add per perm, instead of numPerms full hash evals (measured
-    * ~8× faster at sf0.1). The mult-add runs in DOUBLE: a 64-bit wrap
-    * would trip ANSI overflow checks, and min-wise hashing only needs a
-    * deterministic uniform order, which 52 mantissa bits provide.
-    * Computed via explode + grouped min aggregates: codegen'd hash-agg
-    * with map-side partial min, one shuffle on doc_id.
+  /** MinHash signatures: (doc_id, sig array<double> of numPerms mins),
+    * m_i = min over the doc's shingles of permutation i. Permutations
+    * use the standard two-hash affine combination h1 + i·h2
+    * (Broder-style — what Spark MLlib's MinHashLSH does too). The
+    * mult-add runs in DOUBLE: a 64-bit wrap would trip ANSI overflow
+    * checks, and min-wise hashing only needs a deterministic uniform
+    * order, which 52 mantissa bits provide.
+    *
+    * Computed by the native fused [[graft.functions.MinHashSigExpr]]
+    * loop — PURE MAP WORK over the shingled scan: the former explode +
+    * 128-grouped-min formulation (spec-pinned bit-identical, DedupSpec)
+    * shuffled |docs|×128 partial mins through a hash-agg; this shape
+    * shuffles nothing, which at 100 TB removes the signature stage's
+    * exchange entirely.
     */
   def minhashSignatures(shingled: DataFrame, numPerms: Int = 128): DataFrame =
     shingled
-      .select(col("doc_id"), explode(col("shingles")).as("s"))
       .select(col("doc_id"),
-        col("s").cast("double").as("h1"),
-        xxhash64(col("s"), lit(1)).cast("double").as("h2"))
-      .groupBy(col("doc_id"))
-      .agg(
-        min(col("h1")).as("m0"),
-        (1 until numPerms).map(i =>
-          min(col("h1") + lit(i.toDouble) * col("h2")).as(s"m$i")): _*)
+        graft.functions.ShingleFunctions.minhashSig(col("shingles"), numPerms).as("sig"))
+      .filter(col("sig").isNotNull)
 
   /** MinHash + LSH banding near-dup pairs. 128 perms in 16 bands × 8 rows:
     * a pair with Jaccard j collides in ≥1 band with prob 1-(1-j⁸)¹⁶
@@ -183,7 +181,8 @@ object Dedup {
     val banded = sig.select(col("doc_id"), explode(array(
       (0 until bands).map(b => struct(
         lit(b).as("band_id"),
-        xxhash64((b * rows until (b + 1) * rows).map(i => col(s"m$i")): _*).as("band_hash"))): _*
+        xxhash64((b * rows until (b + 1) * rows)
+          .map(i => element_at(col("sig"), i + 1)): _*).as("band_hash"))): _*
     )).as("band")).select(col("doc_id"), col("band.band_id"), col("band.band_hash"))
     val cand = banded.as("x").join(banded.as("y"),
         col("x.band_id") === col("y.band_id") &&

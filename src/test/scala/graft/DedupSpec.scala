@@ -71,6 +71,34 @@ class DedupSpec extends AnyFunSuite {
     assert(lsh.size.toDouble / exact.size >= 0.8)
   }
 
+  test("native minhash signature is bit-identical to the explode + grouped-min twin") {
+    // the fused map kernel replaced a shuffle; its VALUES must not move
+    // (h1 = shingle as double, h2 = xxhash64(shingle, 1) as double,
+    // m_i = min(h1 + i*h2) — the exact relational formulation below)
+    import org.apache.spark.sql.functions.{col, explode, lit, min, xxhash64}
+    val perms = 16
+    val shingled = Dedup.shingleHashSets(graft.Tables.documents(spark, TestSpark.sf))
+    val native = Dedup.minhashSignatures(shingled, perms).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val twin = shingled
+      .select(col("doc_id"), explode(col("shingles")).as("s"))
+      .select(col("doc_id"), col("s").cast("double").as("h1"),
+        xxhash64(col("s"), lit(1)).cast("double").as("h2"))
+      .groupBy(col("doc_id"))
+      .agg(min(col("h1")).as("m0"),
+        (1 until perms).map(i => min(col("h1") + lit(i.toDouble) * col("h2")).as(s"m$i")): _*)
+      .collect().map(r => r.getLong(0) -> (1 to perms).map(i => r.getDouble(i))).toMap
+    assert(native.keySet == twin.keySet)
+    // bit-identical, not approximately equal: same hash fold, same
+    // one-mult-one-add per permutation
+    native.foreach { case (id, sig) => assert(sig == twin(id), s"doc $id") }
+    // empty shingle set → null signature → row dropped, like the
+    // grouped form emitting no row
+    import spark.implicits._
+    val empty = Seq((1L, Seq.empty[Long]), (2L, Seq(7L, 8L))).toDF("doc_id", "shingles")
+    assert(Dedup.minhashSignatures(empty, perms).collect().map(_.getLong(0)).toSeq == Seq(2L))
+  }
+
   test("minhash-LSH containment verdict: zero false pairs, zero drift, recall over floor") {
     // the oracle-checkable form of the sketch op: one row of exact
     // invariants the driver hash-matches against the exact pairs CTE
