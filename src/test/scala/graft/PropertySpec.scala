@@ -47,6 +47,47 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("minhashSig kernel equals the reference min-fold on random shingle sets") {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    val rng = new scala.util.Random(7L)
+    for (_ <- 0 until 300) {
+      val n = rng.nextInt(40)
+      val shingles = Array.fill(n)(rng.nextLong())
+      val got = graft.functions.Shingles.minhashSig(ArrayData.toArrayData(shingles), 16)
+      if (n == 0) assert(got == null)
+      else {
+        val expect = (0 until 16).map { i =>
+          shingles.map { s =>
+            s.toDouble + i.toDouble * XXH64.hashInt(1, XXH64.hashLong(s, 42L)).toDouble
+          }.min
+        }
+        assert(got.toDoubleArray().toSeq == expect, s"shingles=${shingles.toSeq}")
+      }
+    }
+  }
+
+  test("BPE tokenize round-trips random words through train + applyMerges") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val rng = new scala.util.Random(11L)
+    val words = (0 until 60).map(_ =>
+      (0 until (1 + rng.nextInt(6))).map(_ => "abcd"(rng.nextInt(4))).mkString)
+    val docs = words.zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+    val merges = graft.operators.Bpe.train(docs, numMerges = 12, batchSize = 4)
+    assert(merges == graft.operators.Bpe.train(docs, numMerges = 12),
+      "batched table diverged from serial on a random corpus")
+    // every word reconstructs from its tokens, and corpus-wide tokenize
+    // agrees with the driver-side reference word for word
+    val got = graft.operators.Bpe.tokenize(docs, merges).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[String](1)))
+    for ((id, toks) <- got) {
+      val w = words(id.toInt)
+      assert(toks == graft.operators.Bpe.applyMerges(w, merges), s"word=$w")
+      assert(toks.mkString.stripSuffix("</w>") == w, s"reconstruction of $w")
+    }
+  }
+
   test("RollingHash.compute equals the reference fold on random strings") {
     for (s <- randomTexts(1L, 500)) {
       val expected = s.foldLeft(0L)((acc, c) => (acc * 31 + c.toLong) % 1000000007L)
