@@ -206,6 +206,7 @@ case class MinHashSigExpr(child: Expression, numPerms: Int) extends UnaryExpress
         s"minhash_sig expects array<bigint>, got $other")
     }
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "graft_minhash_sig"
   // the kernel returns null for an empty set even on non-null input
   override def nullable: Boolean = true
   override def nullSafeEval(v: Any): Any =

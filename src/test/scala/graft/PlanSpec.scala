@@ -123,6 +123,14 @@ class PlanSpec extends AnyFunSuite {
       s"decontam_bloom probe regressed to a Scala UDF:\n$bloom")
     assert(bloom.contains("graft_bloom_any"),
       s"decontam_bloom gate is not the native bloom probe:\n$bloom")
+    // minhash signatures: the native fused expression in a map stage —
+    // a regression to the explode + grouped-min formulation shows up as
+    // partial_min aggregates shuffling |docs|x128 values
+    val mh = planOf("dedup_minhash_lsh")
+    assert(mh.contains("graft_minhash_sig"),
+      s"minhash signatures lost the native kernel:\n$mh")
+    assert(!mh.contains("partial_min"),
+      s"minhash signatures regressed to the grouped-min shuffle:\n$mh")
   }
 
   test("range join plans as an equi-join on (user, bucket), never a nested loop") {
