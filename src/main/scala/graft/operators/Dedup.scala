@@ -280,16 +280,26 @@ object Dedup {
     * without an oracle-checkable companion. The signature is hash-seeded
     * (rows-only), but one invariant is exact and SQL-reproducible:
     * IDENTICAL texts hash to IDENTICAL signatures (hamming 0), so every
-    * exact-duplicate pair — derivable in SQL from the corpus — MUST
-    * appear in the emitted ≤-maxHamming relation. The pigeonhole
-    * candidate join is exhaustive at hamming 0 by construction, so
-    * `n_missed` is deterministically 0; a broken signature, block join
-    * or hamming filter breaks containment and hash-mismatches the row.
-    * (Restricted to docs with ≥1 token — signature-less docs are dropped
-    * by [[simhashSignatures]], mirrored in the oracle.)
+    * exact-duplicate pair — derivable in SQL — MUST appear in the
+    * emitted ≤-maxHamming relation. The pigeonhole candidate join is
+    * exhaustive at hamming 0 by construction, so `n_missed` is
+    * deterministically 0; a broken signature, block join or hamming
+    * filter breaks containment and hash-mismatches the row.
+    *
+    * The check PLANTS its duplicates: every `sampleMod`-th doc is
+    * re-added under an offset id, so the invariant is exercised on
+    * corpora with no natural exact dups (the small driver SFs have
+    * none — an empty containment set would verify nothing). The oracle
+    * builds the identical augmented relation, and natural dups simply
+    * add to the planted set. (Restricted to docs with ≥1 token —
+    * signature-less docs are dropped by [[simhashSignatures]], mirrored
+    * in the oracle.)
     */
-  def simhashCheck(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val groups = docs.filter(col("text").rlike("\\S"))
+  def simhashCheck(docs: DataFrame, maxHamming: Int = 3, sampleMod: Int = 50): DataFrame = {
+    val base = docs.filter(col("text").rlike("\\S")).select(col("doc_id"), col("text"))
+    val aug = base.unionAll(base.filter(col("doc_id") % sampleMod === 0)
+      .select((col("doc_id") + lit(1000000000L)).as("doc_id"), col("text")))
+    val groups = aug
       .groupBy(md5(col("text").cast("binary")).as("h"))
       .agg(collect_list(col("doc_id")).as("ids"))
       .filter(size(col("ids")) >= 2)
@@ -299,7 +309,7 @@ object Dedup {
       .filter(col("doc_id_1") < col("doc_id_2"))
       .persist()
     val missed = exactPairs.join(
-      simhash(docs, maxHamming).select(col("doc_id_1"), col("doc_id_2")),
+      simhash(aug, maxHamming).select(col("doc_id_1"), col("doc_id_2")),
       Seq("doc_id_1", "doc_id_2"), "left_anti")
     exactPairs.agg(count(lit(1)).as("n_exact_dup_pairs"))
       .crossJoin(missed.agg(count(lit(1)).as("n_missed")))
@@ -427,12 +437,14 @@ object Dedup {
     * both are spec-defined against the exact-Jaccard result (DedupSpec).
     */
   val oracle: Map[String, String] = Map(
-    // identical texts → identical signatures: every exact-dup pair must
-    // appear in the simhash relation (pigeonhole is exhaustive at h=0)
+    // identical texts → identical signatures: every exact-dup pair of
+    // the planted-augmented corpus must appear in the simhash relation
+    // (pigeonhole is exhaustive at h=0)
     "dedup_simhash_check" ->
-      """WITH d AS (SELECT doc_id, md5(text) AS h FROM documents
-        |  WHERE regexp_matches(text, '\S')),
-        |g AS (SELECT h, count(*) AS c FROM d GROUP BY h HAVING count(*) >= 2)
+      """WITH b AS (SELECT doc_id, text FROM documents WHERE regexp_matches(text, '\S')),
+        |aug AS (SELECT doc_id, text FROM b
+        |  UNION ALL SELECT doc_id + 1000000000, text FROM b WHERE doc_id % 50 = 0),
+        |g AS (SELECT md5(text) AS h, count(*) AS c FROM aug GROUP BY h HAVING count(*) >= 2)
         |SELECT CAST(coalesce(sum(c * (c - 1) / 2), 0) AS BIGINT) AS n_exact_dup_pairs,
         | CAST(0 AS BIGINT) AS n_missed, true AS all_found
         |FROM g""".stripMargin,

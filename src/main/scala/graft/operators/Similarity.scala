@@ -468,8 +468,11 @@ object Similarity {
     * ≥ 0.7 (cell pruning + code quantization each trade recall for
     * scan cost).
     */
-  def recallCheck(embeddings: DataFrame): DataFrame = {
-    val floors = Map("lsh" -> 0.85, "ivf" -> 0.7, "pq" -> 0.7, "ivfpq" -> 0.7)
+  val DefaultRecallFloors: Map[String, Double] =
+    Map("lsh" -> 0.85, "ivf" -> 0.7, "pq" -> 0.7, "ivfpq" -> 0.7)
+
+  def recallCheck(embeddings: DataFrame,
+                  floors: Map[String, Double] = DefaultRecallFloors): DataFrame = {
     // one brute pass feeds every variant's hit join AND the denominator
     val b = bruteTopK(embeddings).select(col("query_id"), col("neighbor_id")).persist()
     val tagged = Seq(

@@ -91,6 +91,39 @@ class RobustnessSpec extends AnyFunSuite {
       s"no skew-split shuffle read in:\n$finalPlan")
   }
 
+  test("verdict queries are falsifiable: impossible contracts turn the flags red") {
+    // a contract check that cannot fail verifies nothing — drive each
+    // verdict's knob to an unsatisfiable setting and watch it go red
+    // (the driver-facing defaults stay green in CORRECTNESS)
+    val docs = Tables.documents(spark, TestSpark.sf)
+    // recall floor above 1.0 is unreachable by definition
+    assert(!graft.operators.Dedup.minhashLshCheck(docs, recallFloor = 1.01)
+      .head().getBoolean(3), "minhash recall_ok must fail an impossible floor")
+    // hamming < 0 empties the simhash relation → every planted exact-dup
+    // pair missed (the check plants dups, so the set is never empty)
+    val sim = graft.operators.Dedup.simhashCheck(docs, maxHamming = -1).head()
+    assert(sim.getLong(0) > 0, "planted duplicates must make the containment set non-empty")
+    assert(sim.getLong(1) == sim.getLong(0) && !sim.getBoolean(2),
+      "simhash all_found must fail when the relation is emptied")
+    // recall floor above 1.0 for one ANN variant flips only that verdict
+    val ann = graft.operators.Similarity.recallCheck(
+      Tables.embeddings(spark, TestSpark.sf),
+      graft.operators.Similarity.DefaultRecallFloors + ("lsh" -> 1.01))
+      .collect().map(r => r.getString(0) -> r.getBoolean(2)).toMap
+    assert(!ann("lsh") && ann("ivf"),
+      s"ann recall_ok must fail exactly the impossible floor: $ann")
+    // negative tolerance is unsatisfiable by definition (at tiny-SF
+    // cardinalities HLL++'s sparse mode is EXACT, so zero tolerance can
+    // legitimately pass — the falsifier must be impossible, not tight)
+    assert(!graft.operators.Relational
+      .qApproxDistinctCheck(spark, TestSpark.sf, tol = -1.0)
+      .head().getBoolean(2), "approx-distinct all_within must fail at negative tolerance")
+    // zero rank slack: the digest returns elements, exact interpolates
+    assert(!graft.operators.Relational
+      .qApproxPercentilesCheck(spark, TestSpark.sf, rankSlack = 0.0)
+      .head().getBoolean(2), "approx-percentile all_within must fail at zero slack")
+  }
+
   test("dedup and decontam pipelines drop null/empty docs instead of crashing") {
     // shingle-based ops: null/short docs have no 3-gram → silently absent
     assert(Dedup.ngramJaccard(docsWithNull).count() == 0)
