@@ -121,22 +121,28 @@ object Shingles {
   def minhashSig(shingles: org.apache.spark.sql.catalyst.util.ArrayData,
                  numPerms: Int): GenericArrayData = {
     val n = shingles.numElements()
-    if (n == 0) return null
     val mins = Array.fill(numPerms)(Double.PositiveInfinity)
+    var seen = false
     var j = 0
     while (j < n) {
-      val s = shingles.getLong(j)
-      val h1 = s.toDouble
-      val h2 = XXH64.hashInt(1, XXH64.hashLong(s, 42L)).toDouble
-      var i = 0
-      while (i < numPerms) {
-        val c = h1 + i.toDouble * h2
-        if (c < mins(i)) mins(i) = c
-        i += 1
+      // SKIP null slots, matching the relational twin: a null shingle's
+      // h1/h2 are null, and min() ignores nulls — reading it as 0 would
+      // inject a phantom shingle into every permutation
+      if (!shingles.isNullAt(j)) {
+        seen = true
+        val s = shingles.getLong(j)
+        val h1 = s.toDouble
+        val h2 = XXH64.hashInt(1, XXH64.hashLong(s, 42L)).toDouble
+        var i = 0
+        while (i < numPerms) {
+          val c = h1 + i.toDouble * h2
+          if (c < mins(i)) mins(i) = c
+          i += 1
+        }
       }
       j += 1
     }
-    new GenericArrayData(mins)
+    if (!seen) null else new GenericArrayData(mins)
   }
 
   /** 64-bit SimHash of the token multiset of `s`: bit i set iff

@@ -297,8 +297,13 @@ object Dedup {
     */
   def simhashCheck(docs: DataFrame, maxHamming: Int = 3, sampleMod: Int = 50): DataFrame = {
     val base = docs.filter(col("text").rlike("\\S")).select(col("doc_id"), col("text"))
+    // planted ids start past the corpus's own id space — a fixed offset
+    // would collide with natural ids at 100 TB id ranges, silently
+    // corrupting the pair relation's id semantics and the oracle parity
+    val off = base.agg(coalesce(max(col("doc_id")) + 1, lit(0L)).as("off"))
     val aug = base.unionAll(base.filter(col("doc_id") % sampleMod === 0)
-      .select((col("doc_id") + lit(1000000000L)).as("doc_id"), col("text")))
+      .crossJoin(broadcast(off))
+      .select((col("doc_id") + col("off")).as("doc_id"), col("text")))
     val groups = aug
       .groupBy(md5(col("text").cast("binary")).as("h"))
       .agg(collect_list(col("doc_id")).as("ids"))
@@ -442,8 +447,9 @@ object Dedup {
     // (pigeonhole is exhaustive at h=0)
     "dedup_simhash_check" ->
       """WITH b AS (SELECT doc_id, text FROM documents WHERE regexp_matches(text, '\S')),
+        |o AS (SELECT coalesce(max(doc_id) + 1, 0) AS off FROM b),
         |aug AS (SELECT doc_id, text FROM b
-        |  UNION ALL SELECT doc_id + 1000000000, text FROM b WHERE doc_id % 50 = 0),
+        |  UNION ALL SELECT doc_id + o.off, text FROM b CROSS JOIN o WHERE doc_id % 50 = 0),
         |g AS (SELECT md5(text) AS h, count(*) AS c FROM aug GROUP BY h HAVING count(*) >= 2)
         |SELECT CAST(coalesce(sum(c * (c - 1) / 2), 0) AS BIGINT) AS n_exact_dup_pairs,
         | CAST(0 AS BIGINT) AS n_missed, true AS all_found

@@ -472,7 +472,10 @@ object Similarity {
     Map("lsh" -> 0.85, "ivf" -> 0.7, "pq" -> 0.7, "ivfpq" -> 0.7)
 
   def recallCheck(embeddings: DataFrame,
-                  floors: Map[String, Double] = DefaultRecallFloors): DataFrame = {
+                  floorOverrides: Map[String, Double] = Map.empty): DataFrame = {
+    // overrides MERGE with the defaults: a partial map must not leave
+    // the unnamed variants with floor 0.0 (an unfalsifiable verdict)
+    val floors = DefaultRecallFloors ++ floorOverrides
     // one brute pass feeds every variant's hit join AND the denominator
     val b = bruteTopK(embeddings).select(col("query_id"), col("neighbor_id")).persist()
     val tagged = Seq(

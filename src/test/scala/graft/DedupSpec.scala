@@ -93,10 +93,19 @@ class DedupSpec extends AnyFunSuite {
     // one-mult-one-add per permutation
     native.foreach { case (id, sig) => assert(sig == twin(id), s"doc $id") }
     // empty shingle set → null signature → row dropped, like the
-    // grouped form emitting no row
+    // grouped form emitting no row; null ELEMENTS are skipped (the twin's
+    // min() ignores null h1/h2), so an all-null array also drops
     import spark.implicits._
     val empty = Seq((1L, Seq.empty[Long]), (2L, Seq(7L, 8L))).toDF("doc_id", "shingles")
     assert(Dedup.minhashSignatures(empty, perms).collect().map(_.getLong(0)).toSeq == Seq(2L))
+    val withNulls = Seq((3L, Seq[Option[Long]](Some(7L), None, Some(8L))),
+      (4L, Seq[Option[Long]](None))).toDF("doc_id", "shingles")
+    val got = Dedup.minhashSignatures(withNulls, perms).collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(3L), "all-null set must drop")
+    val clean = Seq((3L, Seq(7L, 8L))).toDF("doc_id", "shingles")
+    assert(got.head.getSeq[Double](1) ==
+      Dedup.minhashSignatures(clean, perms).head.getSeq[Double](1),
+      "null elements must be skipped, not read as phantom shingles")
   }
 
   test("minhash-LSH containment verdict: zero false pairs, zero drift, recall over floor") {

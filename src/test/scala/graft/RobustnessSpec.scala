@@ -106,9 +106,10 @@ class RobustnessSpec extends AnyFunSuite {
     assert(sim.getLong(1) == sim.getLong(0) && !sim.getBoolean(2),
       "simhash all_found must fail when the relation is emptied")
     // recall floor above 1.0 for one ANN variant flips only that verdict
+    // (a PARTIAL override: the other variants must keep their default
+    // floors, not silently drop to an unfalsifiable 0.0)
     val ann = graft.operators.Similarity.recallCheck(
-      Tables.embeddings(spark, TestSpark.sf),
-      graft.operators.Similarity.DefaultRecallFloors + ("lsh" -> 1.01))
+      Tables.embeddings(spark, TestSpark.sf), Map("lsh" -> 1.01))
       .collect().map(r => r.getString(0) -> r.getBoolean(2)).toMap
     assert(!ann("lsh") && ann("ivf"),
       s"ann recall_ok must fail exactly the impossible floor: $ann")
