@@ -623,8 +623,8 @@ object Events {
     *    duplicate) — the standard exactly-once foreachBatch recipe;
     *  - the consumer view resolves last-write-wins per key (`max_by` on
     *    the epoch) — one partial-agg'd shuffle. At 100 TB a periodic
-    *    compaction job runs THIS read, rewrites it as the new base
-    *    snapshot, and prunes the consumed deltas, bounding read
+    *    [[compactDeltaChain]] run rewrites this read as the new base
+    *    snapshot and prunes the consumed deltas, bounding read
     *    amplification; swap the parquet delta dirs for Delta/Iceberg
     *    MERGE and the plumbing is unchanged.
     *
@@ -685,6 +685,54 @@ object Events {
         } finally deleteDirQuietly(ckpt)
       } finally deleteDirQuietly(sink)
     } finally deleteDirQuietly(src)
+  }
+
+  /** Compact a `batch=<epoch>` delta-chain sink (the layout
+    * [[ingestDedupToFiles]] writes): resolve last-write-wins per
+    * `keyCols`, rewrite it as the newest epoch's directory, and prune
+    * every older delta — read amplification drops from O(#deltas) back
+    * to one directory, which is exactly the periodic job the
+    * merge-on-read layout requires at 100 TB. The snapshot keeps the
+    * NEWEST EXISTING epoch number, so a stream resuming from its
+    * checkpoint (next epoch = max + 1) can never collide with it, and
+    * repeated compaction is a no-op by construction (one dir in, the
+    * same relation out).
+    *
+    * Swap discipline: the snapshot materializes into a temp dir OUTSIDE
+    * the partition layout (forcing the read of every delta it's about
+    * to replace), then replaces the newest delta and prunes the rest.
+    * The harness swap is plain directory moves — a reader racing the
+    * swap can briefly miss the newest delta; a production deployment
+    * commits the same swap through a table format's transaction log
+    * (Delta/Iceberg) instead, with identical relational semantics.
+    */
+  def compactDeltaChain(spark: SparkSession, sink: String, keyCols: Seq[String]): Unit = {
+    val all = spark.read.parquet(sink)
+    if (all.isEmpty) return
+    // partition discovery types `batch` as int or long depending on the
+    // epoch values present — accept either
+    val maxEpoch = all.agg(max(col("batch"))).head().getAs[Number](0).longValue()
+    val valueCols = all.columns.filterNot(c => keyCols.contains(c) || c == "batch").toSeq
+    val lww = all
+      .groupBy(keyCols.map(col): _*)
+      .agg(max_by(struct(valueCols.map(col): _*), col("batch")).as("v"))
+      .select(keyCols.map(col) ++ valueCols.map(c => col(s"v.$c").as(c)): _*)
+    val sinkPath = java.nio.file.Paths.get(sink)
+    val tmp = sinkPath.resolve("_compact_tmp")
+    deleteDirQuietly(tmp)
+    // materializes the full LWW read BEFORE any delta is touched
+    lww.write.parquet(tmp.toString)
+    val target = sinkPath.resolve(s"batch=$maxEpoch")
+    deleteDir(target)
+    java.nio.file.Files.move(tmp, target)
+    val stream = java.nio.file.Files.list(sinkPath)
+    try {
+      import scala.jdk.CollectionConverters._
+      stream.iterator().asScala.toList.foreach { p =>
+        val name = p.getFileName.toString
+        if (name.startsWith("batch=") && name != s"batch=$maxEpoch") deleteDir(p)
+      }
+    } finally stream.close()
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -95,6 +95,39 @@ class StreamingSpec extends AnyFunSuite {
       s"update-mode delta re-emitted the whole relation: ${emitted(1L)} of ${complete.size} keys")
   }
 
+  test("delta-chain compaction preserves the LWW relation and prunes to one directory") {
+    import spark.implicits._
+    val sink = java.nio.file.Files.createTempDirectory("graft_compact_spec")
+    try {
+      // hand-built chain: key A updated in every epoch, B in two, C once
+      Seq(("a", 1L, 1L), ("b", 2L, 1L), ("c", 3L, 1L)).toDF("k", "keep", "n")
+        .write.parquet(s"$sink/batch=0")
+      Seq(("a", 1L, 2L), ("b", 2L, 2L)).toDF("k", "keep", "n")
+        .write.parquet(s"$sink/batch=1")
+      Seq(("a", 1L, 3L)).toDF("k", "keep", "n")
+        .write.parquet(s"$sink/batch=2")
+      def lww() = spark.read.parquet(sink.toString)
+        .groupBy(col("k"))
+        .agg(max_by(struct(col("keep"), col("n")), col("batch")).as("v"))
+        .select(col("k"), col("v.keep"), col("v.n"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      val before = lww()
+      assert(before == Set(("a", 1L, 3L), ("b", 2L, 2L), ("c", 3L, 1L)))
+      Events.compactDeltaChain(spark, sink.toString, Seq("k"))
+      assert(lww() == before, "compaction must not change the consumer relation")
+      def dirs() = new java.io.File(sink.toString).listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("batch=")).map(_.getName).toSet
+      assert(dirs() == Set("batch=2"), s"older deltas must be pruned: ${dirs()}")
+      // idempotent: compacting a compacted chain is a no-op
+      Events.compactDeltaChain(spark, sink.toString, Seq("k"))
+      assert(lww() == before && dirs() == Set("batch=2"))
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(sink).sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   test("stream_dedup drops a replayed micro-batch, emitting each event exactly once") {
     val deduped = Events.dedupEvents(spark, TestSpark.sf)
     val original = Tables.events(spark, TestSpark.sf)
