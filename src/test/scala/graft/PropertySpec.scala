@@ -88,6 +88,40 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("delta-chain compaction preserves random LWW relations") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, max_by, struct}
+    val rng = new scala.util.Random(23L)
+    for (trial <- 0 until 5) {
+      val sink = java.nio.file.Files.createTempDirectory(s"graft_compact_prop_$trial")
+      try {
+        val nEpochs = 2 + rng.nextInt(4)
+        for (e <- 0 until nEpochs) {
+          val rows = (0 until 1 + rng.nextInt(8)).map(_ =>
+            (s"k${rng.nextInt(6)}", rng.nextLong(), e.toLong)).distinct
+          rows.toDF("k", "v", "n").dropDuplicates("k")
+            .write.parquet(s"$sink/batch=$e")
+        }
+        def lww() = spark.read.parquet(sink.toString)
+          .groupBy(col("k"))
+          .agg(max_by(struct(col("v"), col("n")), col("batch")).as("s"))
+          .select(col("k"), col("s.v"), col("s.n"))
+          .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+        val before = lww()
+        graft.streaming.Events.compactDeltaChain(spark, sink.toString, Seq("k"))
+        assert(lww() == before, s"trial $trial: consumer relation changed")
+        val dirs = new java.io.File(sink.toString).listFiles()
+          .filter(f => f.isDirectory && f.getName.startsWith("batch=")).length
+        assert(dirs == 1, s"trial $trial: $dirs delta dirs remain")
+      } finally {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(sink).sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+    }
+  }
+
   test("RollingHash.compute equals the reference fold on random strings") {
     for (s <- randomTexts(1L, 500)) {
       val expected = s.foldLeft(0L)((acc, c) => (acc * 31 + c.toLong) % 1000000007L)
