@@ -230,10 +230,11 @@ object Events {
     * abort the remaining cleanup or mask the query's real exception.
     */
   private def deleteDirQuietly(dir: java.nio.file.Path): Unit =
-    try deleteDir(dir)
-    catch { case e: Exception =>
-      System.err.println(s"cleanup of $dir failed: ${e.getMessage}")
-    }
+    if (java.nio.file.Files.exists(dir)) // absent dir = nothing to clean, not a failure
+      try deleteDir(dir)
+      catch { case e: Exception =>
+        System.err.println(s"cleanup of $dir failed: ${e.getMessage}")
+      }
 
   /** The standard bounded-input flush: two micro-batches of one sentinel
     * row each, `overrideCol` replaced by the marker value and ts pushed
@@ -698,15 +699,29 @@ object Events {
     * repeated compaction is a no-op by construction (one dir in, the
     * same relation out).
     *
-    * Swap discipline: the snapshot materializes into a temp dir OUTSIDE
-    * the partition layout (forcing the read of every delta it's about
-    * to replace), then replaces the newest delta and prunes the rest.
-    * The harness swap is plain directory moves — a reader racing the
-    * swap can briefly miss the newest delta; a production deployment
-    * commits the same swap through a table format's transaction log
-    * (Delta/Iceberg) instead, with identical relational semantics.
+    * Swap discipline (crash-safe, ADVICE r6): the snapshot materializes
+    * into a temp dir OUTSIDE the partition layout (forcing the read of
+    * every delta it's about to replace) and is stamped with a
+    * target-epoch marker; the newest delta is then moved ASIDE (a
+    * single atomic directory rename — never deleted while it is the
+    * only copy), the snapshot renamed into its place, and only then are
+    * the aside copy and the older deltas pruned. Every intermediate
+    * state is recoverable: [[recoverInterruptedCompaction]] runs on
+    * entry and either finishes an interrupted swap (marker present,
+    * target missing → the snapshot IS the data, complete the rename) or
+    * discards a redundant/incomplete snapshot (target present → the
+    * chain is intact). A reader racing the rename pair can still
+    * briefly miss the newest delta (the documented harness caveat); a
+    * production deployment commits the same swap through a table
+    * format's transaction log (Delta/Iceberg) instead, with identical
+    * relational semantics — but no crash point here loses data.
     */
   def compactDeltaChain(spark: SparkSession, sink: String, keyCols: Seq[String]): Unit = {
+    val sinkPath = java.nio.file.Paths.get(sink)
+    // BEFORE the chain is read: a crash-stranded snapshot may hold the
+    // only copy of the newest delta — reading around it would compact a
+    // damaged chain and make the loss permanent
+    recoverInterruptedCompaction(sinkPath)
     val all = spark.read.parquet(sink)
     if (all.isEmpty) return
     // partition discovery types `batch` as int or long depending on the
@@ -717,14 +732,19 @@ object Events {
       .groupBy(keyCols.map(col): _*)
       .agg(max_by(struct(valueCols.map(col): _*), col("batch")).as("v"))
       .select(keyCols.map(col) ++ valueCols.map(c => col(s"v.$c").as(c)): _*)
-    val sinkPath = java.nio.file.Paths.get(sink)
-    val tmp = sinkPath.resolve("_compact_tmp")
-    deleteDirQuietly(tmp)
-    // materializes the full LWW read BEFORE any delta is touched
+    val tmp = sinkPath.resolve(CompactTmp)
+    // materializes the full LWW read BEFORE any delta is touched; the
+    // marker lands last, so marker-present == snapshot complete
     lww.write.parquet(tmp.toString)
+    java.nio.file.Files.write(tmp.resolve(CompactMarker),
+      maxEpoch.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val target = sinkPath.resolve(s"batch=$maxEpoch")
-    deleteDir(target)
+    val aside = sinkPath.resolve(CompactAside)
+    // rename pair: each is atomic, and between them the newest delta
+    // still exists (in `aside`) alongside the complete snapshot (`tmp`)
+    java.nio.file.Files.move(target, aside)
     java.nio.file.Files.move(tmp, target)
+    deleteDirQuietly(aside)
     val stream = java.nio.file.Files.list(sinkPath)
     try {
       import scala.jdk.CollectionConverters._
@@ -733,6 +753,43 @@ object Events {
         if (name.startsWith("batch=") && name != s"batch=$maxEpoch") deleteDir(p)
       }
     } finally stream.close()
+  }
+
+  // leading underscore: Spark's partition discovery ignores `_`/`.`
+  // paths, so a live reader never lists these mid-compaction dirs
+  private val CompactTmp = "_compact_tmp"
+  private val CompactAside = "_compact_old"
+  private val CompactMarker = "_graft_target_epoch"
+
+  /** Repair any state an interrupted [[compactDeltaChain]] left behind.
+    * The swap writes (snapshot+marker into tmp) → (target renamed to
+    * aside) → (tmp renamed to target) → (aside + older deltas pruned),
+    * so the possible crash states are exactly:
+    *
+    *  - tmp without marker: snapshot incomplete, chain untouched →
+    *    discard tmp;
+    *  - tmp with marker, `batch=<epoch>` present: crash before the
+    *    aside rename, chain intact → discard the redundant tmp;
+    *  - tmp with marker, `batch=<epoch>` missing: crash between the
+    *    renames — tmp is the ONLY complete copy → finish the rename.
+    *    (Safe even if the stream resumed meanwhile and appended newer
+    *    epochs: the snapshot is LWW over epochs ≤ its marker, placed AT
+    *    the marker epoch, so later deltas still win per key.)
+    *  - aside without tmp: the swap-in completed (only the tmp→target
+    *    rename consumes tmp, so `batch=<epoch>` exists) → aside is a
+    *    consumed duplicate, discard it.
+    */
+  private def recoverInterruptedCompaction(sinkPath: java.nio.file.Path): Unit = {
+    val tmp = sinkPath.resolve(CompactTmp)
+    val marker = tmp.resolve(CompactMarker)
+    if (java.nio.file.Files.exists(marker)) {
+      val epoch = new String(java.nio.file.Files.readAllBytes(marker),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+      val target = sinkPath.resolve(s"batch=$epoch")
+      if (!java.nio.file.Files.exists(target)) java.nio.file.Files.move(tmp, target)
+      else deleteDirQuietly(tmp)
+    } else deleteDirQuietly(tmp)
+    deleteDirQuietly(sinkPath.resolve(CompactAside))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -121,10 +121,85 @@ class StreamingSpec extends AnyFunSuite {
       // idempotent: compacting a compacted chain is a no-op
       Events.compactDeltaChain(spark, sink.toString, Seq("k"))
       assert(lww() == before && dirs() == Set("batch=2"))
+      // MID-STREAM compaction (VERDICT r6 #7): the stream resumes after
+      // the compaction and lands a new delta at the next epoch — the
+      // consumer relation must merge the snapshot with the late delta
+      // exactly as it would have merged the original chain
+      Seq(("a", 1L, 9L), ("d", 4L, 1L)).toDF("k", "keep", "n")
+        .write.parquet(s"$sink/batch=3")
+      assert(lww() == Set(("a", 1L, 9L), ("b", 2L, 2L), ("c", 3L, 1L), ("d", 4L, 1L)),
+        "post-compaction delta must override the snapshot per key")
+      Events.compactDeltaChain(spark, sink.toString, Seq("k"))
+      assert(dirs() == Set("batch=3") &&
+        lww() == Set(("a", 1L, 9L), ("b", 2L, 2L), ("c", 3L, 1L), ("d", 4L, 1L)))
     } finally {
       import scala.jdk.CollectionConverters._
       java.nio.file.Files.walk(sink).sorted(java.util.Comparator.reverseOrder())
         .iterator().asScala.foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
+  test("interrupted compaction recovers without data loss (ADVICE r6 crash states)") {
+    import spark.implicits._
+    def withChain(f: java.nio.file.Path => Unit): Unit = {
+      val sink = java.nio.file.Files.createTempDirectory("graft_compact_crash")
+      try {
+        Seq(("a", 1L, 1L), ("b", 2L, 1L)).toDF("k", "keep", "n").write.parquet(s"$sink/batch=0")
+        Seq(("a", 1L, 2L), ("c", 3L, 1L)).toDF("k", "keep", "n").write.parquet(s"$sink/batch=1")
+        Seq(("a", 1L, 3L)).toDF("k", "keep", "n").write.parquet(s"$sink/batch=2")
+        f(sink)
+      } finally {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(sink).sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+    }
+    val truth = Set(("a", 1L, 3L), ("b", 2L, 1L), ("c", 3L, 1L))
+    def lww(sink: java.nio.file.Path) = spark.read.parquet(sink.toString)
+      .groupBy(col("k"))
+      .agg(max_by(struct(col("keep"), col("n")), col("batch")).as("v"))
+      .select(col("k"), col("v.keep"), col("v.n"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    def snapshotInto(sink: java.nio.file.Path, markerEpoch: Long): Unit = {
+      // what a completed pre-crash snapshot write left behind: the LWW
+      // relation in parquet (with Spark's _SUCCESS) plus the
+      // target-epoch marker the write stamps last
+      lww(sink).toSeq.toDF("k", "keep", "n").write.parquet(s"$sink/_compact_tmp")
+      java.nio.file.Files.write(
+        sink.resolve("_compact_tmp").resolve("_graft_target_epoch"),
+        markerEpoch.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+    // THE ADVICE scenario: crash between the rename pair — the complete
+    // snapshot is stranded in _compact_tmp, the newest delta sits in the
+    // aside dir, and batch=2 is GONE. Pre-fix, a re-run deleted tmp (the
+    // only complete copy) and silently lost batch=2's data; post-fix it
+    // must finish the swap and preserve the full relation.
+    withChain { sink =>
+      snapshotInto(sink, markerEpoch = 2L)
+      java.nio.file.Files.move(sink.resolve("batch=2"), sink.resolve("_compact_old"))
+      assert(lww(sink) != truth, "precondition: the visible chain is damaged")
+      Events.compactDeltaChain(spark, sink.toString, Seq("k"))
+      assert(lww(sink) == truth, "recovery must restore the stranded snapshot's data")
+      val dirs = new java.io.File(sink.toString).listFiles().map(_.getName).toSet
+      assert(dirs == Set("batch=2"), s"aside + older deltas pruned, got $dirs")
+    }
+    // crash BEFORE the aside rename: chain intact, tmp redundant. Plant a
+    // WRONG relation in tmp to prove it is discarded, not swapped in.
+    withChain { sink =>
+      Seq(("z", 99L, 99L)).toDF("k", "keep", "n").write.parquet(s"$sink/_compact_tmp")
+      java.nio.file.Files.write(
+        sink.resolve("_compact_tmp").resolve("_graft_target_epoch"),
+        "2".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      Events.compactDeltaChain(spark, sink.toString, Seq("k"))
+      assert(lww(sink) == truth, "an intact chain must win over a stale snapshot")
+    }
+    // crash DURING the snapshot write (no marker): incomplete tmp discarded
+    withChain { sink =>
+      java.nio.file.Files.createDirectories(sink.resolve("_compact_tmp"))
+      java.nio.file.Files.write(sink.resolve("_compact_tmp").resolve("part-00000.parquet"),
+        Array[Byte](1, 2, 3)) // torn write, not valid parquet
+      Events.compactDeltaChain(spark, sink.toString, Seq("k"))
+      assert(lww(sink) == truth)
     }
   }
 
