@@ -59,6 +59,11 @@ object Bpe {
   private val S = "\u001f"
   private val EndWord = "</w>"
 
+  /** The word-final marker, shared with [[graft.functions.BpeCodec]] so
+    * the native encoder and the trainer agree on the symbol alphabet.
+    */
+  val EndWordMarker: String = EndWord
+
   /** `␟␟sym₁␟␟sym₂␟␟…␟␟</w>␟␟` — the delimiter-encoded symbol string. */
   private def shapeOf(word: Column): Column =
     concat(lit(S + S),
@@ -216,24 +221,45 @@ object Bpe {
   }
 
   /** CORPUS-WIDE tokenization with a learned merge table (VERDICT r5
-    * #4): docs → (doc_id, tokens array, n_bpe_tokens), the trainer-facing
-    * relation. Every word becomes its delimiter-encoded shape, shapes
-    * concatenate per doc (safe: no merge has `left = </w>` — `</w>` is
-    * always word-final, so the (</w>, next-word) pair is never counted,
-    * never learned, and the quadruple delimiter at each word junction
-    * can't match any `␟l␟␟r␟` pattern), and the merge table applies as a
-    * chain of codegen'd `replace` columns in rank order — ONE fused map
-    * pass over the scan, no shuffle, no UDF. The merge table itself is
-    * the broadcast-sized artifact a tokenizer ships; it enters the plan
-    * as string literals.
-    *
-    * At 100 TB: cost is |merges| codegen'd scans of each doc's shape
-    * string, embarrassingly parallel. (A production tokenizer amortizes
-    * further with an Aho-Corasick-style single pass; the relational form
-    * keeps the exact non-overlapping left-to-right semantics of
-    * [[applyMerges]], which BpeSpec pins word-for-word.)
+    * #4, re-shaped per VERDICT r6 #3): docs → (doc_id, tokens array,
+    * n_bpe_tokens), the trainer-facing relation. The merge table ships
+    * once per executor as a `Broadcast[BpeCodec]` and applies through
+    * the native [[graft.functions.BpeEncodeExpr]] — ONE fused map pass
+    * over the scan, no shuffle, no UDF, and per-row cost INDEPENDENT of
+    * |merges| (single-pass priority-merge per word + per-thread word
+    * memo — the production-tokenizer shape, viable at a 50k-merge
+    * vocabulary where the previous |merges|-deep replace chain was
+    * not). The encoder is chain-faithful by construction; BpeSpec and
+    * PropertySpec pin it word-for-word against [[applyMerges]], and
+    * [[tokenizeChain]] keeps the replace-chain formulation as a
+    * three-way spec witness.
     */
   def tokenize(docs: DataFrame, merges: Seq[Merge]): DataFrame = {
+    val spark = docs.sparkSession
+    val bc = spark.sparkContext.broadcast(graft.functions.BpeCodec(merges))
+    val out = Tables.spread(docs)
+      .select(col("doc_id"),
+        graft.functions.BpeEncode.tokens(spark, col("text"), bc).as("tokens"))
+      .withColumn("n_bpe_tokens", size(col("tokens")).cast("long"))
+    // analysis is eager: the call has resolved into a concrete
+    // BpeEncodeExpr node; drop the registry entry (BloomProbe pattern)
+    graft.functions.BpeEncode.release(spark, bc)
+    out
+  }
+
+  /** The superseded replace-chain tokenize (spec witness only): every
+    * word becomes its delimiter-encoded shape, shapes concatenate per
+    * doc (safe: no merge has `left = </w>` — `</w>` is always
+    * word-final, so the (</w>, next-word) pair is never counted, never
+    * learned, and the quadruple delimiter at each word junction can't
+    * match any `␟l␟␟r␟` pattern), and the merge table applies as a
+    * chain of codegen'd `replace` columns in rank order. Cost is
+    * |merges| scans of each doc's shape string — the scale shape
+    * VERDICT r6 retired from the production path; it remains here so
+    * the spec can witness native ≡ chain ≡ [[applyMerges]] on the same
+    * corpus.
+    */
+  private[graft] def tokenizeChain(docs: DataFrame, merges: Seq[Merge]): DataFrame = {
     val words = filter(split(col("text"), "\\s+"), w => w =!= lit(""))
     val shape0 = array_join(transform(words, w => shapeOf(w)), "")
     val mergedShape = merges.sortBy(_.rank).foldLeft(shape0) { (c, m) =>

@@ -330,8 +330,9 @@ object Training {
 
   /** [[packSequences]] with the REAL token counter: learn a BPE merge
     * table over the corpus ([[Bpe.train]], batched rounds), tokenize
-    * corpus-wide ([[Bpe.tokenize]] — the codegen'd replace chain, one
-    * map pass), and pack by `n_bpe_tokens` instead of whitespace counts.
+    * corpus-wide ([[Bpe.tokenize]] — the native single-pass encoder,
+    * one map pass, cost independent of |merges|), and pack by
+    * `n_bpe_tokens` instead of whitespace counts.
     * This is the production packing input: sequence budgets are consumed
     * by TOKENIZER tokens, and whitespace counts misprice non-English and
     * code by 2-4x. Same two-phase prefix sum, same output schema.

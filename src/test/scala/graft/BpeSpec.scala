@@ -131,6 +131,73 @@ class BpeSpec extends AnyFunSuite {
     assert(packed.toSeq == expect)
   }
 
+  test("native tokenize == replace-chain tokenize == applyMerges (three-way witness)") {
+    import spark.implicits._
+    val merges = Bpe.train(corpus, numMerges = 5)
+    val docs = Seq((1L, "low lower newest"), (2L, "widest low lowest"), (3L, ""),
+      (4L, "  low   low  ")).toDF("doc_id", "text")
+    def dump(df: org.apache.spark.sql.DataFrame) = df.orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[String](1), r.getLong(2))).toList
+    val native = dump(Bpe.tokenize(docs, merges))
+    val chain = dump(Bpe.tokenizeChain(docs, merges))
+    assert(native == chain, "native encoder diverged from the replace chain")
+    // plan shape over a PARQUET source (a local relation constant-folds
+    // to LocalTableScan): the native path is ONE expression, not a
+    // |merges|-deep replace chain, and no Scala UDF snuck in
+    val pdocs = Tables.documents(spark, TestSpark.sf)
+    val plan = Bpe.tokenize(pdocs, merges).queryExecution.executedPlan.toString
+    assert(plan.contains("graft_bpe_encode"), s"tokenize lost the native encoder:\n$plan")
+    assert(!plan.contains("ScalaUDF"), s"tokenize regressed to a Scala UDF:\n$plan")
+    assert(!plan.contains("replace("), s"tokenize still carries the replace chain:\n$plan")
+    // the |merges|-independence claim (VERDICT r6 #3), structurally: a
+    // table 40x larger must not grow the plan at all
+    val big = merges ++ (5 until 200).map(r => Bpe.Merge(r, s"x$r", s"y$r", 1L))
+    val bigPlan = Bpe.tokenize(pdocs, big).queryExecution.executedPlan.toString
+    assert(bigPlan.length == plan.length,
+      s"plan size scales with |merges|: ${plan.length} -> ${bigPlan.length}")
+  }
+
+  test("codec applies 1k+-merge random tables word-for-word like applyMerges") {
+    // compositional random tables over a SMALL alphabet: results re-enter
+    // the symbol pool, so tables contain chained merges, duplicate
+    // (left,right) pairs at distinct ranks (the multi-rank path), and
+    // merges that mention the word marker — every shape a trained table
+    // can produce, at a size (1.2k) no replace chain could codegen
+    val rnd = new scala.util.Random(20260813L)
+    val alphabet = ('a' to 'f').map(_.toString)
+    for (trial <- 0 until 3) {
+      val pool = scala.collection.mutable.ArrayBuffer[String](alphabet: _*) += "</w>"
+      val merges = (0 until 1200).map { r =>
+        val l = pool(rnd.nextInt(pool.size)); val rt = pool(rnd.nextInt(pool.size))
+        pool += (l + rt)
+        Bpe.Merge(r, l, rt, 1L)
+      }
+      assert(merges.groupBy(m => (m.left, m.right)).exists(_._2.size > 1) || trial > 0,
+        "random tables should exercise duplicate-pair ranks at least once")
+      val codec = graft.functions.BpeCodec(merges)
+      val words = (0 until 200).map(_ =>
+        (0 to rnd.nextInt(12)).map(_ => alphabet(rnd.nextInt(alphabet.size))).mkString) ++
+        Seq("aaaaaaa", "abcdef", "fedcba", "😀ab") // runs, sweeps, a surrogate pair
+      // comparison happens in SPARK's string space: tokens live as
+      // UTF8Strings there, and UTF-8 cannot carry the lone surrogate
+      // halves split("") makes of an emoji — the old replace-chain path
+      // mangled them identically, so the reference normalizes through
+      // the same round trip
+      def u8(s: String) = org.apache.spark.unsafe.types.UTF8String.fromString(s).toString
+      for (w <- words)
+        assert(codec.encodeWord(w).map(_.toString).toSeq ==
+          Bpe.applyMerges(w, merges).map(u8),
+          s"trial $trial word '${u8(w)}'")
+      // doc-level concatenation + whitespace handling, off the cache path
+      val text = words.take(40).mkString(" ") + "  " + words.take(3).mkString("\t")
+      val expect = text.split("\\s+").filter(_.nonEmpty).toSeq
+        .flatMap(w => Bpe.applyMerges(w, merges))
+      val got = codec.encode(org.apache.spark.unsafe.types.UTF8String.fromString(text))
+        .toObjectArray(org.apache.spark.sql.types.StringType).map(_.toString).toSeq
+      assert(got == expect, s"trial $trial doc-level encode")
+    }
+  }
+
   test("training exhausts gracefully when every pair is merged") {
     import spark.implicits._
     val d = Seq((1L, "ab")).toDF("doc_id", "text")
