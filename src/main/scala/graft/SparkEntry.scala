@@ -21,6 +21,8 @@ object SparkEntry {
       Map[String, (SparkSession, String) => DataFrame](
         "mj_wordcount" -> ((s, d) => MapleJuice.wordCount(Tables.documents(s, d))
           .orderBy("word")),
+        "mj_grep" -> ((s, d) =>
+          MapleJuice.grep(Tables.documents(s, d), "spark|dup")),
         "mj_partition_hash" -> ((s, d) =>
           MapleJuice.hashPartitionCheck(s, Tables.lineitem(s, d), "l_orderkey"))))
       .map { case (name, fn) =>
@@ -40,6 +42,14 @@ object SparkEntry {
           |   '[^0-9a-zA-Z]', '', 'g') AS word
           | FROM documents)
           |WHERE word <> '' GROUP BY word ORDER BY word""".stripMargin,
+      // grep contract: per-doc non-overlapping match counts, zero-match
+      // docs absent (both engines count leftmost non-overlapping)
+      "mj_grep" ->
+        """SELECT doc_id,
+          | CAST(len(regexp_extract_all(text, 'spark|dup')) AS BIGINT) AS n_matches
+          |FROM documents
+          |WHERE len(regexp_extract_all(text, 'spark|dup')) > 0
+          |ORDER BY doc_id""".stripMargin,
       // the hash partitioner's contract is data-determined: every key in
       // exactly one partition (split count 0), no row lost or duplicated
       "mj_partition_hash" ->

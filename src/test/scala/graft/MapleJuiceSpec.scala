@@ -69,6 +69,23 @@ class MapleJuiceSpec extends AnyFunSuite {
     }
   }
 
+  test("grep through the generic run API: per-doc match counts, zero-match docs absent") {
+    import spark.implicits._
+    val docs = Seq(
+      (10L, "spark runs spark jobs with spark"), // 3 matches
+      (11L, "no hits here at all"),              // absent from output
+      (12L, "dup dup"),                          // 2 matches
+      (13L, "sparkdup"),                         // overlapping words: 2 non-overlapping matches
+      (14L, "")                                  // empty doc, absent
+    ).toDF("doc_id", "text")
+    val got = MapleJuice.grep(docs, "spark|dup").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toList
+    assert(got == List((10L, 3L), (12L, 2L), (13L, 2L)))
+    // alternation precedence: leftmost match wins, like grep
+    assert(MapleJuice.grep(Seq((1L, "dupspark")).toDF("doc_id", "text"), "spark|dup")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toList == List((1L, 2L)))
+  }
+
   test("round-robin partitioner balances rows") {
     import spark.implicits._
     val df = (1 to 1000).toDF("k")
