@@ -18,6 +18,23 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** Eagerly compute a BOUNDED verdict relation, release the cached
+    * shared passes that fed it, and return the rows as a local relation
+    * with the original schema. The `_check` queries return 1-4 verdict
+    * rows, so — unlike the lazy pair relations, which have no
+    * post-materialization point — they CAN unpersist deterministically
+    * (ADVICE r6): direct library callers no longer accumulate cached
+    * blocks across repeated check invocations, independent of the
+    * session-level clearCache hooks in Bench/Verify.
+    */
+  def materializeAndRelease(df: DataFrame, cached: DataFrame*): DataFrame = {
+    val rows = df.collect()
+    require(rows.length <= 1000,
+      s"materializeAndRelease is for bounded verdict relations, got ${rows.length} rows")
+    cached.foreach(_.unpersist())
+    df.sparkSession.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
+  }
+
   def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame  = load(s, d, "customer")

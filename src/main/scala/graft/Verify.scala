@@ -38,8 +38,17 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = selected(SparkEntry.oracleSql)
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    // A restricted run additionally records WHICH queries it refreshed
+    // (oracle-checked or not): stale rows-only leftovers from an EARLIER
+    // partial run into the same outDir must not count as checked by this
+    // one (ADVICE r6) — an mtime fence can't tell two partial runs
+    // apart, a manifest can. Only the partial file carries the key; the
+    // driver's full-run file schema is unchanged.
+    val refreshed =
+      if (only.isEmpty) ""
+      else s"${q("__refreshed__")}: ${only.toSeq.sorted.map(q).mkString("[", ",", "]")}, "
+    val json = "{" + refreshed + selected(SparkEntry.oracleSql)
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString(",") + "}"
     // A restricted (dev-loop) run dumps to a DIFFERENT file: if it shared
     // the full-run name, a later reader of this outDir would silently
     // compare only the restricted query set and report it as a full pass

@@ -227,7 +227,7 @@ object Dedup {
     val exact = ngramJaccardPairs(shingled, threshold)
       .select(col("doc_id_1"), col("doc_id_2"), col("jaccard").as("exact_jaccard"))
     val both = col("lsh_jaccard").isNotNull && col("exact_jaccard").isNotNull
-    lsh.join(exact, Seq("doc_id_1", "doc_id_2"), "full_outer")
+    val verdict = lsh.join(exact, Seq("doc_id_1", "doc_id_2"), "full_outer")
       .agg(
         count(col("exact_jaccard")).as("n_exact_pairs"),
         coalesce(sum(when(col("lsh_jaccard").isNotNull && col("exact_jaccard").isNull, 1L)
@@ -236,6 +236,8 @@ object Dedup {
           .otherwise(0L)), lit(0L)).as("n_jaccard_mismatch"),
         (coalesce(sum(when(both, 1L).otherwise(0L)), lit(0L)) >=
           lit(recallFloor) * count(col("exact_jaccard"))).as("recall_ok"))
+    // 1-row verdict: materialize now, release the shared shingle pass
+    Tables.materializeAndRelease(verdict, shingled)
   }
 
   /** 64-bit SimHash per doc over its token multiset: bit i of the
@@ -316,10 +318,12 @@ object Dedup {
     val missed = exactPairs.join(
       simhash(aug, maxHamming).select(col("doc_id_1"), col("doc_id_2")),
       Seq("doc_id_1", "doc_id_2"), "left_anti")
-    exactPairs.agg(count(lit(1)).as("n_exact_dup_pairs"))
+    val verdict = exactPairs.agg(count(lit(1)).as("n_exact_dup_pairs"))
       .crossJoin(missed.agg(count(lit(1)).as("n_missed")))
       .select(col("n_exact_dup_pairs"), col("n_missed"),
         (col("n_missed") === 0).as("all_found"))
+    // 1-row verdict: materialize now, release the exact-pair cache
+    Tables.materializeAndRelease(verdict, exactPairs)
   }
 
   /** Embedding cosine near-dup pairs (exact). Declarative broadcast

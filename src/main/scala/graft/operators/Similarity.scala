@@ -487,7 +487,7 @@ object Similarity {
     val floorOf = floors.foldLeft(lit(0.0)) { case (acc, (n, f)) =>
       when(col("variant") === n, f).otherwise(acc)
     }
-    tagged
+    val verdict = tagged
       .join(b.withColumn("hit", lit(1L)), Seq("query_id", "neighbor_id"), "left")
       .groupBy(col("variant"))
       .agg(count(lit(1)).as("n_rows"), coalesce(sum(col("hit")), lit(0L)).as("hits"))
@@ -495,6 +495,8 @@ object Similarity {
       .select(col("variant"), col("n_rows"),
         (col("hits") >= floorOf * col("n_brute")).as("recall_ok"))
       .orderBy(col("variant"))
+    // 4-row verdict (one per variant): materialize, release the brute pass
+    Tables.materializeAndRelease(verdict, b)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -46,6 +46,10 @@ if mtime(full) < 0 and mtime(part) < 0:
     _sys.exit(f"no oracle dump in {out_dir} — run graft.Verify first")
 partial_run = mtime(part) >= mtime(full)
 oracle = json.load(open(part if partial_run else full))
+# the partial dump's manifest of queries ITS run refreshed (may include
+# rows-only queries that have no oracle entry); None for full runs and
+# for partial dumps predating the manifest
+refreshed = set(oracle.pop("__refreshed__", [])) or None if partial_run else None
 if partial_run:
     print(f"### PARTIAL RUN: restricted oracle dump ({len(oracle)} queries); "
           f"results not refreshed by it are not checked ###")
@@ -90,14 +94,18 @@ for name in sorted(oracle):
         print(f"OK       {name}: {len(got)} rows")
 
 # rows-only queries (no oracle). On a partial run, only dirs refreshed
-# by THIS run count: Verify writes result dirs before its oracle dump,
-# so anything predating the LAST FULL dump is a stale leftover (no
-# arbitrary time window — the full dump's own timestamp is the fence).
+# by THIS run count. The partial dump's __refreshed__ manifest says
+# exactly which those are (ADVICE r6: an mtime fence vs the last FULL
+# dump can't distinguish this partial run's dirs from an earlier partial
+# run's leftovers); for pre-manifest dumps, fall back to that fence.
 for path in sorted(glob.glob(f"{out_dir}/*/")):
     name = path.rstrip("/").split("/")[-1]
     if name in oracle: continue
-    if partial_run and os.path.getmtime(path.rstrip("/")) <= mtime(full):
-        continue
+    if partial_run:
+        if refreshed is not None:
+            if name not in refreshed: continue
+        elif os.path.getmtime(path.rstrip("/")) <= mtime(full):
+            continue
     files = glob.glob(f"{path}/*.parquet")
     n = con.sql(f"SELECT count(*) FROM read_parquet({files!r})").fetchone()[0] if files else 0
     print(f"{'OK-ROWS ' if n > 0 else 'EMPTY   '} {name}: {n} rows (no oracle)")
