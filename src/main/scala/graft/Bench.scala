@@ -62,15 +62,33 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
       canaryTimes += (System.nanoTime() - t0) / 1e9
     }
-    // untimed first execution: the canary's own codegen compilation
-    // otherwise inflates its first sample (~3x), faking a throttle
+    // LATENCY canary (round-7 bisect finding): the CPU canary above
+    // normalizes THROUGHPUT throttle, but streaming/micro-batch queries
+    // are partly LATENCY-bound (scheduler round-trips, batch commit),
+    // which a throughput quotient under-corrects — r6's throttle spikes
+    // doubled the streaming queries' normalized medians without any
+    // regression. This canary times bare 1-task job round-trips (the
+    // fixed cost every micro-batch pays), so a reader can attribute a
+    // streaming drift: CPU canary moved → machine slow; latency canary
+    // moved → scheduler/harness latency, exactly what stream queries
+    // absorb.
+    val latencyTimes = scala.collection.mutable.ListBuffer.empty[Double]
+    def latencyCanary(): Unit = {
+      val t0 = System.nanoTime()
+      var i = 0
+      while (i < 5) { spark.sparkContext.parallelize(Seq(1), 1).count(); i += 1 }
+      latencyTimes += (System.nanoTime() - t0) / 5 / 1e9 // seconds per job
+    }
+    // untimed first execution: the canaries' own codegen/classload costs
+    // otherwise inflate their first samples (~3x), faking a throttle
     canary(); canaryTimes.clear()
+    latencyCanary(); latencyTimes.clear()
     val names = selected.toSeq.sortBy(_._1)
     val times =
       scala.collection.mutable.LinkedHashMap(names.map { case (n, _) => n -> List.empty[Double] }: _*)
     for (_ <- 1 to reps) {
       for (((name, fn), i) <- names.zipWithIndex) {
-        if (i % CanaryEvery == 0) canary()
+        if (i % CanaryEvery == 0) { canary(); latencyCanary() }
         val t0 = System.nanoTime()
         // noop sink: full plan executes (every column materialized), nothing
         // written — unlike count(), Catalyst can't prune unevaluated aggs.
@@ -91,7 +109,7 @@ object Bench {
     }
     // one closing sample (inside the loop it would land back-to-back with
     // the next pass's opening canary, measuring the same instant twice)
-    canary()
+    canary(); latencyCanary()
     val results = times.toSeq.map { case (n, ts) => (n, median(ts), ts) }
     def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
       .replaceAll("[\\n\\r\\t]", " ") + "\""
@@ -132,7 +150,9 @@ object Bench {
     // the bulky `reps` arrays FIRST (expendable) and the three small maps a
     // reader needs — medians, mins, normalized — at the very end, where the
     // preserved tail always contains them.
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","errors":$errs,"clear_cache":${!clearCacheOff},"reps":$repsJson,"canary":$canaryJson,"canary_median":${fmt(canaryMedian)},"canary_spread":${fmt(canarySpread)},"queries":$qs,"mins":$minsJson,"normalized":$normJson}"""
+    val latencyJson = latencyTimes.map(fmt).mkString("[", ",", "]")
+    val latencyMedian = if (latencyTimes.isEmpty) 0.0 else median(latencyTimes.toSeq)
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","errors":$errs,"clear_cache":${!clearCacheOff},"reps":$repsJson,"canary":$canaryJson,"canary_median":${fmt(canaryMedian)},"canary_spread":${fmt(canarySpread)},"latency_canary":$latencyJson,"latency_canary_median":${fmt(latencyMedian)},"queries":$qs,"mins":$minsJson,"normalized":$normJson}"""
     println(json)
     // Belt-and-braces for the same truncation: the COMPLETE record also
     // lands in a repo file the driver never trims, so any future verdict

@@ -198,6 +198,34 @@ class BpeSpec extends AnyFunSuite {
     }
   }
 
+  test("Spark-path tokenize carries a 5k-merge table (production vocabulary scale)") {
+    // the whole point of the native encoder: a table size the replace
+    // chain could never codegen, applied corpus-wide through the
+    // broadcast + expression path (not just the codec unit path), and
+    // still word-for-word identical to the driver reference
+    val rnd = new scala.util.Random(7L)
+    val alphabet = ('a' to 'z').map(_.toString)
+    val pool = scala.collection.mutable.ArrayBuffer[String](alphabet: _*) += "</w>"
+    val merges = (0 until 5000).map { r =>
+      val l = pool(rnd.nextInt(pool.size)); val rt = pool(rnd.nextInt(pool.size))
+      pool += (l + rt)
+      Bpe.Merge(r, l, rt, 1L)
+    }
+    val docs = Tables.documents(spark, TestSpark.sf)
+    val got = Bpe.tokenize(docs, merges).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[String](1).toList))
+    val memo = scala.collection.mutable.Map.empty[String, Seq[String]]
+    val expect = docs.select("doc_id", "text").orderBy("doc_id").collect().map { r =>
+      (r.getLong(0), r.getString(1).split("\\s+").filter(_.nonEmpty).toList
+        .flatMap(w => memo.getOrElseUpdate(w, Bpe.applyMerges(w, merges))))
+    }
+    assert(got.length == expect.length && got.length > 0)
+    for (((gid, gt), (eid, et)) <- got.zip(expect)) {
+      assert(gid == eid)
+      assert(gt == et, s"doc $gid diverged at 5k merges")
+    }
+  }
+
   test("training exhausts gracefully when every pair is merged") {
     import spark.implicits._
     val d = Seq((1L, "ab")).toDF("doc_id", "text")

@@ -86,6 +86,19 @@ class MapleJuiceSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toList == List((1L, 2L)))
   }
 
+  test("grep's typed juice keeps map-side partial aggregation (shuffle carries partial sums)") {
+    // the docstring's scale claim: reduceGroups compiles to a
+    // partial-merge Aggregator, so the exchange carries one
+    // partially-summed pair per (doc, split), never one row per match
+    val plan = MapleJuice.grep(Tables.documents(spark, TestSpark.sf), "spark|dup")
+      .queryExecution.executedPlan.toString
+    val exchangeAt = plan.indexOf("Exchange")
+    val partialAt = plan.indexOf("partial_reduceaggregator")
+    assert(partialAt >= 0, s"no partial ReduceAggregator in grep's plan:\n$plan")
+    assert(exchangeAt >= 0 && exchangeAt < partialAt,
+      s"partial aggregation must sit BELOW the shuffle (plans print top-down):\n$plan")
+  }
+
   test("round-robin partitioner balances rows") {
     import spark.implicits._
     val df = (1 to 1000).toDF("k")
