@@ -145,7 +145,64 @@ object TextAnalysis {
       .select(col("doc_id"))
       .orderBy(col("doc_id"))
 
+  /** Model-based quality score — the CCNet/Gopher-style statistical LM
+    * filter the heuristic scorers above can't replace: a document whose
+    * word SEQUENCE is improbable under a corpus-trained language model
+    * is boilerplate/garble even when its token stats look healthy.
+    * Scored as the per-doc mean log-probability of each adjacent word
+    * pair under an add-one-smoothed bigram model trained on the corpus
+    * itself: ln((c(w1,w2) + 1) / (c(w1·) + V)), with c(w1·) the context
+    * count (occurrences of w1 with a successor — the denominator that
+    * makes the smoothed distribution sum to 1) and V the distinct-word
+    * dictionary size.
+    *
+    * Shape at 100 TB: training is two aggregations over one exploded
+    * pair pass (pair counts, context counts) plus a dictionary
+    * count-distinct; scoring is the same pair pass joined against those
+    * counts — shuffles on word keys, never all-pairs. `topK` caps the
+    * bigram table to its most frequent rows (the shippable LM artifact:
+    * a full 100 TB bigram table is itself corpus-sized; a capped table
+    * broadcasts) — uncounted pairs fall back to pure smoothing mass,
+    * which only LOWERS a doc's score, so the filter stays conservative.
+    * A production run materializes the count tables once and scores
+    * many corpora against them; here training is inlined so the query
+    * is self-contained and oracle-checkable. Default uncapped: exact
+    * parity with the DuckDB oracle.
+    */
+  def lmScore(docs: DataFrame, topK: Option[Int] = None): DataFrame = {
+    val words = filter(split(col("text"), "\\s+"), w => w =!= lit(""))
+    // the shared pair pass feeds train (both counts) AND score (probe):
+    // persist, not localCheckpoint — lazy return, evictable blocks (the
+    // ngramJaccard policy; Bench/Verify clear between queries)
+    val pairs = Tables.spread(docs)
+      .select(col("doc_id"), words.as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(col("doc_id"), explode(arrays_zip(
+        slice(col("ws"), lit(1), size(col("ws")) - 1),
+        slice(col("ws"), lit(2), size(col("ws")) - 1))).as("p"))
+      .select(col("doc_id"), col("p.0").as("w1"), col("p.1").as("w2"))
+      .persist()
+    val bcAll = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val bc = topK.map(k => bcAll.orderBy(col("c12").desc, col("w1"), col("w2")).limit(k))
+      .getOrElse(bcAll)
+    val uc = pairs.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val v = Tables.spread(docs).select(explode(words).as("w"))
+      .agg(countDistinct(col("w")).as("v"))
+    pairs
+      // left join: a capped table misses tail pairs → c12 = 0 (pure
+      // smoothing); uncapped, every probe hits and left == inner
+      .join(bc, Seq("w1", "w2"), "left")
+      .join(uc, Seq("w1"))
+      .crossJoin(broadcast(v)) // 1-row dictionary size
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(log((coalesce(col("c12"), lit(0L)) + lit(1.0)) /
+          (col("c1") + lit(1.0) * col("v")))), 6).as("lm_score"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_lm_score" -> ((s, d) => lmScore(Tables.documents(s, d))),
     "text_stats" -> textStats,
     "text_langid" -> langId,
     "text_tokencount" -> tokenCount,
@@ -158,6 +215,20 @@ object TextAnalysis {
   private val toksSql = """list_filter(string_split_regex(text, '\s+'), t -> t <> '')"""
 
   val oracle: Map[String, String] = Map(
+    "text_lm_score" ->
+      """WITH wl AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS l
+        |  FROM documents
+        |), pairs AS (
+        |  SELECT doc_id, unnest(l[1:len(l)-1]) AS w1, unnest(l[2:len(l)]) AS w2
+        |  FROM wl WHERE len(l) >= 2
+        |), bc AS (SELECT w1, w2, count(*) AS c12 FROM pairs GROUP BY 1, 2),
+        |uc AS (SELECT w1, count(*) AS c1 FROM pairs GROUP BY 1),
+        |v AS (SELECT count(DISTINCT w) AS v FROM (SELECT unnest(l) AS w FROM wl))
+        |SELECT p.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  round(avg(ln((bc.c12 + 1.0) / (uc.c1 + 1.0 * v.v))), 6) AS lm_score
+        |FROM pairs p JOIN bc USING (w1, w2) JOIN uc USING (w1) CROSS JOIN v
+        |GROUP BY p.doc_id ORDER BY p.doc_id""".stripMargin,
     "text_stats" ->
       s"""WITH t AS (SELECT doc_id, text, length(text) AS nc, $toksSql AS ts FROM documents),
          |s AS (SELECT doc_id, CAST(nc AS BIGINT) AS n_chars, CAST(len(ts) AS BIGINT) AS n_tokens,

@@ -148,6 +148,7 @@ class PlanSpec extends AnyFunSuite {
     // crossing is a regression
     val allowedCross = Set("dedup_embedding", "ann_brute_topk", "ann_pq_topk",
       "tfidf_topterms", "mj_partition_hash", "corpus_mix",
+      "text_lm_score", // 1-row dictionary-size broadcast
       // verdict queries: 1-row aggregate broadcasts (denominators)
       "ann_recall_check", "dedup_simhash_check")
     // streaming queries and the roundtrip EXECUTE in construction (their

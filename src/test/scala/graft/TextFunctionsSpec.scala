@@ -123,4 +123,39 @@ class TextFunctionsSpec extends AnyFunSuite {
     // distinct 4-token doc: tops are 1, two trigrams, zero duplicates
     assert(rows(2).toSeq == Seq(4L, 1L, 1L, 2L, 0L))
   }
+
+  test("lmScore matches the hand-computed add-one bigram model") {
+    import spark.implicits._
+    // corpus: "a b a b" + "a b". pairs: doc1 (a,b),(b,a),(a,b); doc2 (a,b)
+    // counts: c(a,b)=3, c(b,a)=1; contexts c(a·)=3, c(b·)=1; V = 3 —
+    // the DICTIONARY spans all docs, including pair-less "solo"
+    val docs = Seq((1L, "a b a b"), (2L, "a b"), (3L, "solo"), (4L, ""))
+      .toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.lmScore(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toList
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    val pAB = math.log((3 + 1.0) / (3 + 3.0)) // ln(2/3)
+    val pBA = math.log((1 + 1.0) / (1 + 3.0)) // ln(1/2)
+    // docs with <2 words emit nothing (no bigram to score)
+    assert(got == List(
+      (1L, 3L, r6((pAB + pBA + pAB) / 3)),
+      (2L, 1L, r6(pAB))))
+  }
+
+  test("lmScore topK cap is conservative: capped scores never exceed uncapped") {
+    val docs = Tables.documents(spark, TestSpark.sf)
+    def scores(k: Option[Int]) = graft.operators.TextAnalysis.lmScore(docs, k)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toMap
+    val full = scores(None)
+    // a cap big enough for every bigram is a no-op (left join == inner)
+    assert(scores(Some(1000000)) == full)
+    // a tight cap drops tail pairs to smoothing mass — scores only drop
+    val capped = scores(Some(20))
+    assert(capped.keySet == full.keySet)
+    val eps = 1e-9
+    assert(capped.forall { case (id, s) => s <= full(id) + eps },
+      "capped LM must never score a doc HIGHER than the full model")
+    assert(capped.exists { case (id, s) => s < full(id) - 1e-6 },
+      "a 20-row cap on this corpus should actually bite")
+  }
 }
