@@ -328,6 +328,83 @@ object Training {
         floor(col("start_offset") / seqLen).cast("long").as("seq_id"))
   }
 
+  /** Bin-packing alternative to [[packSequences]]: assign each doc to
+    * exactly ONE training sequence (bin) of capacity `seqLen` by
+    * first-fit-decreasing, so no document straddles a sequence boundary
+    * — the packing used when truncation/straddling is unacceptable
+    * (instruction tuning, long-context curricula) at the price of
+    * per-bin padding waste, which FFD minimizes to near-optimal.
+    *
+    * Distributed formulation: docs hash-partition by doc_id (stateless,
+    * deterministic — no range sampling), each partition sorts by
+    * (n_tokens desc, doc_id) and streams FFD over the sorted iterator;
+    * bin ids are (pid << 32 | local bin index), so no coordination
+    * crosses partitions. Per-partition state is one long per open bin
+    * (~totalTokens/seqLen entries). Oversized docs (n_tokens ≥ seqLen)
+    * close their own single-doc bin immediately. Packing quality is the
+    * per-partition FFD guarantee; the global first-fit invariant "at
+    * most one bin at-most-half-full PER PARTITION" is what
+    * [[packBestFitCheck]] pins under the oracle gate (the assignment
+    * itself is partition-count-dependent, hence rows-only).
+    */
+  def packSequencesBestFit(docs: DataFrame, seqLen: Int = 256,
+                           partitions: Int = 8): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val counts = docs
+      .select(col("doc_id").cast("long").as("doc_id"),
+        graft.functions.TokenStats.tokenStats(col("text"))
+          .getField("n_tokens").as("n_tokens"))
+      .filter(col("n_tokens") >= 1)
+    counts.as[(Long, Long)]
+      .repartition(partitions, col("doc_id")) // deterministic hash placement
+      .sortWithinPartitions(col("n_tokens").desc, col("doc_id"))
+      .mapPartitions { it =>
+        val loads = scala.collection.mutable.ArrayBuffer.empty[Long]
+        it.map { case (id, n) =>
+          val pid = org.apache.spark.TaskContext.getPartitionId().toLong
+          val local =
+            // oversized: own bin, marked full (sentinel = capacity, so
+            // any n >= 1 fails the fit test — never Long.MaxValue, whose
+            // fit test would overflow and wrap)
+            if (n >= seqLen) { loads += seqLen.toLong; loads.length - 1 }
+            else {
+              var b = 0
+              while (b < loads.length && loads(b) + n > seqLen) b += 1
+              if (b == loads.length) loads += n else loads(b) += n
+              b
+            }
+          (id, n, (pid << 32) | local.toLong)
+        }
+      }
+      .toDF("doc_id", "n_tokens", "bin_id")
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle-checkable contract twin for [[packSequencesBestFit]] (the
+    * assignment is partition-dependent; these invariants are not):
+    * every eligible doc packed exactly once (count ties to the data),
+    * no multi-doc bin over capacity, and the first-fit guarantee — at
+    * most one at-most-half-full bin per partition, so at most
+    * `partitions` corpus-wide. A lost doc, an overfull bin, or a
+    * degenerate packing (many near-empty bins) each flips a pinned
+    * column and hash-mismatches the row.
+    */
+  def packBestFitCheck(docs: DataFrame, seqLen: Int = 256,
+                       partitions: Int = 8): DataFrame = {
+    val packed = packSequencesBestFit(docs, seqLen, partitions)
+    val bins = packed.groupBy(col("bin_id"))
+      .agg(sum(col("n_tokens")).as("load"), count(lit(1)).as("n_in_bin"))
+    packed
+      .agg(count(lit(1)).as("n_docs"),
+        (countDistinct(col("doc_id")) === count(lit(1))).as("all_docs_once"))
+      .crossJoin(broadcast(bins.agg(
+        coalesce(sum(when(col("load") > seqLen && col("n_in_bin") > 1, 1L)
+          .otherwise(0L)), lit(0L)).as("n_overloaded_bins"),
+        (coalesce(sum(when(col("load") * 2 <= seqLen, 1L).otherwise(0L)), lit(0L))
+          <= partitions).as("underhalf_bins_bounded"))))
+  }
+
   /** [[packSequences]] with the REAL token counter: learn a BPE merge
     * table over the corpus ([[Bpe.train]], batched rounds), tokenize
     * corpus-wide ([[Bpe.tokenize]] — the native single-pass encoder,
@@ -437,6 +514,8 @@ object Training {
     "decontam_bloom" -> ((s, d) => decontamBloom(Tables.documents(s, d))),
     "tfidf_topterms" -> ((s, d) => tfidfTopTerms(Tables.documents(s, d))),
     "pack_sequences" -> ((s, d) => packSequences(Tables.documents(s, d))),
+    "pack_sequences_bestfit" -> ((s, d) => packSequencesBestFit(Tables.documents(s, d))),
+    "pack_bestfit_check" -> ((s, d) => packBestFitCheck(Tables.documents(s, d))),
     "pack_sequences_bpe" -> ((s, d) => packSequencesBpe(Tables.documents(s, d))))
 
   private def sqlList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("(", ",", ")")
@@ -470,6 +549,13 @@ object Training {
       |ex AS (SELECT doc_id, split, unnest(shingles) AS s FROM sh)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // pack_sequences_bestfit is rows-only (assignment depends on the
+    // partition count); this twin pins its partition-free contract
+    "pack_bestfit_check" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_docs, true AS all_docs_once,
+        | CAST(0 AS BIGINT) AS n_overloaded_bins, true AS underhalf_bins_bounded
+        |FROM documents
+        |WHERE len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) >= 1""".stripMargin,
     "sample_stratified" ->
       s"""WITH t AS (SELECT doc_id, text,
          |  list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ts FROM documents),

@@ -122,6 +122,64 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("compaction recovers random chains from random crash states losslessly") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, max_by, struct}
+    val rng = new scala.util.Random(31L)
+    for (trial <- 0 until 6) {
+      val sink = java.nio.file.Files.createTempDirectory(s"graft_crash_prop_$trial")
+      try {
+        val nEpochs = 2 + rng.nextInt(4)
+        for (e <- 0 until nEpochs) {
+          (0 until 1 + rng.nextInt(8)).map(_ =>
+            (s"k${rng.nextInt(6)}", rng.nextLong(), e.toLong)).distinct
+            .toDF("k", "v", "n").dropDuplicates("k")
+            .write.parquet(s"$sink/batch=$e")
+        }
+        def lww() = spark.read.parquet(sink.toString)
+          .groupBy(col("k"))
+          .agg(max_by(struct(col("v"), col("n")), col("batch")).as("s"))
+          .select(col("k"), col("s.v"), col("s.n"))
+          .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+        val truth = lww()
+        val maxE = nEpochs - 1
+        // plant one of the three recoverable crash states at random
+        rng.nextInt(3) match {
+          case 0 => // mid-swap: snapshot complete, newest delta aside
+            lww().toSeq.toDF("k", "v", "n").write.parquet(s"$sink/_compact_tmp")
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(s"$sink/_compact_tmp/_graft_target_epoch"),
+              maxE.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            java.nio.file.Files.move(
+              java.nio.file.Paths.get(s"$sink/batch=$maxE"),
+              java.nio.file.Paths.get(s"$sink/_compact_old"))
+          case 1 => // pre-swap: stale-but-complete snapshot, chain intact
+            Seq(("stale", 0L, 0L)).toDF("k", "v", "n")
+              .write.parquet(s"$sink/_compact_tmp")
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(s"$sink/_compact_tmp/_graft_target_epoch"),
+              maxE.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          case 2 => // torn snapshot write: no marker yet
+            java.nio.file.Files.createDirectories(
+              java.nio.file.Paths.get(s"$sink/_compact_tmp"))
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(s"$sink/_compact_tmp/part-0.parquet"),
+              Array[Byte](9, 9, 9))
+        }
+        graft.streaming.Events.compactDeltaChain(spark, sink.toString, Seq("k"))
+        assert(lww() == truth, s"trial $trial: crash recovery lost data")
+        val leftovers = new java.io.File(sink.toString).listFiles().map(_.getName)
+          .filterNot(_ == s"batch=$maxE")
+        assert(leftovers.isEmpty, s"trial $trial: $leftovers")
+      } finally {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(sink).sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+    }
+  }
+
   test("RollingHash.compute equals the reference fold on random strings") {
     for (s <- randomTexts(1L, 500)) {
       val expected = s.foldLeft(0L)((acc, c) => (acc * 31 + c.toLong) % 1000000007L)

@@ -222,4 +222,39 @@ class TrainingSpec extends AnyFunSuite {
     assert(Training.packSequences(docs.repartition(7)).collect().toSeq == expected)
     assert(Training.packSequences(docs.coalesce(1)).collect().toSeq == expected)
   }
+
+  test("best-fit packing: one bin per doc set, capacity kept, oversize isolated, deterministic") {
+    import spark.implicits._
+    // token counts: two oversized (12, 10), the rest pack into cap-8 bins
+    val sizes = Seq(12, 10, 7, 6, 5, 4, 3, 3, 2, 2, 1, 1)
+    val docs = sizes.zipWithIndex.map { case (n, i) =>
+      (i.toLong, Seq.fill(n)("w").mkString(" "))
+    }.toDF("doc_id", "text")
+    def run() = Training.packSequencesBestFit(docs, seqLen = 8, partitions = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val got = run()
+    // every doc exactly once
+    assert(got.map(_._1).toSeq.sorted == (0L until sizes.length).toSeq)
+    val byBin = got.groupBy(_._3)
+    // oversized docs sit alone
+    for ((id, n, bin) <- got if n >= 8)
+      assert(byBin(bin).length == 1, s"oversized doc $id shares bin $bin")
+    // no multi-doc bin over capacity
+    for ((bin, members) <- byBin if members.length > 1)
+      assert(members.map(_._2).sum <= 8, s"bin $bin overflows: $members")
+    // first-fit guarantee: at most one at-most-half-full bin per partition
+    for ((pid, bins) <- byBin.groupBy { case (bin, _) => bin >> 32 }) {
+      val underhalf = bins.count { case (bin, members) =>
+        members.head._2 < 8 /* not an oversize bin */ &&
+          members.map(_._2).sum * 2 <= 8
+      }
+      assert(underhalf <= 1, s"partition $pid has $underhalf half-empty bins")
+    }
+    // deterministic: a second run reproduces the assignment exactly
+    assert(run().toSeq == got.toSeq)
+    // and the contract twin agrees on this corpus
+    val check = Training.packBestFitCheck(docs, seqLen = 8, partitions = 3).collect().head
+    assert((check.getLong(0), check.getBoolean(1), check.getLong(2), check.getBoolean(3)) ==
+      ((sizes.length.toLong, true, 0L, true)))
+  }
 }
