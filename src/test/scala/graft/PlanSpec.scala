@@ -123,6 +123,16 @@ class PlanSpec extends AnyFunSuite {
       s"decontam_bloom probe regressed to a Scala UDF:\n$bloom")
     assert(bloom.contains("graft_bloom_any"),
       s"decontam_bloom gate is not the native bloom probe:\n$bloom")
+    // text_lm_score: the pair pass persists once and feeds all three
+    // consumers (probe + both count tables) from cache; the count
+    // tables broadcast to the probe side — a SortMergeJoin here would
+    // re-shuffle the full corpus pair relation to attach dictionary-
+    // sized count tables
+    val lm = planOf("text_lm_score")
+    assert(lm.contains("InMemoryTableScan"),
+      s"text_lm_score pair pass lost its shared cache:\n$lm")
+    assert(lm.contains("BroadcastHashJoin") && !lm.contains("SortMergeJoin"),
+      s"text_lm_score count joins fell back to a shuffle:\n$lm")
     // minhash signatures: the native fused expression in a map stage —
     // a regression to the explode + grouped-min formulation shows up as
     // partial_min aggregates shuffling |docs|x128 values
