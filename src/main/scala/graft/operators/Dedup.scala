@@ -350,6 +350,112 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  // ------------------------------------------------- semantic (SemDeDup)
+
+  /** SemDeDup-style semantic dedup (Abbas et al., "SemDeDup: Data-
+    * efficient learning at web-scale through semantic deduplication",
+    * arXiv:2303.09540): k-means the embedding space into `nCells`
+    * clusters, then emit exact-cosine ≥ `threshold` pairs WITHIN each
+    * cluster only. [[embeddingPairs]] is the exhaustive O(n²) triangle,
+    * honest to ~1M vectors; this is the shape that replaces it at corpus
+    * scale — the only all-pairs work left is per-cell, so cost is
+    * Σ|cell|² with `nCells` sized to bound it (SemDeDup runs 50k
+    * clusters over LAION; cells scale WITH the corpus, keeping |cell|
+    * roughly constant, so the default 8 here is a test-SF setting, not
+    * the production one). Reuses the IVF machinery: bounded-sample Lloyd
+    * trainer ([[Similarity.kmeansLite]] — a `limit` pushed to the scan,
+    * never the corpus), centroids broadcast, assignment pure typed map
+    * work. The within-cell self-join shuffles on the cell key only (AQE
+    * splits a runaway cell) and scores with the native codegen'd
+    * [[graft.functions.CosineSim]] — EXACT cosines, so precision vs the
+    * exhaustive relation is 1.0 by construction and the only
+    * approximation is recall (a near-dup pair split across a cell
+    * boundary is missed — the documented SemDeDup trade). `nprobe` is
+    * the recall lever: each vector enters its `nprobe` nearest cells
+    * (soft assignment — the same multi-probe idea as the IVF query
+    * path), multiplying the SHUFFLED rows by nprobe, not the corpus
+    * scan; a pair found through two shared cells collapses in the final
+    * `distinct`. At SemDeDup's production operating point (τ ≈ 0.95,
+    * near-identical pairs co-cluster almost surely) nprobe=1 suffices;
+    * this corpus's τ=0.4 pairs (cosine 0.4–0.5, only moderately
+    * similar) straddle boundaries aggressively, so the default probes 4
+    * of the 8 cells — recall measured 1.0 at every driver SF
+    * (sf0.001/0.01/0.1) vs nprobe=1's 0.23/0.46/0.37, precision 1.0
+    * (zero false pairs) in both configurations.
+    *
+    * Rows-only in CORRECTNESS (centroids are an iterative fixpoint, not
+    * portable SQL); [[semanticCheck]] is the oracle-checked containment
+    * verdict, and DedupSpec pins subset-of-exact + a recall floor vs
+    * [[embeddingPairs]].
+    */
+  def semanticPairs(embeddings: DataFrame, threshold: Double = 0.4,
+                    nCells: Int = 8, nprobe: Int = 4,
+                    maxSample: Int = 4096): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val sample = Similarity.collectVecs(embeddings.limit(maxSample))
+    val centroids = Similarity.kmeansLite(sample, nCells)
+    val bc = spark.sparkContext.broadcast(centroids)
+    val assigned = Tables.spread(Similarity.vecs(embeddings))
+      .as[VecRow]
+      .mapPartitions(it => it.flatMap(r =>
+        Similarity.nearestCells(r.v, bc.value, nprobe).iterator.map(c =>
+          (r.vec_id, c, r.v))))
+      .toDF("vec_id", "cell", "v")
+    assigned.select(col("cell"), col("vec_id").as("id_a"), col("v").as("va"))
+      .join(assigned.select(col("cell"), col("vec_id").as("id_b"), col("v").as("vb")),
+        Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(graft.functions.CosineSim.cosineSim(col("va"), col("vb")), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+      .distinct()
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Containment verdict for [[semanticPairs]] — same discipline as
+    * [[simhashCheck]]: the clustering is an iterative fixpoint
+    * (rows-only), but one invariant is exact and SQL-reproducible:
+    * IDENTICAL embeddings always probe the SAME cell set
+    * (`nearestCells` is a pure function of the vector) and score cosine
+    * 1.0 ≥ threshold, so every exact-duplicate vector pair — derivable in SQL
+    * by a self-join on embedding equality — MUST appear in the emitted
+    * relation, whatever the centroids did. Plants its duplicates (every
+    * `sampleMod`-th vector re-added under a data-derived id offset,
+    * mirrored in the oracle) so the invariant is non-vacuous at every
+    * SF: the synthetic corpus has no natural exact-dup vectors, and
+    * natural ones would simply add to the planted set on both sides.
+    * (All corpus embeddings are unit-norm; a zero vector would score
+    * NaN against itself and break containment — real pipelines drop
+    * unembeddable rows before dedup.)
+    */
+  def semanticCheck(embeddings: DataFrame, threshold: Double = 0.4,
+                    nCells: Int = 8, sampleMod: Int = 20,
+                    maxSample: Int = 4096): DataFrame = {
+    val base = embeddings.select(col("vec_id"), col("embedding"))
+    // planted ids start past the corpus's own id space — a fixed offset
+    // would collide with natural ids at 100 TB id ranges (same guard as
+    // simhashCheck)
+    val off = base.agg(coalesce(max(col("vec_id")) + 1, lit(0L)).as("off"))
+    val aug = base.unionAll(base.filter(col("vec_id") % sampleMod === 0)
+      .crossJoin(broadcast(off))
+      .select((col("vec_id") + col("off")).as("vec_id"), col("embedding")))
+    val ident = aug.as("x").join(aug.as("y"),
+        col("x.embedding") === col("y.embedding") && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"))
+      .persist()
+    val missed = ident.join(
+      semanticPairs(aug, threshold, nCells, maxSample = maxSample)
+        .select(col("id_a"), col("id_b")),
+      Seq("id_a", "id_b"), "left_anti")
+    val verdict = ident.agg(count(lit(1)).as("n_exact_dup_pairs"))
+      .crossJoin(missed.agg(count(lit(1)).as("n_missed")))
+      .select(col("n_exact_dup_pairs"), col("n_missed"),
+        (col("n_missed") === 0).as("all_found"))
+    // 1-row verdict: materialize now, release the exact-pair cache
+    Tables.materializeAndRelease(verdict, ident)
+  }
+
   // ------------------------------------------------- substring-level spans
 
   /** Span-level exact-substring duplication — which token ranges of each
@@ -422,7 +528,9 @@ object Dedup {
     "dedup_minhash_lsh_check" -> ((s, d) => minhashLshCheck(Tables.documents(s, d))),
     "dedup_simhash" -> ((s, d) => simhash(Tables.documents(s, d))),
     "dedup_simhash_check" -> ((s, d) => simhashCheck(Tables.documents(s, d))),
-    "dedup_embedding" -> ((s, d) => embeddingPairs(Tables.embeddings(s, d))))
+    "dedup_embedding" -> ((s, d) => embeddingPairs(Tables.embeddings(s, d))),
+    "dedup_semantic" -> ((s, d) => semanticPairs(Tables.embeddings(s, d))),
+    "dedup_semantic_check" -> ((s, d) => semanticCheck(Tables.embeddings(s, d))))
 
   /** The exact word-3-gram Jaccard pair relation as DuckDB CTEs — ONE
     * definition shared by the dedup_ngram_jaccard oracle and the
@@ -489,6 +597,18 @@ object Dedup {
          |SELECT doc_id_1, doc_id_2, round(inter * 1.0 / (n1 + n2 - inter), 6) AS jaccard
          |FROM pairs WHERE inter * 1.0 / (n1 + n2 - inter) >= 0.8
          |ORDER BY doc_id_1, doc_id_2""".stripMargin,
+    // identical embeddings → identical cells + cosine 1.0: every
+    // exact-dup vector pair of the planted-augmented corpus must appear
+    // in the semantic relation, independent of what k-means did
+    "dedup_semantic_check" ->
+      """WITH b AS (SELECT vec_id, embedding FROM embeddings),
+        |o AS (SELECT coalesce(max(vec_id) + 1, 0) AS off FROM b),
+        |aug AS (SELECT vec_id, embedding FROM b
+        |  UNION ALL SELECT vec_id + o.off, embedding FROM b CROSS JOIN o WHERE vec_id % 20 = 0),
+        |p AS (SELECT x.vec_id AS id_a, y.vec_id AS id_b FROM aug x
+        |  JOIN aug y ON x.embedding = y.embedding AND x.vec_id < y.vec_id)
+        |SELECT count(*) AS n_exact_dup_pairs, CAST(0 AS BIGINT) AS n_missed, true AS all_found
+        |FROM p""".stripMargin,
     "dedup_embedding" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         | round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim

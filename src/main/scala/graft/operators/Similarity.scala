@@ -38,10 +38,10 @@ object Similarity {
 
   val NumQueries = 10
 
-  private def vecs(embeddings: DataFrame): DataFrame =
+  private[graft] def vecs(embeddings: DataFrame): DataFrame =
     embeddings.select(col("vec_id"), col("embedding").cast(ArrayType(DoubleType)).as("v"))
 
-  private def collectVecs(df: DataFrame): Array[(Long, Array[Double])] =
+  private[graft] def collectVecs(df: DataFrame): Array[(Long, Array[Double])] =
     vecs(df).collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
 
   /** (query_id, neighbor_id, cos_sim) for every (broadcast query) ×
