@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.Tables
 import graft.functions.TextFunctions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -505,9 +505,49 @@ object Training {
       .orderBy(col("doc_id"))
   }
 
+  // ------------------------------------------------------- shard shuffle
+
+  /** Deterministic global shuffle + shard manifest — the data-ORDER
+    * randomization step between corpus construction and the trainer's
+    * dataloader: every doc gets a pseudo-random order key (salted md5 —
+    * content-independent so identical docs don't cluster, id-keyed so
+    * re-ingest is stable), a shard (key bucket mod `nShards`) and its
+    * position within the shard. A new `epoch` re-salts the key: a fresh
+    * permutation with zero state carried between epochs, which is how a
+    * 100 TB run reshuffles — recompute the manifest, never re-write the
+    * data.
+    *
+    * Scale shape: ONE hash exchange on `shard` + an in-shard sort via
+    * the shard-partitioned window (never the single-partition global
+    * window — PlanSpec pins the partitioned exchange). `nShards` is
+    * sized so a shard's manifest fits one task comfortably (at 100 TB,
+    * tens of thousands of shards — the trainer wants many shards for
+    * loader parallelism anyway); the per-shard row_number is the only
+    * non-map work and it runs on (key, id) pairs, not documents.
+    * The shard bucket comes from the first two hex chars (256 uniform
+    * buckets, same discipline as [[Corpus.splitBucket]]) so the DuckDB
+    * oracle reproduces it with ascii arithmetic — Spark's `conv` has no
+    * DuckDB twin.
+    */
+  def shuffleShards(docs: DataFrame, nShards: Int = 8, epoch: Int = 0): DataFrame = {
+    def hexVal(c: Column): Column =
+      when(c >= "a", ascii(c) - 87).otherwise(ascii(c) - 48)
+    val keyed = docs.select(col("doc_id"),
+      md5(concat(lit(s"shuffle:$epoch:"), col("doc_id").cast("string")).cast("binary")).as("ok"))
+    keyed
+      .withColumn("shard",
+        pmod(hexVal(substring(col("ok"), 1, 1)) * 16 + hexVal(substring(col("ok"), 2, 1)),
+          lit(nShards)).cast("long"))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("shard")).orderBy(col("ok"), col("doc_id"))).cast("long"))
+      .select(col("doc_id"), col("shard"), col("pos"))
+      .orderBy(col("shard"), col("pos"))
+  }
+
   // --------------------------------------------------------------- driver
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "shuffle_shards" -> ((s, d) => shuffleShards(Tables.documents(s, d))),
     "sample_stratified" -> ((s, d) => stratifiedSample(Tables.documents(s, d))),
     "corpus_mix" -> ((s, d) => corpusMix(Tables.documents(s, d))),
     "decontam_ngram" -> ((s, d) => decontamNgram(Tables.documents(s, d))),
@@ -549,6 +589,19 @@ object Training {
       |ex AS (SELECT doc_id, split, unnest(shingles) AS s FROM sh)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // salted-md5 order key + 256-bucket shard: the ascii arithmetic is
+    // the DuckDB-portable hex→int (no conv() there); epoch 0 salt
+    "shuffle_shards" ->
+      """WITH b AS (SELECT doc_id, md5('shuffle:0:' || doc_id) AS ok FROM documents),
+        |h AS (SELECT doc_id, ok,
+        |  ((CASE WHEN substr(ok, 1, 1) >= 'a' THEN ascii(substr(ok, 1, 1)) - 87
+        |         ELSE ascii(substr(ok, 1, 1)) - 48 END) * 16
+        |   + (CASE WHEN substr(ok, 2, 1) >= 'a' THEN ascii(substr(ok, 2, 1)) - 87
+        |          ELSE ascii(substr(ok, 2, 1)) - 48 END)) % 8 AS shard
+        | FROM b)
+        |SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+        | CAST(row_number() OVER (PARTITION BY shard ORDER BY ok, doc_id) AS BIGINT) AS pos
+        |FROM h ORDER BY shard, pos""".stripMargin,
     // pack_sequences_bestfit is rows-only (assignment depends on the
     // partition count); this twin pins its partition-free contract
     "pack_bestfit_check" ->

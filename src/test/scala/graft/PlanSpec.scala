@@ -133,6 +133,12 @@ class PlanSpec extends AnyFunSuite {
       s"text_lm_score pair pass lost its shared cache:\n$lm")
     assert(lm.contains("BroadcastHashJoin") && !lm.contains("SortMergeJoin"),
       s"text_lm_score count joins fell back to a shuffle:\n$lm")
+    // shuffle_shards: the in-shard enumeration window must partition on
+    // shard — an unpartitioned row_number would serialize the whole
+    // manifest through one task (the global-sort antipattern)
+    val shuf = planOf("shuffle_shards")
+    assert(shuf.contains("windowspecdefinition(shard"),
+      s"shuffle_shards window lost shard partitioning:\n$shuf")
     // minhash signatures: the native fused expression in a map stage —
     // a regression to the explode + grouped-min formulation shows up as
     // partial_min aggregates shuffling |docs|x128 values

@@ -257,4 +257,26 @@ class TrainingSpec extends AnyFunSuite {
     assert((check.getLong(0), check.getBoolean(1), check.getLong(2), check.getBoolean(3)) ==
       ((sizes.length.toLong, true, 0L, true)))
   }
+
+  test("shuffle_shards: every doc once, shards bounded, epoch re-salt permutes") {
+    val n = docs.count()
+    val e0 = Training.shuffleShards(docs, nShards = 8, epoch = 0)
+    val rows = e0.collect()
+    assert(rows.length == n.toInt, "manifest must cover every doc exactly once")
+    assert(rows.map(_.getLong(0)).distinct.length == n.toInt)
+    assert(rows.map(_.getLong(1)).forall(s => s >= 0 && s < 8))
+    // positions are dense 1..|shard| within each shard
+    rows.groupBy(_.getLong(1)).values.foreach { sh =>
+      assert(sh.map(_.getLong(2)).sorted.toSeq == (1L to sh.length).toSeq)
+    }
+    // a new epoch is a genuinely different permutation (fresh salt),
+    // but the same epoch is bit-stable under re-execution
+    val e0again = Training.shuffleShards(docs, nShards = 8, epoch = 0).collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      e0again.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq)
+    val e1 = Training.shuffleShards(docs, nShards = 8, epoch = 1).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val moved = rows.count(r => e1(r.getLong(0)) != ((r.getLong(1), r.getLong(2))))
+    assert(moved > n / 2, s"epoch re-salt barely moved anything: $moved of $n")
+  }
 }
