@@ -1,0 +1,86 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus profiling & distribution diagnostics (SURVEY.md §2.8).
+  *
+  * Two operators a 100 TB pipeline runs constantly but that rarely get
+  * first-class treatment:
+  *
+  *  - [[corpusReport]] — the dataset-card stats table (per language ×
+  *    source: doc counts, char volumes, corpus shares). Every training
+  *    run publishes one; it is also the input to the `corpus_mix`
+  *    weighting decision.
+  *  - [[keySkewReport]] — heavy-hitter detection over a join/agg key.
+  *    At scale the FIRST question about a misbehaving shuffle is "is
+  *    the key skewed, and by how much?"; the answer decides salting
+  *    factors and AQE skew thresholds (see RobustnessSpec's skew-join
+  *    pin). This makes that answer a query instead of a log-dive.
+  *
+  * Scale shape: both are one partial-agg'd shuffle over a SMALL key
+  * space (languages × sources, resp. distinct keys) plus a broadcast of
+  * a 1-row global-stats aggregate back onto the result — the corpus is
+  * scanned once, nothing wide ever carries rows proportional to the
+  * input. In `keySkewReport` the per-key counts feed BOTH the top-N heap
+  * and the global stats; the two branches are the identical subplan, so
+  * Spark's ReuseExchange materializes the groupBy shuffle once and the
+  * second branch reads it for free (pinned in PlanSpec).
+  */
+object Profile {
+
+  /** Per (lang, source) dataset-card stats over `documents`. */
+  def corpusReport(docs: DataFrame): DataFrame = {
+    val total = docs.agg(count(lit(1)).as("total_docs"))
+    docs.groupBy(col("lang"), col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        round(avg(col("n_chars")), 6).as("avg_chars"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"))
+      .crossJoin(broadcast(total))
+      .select(col("lang"), col("source"), col("n_docs"), col("total_chars"),
+        col("avg_chars"), col("min_chars"), col("max_chars"),
+        round(col("n_docs").cast("double") / col("total_docs"), 6).as("doc_share"))
+      .orderBy(col("lang"), col("source"))
+  }
+
+  /** Top-N heaviest keys of `df` under `keyCol`, each with its share of
+    * the mean key frequency (`skew_ratio` — the number you compare to an
+    * AQE skew threshold or turn into a salting factor).
+    */
+  def keySkewReport(df: DataFrame, keyCol: String = "user_id", topN: Int = 10): DataFrame = {
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("cnt"))
+    val stats = counts.agg(count(lit(1)).as("n_keys"), round(avg(col("cnt")), 6).as("avg_cnt"))
+    counts
+      .orderBy(col("cnt").desc, col(keyCol)) // deterministic at the LIMIT boundary
+      .limit(topN)
+      .crossJoin(broadcast(stats))
+      .select(col(keyCol), col("cnt"),
+        round(col("cnt") / col("avg_cnt"), 6).as("skew_ratio"),
+        col("n_keys"))
+      .orderBy(col("cnt").desc, col(keyCol))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_report" -> ((s, d) => corpusReport(Tables.documents(s, d))),
+    "key_skew_report" -> ((s, d) => keySkewReport(Tables.events(s, d))))
+
+  val oracle: Map[String, String] = Map(
+    "corpus_report" ->
+      """SELECT lang, source, count(*) AS n_docs,
+        | CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        | round(avg(n_chars), 6) AS avg_chars,
+        | min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+        | round(CAST(count(*) AS DOUBLE) / (SELECT count(*) FROM documents), 6) AS doc_share
+        |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+    "key_skew_report" ->
+      """WITH counts AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id),
+        |stats AS (SELECT count(*) AS n_keys, round(avg(cnt), 6) AS avg_cnt FROM counts)
+        |SELECT c.user_id, c.cnt,
+        | round(CAST(c.cnt AS DOUBLE) / s.avg_cnt, 6) AS skew_ratio, s.n_keys
+        |FROM counts c, stats s
+        |ORDER BY c.cnt DESC, c.user_id LIMIT 10""".stripMargin)
+}

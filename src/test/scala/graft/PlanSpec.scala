@@ -149,6 +149,22 @@ class PlanSpec extends AnyFunSuite {
       s"minhash signatures regressed to the grouped-min shuffle:\n$mh")
   }
 
+  test("key_skew_report reuses the per-key count exchange across its two branches") {
+    // the top-N heap and the global stats agg both consume the same
+    // groupBy(key).count() subplan: Spark must materialize that shuffle
+    // ONCE and reuse it, or the input would be scanned and shuffled
+    // twice. AQE surfaces reuse as a ReusedQueryStage/ReusedExchange
+    // node in the FINAL plan, so execute the Dataset first (gotcha:
+    // collect() on THE Dataset, not a derived count()).
+    val df = SparkEntry.queries("key_skew_report")(spark, TestSpark.sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ReusedExchange") || plan.contains("ReusedQueryStage"),
+      s"per-key count exchange not reused:\n$plan")
+    // and the top-N side is a bounded heap, not a global sort
+    assert(plan.contains("TakeOrderedAndProject"), "top-N is not a bounded heap")
+  }
+
   test("range join plans as an equi-join on (user, bucket), never a nested loop") {
     val plan = planOf("q_range_join")
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
