@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Corpus, Dedup, MapleJuice, Multimodal, Profile, Relational, Similarity, Snapshot, TextAnalysis, Training}
+import graft.operators.{Corpus, Dedup, MapleJuice, Multimodal, Pca, Profile, Relational, Similarity, Snapshot, TextAnalysis, Training}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
@@ -17,7 +17,7 @@ object SparkEntry {
     */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     (Relational.queries ++ TextAnalysis.queries ++ Dedup.queries ++ Corpus.queries ++ Training.queries ++ Similarity.queries ++
-      graft.sources.Sdfs.queries ++ graft.streaming.Events.queries ++ Multimodal.queries ++ Snapshot.queries ++ Profile.queries ++
+      graft.sources.Sdfs.queries ++ graft.streaming.Events.queries ++ Multimodal.queries ++ Snapshot.queries ++ Profile.queries ++ Pca.queries ++
       Map[String, (SparkSession, String) => DataFrame](
         "mj_wordcount" -> ((s, d) => MapleJuice.wordCount(Tables.documents(s, d))
           .orderBy("word")),
@@ -35,7 +35,7 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     Relational.oracle ++ TextAnalysis.oracle ++ Dedup.oracle ++ Corpus.oracle ++ Training.oracle ++ Similarity.oracle ++
-      graft.streaming.Events.oracle ++ Multimodal.oracle ++ graft.sources.Sdfs.oracle ++ Snapshot.oracle ++ Profile.oracle ++ Map(
+      graft.streaming.Events.oracle ++ Multimodal.oracle ++ graft.sources.Sdfs.oracle ++ Snapshot.oracle ++ Profile.oracle ++ Pca.oracle ++ Map(
       "mj_wordcount" ->
         """SELECT word, count(*) AS cnt FROM (
           | SELECT regexp_replace(unnest(string_split_regex(text, '\s+')),
