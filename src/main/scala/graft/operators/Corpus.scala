@@ -286,6 +286,19 @@ object Corpus {
     finally shingled.unpersist(blocking = false)
   }
 
+  /** Cluster-size histogram over [[dedupClusters]] — the duplication-
+    * rate report a pipeline tracks run-over-run (a sudden fat tail means
+    * a boilerplate/template source started flooding the crawl). Two tiny
+    * aggregations over the bounded cluster relation; the corpus-side
+    * cost is the same single pair-graph pass `dedup_clusters` already
+    * pays.
+    */
+  def dedupClusterSizes(docs: DataFrame): DataFrame =
+    dedupClusters(docs)
+      .groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
+      .orderBy(col("cluster_size"))
+
   // -------------------------------------------------- end-to-end pipeline
 
   /** The cleaning pipeline end-to-end, composed declaratively:
@@ -342,6 +355,7 @@ object Corpus {
     "sample_split" -> ((s, d) => sampleSplit(Tables.documents(s, d))),
     "vocab_topk" -> ((s, d) => vocabTopK(Tables.documents(s, d))),
     "dedup_clusters" -> ((s, d) => dedupClusters(Tables.documents(s, d))),
+    "dedup_cluster_sizes" -> ((s, d) => dedupClusterSizes(Tables.documents(s, d))),
     "pipe_clean_corpus" -> ((s, d) => cleanCorpus(s, d)),
     // the end-to-end capstone lives in Training (it composes decontam +
     // packing); its oracle lives HERE because it extends this file's
@@ -419,6 +433,11 @@ object Corpus {
     "dedup_clusters" ->
       s"""WITH RECURSIVE $pairsCte
          |SELECT doc_id, cluster_id FROM clusters ORDER BY doc_id""".stripMargin,
+    "dedup_cluster_sizes" ->
+      s"""WITH RECURSIVE $pairsCte,
+         |sizes AS (SELECT cluster_id, count(*) AS cluster_size FROM clusters GROUP BY cluster_id)
+         |SELECT cluster_size, count(*) AS n_clusters FROM sizes
+         |GROUP BY cluster_size ORDER BY cluster_size""".stripMargin,
     "pipe_clean_corpus" ->
       s"""WITH RECURSIVE $pairsCte,
          |$scoringCtes

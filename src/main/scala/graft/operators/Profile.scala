@@ -64,9 +64,36 @@ object Profile {
       .orderBy(col("cnt").desc, col(keyCol))
   }
 
+  /** Doc-length (whitespace-token) distribution in log2 buckets — the
+    * dataset-card histogram that decides packing `seqLen` and truncation
+    * policy. The bucket is computed INTEGER-ONLY as
+    * `length(bin(n+1)) - 1` (= floor(log2(n+1))): both engines' binary
+    * string of a bigint is unpadded, so the bucketing can never drift on
+    * a libm `log2` rounding at a power-of-2 boundary (Spark's
+    * log-division returns 2.9999... for log2(8) on some JVMs; a float
+    * floor there would hash-mismatch the oracle). Map-only + one tiny
+    * agg; token counting is the same fused native TokenStats pass as
+    * `text_tokencount`.
+    */
+  def docLengthHistogram(docs: DataFrame): DataFrame = {
+    val toks = docs.select(
+      graft.functions.TokenStats.tokenStats(col("text")).getField("n_tokens").as("n"))
+    val total = toks.agg(count(lit(1)).as("total_docs"))
+    toks.select((length(bin(col("n") + 1)) - 1).cast("long").as("bucket"), col("n"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("total_tokens"),
+        min(col("n")).as("min_tokens"), max(col("n")).as("max_tokens"))
+      .crossJoin(broadcast(total))
+      .select(col("bucket"), col("n_docs"), col("total_tokens"),
+        col("min_tokens"), col("max_tokens"),
+        round(col("n_docs").cast("double") / col("total_docs"), 6).as("doc_share"))
+      .orderBy(col("bucket"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_report" -> ((s, d) => corpusReport(Tables.documents(s, d))),
-    "key_skew_report" -> ((s, d) => keySkewReport(Tables.events(s, d))))
+    "key_skew_report" -> ((s, d) => keySkewReport(Tables.events(s, d))),
+    "doc_length_histogram" -> ((s, d) => docLengthHistogram(Tables.documents(s, d))))
 
   val oracle: Map[String, String] = Map(
     "corpus_report" ->
@@ -76,6 +103,14 @@ object Profile {
         | min(n_chars) AS min_chars, max(n_chars) AS max_chars,
         | round(CAST(count(*) AS DOUBLE) / (SELECT count(*) FROM documents), 6) AS doc_share
         |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+    "doc_length_histogram" ->
+      """WITH t AS (SELECT CAST(len(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS BIGINT) AS n
+        |  FROM documents),
+        |b AS (SELECT CAST(length(bin(n + 1)) - 1 AS BIGINT) AS bucket, n FROM t)
+        |SELECT bucket, count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS total_tokens,
+        | min(n) AS min_tokens, max(n) AS max_tokens,
+        | round(CAST(count(*) AS DOUBLE) / (SELECT count(*) FROM t), 6) AS doc_share
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
     "key_skew_report" ->
       """WITH counts AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id),
         |stats AS (SELECT count(*) AS n_keys, round(avg(cnt), 6) AS avg_cnt FROM counts)

@@ -182,7 +182,11 @@ class PlanSpec extends AnyFunSuite {
       "tfidf_topterms", "mj_partition_hash", "corpus_mix",
       "text_lm_score", // 1-row dictionary-size broadcast
       // verdict queries: 1-row aggregate broadcasts (denominators)
-      "ann_recall_check", "dedup_simhash_check", "pack_bestfit_check")
+      "ann_recall_check", "dedup_simhash_check", "pack_bestfit_check",
+      // profiling/PCA: 1-row global-stats or invariant-scalar broadcasts
+      "corpus_report", "key_skew_report", "doc_length_histogram",
+      "snapshot_diff", // 1-row max(doc_id) offset broadcast
+      "embed_pca_check")
     // streaming queries and the roundtrip EXECUTE in construction (their
     // result is already a local relation) — nothing to audit lazily
     val skip = (n: String) => n.startsWith("stream_") || n == "sdfs_roundtrip"
