@@ -81,6 +81,40 @@ object Similarity {
   def bruteTopK(embeddings: DataFrame, k: Int = 5): DataFrame =
     topK(bruteScores(embeddings), k)
 
+  /** PCA pre-transform top-k (the FAISS `PCA,Flat` index shape): fit
+    * [[Pca]] on the CORPUS side (one treeAggregate pass — queries must
+    * not influence the transform), score query×corpus in the projected
+    * `kDim` space, keep the top `k·refine` candidates per query, exact
+    * re-rank in full dimension.
+    *
+    * Candidates rank by PROJECTED EUCLIDEAN distance — the principled
+    * choice: an orthonormal projection can only shrink distances
+    * (‖P(x−q)‖ ≤ ‖x−q‖), so projected-L2 is a true lower bound of
+    * full-space L2, and for the near-unit-norm embeddings cosine order
+    * ≈ L2 order. The 100 TB point is bandwidth: the candidate scan
+    * reads kDim doubles per vector instead of dim (4× at 16/64), the
+    * same lever PQ pulls harder with codes — and the two compose
+    * (FAISS `PCA16,IVF…,PQ…`). Scoring is native zip_with/aggregate
+    * inside codegen; the final scores are exact cosines via [[rerank]].
+    */
+  def pcaTopK(embeddings: DataFrame, k: Int = 5, kDim: Int = 32, refine: Int = 16): DataFrame = {
+    val model = Pca.fit(embeddings.filter(col("vec_id") >= NumQueries), kDim)
+    val proj = Pca.project(embeddings, model)
+    val q = proj.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("proj").as("qp"))
+    val c = Tables.spread(proj.filter(col("vec_id") >= NumQueries))
+      .select(col("vec_id").as("neighbor_id"), col("proj").as("cp"))
+    val scored = c.crossJoin(broadcast(q))
+      .select(col("query_id"), col("neighbor_id"),
+        aggregate(zip_with(col("cp"), col("qp"), (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, x) => acc + x).as("d2"))
+    // negate distance → reuse the bounded per-partition top-k heap
+    val candidates = topK(scored.select(col("query_id"), col("neighbor_id"),
+      (-col("d2")).as("cos_sim")), k * refine)
+      .select(col("query_id"), col("neighbor_id"))
+    rerank(candidates, embeddings, k)
+  }
+
   // ---------------------------------------------------------------- LSH
 
   /** Deterministic Gaussian hyperplanes (delegates to the expression's
@@ -469,7 +503,7 @@ object Similarity {
     * scan cost).
     */
   val DefaultRecallFloors: Map[String, Double] =
-    Map("lsh" -> 0.85, "ivf" -> 0.7, "pq" -> 0.7, "ivfpq" -> 0.7)
+    Map("lsh" -> 0.85, "ivf" -> 0.7, "pq" -> 0.7, "ivfpq" -> 0.7, "pca" -> 0.7)
 
   def recallCheck(embeddings: DataFrame,
                   floorOverrides: Map[String, Double] = Map.empty): DataFrame = {
@@ -480,7 +514,8 @@ object Similarity {
     val b = bruteTopK(embeddings).select(col("query_id"), col("neighbor_id")).persist()
     val tagged = Seq(
       "ivf" -> ivfTopK(embeddings), "ivfpq" -> ivfpqTopK(embeddings),
-      "lsh" -> lshTopK(embeddings), "pq" -> pqTopK(embeddings))
+      "lsh" -> lshTopK(embeddings), "pq" -> pqTopK(embeddings),
+      "pca" -> pcaTopK(embeddings))
       .map { case (n, df) =>
         df.select(lit(n).as("variant"), col("query_id"), col("neighbor_id"))
       }.reduce(_ unionAll _)
@@ -505,7 +540,8 @@ object Similarity {
     "ann_brute_topk" -> ((s, d) => bruteTopK(Tables.embeddings(s, d))),
     "ann_lsh_topk" -> ((s, d) => lshTopK(Tables.embeddings(s, d))),
     "ann_ivf_topk" -> ((s, d) => ivfTopK(Tables.embeddings(s, d))),
-    "ann_pq_topk" -> ((s, d) => pqTopK(Tables.embeddings(s, d))))
+    "ann_pq_topk" -> ((s, d) => pqTopK(Tables.embeddings(s, d))),
+    "ann_pca_topk" -> ((s, d) => pcaTopK(Tables.embeddings(s, d))))
 
   /** Only the brute baseline's ranked list is SQL-expressible; LSH/IVF/
     * PQ lists are rows-only with recall specs vs brute (AnnSpec), and
@@ -518,7 +554,7 @@ object Similarity {
       """WITH q AS (SELECT CAST(count(*) * 5 AS BIGINT) AS n_rows
         |  FROM embeddings WHERE vec_id < 10)
         |SELECT v.variant, q.n_rows, true AS recall_ok
-        |FROM (VALUES ('ivf'), ('ivfpq'), ('lsh'), ('pq')) v(variant) CROSS JOIN q
+        |FROM (VALUES ('ivf'), ('ivfpq'), ('lsh'), ('pca'), ('pq')) v(variant) CROSS JOIN q
         |ORDER BY v.variant""".stripMargin,
     "ann_brute_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv

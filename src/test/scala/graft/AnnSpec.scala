@@ -52,6 +52,18 @@ class AnnSpec extends AnyFunSuite {
       bruteScores((r.getLong(0), r.getLong(2), r.getDouble(3)))))
   }
 
+  test("PCA topk recall@5 vs brute, scores exact after re-rank") {
+    val pca = Similarity.pcaTopK(emb)
+    val recall = (pairs(pca) & brute).size.toDouble / brute.size
+    assert(recall >= 0.7, s"PCA recall $recall below floor")
+    // the projected-L2 candidate pass is approximate; the emitted
+    // scores must be TRUE full-dimension cosines (re-ranked)
+    val bruteScores = Similarity.bruteScores(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(pca.collect().forall(r =>
+      bruteScores((r.getLong(0), r.getLong(2), r.getDouble(3)))))
+  }
+
   test("IVF+PQ topk recall@5 vs brute, scores exact after re-rank") {
     val ivfpq = Similarity.ivfpqTopK(emb)
     val recall = (pairs(ivfpq) & brute).size.toDouble / brute.size

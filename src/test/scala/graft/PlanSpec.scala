@@ -179,6 +179,7 @@ class PlanSpec extends AnyFunSuite {
     // invariant row, corpus_mix's mixture total T); everything else
     // crossing is a regression
     val allowedCross = Set("dedup_embedding", "ann_brute_topk", "ann_pq_topk",
+      "ann_pca_topk", // broadcast query set over the projected corpus (brute-style)
       "tfidf_topterms", "mj_partition_hash", "corpus_mix",
       "text_lm_score", // 1-row dictionary-size broadcast
       // verdict queries: 1-row aggregate broadcasts (denominators)
