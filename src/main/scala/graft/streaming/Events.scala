@@ -608,6 +608,34 @@ object Events {
         .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_arrivals"))
     }
 
+  /** Continuous corpus profiling during ingestion: the streaming twin of
+    * `corpus_report` (graft.operators.Profile). The per-(lang, source)
+    * counts/volumes are maintained INCREMENTALLY by a Complete-mode
+    * aggregation — the ingestion-monitoring dashboard relation, always
+    * current, never a batch rescan of the corpus. State is O(langs ×
+    * sources) (~100 rows), trivially bounded; the derived columns that
+    * need the cross-group total (share, rounded average) are computed in
+    * the `finish` hook over the final ~100-row snapshot, since a
+    * streaming query can't join two aggregations of itself. Converges to
+    * the batch `corpus_report` relation exactly — same oracle SQL.
+    */
+  def streamCorpusReport(spark: SparkSession, sfDir: String,
+                         statePartitions: Option[Int] = Some(4)): DataFrame =
+    runBounded(spark, sfDir, statePartitions, OutputMode.Complete, "graft_creport",
+      finish = df => {
+        val total = df.agg(sum(col("n_docs")).as("total_docs"))
+        df.crossJoin(broadcast(total))
+          .select(col("lang"), col("source"), col("n_docs"), col("total_chars"),
+            round(col("total_chars").cast("double") / col("n_docs"), 6).as("avg_chars"),
+            col("min_chars"), col("max_chars"),
+            round(col("n_docs").cast("double") / col("total_docs"), 6).as("doc_share"))
+          .orderBy(col("lang"), col("source"))
+      }, table = "documents") { docs =>
+      docs.groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"),
+          min(col("n_chars")).as("min_chars"), max(col("n_chars")).as("max_chars"))
+    }
+
   /** The PRODUCTION sink path for [[ingestDedup]] — the treatment
     * [[windowAggToFiles]] gives the windowing queries, applied to the
     * unbounded-state dedup. Complete mode re-emits the ENTIRE deduped
@@ -802,7 +830,8 @@ object Events {
     "stream_enrich" -> ((s, d) => enrich(s, d)),
     "stream_stream_join" -> ((s, d) => streamStreamJoin(s, d)),
     "stream_session_window" -> ((s, d) => sessionWindowAgg(s, d)),
-    "stream_sessionize" -> ((s, d) => sessionize(s, d)))
+    "stream_sessionize" -> ((s, d) => sessionize(s, d)),
+    "stream_corpus_report" -> ((s, d) => streamCorpusReport(s, d)))
 
   /** The incrementally-maintained dedup_exact relation over quality-
     * passing docs — arrival-order-free by construction. ONE definition
@@ -825,6 +854,9 @@ object Events {
       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // the incrementally-maintained profile converges to the batch
+    // dataset-card relation — the oracle IS corpus_report's
+    "stream_corpus_report" -> graft.operators.Profile.oracle("corpus_report"),
     "stream_ingest_dedup" -> ingestDedupOracle,
     // the production Update-mode delta-chain sink must resolve to the
     // SAME relation: the two staged arrivals partition the corpus, so

@@ -30,6 +30,34 @@ class PcaSpec extends AnyFunSuite {
     assert(vecs(2).toSeq == Seq(1.0, 0.0, 0.0))
   }
 
+  test("eigenSym property: random symmetric matrices decompose exactly (residual, orthonormal, trace)") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 0 until 20) {
+      val d = 2 + rnd.nextInt(15) // 2..16
+      val m = Array.ofDim[Double](d, d)
+      for (i <- 0 until d; j <- i until d) {
+        val x = rnd.nextGaussian() * (1 + rnd.nextInt(5))
+        m(i)(j) = x; m(j)(i) = x
+      }
+      val (eig, vecs) = Pca.eigenSym(m)
+      val scale = math.max(1.0, eig.map(math.abs).max)
+      // A v = lambda v for every pair
+      for (c <- 0 until d) {
+        val v = vecs(c)
+        val av = Array.tabulate(d)(i => (0 until d).map(j => m(i)(j) * v(j)).sum)
+        val res = av.zip(v).map { case (a, b) => math.abs(a - eig(c) * b) }.max
+        assert(res < 1e-8 * scale, s"trial $trial d=$d comp $c residual $res")
+      }
+      // orthonormal basis, full trace, descending order
+      for (a <- 0 until d; b <- a until d) {
+        val dot = (0 until d).map(t => vecs(a)(t) * vecs(b)(t)).sum
+        assert(math.abs(dot - (if (a == b) 1.0 else 0.0)) < 1e-10)
+      }
+      assert(math.abs(eig.sum - (0 until d).map(i => m(i)(i)).sum) < 1e-8 * scale)
+      assert(eig.sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
+    }
+  }
+
   /** 300 vectors in R^8 that live (up to tiny noise) in the span of two
     * orthogonal directions with very different variances.
     */

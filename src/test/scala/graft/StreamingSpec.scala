@@ -223,6 +223,13 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.collect().toSeq == batch.collect().toSeq)
   }
 
+  test("incremental corpus report converges to the batch dataset-card relation") {
+    val streamed = Events.streamCorpusReport(spark, TestSpark.sf)
+    val batch = graft.operators.Profile
+      .corpusReport(Tables.documents(spark, TestSpark.sf))
+    assert(streamed.collect().toSeq == batch.collect().toSeq)
+  }
+
   test("stream-stream band join converges to the batch range join") {
     val streamed = Events.streamStreamJoin(spark, TestSpark.sf)
     val batch = graft.operators.Relational.qRangeJoin(spark, TestSpark.sf)
