@@ -181,6 +181,40 @@ object Training {
   val DefaultMixWeights: Map[String, Double] =
     Map("en" -> 0.3, "es" -> 0.25, "de" -> 0.2, "fr" -> 0.15, "zh" -> 0.1)
 
+  /** Temperature-based mixture rebalancing (the mT5/multilingual-T5
+    * recipe, Arivazhagan et al. §4): instead of EXPLICIT target weights
+    * ([[corpusMix]]), sample stratum s at a rate that makes the output
+    * distribution ∝ n_s^α — α=1 keeps the natural distribution, α=0
+    * flattens to uniform, α≈0.3 (the published default) boosts the tail
+    * languages a pretraining run would otherwise barely see. The
+    * no-upsampling keep-rate with the largest total output is
+    * rate_s = (n_min/n_s)^(1−α): the smallest stratum is kept whole and
+    * every output size is n_min^(1−α)·n_s^α ∝ n_s^α.
+    *
+    * Same machinery as [[corpusMix]] — tiny per-stratum agg (column-
+    * pruned scan), 1-row n_min broadcast, cap quantized to 256 salted
+    * md5 buckets (salt `mixT:`, independent of every other decision
+    * hash), keep decision pure map work. Same +1e-6 boundary nudge,
+    * mirrored in the oracle (both engines' libm `pow` agree far beyond
+    * the nudge's 1e-6 guard band).
+    */
+  def corpusMixTemperature(docs: DataFrame, alpha: Double = 0.3,
+                           by: String = "lang"): DataFrame = {
+    val n = docs.groupBy(col(by)).agg(count(lit(1)).cast("double").as("n_s"))
+    val nMin = n.agg(min(col("n_s")).as("n_min"))
+    val caps = n.crossJoin(broadcast(nMin))
+      .withColumn("cap",
+        floor(lit(256.0) * pow(col("n_min") / col("n_s"), lit(1.0 - alpha)) + lit(1e-6))
+          .cast("int"))
+      .select(col(by), col("cap"))
+    docs.join(broadcast(caps), by)
+      .filter(col("cap") >= 256 or
+        (Corpus.splitBucket(concat(lit("mixT:"), col("text"))) <
+          format_string("%02x", col("cap"))))
+      .select(col("doc_id"), col(by))
+      .orderBy(col("doc_id"))
+  }
+
   // -------------------------------------------- Bloom-gated decontamination
 
   /** Decontamination, Bloom-sketch formulation: broadcast a Bloom filter
@@ -550,6 +584,7 @@ object Training {
     "shuffle_shards" -> ((s, d) => shuffleShards(Tables.documents(s, d))),
     "sample_stratified" -> ((s, d) => stratifiedSample(Tables.documents(s, d))),
     "corpus_mix" -> ((s, d) => corpusMix(Tables.documents(s, d))),
+    "corpus_mix_temperature" -> ((s, d) => corpusMixTemperature(Tables.documents(s, d))),
     "decontam_ngram" -> ((s, d) => decontamNgram(Tables.documents(s, d))),
     "decontam_bloom" -> ((s, d) => decontamBloom(Tables.documents(s, d))),
     "tfidf_topterms" -> ((s, d) => tfidfTopTerms(Tables.documents(s, d))),
@@ -641,6 +676,15 @@ object Training {
          |WHERE cap >= 256 OR substr(md5('mix:' || text), 1, 2) < printf('%02x', cap)
          |ORDER BY doc_id""".stripMargin
     },
+    "corpus_mix_temperature" ->
+      """WITH n AS (SELECT lang, CAST(count(*) AS DOUBLE) AS n_s FROM documents GROUP BY lang),
+        |m AS (SELECT min(n_s) AS n_min FROM n),
+        |caps AS (SELECT lang,
+        |   CAST(floor(256 * pow(m.n_min / n_s, 1.0 - 0.3) + 1e-6) AS INT) AS cap
+        |  FROM n CROSS JOIN m)
+        |SELECT d.doc_id, d.lang FROM documents d JOIN caps USING (lang)
+        |WHERE cap >= 256 OR substr(md5('mixT:' || text), 1, 2) < printf('%02x', cap)
+        |ORDER BY doc_id""".stripMargin,
     "decontam_ngram" ->
       s"""WITH $decontamCtes,
          |tr AS (SELECT doc_id, s FROM ex WHERE split = 'train'),

@@ -103,6 +103,34 @@ class TrainingSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getString(1))).toSeq == got.toSeq)
   }
 
+  test("corpus_mix_temperature: alpha=1 is identity, alpha=0 flattens, alpha=0.3 boosts the tail") {
+    import spark.implicits._
+    // strata: a×800, b×200, c×50 — a 16:4:1 natural distribution
+    val d = ((1 to 800).map(i => (i.toLong, s"ta doc $i", "a")) ++
+      (1 to 200).map(i => (800L + i, s"tb doc $i", "b")) ++
+      (1 to 50).map(i => (1000L + i, s"tc doc $i", "c")))
+      .toDF("doc_id", "text", "lang")
+    def keptBy(alpha: Double): Map[String, Int] =
+      Training.corpusMixTemperature(d, alpha).collect()
+        .groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    // alpha=1: natural distribution untouched (rate 1 everywhere)
+    assert(keptBy(1.0) == Map("a" -> 800, "b" -> 200, "c" -> 50))
+    // alpha=0: uniform — every stratum capped at ~n_min (binomial noise)
+    val flat = keptBy(0.0)
+    assert(flat("c") == 50, "smallest stratum is always kept whole")
+    assert(flat("a") > 25 && flat("a") < 80, s"a kept ${flat("a")}, want ~50")
+    assert(flat("b") > 25 && flat("b") < 80, s"b kept ${flat("b")}, want ~50")
+    // alpha=0.3: output ratios flatten toward n^alpha (16:4:1 → ~2.3:1.5:1)
+    val t = keptBy(0.3)
+    assert(t("c") == 50, "smallest stratum kept whole at every alpha")
+    val expA = 50.0 * math.pow(16.0, 0.3) // ≈ 115
+    val expB = 50.0 * math.pow(4.0, 0.3)  // ≈ 76
+    assert(math.abs(t("a") - expA) < 0.35 * expA, s"a kept ${t("a")}, want ~$expA")
+    assert(math.abs(t("b") - expB) < 0.35 * expB, s"b kept ${t("b")}, want ~$expB")
+    // the boost is real: a's output share fell from 16/21 to under half
+    assert(t("a").toDouble / (t("a") + t("b") + t("c")) < 0.5)
+  }
+
   test("corpus_mix binding stratum survives IEEE rounding at the 1.0 boundary") {
     import spark.implicits._
     // w=0.009 with n=5 makes the binding stratum's rate compute as
