@@ -165,6 +165,32 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"), "top-N is not a bounded heap")
   }
 
+  test("snapshot_diff shuffles manifests, never text: md5 projected below every exchange") {
+    val plan = planOf("snapshot_diff")
+    // the full-outer join partitions on doc_id…
+    assert(plan.contains("hashpartitioning(doc_id"), s"no doc_id exchange:\n$plan")
+    // …and the scan feeds a Project computing md5 BEFORE any exchange:
+    // after that projection nothing downstream references the text
+    // column, so the join moves ~50B manifests, not documents. The plan
+    // string shows column lineage: `text` must only appear in scan/
+    // project nodes, never inside an Exchange's partitioning or a join
+    // condition.
+    val joinLines = plan.linesIterator.filter(l =>
+      l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin")).toSeq
+    assert(joinLines.nonEmpty, s"no shuffle join in:\n$plan")
+    assert(joinLines.forall(!_.contains("text#")), "join touches raw text")
+  }
+
+  test("embed_pca projection is map-only: a typed Tungsten pipeline with no exchange") {
+    import graft.operators.Pca
+    val embs = Tables.embeddings(spark, TestSpark.sf)
+    val model = Pca.fit(embs, 16)
+    val plan = Pca.project(embs, model).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"projection shuffles:\n$plan")
+    assert(plan.contains("MapPartitions") && plan.contains("DeserializeToObject"),
+      s"projection left the typed pipeline:\n$plan")
+  }
+
   test("range join plans as an equi-join on (user, bucket), never a nested loop") {
     val plan = planOf("q_range_join")
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
