@@ -207,6 +207,7 @@ class PlanSpec extends AnyFunSuite {
     val allowedCross = Set("dedup_embedding", "ann_brute_topk", "ann_pq_topk",
       "ann_pca_topk", // broadcast query set over the projected corpus (brute-style)
       "tfidf_topterms", "mj_partition_hash", "corpus_mix",
+      "corpus_mix_temperature", // 1-row n_min broadcast (same shape as corpus_mix's T)
       "text_lm_score", // 1-row dictionary-size broadcast
       // verdict queries: 1-row aggregate broadcasts (denominators)
       "ann_recall_check", "dedup_simhash_check", "pack_bestfit_check",
