@@ -215,6 +215,61 @@ object Training {
       .orderBy(col("doc_id"))
   }
 
+  /** Epochs-style UPSAMPLED mixture — the complement of [[corpusMix]]
+    * (which only ever downsamples): reach the target composition by
+    * REPEATING under-represented strata instead of discarding the
+    * over-represented ones, the standard recipe when the corpus is the
+    * binding constraint (every public pretraining mix repeats its small
+    * high-quality sources — Wikipedia/books at 2-4 epochs — rather than
+    * throwing away web scale). Repeats are capped at `maxRepeat` epochs:
+    * past ~4 repetitions additional epochs of the same data stop buying
+    * loss (Muennighoff et al. 2023, data-constrained scaling laws), so
+    * the cap is the published operating point, not a tuning knob.
+    *
+    * Formulation: with n_s docs in stratum s and target weight w_s, the
+    * smallest total that upsamples every stratum to target is
+    * T = max_s(n_s / w_s) (the binding stratum repeats exactly once);
+    * stratum s then needs rate_s = w_s·T / n_s ≥ 1 copies per doc. The
+    * integer part repeats every doc; the fractional part becomes ONE
+    * extra copy for the docs whose salted content-hash bucket (salt
+    * `up:`, independent of every other decision hash) falls under
+    * ⌊256·frac⌋ — the same 256-bucket quantization as [[corpusMix]],
+    * same +1e-6 boundary nudge mirrored in the oracle. Output is one row
+    * per (doc, copy) with a dense `copy_id`, the relation a dataloader
+    * shuffles into epochs ([[shuffleShards]] composes downstream).
+    *
+    * Scale shape: identical to [[corpusMix]] — a |strata|-row aggregate
+    * (column-pruned scan), a broadcast caps table, then pure map work;
+    * the explode fans out at most `maxRepeat` rows per doc inside the
+    * scan task, so the corpus never shuffles and output cost is the
+    * output's own size. No driver loop.
+    */
+  def corpusUpsample(docs: DataFrame,
+                     weights: Map[String, Double] = DefaultMixWeights,
+                     maxRepeat: Int = 4,
+                     by: String = "lang"): DataFrame = {
+    import docs.sparkSession.implicits._
+    val w = weights.toSeq.toDF(by, "w")
+    val n = docs.groupBy(col(by)).agg(count(lit(1)).cast("double").as("n_s"))
+    val r = n.join(broadcast(w), by)
+    val t = r.agg(max(col("n_s") / col("w")).as("t"))
+    // rate_s ≥ 1 by construction (T is the max), so base ≥ 1 and the
+    // sequence below is never empty; frac < 1 strictly, so cap ≤ 255.
+    val reps = r.crossJoin(broadcast(t))
+      .withColumn("rate",
+        least(lit(maxRepeat.toDouble), col("w") * col("t") / col("n_s") + lit(1e-6)))
+      .withColumn("base", floor(col("rate")).cast("int"))
+      .withColumn("cap", floor(lit(256.0) * (col("rate") - floor(col("rate")))).cast("int"))
+      .select(col(by), col("base"), col("cap"))
+    docs.join(broadcast(reps), by)
+      .withColumn("n_copies",
+        col("base") + when(Corpus.splitBucket(concat(lit("up:"), col("text"))) <
+          format_string("%02x", col("cap")), 1).otherwise(0))
+      .select(col("doc_id"), col(by),
+        explode(sequence(lit(1), col("n_copies"))).cast("long").as("copy_id"))
+      .orderBy(col("doc_id"), col("copy_id"))
+  }
+
   // -------------------------------------------- Bloom-gated decontamination
 
   /** Decontamination, Bloom-sketch formulation: broadcast a Bloom filter
@@ -283,6 +338,44 @@ object Training {
         .agg(count(lit(1)).as("n_shared_shingles"))
         .orderBy(col("doc_id"))
     } finally graft.functions.BloomProbe.release(spark, bfB)
+  }
+
+  /** FUZZY decontamination: train docs NEAR-DUPLICATING any test doc by
+    * word-`n`-gram Jaccard ≥ `threshold` — the third member of the
+    * decontamination family. [[decontamNgram]]/[[decontamBloom]] flag
+    * ANY shared n-gram (maximum recall, noisy: one quoted sentence
+    * flags a doc); this one flags only docs that are substantially the
+    * test doc (the Llama/GPT-4-report style "near-duplicate of an eval
+    * example" criterion), emitting per train doc how many test docs it
+    * near-duplicates and the worst overlap. Same exact-Jaccard
+    * semantics as [[Dedup.ngramJaccard]], restricted train×test.
+    *
+    * Scale shape: ONE shingle kernel pass (persisted — the lazy-return
+    * persist pattern of [[Dedup.ngramJaccard]]) feeds both sides; the
+    * TEST side's exploded postings broadcast (a heldout benchmark is
+    * fixed-size — ~10⁶ shingles — no matter how big train gets), so the
+    * train corpus is never shuffled: the only exchange carries the
+    * matched (train, test, shingle) rows, bounded by real overlap. The
+    * same `maxShingleDf` posting cap as the dedup family applies at
+    * 100 TB if boilerplate shingles get hot; off here because the exact
+    * oracle needs the uncapped join.
+    */
+  def decontamFuzzy(docs: DataFrame, threshold: Double = 0.8, n: Int = 5): DataFrame = {
+    val sh = splitShingled(docs, n).persist()
+    val tr = sh.filter(col("split") === "train")
+      .select(col("doc_id"), size(col("shingles")).as("n1"), explode(col("shingles")).as("s"))
+    val te = sh.filter(col("split") === "test")
+      .select(col("doc_id").as("test_id"), size(col("shingles")).as("n2"),
+        explode(col("shingles")).as("s"))
+    val jac = col("inter") * lit(1.0) / (col("n1") + col("n2") - col("inter"))
+    tr.join(broadcast(te), "s")
+      .groupBy(col("doc_id"), col("test_id"))
+      .agg(count(lit(1)).as("inter"), first(col("n1")).as("n1"), first(col("n2")).as("n2"))
+      .filter(jac >= threshold)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_near_dup_test_docs"),
+        max(round(jac, 6)).as("max_jaccard"))
+      .orderBy(col("doc_id"))
   }
 
   // --------------------------------------------------------------- tf-idf
@@ -585,8 +678,10 @@ object Training {
     "sample_stratified" -> ((s, d) => stratifiedSample(Tables.documents(s, d))),
     "corpus_mix" -> ((s, d) => corpusMix(Tables.documents(s, d))),
     "corpus_mix_temperature" -> ((s, d) => corpusMixTemperature(Tables.documents(s, d))),
+    "corpus_upsample" -> ((s, d) => corpusUpsample(Tables.documents(s, d))),
     "decontam_ngram" -> ((s, d) => decontamNgram(Tables.documents(s, d))),
     "decontam_bloom" -> ((s, d) => decontamBloom(Tables.documents(s, d))),
+    "decontam_fuzzy" -> ((s, d) => decontamFuzzy(Tables.documents(s, d))),
     "tfidf_topterms" -> ((s, d) => tfidfTopTerms(Tables.documents(s, d))),
     "pack_sequences" -> ((s, d) => packSequences(Tables.documents(s, d))),
     "pack_sequences_bestfit" -> ((s, d) => packSequencesBestFit(Tables.documents(s, d))),
@@ -621,7 +716,7 @@ object Training {
       |sh AS (SELECT doc_id, split, list_distinct(
       |   """.stripMargin + fiveGramListOf("ts") + """) AS shingles
       |  FROM sp WHERE len(ts) >= 5),
-      |ex AS (SELECT doc_id, split, unnest(shingles) AS s FROM sh)""".stripMargin
+      |ex AS (SELECT doc_id, split, len(shingles) AS nsh, unnest(shingles) AS s FROM sh)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     // salted-md5 order key + 256-bucket shard: the ascii arithmetic is
@@ -685,6 +780,35 @@ object Training {
         |SELECT d.doc_id, d.lang FROM documents d JOIN caps USING (lang)
         |WHERE cap >= 256 OR substr(md5('mixT:' || text), 1, 2) < printf('%02x', cap)
         |ORDER BY doc_id""".stripMargin,
+    "corpus_upsample" -> {
+      val values = DefaultMixWeights.toSeq.sortBy(_._1)
+        .map { case (l, wt) => s"('$l', CAST($wt AS DOUBLE))" }.mkString(", ")
+      s"""WITH w(lang, w) AS (VALUES $values),
+         |n AS (SELECT lang, CAST(count(*) AS DOUBLE) AS n_s FROM documents GROUP BY lang),
+         |r AS (SELECT n.lang, n_s, w FROM n JOIN w USING (lang)),
+         |t AS (SELECT max(n_s / w) AS t FROM r),
+         |reps AS (SELECT lang,
+         |   least(CAST(4.0 AS DOUBLE), w * t.t / n_s + 1e-6) AS rate
+         |  FROM r CROSS JOIN t),
+         |caps AS (SELECT lang, CAST(floor(rate) AS INT) AS base,
+         |   CAST(floor(256 * (rate - floor(rate))) AS INT) AS cap FROM reps)
+         |SELECT d.doc_id, d.lang, CAST(unnest(generate_series(1,
+         |   base + CASE WHEN substr(md5('up:' || text), 1, 2) < printf('%02x', cap)
+         |               THEN 1 ELSE 0 END)) AS BIGINT) AS copy_id
+         |FROM documents d JOIN caps USING (lang)
+         |ORDER BY doc_id, copy_id""".stripMargin
+    },
+    "decontam_fuzzy" ->
+      s"""WITH $decontamCtes,
+         |tr AS (SELECT doc_id, nsh AS n1, s FROM ex WHERE split = 'train'),
+         |te AS (SELECT doc_id AS test_id, nsh AS n2, s FROM ex WHERE split = 'test'),
+         |p AS (SELECT tr.doc_id, te.test_id, count(*) AS inter,
+         |   any_value(n1) AS n1, any_value(n2) AS n2
+         |  FROM tr JOIN te ON tr.s = te.s GROUP BY 1, 2)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_near_dup_test_docs,
+         | max(round(inter * 1.0 / (n1 + n2 - inter), 6)) AS max_jaccard
+         |FROM p WHERE inter * 1.0 / (n1 + n2 - inter) >= CAST(0.8 AS DOUBLE)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "decontam_ngram" ->
       s"""WITH $decontamCtes,
          |tr AS (SELECT doc_id, s FROM ex WHERE split = 'train'),
