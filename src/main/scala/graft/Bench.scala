@@ -158,7 +158,8 @@ object Bench {
     // lands in a repo file the driver never trims, so any future verdict
     // can cross-check normalized medians against raw mins even if stdout
     // is clipped.
-    try java.nio.file.Files.write(java.nio.file.Paths.get("/root/repo/BENCH_LOCAL.json"),
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"BENCH_LOCAL.json write failed: ${e.getMessage}")

@@ -44,11 +44,15 @@ object Verify {
     // one (ADVICE r6) — an mtime fence can't tell two partial runs
     // apart, a manifest can. Only the partial file carries the key; the
     // driver's full-run file schema is unchanged.
+    // Build from ONE joined entry list (manifest entry + oracle entries)
+    // so a restricted run whose query set has no oracle SQL doesn't emit
+    // a dangling comma (invalid JSON) after the manifest (ADVICE r7).
     val refreshed =
-      if (only.isEmpty) ""
-      else s"${q("__refreshed__")}: ${only.toSeq.sorted.map(q).mkString("[", ",", "]")}, "
-    val json = "{" + refreshed + selected(SparkEntry.oracleSql)
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString(",") + "}"
+      if (only.isEmpty) Seq.empty[String]
+      else Seq(s"${q("__refreshed__")}: ${only.toSeq.sorted.map(q).mkString("[", ",", "]")}")
+    val entries = refreshed ++ selected(SparkEntry.oracleSql)
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }
+    val json = entries.mkString("{", ",", "}")
     // A restricted (dev-loop) run dumps to a DIFFERENT file: if it shared
     // the full-run name, a later reader of this outDir would silently
     // compare only the restricted query set and report it as a full pass

@@ -197,9 +197,19 @@ object Pca {
       .toDF("vec_id", "proj")
   }
 
-  /** The `embed_pca` query: fit on the corpus, project the corpus. */
+  /** The `embed_pca` query: fit on the corpus, project the corpus.
+    * The relation is SCALAR — `posexplode` unrolls each projection to
+    * `(vec_id, component, value)` rows — because a raw `array<double>`
+    * column is unsortable/unhashable for generic result recorders
+    * (pandas dies on ndarray cells); library callers wanting vectors
+    * use [[project]] directly (the [[Similarity.annPcaTopK]] path).
+    * The unroll is a generator inside the same scan task as the
+    * projection — no extra shuffle, output is k scalar rows per vector.
+    */
   def embedPca(embeddings: DataFrame, k: Int = 16): DataFrame =
-    project(embeddings, fit(embeddings, k)).orderBy(col("vec_id"))
+    project(embeddings, fit(embeddings, k))
+      .select(col("vec_id"), posexplode(col("proj")).as(Seq("component", "value")))
+      .orderBy(col("vec_id"), col("component"))
 
   /** Contract verdict for [[embedPca]] (see object doc for why each
     * invariant is falsifiable). Takes the model as a parameter so the

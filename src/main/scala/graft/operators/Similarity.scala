@@ -489,7 +489,7 @@ object Similarity {
     rerank(topK(adc, cap).select(col("query_id"), col("neighbor_id")), embeddings, k)
   }
 
-  /** Recall verdict for the four ANN variants — the containment-oracle
+  /** Recall verdict for the five ANN variants — the containment-oracle
     * pattern (VERDICT r5 #7) applied to approximate search: the ranked
     * lists are hash-seeded (rows-only), but their CONTRACT is checkable
     * — each variant returns exactly k rows per query and clears its

@@ -266,7 +266,10 @@ object Training {
         col("base") + when(Corpus.splitBucket(concat(lit("up:"), col("text"))) <
           format_string("%02x", col("cap")), 1).otherwise(0))
       .select(col("doc_id"), col(by),
-        explode(sequence(lit(1), col("n_copies"))).cast("long").as("copy_id"))
+        // the generator must be a TOP-LEVEL select expression — wrapping
+        // it in a Cast is UNSUPPORTED_GENERATOR.NESTED_IN_EXPRESSIONS at
+        // analysis time, so build the sequence over longs directly
+        explode(sequence(lit(1L), col("n_copies").cast("long"))).as("copy_id"))
       .orderBy(col("doc_id"), col("copy_id"))
   }
 
@@ -350,23 +353,28 @@ object Training {
     * near-duplicates and the worst overlap. Same exact-Jaccard
     * semantics as [[Dedup.ngramJaccard]], restricted train×test.
     *
-    * Scale shape: ONE shingle kernel pass (persisted — the lazy-return
-    * persist pattern of [[Dedup.ngramJaccard]]) feeds both sides; the
-    * TEST side's exploded postings broadcast (a heldout benchmark is
-    * fixed-size — ~10⁶ shingles — no matter how big train gets), so the
-    * train corpus is never shuffled: the only exchange carries the
-    * matched (train, test, shingle) rows, bounded by real overlap. The
-    * same `maxShingleDf` posting cap as the dedup family applies at
-    * 100 TB if boilerplate shingles get hot; off here because the exact
-    * oracle needs the uncapped join.
+    * Scale shape: the [[decontamBloom]] discipline, not the
+    * [[Dedup.ngramJaccard]] one — a corpus-wide persist of the shingled
+    * relation would pin shingled-corpus-sized blocks with no release
+    * point (the return is lazy), which is exactly the cache-hygiene
+    * leak the `_check` queries were cured of. Instead the TEST side
+    * (fixed-size heldout benchmark — ~10⁶ shingles no matter how big
+    * train gets) is materialized ONCE with an eager localCheckpoint and
+    * broadcast into the join; the TRAIN side streams map-only straight
+    * from its own scan. Two column-pruned scans of the corpus, zero
+    * corpus-sized pinned blocks, train never shuffled: the only
+    * exchange carries the matched (train, test, shingle) rows, bounded
+    * by real overlap. The same `maxShingleDf` posting cap as the dedup
+    * family applies at 100 TB if boilerplate shingles get hot; off here
+    * because the exact oracle needs the uncapped join.
     */
   def decontamFuzzy(docs: DataFrame, threshold: Double = 0.8, n: Int = 5): DataFrame = {
-    val sh = splitShingled(docs, n).persist()
-    val tr = sh.filter(col("split") === "train")
+    val tr = splitShingled(docs, n).filter(col("split") === "train")
       .select(col("doc_id"), size(col("shingles")).as("n1"), explode(col("shingles")).as("s"))
-    val te = sh.filter(col("split") === "test")
+    val te = splitShingled(docs, n).filter(col("split") === "test")
       .select(col("doc_id").as("test_id"), size(col("shingles")).as("n2"),
         explode(col("shingles")).as("s"))
+      .localCheckpoint(true)
     val jac = col("inter") * lit(1.0) / (col("n1") + col("n2") - col("inter"))
     tr.join(broadcast(te), "s")
       .groupBy(col("doc_id"), col("test_id"))

@@ -122,11 +122,14 @@ class PcaSpec extends AnyFunSuite {
     assert(math.abs(projSq - model.trace) < 0.01 * model.trace)
   }
 
-  test("driver testdata: embed_pca emits one k-dim row per vector") {
+  test("driver testdata: embed_pca emits k scalar rows per vector") {
     val embs = Tables.embeddings(spark, TestSpark.sf)
     val n = embs.count()
     val out = Pca.embedPca(embs).collect()
-    assert(out.length == n)
-    assert(out.forall(_.getSeq[Double](1).length == 16))
+    assert(out.length == n * 16)
+    // scalar relation: (vec_id, component, value) — no array columns,
+    // components densely 0..15 per vector
+    assert(out.forall(r => r.getInt(1) >= 0 && r.getInt(1) < 16))
+    assert(!Pca.embedPca(embs).schema.exists(_.dataType.typeName == "array"))
   }
 }
