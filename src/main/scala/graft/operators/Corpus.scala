@@ -316,8 +316,10 @@ object Corpus {
     * shingles), which never enter the pair graph; a corpus of those
     * should run `dedup_exact` instead.
     */
-  def cleanCorpus(spark: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(spark, d)
+  def cleanCorpus(spark: SparkSession, d: String): DataFrame =
+    cleanCorpusDocs(Tables.documents(spark, d))
+
+  def cleanCorpusDocs(docs: DataFrame): DataFrame = {
     // dedupClusters minus its user-facing sort (the anti-join destroys
     // ordering anyway); shingle pass persisted, dropped once the CC loop
     // has materialized its labels
@@ -329,7 +331,20 @@ object Corpus {
         .filter(col("id") =!= col("label")) // canonical member survives
         .select(col("id").as("doc_id"))
     finally shingled.unpersist(blocking = false)
-    val scored = docs
+    scoredDocs(docs)
+      .join(dropList, Seq("doc_id"), "left_anti")
+      .filter(col("quality") >= 0.75)
+      .select(col("doc_id"), col("n_tokens"), col("quality"), col("lang_pred"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The per-doc half of the clean gate — ONE fused TokenStats pass
+    * producing stats/quality/language for every doc. Pure map work;
+    * shared by [[cleanCorpusDocs]] and [[ledger]] so the quality weights
+    * and langid cascade live in exactly one plan fragment.
+    */
+  private[operators] def scoredDocs(docs: DataFrame): DataFrame =
+    docs
       .withColumn("st", graft.functions.TokenStats.tokenStats(col("text")))
       .withColumn("n_chars", length(col("text")).cast("long"))
       .withColumn("n_tokens", col("st.n_tokens"))
@@ -342,11 +357,27 @@ object Corpus {
         qualityScore(col("n_chars"), col("stop_ratio"), col("punct_ratio"), col("avg_token_len")))
       .withColumn("lang_pred", langPredict(
         col("st.en_hits"), col("st.es_hits"), col("st.de_hits"), col("st.fr_hits")))
-    scored
-      .join(dropList, Seq("doc_id"), "left_anti")
-      .filter(col("quality") >= 0.75)
-      .select(col("doc_id"), col("n_tokens"), col("quality"), col("lang_pred"))
-      .orderBy(col("doc_id"))
+
+  /** The full clean-gate LEDGER: every doc's scores plus its near-dup
+    * cluster id (own id when unclustered) — the relation
+    * [[cleanCorpusDocs]] filters down to its kept-set (`doc_id ==
+    * cluster_id && quality >= 0.75`, since min-label CC makes the
+    * canonical member the one whose label is its own id). A production
+    * incremental pipeline PERSISTS this relation between snapshots:
+    * [[Snapshot.incrementalCleanFrom]] consumes it as the prior state
+    * and recomputes it only for delta-affected docs.
+    */
+  private[operators] def ledger(docs: DataFrame): DataFrame = {
+    val shingled = Dedup.shingleHashSets(docs).persist()
+    val labels = try
+      connectedComponents(
+        Dedup.ngramJaccardPairs(shingled)
+          .select(col("doc_id_1").as("src"), col("doc_id_2").as("dst")))
+    finally shingled.unpersist(blocking = false)
+    scoredDocs(docs)
+      .join(labels.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("cluster_id"),
+        col("n_tokens"), col("quality"), col("lang_pred"))
   }
 
   // --------------------------------------------------------------- driver

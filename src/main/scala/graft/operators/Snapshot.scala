@@ -43,28 +43,33 @@ import org.apache.spark.sql.functions._
   */
 object Snapshot {
 
-  /** Manifest of the CURRENT documents relation: `(doc_id, h)`.
+  /** Manifest of a `(doc_id, text)` relation: `(doc_id, h)`.
     * The md5 is computed inside the scan projection — text never
     * survives past the map side.
     */
-  private def newManifest(docs: DataFrame): DataFrame =
+  private def manifest(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), md5(col("text")).as("h"))
 
-  /** The derived OLD snapshot's manifest (see object doc). */
-  private def oldManifest(docs: DataFrame): DataFrame = {
+  /** The derived OLD snapshot, WITH text (see object doc): absent %11
+    * (→ added), ` [draft]`-suffixed %7 (→ changed), retired docs at a
+    * data-derived id offset (→ removed). [[snapshotDiff]] sees only its
+    * manifest; [[incrementalClean]] re-runs the clean gate over it, so
+    * the full text matters there.
+    */
+  private[operators] def oldSnapshot(docs: DataFrame): DataFrame = {
     // data-derived id offset for the retired docs (1-row broadcast, the
     // same pattern as dedup_simhash_check's plant offset)
     val off = docs.agg((max(col("doc_id")) + lit(1L)).as("off"))
     val base = docs
       .filter(col("doc_id") % 11 =!= 0)
       .select(col("doc_id"),
-        md5(when(col("doc_id") % 7 === 0, concat(col("text"), lit(" [draft]")))
-          .otherwise(col("text"))).as("h"))
+        when(col("doc_id") % 7 === 0, concat(col("text"), lit(" [draft]")))
+          .otherwise(col("text")).as("text"))
     val retired = docs
       .filter(col("doc_id") % 13 === 0)
       .crossJoin(broadcast(off))
       .select((col("doc_id") + col("off")).as("doc_id"),
-        md5(concat(lit("retired "), col("doc_id").cast("string"))).as("h"))
+        concat(lit("retired "), col("doc_id").cast("string")).as("text"))
     base.unionByName(retired)
   }
 
@@ -72,7 +77,7 @@ object Snapshot {
     * documents: `(doc_id, status)` for every non-unchanged doc.
     */
   def snapshotDiff(docs: DataFrame): DataFrame =
-    diff(oldManifest(docs), newManifest(docs))
+    diff(manifest(oldSnapshot(docs)), manifest(docs))
 
   /** The generic operator: diff two `(doc_id, h)` manifests. */
   def diff(oldM: DataFrame, newM: DataFrame): DataFrame =
@@ -86,10 +91,120 @@ object Snapshot {
       .filter(col("status") =!= "unchanged")
       .orderBy(col("doc_id"))
 
+  // ------------------------------------------- incremental clean pipeline
+
+  /** The clean gate run INCREMENTALLY over a snapshot delta — the stage
+    * [[snapshotDiff]]'s delta relation exists for (SURVEY §5:
+    * "downstream incremental stages consume only the added/changed
+    * delta"). Contract: the result EQUALS `pipe_clean_corpus` recomputed
+    * from scratch on the new snapshot (the oracle literally reuses that
+    * query's SQL), while the corpus-scale work is proportional to the
+    * delta and its near-dup neighborhoods, not the corpus.
+    *
+    * Why a delta-only recompute is not just `clean(delta) ∪ prior`:
+    * near-dup clustering is a GLOBAL property. An added doc can bridge
+    * two old clusters (re-electing the canonical min-id member); a
+    * removed/changed doc can have BEEN the canonical member, re-admitting
+    * a mate that the prior run dropped. Exactness therefore needs the
+    * delta's full blast radius:
+    *
+    *  1. seeds = added/changed docs ∪ prior-cluster MATES of every delta
+    *     doc (the prior ledger's `cluster_id` finds them without
+    *     touching the old pair graph);
+    *  2. the blast radius closes over the NEW corpus's shared-shingle
+    *     graph by iterated sparse joins against the shingle index
+    *     (shared-shingle components ⊇ Jaccard components, so the closure
+    *     is a superset of every true component that touches a seed —
+    *     recomputing a superset is redundant work, never a wrong
+    *     answer); rounds = neighborhood diameter, each a frontier-sized
+    *     join, loudly failing if not converged (the [[Corpus
+    *     .connectedComponents]] discipline);
+    *  3. the clean ledger is recomputed ONLY for the closure (complete
+    *     components ⇒ identical pairs/clusters/canonicals as a full
+    *     run), and every untouched prior kept-row is carried forward
+    *     unchanged — sound because a carried doc's text, edge set, and
+    *     entire component are provably identical in both snapshots (any
+    *     counterexample doc would be a seed or a neighbor, hence in the
+    *     closure).
+    *
+    * Scale shape: the prior ledger is |corpus| rows of scalars (the
+    * stored output of the previous run — here derived from the old
+    * snapshot since the testdata has one version); the new-shingle index
+    * is the same relation every dedup pass already builds (persisted
+    * once, released after the closure); every per-round join is
+    * frontier × index on the 64-bit shingle hash. Steady-state crawls
+    * re-deliver a few percent — the recompute touches that few percent
+    * times cluster fan-out, and the 100 TB full-recompute never runs.
+    */
+  def incrementalCleanFrom(oldDocs: DataFrame, newDocs: DataFrame,
+                           maxRounds: Int = 25): DataFrame = {
+    val prior = Corpus.ledger(oldDocs)
+      .localCheckpoint(true) // read 3× below (seeds, mates, carry) — one compute
+    val delta = diff(manifest(oldDocs), manifest(newDocs))
+      .localCheckpoint(true) // delta-sized; read 2× (seeds + carry fence)
+    val deltaIds = delta.select(col("doc_id"))
+    // prior-cluster mates of delta docs, restricted to docs still present
+    val mates = prior.join(deltaIds, "doc_id")
+      .select(col("cluster_id")).distinct()
+      .join(prior, "cluster_id")
+      .select(col("doc_id"))
+      .join(newDocs.select(col("doc_id")), "doc_id")
+    val seeds = delta.filter(col("status") =!= "removed").select(col("doc_id"))
+      .union(mates).distinct()
+    // shared-shingle closure over the new corpus (same 3-gram hash kernel
+    // as the pair join, so closure components contain Jaccard components)
+    val shingled = Dedup.shingleHashSets(newDocs).persist()
+    val closure = try {
+      var visited = seeds.localCheckpoint(true)
+      var frontier = visited
+      var rounds = 0
+      while (rounds < maxRounds && !frontier.isEmpty) {
+        val fs = shingled.join(frontier, "doc_id")
+          .select(explode(col("shingles")).as("s")).distinct()
+        val neighbors = shingled
+          .select(col("doc_id"), explode(col("shingles")).as("s"))
+          .join(fs, "s").select(col("doc_id")).distinct()
+        frontier = neighbors.join(visited, Seq("doc_id"), "left_anti")
+          .localCheckpoint(true)
+        visited = visited.union(frontier).localCheckpoint(true)
+        rounds += 1
+      }
+      if (!frontier.isEmpty)
+        throw new IllegalStateException(
+          s"shingle closure did not converge in $maxRounds rounds — " +
+            "a df-hot shingle is chaining the corpus; cap shingle df or raise maxRounds")
+      visited
+    } finally shingled.unpersist(blocking = false)
+    // exact recompute on the closed sub-corpus (complete components)
+    val recomputed = Corpus.ledger(newDocs.join(closure, "doc_id"))
+      .filter(col("doc_id") === col("cluster_id") && col("quality") >= 0.75)
+      .select(col("doc_id"), col("n_tokens"), col("quality"), col("lang_pred"))
+    // carry forward every prior kept-row the delta provably cannot touch
+    val carried = prior
+      .filter(col("doc_id") === col("cluster_id") && col("quality") >= 0.75)
+      .select(col("doc_id"), col("n_tokens"), col("quality"), col("lang_pred"))
+      .join(closure, Seq("doc_id"), "left_anti")
+      .join(deltaIds, Seq("doc_id"), "left_anti")
+    recomputed.unionByName(carried).orderBy(col("doc_id"))
+  }
+
+  /** The `incremental_clean` query: old snapshot derived as in
+    * [[snapshotDiff]], prior state derived from it (a production run
+    * reads the stored ledger instead), result must equal the full
+    * `pipe_clean_corpus` recompute on `documents`.
+    */
+  def incrementalClean(docs: DataFrame): DataFrame =
+    incrementalCleanFrom(oldSnapshot(docs), docs)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "snapshot_diff" -> ((s, d) => snapshotDiff(Tables.documents(s, d))))
+    "snapshot_diff" -> ((s, d) => snapshotDiff(Tables.documents(s, d))),
+    "incremental_clean" -> ((s, d) => incrementalClean(Tables.documents(s, d))))
 
   val oracle: Map[String, String] = Map(
+    // the strongest oracle an incremental operator can have: DuckDB
+    // recomputes the clean gate FROM SCRATCH on the new snapshot — the
+    // exact SQL of pipe_clean_corpus, shared so the gates can't drift
+    "incremental_clean" -> Corpus.oracle("pipe_clean_corpus"),
     "snapshot_diff" ->
       """WITH newm AS (SELECT doc_id, md5(text) AS h FROM documents),
         |oldm AS (

@@ -52,4 +52,74 @@ class SnapshotSpec extends AnyFunSuite {
     // 1/11 + 1/7 + 1/13 ≈ 31% upper bound; the point is |delta| << |corpus|
     assert(delta < n / 2, s"delta $delta not incremental vs corpus $n")
   }
+
+  // ---- incremental_clean: incremental result must EQUAL full recompute
+
+  // quality-passing English filler (≥100 chars, stopwords present, no
+  // punctuation, 3-10 char tokens) — the dup/bridge cases below only
+  // bite if the docs actually clear the 0.75 quality gate, which each
+  // test pins via its full-recompute expectation
+  private val textA = "the river flows down to the valley and the water is clear " +
+    "in the morning light for it carries the sound of distant bells across " +
+    "quiet fields toward the old stone bridge"
+  private val textB = "many bright planets orbit the distant star and its light " +
+    "takes years to reach the small telescopes that watch from this cold " +
+    "mountain top in the clear winter night for hours"
+
+  private def corpus(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  private def keptIds(df: org.apache.spark.sql.DataFrame): Set[Long] =
+    df.select("doc_id").collect().map(_.getLong(0)).toSet
+
+  private def assertIncrementalMatchesFull(oldDocs: org.apache.spark.sql.DataFrame,
+                                           newDocs: org.apache.spark.sql.DataFrame,
+                                           expectKept: Set[Long]): Unit = {
+    val full = graft.operators.Corpus.cleanCorpusDocs(newDocs).collect().toSeq
+    assert(full.map(_.getLong(0)).toSet == expectKept,
+      "full recompute disagrees with the scenario's expectation (vacuous test?)")
+    val inc = Snapshot.incrementalCleanFrom(oldDocs, newDocs).collect().toSeq
+    assert(inc.map(_.toSeq).sortBy(_.head.toString) == full.map(_.toSeq).sortBy(_.head.toString),
+      "incremental result diverged from full recompute")
+  }
+
+  test("incremental_clean: removing the canonical dup re-admits the dropped mate") {
+    // old: 1 and 2 duplicate — 1 canonical, 2 dropped. New: 1 removed.
+    // The prior kept-set never contained 2; only the prior-cluster-mates
+    // seeding can resurrect it.
+    assertIncrementalMatchesFull(
+      oldDocs = corpus(1L -> textA, 2L -> textA, 9L -> textB),
+      newDocs = corpus(2L -> textA, 9L -> textB),
+      expectKept = Set(2L, 9L))
+  }
+
+  test("incremental_clean: an added smaller-id dup evicts the previously kept doc") {
+    // old: 5 kept alone. New: 3 added with identical text — 3 becomes
+    // canonical, 5 must drop. Only the shingle-closure around the added
+    // doc can discover 5.
+    assertIncrementalMatchesFull(
+      oldDocs = corpus(5L -> textA, 9L -> textB),
+      newDocs = corpus(3L -> textA, 5L -> textA, 9L -> textB),
+      expectKept = Set(3L, 9L))
+  }
+
+  test("incremental_clean: a changed doc leaving its cluster re-admits the mate") {
+    // old: 7 and 8 duplicate — 8 dropped. New: 7's text changes away —
+    // both singletons now, both kept.
+    assertIncrementalMatchesFull(
+      oldDocs = corpus(7L -> textA, 8L -> textA),
+      newDocs = corpus(7L -> textB, 8L -> textA),
+      expectKept = Set(7L, 8L))
+  }
+
+  test("incremental_clean equals pipe_clean_corpus on the derived testdata mutation") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val full = graft.operators.Corpus.cleanCorpusDocs(docs).collect()
+      .map(_.toSeq).sortBy(_.head.toString)
+    val inc = Snapshot.incrementalClean(docs).collect()
+      .map(_.toSeq).sortBy(_.head.toString)
+    assert(full.nonEmpty && inc.toSeq == full.toSeq)
+  }
 }
