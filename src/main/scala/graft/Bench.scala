@@ -110,6 +110,42 @@ object Bench {
     // one closing sample (inside the loop it would land back-to-back with
     // the next pass's opening canary, measuring the same instant twice)
     canary(); latencyCanary()
+    // RocksDB state-store pass: the 100 TB claim for the unbounded-
+    // keyspace streaming ops (stream_ingest_dedup's one-hash-per-doc
+    // state) rests on swapping to the disk-backed store — so time the
+    // streaming queries ONCE under RocksDB and record the side-by-side
+    // delta as a number, not a claim. Failures here land as -1 sentinels
+    // (plus stderr), NOT in `errors`: the swap's correctness gate is the
+    // byte-identity spec in sbt test, and a store-swap timing probe must
+    // not fail the headline bench artifact. Canary samples bracket the
+    // pass so its readings normalize like everything else.
+    val rocksdbTimes: Seq[(String, Double)] = {
+      val streamNames = names.map(_._1).filter(_.startsWith("stream_"))
+      if (sys.env.get("SPARK_GRAFT_BENCH_ROCKSDB").contains("0") || streamNames.isEmpty) Seq.empty
+      else {
+        val prev = sys.props.put("graft.stateStore.providerClass", "rocksdb")
+        try {
+          val ts = streamNames.map { name =>
+            val t0 = System.nanoTime()
+            val ok =
+              try { SparkEntry.queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+              catch { case e: Throwable =>
+                System.err.println(s"rocksdb pass: $name failed: ${e.getClass.getSimpleName}: " +
+                  String.valueOf(e.getMessage).take(200))
+                false
+              }
+            val t = (System.nanoTime() - t0) / 1e9
+            if (!clearCacheOff) spark.catalog.clearCache()
+            name -> (if (ok) t else -1.0)
+          }
+          canary(); latencyCanary()
+          ts
+        } finally prev match {
+          case Some(p) => sys.props.put("graft.stateStore.providerClass", p)
+          case None => sys.props.remove("graft.stateStore.providerClass")
+        }
+      }
+    }
     val results = times.toSeq.map { case (n, ts) => (n, median(ts), ts) }
     def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
       .replaceAll("[\\n\\r\\t]", " ") + "\""
@@ -152,7 +188,9 @@ object Bench {
     // preserved tail always contains them.
     val latencyJson = latencyTimes.map(fmt).mkString("[", ",", "]")
     val latencyMedian = if (latencyTimes.isEmpty) 0.0 else median(latencyTimes.toSeq)
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","errors":$errs,"clear_cache":${!clearCacheOff},"reps":$repsJson,"canary":$canaryJson,"canary_median":${fmt(canaryMedian)},"canary_spread":${fmt(canarySpread)},"latency_canary":$latencyJson,"latency_canary_median":${fmt(latencyMedian)},"queries":$qs,"mins":$minsJson,"normalized":$normJson}"""
+    val rocksdbJson = rocksdbTimes
+      .map { case (k, v) => q(k) + ":" + fmt(v) }.mkString("{", ",", "}")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","errors":$errs,"clear_cache":${!clearCacheOff},"reps":$repsJson,"canary":$canaryJson,"canary_median":${fmt(canaryMedian)},"canary_spread":${fmt(canarySpread)},"latency_canary":$latencyJson,"latency_canary_median":${fmt(latencyMedian)},"rocksdb_stream":$rocksdbJson,"queries":$qs,"mins":$minsJson,"normalized":$normJson}"""
     println(json)
     // Belt-and-braces for the same truncation: the COMPLETE record also
     // lands in a repo file the driver never trims, so any future verdict
