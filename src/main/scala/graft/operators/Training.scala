@@ -665,8 +665,6 @@ object Training {
     * DuckDB twin.
     */
   def shuffleShards(docs: DataFrame, nShards: Int = 8, epoch: Int = 0): DataFrame = {
-    def hexVal(c: Column): Column =
-      when(c >= "a", ascii(c) - 87).otherwise(ascii(c) - 48)
     val keyed = docs.select(col("doc_id"),
       md5(concat(lit(s"shuffle:$epoch:"), col("doc_id").cast("string")).cast("binary")).as("ok"))
     keyed
@@ -679,10 +677,40 @@ object Training {
       .orderBy(col("shard"), col("pos"))
   }
 
+  private def hexVal(c: Column): Column =
+    when(c >= "a", ascii(c) - 87).otherwise(ascii(c) - 48)
+
+  /** [[shuffleShards]] for an UPSAMPLED relation — one row per
+    * (doc, copy), [[corpusUpsample]]'s output. The copy_id joins the
+    * order-key salt, so the copies of one doc scatter INDEPENDENTLY
+    * across shards and positions: a doc_id-only key would hand every
+    * copy the same key and the dataloader would read the same text
+    * back-to-back, defeating the point of upsampling. Same scale shape
+    * as [[shuffleShards]] (one hash exchange on `shard`, in-shard
+    * window), same 256-bucket ascii-arithmetic so the DuckDB oracle
+    * reproduces the shard byte exactly.
+    */
+  def shuffleShardsCopies(copies: DataFrame, nShards: Int = 8, epoch: Int = 0): DataFrame = {
+    val keyed = copies.select(col("doc_id"), col("copy_id"),
+      md5(concat(lit(s"shuffle:$epoch:"), col("doc_id").cast("string"),
+        lit(":"), col("copy_id").cast("string")).cast("binary")).as("ok"))
+    keyed
+      .withColumn("shard",
+        pmod(hexVal(substring(col("ok"), 1, 1)) * 16 + hexVal(substring(col("ok"), 2, 1)),
+          lit(nShards)).cast("long"))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("shard"))
+          .orderBy(col("ok"), col("doc_id"), col("copy_id"))).cast("long"))
+      .select(col("doc_id"), col("copy_id"), col("shard"), col("pos"))
+      .orderBy(col("shard"), col("pos"))
+  }
+
   // --------------------------------------------------------------- driver
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "shuffle_shards" -> ((s, d) => shuffleShards(Tables.documents(s, d))),
+    "shuffle_shards_upsampled" ->
+      ((s, d) => shuffleShardsCopies(corpusUpsample(Tables.documents(s, d)))),
     "sample_stratified" -> ((s, d) => stratifiedSample(Tables.documents(s, d))),
     "corpus_mix" -> ((s, d) => corpusMix(Tables.documents(s, d))),
     "corpus_mix_temperature" -> ((s, d) => corpusMixTemperature(Tables.documents(s, d))),
@@ -697,6 +725,30 @@ object Training {
     "pack_sequences_bpe" -> ((s, d) => packSequencesBpe(Tables.documents(s, d))))
 
   private def sqlList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("(", ",", ")")
+
+  /** The [[corpusUpsample]] CTE chain (→ `copies(doc_id, lang,
+    * copy_id)`), shared by the corpus_upsample and
+    * shuffle_shards_upsampled oracles — one definition of the rate /
+    * cap / fractional-copy arithmetic, so a recipe change cannot split
+    * the two oracles.
+    */
+  private def upsampleCtes: String = {
+    val values = DefaultMixWeights.toSeq.sortBy(_._1)
+      .map { case (l, wt) => s"('$l', CAST($wt AS DOUBLE))" }.mkString(", ")
+    s"""w(lang, w) AS (VALUES $values),
+       |n AS (SELECT lang, CAST(count(*) AS DOUBLE) AS n_s FROM documents GROUP BY lang),
+       |r AS (SELECT n.lang, n_s, w FROM n JOIN w USING (lang)),
+       |t AS (SELECT max(n_s / w) AS t FROM r),
+       |reps AS (SELECT lang,
+       |   least(CAST(4.0 AS DOUBLE), w * t.t / n_s + 1e-6) AS rate
+       |  FROM r CROSS JOIN t),
+       |caps AS (SELECT lang, CAST(floor(rate) AS INT) AS base,
+       |   CAST(floor(256 * (rate - floor(rate))) AS INT) AS cap FROM reps),
+       |copies AS (SELECT d.doc_id, d.lang, CAST(unnest(generate_series(1,
+       |   base + CASE WHEN substr(md5('up:' || text), 1, 2) < printf('%02x', cap)
+       |               THEN 1 ELSE 0 END)) AS BIGINT) AS copy_id
+       |  FROM documents d JOIN caps USING (lang))""".stripMargin
+  }
 
   /** DuckDB word-5-gram list comprehension over token-list column `ts` —
     * ONE definition of the shingle width/shape shared by the
@@ -788,24 +840,23 @@ object Training {
         |SELECT d.doc_id, d.lang FROM documents d JOIN caps USING (lang)
         |WHERE cap >= 256 OR substr(md5('mixT:' || text), 1, 2) < printf('%02x', cap)
         |ORDER BY doc_id""".stripMargin,
-    "corpus_upsample" -> {
-      val values = DefaultMixWeights.toSeq.sortBy(_._1)
-        .map { case (l, wt) => s"('$l', CAST($wt AS DOUBLE))" }.mkString(", ")
-      s"""WITH w(lang, w) AS (VALUES $values),
-         |n AS (SELECT lang, CAST(count(*) AS DOUBLE) AS n_s FROM documents GROUP BY lang),
-         |r AS (SELECT n.lang, n_s, w FROM n JOIN w USING (lang)),
-         |t AS (SELECT max(n_s / w) AS t FROM r),
-         |reps AS (SELECT lang,
-         |   least(CAST(4.0 AS DOUBLE), w * t.t / n_s + 1e-6) AS rate
-         |  FROM r CROSS JOIN t),
-         |caps AS (SELECT lang, CAST(floor(rate) AS INT) AS base,
-         |   CAST(floor(256 * (rate - floor(rate))) AS INT) AS cap FROM reps)
-         |SELECT d.doc_id, d.lang, CAST(unnest(generate_series(1,
-         |   base + CASE WHEN substr(md5('up:' || text), 1, 2) < printf('%02x', cap)
-         |               THEN 1 ELSE 0 END)) AS BIGINT) AS copy_id
-         |FROM documents d JOIN caps USING (lang)
-         |ORDER BY doc_id, copy_id""".stripMargin
-    },
+    "corpus_upsample" ->
+      s"""WITH $upsampleCtes
+         |SELECT doc_id, lang, copy_id FROM copies
+         |ORDER BY doc_id, copy_id""".stripMargin,
+    "shuffle_shards_upsampled" ->
+      s"""WITH $upsampleCtes,
+         |b AS (SELECT doc_id, copy_id,
+         |   md5('shuffle:0:' || doc_id || ':' || copy_id) AS ok FROM copies),
+         |h AS (SELECT doc_id, copy_id, ok,
+         |  ((CASE WHEN substr(ok, 1, 1) >= 'a' THEN ascii(substr(ok, 1, 1)) - 87
+         |         ELSE ascii(substr(ok, 1, 1)) - 48 END) * 16
+         |   + (CASE WHEN substr(ok, 2, 1) >= 'a' THEN ascii(substr(ok, 2, 1)) - 87
+         |          ELSE ascii(substr(ok, 2, 1)) - 48 END)) % 8 AS shard
+         | FROM b)
+         |SELECT doc_id, copy_id, CAST(shard AS BIGINT) AS shard,
+         | CAST(row_number() OVER (PARTITION BY shard ORDER BY ok, doc_id, copy_id) AS BIGINT) AS pos
+         |FROM h ORDER BY shard, pos""".stripMargin,
     "decontam_fuzzy" ->
       s"""WITH $decontamCtes,
          |tr AS (SELECT doc_id, nsh AS n1, s FROM ex WHERE split = 'train'),

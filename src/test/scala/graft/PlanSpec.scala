@@ -209,6 +209,7 @@ class PlanSpec extends AnyFunSuite {
       "tfidf_topterms", "mj_partition_hash", "corpus_mix",
       "corpus_mix_temperature", // 1-row n_min broadcast (same shape as corpus_mix's T)
       "corpus_upsample", // 1-row max(n_s/w) broadcast (same shape as corpus_mix's T)
+      "shuffle_shards_upsampled", // composes corpus_upsample's T broadcast
       "text_lm_score", // 1-row dictionary-size broadcast
       // verdict queries: 1-row aggregate broadcasts (denominators)
       "ann_recall_check", "dedup_simhash_check", "pack_bestfit_check",

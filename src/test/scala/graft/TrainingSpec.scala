@@ -307,4 +307,27 @@ class TrainingSpec extends AnyFunSuite {
     val moved = rows.count(r => e1(r.getLong(0)) != ((r.getLong(1), r.getLong(2))))
     assert(moved > n / 2, s"epoch re-salt barely moved anything: $moved of $n")
   }
+
+  test("shuffle_shards_upsampled: copies covered once and scattered independently") {
+    val copies = Training.corpusUpsample(docs)
+    val nCopies = copies.count()
+    val rows = Training.shuffleShardsCopies(copies, nShards = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // every (doc, copy) exactly once; positions dense per shard
+    assert(rows.length == nCopies.toInt)
+    assert(rows.map(t => (t._1, t._2)).distinct.length == nCopies.toInt)
+    rows.groupBy(_._3).values.foreach { sh =>
+      assert(sh.map(_._4).sorted.toSeq == (1L to sh.length).toSeq)
+    }
+    // the POINT of salting with copy_id: a multi-copy doc's copies land
+    // in different shards for most docs (a doc_id-only key would pin
+    // every copy to one shard — fraction co-sharded would be 1.0; truly
+    // independent 8-way placement co-shards a k-copy doc with prob
+    // 8^-(k-1) ≤ 1/8, so 0.5 splits the two hypotheses with huge margin)
+    val multi = rows.groupBy(_._1).filter(_._2.length >= 2)
+    assert(multi.nonEmpty, "upsample produced no multi-copy docs — vacuous test")
+    val coSharded = multi.values.count(g => g.map(_._3).distinct.length == 1)
+    assert(coSharded.toDouble / multi.size < 0.5,
+      s"copies co-sharded for $coSharded of ${multi.size} multi-copy docs")
+  }
 }
