@@ -148,7 +148,7 @@ object Snapshot {
       .select(col("cluster_id")).distinct()
       .join(prior, "cluster_id")
       .select(col("doc_id"))
-      .join(newDocs.select(col("doc_id")), "doc_id")
+      .join(newDocs.select(col("doc_id")), Seq("doc_id"), "left_semi")
     val seeds = delta.filter(col("status") =!= "removed").select(col("doc_id"))
       .union(mates).distinct()
     // shared-shingle closure over the new corpus (same 3-gram hash kernel
@@ -164,19 +164,31 @@ object Snapshot {
         val neighbors = shingled
           .select(col("doc_id"), explode(col("shingles")).as("s"))
           .join(fs, "s").select(col("doc_id")).distinct()
-        frontier = neighbors.join(visited, Seq("doc_id"), "left_anti")
+        val nextFrontier = neighbors.join(visited, Seq("doc_id"), "left_anti")
           .localCheckpoint(true)
-        visited = visited.union(frontier).localCheckpoint(true)
+        val nextVisited = visited.union(nextFrontier).localCheckpoint(true)
+        // superseded round state: only the latest visited/frontier blocks
+        // stay resident (the connectedComponents discipline)
+        Corpus.releaseCheckpoint(visited)
+        if (frontier ne visited) Corpus.releaseCheckpoint(frontier)
+        frontier = nextFrontier
+        visited = nextVisited
         rounds += 1
       }
       if (!frontier.isEmpty)
         throw new IllegalStateException(
           s"shingle closure did not converge in $maxRounds rounds — " +
             "a df-hot shingle is chaining the corpus; cap shingle df or raise maxRounds")
+      Corpus.releaseCheckpoint(frontier) // empty; only `visited` survives
       visited
     } finally shingled.unpersist(blocking = false)
-    // exact recompute on the closed sub-corpus (complete components)
-    val recomputed = Corpus.ledger(newDocs.join(closure, "doc_id"))
+    // exact recompute on the closed sub-corpus (complete components):
+    // LEFT SEMI against the id-only closure, so the corpus-with-text side
+    // is never shuffled — AQE broadcasts the delta-sized closure and the
+    // gate stays inside the scan (at steady-state churn the closure is a
+    // few percent of the corpus; an inner join here would exchange every
+    // document's text just to drop most of them)
+    val recomputed = Corpus.ledger(newDocs.join(closure, Seq("doc_id"), "left_semi"))
       .filter(col("doc_id") === col("cluster_id") && col("quality") >= 0.75)
       .select(col("doc_id"), col("n_tokens"), col("quality"), col("lang_pred"))
     // carry forward every prior kept-row the delta provably cannot touch

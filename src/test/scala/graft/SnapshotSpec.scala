@@ -122,4 +122,17 @@ class SnapshotSpec extends AnyFunSuite {
       .map(_.toSeq).sortBy(_.head.toString)
     assert(full.nonEmpty && inc.toSeq == full.toSeq)
   }
+
+  test("incremental_clean gates the corpus with a broadcast semi-join, never a text shuffle") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val ds = Snapshot.incrementalClean(docs)
+    ds.collect() // AQE final plans require executing THE dataset (r6 gotcha)
+    val plan = ds.queryExecution.executedPlan.toString
+    // the closure gate: corpus-with-text side filtered by a broadcast
+    // LeftSemi on the delta-sized id set — an inner/shuffle join here
+    // would exchange every document's text
+    assert(plan.linesIterator.exists(l =>
+      l.contains("BroadcastHashJoin") && l.contains("LeftSemi")),
+      s"closure gate is not a broadcast semi-join:\n${plan.take(3000)}")
+  }
 }
