@@ -208,8 +208,37 @@ object Snapshot {
   def incrementalClean(docs: DataFrame): DataFrame =
     incrementalCleanFrom(oldSnapshot(docs), docs)
 
+  /** The WRITE side of the incremental loop: materialize the next
+    * snapshot from the stored one plus the delta — carry forward every
+    * old row the delta doesn't name, drop `removed`, take
+    * `added`/`changed` bodies from the new delivery. With both the
+    * stored snapshot and the output bucketed by `doc_id`
+    * (Sdfs.putPartitioned's layout) and the delta broadcast (it is
+    * |delta|-sized by construction), both arms are map-only over their
+    * scans: the next 100 TB snapshot costs |delta| of writes plus a
+    * pass of carried bytes, never a shuffle of either corpus. AQE picks
+    * the broadcast automatically — same plan discipline as
+    * [[incrementalCleanFrom]]'s closure gate.
+    */
+  def applyDelta(oldSnap: DataFrame, delta: DataFrame, newBodies: DataFrame): DataFrame =
+    oldSnap.join(delta.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .unionByName(
+        newBodies.join(delta.filter(col("status") =!= "removed").select(col("doc_id")),
+          Seq("doc_id"), "left_semi")
+          .select(col("doc_id"), col("text")))
+      .orderBy(col("doc_id"))
+
+  /** The `snapshot_apply` query: the round-trip contract `apply(old,
+    * diff(old, new), new) == new` — the oracle is the documents table
+    * itself, so any classification, carry, or body-selection bug
+    * hash-mismatches the identity.
+    */
+  def snapshotApply(docs: DataFrame): DataFrame =
+    applyDelta(oldSnapshot(docs), snapshotDiff(docs), docs)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "snapshot_diff" -> ((s, d) => snapshotDiff(Tables.documents(s, d))),
+    "snapshot_apply" -> ((s, d) => snapshotApply(Tables.documents(s, d))),
     "incremental_clean" -> ((s, d) => incrementalClean(Tables.documents(s, d))))
 
   val oracle: Map[String, String] = Map(
@@ -217,6 +246,9 @@ object Snapshot {
     // recomputes the clean gate FROM SCRATCH on the new snapshot — the
     // exact SQL of pipe_clean_corpus, shared so the gates can't drift
     "incremental_clean" -> Corpus.oracle("pipe_clean_corpus"),
+    // round-trip identity: apply(old, diff(old, new), new) == new
+    "snapshot_apply" ->
+      "SELECT doc_id, text FROM documents ORDER BY doc_id",
     "snapshot_diff" ->
       """WITH newm AS (SELECT doc_id, md5(text) AS h FROM documents),
         |oldm AS (

@@ -123,6 +123,17 @@ class SnapshotSpec extends AnyFunSuite {
     assert(full.nonEmpty && inc.toSeq == full.toSeq)
   }
 
+  test("applyDelta round-trips an arbitrary mutated snapshot") {
+    import org.apache.spark.sql.functions.{col, md5}
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"), md5(col("text")).as("h"))
+    val oldS = corpus(1L -> "one body", 2L -> "two body", 3L -> "three body")
+    val newS = corpus(2L -> "two body", 3L -> "three body changed", 4L -> "four body")
+    val applied = Snapshot.applyDelta(oldS, Snapshot.diff(m(oldS), m(newS)), newS)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(applied == Seq(2L -> "two body", 3L -> "three body changed", 4L -> "four body"))
+  }
+
   test("incremental_clean gates the corpus with a broadcast semi-join, never a text shuffle") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val ds = Snapshot.incrementalClean(docs)
