@@ -65,6 +65,26 @@ object Corpus {
       .withColumn("split", splitOfBucket(col("bucket")))
       .orderBy(col("doc_id"))
 
+  /** Deterministic EXACT-k corpus sample — the primitive the rate-based
+    * samplers ([[sampleSplit]]'s buckets, Training's mixtures) can't
+    * express: exactly `k` docs, the ones with the smallest salted
+    * content hash (salt `topk:`, independent of every other decision
+    * hash). Content-keyed, so the sample is stable under re-ingest /
+    * re-sharding / reordering, and nearly stable under growth (a doc
+    * leaves the sample only when a new doc hashes below it) — the eval
+    * subset / human-inspection / debug-slice selector of a pipeline.
+    *
+    * Scale shape: ORDER BY hash LIMIT k plans as TakeOrderedAndProject
+    * — a bounded k-heap per partition and a k-sized driver merge, no
+    * global sort, no exchange of the corpus (PlanSpec pins the node).
+    * k is a driver-memory knob, same bound as every top-k in the repo.
+    */
+  def sampleTopKHash(docs: DataFrame, k: Int = 100): DataFrame =
+    docs
+      .select(col("doc_id"), md5(concat(lit("topk:"), col("text")).cast("binary")).as("ok"))
+      .orderBy(col("ok"), col("doc_id"))
+      .limit(k)
+
   /** The content-hash bucket and bucket→split rule, exposed so other
     * operators (decontamination) can attach the split inside their own
     * scan projection instead of shuffle-joining this relation back on.
@@ -384,6 +404,7 @@ object Corpus {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sample_split" -> ((s, d) => sampleSplit(Tables.documents(s, d))),
+    "sample_topk_hash" -> ((s, d) => sampleTopKHash(Tables.documents(s, d))),
     "vocab_topk" -> ((s, d) => vocabTopK(Tables.documents(s, d))),
     "dedup_clusters" -> ((s, d) => dedupClusters(Tables.documents(s, d))),
     "dedup_cluster_sizes" -> ((s, d) => dedupClusterSizes(Tables.documents(s, d))),
@@ -454,6 +475,9 @@ object Corpus {
         |      WHEN substr(md5(text), 1, 2) < 'e6' THEN 'validation'
         |      ELSE 'test' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "sample_topk_hash" ->
+      """SELECT doc_id, md5('topk:' || text) AS ok FROM documents
+        |ORDER BY ok, doc_id LIMIT 100""".stripMargin,
     "vocab_topk" ->
       """SELECT word, count(*) AS cnt, count(DISTINCT doc_id) AS doc_freq FROM (
         | SELECT doc_id, unnest(list_filter(

@@ -91,6 +91,25 @@ class CorpusSpec extends AnyFunSuite {
     assert(star == minLabel)
   }
 
+  test("sample_topk_hash: exactly k, content-keyed, near-stable under corpus growth") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, TestSpark.sf)
+    val base = Corpus.sampleTopKHash(docs, k = 100).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(base.length == 100)
+    assert(base.map(_._2).sorted.toSeq == base.map(_._2).toSeq, "not hash-ordered")
+    // growth stability: adding docs can only displace via smaller hashes —
+    // the new sample is a subset of (old sample ∪ new docs), never a
+    // reshuffle of the survivors
+    val extraIds = (100000L until 100050L)
+    val extra = extraIds.map(i => (i, s"extra growth document number $i body")).toDF("doc_id", "text")
+    val grown = Corpus.sampleTopKHash(
+      docs.select($"doc_id", $"text").unionByName(extra), k = 100).collect()
+      .map(r => r.getLong(0)).toSet
+    val allowed = base.map(_._1).toSet ++ extraIds
+    assert(grown.subsetOf(allowed), s"growth reshuffled survivors: ${grown -- allowed}")
+  }
+
   test("cleanCorpus quality gate keeps high-quality canonical docs only") {
     // structural sanity on the real corpus: every surviving doc is
     // quality >= 0.75 and no surviving doc is a non-canonical dup member

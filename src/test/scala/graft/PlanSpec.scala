@@ -46,8 +46,10 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("top-k relational queries use TakeOrderedAndProject, not a global sort") {
-    val plan = planOf("q3_shipping_priority")
-    assert(plan.contains("TakeOrderedAndProject"))
+    for (q <- Seq("q3_shipping_priority", "sample_topk_hash")) {
+      val plan = planOf(q)
+      assert(plan.contains("TakeOrderedAndProject"), s"$q global-sorts:\n$plan")
+    }
   }
 
   test("spread fans out an under-split scan but is the identity on pre-split input") {
@@ -215,7 +217,7 @@ class PlanSpec extends AnyFunSuite {
       "ann_recall_check", "dedup_simhash_check", "pack_bestfit_check",
       // profiling/PCA: 1-row global-stats or invariant-scalar broadcasts
       "corpus_report", "key_skew_report", "doc_length_histogram",
-      "snapshot_diff", // 1-row max(doc_id) offset broadcast
+      "snapshot_diff", "snapshot_apply", // 1-row max(doc_id) offset broadcast
       "embed_pca_check")
     // streaming queries and the roundtrip EXECUTE in construction (their
     // result is already a local relation) — nothing to audit lazily
