@@ -169,12 +169,55 @@ object Training {
         floor(lit(256.0) * least(lit(1.0), col("w") * col("t") / col("n_s")) + lit(1e-6))
           .cast("int"))
       .select(col(by), col("cap"))
+    mixKeep(docs, caps, "mix:", by)
+  }
+
+  /** The shared keep stage of every downsampling mixture: broadcast the
+    * |strata|-row caps table back, keep docs whose salted content-hash
+    * bucket clears the stratum's cap. One definition of the bucket
+    * compare / cap-256 bypass, so the recipes can't drift from each
+    * other (their oracles mirror this stage verbatim).
+    */
+  private def mixKeep(docs: DataFrame, caps: DataFrame, salt: String, by: String): DataFrame =
     docs.join(broadcast(caps), by)
       .filter(col("cap") >= 256 or
-        (Corpus.splitBucket(concat(lit("mix:"), col("text"))) <
+        (Corpus.splitBucket(concat(lit(salt), col("text"))) <
           format_string("%02x", col("cap"))))
       .select(col("doc_id"), col(by))
       .orderBy(col("doc_id"))
+
+  /** Token-budgeted mixture: [[corpusMix]] with strata priced in TOKENS
+    * rather than documents — the arithmetic every published recipe
+    * actually runs on (mixture tables are "% of training tokens"; doc
+    * counts misprice strata whose documents differ in length, e.g. long
+    * German articles vs short tweets). n_s = Σ tokens in stratum s
+    * (the fused [[graft.functions.TokenStats]] pass, same whitespace
+    * semantics as every token count in the repo), T = min(n_s/w_s), and
+    * the per-DOC salted-hash keep at rate w_s·T/n_s preserves the
+    * stratum's expected token share (docs sample i.i.d. within a
+    * stratum). Salt `mixTok:`, independent of every other decision hash.
+    *
+    * Scale shape: same as [[corpusMix]] except the stats pass must read
+    * `text` to count tokens — still ONE corpus scan producing a
+    * |strata|-row aggregate, broadcast caps, map-only keep.
+    */
+  def corpusMixTokens(docs: DataFrame,
+                      weights: Map[String, Double] = DefaultMixWeights,
+                      by: String = "lang"): DataFrame = {
+    import docs.sparkSession.implicits._
+    val w = weights.toSeq.toDF(by, "w")
+    val n = docs
+      .select(col(by),
+        graft.functions.TokenStats.tokenStats(col("text")).getField("n_tokens").as("nt"))
+      .groupBy(col(by)).agg(sum(col("nt")).cast("double").as("n_s"))
+    val r = n.join(broadcast(w), by)
+    val t = r.agg(min(col("n_s") / col("w")).as("t"))
+    val caps = r.crossJoin(broadcast(t))
+      .withColumn("cap",
+        floor(lit(256.0) * least(lit(1.0), col("w") * col("t") / col("n_s")) + lit(1e-6))
+          .cast("int"))
+      .select(col(by), col("cap"))
+    mixKeep(docs, caps, "mixTok:", by)
   }
 
   /** en-heavy target over the corpus's five metadata languages. */
@@ -207,12 +250,7 @@ object Training {
         floor(lit(256.0) * pow(col("n_min") / col("n_s"), lit(1.0 - alpha)) + lit(1e-6))
           .cast("int"))
       .select(col(by), col("cap"))
-    docs.join(broadcast(caps), by)
-      .filter(col("cap") >= 256 or
-        (Corpus.splitBucket(concat(lit("mixT:"), col("text"))) <
-          format_string("%02x", col("cap"))))
-      .select(col("doc_id"), col(by))
-      .orderBy(col("doc_id"))
+    mixKeep(docs, caps, "mixT:", by)
   }
 
   /** Epochs-style UPSAMPLED mixture — the complement of [[corpusMix]]
@@ -714,6 +752,7 @@ object Training {
     "sample_stratified" -> ((s, d) => stratifiedSample(Tables.documents(s, d))),
     "corpus_mix" -> ((s, d) => corpusMix(Tables.documents(s, d))),
     "corpus_mix_temperature" -> ((s, d) => corpusMixTemperature(Tables.documents(s, d))),
+    "corpus_mix_tokens" -> ((s, d) => corpusMixTokens(Tables.documents(s, d))),
     "corpus_upsample" -> ((s, d) => corpusUpsample(Tables.documents(s, d))),
     "decontam_ngram" -> ((s, d) => decontamNgram(Tables.documents(s, d))),
     "decontam_bloom" -> ((s, d) => decontamBloom(Tables.documents(s, d))),
@@ -829,6 +868,23 @@ object Training {
          |  FROM r CROSS JOIN t)
          |SELECT d.doc_id, d.lang FROM documents d JOIN caps USING (lang)
          |WHERE cap >= 256 OR substr(md5('mix:' || text), 1, 2) < printf('%02x', cap)
+         |ORDER BY doc_id""".stripMargin
+    },
+    "corpus_mix_tokens" -> {
+      val values = DefaultMixWeights.toSeq.sortBy(_._1)
+        .map { case (l, wt) => s"('$l', CAST($wt AS DOUBLE))" }.mkString(", ")
+      s"""WITH w(lang, w) AS (VALUES $values),
+         |t0 AS (SELECT lang,
+         |   len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS nt
+         |  FROM documents),
+         |n AS (SELECT lang, CAST(sum(nt) AS DOUBLE) AS n_s FROM t0 GROUP BY lang),
+         |r AS (SELECT n.lang, n_s, w FROM n JOIN w USING (lang)),
+         |t AS (SELECT min(n_s / w) AS t FROM r),
+         |caps AS (SELECT lang,
+         |   CAST(floor(256 * least(CAST(1.0 AS DOUBLE), w * t.t / n_s) + 1e-6) AS INT) AS cap
+         |  FROM r CROSS JOIN t)
+         |SELECT d.doc_id, d.lang FROM documents d JOIN caps USING (lang)
+         |WHERE cap >= 256 OR substr(md5('mixTok:' || text), 1, 2) < printf('%02x', cap)
          |ORDER BY doc_id""".stripMargin
     },
     "corpus_mix_temperature" ->

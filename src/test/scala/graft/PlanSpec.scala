@@ -210,6 +210,7 @@ class PlanSpec extends AnyFunSuite {
       "ann_pca_topk", // broadcast query set over the projected corpus (brute-style)
       "tfidf_topterms", "mj_partition_hash", "corpus_mix",
       "corpus_mix_temperature", // 1-row n_min broadcast (same shape as corpus_mix's T)
+      "corpus_mix_tokens", // 1-row token-total T broadcast (same shape)
       "corpus_upsample", // 1-row max(n_s/w) broadcast (same shape as corpus_mix's T)
       "shuffle_shards_upsampled", // composes corpus_upsample's T broadcast
       "text_lm_score", // 1-row dictionary-size broadcast

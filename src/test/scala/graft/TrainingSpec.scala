@@ -308,6 +308,39 @@ class TrainingSpec extends AnyFunSuite {
     assert(moved > n / 2, s"epoch re-salt barely moved anything: $moved of $n")
   }
 
+  test("corpus_mix_tokens: binding stratum kept whole, token shares track targets") {
+    import graft.operators.Training
+    val nt = docs.select(col("lang"),
+      graft.functions.TokenStats.tokenStats(col("text")).getField("n_tokens").as("nt"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val tokBy = nt.groupBy(_._1).view.mapValues(_.map(_._2).sum.toDouble).toMap
+    val w = Training.DefaultMixWeights
+    val binding = tokBy.keys.filter(w.contains).minBy(l => tokBy(l) / w(l))
+    val kept = Training.corpusMixTokens(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val keptByLang = kept.groupBy(_._2).view.mapValues(_.length).toMap
+    val docsByLang = nt.groupBy(_._1).view.mapValues(_.length).toMap
+    // the binding stratum (min token-total / weight) is kept whole
+    assert(keptByLang(binding) == docsByLang(binding),
+      s"binding stratum $binding not kept whole")
+    // kept TOKEN totals track w_s * T (T = binding's tokens/weight);
+    // per-doc hash sampling is binomial over ~100 docs/stratum, so a
+    // wide band — the EXACT arithmetic is the DuckDB oracle's job
+    val keptTok = docs.join(
+      Training.corpusMixTokens(docs).select(col("doc_id")), Seq("doc_id"), "left_semi")
+      .select(col("lang"),
+        graft.functions.TokenStats.tokenStats(col("text")).getField("n_tokens").as("nt"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum.toDouble).toMap
+    val bigT = tokBy(binding) / w(binding)
+    for ((l, wt) <- w if tokBy.contains(l)) {
+      val target = wt * bigT
+      val got = keptTok.getOrElse(l, 0.0)
+      assert(math.abs(got - target) / target < 0.5,
+        s"$l kept tokens $got vs target $target — off by >50%")
+    }
+  }
+
   test("shuffle_shards_upsampled: copies covered once and scattered independently") {
     val copies = Training.corpusUpsample(docs)
     val nCopies = copies.count()
