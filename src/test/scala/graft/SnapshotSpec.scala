@@ -123,6 +123,16 @@ class SnapshotSpec extends AnyFunSuite {
     assert(full.nonEmpty && inc.toSeq == full.toSeq)
   }
 
+  test("incremental_clean fails loudly when the shingle closure cannot converge") {
+    // maxRounds = 0 leaves a non-empty frontier — returning a partial
+    // closure would silently under-recompute, so it must throw instead
+    val oldS = corpus(1L -> textA, 2L -> textA)
+    val newS = corpus(2L -> textA)
+    intercept[IllegalStateException] {
+      Snapshot.incrementalCleanFrom(oldS, newS, maxRounds = 0)
+    }
+  }
+
   test("applyDelta round-trips an arbitrary mutated snapshot") {
     import org.apache.spark.sql.functions.{col, md5}
     def m(df: org.apache.spark.sql.DataFrame) =
