@@ -389,11 +389,20 @@ object Corpus {
     */
   private[operators] def ledger(docs: DataFrame): DataFrame = {
     val shingled = Dedup.shingleHashSets(docs).persist()
-    val labels = try
-      connectedComponents(
-        Dedup.ngramJaccardPairs(shingled)
-          .select(col("doc_id_1").as("src"), col("doc_id_2").as("dst")))
+    try ledgerFrom(docs, shingled)
     finally shingled.unpersist(blocking = false)
+  }
+
+  /** [[ledger]] with a caller-owned shingle pass — so a caller that
+    * already persisted `shingleHashSets` for these exact docs (the
+    * incremental closure) doesn't pay the kernel twice. The CC labels
+    * materialize (checkpointed) before this returns; only the lazy
+    * scored/label join survives, which never reads `shingled`.
+    */
+  private[operators] def ledgerFrom(docs: DataFrame, shingled: DataFrame): DataFrame = {
+    val labels = connectedComponents(
+      Dedup.ngramJaccardPairs(shingled)
+        .select(col("doc_id_1").as("src"), col("doc_id_2").as("dst")))
     scoredDocs(docs)
       .join(labels.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("cluster_id"),

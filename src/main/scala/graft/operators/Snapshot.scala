@@ -154,43 +154,57 @@ object Snapshot {
     // shared-shingle closure over the new corpus (same 3-gram hash kernel
     // as the pair join, so closure components contain Jaccard components)
     val shingled = Dedup.shingleHashSets(newDocs).persist()
-    val closure = try {
-      var visited = seeds.localCheckpoint(true)
-      var frontier = visited
-      var rounds = 0
-      while (rounds < maxRounds && !frontier.isEmpty) {
-        val fs = shingled.join(frontier, "doc_id")
-          .select(explode(col("shingles")).as("s")).distinct()
-        val neighbors = shingled
-          .select(col("doc_id"), explode(col("shingles")).as("s"))
-          .join(fs, "s").select(col("doc_id")).distinct()
-        val nextFrontier = neighbors.join(visited, Seq("doc_id"), "left_anti")
-          .localCheckpoint(true)
-        val nextVisited = visited.union(nextFrontier).localCheckpoint(true)
-        // superseded round state: only the latest visited/frontier blocks
-        // stay resident (the connectedComponents discipline)
-        Corpus.releaseCheckpoint(visited)
-        if (frontier ne visited) Corpus.releaseCheckpoint(frontier)
-        frontier = nextFrontier
-        visited = nextVisited
-        rounds += 1
+    // the inverted index the BFS probes every round — exploded ONCE and
+    // persisted (a production pipeline stores this index; re-deriving
+    // the explode per round would re-shuffle every posting each round)
+    val postings = shingled
+      .select(col("doc_id"), explode(col("shingles")).as("s")).persist()
+    val (recomputed, closure) = try {
+      val closed = {
+        var visited = seeds.localCheckpoint(true)
+        var frontier = visited
+        var rounds = 0
+        while (rounds < maxRounds && !frontier.isEmpty) {
+          val fs = postings.join(frontier, "doc_id").select(col("s")).distinct()
+          val neighbors = postings.join(fs, "s").select(col("doc_id")).distinct()
+          val nextFrontier = neighbors.join(visited, Seq("doc_id"), "left_anti")
+            .localCheckpoint(true)
+          val nextVisited = visited.union(nextFrontier).localCheckpoint(true)
+          // superseded round state: only the latest visited/frontier blocks
+          // stay resident (the connectedComponents discipline)
+          Corpus.releaseCheckpoint(visited)
+          if (frontier ne visited) Corpus.releaseCheckpoint(frontier)
+          frontier = nextFrontier
+          visited = nextVisited
+          rounds += 1
+        }
+        if (!frontier.isEmpty)
+          throw new IllegalStateException(
+            s"shingle closure did not converge in $maxRounds rounds — " +
+              "a df-hot shingle is chaining the corpus; cap shingle df or raise maxRounds")
+        Corpus.releaseCheckpoint(frontier) // empty; only `visited` survives
+        visited
       }
-      if (!frontier.isEmpty)
-        throw new IllegalStateException(
-          s"shingle closure did not converge in $maxRounds rounds — " +
-            "a df-hot shingle is chaining the corpus; cap shingle df or raise maxRounds")
-      Corpus.releaseCheckpoint(frontier) // empty; only `visited` survives
-      visited
-    } finally shingled.unpersist(blocking = false)
-    // exact recompute on the closed sub-corpus (complete components):
-    // LEFT SEMI against the id-only closure, so the corpus-with-text side
-    // is never shuffled — AQE broadcasts the delta-sized closure and the
-    // gate stays inside the scan (at steady-state churn the closure is a
-    // few percent of the corpus; an inner join here would exchange every
-    // document's text just to drop most of them)
-    val recomputed = Corpus.ledger(newDocs.join(closure, Seq("doc_id"), "left_semi"))
-      .filter(col("doc_id") === col("cluster_id") && col("quality") >= 0.75)
-      .select(col("doc_id"), col("n_tokens"), col("quality"), col("lang_pred"))
+      // exact recompute on the closed sub-corpus (complete components):
+      // LEFT SEMI against the id-only closure, so the corpus-with-text
+      // side is never shuffled — AQE broadcasts the delta-sized closure
+      // and the gate stays inside the scan (at steady-state churn the
+      // closure is a few percent of the corpus; an inner join here would
+      // exchange every document's text just to drop most of them). The
+      // sub-corpus shingle pass is the ALREADY-persisted corpus pass
+      // semi-filtered — the kernel never runs twice (ledgerFrom). The
+      // ledger's CC labels checkpoint eagerly inside the call, so the
+      // lazy relation returned here never reads the unpersisted passes.
+      val rec = Corpus.ledgerFrom(
+        newDocs.join(closed, Seq("doc_id"), "left_semi"),
+        shingled.join(closed, Seq("doc_id"), "left_semi"))
+        .filter(col("doc_id") === col("cluster_id") && col("quality") >= 0.75)
+        .select(col("doc_id"), col("n_tokens"), col("quality"), col("lang_pred"))
+      (rec, closed)
+    } finally {
+      postings.unpersist(blocking = false)
+      shingled.unpersist(blocking = false)
+    }
     // carry forward every prior kept-row the delta provably cannot touch
     val carried = prior
       .filter(col("doc_id") === col("cluster_id") && col("quality") >= 0.75)
