@@ -45,7 +45,7 @@ object Corpus {
     * that's the point (the frame is never read again); GraftSession
     * quiets that one logger.
     */
-  private[operators] def releaseCheckpoint(df: DataFrame): Unit =
+  private[graft] def releaseCheckpoint(df: DataFrame): Unit =
     df.queryExecution.logical match {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
       case _ => ()

@@ -795,7 +795,7 @@ object Training {
     * (a width change edited in one of three copies would silently split
     * the oracles from each other).
     */
-  private[operators] def fiveGramListOf(ts: String): String =
+  private[graft] def fiveGramListOf(ts: String): String =
     s"[$ts[i] || ' ' || $ts[i+1] || ' ' || $ts[i+2] || ' ' || $ts[i+3] || ' ' || $ts[i+4]\n" +
       s"    for i in range(1, len($ts) - 3)]"
 

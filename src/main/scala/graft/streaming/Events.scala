@@ -608,6 +608,77 @@ object Events {
         .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_arrivals"))
     }
 
+  /** Continuous TRAIN-corpus ingestion with benchmark decontamination —
+    * the streaming composition of [[ingestDedup]]'s exact dedup with
+    * `decontam_bloom`'s sketch-gate discipline (graft.operators.Training).
+    * Per arriving doc, ALL STATELESS MAP WORK inside the micro-batch:
+    * content-hash split (train only), word-5-gram shingle hashes, and a
+    * broadcast-Bloom SUSPECT probe of the heldout test-shingle set (the
+    * benchmark is a fixed artifact, so its sketch is built ONCE before
+    * the stream starts — a few MB of bits no matter how large the train
+    * feed grows). The Complete-mode dedup aggregate carries only
+    * `max(suspect)` extra state per distinct text; the EXACT confirm
+    * runs in the finish hook over the suspect-sized snapshot (join back
+    * to the static corpus by text hash, re-shingle only those docs), so
+    * Bloom false positives drop out and the emitted relation is exact
+    * and oracle-checkable — FP rate stays a pure performance knob, the
+    * decontamBloom pairing discipline carried into streaming.
+    */
+  def ingestDecontam(spark: SparkSession, sfDir: String,
+                     statePartitions: Option[Int] = Some(4)): DataFrame = {
+    import graft.operators.Corpus
+    val docsPath = s"$sfDir/documents.parquet"
+    def shingledOf(df: DataFrame): DataFrame = df.select(
+      col("doc_id"), col("text"),
+      Corpus.splitOfBucket(Corpus.splitBucket(col("text"))).as("split"),
+      graft.functions.ShingleFunctions.shingleHashes(col("text"), 5).as("shingles"))
+    // static side, before the stream: the benchmark's shingle sketch
+    val testShingles = shingledOf(spark.read.parquet(docsPath))
+      .filter(col("split") === "test")
+      .select(explode(col("shingles")).as("s")).distinct().localCheckpoint(true)
+    val nTest = testShingles.count()
+    val bfB =
+      if (nTest == 0) None
+      else Some(spark.sparkContext.broadcast(
+        testShingles.stat.bloomFilter("s", nTest, 0.01)))
+    try {
+      runBounded(spark, sfDir, statePartitions, OutputMode.Complete, "graft_idecon",
+        finish = df => {
+          // exact confirm, batch-side, suspect-sized: FPs survive here
+          val ss2 = df.sparkSession
+          graft.GraftSession.registerFunctions(ss2)
+          val suspects = df.filter(col("suspect") === 1).select(col("text_hash"))
+          val contaminated = shingledOf(ss2.read.parquet(docsPath))
+            .withColumn("text_hash", md5(col("text").cast("binary")))
+            .join(broadcast(suspects), "text_hash")
+            .select(col("text_hash"), explode(col("shingles")).as("s"))
+            .join(shingledOf(ss2.read.parquet(docsPath)).filter(col("split") === "test")
+              .select(explode(col("shingles")).as("s")).distinct(), "s")
+            .select(col("text_hash")).distinct()
+          df.join(contaminated, Seq("text_hash"), "left_anti")
+            .select(col("text_hash"), col("keep_id"), col("n_arrivals"))
+            .orderBy(col("text_hash"))
+        }, table = "documents") { docs =>
+        val ss = docs.sparkSession
+        val withSh = docs
+          .filter(Corpus.splitOfBucket(Corpus.splitBucket(col("text"))) === "train")
+          .withColumn("shingles",
+            graft.functions.ShingleFunctions.shingleHashes(col("text"), 5))
+        val suspect = bfB.fold(lit(false))(b =>
+          graft.functions.BloomProbe.anyContain(ss, col("shingles"), b))
+        val out = withSh
+          .withColumn("suspect", suspect.cast("int"))
+          .groupBy(md5(col("text").cast("binary")).as("text_hash"))
+          .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_arrivals"),
+            max(col("suspect")).as("suspect"))
+        // frame constructed (analysis eager) — the probe's registry entry
+        // can go; the resolved plan keeps its own sketch reference
+        bfB.foreach(b => graft.functions.BloomProbe.release(ss, b))
+        out
+      }
+    } finally graft.operators.Corpus.releaseCheckpoint(testShingles)
+  }
+
   /** Continuous corpus profiling during ingestion: the streaming twin of
     * `corpus_report` (graft.operators.Profile). The per-(lang, source)
     * counts/volumes are maintained INCREMENTALLY by a Complete-mode
@@ -823,6 +894,7 @@ object Events {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_ingest_dedup" -> ((s, d) => ingestDedup(s, d)),
     "stream_ingest_dedup_files" -> ((s, d) => ingestDedupToFiles(s, d)),
+    "stream_ingest_decontam" -> ((s, d) => ingestDecontam(s, d)),
     "stream_window_agg" -> ((s, d) => windowAgg(s, d)),
     "stream_window_agg_files" -> ((s, d) => windowAggToFiles(s, d)),
     "stream_sliding_agg" -> ((s, d) => slidingWindowAgg(s, d)),
@@ -858,6 +930,28 @@ object Events {
     // dataset-card relation — the oracle IS corpus_report's
     "stream_corpus_report" -> graft.operators.Profile.oracle("corpus_report"),
     "stream_ingest_dedup" -> ingestDedupOracle,
+    // decontaminated train ingestion: train docs (content-hash split)
+    // sharing NO word-5-gram with any test doc, exact-deduped — the
+    // string-shingle self-join mirrors decontam_ngram's criterion
+    "stream_ingest_decontam" ->
+      (s"""WITH t AS (SELECT doc_id, text,
+          |  list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ts FROM documents),
+          |sp AS (SELECT doc_id, text, ts,
+          |  CASE WHEN substr(md5(text), 1, 2) < 'cd' THEN 'train'
+          |       WHEN substr(md5(text), 1, 2) < 'e6' THEN 'validation'
+          |       ELSE 'test' END AS split
+          | FROM t),
+          |sh AS (SELECT doc_id, split, list_distinct(
+          |   """.stripMargin + graft.operators.Training.fiveGramListOf("ts") + """) AS shingles
+          |  FROM sp WHERE len(ts) >= 5),
+          |ex AS (SELECT doc_id, split, unnest(shingles) AS s FROM sh),
+          |contaminated AS (SELECT DISTINCT a.doc_id FROM ex a
+          |  JOIN ex b ON a.s = b.s AND b.split = 'test' WHERE a.split = 'train'),
+          |tr AS (SELECT doc_id, text FROM sp WHERE split = 'train'
+          |  AND doc_id NOT IN (SELECT doc_id FROM contaminated))
+          |SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
+          | CAST(count(*) AS BIGINT) AS n_arrivals
+          |FROM tr GROUP BY 1 ORDER BY 1""".stripMargin),
     // the production Update-mode delta-chain sink must resolve to the
     // SAME relation: the two staged arrivals partition the corpus, so
     // last-write-wins over the deltas equals the batch dedup

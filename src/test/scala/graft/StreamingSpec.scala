@@ -76,6 +76,28 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("stream_ingest_decontam equals the independent batch formulation") {
+    import graft.operators.{Corpus, Training}
+    // the streamed (bloom-suspect + exact-confirm) gate must land on the
+    // same relation as the batch inverted-index criterion: train docs
+    // sharing NO word-5-gram with any test doc, exact-deduped
+    val docs = Tables.documents(spark, TestSpark.sf)
+    val contaminated = Training.decontamNgram(docs).select(col("doc_id"))
+    val expected = docs
+      .filter(Corpus.splitOfBucket(Corpus.splitBucket(col("text"))) === "train")
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .groupBy(md5(col("text").cast("binary")).as("text_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_arrivals"))
+      .orderBy(col("text_hash"))
+      .collect().toSeq
+    val streamed = Events.ingestDecontam(spark, TestSpark.sf).collect().toSeq
+    assert(expected.nonEmpty && streamed == expected)
+    // and the gate actually bites: some train doc is contaminated
+    assert(streamed.size < docs
+      .filter(Corpus.splitOfBucket(Corpus.splitBucket(col("text"))) === "train")
+      .select(md5(col("text").cast("binary"))).distinct().count())
+  }
+
   test("update-mode delta-chain sink resolves to the complete-mode dedup relation") {
     // the production twin: per-batch foreachBatch deltas + last-write-wins
     // read-back must equal the memory-sink Complete-mode verify relation
