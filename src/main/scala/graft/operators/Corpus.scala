@@ -82,6 +82,10 @@ object Corpus {
   def sampleTopKHash(docs: DataFrame, k: Int = 100): DataFrame =
     docs
       .select(col("doc_id"), md5(concat(lit("topk:"), col("text")).cast("binary")).as("ok"))
+      // null text → null key, and Spark sorts nulls FIRST (DuckDB last):
+      // without this fence every null-body crawl row would hijack the
+      // sample and the two engines would disagree on its membership
+      .filter(col("ok").isNotNull)
       .orderBy(col("ok"), col("doc_id"))
       .limit(k)
 
@@ -486,6 +490,7 @@ object Corpus {
         |FROM documents ORDER BY doc_id""".stripMargin,
     "sample_topk_hash" ->
       """SELECT doc_id, md5('topk:' || text) AS ok FROM documents
+        |WHERE text IS NOT NULL
         |ORDER BY ok, doc_id LIMIT 100""".stripMargin,
     "vocab_topk" ->
       """SELECT word, count(*) AS cnt, count(DISTINCT doc_id) AS doc_freq FROM (

@@ -79,14 +79,22 @@ object Snapshot {
   def snapshotDiff(docs: DataFrame): DataFrame =
     diff(manifest(oldSnapshot(docs)), manifest(docs))
 
-  /** The generic operator: diff two `(doc_id, h)` manifests. */
+  /** The generic operator: diff two `(doc_id, h)` manifests. Presence
+    * is decided by explicit markers, NOT hash nullity — a null-text doc
+    * manifests as h = null (md5(null) is null), and inferring absence
+    * from that would misclassify a doc present on both sides as
+    * added/removed (breaking [[applyDelta]]'s round-trip identity for
+    * crawls that deliver null bodies). Null-safe hash equality for the
+    * same reason: two null-body versions of a doc are `unchanged`.
+    */
   def diff(oldM: DataFrame, newM: DataFrame): DataFrame =
-    newM.withColumnRenamed("h", "h_new")
-      .join(oldM.withColumnRenamed("h", "h_old"), Seq("doc_id"), "full_outer")
+    newM.withColumnRenamed("h", "h_new").withColumn("in_new", lit(true))
+      .join(oldM.withColumnRenamed("h", "h_old").withColumn("in_old", lit(true)),
+        Seq("doc_id"), "full_outer")
       .select(col("doc_id"),
-        when(col("h_old").isNull, "added")
-          .when(col("h_new").isNull, "removed")
-          .when(col("h_new") =!= col("h_old"), "changed")
+        when(col("in_old").isNull, "added")
+          .when(col("in_new").isNull, "removed")
+          .when(!col("h_new").eqNullSafe(col("h_old")), "changed")
           .otherwise("unchanged").as("status"))
       .filter(col("status") =!= "unchanged")
       .orderBy(col("doc_id"))

@@ -125,6 +125,46 @@ class RobustnessSpec extends AnyFunSuite {
       .head().getBoolean(2), "approx-percentile all_within must fail at zero slack")
   }
 
+  test("snapshot diff/apply treat null-body docs by presence, not hash nullity") {
+    import spark.implicits._
+    import graft.operators.Snapshot
+    // doc 2: null body on BOTH sides — unchanged, must not appear;
+    // doc 3: body -> null — changed; doc 4: null -> body — changed
+    val oldM = Seq((1L, Option("a")), (2L, None), (3L, Option("c")), (4L, None))
+      .toDF("doc_id", "h")
+    val newM = Seq((1L, Option("a")), (2L, None), (3L, None), (4L, Option("d")))
+      .toDF("doc_id", "h")
+    val got = Snapshot.diff(oldM, newM).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set(3L -> "changed", 4L -> "changed"))
+    // and the round-trip identity holds for a null-body delivery
+    val oldS = Seq((1L, Option("one body")), (2L, None)).toDF("doc_id", "text")
+    val newS = Seq((1L, Option("one body")), (2L, Option("two body")),
+      (5L, None)).toDF("doc_id", "text")
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"), md5(col("text").cast("binary")).as("h"))
+    val applied = Snapshot.applyDelta(oldS, Snapshot.diff(m(oldS), m(newS)), newS)
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)))).toSeq
+    assert(applied == Seq(1L -> Some("one body"), 2L -> Some("two body"), 5L -> None))
+  }
+
+  test("incremental_clean equals the full recompute on a null-bearing corpus") {
+    import spark.implicits._
+    val oldS = Seq((1L, Option("the cat sat on the mat")), (2L, None), (3L, Option("")))
+      .toDF("doc_id", "text")
+    val newS = Seq((1L, Option("the cat sat on the mat")), (2L, Option("now a body")),
+      (3L, None)).toDF("doc_id", "text")
+    val full = graft.operators.Corpus.cleanCorpusDocs(newS).collect().toSeq
+    val inc = graft.operators.Snapshot.incrementalCleanFrom(oldS, newS).collect().toSeq
+    assert(inc.map(_.toSeq) == full.map(_.toSeq))
+  }
+
+  test("sample_topk_hash never admits null-body docs") {
+    val out = graft.operators.Corpus.sampleTopKHash(docsWithNull, k = 10).collect()
+    assert(out.nonEmpty && out.forall(!_.isNullAt(1)))
+    assert(!out.map(_.getLong(0)).contains(2L))
+  }
+
   test("dedup and decontam pipelines drop null/empty docs instead of crashing") {
     // shingle-based ops: null/short docs have no 3-gram → silently absent
     assert(Dedup.ngramJaccard(docsWithNull).count() == 0)
