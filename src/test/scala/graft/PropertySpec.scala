@@ -224,4 +224,42 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("snapshot diff/apply round-trip identity on random snapshot pairs") {
+    // for ANY (old, new) snapshot pair — random bodies, random overlap,
+    // null bodies included — apply(old, diff(old, new), new) == new, and
+    // diff statuses partition exactly into the set-theoretic truth
+    import org.apache.spark.sql.functions._
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val rng = new scala.util.Random(0xd1ff)
+    def snapshot(ids: Seq[Long], texts: Map[Long, Option[String]]) =
+      ids.map(i => (i, texts(i))).toDF("doc_id", "text")
+    def manifest(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"), md5(col("text").cast("binary")).as("h"))
+    for (round <- 1 to 5) {
+      val universe = (1L to 40L)
+      val bodiesOld = universe.map(i => i -> (if (rng.nextInt(10) == 0) None
+        else Some(s"body ${rng.nextInt(6)} of doc"))).toMap
+      val bodiesNew = universe.map(i => i -> (if (rng.nextInt(10) == 0) None
+        else Some(s"body ${rng.nextInt(6)} of doc"))).toMap
+      val oldIds = universe.filter(_ => rng.nextBoolean())
+      val newIds = universe.filter(_ => rng.nextBoolean())
+      val oldS = snapshot(oldIds, bodiesOld)
+      val newS = snapshot(newIds, bodiesNew)
+      val delta = graft.operators.Snapshot.diff(manifest(oldS), manifest(newS))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      // set-theoretic truth of each status
+      val oldSet = oldIds.toSet; val newSet = newIds.toSet
+      assert(delta.filter(_._2 == "added").keySet == newSet -- oldSet, s"round $round added")
+      assert(delta.filter(_._2 == "removed").keySet == oldSet -- newSet, s"round $round removed")
+      assert(delta.filter(_._2 == "changed").keySet ==
+        (oldSet & newSet).filter(i => bodiesOld(i) != bodiesNew(i)), s"round $round changed")
+      val applied = graft.operators.Snapshot
+        .applyDelta(oldS, graft.operators.Snapshot.diff(manifest(oldS), manifest(newS)), newS)
+        .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toSeq.sortBy(_._1)
+      val expected = newIds.sorted.map(i => i -> bodiesNew(i))
+      assert(applied == expected, s"round $round round-trip broke")
+    }
+  }
 }
