@@ -51,5 +51,20 @@ class EntrySpec extends AnyFunSuite {
     val orphanOracles = SparkEntry.oracleSql.keySet -- registered
     assert(orphanOracles.isEmpty,
       s"oracleSql keys with no matching query: ${orphanOracles.toSeq.sorted.mkString(", ")}")
+    // and the oracle COLUMN tells the truth both ways: a row whose
+    // oracle cell starts with "SQL" has an oracleSql entry, and every
+    // oracle-backed query row says so (r8 probe found three rows
+    // under-claiming "rows-only"/"spec" for oracle-checked queries)
+    val rowFull = """(?m)^\|\s*`([a-z0-9_]+)`\s*\|\s*([a-z/]+)\s*\|.*\|\s*([^|]+)\|\s*$""".r
+    val claims = rowFull.findAllMatchIn(section2)
+      .collect { case m if m.group(2).contains("query") =>
+        m.group(1) -> m.group(3).trim.startsWith("SQL") }.toMap
+    val misclaimed = claims.collect {
+      case (n, claimsSql) if claimsSql != SparkEntry.oracleSql.contains(n) =>
+        s"$n (cell says ${if (claimsSql) "SQL" else "no oracle"}, " +
+          s"oracleSql ${if (SparkEntry.oracleSql.contains(n)) "has" else "lacks"} it)"
+    }
+    assert(misclaimed.isEmpty,
+      s"SURVEY oracle-column drift: ${misclaimed.toSeq.sorted.mkString("; ")}")
   }
 }
