@@ -47,6 +47,25 @@ object Profile {
       .orderBy(col("lang"), col("source"))
   }
 
+  /** The dataset-card MATRIX view: doc counts as a lang × source WIDE
+    * relation via Spark's pivot — the cross-tab a data report renders
+    * directly (the long `corpusReport` relation is the machine-readable
+    * twin). The pivot value list is EXPLICIT: pivot without values runs
+    * an extra distinct-collection job on the driver and silently caps at
+    * `spark.sql.pivotMaxValues` — at 100 TB the report schema is a
+    * CONTRACT, not a discovery (a new source appearing mid-crawl should
+    * fail loudly in review, not grow a column). One partial-agg'd
+    * shuffle on `lang`; each group folds its |sources| conditional
+    * counts map-side.
+    */
+  def corpusPivot(docs: DataFrame,
+                  sources: Seq[String] = (0 until 20).map(i => s"src$i")): DataFrame =
+    docs.groupBy(col("lang"))
+      .pivot("source", sources)
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy(col("lang"))
+
   /** Top-N heaviest keys of `df` under `keyCol`, each with its share of
     * the mean key frequency (`skew_ratio` — the number you compare to an
     * AQE skew threshold or turn into a salting factor).
@@ -92,10 +111,20 @@ object Profile {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_report" -> ((s, d) => corpusReport(Tables.documents(s, d))),
+    "corpus_pivot" -> ((s, d) => corpusPivot(Tables.documents(s, d))),
     "key_skew_report" -> ((s, d) => keySkewReport(Tables.events(s, d))),
     "doc_length_histogram" -> ((s, d) => docLengthHistogram(Tables.documents(s, d))))
 
   val oracle: Map[String, String] = Map(
+    // the pivot as conditional aggregation — same explicit column set
+    "corpus_pivot" -> {
+      val cells = (0 until 20).map(i =>
+        s"CAST(sum(CASE WHEN source = 'src$i' THEN 1 ELSE 0 END) AS BIGINT) AS src$i")
+        .mkString(",\n ")
+      s"""SELECT lang,
+         | $cells
+         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+    },
     "corpus_report" ->
       """SELECT lang, source, count(*) AS n_docs,
         | CAST(sum(n_chars) AS BIGINT) AS total_chars,
