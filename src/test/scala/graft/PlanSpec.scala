@@ -39,7 +39,7 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("aggregations combine map-side (partial before the exchange)") {
-    for (q <- Seq("q1_pricing_summary", "mj_wordcount", "q_distinct_users")) {
+    for (q <- Seq("q1_pricing_summary", "mj_wordcount", "q_distinct_users", "corpus_pivot")) {
       val plan = planOf(q)
       assert(plan.contains("partial_"), s"$q has no partial aggregation:\n$plan")
     }
