@@ -285,7 +285,20 @@ object Training {
   def corpusUpsample(docs: DataFrame,
                      weights: Map[String, Double] = DefaultMixWeights,
                      maxRepeat: Int = 4,
-                     by: String = "lang"): DataFrame = {
+                     by: String = "lang"): DataFrame =
+    corpusUpsampleRaw(docs, weights, maxRepeat, by)
+      .orderBy(col("doc_id"), col("copy_id"))
+
+  /** [[corpusUpsample]] without the user-facing sort — the form
+    * compositions consume: [[shuffleShardsCopies]] immediately hash-
+    * exchanges on `shard`, so an upstream global orderBy would be a
+    * full range-exchange + sort of the fanned-out corpus for nothing
+    * (the dedupClusters discipline).
+    */
+  private[operators] def corpusUpsampleRaw(docs: DataFrame,
+                                           weights: Map[String, Double] = DefaultMixWeights,
+                                           maxRepeat: Int = 4,
+                                           by: String = "lang"): DataFrame = {
     import docs.sparkSession.implicits._
     val w = weights.toSeq.toDF(by, "w")
     val n = docs.groupBy(col(by)).agg(count(lit(1)).cast("double").as("n_s"))
@@ -308,7 +321,6 @@ object Training {
         // it in a Cast is UNSUPPORTED_GENERATOR.NESTED_IN_EXPRESSIONS at
         // analysis time, so build the sequence over longs directly
         explode(sequence(lit(1L), col("n_copies").cast("long"))).as("copy_id"))
-      .orderBy(col("doc_id"), col("copy_id"))
   }
 
   // -------------------------------------------- Bloom-gated decontamination
@@ -748,7 +760,7 @@ object Training {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "shuffle_shards" -> ((s, d) => shuffleShards(Tables.documents(s, d))),
     "shuffle_shards_upsampled" ->
-      ((s, d) => shuffleShardsCopies(corpusUpsample(Tables.documents(s, d)))),
+      ((s, d) => shuffleShardsCopies(corpusUpsampleRaw(Tables.documents(s, d)))),
     "sample_stratified" -> ((s, d) => stratifiedSample(Tables.documents(s, d))),
     "corpus_mix" -> ((s, d) => corpusMix(Tables.documents(s, d))),
     "corpus_mix_temperature" -> ((s, d) => corpusMixTemperature(Tables.documents(s, d))),
