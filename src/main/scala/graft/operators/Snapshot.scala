@@ -255,8 +255,14 @@ object Snapshot {
     * itself, so any classification, carry, or body-selection bug
     * hash-mismatches the identity.
     */
-  def snapshotApply(docs: DataFrame): DataFrame =
-    applyDelta(oldSnapshot(docs), snapshotDiff(docs), docs)
+  def snapshotApply(docs: DataFrame): DataFrame = {
+    // materialize the delta ONCE — both of applyDelta's arms consume it,
+    // and recomputing the manifest diff per arm would scan both
+    // snapshots twice (production passes a STORED delta here anyway);
+    // the checkpointed |delta|-sized leaf is what AQE then broadcasts
+    val delta = snapshotDiff(docs).localCheckpoint(true)
+    applyDelta(oldSnapshot(docs), delta, docs)
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "snapshot_diff" -> ((s, d) => snapshotDiff(Tables.documents(s, d))),

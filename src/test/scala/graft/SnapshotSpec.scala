@@ -144,6 +144,19 @@ class SnapshotSpec extends AnyFunSuite {
     assert(applied == Seq(2L -> "two body", 3L -> "three body changed", 4L -> "four body"))
   }
 
+  test("snapshot_apply joins the delta as broadcasts, never shuffling snapshot text") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val ds = Snapshot.snapshotApply(docs)
+    ds.collect() // AQE final plan needs THE dataset executed
+    val plan = ds.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l =>
+      l.contains("BroadcastHashJoin") && l.contains("LeftAnti")),
+      s"carry arm's delta fence is not a broadcast anti-join:\n${plan.take(3000)}")
+    assert(plan.linesIterator.exists(l =>
+      l.contains("BroadcastHashJoin") && l.contains("LeftSemi")),
+      s"body arm's delta gate is not a broadcast semi-join:\n${plan.take(3000)}")
+  }
+
   test("incremental_clean gates the corpus with a broadcast semi-join, never a text shuffle") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val ds = Snapshot.incrementalClean(docs)
