@@ -193,9 +193,10 @@ object Bench {
     val json = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","errors":$errs,"clear_cache":${!clearCacheOff},"reps":$repsJson,"canary":$canaryJson,"canary_median":${fmt(canaryMedian)},"canary_spread":${fmt(canarySpread)},"latency_canary":$latencyJson,"latency_canary_median":${fmt(latencyMedian)},"rocksdb_stream":$rocksdbJson,"queries":$qs,"mins":$minsJson,"normalized":$normJson}"""
     println(json)
     // Belt-and-braces for the same truncation: the COMPLETE record also
-    // lands in a repo file the driver never trims, so any future verdict
-    // can cross-check normalized medians against raw mins even if stdout
-    // is clipped.
+    // lands in a file the driver never trims (cwd-resolved — the driver
+    // always runs from the repo root; any other launcher overrides via
+    // SPARK_GRAFT_BENCH_OUT), so any future verdict can cross-check
+    // normalized medians against raw mins even if stdout is clipped.
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))

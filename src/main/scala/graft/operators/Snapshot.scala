@@ -288,9 +288,9 @@ object Snapshot {
         |    md5('retired ' || CAST(doc_id AS VARCHAR))
         |  FROM documents WHERE doc_id % 13 = 0),
         |d AS (SELECT coalesce(n.doc_id, o.doc_id) AS doc_id,
-        |  CASE WHEN o.h IS NULL THEN 'added'
-        |       WHEN n.h IS NULL THEN 'removed'
-        |       WHEN n.h <> o.h THEN 'changed'
+        |  CASE WHEN o.doc_id IS NULL THEN 'added'
+        |       WHEN n.doc_id IS NULL THEN 'removed'
+        |       WHEN n.h IS DISTINCT FROM o.h THEN 'changed'
         |       ELSE 'unchanged' END AS status
         |  FROM newm n FULL OUTER JOIN oldm o ON n.doc_id = o.doc_id)
         |SELECT doc_id, status FROM d WHERE status <> 'unchanged'

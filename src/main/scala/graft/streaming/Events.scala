@@ -644,16 +644,26 @@ object Events {
     try {
       runBounded(spark, sfDir, statePartitions, OutputMode.Complete, "graft_idecon",
         finish = df => {
-          // exact confirm, batch-side, suspect-sized: FPs survive here
+          // exact confirm, batch-side, SUSPECT-sized: the shingle kernel
+          // must not run over the whole corpus here — each side shingles
+          // only the docs it needs (suspects after a cheap md5 gate;
+          // test docs after the split filter), so the confirm cost
+          // follows the contamination rate, not the corpus
           val ss2 = df.sparkSession
           graft.GraftSession.registerFunctions(ss2)
           val suspects = df.filter(col("suspect") === 1).select(col("text_hash"))
-          val contaminated = shingledOf(ss2.read.parquet(docsPath))
-            .withColumn("text_hash", md5(col("text").cast("binary")))
+          val sdocs = ss2.read.parquet(docsPath)
+          val testSh = sdocs
+            .filter(Corpus.splitOfBucket(Corpus.splitBucket(col("text"))) === "test")
+            .select(explode(
+              graft.functions.ShingleFunctions.shingleHashes(col("text"), 5)).as("s"))
+            .distinct()
+          val contaminated = sdocs
+            .select(md5(col("text").cast("binary")).as("text_hash"), col("text"))
             .join(broadcast(suspects), "text_hash")
-            .select(col("text_hash"), explode(col("shingles")).as("s"))
-            .join(shingledOf(ss2.read.parquet(docsPath)).filter(col("split") === "test")
-              .select(explode(col("shingles")).as("s")).distinct(), "s")
+            .select(col("text_hash"), explode(
+              graft.functions.ShingleFunctions.shingleHashes(col("text"), 5)).as("s"))
+            .join(testSh, "s")
             .select(col("text_hash")).distinct()
           df.join(contaminated, Seq("text_hash"), "left_anti")
             .select(col("text_hash"), col("keep_id"), col("n_arrivals"))
@@ -666,15 +676,17 @@ object Events {
             graft.functions.ShingleFunctions.shingleHashes(col("text"), 5))
         val suspect = bfB.fold(lit(false))(b =>
           graft.functions.BloomProbe.anyContain(ss, col("shingles"), b))
-        val out = withSh
-          .withColumn("suspect", suspect.cast("int"))
-          .groupBy(md5(col("text").cast("binary")).as("text_hash"))
-          .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_arrivals"),
-            max(col("suspect")).as("suspect"))
-        // frame constructed (analysis eager) — the probe's registry entry
-        // can go; the resolved plan keeps its own sketch reference
-        bfB.foreach(b => graft.functions.BloomProbe.release(ss, b))
-        out
+        // finally-release (the decontamBloom discipline): once the frame
+        // is constructed the resolved plan keeps its own sketch
+        // reference — and if analysis THROWS, the registry entry must
+        // still go, or it pins the broadcast for the session's lifetime
+        try
+          withSh
+            .withColumn("suspect", suspect.cast("int"))
+            .groupBy(md5(col("text").cast("binary")).as("text_hash"))
+            .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_arrivals"),
+              max(col("suspect")).as("suspect"))
+        finally bfB.foreach(b => graft.functions.BloomProbe.release(ss, b))
       }
     } finally graft.operators.Corpus.releaseCheckpoint(testShingles)
   }
