@@ -626,68 +626,158 @@ object Events {
     */
   def ingestDecontam(spark: SparkSession, sfDir: String,
                      statePartitions: Option[Int] = Some(4)): DataFrame = {
-    import graft.operators.Corpus
     val docsPath = s"$sfDir/documents.parquet"
-    def shingledOf(df: DataFrame): DataFrame = df.select(
-      col("doc_id"), col("text"),
-      Corpus.splitOfBucket(Corpus.splitBucket(col("text"))).as("split"),
-      graft.functions.ShingleFunctions.shingleHashes(col("text"), 5).as("shingles"))
-    // static side, before the stream: the benchmark's shingle sketch
-    val testShingles = shingledOf(spark.read.parquet(docsPath))
-      .filter(col("split") === "test")
-      .select(explode(col("shingles")).as("s")).distinct().localCheckpoint(true)
+    val (testShingles, bfB) = testBloom(spark, docsPath)
+    try {
+      runBounded(spark, sfDir, statePartitions, OutputMode.Complete, "graft_idecon",
+        finish = df => confirmSuspects(df, docsPath),
+        table = "documents")(docs => decontamGate(docs, bfB))
+    } finally graft.operators.Corpus.releaseCheckpoint(testShingles)
+  }
+
+  /** Static pre-stream side of the decontam gate: the heldout TEST
+    * shingle set (eager-checkpointed; caller releases) and its Bloom
+    * sketch broadcast — fixed benchmark artifacts, built once no matter
+    * how long the stream runs. None when the test split is empty (no
+    * contamination possible; `stat.bloomFilter` NPEs on empty input).
+    */
+  private def testBloom(spark: SparkSession, docsPath: String)
+      : (DataFrame, Option[org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter]]) = {
+    import graft.operators.Corpus
+    val testShingles = spark.read.parquet(docsPath)
+      .filter(Corpus.splitOfBucket(Corpus.splitBucket(col("text"))) === "test")
+      .select(explode(
+        graft.functions.ShingleFunctions.shingleHashes(col("text"), 5)).as("s"))
+      .distinct().localCheckpoint(true)
     val nTest = testShingles.count()
     val bfB =
       if (nTest == 0) None
       else Some(spark.sparkContext.broadcast(
         testShingles.stat.bloomFilter("s", nTest, 0.01)))
+    (testShingles, bfB)
+  }
+
+  /** The per-batch decontam+dedup aggregate both sink twins run: train
+    * split only (content-hash, stateless), word-5-gram shingles, Bloom
+    * SUSPECT probe (native, codegen'd), exact dedup keyed on md5(text)
+    * carrying `max(suspect)` — one flag of extra state per distinct
+    * text. Finally-release of the probe registration (the decontamBloom
+    * discipline): once the frame is constructed the resolved plan keeps
+    * its own sketch reference — and if analysis THROWS, the registry
+    * entry must still go, or it pins the broadcast for the session's
+    * lifetime.
+    */
+  private def decontamGate(docs: DataFrame,
+      bfB: Option[org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter]]): DataFrame = {
+    import graft.operators.Corpus
+    val ss = docs.sparkSession
+    val withSh = docs
+      .filter(Corpus.splitOfBucket(Corpus.splitBucket(col("text"))) === "train")
+      .withColumn("shingles",
+        graft.functions.ShingleFunctions.shingleHashes(col("text"), 5))
+    val suspect = bfB.fold(lit(false))(b =>
+      graft.functions.BloomProbe.anyContain(ss, col("shingles"), b))
+    try
+      withSh
+        .withColumn("suspect", suspect.cast("int"))
+        .groupBy(md5(col("text").cast("binary")).as("text_hash"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_arrivals"),
+          max(col("suspect")).as("suspect"))
+    finally bfB.foreach(b => graft.functions.BloomProbe.release(ss, b))
+  }
+
+  /** Exact confirm, batch-side, SUSPECT-sized — shared by both decontam
+    * sink twins so the FP-elimination semantics live once. The shingle
+    * kernel must not run over the whole corpus here: each side shingles
+    * only the docs it needs (suspects after a cheap md5 gate; test docs
+    * after the split filter), so the confirm cost follows the
+    * contamination rate, not the corpus.
+    */
+  private def confirmSuspects(df: DataFrame, docsPath: String): DataFrame = {
+    import graft.operators.Corpus
+    val ss2 = df.sparkSession
+    graft.GraftSession.registerFunctions(ss2)
+    val suspects = df.filter(col("suspect") === 1).select(col("text_hash"))
+    val sdocs = ss2.read.parquet(docsPath)
+    val testSh = sdocs
+      .filter(Corpus.splitOfBucket(Corpus.splitBucket(col("text"))) === "test")
+      .select(explode(
+        graft.functions.ShingleFunctions.shingleHashes(col("text"), 5)).as("s"))
+      .distinct()
+    val contaminated = sdocs
+      .select(md5(col("text").cast("binary")).as("text_hash"), col("text"))
+      .join(broadcast(suspects), "text_hash")
+      .select(col("text_hash"), explode(
+        graft.functions.ShingleFunctions.shingleHashes(col("text"), 5)).as("s"))
+      .join(testSh, "s")
+      .select(col("text_hash")).distinct()
+    df.join(contaminated, Seq("text_hash"), "left_anti")
+      .select(col("text_hash"), col("keep_id"), col("n_arrivals"))
+      .orderBy(col("text_hash"))
+  }
+
+  /** The PRODUCTION sink path for [[ingestDecontam]] — the same
+    * treatment [[ingestDedupToFiles]] gives the plain dedup ingest:
+    * UPDATE mode + foreachBatch lands each micro-batch's CHANGED keys as
+    * an idempotent `batch=<epoch>` parquet delta (merge-on-read
+    * changelog, per-batch writes O(changed), compactable by
+    * [[compactDeltaChain]]), with the deltas carrying the suspect flag
+    * as data. The consumer's read-back resolves last-write-wins per key
+    * and THEN applies the suspect-sized exact confirm — deferring FP
+    * elimination to read time is what keeps the hot write path pure map
+    * + agg (the confirm needs the static corpus, which a sink executor
+    * shouldn't re-open per batch). Converges to the memory-sink
+    * [[ingestDecontam]] relation exactly (spec-pinned), same oracle.
+    */
+  def ingestDecontamToFiles(spark: SparkSession, sfDir: String,
+                            statePartitions: Option[Int] = Some(4),
+                            deltaProbe: Option[scala.collection.mutable.Buffer[(Long, Long)]] = None): DataFrame = {
+    val ss = sessionFor(spark, statePartitions,
+      Map("spark.sql.streaming.noDataMicroBatches.enabled" -> "false") ++ providerConf)
+    graft.GraftSession.registerFunctions(ss)
+    val staged = java.nio.file.Paths.get(s"$sfDir/documents.parquet")
+    val docsPath = staged.toString
+    val stagedBytes = java.nio.file.Files.size(staged)
+    val (testShingles, bfB) = testBloom(ss, docsPath)
     try {
-      runBounded(spark, sfDir, statePartitions, OutputMode.Complete, "graft_idecon",
-        finish = df => {
-          // exact confirm, batch-side, SUSPECT-sized: the shingle kernel
-          // must not run over the whole corpus here — each side shingles
-          // only the docs it needs (suspects after a cheap md5 gate;
-          // test docs after the split filter), so the confirm cost
-          // follows the contamination rate, not the corpus
-          val ss2 = df.sparkSession
-          graft.GraftSession.registerFunctions(ss2)
-          val suspects = df.filter(col("suspect") === 1).select(col("text_hash"))
-          val sdocs = ss2.read.parquet(docsPath)
-          val testSh = sdocs
-            .filter(Corpus.splitOfBucket(Corpus.splitBucket(col("text"))) === "test")
-            .select(explode(
-              graft.functions.ShingleFunctions.shingleHashes(col("text"), 5)).as("s"))
-            .distinct()
-          val contaminated = sdocs
-            .select(md5(col("text").cast("binary")).as("text_hash"), col("text"))
-            .join(broadcast(suspects), "text_hash")
-            .select(col("text_hash"), explode(
-              graft.functions.ShingleFunctions.shingleHashes(col("text"), 5)).as("s"))
-            .join(testSh, "s")
-            .select(col("text_hash")).distinct()
-          df.join(contaminated, Seq("text_hash"), "left_anti")
-            .select(col("text_hash"), col("keep_id"), col("n_arrivals"))
-            .orderBy(col("text_hash"))
-        }, table = "documents") { docs =>
-        val ss = docs.sparkSession
-        val withSh = docs
-          .filter(Corpus.splitOfBucket(Corpus.splitBucket(col("text"))) === "train")
-          .withColumn("shingles",
-            graft.functions.ShingleFunctions.shingleHashes(col("text"), 5))
-        val suspect = bfB.fold(lit(false))(b =>
-          graft.functions.BloomProbe.anyContain(ss, col("shingles"), b))
-        // finally-release (the decontamBloom discipline): once the frame
-        // is constructed the resolved plan keeps its own sketch
-        // reference — and if analysis THROWS, the registry entry must
-        // still go, or it pins the broadcast for the session's lifetime
-        try
-          withSh
-            .withColumn("suspect", suspect.cast("int"))
-            .groupBy(md5(col("text").cast("binary")).as("text_hash"))
-            .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_arrivals"),
-              max(col("suspect")).as("suspect"))
-        finally bfB.foreach(b => graft.functions.BloomProbe.release(ss, b))
-      }
+      val src = scratchDir("graft_idecon_file_src", stagedBytes)
+      try {
+        val sink = scratchDir("graft_idecon_file_sink", stagedBytes)
+        try {
+          val ckpt = scratchDir("graft_idecon_file_ckpt", stagedBytes)
+          try {
+            val docs = ss.read.parquet(docsPath)
+            // two arrivals (doc_id % 5) — the second drain must be a
+            // genuinely incremental micro-batch, as in ingestDedupToFiles
+            docs.filter(col("doc_id") % 5 =!= 0).write.mode("append").parquet(src.toString)
+            val stream = ss.readStream.schema(rawSchema(ss, sfDir, "documents")).parquet(src.toString)
+            val gated = decontamGate(stream, bfB)
+            val q = gated.writeStream
+              .outputMode(OutputMode.Update)
+              .option("checkpointLocation", ckpt.toString)
+              .foreachBatch { (batch: DataFrame, epoch: Long) =>
+                val delta = if (deltaProbe.isDefined) batch.persist() else batch
+                delta.write.mode("overwrite").parquet(s"$sink/batch=$epoch")
+                deltaProbe.foreach { p => p += ((epoch, delta.count())); delta.unpersist() }
+              }
+              .start()
+            try {
+              q.processAllAvailable()
+              docs.filter(col("doc_id") % 5 === 0).write.mode("append").parquet(src.toString)
+              q.processAllAvailable()
+            } finally { dumpProgress("graft_idecon_files", q); q.stop() }
+            // consumer view: LWW per key across the delta chain, then
+            // the exact confirm drops Bloom false positives
+            val lww = spark.read.parquet(sink.toString)
+              .groupBy(col("text_hash"))
+              .agg(max_by(struct(col("keep_id"), col("n_arrivals"), col("suspect")),
+                col("batch")).as("v"))
+              .select(col("text_hash"), col("v.keep_id").as("keep_id"),
+                col("v.n_arrivals").as("n_arrivals"), col("v.suspect").as("suspect"))
+            detach(spark, confirmSuspects(lww, docsPath))
+          } finally deleteDirQuietly(ckpt)
+        } finally deleteDirQuietly(sink)
+      } finally deleteDirQuietly(src)
     } finally graft.operators.Corpus.releaseCheckpoint(testShingles)
   }
 
@@ -907,6 +997,7 @@ object Events {
     "stream_ingest_dedup" -> ((s, d) => ingestDedup(s, d)),
     "stream_ingest_dedup_files" -> ((s, d) => ingestDedupToFiles(s, d)),
     "stream_ingest_decontam" -> ((s, d) => ingestDecontam(s, d)),
+    "stream_ingest_decontam_files" -> ((s, d) => ingestDecontamToFiles(s, d)),
     "stream_window_agg" -> ((s, d) => windowAgg(s, d)),
     "stream_window_agg_files" -> ((s, d) => windowAggToFiles(s, d)),
     "stream_sliding_agg" -> ((s, d) => slidingWindowAgg(s, d)),
@@ -930,6 +1021,28 @@ object Events {
       |WHERE len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) >= 10
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Decontaminated-ingest oracle, shared by the memory-sink and
+    * file-sink twins for the same drift-proofing reason. */
+  private val ingestDecontamOracle =
+    s"""WITH t AS (SELECT doc_id, text,
+       |  list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ts FROM documents),
+       |sp AS (SELECT doc_id, text, ts,
+       |  CASE WHEN substr(md5(text), 1, 2) < 'cd' THEN 'train'
+       |       WHEN substr(md5(text), 1, 2) < 'e6' THEN 'validation'
+       |       ELSE 'test' END AS split
+       | FROM t),
+       |sh AS (SELECT doc_id, split, list_distinct(
+       |   """.stripMargin + graft.operators.Training.fiveGramListOf("ts") + """) AS shingles
+       |  FROM sp WHERE len(ts) >= 5),
+       |ex AS (SELECT doc_id, split, unnest(shingles) AS s FROM sh),
+       |contaminated AS (SELECT DISTINCT a.doc_id FROM ex a
+       |  JOIN ex b ON a.s = b.s AND b.split = 'test' WHERE a.split = 'train'),
+       |tr AS (SELECT doc_id, text FROM sp WHERE split = 'train'
+       |  AND doc_id NOT IN (SELECT doc_id FROM contaminated))
+       |SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
+       | CAST(count(*) AS BIGINT) AS n_arrivals
+       |FROM tr GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Tumbling-window oracle, shared by the memory-sink and file-sink
     * twins for the same drift-proofing reason. */
   private val windowAggOracle =
@@ -945,25 +1058,10 @@ object Events {
     // decontaminated train ingestion: train docs (content-hash split)
     // sharing NO word-5-gram with any test doc, exact-deduped — the
     // string-shingle self-join mirrors decontam_ngram's criterion
-    "stream_ingest_decontam" ->
-      (s"""WITH t AS (SELECT doc_id, text,
-          |  list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ts FROM documents),
-          |sp AS (SELECT doc_id, text, ts,
-          |  CASE WHEN substr(md5(text), 1, 2) < 'cd' THEN 'train'
-          |       WHEN substr(md5(text), 1, 2) < 'e6' THEN 'validation'
-          |       ELSE 'test' END AS split
-          | FROM t),
-          |sh AS (SELECT doc_id, split, list_distinct(
-          |   """.stripMargin + graft.operators.Training.fiveGramListOf("ts") + """) AS shingles
-          |  FROM sp WHERE len(ts) >= 5),
-          |ex AS (SELECT doc_id, split, unnest(shingles) AS s FROM sh),
-          |contaminated AS (SELECT DISTINCT a.doc_id FROM ex a
-          |  JOIN ex b ON a.s = b.s AND b.split = 'test' WHERE a.split = 'train'),
-          |tr AS (SELECT doc_id, text FROM sp WHERE split = 'train'
-          |  AND doc_id NOT IN (SELECT doc_id FROM contaminated))
-          |SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
-          | CAST(count(*) AS BIGINT) AS n_arrivals
-          |FROM tr GROUP BY 1 ORDER BY 1""".stripMargin),
+    "stream_ingest_decontam" -> ingestDecontamOracle,
+    // the production delta-chain sink must resolve (after its read-back
+    // confirm) to the SAME decontaminated relation
+    "stream_ingest_decontam_files" -> ingestDecontamOracle,
     // the production Update-mode delta-chain sink must resolve to the
     // SAME relation: the two staged arrivals partition the corpus, so
     // last-write-wins over the deltas equals the batch dedup

@@ -98,6 +98,21 @@ class StreamingSpec extends AnyFunSuite {
       .select(md5(col("text").cast("binary"))).distinct().count())
   }
 
+  test("decontam delta-chain sink resolves to the complete-mode decontam relation") {
+    val probe = scala.collection.mutable.ListBuffer.empty[(Long, Long)]
+    val fromFiles = Events.ingestDecontamToFiles(spark, TestSpark.sf, deltaProbe = Some(probe))
+      .collect().toSeq
+    val complete = Events.ingestDecontam(spark, TestSpark.sf).collect().toSeq
+    assert(fromFiles.nonEmpty && fromFiles == complete)
+    // the second arrival's delta emits only its own keys — strictly
+    // fewer than the full relation (the %5 split guarantees both
+    // arrivals are non-empty at every SF)
+    val emitted = probe.toMap
+    assert(emitted.keySet == Set(0L, 1L), s"expected exactly 2 data batches, got $probe")
+    assert(emitted(1L) > 0 && emitted(1L) < fromFiles.size.toLong,
+      s"second delta not incremental: ${emitted(1L)} of ${fromFiles.size} keys")
+  }
+
   test("update-mode delta-chain sink resolves to the complete-mode dedup relation") {
     // the production twin: per-batch foreachBatch deltas + last-write-wins
     // read-back must equal the memory-sink Complete-mode verify relation
