@@ -92,11 +92,18 @@ object Bench {
         val t0 = System.nanoTime()
         // noop sink: full plan executes (every column materialized), nothing
         // written — unlike count(), Catalyst can't prune unevaluated aggs.
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
-          errors += s"$name: ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
-        }
-        times(name) = times(name) :+ (System.nanoTime() - t0) / 1e9
+        val ok =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch { case e: Throwable =>
+            errors += s"$name: ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
+            false
+          }
+        // only SUCCESSFUL executions carry a timing (ADVICE r8): a
+        // fail-fast analysis error records ~0.1s, which would both
+        // understate the total and flag a false "regression" on every
+        // query the round after it's fixed. Failed queries live in
+        // `errors` (and rc=1) only.
+        if (ok) times(name) = times(name) :+ (System.nanoTime() - t0) / 1e9
         // UNTIMED cache release (ADVICE r5): several operators persist a
         // shared pass and return lazily (no post-materialization point to
         // unpersist at); without this hook those evictable blocks
@@ -146,7 +153,9 @@ object Bench {
         }
       }
     }
-    val results = times.toSeq.map { case (n, ts) => (n, median(ts), ts) }
+    // a query that failed EVERY pass has no timings at all — drop it from
+    // the per-query maps rather than crash on median(empty)
+    val results = times.toSeq.collect { case (n, ts) if ts.nonEmpty => (n, median(ts), ts) }
     def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
       .replaceAll("[\\n\\r\\t]", " ") + "\""
     // Locale.ROOT: a comma-decimal default locale would emit invalid JSON

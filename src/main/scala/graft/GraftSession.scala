@@ -61,6 +61,13 @@ object GraftSession {
     .config("spark.sql.adaptive.skewJoin.enabled", "true")
     // events.parquet carries TIMESTAMP(NANOS); Spark only reads it as long
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Driver-regenerated events.parquet (pandas/pyarrow) writes plain
+    // timestamp[us] with no UTC flag, which Spark ≥3.4 would infer as
+    // TIMESTAMP_NTZ — a type withWatermark and unix_micros reject. With
+    // the session timezone pinned to UTC above, reading it as ordinary
+    // TimestampType is the identity interpretation; disable the
+    // inference so every vintage of the testdata yields the same type.
+    .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     .config("spark.sql.parquet.filterPushdown", "true")
     // InferFiltersFromGenerate duplicates the generator expression into a
     // pushed-down size()>0 / isnotnull filter — for expensive array

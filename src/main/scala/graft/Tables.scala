@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Source layer: loaders for the driver-generated parquet tables.
   *
@@ -42,17 +42,23 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
-  /** events.ts is TIMESTAMP(NANOS) parquet, which Spark reads only as a
-    * long (spark.sql.legacy.parquet.nanosAsLong=true — set by
-    * [[graft.GraftSession]]). Convert to a micros timestamp here so every
-    * consumer sees a proper TimestampType column (DuckDB's CAST(ts AS
-    * TIMESTAMP) truncates ns→µs identically).
+  /** events.ts normalized to TimestampType, whatever vintage the staged
+    * parquet footer carries. Two drifts seen so far, both handled:
+    * TIMESTAMP(NANOS) read as long (spark.sql.legacy.parquet.nanosAsLong
+    * =true, set by [[graft.GraftSession]]) → ns truncated to a µs
+    * timestamp (DuckDB's CAST(ts AS TIMESTAMP) truncates identically);
+    * plain timestamp[us] with no UTC flag, which a session without
+    * graft's inferTimestampNTZ=false config reads as TIMESTAMP_NTZ →
+    * cast to TimestampType (identity reinterpretation under the pinned
+    * UTC session timezone).
     */
   def events(s: SparkSession, d: String): DataFrame = {
     val raw = load(s, d, "events")
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

@@ -4,7 +4,7 @@ import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
-import org.apache.spark.sql.types.{LongType, StructType}
+import org.apache.spark.sql.types.{LongType, StructType, TimestampNTZType, TimestampType}
 
 /** One raw event for stateful processing (ts in epoch micros). */
 case class RawEvent(user_id: Long, ts_us: Long, value: Double)
@@ -40,21 +40,28 @@ object Events {
   private def nextName(prefix: String): String =
     synchronized { counter += 1; s"${prefix}_$counter" }
 
-  /** A staged table's schema as stored (events' ts is INT64 nanos under
-    * spark.sql.legacy.parquet.nanosAsLong), read off parquet footers —
-    * never inferred from data. ONE definition for every harness site.
+  /** A staged table's schema as stored — whatever the staged footer
+    * carries (INT64 nanos-as-long, timestamp[us], NTZ…), read off
+    * parquet footers, never inferred from data. ONE definition for every
+    * harness site; [[withTs]] normalizes the ts vintage downstream.
     */
   private def rawSchema(spark: SparkSession, sfDir: String,
                         table: String = "events"): StructType =
     spark.read.parquet(s"$sfDir/$table.parquet").schema
 
-  /** ts (nanos-as-long) → TimestampType micros, matching
-    * [[graft.Tables.events]].
+  /** ts (nanos-as-long or NTZ) → TimestampType micros, matching
+    * [[graft.Tables.events]]. `private[graft]` (not `private`): with the
+    * session-level inferTimestampNTZ=false in place the NTZ arm is
+    * unreachable through [[runBounded]], so SchemaContractSpec covers it
+    * directly — it exists for library callers running graft on their own
+    * sessions.
     */
-  private def withTs(df: DataFrame): DataFrame =
-    if (df.schema("ts").dataType == LongType)
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else df
+  private[graft] def withTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }
 
   /** State-store parallelism for a streaming query: a streaming query
     * PINS spark.sql.shuffle.partitions at start, and every partition is
@@ -265,14 +272,17 @@ object Events {
   private def maxRawTs(ss: SparkSession, sfDir: String): Any =
     ss.read.parquet(s"$sfDir/events.parquet").agg(max(col("ts"))).head().get(0)
 
-  /** A ts literal `days` days past `rawMax`, in `rawMax`'s own type. */
-  private def farFutureTs(rawMax: Any, days: Int): org.apache.spark.sql.Column =
+  /** A ts literal `days` days past `rawMax`, in `rawMax`'s own type
+    * (`private[graft]` for the same reason as [[withTs]]: the
+    * LocalDateTime arm — NTZ read-back — needs direct spec coverage). */
+  private[graft] def farFutureTs(rawMax: Any, days: Int): org.apache.spark.sql.Column =
     rawMax match {
       case l: java.lang.Long =>
         lit(l + days * 24L * 3600 * 1000 * 1000 * 1000)
       case t: java.sql.Timestamp =>
         lit(java.sql.Timestamp.from(t.toInstant.plusSeconds(days * 86400L)))
       case i: java.time.Instant => lit(i.plusSeconds(days * 86400L))
+      case d: java.time.LocalDateTime => lit(d.plusDays(days.toLong))
       case null => throw new IllegalStateException(
         "events table is empty — no max event time to flush against")
       case other => throw new IllegalStateException(
