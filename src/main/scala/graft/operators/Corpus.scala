@@ -403,10 +403,23 @@ object Corpus {
     * materialize (checkpointed) before this returns; only the lazy
     * scored/label join survives, which never reads `shingled`.
     */
-  private[operators] def ledgerFrom(docs: DataFrame, shingled: DataFrame): DataFrame = {
-    val labels = connectedComponents(
+  private[operators] def ledgerFrom(docs: DataFrame, shingled: DataFrame): DataFrame =
+    ledgerFromEdges(docs,
       Dedup.ngramJaccardPairs(shingled)
         .select(col("doc_id_1").as("src"), col("doc_id_2").as("dst")))
+
+  /** [[ledgerFrom]] with a caller-supplied near-dup edge relation
+    * (`src`, `dst`; either orientation, duplicates tolerated — CC
+    * symmetrizes) — for a caller that already HAS the pair graph and
+    * must not pay the pair join twice: the incremental closure's BFS
+    * emits exactly the closure's complete edge set as a by-product of
+    * traversal ([[Snapshot.incrementalCleanFrom]]). Same contract as
+    * [[ledgerFrom]]: CC labels materialize (checkpointed) before this
+    * returns; only the lazy scored/label join survives, which never
+    * reads `edges`.
+    */
+  private[operators] def ledgerFromEdges(docs: DataFrame, edges: DataFrame): DataFrame = {
+    val labels = connectedComponents(edges)
     scoredDocs(docs)
       .join(labels.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("cluster_id"),

@@ -27,6 +27,14 @@ object Dedup {
   private def toks(text: Column): Column =
     filter(split(text, "\\s+"), t => t =!= lit(""))
 
+  /** The default Jaccard near-dup threshold, shared by every pair
+    * generator here AND by [[graft.operators.Snapshot]]'s incremental
+    * closure — the closure must traverse the SAME edge predicate the
+    * ledger's pair join applies, so both sides name this constant
+    * instead of repeating the literal.
+    */
+  val DefaultThreshold = 0.8
+
   /** doc_id + distinct word-n-gram shingle set as STRINGS (user-facing;
     * docs with < n tokens are dropped — they have no n-shingle).
     */
@@ -87,7 +95,7 @@ object Dedup {
     * the bound: a 20-doc boilerplate corpus emits C(20,2)=190 pairs
     * uncapped, 0 capped at df=5.
     */
-  def ngramJaccard(docs: DataFrame, threshold: Double = 0.8, n: Int = 3,
+  def ngramJaccard(docs: DataFrame, threshold: Double = DefaultThreshold, n: Int = 3,
                    maxShingleDf: Option[Int] = None): DataFrame =
     // one materialized shingle pass feeding BOTH sides of the pair
     // self-join (the kernel is the dominant cost and would otherwise run
@@ -108,7 +116,7 @@ object Dedup {
     * ordering their downstream consumers (CC, anti-join) would destroy
     * anyway.
     */
-  private[operators] def ngramJaccardPairs(shingled: DataFrame, threshold: Double = 0.8,
+  private[operators] def ngramJaccardPairs(shingled: DataFrame, threshold: Double = DefaultThreshold,
                                            maxShingleDf: Option[Int] = None): DataFrame = {
     // Join on the 64-bit shingle hash, not the shingle string: identical
     // pair counts (collision odds ~|shingles|²/2⁶⁴) but the shuffle
@@ -162,7 +170,7 @@ object Dedup {
     * with EXACT Jaccard over the two shingle sets, so emitted pairs are
     * true near-dups (LSH affects recall only, never precision).
     */
-  def minhashLsh(docs: DataFrame, threshold: Double = 0.8,
+  def minhashLsh(docs: DataFrame, threshold: Double = DefaultThreshold,
                  numPerms: Int = 128, bands: Int = 16): DataFrame =
     // one materialized shingle pass: the signature path and the two
     // verify-join sides otherwise each re-run the kernel (3x the
@@ -174,7 +182,7 @@ object Dedup {
     * PRE-SHINGLED (and ideally persisted) input — shared with
     * [[minhashLshCheck]], which reuses the same pass for the exact side.
     */
-  private[operators] def minhashLshPairs(shingled: DataFrame, threshold: Double = 0.8,
+  private[operators] def minhashLshPairs(shingled: DataFrame, threshold: Double = DefaultThreshold,
                                          numPerms: Int = 128, bands: Int = 16): DataFrame = {
     val rows = numPerms / bands
     val sig = minhashSignatures(shingled, numPerms)
@@ -216,7 +224,7 @@ object Dedup {
     * verdict to the real data. Any precision break, score drift, or
     * recall collapse hash-mismatches the row.
     */
-  def minhashLshCheck(docs: DataFrame, threshold: Double = 0.8,
+  def minhashLshCheck(docs: DataFrame, threshold: Double = DefaultThreshold,
                       recallFloor: Double = 0.9): DataFrame = {
     // ONE shingle pass feeds the sketch path AND the exact side — the
     // kernel is the dominant cost and the whole point of the check is

@@ -119,37 +119,138 @@ object Snapshot {
     *  1. seeds = added/changed docs ∪ prior-cluster MATES of every delta
     *     doc (the prior ledger's `cluster_id` finds them without
     *     touching the old pair graph);
-    *  2. the blast radius closes over the NEW corpus's shared-shingle
-    *     graph by iterated sparse joins against the shingle index
-    *     (shared-shingle components ⊇ Jaccard components, so the closure
-    *     is a superset of every true component that touches a seed —
-    *     recomputing a superset is redundant work, never a wrong
-    *     answer); rounds = neighborhood diameter, each a frontier-sized
-    *     join, loudly failing if not converged (the [[Corpus
-    *     .connectedComponents]] discipline);
+    *  2. the blast radius closes over the NEW corpus's near-dup PAIR
+    *     graph: each round, a frontier-scoped inverted-index join
+    *     generates the frontier's candidate pairs and keeps only TRUE
+    *     Jaccard-≥-threshold edges — the identical predicate the
+    *     ledger's pair join applies ([[Dedup.DefaultThreshold]], one
+    *     constant for both) — so the fixpoint is exactly the union of
+    *     the pair graph's connected components that contain a seed.
+    *     Rounds = component diameter (near-dup chains are shallow),
+    *     each bounded by frontier-postings × index, loudly failing if
+    *     not converged (the [[Corpus.connectedComponents]] discipline).
+    *     An earlier formulation closed over the coarser shared-SHINGLE
+    *     graph — sound (superset) but DEGENERATE: one corpus-ubiquitous
+    *     stop-gram shingle chains every document (measured on sf0.1:
+    *     one round reached all 5000 docs), silently turning the
+    *     incremental path into the full recompute plus overhead. Real
+    *     corpora always carry such shingles; Jaccard-filtering the
+    *     traversal edges is what makes work ∝ blast-radius TRUE.
     *  3. the clean ledger is recomputed ONLY for the closure (complete
     *     components ⇒ identical pairs/clusters/canonicals as a full
     *     run), and every untouched prior kept-row is carried forward
-    *     unchanged — sound because a carried doc's text, edge set, and
-    *     entire component are provably identical in both snapshots (any
-    *     counterexample doc would be a seed or a neighbor, hence in the
-    *     closure).
+    *     unchanged — sound because a carried doc's new component
+    *     contains no seed, hence only unchanged-text members (an
+    *     added/changed member would be a seed), whose mutual edges are
+    *     identical in both snapshots; and its OLD component can't have
+    *     had extra members either, because any removed/changed old
+    *     cluster-mate would have made the doc a mate, hence a seed.
     *
     * Scale shape: the prior ledger is |corpus| rows of scalars (the
     * stored output of the previous run — here derived from the old
     * snapshot since the testdata has one version); the new-shingle index
     * is the same relation every dedup pass already builds (persisted
     * once, released after the closure); every per-round join is
-    * frontier × index on the 64-bit shingle hash. Steady-state crawls
-    * re-deliver a few percent — the recompute touches that few percent
-    * times cluster fan-out, and the 100 TB full-recompute never runs.
+    * frontier-postings × index on the 64-bit shingle hash, candidate
+    * volume = the full pair join's Σ df(s)² scaled by the frontier
+    * fraction. Steady-state crawls re-deliver a few percent — the
+    * recompute touches that few percent times cluster fan-out, and the
+    * 100 TB full-recompute never runs.
     */
+  /** BFS over the TRUE Jaccard pair graph from `seeds`, probing a
+    * persisted `(doc_id, nsh, s)` posting index (one row per doc ×
+    * distinct shingle hash; `nsh` = that doc's shingle-set size).
+    * Returns the closed vertex set — exactly the union of the pair
+    * graph's connected components containing a seed, eagerly
+    * checkpointed — plus the per-round edge relations, whose union is
+    * the closure's COMPLETE `(src, dst)` pair set (each eagerly
+    * checkpointed; the caller releases them via
+    * [[Corpus.releaseCheckpoint]] once consumed).
+    *
+    * Edge completeness: the dst side of each round's join is
+    * deliberately UNRESTRICTED (not anti-joined against visited). Each
+    * closure doc serves as `src` in exactly one round — the round after
+    * its discovery; frontiers are disjoint — so the rounds' union
+    * carries every intra-closure pair, including seed–seed and
+    * same-round pairs. Pruning dst to unvisited would save candidate
+    * rows but lose those edges, forcing callers to re-join pairs.
+    *
+    * Per-round stage timing to stderr under SPARK_GRAFT_INCR_DEBUG=1.
+    */
+  private[graft] def pairGraphClosure(seeds: DataFrame, postings: DataFrame,
+                                      maxRounds: Int = 25): (DataFrame, Seq[DataFrame]) = {
+    val debug = sys.env.get("SPARK_GRAFT_INCR_DEBUG").contains("1")
+    var t0 = System.nanoTime()
+    def lap(stage: String): Unit = if (debug) {
+      val t = System.nanoTime()
+      System.err.println(f"[incr-debug] $stage: ${(t - t0) / 1e9}%.2fs")
+      t0 = t
+    }
+    val roundEdges = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    var visited = seeds.localCheckpoint(true)
+    lap(s"seeds${if (debug) s" (n=${visited.count()})" else ""}")
+    var frontier = visited
+    var rounds = 0
+    while (rounds < maxRounds && !frontier.isEmpty) {
+      val fPost = postings.join(frontier, "doc_id")
+        .select(col("doc_id").as("src"), col("nsh").as("n1"), col("s").as("fs"))
+      val cPost = postings
+        .select(col("doc_id").as("dst"), col("nsh").as("n2"), col("s"))
+      val jac = col("inter") * lit(1.0) / (col("n1") + col("n2") - col("inter"))
+      val edges = fPost
+        .join(cPost, col("fs") === col("s") && col("src") =!= col("dst"))
+        .groupBy(col("src"), col("dst"))
+        .agg(count(lit(1)).as("inter"),
+          first(col("n1")).as("n1"), first(col("n2")).as("n2"))
+        .filter(jac >= Dedup.DefaultThreshold)
+        .select(col("src"), col("dst"))
+        .localCheckpoint(true)
+      roundEdges += edges
+      val nextFrontier = edges.select(col("dst").as("doc_id")).distinct()
+        .join(visited, Seq("doc_id"), "left_anti")
+        .localCheckpoint(true)
+      val nextVisited = visited.union(nextFrontier).localCheckpoint(true)
+      // superseded round state: only the latest visited/frontier blocks
+      // stay resident (the connectedComponents discipline)
+      Corpus.releaseCheckpoint(visited)
+      if (frontier ne visited) Corpus.releaseCheckpoint(frontier)
+      frontier = nextFrontier
+      visited = nextVisited
+      rounds += 1
+      lap(s"closure round $rounds${if (debug) s" (visited=${visited.count()})" else ""}")
+    }
+    if (!frontier.isEmpty)
+      throw new IllegalStateException(
+        s"pair-graph closure did not converge in $maxRounds rounds — " +
+          "a near-dup chain is deeper than maxRounds; raise it (the " +
+          "chain length bounds the rounds, one frontier-sized join each)")
+    // empty; only `visited` survives. The `ne` guard matters on the
+    // zero-round path (empty seeds): there `frontier` IS `visited`, and
+    // releasing it would free the returned closure's checkpoint blocks.
+    if (frontier ne visited) Corpus.releaseCheckpoint(frontier)
+    (visited, roundEdges.toList)
+  }
+
   def incrementalCleanFrom(oldDocs: DataFrame, newDocs: DataFrame,
                            maxRounds: Int = 25): DataFrame = {
+    // Stage timing to stderr under SPARK_GRAFT_INCR_DEBUG=1 (the
+    // stream-debug pattern): the query mixes harness-only costs (prior
+    // ledger DERIVED from the old snapshot — production reads it stored)
+    // with the real incremental work, and a flat end-to-end number can't
+    // attribute a drift between them.
+    val debug = sys.env.get("SPARK_GRAFT_INCR_DEBUG").contains("1")
+    var t0 = System.nanoTime()
+    def lap(stage: String): Unit = if (debug) {
+      val t = System.nanoTime()
+      System.err.println(f"[incr-debug] $stage: ${(t - t0) / 1e9}%.2fs")
+      t0 = t
+    }
     val prior = Corpus.ledger(oldDocs)
       .localCheckpoint(true) // read 3× below (seeds, mates, carry) — one compute
+    lap("prior ledger (harness-derived; stored in production)")
     val delta = diff(manifest(oldDocs), manifest(newDocs))
       .localCheckpoint(true) // delta-sized; read 2× (seeds + carry fence)
+    lap("manifest diff")
     val deltaIds = delta.select(col("doc_id"))
     // prior-cluster mates of delta docs, restricted to docs still present
     val mates = prior.join(deltaIds, "doc_id")
@@ -159,59 +260,42 @@ object Snapshot {
       .join(newDocs.select(col("doc_id")), Seq("doc_id"), "left_semi")
     val seeds = delta.filter(col("status") =!= "removed").select(col("doc_id"))
       .union(mates).distinct()
-    // shared-shingle closure over the new corpus (same 3-gram hash kernel
-    // as the pair join, so closure components contain Jaccard components)
-    val shingled = Dedup.shingleHashSets(newDocs).persist()
-    // the inverted index the BFS probes every round — exploded ONCE and
+    // Pair-graph closure over the new corpus (same 3-gram hash kernel
+    // and the same Jaccard predicate as the ledger's pair join). The
+    // inverted index the BFS probes every round — exploded ONCE and
     // persisted (a production pipeline stores this index; re-deriving
-    // the explode per round would re-shuffle every posting each round)
-    val postings = shingled
-      .select(col("doc_id"), explode(col("shingles")).as("s")).persist()
+    // the explode per round would re-shuffle every posting each round).
+    // Each doc's shingle-set size rides along so the per-round Jaccard
+    // filter needs no extra join to recover |A| and |B|. The set-form
+    // shingle pass isn't persisted separately: postings is its only
+    // consumer now that the recompute takes the BFS's edges directly.
+    val postings = Dedup.shingleHashSets(newDocs)
+      .select(col("doc_id"), size(col("shingles")).as("nsh"),
+        explode(col("shingles")).as("s")).persist()
     val (recomputed, closure) = try {
-      val closed = {
-        var visited = seeds.localCheckpoint(true)
-        var frontier = visited
-        var rounds = 0
-        while (rounds < maxRounds && !frontier.isEmpty) {
-          val fs = postings.join(frontier, "doc_id").select(col("s")).distinct()
-          val neighbors = postings.join(fs, "s").select(col("doc_id")).distinct()
-          val nextFrontier = neighbors.join(visited, Seq("doc_id"), "left_anti")
-            .localCheckpoint(true)
-          val nextVisited = visited.union(nextFrontier).localCheckpoint(true)
-          // superseded round state: only the latest visited/frontier blocks
-          // stay resident (the connectedComponents discipline)
-          Corpus.releaseCheckpoint(visited)
-          if (frontier ne visited) Corpus.releaseCheckpoint(frontier)
-          frontier = nextFrontier
-          visited = nextVisited
-          rounds += 1
-        }
-        if (!frontier.isEmpty)
-          throw new IllegalStateException(
-            s"shingle closure did not converge in $maxRounds rounds — " +
-              "a df-hot shingle is chaining the corpus; cap shingle df or raise maxRounds")
-        Corpus.releaseCheckpoint(frontier) // empty; only `visited` survives
-        visited
-      }
+      val (closed, roundEdges) = pairGraphClosure(seeds, postings, maxRounds)
+      lap("pair-graph closure")
       // exact recompute on the closed sub-corpus (complete components):
       // LEFT SEMI against the id-only closure, so the corpus-with-text
       // side is never shuffled — AQE broadcasts the delta-sized closure
       // and the gate stays inside the scan (at steady-state churn the
       // closure is a few percent of the corpus; an inner join here would
       // exchange every document's text just to drop most of them). The
-      // sub-corpus shingle pass is the ALREADY-persisted corpus pass
-      // semi-filtered — the kernel never runs twice (ledgerFrom). The
-      // ledger's CC labels checkpoint eagerly inside the call, so the
-      // lazy relation returned here never reads the unpersisted passes.
-      val rec = Corpus.ledgerFrom(
-        newDocs.join(closed, Seq("doc_id"), "left_semi"),
-        shingled.join(closed, Seq("doc_id"), "left_semi"))
+      // pair graph is the BFS's accumulated edges — no second pair join,
+      // no second shingle pass. The ledger's CC labels checkpoint
+      // eagerly inside the call, so the lazy relation returned here
+      // never reads the unpersisted passes.
+      val allEdges = roundEdges.reduceOption(_ union _).getOrElse(
+        seeds.select(col("doc_id").as("src"), col("doc_id").as("dst")).limit(0))
+      val rec = Corpus.ledgerFromEdges(
+        newDocs.join(closed, Seq("doc_id"), "left_semi"), allEdges)
         .filter(col("doc_id") === col("cluster_id") && col("quality") >= 0.75)
         .select(col("doc_id"), col("n_tokens"), col("quality"), col("lang_pred"))
+      lap("closure recompute (ledgerFromEdges)")
+      roundEdges.foreach(Corpus.releaseCheckpoint) // CC labels materialized
       (rec, closed)
     } finally {
       postings.unpersist(blocking = false)
-      shingled.unpersist(blocking = false)
     }
     // carry forward every prior kept-row the delta provably cannot touch
     val carried = prior

@@ -169,4 +169,30 @@ class SnapshotSpec extends AnyFunSuite {
       l.contains("BroadcastHashJoin") && l.contains("LeftSemi")),
       s"closure gate is not a broadcast semi-join:\n${plan.take(3000)}")
   }
+
+  test("pair-graph closure ignores corpus-ubiquitous shingles (degeneracy pin)") {
+    // Every doc shares the stop-gram "the end of", but only docs 1 and 2
+    // are true near-dups. The earlier shared-SHINGLE closure visited the
+    // whole corpus here in one round (measured on sf0.1: all 5000 docs)
+    // — turning the incremental path into the full recompute. The
+    // Jaccard-filtered traversal must stop at the true component.
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, explode, size}
+    val docs = (Seq(
+      1L -> "the end of alpha beta gamma delta",
+      2L -> "the end of alpha beta gamma delta") ++
+      (3 to 10).map(i => i.toLong -> s"the end of u$i v$i w$i x$i")).toDF("doc_id", "text")
+    val postings = graft.operators.Dedup.shingleHashSets(docs)
+      .select(col("doc_id"), size(col("shingles")).as("nsh"),
+        explode(col("shingles")).as("s"))
+    val seeds = Seq(1L).toDF("doc_id")
+    val (closed, edges) = Snapshot.pairGraphClosure(seeds, postings)
+    assert(closed.collect().map(_.getLong(0)).toSet == Set(1L, 2L),
+      "closure must be the seed's true near-dup component, not every doc sharing a stop-gram")
+    // and the rounds' edges are exactly that component's pair set
+    val pairs = edges.flatMap(_.collect()).map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)) && pairs.subsetOf(Set((1L, 2L), (2L, 1L))),
+      s"accumulated edges should cover exactly the 1-2 pair, got $pairs")
+    (closed +: edges).foreach(graft.operators.Corpus.releaseCheckpoint)
+  }
 }
