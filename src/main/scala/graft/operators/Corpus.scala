@@ -388,10 +388,12 @@ object Corpus {
     * cluster_id && quality >= 0.75`, since min-label CC makes the
     * canonical member the one whose label is its own id). A production
     * incremental pipeline PERSISTS this relation between snapshots:
-    * [[Snapshot.incrementalCleanFrom]] consumes it as the prior state
-    * and recomputes it only for delta-affected docs.
+    * [[Snapshot.incrementalCleanFromState]] consumes it as the stored
+    * prior state and recomputes it only for delta-affected docs. PUBLIC
+    * because that loop needs a caller-reachable way to bootstrap and
+    * re-materialize the stored ledger.
     */
-  private[operators] def ledger(docs: DataFrame): DataFrame = {
+  def ledger(docs: DataFrame): DataFrame = {
     val shingled = Dedup.shingleHashSets(docs).persist()
     try ledgerFrom(docs, shingled)
     finally shingled.unpersist(blocking = false)

@@ -45,9 +45,11 @@ object Snapshot {
 
   /** Manifest of a `(doc_id, text)` relation: `(doc_id, h)`.
     * The md5 is computed inside the scan projection — text never
-    * survives past the map side.
+    * survives past the map side. PUBLIC: the stored-state incremental
+    * loop ([[incrementalCleanFromState]]) needs a caller-reachable way
+    * to materialize each snapshot's manifest alongside its ledger.
     */
-  private def manifest(docs: DataFrame): DataFrame =
+  def manifest(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), md5(col("text")).as("h"))
 
   /** The derived OLD snapshot, WITH text (see object doc): absent %11
@@ -177,15 +179,33 @@ object Snapshot {
     *
     * Per-round stage timing to stderr under SPARK_GRAFT_INCR_DEBUG=1.
     */
+  /** True when SPARK_GRAFT_INCR_DEBUG=1: the incremental pipeline's
+    * per-stage stderr timing (and closure-size counts) — the knob that
+    * attributes a drift to the harness-only prior-ledger derivation vs
+    * the real incremental work.
+    */
+  private def incrDebug: Boolean =
+    sys.env.get("SPARK_GRAFT_INCR_DEBUG").contains("1")
+
+  /** A fresh stage-timer for [[incrDebug]] output: each call to the
+    * returned function prints the elapsed time since the previous call
+    * (no-op when the debug knob is off).
+    */
+  private def incrLap(): String => Unit =
+    if (!incrDebug) _ => ()
+    else {
+      var t0 = System.nanoTime()
+      stage => {
+        val t = System.nanoTime()
+        System.err.println(f"[incr-debug] $stage: ${(t - t0) / 1e9}%.2fs")
+        t0 = t
+      }
+    }
+
   private[graft] def pairGraphClosure(seeds: DataFrame, postings: DataFrame,
                                       maxRounds: Int = 25): (DataFrame, Seq[DataFrame]) = {
-    val debug = sys.env.get("SPARK_GRAFT_INCR_DEBUG").contains("1")
-    var t0 = System.nanoTime()
-    def lap(stage: String): Unit = if (debug) {
-      val t = System.nanoTime()
-      System.err.println(f"[incr-debug] $stage: ${(t - t0) / 1e9}%.2fs")
-      t0 = t
-    }
+    val debug = incrDebug
+    val lap = incrLap()
     val roundEdges = scala.collection.mutable.ListBuffer.empty[DataFrame]
     var visited = seeds.localCheckpoint(true)
     lap(s"seeds${if (debug) s" (n=${visited.count()})" else ""}")
@@ -233,22 +253,38 @@ object Snapshot {
 
   def incrementalCleanFrom(oldDocs: DataFrame, newDocs: DataFrame,
                            maxRounds: Int = 25): DataFrame = {
-    // Stage timing to stderr under SPARK_GRAFT_INCR_DEBUG=1 (the
-    // stream-debug pattern): the query mixes harness-only costs (prior
-    // ledger DERIVED from the old snapshot — production reads it stored)
-    // with the real incremental work, and a flat end-to-end number can't
-    // attribute a drift between them.
-    val debug = sys.env.get("SPARK_GRAFT_INCR_DEBUG").contains("1")
-    var t0 = System.nanoTime()
-    def lap(stage: String): Unit = if (debug) {
-      val t = System.nanoTime()
-      System.err.println(f"[incr-debug] $stage: ${(t - t0) / 1e9}%.2fs")
-      t0 = t
-    }
+    val lap = incrLap()
     val prior = Corpus.ledger(oldDocs)
-      .localCheckpoint(true) // read 3× below (seeds, mates, carry) — one compute
+      .localCheckpoint(true) // read 3× downstream (seeds, mates, carry) — one compute
     lap("prior ledger (harness-derived; stored in production)")
-    val delta = diff(manifest(oldDocs), manifest(newDocs))
+    incrementalCleanFromState(prior, manifest(oldDocs), newDocs, maxRounds)
+  }
+
+  /** The PRODUCTION state-update of the incremental loop: the NEXT
+    * clean ledger, from the previous run's STORED state — `prior` is
+    * the ledger the last run wrote ([[Corpus.ledger]]'s schema: doc_id,
+    * cluster_id, n_tokens, quality, lang_pred) and `oldManifest` the
+    * (doc_id, h) manifest of the snapshot it was computed from (both
+    * writable by the public [[Corpus.ledger]] / [[manifest]]). The
+    * result is provably equal to `Corpus.ledger(newDocs)` recomputed
+    * from scratch (SnapshotSpec pins row-for-row equality): recomputed
+    * rows for the delta's pair-graph closure, prior rows carried for
+    * every untouched doc — the carried doc's component contains no
+    * seed, hence only unchanged members with unchanged edges, so its
+    * ledger row is identical in both snapshots.
+    *
+    * Feeding each round's output back as the next round's `prior` IS
+    * the production loop — ledger in, ledger out — and the shape the
+    * 100 TB claim rests on: a steady-state crawl never touches the old
+    * CORPUS at all; delta work = two manifest-width scans + the delta's
+    * blast radius. [[incrementalCleanFrom]] (the oracle-gated query)
+    * derives both state inputs from the old snapshot and delegates
+    * here, so the stored-state path IS the verified path.
+    */
+  def incrementalLedgerFromState(prior: DataFrame, oldManifest: DataFrame,
+                                 newDocs: DataFrame, maxRounds: Int = 25): DataFrame = {
+    val lap = incrLap()
+    val delta = diff(oldManifest, manifest(newDocs))
       .localCheckpoint(true) // delta-sized; read 2× (seeds + carry fence)
     lap("manifest diff")
     val deltaIds = delta.select(col("doc_id"))
@@ -289,22 +325,32 @@ object Snapshot {
         seeds.select(col("doc_id").as("src"), col("doc_id").as("dst")).limit(0))
       val rec = Corpus.ledgerFromEdges(
         newDocs.join(closed, Seq("doc_id"), "left_semi"), allEdges)
-        .filter(col("doc_id") === col("cluster_id") && col("quality") >= 0.75)
-        .select(col("doc_id"), col("n_tokens"), col("quality"), col("lang_pred"))
       lap("closure recompute (ledgerFromEdges)")
       roundEdges.foreach(Corpus.releaseCheckpoint) // CC labels materialized
       (rec, closed)
     } finally {
       postings.unpersist(blocking = false)
     }
-    // carry forward every prior kept-row the delta provably cannot touch
+    // carry forward every prior ledger row the delta provably cannot
+    // touch (not in the closure, not named by the delta)
     val carried = prior
-      .filter(col("doc_id") === col("cluster_id") && col("quality") >= 0.75)
-      .select(col("doc_id"), col("n_tokens"), col("quality"), col("lang_pred"))
       .join(closure, Seq("doc_id"), "left_anti")
       .join(deltaIds, Seq("doc_id"), "left_anti")
-    recomputed.unionByName(carried).orderBy(col("doc_id"))
+    recomputed.unionByName(carried)
   }
+
+  /** The KEPT-set view of [[incrementalLedgerFromState]] — the
+    * stored-state twin of [[incrementalCleanFrom]]: filter the next
+    * ledger to its canonical, quality-passing rows (the
+    * `pipe_clean_corpus` keep rule; the filter pushes through the
+    * union into both the recomputed and carried arms).
+    */
+  def incrementalCleanFromState(prior: DataFrame, oldManifest: DataFrame,
+                                newDocs: DataFrame, maxRounds: Int = 25): DataFrame =
+    incrementalLedgerFromState(prior, oldManifest, newDocs, maxRounds)
+      .filter(col("doc_id") === col("cluster_id") && col("quality") >= 0.75)
+      .select(col("doc_id"), col("n_tokens"), col("quality"), col("lang_pred"))
+      .orderBy(col("doc_id"))
 
   /** The `incremental_clean` query: old snapshot derived as in
     * [[snapshotDiff]], prior state derived from it (a production run
