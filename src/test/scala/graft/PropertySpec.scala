@@ -262,4 +262,61 @@ class PropertySpec extends AnyFunSuite {
       assert(applied == expected, s"round $round round-trip broke")
     }
   }
+
+  test("incremental ledger equals the from-scratch ledger on random edited corpora") {
+    // The pair-graph closure's soundness argument (complete components,
+    // carry-forward, canonical re-election) exercised across random
+    // graph shapes the sf testdata barely reaches: Jaccard CHAINS that
+    // need multi-round BFS, clusters bridged by added docs, min-id
+    // canonical members removed. Each trial builds 8 clusters of 40-token
+    // docs where adjacent chain links differ in ONE token (J≈0.85 ≥ 0.8)
+    // but links two apart differ in two (J≈0.73 < 0.8), plants a
+    // corpus-ubiquitous trigram in EVERY doc (the shared-shingle
+    // degeneracy the Jaccard filter must ignore), then derives the old
+    // snapshot by randomly dropping (~20%, delta 'added'), mutating
+    // (~20%, 'changed'), and appending old-only docs ('removed'). The
+    // incremental next ledger must equal Corpus.ledger recomputed from
+    // scratch, all five columns, row for row.
+    import org.apache.spark.sql.functions.col
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import graft.operators.{Corpus, Snapshot}
+    val rnd = new scala.util.Random(20260813L)
+    for (trial <- 1 to 3) {
+      val docs = scala.collection.mutable.ListBuffer.empty[(Long, String)]
+      var id = 0L
+      for (c <- 1 to 8) {
+        val len = 1 + rnd.nextInt(4)
+        val base = Array.tabulate(40)(i => s"c${c}t${i}x$trial")
+        val at = rnd.nextInt(37)
+        base(at) = "the"; base(at + 1) = "end"; base(at + 2) = "of"
+        var cur = base.clone()
+        for (k <- 0 until len) {
+          if (k > 0) {
+            var p = rnd.nextInt(40)
+            while (p >= at && p <= at + 2) p = rnd.nextInt(40)
+            cur = cur.clone(); cur(p) = s"mut${c}k${k}x$trial"
+          }
+          id += 1; docs += id -> cur.mkString(" ")
+        }
+      }
+      val newDocs = docs.toSeq.toDF("doc_id", "text")
+      val maxId = id
+      val old = docs.toSeq.flatMap { case (i, t) =>
+        rnd.nextInt(5) match {
+          case 0 => None // absent from old → 'added' in the delta
+          case 1 => Some(i -> (t + s" zz${rnd.nextInt(100)} extra tail tokens")) // 'changed'
+          case _ => Some(i -> t)
+        }
+      } ++ (1 to 4).map(j => (maxId + j) -> s"retired document body number $j with padding")
+      val oldDocs = old.toDF("doc_id", "text")
+      val prior = Corpus.ledger(oldDocs).localCheckpoint(true)
+      val got = Snapshot.incrementalLedgerFromState(prior, Snapshot.manifest(oldDocs), newDocs)
+        .orderBy(col("doc_id")).collect().map(_.toSeq).toSeq
+      val want = Corpus.ledger(newDocs).orderBy(col("doc_id")).collect().map(_.toSeq).toSeq
+      assert(got.nonEmpty && got == want,
+        s"trial $trial: incremental next ledger diverged from the from-scratch recompute")
+      Corpus.releaseCheckpoint(prior)
+    }
+  }
 }
