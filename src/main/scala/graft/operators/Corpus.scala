@@ -392,10 +392,16 @@ object Corpus {
     * prior state and recomputes it only for delta-affected docs. PUBLIC
     * because that loop needs a caller-reachable way to bootstrap and
     * re-materialize the stored ledger.
+    *
+    * `maxShingleDf` is the 100 TB skew-cap recipe ([[Dedup
+    * .ngramJaccard]]'s doc): it is part of the pair-graph DEFINITION,
+    * so a deployment must hold it constant across every round of the
+    * incremental loop — the stored ledger and each incremental update
+    * must be computed under the same cap.
     */
-  def ledger(docs: DataFrame): DataFrame = {
+  def ledger(docs: DataFrame, maxShingleDf: Option[Int] = None): DataFrame = {
     val shingled = Dedup.shingleHashSets(docs).persist()
-    try ledgerFrom(docs, shingled)
+    try ledgerFrom(docs, shingled, maxShingleDf)
     finally shingled.unpersist(blocking = false)
   }
 
@@ -405,9 +411,10 @@ object Corpus {
     * materialize (checkpointed) before this returns; only the lazy
     * scored/label join survives, which never reads `shingled`.
     */
-  private[operators] def ledgerFrom(docs: DataFrame, shingled: DataFrame): DataFrame =
+  private[operators] def ledgerFrom(docs: DataFrame, shingled: DataFrame,
+                                    maxShingleDf: Option[Int] = None): DataFrame =
     ledgerFromEdges(docs,
-      Dedup.ngramJaccardPairs(shingled)
+      Dedup.ngramJaccardPairs(shingled, maxShingleDf = maxShingleDf)
         .select(col("doc_id_1").as("src"), col("doc_id_2").as("dst")))
 
   /** [[ledgerFrom]] with a caller-supplied near-dup edge relation

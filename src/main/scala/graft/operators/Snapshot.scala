@@ -252,12 +252,13 @@ object Snapshot {
   }
 
   def incrementalCleanFrom(oldDocs: DataFrame, newDocs: DataFrame,
-                           maxRounds: Int = 25): DataFrame = {
+                           maxRounds: Int = 25,
+                           maxShingleDf: Option[Int] = None): DataFrame = {
     val lap = incrLap()
-    val prior = Corpus.ledger(oldDocs)
+    val prior = Corpus.ledger(oldDocs, maxShingleDf)
       .localCheckpoint(true) // read 3× downstream (seeds, mates, carry) — one compute
     lap("prior ledger (harness-derived; stored in production)")
-    incrementalCleanFromState(prior, manifest(oldDocs), newDocs, maxRounds)
+    incrementalCleanFromState(prior, manifest(oldDocs), newDocs, maxRounds, maxShingleDf)
   }
 
   /** The PRODUCTION state-update of the incremental loop: the NEXT
@@ -282,7 +283,8 @@ object Snapshot {
     * here, so the stored-state path IS the verified path.
     */
   def incrementalLedgerFromState(prior: DataFrame, oldManifest: DataFrame,
-                                 newDocs: DataFrame, maxRounds: Int = 25): DataFrame = {
+                                 newDocs: DataFrame, maxRounds: Int = 25,
+                                 maxShingleDf: Option[Int] = None): DataFrame = {
     val lap = incrLap()
     val delta = diff(oldManifest, manifest(newDocs))
       .localCheckpoint(true) // delta-sized; read 2× (seeds + carry fence)
@@ -305,9 +307,21 @@ object Snapshot {
     // filter needs no extra join to recover |A| and |B|. The set-form
     // shingle pass isn't persisted separately: postings is its only
     // consumer now that the recompute takes the BFS's edges directly.
-    val postings = Dedup.shingleHashSets(newDocs)
+    val rawPostings = Dedup.shingleHashSets(newDocs)
       .select(col("doc_id"), size(col("shingles")).as("nsh"),
-        explode(col("shingles")).as("s")).persist()
+        explode(col("shingles")).as("s"))
+    // the 100 TB skew cap, applied to the INDEX exactly as
+    // ngramJaccardPairs applies it to its exploded sides: hot postings
+    // dropped, nsh stays the FULL set size (capped jaccard = lower
+    // bound). The cap is part of the pair-graph definition — it must
+    // match the cap the prior ledger was computed under.
+    val postings = (maxShingleDf match {
+      case Some(cap) =>
+        val hot = rawPostings.groupBy(col("s")).agg(count(lit(1)).as("df"))
+          .filter(col("df") > cap).select(col("s"))
+        rawPostings.join(broadcast(hot), Seq("s"), "left_anti")
+      case None => rawPostings
+    }).persist()
     val (recomputed, closure) = try {
       val (closed, roundEdges) = pairGraphClosure(seeds, postings, maxRounds)
       lap("pair-graph closure")
@@ -346,8 +360,9 @@ object Snapshot {
     * union into both the recomputed and carried arms).
     */
   def incrementalCleanFromState(prior: DataFrame, oldManifest: DataFrame,
-                                newDocs: DataFrame, maxRounds: Int = 25): DataFrame =
-    incrementalLedgerFromState(prior, oldManifest, newDocs, maxRounds)
+                                newDocs: DataFrame, maxRounds: Int = 25,
+                                maxShingleDf: Option[Int] = None): DataFrame =
+    incrementalLedgerFromState(prior, oldManifest, newDocs, maxRounds, maxShingleDf)
       .filter(col("doc_id") === col("cluster_id") && col("quality") >= 0.75)
       .select(col("doc_id"), col("n_tokens"), col("quality"), col("lang_pred"))
       .orderBy(col("doc_id"))

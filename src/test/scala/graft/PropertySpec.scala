@@ -282,7 +282,12 @@ class PropertySpec extends AnyFunSuite {
     import spark.implicits._
     import graft.operators.{Corpus, Snapshot}
     val rnd = new scala.util.Random(20260813L)
-    for (trial <- 1 to 3) {
+    // trial 4 runs CAPPED (maxShingleDf) — the 100 TB skew recipe: the
+    // cap redefines the pair graph on BOTH engines identically, so
+    // equality must hold under it too (here it prunes the planted
+    // corpus-wide trigram's postings, nothing else is that hot)
+    for (trial <- 1 to 4) {
+      val cap: Option[Int] = if (trial == 4) Some(10) else None
       val docs = scala.collection.mutable.ListBuffer.empty[(Long, String)]
       var id = 0L
       for (c <- 1 to 8) {
@@ -310,10 +315,11 @@ class PropertySpec extends AnyFunSuite {
         }
       } ++ (1 to 4).map(j => (maxId + j) -> s"retired document body number $j with padding")
       val oldDocs = old.toDF("doc_id", "text")
-      val prior = Corpus.ledger(oldDocs).localCheckpoint(true)
-      val got = Snapshot.incrementalLedgerFromState(prior, Snapshot.manifest(oldDocs), newDocs)
+      val prior = Corpus.ledger(oldDocs, cap).localCheckpoint(true)
+      val got = Snapshot.incrementalLedgerFromState(
+          prior, Snapshot.manifest(oldDocs), newDocs, maxShingleDf = cap)
         .orderBy(col("doc_id")).collect().map(_.toSeq).toSeq
-      val want = Corpus.ledger(newDocs).orderBy(col("doc_id")).collect().map(_.toSeq).toSeq
+      val want = Corpus.ledger(newDocs, cap).orderBy(col("doc_id")).collect().map(_.toSeq).toSeq
       assert(got.nonEmpty && got == want,
         s"trial $trial: incremental next ledger diverged from the from-scratch recompute")
       Corpus.releaseCheckpoint(prior)
