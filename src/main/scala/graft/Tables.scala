@@ -48,15 +48,22 @@ object Tables {
     * =true, set by [[graft.GraftSession]]) → ns truncated to a µs
     * timestamp (DuckDB's CAST(ts AS TIMESTAMP) truncates identically);
     * plain timestamp[us] with no UTC flag, which a session without
-    * graft's inferTimestampNTZ=false config reads as TIMESTAMP_NTZ →
-    * cast to TimestampType (identity reinterpretation under the pinned
-    * UTC session timezone).
+    * graft's inferTimestampNTZ=false config reads as TIMESTAMP_NTZ.
+    * The NTZ wall-clock IS UTC (the data contract), so the conversion
+    * must yield that instant on ANY session: a bare cast interprets the
+    * wall in the SESSION timezone (a silent multi-hour shift for a
+    * non-UTC caller); from_utc_timestamp re-adds the session offset the
+    * cast subtracted, pinning the UTC reading. Identity under a UTC
+    * session; the ±1h DST-transition ambiguity is inherent to any
+    * wall-clock data.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     val raw = load(s, d, "events")
     raw.schema("ts").dataType match {
       case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampNTZType => raw.withColumn("ts",
+        from_utc_timestamp(col("ts").cast(TimestampType),
+          s.sessionState.conf.sessionLocalTimeZone))
       case _ => raw
     }
   }

@@ -394,10 +394,12 @@ object Corpus {
     * re-materialize the stored ledger.
     *
     * `maxShingleDf` is the 100 TB skew-cap recipe ([[Dedup
-    * .ngramJaccard]]'s doc): it is part of the pair-graph DEFINITION,
-    * so a deployment must hold it constant across every round of the
-    * incremental loop — the stored ledger and each incremental update
-    * must be computed under the same cap.
+    * .ngramJaccard]]'s doc) for STANDALONE recomputes. The incremental
+    * loop deliberately does not accept it: the cap prunes by GLOBAL
+    * shingle df, which a delta perturbs for docs the closure never
+    * reaches, so a capped pair graph is not delta-stable (see the note
+    * in [[Snapshot.incrementalLedgerFromState]]) — capped deployments
+    * re-run this from scratch per snapshot.
     */
   def ledger(docs: DataFrame, maxShingleDf: Option[Int] = None): DataFrame = {
     val shingled = Dedup.shingleHashSets(docs).persist()

@@ -103,6 +103,107 @@ object Snapshot {
 
   // ------------------------------------------- incremental clean pipeline
 
+  /** True when SPARK_GRAFT_INCR_DEBUG=1: the incremental pipeline's
+    * per-stage stderr timing (and closure-size counts) — the knob that
+    * attributes a drift to the harness-only prior-ledger derivation vs
+    * the real incremental work.
+    */
+  private def incrDebug: Boolean =
+    sys.env.get("SPARK_GRAFT_INCR_DEBUG").contains("1")
+
+  /** A fresh stage-timer for [[incrDebug]] output: each call to the
+    * returned function prints the elapsed time since the previous call
+    * (no-op when the debug knob is off).
+    */
+  private def incrLap(): String => Unit =
+    if (!incrDebug) _ => ()
+    else {
+      var t0 = System.nanoTime()
+      stage => {
+        val t = System.nanoTime()
+        System.err.println(f"[incr-debug] $stage: ${(t - t0) / 1e9}%.2fs")
+        t0 = t
+      }
+    }
+
+
+  /** BFS over the TRUE Jaccard pair graph from `seeds`, probing a
+    * persisted `(doc_id, nsh, s)` posting index (one row per doc ×
+    * distinct shingle hash; `nsh` = that doc's shingle-set size).
+    * Returns the closed vertex set — exactly the union of the pair
+    * graph's connected components containing a seed, eagerly
+    * checkpointed — plus the per-round edge relations, whose union is
+    * the closure's COMPLETE `(src, dst)` pair set (each eagerly
+    * checkpointed; the caller releases them via
+    * [[Corpus.releaseCheckpoint]] once consumed).
+    *
+    * Edge completeness: the dst side of each round's join is
+    * deliberately UNRESTRICTED (not anti-joined against visited). Each
+    * closure doc serves as `src` in exactly one round — the round after
+    * its discovery; frontiers are disjoint — so the rounds' union
+    * carries every intra-closure pair, including seed–seed and
+    * same-round pairs. Pruning dst to unvisited would save candidate
+    * rows but lose those edges, forcing callers to re-join pairs.
+    *
+    * Per-round stage timing to stderr under SPARK_GRAFT_INCR_DEBUG=1.
+    */
+  private[graft] def pairGraphClosure(seeds: DataFrame, postings: DataFrame,
+                                      maxRounds: Int = 25): (DataFrame, Seq[DataFrame]) = {
+    val debug = incrDebug
+    val lap = incrLap()
+    val roundEdges = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    var visited = seeds.localCheckpoint(true)
+    lap(s"seeds${if (debug) s" (n=${visited.count()})" else ""}")
+    var frontier = visited
+    var rounds = 0
+    while (rounds < maxRounds && !frontier.isEmpty) {
+      val fPost = postings.join(frontier, "doc_id")
+        .select(col("doc_id").as("src"), col("nsh").as("n1"), col("s").as("fs"))
+      val cPost = postings
+        .select(col("doc_id").as("dst"), col("nsh").as("n2"), col("s"))
+      val jac = col("inter") * lit(1.0) / (col("n1") + col("n2") - col("inter"))
+      val edges = fPost
+        .join(cPost, col("fs") === col("s") && col("src") =!= col("dst"))
+        .groupBy(col("src"), col("dst"))
+        .agg(count(lit(1)).as("inter"),
+          first(col("n1")).as("n1"), first(col("n2")).as("n2"))
+        .filter(jac >= Dedup.DefaultThreshold)
+        .select(col("src"), col("dst"))
+        .localCheckpoint(true)
+      roundEdges += edges
+      val nextFrontier = edges.select(col("dst").as("doc_id")).distinct()
+        .join(visited, Seq("doc_id"), "left_anti")
+        .localCheckpoint(true)
+      val nextVisited = visited.union(nextFrontier).localCheckpoint(true)
+      // superseded round state: only the latest visited/frontier blocks
+      // stay resident (the connectedComponents discipline)
+      Corpus.releaseCheckpoint(visited)
+      if (frontier ne visited) Corpus.releaseCheckpoint(frontier)
+      frontier = nextFrontier
+      visited = nextVisited
+      rounds += 1
+      lap(s"closure round $rounds${if (debug) s" (visited=${visited.count()})" else ""}")
+    }
+    if (!frontier.isEmpty) {
+      // release-before-throw (the connectedComponents discipline):
+      // localCheckpoint blocks are reclaimed only on driver GC, and the
+      // message invites a raise-and-retry — each failed attempt must
+      // not pin another O(rounds) block set
+      roundEdges.foreach(Corpus.releaseCheckpoint)
+      Corpus.releaseCheckpoint(visited)
+      if (frontier ne visited) Corpus.releaseCheckpoint(frontier)
+      throw new IllegalStateException(
+        s"pair-graph closure did not converge in $maxRounds rounds — " +
+          "a near-dup chain is deeper than maxRounds; raise it (the " +
+          "chain length bounds the rounds, one frontier-sized join each)")
+    }
+    // empty; only `visited` survives. The `ne` guard matters on the
+    // zero-round path (empty seeds): there `frontier` IS `visited`, and
+    // releasing it would free the returned closure's checkpoint blocks.
+    if (frontier ne visited) Corpus.releaseCheckpoint(frontier)
+    (visited, roundEdges.toList)
+  }
+
   /** The clean gate run INCREMENTALLY over a snapshot delta — the stage
     * [[snapshotDiff]]'s delta relation exists for (SURVEY §5:
     * "downstream incremental stages consume only the added/changed
@@ -159,106 +260,13 @@ object Snapshot {
     * recompute touches that few percent times cluster fan-out, and the
     * 100 TB full-recompute never runs.
     */
-  /** BFS over the TRUE Jaccard pair graph from `seeds`, probing a
-    * persisted `(doc_id, nsh, s)` posting index (one row per doc ×
-    * distinct shingle hash; `nsh` = that doc's shingle-set size).
-    * Returns the closed vertex set — exactly the union of the pair
-    * graph's connected components containing a seed, eagerly
-    * checkpointed — plus the per-round edge relations, whose union is
-    * the closure's COMPLETE `(src, dst)` pair set (each eagerly
-    * checkpointed; the caller releases them via
-    * [[Corpus.releaseCheckpoint]] once consumed).
-    *
-    * Edge completeness: the dst side of each round's join is
-    * deliberately UNRESTRICTED (not anti-joined against visited). Each
-    * closure doc serves as `src` in exactly one round — the round after
-    * its discovery; frontiers are disjoint — so the rounds' union
-    * carries every intra-closure pair, including seed–seed and
-    * same-round pairs. Pruning dst to unvisited would save candidate
-    * rows but lose those edges, forcing callers to re-join pairs.
-    *
-    * Per-round stage timing to stderr under SPARK_GRAFT_INCR_DEBUG=1.
-    */
-  /** True when SPARK_GRAFT_INCR_DEBUG=1: the incremental pipeline's
-    * per-stage stderr timing (and closure-size counts) — the knob that
-    * attributes a drift to the harness-only prior-ledger derivation vs
-    * the real incremental work.
-    */
-  private def incrDebug: Boolean =
-    sys.env.get("SPARK_GRAFT_INCR_DEBUG").contains("1")
-
-  /** A fresh stage-timer for [[incrDebug]] output: each call to the
-    * returned function prints the elapsed time since the previous call
-    * (no-op when the debug knob is off).
-    */
-  private def incrLap(): String => Unit =
-    if (!incrDebug) _ => ()
-    else {
-      var t0 = System.nanoTime()
-      stage => {
-        val t = System.nanoTime()
-        System.err.println(f"[incr-debug] $stage: ${(t - t0) / 1e9}%.2fs")
-        t0 = t
-      }
-    }
-
-  private[graft] def pairGraphClosure(seeds: DataFrame, postings: DataFrame,
-                                      maxRounds: Int = 25): (DataFrame, Seq[DataFrame]) = {
-    val debug = incrDebug
-    val lap = incrLap()
-    val roundEdges = scala.collection.mutable.ListBuffer.empty[DataFrame]
-    var visited = seeds.localCheckpoint(true)
-    lap(s"seeds${if (debug) s" (n=${visited.count()})" else ""}")
-    var frontier = visited
-    var rounds = 0
-    while (rounds < maxRounds && !frontier.isEmpty) {
-      val fPost = postings.join(frontier, "doc_id")
-        .select(col("doc_id").as("src"), col("nsh").as("n1"), col("s").as("fs"))
-      val cPost = postings
-        .select(col("doc_id").as("dst"), col("nsh").as("n2"), col("s"))
-      val jac = col("inter") * lit(1.0) / (col("n1") + col("n2") - col("inter"))
-      val edges = fPost
-        .join(cPost, col("fs") === col("s") && col("src") =!= col("dst"))
-        .groupBy(col("src"), col("dst"))
-        .agg(count(lit(1)).as("inter"),
-          first(col("n1")).as("n1"), first(col("n2")).as("n2"))
-        .filter(jac >= Dedup.DefaultThreshold)
-        .select(col("src"), col("dst"))
-        .localCheckpoint(true)
-      roundEdges += edges
-      val nextFrontier = edges.select(col("dst").as("doc_id")).distinct()
-        .join(visited, Seq("doc_id"), "left_anti")
-        .localCheckpoint(true)
-      val nextVisited = visited.union(nextFrontier).localCheckpoint(true)
-      // superseded round state: only the latest visited/frontier blocks
-      // stay resident (the connectedComponents discipline)
-      Corpus.releaseCheckpoint(visited)
-      if (frontier ne visited) Corpus.releaseCheckpoint(frontier)
-      frontier = nextFrontier
-      visited = nextVisited
-      rounds += 1
-      lap(s"closure round $rounds${if (debug) s" (visited=${visited.count()})" else ""}")
-    }
-    if (!frontier.isEmpty)
-      throw new IllegalStateException(
-        s"pair-graph closure did not converge in $maxRounds rounds — " +
-          "a near-dup chain is deeper than maxRounds; raise it (the " +
-          "chain length bounds the rounds, one frontier-sized join each)")
-    // empty; only `visited` survives. The `ne` guard matters on the
-    // zero-round path (empty seeds): there `frontier` IS `visited`, and
-    // releasing it would free the returned closure's checkpoint blocks.
-    if (frontier ne visited) Corpus.releaseCheckpoint(frontier)
-    (visited, roundEdges.toList)
-  }
-
   def incrementalCleanFrom(oldDocs: DataFrame, newDocs: DataFrame,
-                           maxRounds: Int = 25,
-                           maxShingleDf: Option[Int] = None): DataFrame = {
+                           maxRounds: Int = 25): DataFrame = {
     val lap = incrLap()
-    val prior = Corpus.ledger(oldDocs, maxShingleDf)
+    val prior = Corpus.ledger(oldDocs)
       .localCheckpoint(true) // read 3× downstream (seeds, mates, carry) — one compute
     lap("prior ledger (harness-derived; stored in production)")
-    incrementalCleanFromState(prior, manifest(oldDocs), newDocs, maxRounds, maxShingleDf)
+    incrementalCleanFromState(prior, manifest(oldDocs), newDocs, maxRounds)
   }
 
   /** The PRODUCTION state-update of the incremental loop: the NEXT
@@ -283,8 +291,7 @@ object Snapshot {
     * here, so the stored-state path IS the verified path.
     */
   def incrementalLedgerFromState(prior: DataFrame, oldManifest: DataFrame,
-                                 newDocs: DataFrame, maxRounds: Int = 25,
-                                 maxShingleDf: Option[Int] = None): DataFrame = {
+                                 newDocs: DataFrame, maxRounds: Int = 25): DataFrame = {
     val lap = incrLap()
     val delta = diff(oldManifest, manifest(newDocs))
       .localCheckpoint(true) // delta-sized; read 2× (seeds + carry fence)
@@ -307,21 +314,19 @@ object Snapshot {
     // filter needs no extra join to recover |A| and |B|. The set-form
     // shingle pass isn't persisted separately: postings is its only
     // consumer now that the recompute takes the BFS's edges directly.
-    val rawPostings = Dedup.shingleHashSets(newDocs)
+    // Deliberately NO maxShingleDf here, although the full-recompute
+    // family accepts it: a CAPPED pair graph is not delta-stable. The
+    // cap prunes shingles by GLOBAL document frequency, and a delta doc
+    // adding or removing one occurrence can push a shingle across the
+    // cap, creating or destroying capped edges between UNTOUCHED docs
+    // the closure never reaches (they are not seeds, not mates, and the
+    // flipped shingle may exist only in a removed doc's old text —
+    // undetectable from stored state). Incremental-equals-full therefore
+    // only holds for the uncapped predicate; a capped deployment
+    // re-runs `Corpus.ledger(newDocs, cap)` from scratch instead.
+    val postings = Dedup.shingleHashSets(newDocs)
       .select(col("doc_id"), size(col("shingles")).as("nsh"),
-        explode(col("shingles")).as("s"))
-    // the 100 TB skew cap, applied to the INDEX exactly as
-    // ngramJaccardPairs applies it to its exploded sides: hot postings
-    // dropped, nsh stays the FULL set size (capped jaccard = lower
-    // bound). The cap is part of the pair-graph definition — it must
-    // match the cap the prior ledger was computed under.
-    val postings = (maxShingleDf match {
-      case Some(cap) =>
-        val hot = rawPostings.groupBy(col("s")).agg(count(lit(1)).as("df"))
-          .filter(col("df") > cap).select(col("s"))
-        rawPostings.join(broadcast(hot), Seq("s"), "left_anti")
-      case None => rawPostings
-    }).persist()
+        explode(col("shingles")).as("s")).persist()
     val (recomputed, closure) = try {
       val (closed, roundEdges) = pairGraphClosure(seeds, postings, maxRounds)
       lap("pair-graph closure")
@@ -337,8 +342,16 @@ object Snapshot {
       // never reads the unpersisted passes.
       val allEdges = roundEdges.reduceOption(_ union _).getOrElse(
         seeds.select(col("doc_id").as("src"), col("doc_id").as("dst")).limit(0))
-      val rec = Corpus.ledgerFromEdges(
-        newDocs.join(closed, Seq("doc_id"), "left_semi"), allEdges)
+      val rec =
+        try Corpus.ledgerFromEdges(
+          newDocs.join(closed, Seq("doc_id"), "left_semi"), allEdges)
+        catch { case t: Throwable =>
+          // a CC failure inside the recompute must not strand the edge
+          // and closure checkpoints (release-before-throw)
+          roundEdges.foreach(Corpus.releaseCheckpoint)
+          Corpus.releaseCheckpoint(closed)
+          throw t
+        }
       lap("closure recompute (ledgerFromEdges)")
       roundEdges.foreach(Corpus.releaseCheckpoint) // CC labels materialized
       (rec, closed)
@@ -360,9 +373,8 @@ object Snapshot {
     * union into both the recomputed and carried arms).
     */
   def incrementalCleanFromState(prior: DataFrame, oldManifest: DataFrame,
-                                newDocs: DataFrame, maxRounds: Int = 25,
-                                maxShingleDf: Option[Int] = None): DataFrame =
-    incrementalLedgerFromState(prior, oldManifest, newDocs, maxRounds, maxShingleDf)
+                                newDocs: DataFrame, maxRounds: Int = 25): DataFrame =
+    incrementalLedgerFromState(prior, oldManifest, newDocs, maxRounds)
       .filter(col("doc_id") === col("cluster_id") && col("quality") >= 0.75)
       .select(col("doc_id"), col("n_tokens"), col("quality"), col("lang_pred"))
       .orderBy(col("doc_id"))

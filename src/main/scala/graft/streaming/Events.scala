@@ -59,7 +59,12 @@ object Events {
   private[graft] def withTs(df: DataFrame): DataFrame =
     df.schema("ts").dataType match {
       case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      // NTZ wall-clock is UTC by the data contract; from_utc_timestamp
+      // re-adds the session offset the cast subtracted, so the instant
+      // is right on NON-UTC caller sessions too (identity under UTC)
+      case TimestampNTZType => df.withColumn("ts",
+        from_utc_timestamp(col("ts").cast(TimestampType),
+          df.sparkSession.sessionState.conf.sessionLocalTimeZone))
       case _ => df
     }
 

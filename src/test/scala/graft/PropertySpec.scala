@@ -281,13 +281,13 @@ class PropertySpec extends AnyFunSuite {
     val spark = TestSpark.spark
     import spark.implicits._
     import graft.operators.{Corpus, Snapshot}
+    // No capped trial: the incremental loop deliberately rejects
+    // maxShingleDf — a capped pair graph prunes by GLOBAL shingle df,
+    // which a delta can flip for docs outside the closure's reach, so
+    // incremental-equals-full only holds uncapped (see the note in
+    // Snapshot.incrementalLedgerFromState).
     val rnd = new scala.util.Random(20260813L)
-    // trial 4 runs CAPPED (maxShingleDf) — the 100 TB skew recipe: the
-    // cap redefines the pair graph on BOTH engines identically, so
-    // equality must hold under it too (here it prunes the planted
-    // corpus-wide trigram's postings, nothing else is that hot)
-    for (trial <- 1 to 4) {
-      val cap: Option[Int] = if (trial == 4) Some(10) else None
+    for (trial <- 1 to 3) {
       val docs = scala.collection.mutable.ListBuffer.empty[(Long, String)]
       var id = 0L
       for (c <- 1 to 8) {
@@ -315,11 +315,10 @@ class PropertySpec extends AnyFunSuite {
         }
       } ++ (1 to 4).map(j => (maxId + j) -> s"retired document body number $j with padding")
       val oldDocs = old.toDF("doc_id", "text")
-      val prior = Corpus.ledger(oldDocs, cap).localCheckpoint(true)
-      val got = Snapshot.incrementalLedgerFromState(
-          prior, Snapshot.manifest(oldDocs), newDocs, maxShingleDf = cap)
+      val prior = Corpus.ledger(oldDocs).localCheckpoint(true)
+      val got = Snapshot.incrementalLedgerFromState(prior, Snapshot.manifest(oldDocs), newDocs)
         .orderBy(col("doc_id")).collect().map(_.toSeq).toSeq
-      val want = Corpus.ledger(newDocs, cap).orderBy(col("doc_id")).collect().map(_.toSeq).toSeq
+      val want = Corpus.ledger(newDocs).orderBy(col("doc_id")).collect().map(_.toSeq).toSeq
       assert(got.nonEmpty && got == want,
         s"trial $trial: incremental next ledger diverged from the from-scratch recompute")
       Corpus.releaseCheckpoint(prior)

@@ -72,6 +72,27 @@ class SchemaContractSpec extends AnyFunSuite {
     } finally deleteDir(ntzDir)
   }
 
+  test("NTZ normalization yields the same instants on a NON-UTC session") {
+    // The NTZ arm exists for library callers on their own sessions,
+    // which are not timezone-pinned: a bare NTZ→Timestamp cast would
+    // interpret the UTC wall-clock in the caller's zone and silently
+    // shift every instant (5h for America/New_York). The loader must
+    // yield the same epoch micros on any session timezone.
+    val ntzDir = java.nio.file.Files.createTempDirectory("graft_ntz_tz")
+    try {
+      stageNtzEvents(ntzDir)
+      val canonical = Tables.events(spark, ntzDir.toString)
+        .select(unix_micros(col("ts"))).orderBy(col("user_id"), col("ts")).collect().toSeq
+      val nySession = spark.newSession()
+      nySession.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
+      nySession.conf.set("spark.sql.session.timeZone", "America/New_York")
+      val viaNy = Tables.events(nySession, ntzDir.toString)
+        .select(unix_micros(col("ts"))).orderBy(col("user_id"), col("ts")).collect().toSeq
+      assert(viaNy == canonical,
+        "NTZ read on a non-UTC session shifted instants — the UTC pin is broken")
+    } finally deleteDir(ntzDir)
+  }
+
   test("windowAgg finalizes identical windows from an NTZ-staged events file") {
     // VERDICT r8 #4: the bounded-stream harness must tolerate either
     // parquet vintage. Stage a deliberately-NTZ events.parquet and prove

@@ -170,27 +170,6 @@ class SnapshotSpec extends AnyFunSuite {
       s"closure gate is not a broadcast semi-join:\n${plan.take(3000)}")
   }
 
-  test("incrementalCleanFromState on stored inputs equals the derived-state path") {
-    // The production loop reads the prior ledger and old manifest from
-    // storage instead of re-deriving them from the old corpus; both
-    // entrypoints must agree row-for-row. Old corpus built with the
-    // derived-snapshot transformations (drop %11, draft-suffix %7) so
-    // the delta exercises added+changed+mates.
-    import org.apache.spark.sql.functions.{col, concat, lit, when}
-    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
-    val old = docs.filter(col("doc_id") % 11 =!= 0)
-      .select(col("doc_id"),
-        when(col("doc_id") % 7 === 0, concat(col("text"), lit(" [draft]")))
-          .otherwise(col("text")).as("text"))
-    val viaDerived = Snapshot.incrementalCleanFrom(old, docs).collect().toSeq
-    assert(viaDerived.nonEmpty)
-    val prior = graft.operators.Corpus.ledger(old).localCheckpoint(true)
-    val viaState =
-      Snapshot.incrementalCleanFromState(prior, Snapshot.manifest(old), docs).collect().toSeq
-    assert(viaState == viaDerived)
-    graft.operators.Corpus.releaseCheckpoint(prior)
-  }
-
   test("incrementalLedgerFromState equals the from-scratch ledger (loop closure)") {
     // The production loop is ledger in → ledger out: each round's output
     // must BE the ledger a full recompute would store, or errors
