@@ -189,6 +189,21 @@ class SnapshotSpec extends AnyFunSuite {
     graft.operators.Corpus.releaseCheckpoint(prior)
   }
 
+  test("incremental ledger on an UNCHANGED snapshot is the prior ledger verbatim") {
+    // Empty delta → empty seeds → the closure's zero-round path (where
+    // frontier IS visited and must not be released) → no recompute rows,
+    // everything carried. The steady-state no-op crawl must cost nothing
+    // and change nothing.
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val prior = graft.operators.Corpus.ledger(docs).localCheckpoint(true)
+    val next = Snapshot.incrementalLedgerFromState(prior, Snapshot.manifest(docs), docs)
+      .orderBy(col("doc_id")).collect().map(_.toSeq).toSeq
+    val want = prior.orderBy(col("doc_id")).collect().map(_.toSeq).toSeq
+    assert(next.nonEmpty && next == want)
+    graft.operators.Corpus.releaseCheckpoint(prior)
+  }
+
   test("pair-graph closure ignores corpus-ubiquitous shingles (degeneracy pin)") {
     // Every doc shares the stop-gram "the end of", but only docs 1 and 2
     // are true near-dups. The earlier shared-SHINGLE closure visited the
