@@ -401,4 +401,23 @@ class StreamingSpec extends AnyFunSuite {
         |FROM g GROUP BY user_id, sid ORDER BY user_id, sid""".stripMargin)
     assert(streamed.collect().toSeq == batch.collect().toSeq)
   }
+
+  test("stream_incremental_clean's maintained ledger converges to the batch clean gate") {
+    val probe = scala.collection.mutable.ListBuffer.empty[(Long, Long)]
+    val streamed = Events.streamIncrementalClean(spark, TestSpark.sf, epochProbe = Some(probe))
+      .collect().toSeq
+    // batch truth: the kept view of the from-scratch ledger over the
+    // whole corpus (the same filter the stream's consumer view applies)
+    val docs = Tables.documents(spark, TestSpark.sf)
+    val batch = graft.operators.Corpus.ledger(docs)
+      .filter(col("doc_id") === col("cluster_id") && col("quality") >= 0.75)
+      .select(col("doc_id"), col("n_tokens"), col("quality"), col("lang_pred"))
+      .orderBy(col("doc_id")).collect().toSeq
+    assert(streamed.nonEmpty && streamed == batch)
+    // both staged arrivals processed as separate micro-batches, each
+    // non-empty — the second ledger update ran against real prior state
+    val epochs = probe.toMap
+    assert(epochs.keySet == Set(0L, 1L), s"expected exactly 2 data batches, got $probe")
+    assert(epochs.values.forall(_ > 0), s"an arrival batch was empty: $probe")
+  }
 }
