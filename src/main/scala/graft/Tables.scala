@@ -50,20 +50,25 @@ object Tables {
     * plain timestamp[us] with no UTC flag, which a session without
     * graft's inferTimestampNTZ=false config reads as TIMESTAMP_NTZ.
     * The NTZ wall-clock IS UTC (the data contract), so the conversion
-    * must yield that instant on ANY session: a bare cast interprets the
-    * wall in the SESSION timezone (a silent multi-hour shift for a
-    * non-UTC caller); from_utc_timestamp re-adds the session offset the
-    * cast subtracted, pinning the UTC reading. Identity under a UTC
-    * session; the ±1h DST-transition ambiguity is inherent to any
-    * wall-clock data.
+    * must yield that instant on ANY session — ZONE-MATH-FREE (ADVICE
+    * r9): suffix the wall-clock string with an explicit +00:00 offset
+    * and parse. A bare cast would interpret the wall in the SESSION
+    * zone (a silent multi-hour shift for a non-UTC caller), and the
+    * earlier cast-then-from_utc_timestamp round-trip applied the
+    * session zone's rules twice — wrong by 1h for walls landing in
+    * that zone's DST gap/overlap (~2h/year/zone), an error the
+    * conversion INTRODUCED, since a UTC wall is unambiguous. The
+    * offset-parse never consults the session zone, so it is exact for
+    * every instant; the per-row format+parse cost is confined to this
+    * fallback arm (graft's own sessions pin the read to TimestampType
+    * at the config layer and never enter it).
     */
   def events(s: SparkSession, d: String): DataFrame = {
     val raw = load(s, d, "events")
     raw.schema("ts").dataType match {
       case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case TimestampNTZType => raw.withColumn("ts",
-        from_utc_timestamp(col("ts").cast(TimestampType),
-          s.sessionState.conf.sessionLocalTimeZone))
+        to_timestamp(concat(col("ts").cast("string"), lit("+00:00"))))
       case _ => raw
     }
   }

@@ -288,46 +288,96 @@ object Snapshot {
     * CORPUS at all; delta work = two manifest-width scans + the delta's
     * blast radius. [[incrementalCleanFrom]] (the oracle-gated query)
     * derives both state inputs from the old snapshot and delegates
-    * here, so the stored-state path IS the verified path.
+    * here, so the stored-state path IS the verified path. This entry
+    * point still RE-DERIVES the new snapshot's manifest and posting
+    * index from `newDocs` (one hash pass + one explode over the new
+    * corpus); the fully-incremental deployment maintains those as
+    * stored state too and calls [[incrementalLedgerFromStoredState]]
+    * directly — [[graft.streaming.Events.streamIncrementalClean]] runs
+    * that loop per arrival batch with O(|batch|) state maintenance.
     */
   def incrementalLedgerFromState(prior: DataFrame, oldManifest: DataFrame,
                                  newDocs: DataFrame, maxRounds: Int = 25): DataFrame = {
+    // Derive the two stored-state relations the production loop reads
+    // from its store: the new snapshot's manifest and its posting index
+    // (exploded ONCE and memory-persisted across the closure rounds —
+    // re-deriving the explode per round would re-shuffle every posting
+    // each round; a stored-chain caller's parquet-backed index plays the
+    // same role, re-SCANNED per round instead of recomputed).
+    val idx = postings(newDocs).persist()
+    try incrementalLedgerFromStoredState(
+      prior, oldManifest, manifest(newDocs), idx, newDocs, maxRounds)
+    finally idx.unpersist(blocking = false)
+  }
+
+  /** The stored POSTING-INDEX relation for `docs` — one row per doc ×
+    * distinct 3-gram shingle hash (`(doc_id, nsh, s)`; `nsh` = the
+    * doc's shingle-set size, riding along so the per-round Jaccard
+    * filter needs no extra join to recover |A| and |B|). This is the
+    * relation the incremental closure probes every BFS round; a
+    * production deployment MAINTAINS it as stored state (append the
+    * arrival batch's postings, tombstone superseded docs' — both
+    * O(|batch|)) instead of re-exploding the corpus per snapshot —
+    * [[graft.streaming.Events.streamIncrementalClean]] is that loop.
+    * PUBLIC so that loop can build each batch's O(|batch|) delta.
+    */
+  def postings(docs: DataFrame): DataFrame =
+    Dedup.shingleHashSets(docs)
+      .select(col("doc_id"), size(col("shingles")).as("nsh"),
+        explode(col("shingles")).as("s"))
+
+  /** [[incrementalLedgerFromState]] with EVERY corpus-derived input
+    * supplied from the caller's store — the shape a continuously-running
+    * deployment executes per arrival batch, where nothing corpus-sized
+    * is recomputed: `newManifest` is maintained incrementally (prior
+    * manifest minus re-delivered ids, plus the batch's — no text outside
+    * the batch is hashed) and `postings` is the maintained index
+    * ([[postings]] of the batch appended, superseded docs tombstoned).
+    * `newDocs` is a LAZY view of the corpus store: the only rows whose
+    * TEXT this function realizes are the closure's, behind the
+    * broadcast left-semi gate — the scan never shuffles and (on a
+    * doc_id-partitioned store) prunes to the closure's files.
+    *
+    * Contract on the inputs (the caller's chain resolution must ensure
+    * both): `newManifest` holds exactly `newDocs`' ids with md5(text)
+    * hashes, and `postings` is exactly [[postings]]`(newDocs)` — stale
+    * rows from superseded document versions must already be resolved
+    * away, or phantom shingle edges re-introduce the stale text into
+    * the pair graph.
+    *
+    * Deliberately NO maxShingleDf here, although the full-recompute
+    * family accepts it: a CAPPED pair graph is not delta-stable. The
+    * cap prunes shingles by GLOBAL document frequency, and a delta doc
+    * adding or removing one occurrence can push a shingle across the
+    * cap, creating or destroying capped edges between UNTOUCHED docs
+    * the closure never reaches (they are not seeds, not mates, and the
+    * flipped shingle may exist only in a removed doc's old text —
+    * undetectable from stored state). Incremental-equals-full therefore
+    * only holds for the uncapped predicate; a capped deployment
+    * re-runs `Corpus.ledger(newDocs, cap)` from scratch instead.
+    */
+  def incrementalLedgerFromStoredState(prior: DataFrame, oldManifest: DataFrame,
+                                       newManifest: DataFrame, postings: DataFrame,
+                                       newDocs: DataFrame, maxRounds: Int = 25): DataFrame = {
     val lap = incrLap()
-    val delta = diff(oldManifest, manifest(newDocs))
+    val delta = diff(oldManifest, newManifest)
       .localCheckpoint(true) // delta-sized; read 2× (seeds + carry fence)
     lap("manifest diff")
     val deltaIds = delta.select(col("doc_id"))
-    // prior-cluster mates of delta docs, restricted to docs still present
+    // prior-cluster mates of delta docs, restricted to docs still
+    // present — presence is decided against the MANIFEST (stored
+    // scalar-width state), so the corpus store isn't touched here
     val mates = prior.join(deltaIds, "doc_id")
       .select(col("cluster_id")).distinct()
       .join(prior, "cluster_id")
       .select(col("doc_id"))
-      .join(newDocs.select(col("doc_id")), Seq("doc_id"), "left_semi")
+      .join(newManifest.select(col("doc_id")), Seq("doc_id"), "left_semi")
     val seeds = delta.filter(col("status") =!= "removed").select(col("doc_id"))
       .union(mates).distinct()
     // Pair-graph closure over the new corpus (same 3-gram hash kernel
-    // and the same Jaccard predicate as the ledger's pair join). The
-    // inverted index the BFS probes every round — exploded ONCE and
-    // persisted (a production pipeline stores this index; re-deriving
-    // the explode per round would re-shuffle every posting each round).
-    // Each doc's shingle-set size rides along so the per-round Jaccard
-    // filter needs no extra join to recover |A| and |B|. The set-form
-    // shingle pass isn't persisted separately: postings is its only
-    // consumer now that the recompute takes the BFS's edges directly.
-    // Deliberately NO maxShingleDf here, although the full-recompute
-    // family accepts it: a CAPPED pair graph is not delta-stable. The
-    // cap prunes shingles by GLOBAL document frequency, and a delta doc
-    // adding or removing one occurrence can push a shingle across the
-    // cap, creating or destroying capped edges between UNTOUCHED docs
-    // the closure never reaches (they are not seeds, not mates, and the
-    // flipped shingle may exist only in a removed doc's old text —
-    // undetectable from stored state). Incremental-equals-full therefore
-    // only holds for the uncapped predicate; a capped deployment
-    // re-runs `Corpus.ledger(newDocs, cap)` from scratch instead.
-    val postings = Dedup.shingleHashSets(newDocs)
-      .select(col("doc_id"), size(col("shingles")).as("nsh"),
-        explode(col("shingles")).as("s")).persist()
-    val (recomputed, closure) = try {
+    // and the same Jaccard predicate as the ledger's pair join),
+    // probing the supplied posting index each round.
+    val (recomputed, closure) = {
       val (closed, roundEdges) = pairGraphClosure(seeds, postings, maxRounds)
       lap("pair-graph closure")
       // exact recompute on the closed sub-corpus (complete components):
@@ -355,8 +405,6 @@ object Snapshot {
       lap("closure recompute (ledgerFromEdges)")
       roundEdges.foreach(Corpus.releaseCheckpoint) // CC labels materialized
       (rec, closed)
-    } finally {
-      postings.unpersist(blocking = false)
     }
     // carry forward every prior ledger row the delta provably cannot
     // touch (not in the closure, not named by the delta)

@@ -59,12 +59,14 @@ object Events {
   private[graft] def withTs(df: DataFrame): DataFrame =
     df.schema("ts").dataType match {
       case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      // NTZ wall-clock is UTC by the data contract; from_utc_timestamp
-      // re-adds the session offset the cast subtracted, so the instant
-      // is right on NON-UTC caller sessions too (identity under UTC)
+      // NTZ wall-clock is UTC by the data contract: parse it with an
+      // explicit +00:00 offset, never consulting the session zone —
+      // exact on NON-UTC caller sessions too, including walls landing
+      // in the session zone's DST gap/overlap, which the old
+      // cast-then-from_utc_timestamp round-trip shifted by 1h (ADVICE
+      // r9; see graft.Tables.events for the full rationale)
       case TimestampNTZType => df.withColumn("ts",
-        from_utc_timestamp(col("ts").cast(TimestampType),
-          df.sparkSession.sessionState.conf.sessionLocalTimeZone))
+        to_timestamp(concat(col("ts").cast("string"), lit("+00:00"))))
       case _ => df
     }
 
@@ -827,32 +829,62 @@ object Events {
   /** Continuous corpus construction with the INCREMENTAL clean ledger
     * maintained per micro-batch — the streaming composition of the
     * ingestion harness and the snapshot loop
-    * ([[graft.operators.Snapshot.incrementalLedgerFromState]]): every
-    * arrival batch IS a snapshot delta. foreachBatch lands the batch in
-    * an idempotent `batch=<epoch>` arrival log (the delta-chain
-    * discipline), then advances the stored `(manifest, ledger)` state
-    * through the stored-state update — per-batch LEDGER work (pair
-    * joins, CC, scoring) ∝ the batch's pair-graph blast radius, and
-    * bootstrap falls out of the same code: the first batch diffs
+    * ([[graft.operators.Snapshot.incrementalLedgerFromStoredState]]):
+    * every arrival batch IS a snapshot delta, and EVERY corpus-derived
+    * state the update consumes is maintained as stored per-epoch delta
+    * chains, so the per-batch TEXT work — hashing, shingling — is
+    * O(|batch|), never O(corpus):
+    *
+    *  - `corpus/batch=e`, `postings/batch=e` — the arrival's raw rows
+    *    and its [[graft.operators.Snapshot.postings]] delta, appended;
+    *  - `tombstones/batch=e` — doc_ids the arrival RE-DELIVERS (already
+    *    in the prior manifest), O(|batch|) rows. A chain read resolves
+    *    merge-on-read: a `batch=p` row is live iff p ≥ the doc's max
+    *    tombstone epoch — one broadcast join of the (delta-sized)
+    *    tombstone aggregate against the scan, no corpus shuffle. A
+    *    periodic [[compactDeltaChain]]-style rewrite bounds both chain
+    *    length and tombstone amplification, exactly as in
+    *    [[ingestDedupToFiles]]'s changelog sink;
+    *  - `manifest/batch=e` — the SAME delta-chain treatment: each epoch
+    *    writes only md5 over the batch's own text (O(|batch|) rows), and
+    *    the resolved chain IS the corpus manifest — so no manifest-width
+    *    rewrite ever happens either;
+    *  - `ledger/batch=e` — the delta-scoped update's output, written in
+    *    full per epoch: it is the operator's consumer-facing relation
+    *    (the one a production run persists anyway), and the only
+    *    corpus-width write in the loop.
+    *
+    * The ledger update probes the STORED postings chain each BFS round
+    * (a broadcast-hash probe of the frontier against the index scan —
+    * the Spark-native shape of an index lookup) and reads corpus TEXT
+    * only for the closure, behind the broadcast left-semi gate.
+    * Bootstrap falls out of the same code: the first batch diffs
     * against an EMPTY manifest, so every doc is `added` and the update
-    * IS the full compute. State reads resolve to the latest epoch
-    * STRICTLY BELOW the current one, so a replayed batch recomputes
-    * from its true predecessor state (exactly-once under the standard
+    * IS the full compute.
+    *
+    * Replay/crash discipline (ADVICE r9): within an epoch the ledger is
+    * written LAST, the manifest before it, and an epoch counts as
+    * committed only when BOTH carry parquet's `_SUCCESS` marker — a
+    * crash between the two writes can never strand a ledger whose
+    * manifest is missing or torn. State reads resolve to the latest
+    * COMMITTED epoch strictly below the current one, and every
+    * per-epoch write is an overwrite into the epoch's own directory, so
+    * a replayed batch recomputes from its true predecessor state and
+    * rewrites its deltas idempotently (exactly-once under the standard
     * foreachBatch retry semantics).
     *
-    * Honest cost note: the closure's posting index is rebuilt from the
-    * full corpus store each batch here; a production deployment
-    * maintains that index as stored state too (append the batch's
-    * postings, retract removed docs'), which is what keeps EVERY
-    * per-batch term delta-scoped. The ledger/manifest state writes are
-    * corpus-width scalar rows — the relation a production run persists
-    * anyway.
-    *
-    * The two-arrival staging (doc_id % 5) makes the second update
-    * demonstrably incremental; `epochProbe` receives (epoch, batch
-    * rows) per batch for the spec. Returns the final KEPT relation —
-    * equals `pipe_clean_corpus` over the whole corpus (same oracle
-    * SQL, the strongest check an incremental operator can have).
+    * The two-arrival staging exercises both incremental paths under the
+    * full-recompute oracle: arrival 1 carries doc_id % 5 ≠ 0 PLUS a
+    * deliberately STALE draft of every doc_id % 10 = 0 doc; arrival 2
+    * re-delivers those docs' true text (→ `changed`, exercising the
+    * tombstone resolution on all three chains) alongside the remaining
+    * adds — so the final corpus equals `documents` exactly and the
+    * result must equal `pipe_clean_corpus` over it (same oracle SQL,
+    * the strongest check an incremental operator can have). Stale text
+    * surviving ANY chain — corpus, postings, manifest — would shift
+    * hashes, quality scores or phantom pair-graph edges and
+    * hash-mismatch that oracle. `epochProbe` receives (epoch, batch
+    * rows) per batch for the spec.
     */
   def streamIncrementalClean(spark: SparkSession, sfDir: String,
                              statePartitions: Option[Int] = Some(4),
@@ -872,17 +904,46 @@ object Events {
           val corpusDir = s"$store/corpus"
           val ledgerDir = s"$store/ledger"
           val manifestDir = s"$store/manifest"
+          val postingsDir = s"$store/postings"
+          val tombstoneDir = s"$store/tombstones"
+          // epoch e is committed only when BOTH the manifest and the
+          // (last-written) ledger carry _SUCCESS
+          def committed(e: Long): Boolean =
+            new java.io.File(s"$ledgerDir/batch=$e/_SUCCESS").exists &&
+              new java.io.File(s"$manifestDir/batch=$e/_SUCCESS").exists
           // latest committed epoch strictly below `epoch` (replay safety)
-          def latestBelow(dir: String, epoch: Long): Option[Long] = {
-            val d = new java.io.File(dir)
+          def latestBelow(epoch: Long): Option[Long] = {
+            val d = new java.io.File(ledgerDir)
             if (!d.isDirectory) None
             else d.listFiles().toSeq
               .map(_.getName).filter(_.startsWith("batch="))
-              .map(_.stripPrefix("batch=").toLong).filter(_ < epoch)
+              .map(_.stripPrefix("batch=").toLong)
+              .filter(e => e < epoch && committed(e))
               .sorted.lastOption
           }
+          // merge-on-read over a delta chain: drop rows superseded by a
+          // later tombstone (the tombstone aggregate is delta-sized —
+          // re-deliveries only — hence broadcast; the chain scan itself
+          // never shuffles). `upTo` pins the view to epochs ≤ that bound
+          // (partition-pruned) — replay safety for PRIOR-state reads: a
+          // crashed attempt's own-epoch deltas must not leak into the
+          // state the replay recomputes from.
+          def liveChain(bss: SparkSession, dir: String,
+                        upTo: Option[Long] = None): DataFrame = {
+            def bound(df: DataFrame): DataFrame =
+              upTo.fold(df)(e => df.filter(col("batch") <= lit(e)))
+            val rows = bound(bss.read.parquet(dir)) // `batch` partition column
+            val tombs = bound(bss.read.parquet(tombstoneDir))
+              .groupBy(col("doc_id")).agg(max(col("batch")).as("tomb_epoch"))
+            rows.join(broadcast(tombs), Seq("doc_id"), "left_outer")
+              .filter(col("tomb_epoch").isNull || col("batch") >= col("tomb_epoch"))
+              .drop("batch", "tomb_epoch")
+          }
           val docs = ss.read.parquet(staged.toString)
-          docs.filter(col("doc_id") % 5 =!= 0).write.mode("append").parquet(src.toString)
+          val stale = docs.filter(col("doc_id") % 10 === 0)
+            .withColumn("text", concat(col("text"), lit(" [stale draft]")))
+          docs.filter(col("doc_id") % 5 =!= 0).unionByName(stale)
+            .write.mode("append").parquet(src.toString)
           val stream = ss.readStream.schema(rawSchema(ss, sfDir, "documents"))
             .parquet(src.toString)
           val q = stream.writeStream
@@ -891,20 +952,43 @@ object Events {
             .foreachBatch { (batch: DataFrame, epoch: Long) =>
               val bss = batch.sparkSession
               graft.GraftSession.registerFunctions(bss)
+              // 1. land the arrival (idempotent per-epoch overwrite)
               batch.write.mode("overwrite").parquet(s"$corpusDir/batch=$epoch")
-              val corpus = bss.read.parquet(corpusDir).drop("batch")
-              val (prior, priorManifest) = latestBelow(ledgerDir, epoch) match {
+              val arrived = bss.read.parquet(s"$corpusDir/batch=$epoch")
+              // 2. prior committed state: the ledger is a direct read of
+              // the last committed epoch's output; the prior manifest is
+              // the manifest CHAIN resolved up to that epoch (scalar-width
+              // scans, no text either way)
+              val (prior, priorManifest) = latestBelow(epoch) match {
                 case Some(e) => (bss.read.parquet(s"$ledgerDir/batch=$e"),
-                  bss.read.parquet(s"$manifestDir/batch=$e"))
+                  liveChain(bss, manifestDir, upTo = Some(e)))
                 case None =>
                   // schema-correct empty state via the machinery itself —
                   // bootstrap then flows through the one verified code path
-                  (Corpus.ledger(corpus.limit(0)), Snapshot.manifest(corpus.limit(0)))
+                  (Corpus.ledger(arrived.limit(0)), Snapshot.manifest(arrived.limit(0)))
               }
-              Snapshot.incrementalLedgerFromState(prior, priorManifest, corpus)
-                .write.mode("overwrite").parquet(s"$ledgerDir/batch=$epoch")
-              Snapshot.manifest(corpus)
+              // 3. O(|batch|) state deltas — the only text hashed or
+              // shingled this epoch is the batch's own
+              val batchManifest = Snapshot.manifest(arrived)
+              priorManifest
+                .join(batchManifest.select(col("doc_id")), Seq("doc_id"), "left_semi")
+                .select(col("doc_id"))
+                .write.mode("overwrite").parquet(s"$tombstoneDir/batch=$epoch")
+              Snapshot.postings(arrived)
+                .write.mode("overwrite").parquet(s"$postingsDir/batch=$epoch")
+              // 4. the manifest delta — the batch's own rows, O(|batch|);
+              // the resolved chain IS the next manifest. Written BEFORE
+              // the ledger (the commit gate's first half).
+              batchManifest
                 .write.mode("overwrite").parquet(s"$manifestDir/batch=$epoch")
+              val nextManifest = liveChain(bss, manifestDir, upTo = Some(epoch))
+              // 5. delta-scoped ledger update over the STORED chains;
+              // the ledger write commits the epoch
+              Snapshot.incrementalLedgerFromStoredState(
+                prior, priorManifest, nextManifest,
+                liveChain(bss, postingsDir, upTo = Some(epoch)),
+                liveChain(bss, corpusDir, upTo = Some(epoch)))
+                .write.mode("overwrite").parquet(s"$ledgerDir/batch=$epoch")
               epochProbe.foreach(_ += ((epoch, batch.count())))
             }
             .start()
@@ -915,8 +999,8 @@ object Events {
           } finally { dumpProgress("graft_iclean", q); q.stop() }
           // consumer view: the latest ledger's kept rows — the same
           // filter incrementalCleanFromState applies
-          val last = latestBelow(ledgerDir, Long.MaxValue).getOrElse(
-            throw new IllegalStateException("stream produced no ledger epoch"))
+          val last = latestBelow(Long.MaxValue).getOrElse(
+            throw new IllegalStateException("stream produced no committed ledger epoch"))
           val kept = spark.read.parquet(s"$ledgerDir/batch=$last")
             .filter(col("doc_id") === col("cluster_id") && col("quality") >= 0.75)
             .select(col("doc_id"), col("n_tokens"), col("quality"), col("lang_pred"))

@@ -93,6 +93,30 @@ class SchemaContractSpec extends AnyFunSuite {
     } finally deleteDir(ntzDir)
   }
 
+  test("NTZ walls inside the session zone's DST gap/overlap keep their UTC instant") {
+    // ADVICE r9: the old cast-then-from_utc_timestamp round-trip applied
+    // America/New_York's offset twice at potentially different rules — a
+    // UTC wall landing in NY's spring-forward gap (02:30 on 2024-03-10
+    // does not exist as a NY local time) came back shifted by 1h, and a
+    // wall in the fall-back overlap (01:30 on 2024-11-03 exists twice)
+    // was ambiguous. The data contract says the wall IS UTC, so both
+    // instants are unambiguous; the offset-suffix parse must return them
+    // exactly on a NY session.
+    val walls = Seq("2024-03-10T02:30:00", "2024-11-03T01:30:00", "2024-06-01T12:00:00")
+    val nySession = spark.newSession()
+    nySession.conf.set("spark.sql.session.timeZone", "America/New_York")
+    val ntz = {
+      import nySession.implicits._
+      walls.toDF("s").select(col("s").cast(TimestampNTZType).as("ts"))
+    }
+    val got = Events.withTs(ntz).select(unix_micros(col("ts")))
+      .collect().map(_.getLong(0)).toSeq
+    val want = walls.map(w => java.time.LocalDateTime.parse(w)
+      .toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000L)
+    assert(got == want,
+      s"DST-gap/overlap walls shifted on a non-UTC session: got $got, want $want")
+  }
+
   test("windowAgg finalizes identical windows from an NTZ-staged events file") {
     // VERDICT r8 #4: the bounded-stream harness must tolerate either
     // parquet vintage. Stage a deliberately-NTZ events.parquet and prove

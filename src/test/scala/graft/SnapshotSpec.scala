@@ -189,6 +189,41 @@ class SnapshotSpec extends AnyFunSuite {
     graft.operators.Corpus.releaseCheckpoint(prior)
   }
 
+  test("incrementalLedgerFromStoredState runs entirely off parquet-backed state") {
+    // The fully-incremental deployment shape: prior ledger, both
+    // manifests AND the posting index are READ FROM STORAGE (here a
+    // scratch parquet store, unpersisted, no lineage back to the old
+    // corpus) — the update must still reproduce the from-scratch ledger
+    // row-for-row. This is the exact call streamIncrementalClean makes
+    // per micro-batch.
+    import org.apache.spark.sql.functions.{col, concat, lit, when}
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val old = docs.filter(col("doc_id") % 11 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 7 === 0, concat(col("text"), lit(" [draft]")))
+          .otherwise(col("text")).as("text"))
+    val store = java.nio.file.Files.createTempDirectory("graft_stored_state")
+    try {
+      graft.operators.Corpus.ledger(old).write.parquet(s"$store/ledger")
+      Snapshot.manifest(old).write.parquet(s"$store/manifest_old")
+      Snapshot.manifest(docs).write.parquet(s"$store/manifest_new")
+      Snapshot.postings(docs).write.parquet(s"$store/postings")
+      val got = Snapshot.incrementalLedgerFromStoredState(
+        spark.read.parquet(s"$store/ledger"),
+        spark.read.parquet(s"$store/manifest_old"),
+        spark.read.parquet(s"$store/manifest_new"),
+        spark.read.parquet(s"$store/postings"), docs)
+        .orderBy(col("doc_id")).collect().toSeq
+      val want = graft.operators.Corpus.ledger(docs)
+        .orderBy(col("doc_id")).collect().toSeq
+      assert(got.nonEmpty && got == want)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(store).sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   test("incremental ledger on an UNCHANGED snapshot is the prior ledger verbatim") {
     // Empty delta → empty seeds → the closure's zero-round path (where
     // frontier IS visited and must not be released) → no recompute rows,

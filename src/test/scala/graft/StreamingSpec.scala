@@ -419,5 +419,16 @@ class StreamingSpec extends AnyFunSuite {
     val epochs = probe.toMap
     assert(epochs.keySet == Set(0L, 1L), s"expected exactly 2 data batches, got $probe")
     assert(epochs.values.forall(_ > 0), s"an arrival batch was empty: $probe")
+    // the staging really RE-DELIVERS: arrival 1 carries stale drafts of
+    // the %10 docs, arrival 2 their true text — so the two batch counts
+    // overlap by exactly the %10 population, and the equality above is a
+    // live gate on the tombstone resolution of all three state chains
+    // (a surviving stale text row, posting, or manifest hash would shift
+    // the ledger away from the batch truth)
+    val n = docs.count()
+    val redelivered = docs.filter(col("doc_id") % 10 === 0).count()
+    assert(redelivered > 0, "testdata has no %10 docs — staging lost its re-delivery leg")
+    assert(epochs(0L) + epochs(1L) == n + redelivered,
+      s"arrival overlap ${epochs(0L)} + ${epochs(1L)} != $n + $redelivered")
   }
 }
