@@ -152,10 +152,22 @@ object Snapshot {
     val debug = incrDebug
     val lap = incrLap()
     val roundEdges = scala.collection.mutable.ListBuffer.empty[DataFrame]
-    var visited = seeds.localCheckpoint(true)
-    lap(s"seeds${if (debug) s" (n=${visited.count()})" else ""}")
-    var frontier = visited
+    // Visited = the lazy UNION of the per-round frontier checkpoints
+    // (frontiers are disjoint by construction). The earlier formulation
+    // re-checkpointed the whole growing visited set every round —
+    // O(rounds × closure) storage traffic, with a deep-chain corpus
+    // paying the full closure's materialization per hop; the union view
+    // stores each closure doc's id exactly ONCE and still cuts lineage
+    // at every leaf (each leaf is its own checkpoint).
+    val frontiers = scala.collection.mutable.ListBuffer(seeds.localCheckpoint(true))
+    def visitedView: DataFrame = frontiers.reduce(_ union _)
+    lap(s"seeds${if (debug) s" (n=${frontiers.head.count()})" else ""}")
+    var frontier = frontiers.head
     var rounds = 0
+    def releaseAll(): Unit = {
+      roundEdges.foreach(Corpus.releaseCheckpoint)
+      frontiers.foreach(Corpus.releaseCheckpoint)
+    }
     while (rounds < maxRounds && !frontier.isEmpty) {
       val fPost = postings.join(frontier, "doc_id")
         .select(col("doc_id").as("src"), col("nsh").as("n1"), col("s").as("fs"))
@@ -172,36 +184,37 @@ object Snapshot {
         .localCheckpoint(true)
       roundEdges += edges
       val nextFrontier = edges.select(col("dst").as("doc_id")).distinct()
-        .join(visited, Seq("doc_id"), "left_anti")
+        .join(visitedView, Seq("doc_id"), "left_anti")
         .localCheckpoint(true)
-      val nextVisited = visited.union(nextFrontier).localCheckpoint(true)
-      // superseded round state: only the latest visited/frontier blocks
-      // stay resident (the connectedComponents discipline)
-      Corpus.releaseCheckpoint(visited)
-      if (frontier ne visited) Corpus.releaseCheckpoint(frontier)
+      frontiers += nextFrontier
       frontier = nextFrontier
-      visited = nextVisited
       rounds += 1
-      lap(s"closure round $rounds${if (debug) s" (visited=${visited.count()})" else ""}")
+      lap(s"closure round $rounds${if (debug) s" (frontier=${frontier.count()})" else ""}")
     }
     if (!frontier.isEmpty) {
       // release-before-throw (the connectedComponents discipline):
       // localCheckpoint blocks are reclaimed only on driver GC, and the
       // message invites a raise-and-retry — each failed attempt must
       // not pin another O(rounds) block set
-      roundEdges.foreach(Corpus.releaseCheckpoint)
-      Corpus.releaseCheckpoint(visited)
-      if (frontier ne visited) Corpus.releaseCheckpoint(frontier)
+      releaseAll()
       throw new IllegalStateException(
         s"pair-graph closure did not converge in $maxRounds rounds — " +
           "a near-dup chain is deeper than maxRounds; raise it (the " +
           "chain length bounds the rounds, one frontier-sized join each)")
     }
-    // empty; only `visited` survives. The `ne` guard matters on the
-    // zero-round path (empty seeds): there `frontier` IS `visited`, and
-    // releasing it would free the returned closure's checkpoint blocks.
-    if (frontier ne visited) Corpus.releaseCheckpoint(frontier)
-    (visited, roundEdges.toList)
+    // Collapse the view into ONE checkpointed closure relation (callers
+    // consume it lazily — broadcast semi gate, carry anti-join — long
+    // after this returns) and release the per-round pieces. On the
+    // zero-round path the seeds checkpoint IS the closure: hand it over
+    // without re-materializing (and without releasing it).
+    if (frontiers.size == 1) (frontiers.head, roundEdges.toList)
+    else {
+      val closed =
+        try visitedView.localCheckpoint(true)
+        catch { case t: Throwable => releaseAll(); throw t }
+      frontiers.foreach(Corpus.releaseCheckpoint)
+      (closed, roundEdges.toList)
+    }
   }
 
   /** The clean gate run INCREMENTALLY over a snapshot delta — the stage
