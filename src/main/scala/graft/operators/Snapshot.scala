@@ -372,6 +372,47 @@ object Snapshot {
   def incrementalLedgerFromStoredState(prior: DataFrame, oldManifest: DataFrame,
                                        newManifest: DataFrame, postings: DataFrame,
                                        newDocs: DataFrame, maxRounds: Int = 25): DataFrame = {
+    val (recomputed, closure, deltaIds) =
+      recomputedLedgerRows(prior, oldManifest, newManifest, postings, newDocs, maxRounds)
+    // carry forward every prior ledger row the delta provably cannot
+    // touch (not in the closure, not named by the delta)
+    val carried = prior
+      .join(closure, Seq("doc_id"), "left_anti")
+      .join(deltaIds, Seq("doc_id"), "left_anti")
+    recomputed.unionByName(carried)
+  }
+
+  /** The CHANGELOG form of [[incrementalLedgerFromStoredState]]: only
+    * the rows the update actually RECOMPUTED — the delta's pair-graph
+    * closure — skipping the carried arm entirely. This is the write a
+    * ledger stored as a per-epoch delta chain appends (the
+    * merge-on-read changelog pattern of
+    * [[graft.streaming.Events.ingestDedupToFiles]]): per-epoch ledger
+    * writes shrink from corpus-width to O(blast radius), and a reader
+    * resolves last-write-wins per doc_id over the chain (one
+    * partial-agg'd shuffle of scalar rows, bounded by periodic
+    * compaction) — carried docs simply keep their last-written row.
+    * Caller contract for sources WITH removals: a removed doc is absent
+    * from this relation but present in the prior chain, so
+    * last-write-wins would resurface it — the caller must retract it
+    * (tombstone or retraction row), using the removed ids its own
+    * manifest diff already knows, O(|delta|).
+    * [[graft.streaming.Events.streamIncrementalClean]] consumes this
+    * per micro-batch.
+    */
+  def incrementalLedgerDeltaFromStoredState(prior: DataFrame, oldManifest: DataFrame,
+                                            newManifest: DataFrame, postings: DataFrame,
+                                            newDocs: DataFrame, maxRounds: Int = 25): DataFrame =
+    recomputedLedgerRows(prior, oldManifest, newManifest, postings, newDocs, maxRounds)._1
+
+  /** Shared core of the two stored-state entry points: the recomputed
+    * ledger rows for the delta's pair-graph closure, plus the closure
+    * and delta-id relations the full-ledger form fences its carry with.
+    */
+  private def recomputedLedgerRows(prior: DataFrame, oldManifest: DataFrame,
+                                   newManifest: DataFrame, postings: DataFrame,
+                                   newDocs: DataFrame, maxRounds: Int)
+      : (DataFrame, DataFrame, DataFrame) = {
     val lap = incrLap()
     val delta = diff(oldManifest, newManifest)
       .localCheckpoint(true) // delta-sized; read 2× (seeds + carry fence)
@@ -419,12 +460,7 @@ object Snapshot {
       roundEdges.foreach(Corpus.releaseCheckpoint) // CC labels materialized
       (rec, closed)
     }
-    // carry forward every prior ledger row the delta provably cannot
-    // touch (not in the closure, not named by the delta)
-    val carried = prior
-      .join(closure, Seq("doc_id"), "left_anti")
-      .join(deltaIds, Seq("doc_id"), "left_anti")
-    recomputed.unionByName(carried)
+    (recomputed, closure, deltaIds)
   }
 
   /** The KEPT-set view of [[incrementalLedgerFromState]] — the

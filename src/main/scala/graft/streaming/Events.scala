@@ -849,10 +849,16 @@ object Events {
     *    writes only md5 over the batch's own text (O(|batch|) rows), and
     *    the resolved chain IS the corpus manifest — so no manifest-width
     *    rewrite ever happens either;
-    *  - `ledger/batch=e` — the delta-scoped update's output, written in
-    *    full per epoch: it is the operator's consumer-facing relation
-    *    (the one a production run persists anyway), and the only
-    *    corpus-width write in the loop.
+    *  - `ledger/batch=e` — a delta chain as well: each epoch writes ONLY
+    *    the rows the update recomputed (the blast radius —
+    *    [[graft.operators.Snapshot.incrementalLedgerDeltaFromStoredState]]);
+    *    carried docs keep their last-written row, and readers resolve
+    *    last-write-wins per doc_id (`max_by` on the epoch, one
+    *    partial-agg'd shuffle of scalar rows — the
+    *    [[ingestDedupToFiles]] changelog recipe). NO corpus-width write
+    *    survives anywhere in the loop; a removal-bearing source would
+    *    additionally retract removed ids (absent here — arrivals only
+    *    add or re-deliver).
     *
     * The ledger update probes the STORED postings chain each BFS round
     * (a broadcast-hash probe of the frontier against the index scan —
@@ -884,11 +890,15 @@ object Events {
     * surviving ANY chain — corpus, postings, manifest — would shift
     * hashes, quality scores or phantom pair-graph edges and
     * hash-mismatch that oracle. `epochProbe` receives (epoch, batch
-    * rows) per batch for the spec.
+    * rows) per batch for the spec; `ledgerDeltaProbe` receives (epoch,
+    * ledger delta rows) — the counter that PROVES the per-epoch ledger
+    * write is blast-radius-sized, not corpus-sized (and that a
+    * deployment monitors as its per-batch write amplification).
     */
   def streamIncrementalClean(spark: SparkSession, sfDir: String,
                              statePartitions: Option[Int] = Some(4),
-                             epochProbe: Option[scala.collection.mutable.Buffer[(Long, Long)]] = None): DataFrame = {
+                             epochProbe: Option[scala.collection.mutable.Buffer[(Long, Long)]] = None,
+                             ledgerDeltaProbe: Option[scala.collection.mutable.Buffer[(Long, Long)]] = None): DataFrame = {
     import graft.operators.{Corpus, Snapshot}
     val ss = sessionFor(spark, statePartitions,
       Map("spark.sql.streaming.noDataMicroBatches.enabled" -> "false") ++ providerConf)
@@ -939,6 +949,18 @@ object Events {
               .filter(col("tomb_epoch").isNull || col("batch") >= col("tomb_epoch"))
               .drop("batch", "tomb_epoch")
           }
+          // the ledger chain's reader: last-write-wins per doc_id over
+          // the per-epoch recompute deltas (re-delivered docs are always
+          // in their epoch's closure, so LWW subsumes tombstones here;
+          // removals would need explicit retractions — see the doc)
+          def ledgerView(ss2: SparkSession, upTo: Long): DataFrame = {
+            val valueCols = Seq("cluster_id", "n_tokens", "quality", "lang_pred")
+            ss2.read.parquet(ledgerDir)
+              .filter(col("batch") <= lit(upTo))
+              .groupBy(col("doc_id"))
+              .agg(max_by(struct(valueCols.map(col): _*), col("batch")).as("v"))
+              .select(col("doc_id") +: valueCols.map(c => col(s"v.$c").as(c)): _*)
+          }
           val docs = ss.read.parquet(staged.toString)
           val stale = docs.filter(col("doc_id") % 10 === 0)
             .withColumn("text", concat(col("text"), lit(" [stale draft]")))
@@ -960,7 +982,7 @@ object Events {
               // the manifest CHAIN resolved up to that epoch (scalar-width
               // scans, no text either way)
               val (prior, priorManifest) = latestBelow(epoch) match {
-                case Some(e) => (bss.read.parquet(s"$ledgerDir/batch=$e"),
+                case Some(e) => (ledgerView(bss, e),
                   liveChain(bss, manifestDir, upTo = Some(e)))
                 case None =>
                   // schema-correct empty state via the machinery itself —
@@ -982,14 +1004,17 @@ object Events {
               batchManifest
                 .write.mode("overwrite").parquet(s"$manifestDir/batch=$epoch")
               val nextManifest = liveChain(bss, manifestDir, upTo = Some(epoch))
-              // 5. delta-scoped ledger update over the STORED chains;
-              // the ledger write commits the epoch
-              Snapshot.incrementalLedgerFromStoredState(
+              // 5. delta-scoped ledger update over the STORED chains —
+              // writing ONLY the recomputed rows (the epoch's changelog
+              // delta); the ledger write commits the epoch
+              Snapshot.incrementalLedgerDeltaFromStoredState(
                 prior, priorManifest, nextManifest,
                 liveChain(bss, postingsDir, upTo = Some(epoch)),
                 liveChain(bss, corpusDir, upTo = Some(epoch)))
                 .write.mode("overwrite").parquet(s"$ledgerDir/batch=$epoch")
               epochProbe.foreach(_ += ((epoch, batch.count())))
+              ledgerDeltaProbe.foreach(_ +=
+                ((epoch, bss.read.parquet(s"$ledgerDir/batch=$epoch").count())))
             }
             .start()
           try {
@@ -997,11 +1022,11 @@ object Events {
             docs.filter(col("doc_id") % 5 === 0).write.mode("append").parquet(src.toString)
             q.processAllAvailable()
           } finally { dumpProgress("graft_iclean", q); q.stop() }
-          // consumer view: the latest ledger's kept rows — the same
-          // filter incrementalCleanFromState applies
+          // consumer view: the resolved ledger chain's kept rows — the
+          // same filter incrementalCleanFromState applies
           val last = latestBelow(Long.MaxValue).getOrElse(
             throw new IllegalStateException("stream produced no committed ledger epoch"))
-          val kept = spark.read.parquet(s"$ledgerDir/batch=$last")
+          val kept = ledgerView(spark, last)
             .filter(col("doc_id") === col("cluster_id") && col("quality") >= 0.75)
             .select(col("doc_id"), col("n_tokens"), col("quality"), col("lang_pred"))
             .orderBy(col("doc_id"))

@@ -404,7 +404,9 @@ class StreamingSpec extends AnyFunSuite {
 
   test("stream_incremental_clean's maintained ledger converges to the batch clean gate") {
     val probe = scala.collection.mutable.ListBuffer.empty[(Long, Long)]
-    val streamed = Events.streamIncrementalClean(spark, TestSpark.sf, epochProbe = Some(probe))
+    val ledgerProbe = scala.collection.mutable.ListBuffer.empty[(Long, Long)]
+    val streamed = Events.streamIncrementalClean(spark, TestSpark.sf, epochProbe = Some(probe),
+      ledgerDeltaProbe = Some(ledgerProbe))
       .collect().toSeq
     // batch truth: the kept view of the from-scratch ledger over the
     // whole corpus (the same filter the stream's consumer view applies)
@@ -430,5 +432,15 @@ class StreamingSpec extends AnyFunSuite {
     assert(redelivered > 0, "testdata has no %10 docs — staging lost its re-delivery leg")
     assert(epochs(0L) + epochs(1L) == n + redelivered,
       s"arrival overlap ${epochs(0L)} + ${epochs(1L)} != $n + $redelivered")
+    // the per-epoch LEDGER write is blast-radius-sized, never
+    // corpus-sized: epoch 0 is the bootstrap (everything recomputed),
+    // epoch 1 must cover at least its own arrivals (every arrival is a
+    // seed) but strictly less than the whole corpus (carried docs keep
+    // their epoch-0 rows — a corpus-width write here means the
+    // changelog design regressed to full rewrites)
+    val deltas = ledgerProbe.toMap
+    assert(deltas(0L) == epochs(0L), s"bootstrap delta ${deltas(0L)} != batch ${epochs(0L)}")
+    assert(deltas(1L) >= epochs(1L) && deltas(1L) < n,
+      s"epoch-1 ledger delta ${deltas(1L)} not blast-radius-sized (batch ${epochs(1L)}, corpus $n)")
   }
 }
