@@ -324,4 +324,65 @@ class PropertySpec extends AnyFunSuite {
       Corpus.releaseCheckpoint(prior)
     }
   }
+
+  test("ledger changelog delta + last-write-wins + retraction equals the full next ledger") {
+    // The delta-chain contract of incrementalLedgerDeltaFromStoredState
+    // (the write streamIncrementalClean appends per epoch), pinned on a
+    // random edited corpus WITH removals — the one leg the streaming
+    // harness can't stage (its file source only adds or re-delivers):
+    // LWW-resolving [prior@0, delta@1] per doc_id and retracting the
+    // removed ids (which the caller derives from its manifest diff,
+    // O(|delta|)) must reproduce the from-scratch next ledger exactly.
+    // Without the retraction the removed docs' prior rows win LWW and
+    // resurface — the documented failure mode this test also pins.
+    import org.apache.spark.sql.functions.{col, lit, max_by, struct}
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import graft.operators.{Corpus, Snapshot}
+    val rnd = new scala.util.Random(20260814L)
+    val docs = scala.collection.mutable.ListBuffer.empty[(Long, String)]
+    var id = 0L
+    for (c <- 1 to 6) {
+      val len = 1 + rnd.nextInt(4)
+      val base = Array.tabulate(40)(i => s"c${c}w${i}")
+      var cur = base.clone()
+      for (k <- 0 until len) {
+        if (k > 0) { cur = cur.clone(); cur(rnd.nextInt(40)) = s"mut${c}k$k" }
+        id += 1; docs += id -> cur.mkString(" ")
+      }
+    }
+    val newDocs = docs.toSeq.toDF("doc_id", "text")
+    val maxId = id
+    val old = docs.toSeq.flatMap { case (i, t) =>
+      rnd.nextInt(5) match {
+        case 0 => None
+        case 1 => Some(i -> (t + s" zz${rnd.nextInt(100)} extra tail"))
+        case _ => Some(i -> t)
+      }
+    } ++ (1 to 3).map(j => (maxId + j) -> s"retired document body number $j with padding")
+    val oldDocs = old.toDF("doc_id", "text")
+    val prior = Corpus.ledger(oldDocs).localCheckpoint(true)
+    val deltaRows = Snapshot.incrementalLedgerDeltaFromStoredState(
+      prior, Snapshot.manifest(oldDocs), Snapshot.manifest(newDocs),
+      Snapshot.postings(newDocs), newDocs)
+    val valueCols = Seq("cluster_id", "n_tokens", "quality", "lang_pred")
+    val chain = prior.withColumn("batch", lit(0))
+      .unionByName(deltaRows.withColumn("batch", lit(1)))
+    val removed = Snapshot.manifest(oldDocs).select(col("doc_id"))
+      .join(newDocs.select(col("doc_id")), Seq("doc_id"), "left_anti")
+    val resolved = chain.groupBy(col("doc_id"))
+      .agg(max_by(struct(valueCols.map(col): _*), col("batch")).as("v"))
+      .select(col("doc_id") +: valueCols.map(c => col(s"v.$c").as(c)): _*)
+      .join(removed, Seq("doc_id"), "left_anti")
+    val got = resolved.orderBy(col("doc_id")).collect().map(_.toSeq).toSeq
+    val want = Corpus.ledger(newDocs).orderBy(col("doc_id")).collect().map(_.toSeq).toSeq
+    assert(got.nonEmpty && got == want, "resolved changelog chain diverged from full ledger")
+    // negative leg: skipping the retraction must resurface removed docs
+    val unretracted = chain.groupBy(col("doc_id"))
+      .agg(max_by(struct(valueCols.map(col): _*), col("batch")).as("v"))
+      .count()
+    assert(unretracted == want.size + 3,
+      s"retraction negative-check: expected ${want.size} + 3 retired rows, got $unretracted")
+    Corpus.releaseCheckpoint(prior)
+  }
 }
