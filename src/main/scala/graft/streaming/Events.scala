@@ -977,41 +977,57 @@ object Events {
               // 1. land the arrival (idempotent per-epoch overwrite)
               batch.write.mode("overwrite").parquet(s"$corpusDir/batch=$epoch")
               val arrived = bss.read.parquet(s"$corpusDir/batch=$epoch")
-              // 2. prior committed state: the ledger is a direct read of
-              // the last committed epoch's output; the prior manifest is
-              // the manifest CHAIN resolved up to that epoch (scalar-width
-              // scans, no text either way)
+              // 2. prior committed state: the ledger chain's LWW
+              // resolution and the manifest chain, both up to the last
+              // committed epoch (scalar-width scans, no text either
+              // way). CACHED for the batch: each is consumed by several
+              // update stages, and re-resolving a stored chain per
+              // consumer re-pays its scan + aggregate (production
+              // equally caches its hot state views; the blocks are
+              // LRU-evictable and released after the epoch's write).
               val (prior, priorManifest) = latestBelow(epoch) match {
-                case Some(e) => (ledgerView(bss, e),
-                  liveChain(bss, manifestDir, upTo = Some(e)))
+                case Some(e) => (ledgerView(bss, e).persist(),
+                  liveChain(bss, manifestDir, upTo = Some(e)).persist())
                 case None =>
                   // schema-correct empty state via the machinery itself —
                   // bootstrap then flows through the one verified code path
-                  (Corpus.ledger(arrived.limit(0)), Snapshot.manifest(arrived.limit(0)))
+                  (Corpus.ledger(arrived.limit(0)).persist(),
+                    Snapshot.manifest(arrived.limit(0)).persist())
               }
-              // 3. O(|batch|) state deltas — the only text hashed or
-              // shingled this epoch is the batch's own
-              val batchManifest = Snapshot.manifest(arrived)
-              priorManifest
-                .join(batchManifest.select(col("doc_id")), Seq("doc_id"), "left_semi")
-                .select(col("doc_id"))
-                .write.mode("overwrite").parquet(s"$tombstoneDir/batch=$epoch")
-              Snapshot.postings(arrived)
-                .write.mode("overwrite").parquet(s"$postingsDir/batch=$epoch")
-              // 4. the manifest delta — the batch's own rows, O(|batch|);
-              // the resolved chain IS the next manifest. Written BEFORE
-              // the ledger (the commit gate's first half).
-              batchManifest
-                .write.mode("overwrite").parquet(s"$manifestDir/batch=$epoch")
-              val nextManifest = liveChain(bss, manifestDir, upTo = Some(epoch))
-              // 5. delta-scoped ledger update over the STORED chains —
-              // writing ONLY the recomputed rows (the epoch's changelog
-              // delta); the ledger write commits the epoch
-              Snapshot.incrementalLedgerDeltaFromStoredState(
-                prior, priorManifest, nextManifest,
-                liveChain(bss, postingsDir, upTo = Some(epoch)),
-                liveChain(bss, corpusDir, upTo = Some(epoch)))
-                .write.mode("overwrite").parquet(s"$ledgerDir/batch=$epoch")
+              try {
+                // 3. O(|batch|) state deltas — the only text hashed or
+                // shingled this epoch is the batch's own
+                val batchManifest = Snapshot.manifest(arrived)
+                priorManifest
+                  .join(batchManifest.select(col("doc_id")), Seq("doc_id"), "left_semi")
+                  .select(col("doc_id"))
+                  .write.mode("overwrite").parquet(s"$tombstoneDir/batch=$epoch")
+                Snapshot.postings(arrived)
+                  .write.mode("overwrite").parquet(s"$postingsDir/batch=$epoch")
+                // 4. the manifest delta — the batch's own rows, O(|batch|);
+                // the resolved chain IS the next manifest. Written BEFORE
+                // the ledger (the commit gate's first half).
+                batchManifest
+                  .write.mode("overwrite").parquet(s"$manifestDir/batch=$epoch")
+                val nextManifest = liveChain(bss, manifestDir, upTo = Some(epoch))
+                // 5. delta-scoped ledger update over the STORED chains —
+                // writing ONLY the recomputed rows (the epoch's changelog
+                // delta); the ledger write commits the epoch. The postings
+                // view is cached across the closure's BFS rounds (the same
+                // role the batch path's in-memory persist plays — without
+                // it every round re-scans and re-resolves the chain).
+                val postingsView =
+                  liveChain(bss, postingsDir, upTo = Some(epoch)).persist()
+                try {
+                  Snapshot.incrementalLedgerDeltaFromStoredState(
+                    prior, priorManifest, nextManifest, postingsView,
+                    liveChain(bss, corpusDir, upTo = Some(epoch)))
+                    .write.mode("overwrite").parquet(s"$ledgerDir/batch=$epoch")
+                } finally postingsView.unpersist(blocking = false)
+              } finally {
+                prior.unpersist(blocking = false)
+                priorManifest.unpersist(blocking = false)
+              }
               epochProbe.foreach(_ += ((epoch, batch.count())))
               ledgerDeltaProbe.foreach(_ +=
                 ((epoch, bss.read.parquet(s"$ledgerDir/batch=$epoch").count())))
