@@ -842,9 +842,11 @@ object Events {
     *    merge-on-read: a `batch=p` row is live iff p ≥ the doc's max
     *    tombstone epoch — one broadcast join of the (delta-sized)
     *    tombstone aggregate against the scan, no corpus shuffle. A
-    *    periodic [[compactDeltaChain]]-style rewrite bounds both chain
-    *    length and tombstone amplification, exactly as in
-    *    [[ingestDedupToFiles]]'s changelog sink;
+    *    periodic [[compactTombstonedChain]] run rewrites the resolved
+    *    rows as the single base delta and consumes the tombstones,
+    *    bounding both chain length and tombstone amplification, exactly
+    *    as [[compactDeltaChain]] does for [[ingestDedupToFiles]]'s
+    *    changelog sink;
     *  - `manifest/batch=e` — the SAME delta-chain treatment: each epoch
     *    writes only md5 over the batch's own text (O(|batch|) rows), and
     *    the resolved chain IS the corpus manifest — so no manifest-width
@@ -1176,10 +1178,22 @@ object Events {
       .groupBy(keyCols.map(col): _*)
       .agg(max_by(struct(valueCols.map(col): _*), col("batch")).as("v"))
       .select(keyCols.map(col) ++ valueCols.map(c => col(s"v.$c").as(c)): _*)
+    swapCompactedSnapshot(sinkPath, lww, maxEpoch)
+  }
+
+  /** The crash-safe snapshot swap shared by [[compactDeltaChain]] and
+    * [[compactTombstonedChain]]: materialize `snapshot` into a hidden
+    * tmp dir (forcing the read of every delta it replaces), stamp the
+    * target-epoch marker, atomically swap it into `batch=maxEpoch`'s
+    * place, then prune the consumed older deltas. Crash states are
+    * exactly those [[recoverInterruptedCompaction]] repairs.
+    */
+  private def swapCompactedSnapshot(sinkPath: java.nio.file.Path,
+                                    snapshot: DataFrame, maxEpoch: Long): Unit = {
     val tmp = sinkPath.resolve(CompactTmp)
-    // materializes the full LWW read BEFORE any delta is touched; the
-    // marker lands last, so marker-present == snapshot complete
-    lww.write.parquet(tmp.toString)
+    // materializes the full resolved read BEFORE any delta is touched;
+    // the marker lands last, so marker-present == snapshot complete
+    snapshot.write.parquet(tmp.toString)
     java.nio.file.Files.write(tmp.resolve(CompactMarker),
       maxEpoch.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val target = sinkPath.resolve(s"batch=$maxEpoch")
@@ -1197,6 +1211,58 @@ object Events {
         if (name.startsWith("batch=") && name != s"batch=$maxEpoch") deleteDir(p)
       }
     } finally stream.close()
+  }
+
+  /** Compaction for a TOMBSTONED delta chain — the store shape
+    * [[streamIncrementalClean]] keeps its corpus and posting-index
+    * state in. Per-epoch dirs hold whole-row deltas where a
+    * re-delivered doc's rows are replaced WHOLESALE (possibly many rows
+    * per doc — a posting index has one per shingle — so
+    * [[compactDeltaChain]]'s per-key LWW does not apply), and a
+    * parallel tombstone chain records the doc_ids whose older rows each
+    * epoch superseded. Resolution: a `batch=p` row is live iff p ≥ the
+    * doc's max tombstone epoch. This pass rewrites the resolved live
+    * rows as the single base delta (the shared crash-safe swap) and
+    * then prunes the consumed tombstone epochs — bounding the chain's
+    * read amplification AND the tombstone aggregate's growth, the two
+    * quantities the merge-on-read design trades against write cost.
+    *
+    * Tombstone pruning needs no crash coupling with the swap: after the
+    * swap every surviving row carries `batch = maxEpoch` ≥ every
+    * consumed tombstone's epoch, so a stale tombstone is a semantic
+    * no-op — deleting it is pure housekeeping, safe at any crash point
+    * (a crash mid-prune leaves no-op tombstones the next compaction
+    * removes). Tombstones with epochs ABOVE the compacted base (none
+    * exist while the stream is quiesced, the normal compaction window)
+    * are preserved verbatim.
+    */
+  def compactTombstonedChain(spark: SparkSession, dir: String, tombstoneDir: String,
+                             keyCol: String = "doc_id"): Unit = {
+    val sinkPath = java.nio.file.Paths.get(dir)
+    recoverInterruptedCompaction(sinkPath)
+    val rows = spark.read.parquet(dir)
+    if (rows.isEmpty) return
+    val maxEpoch = rows.agg(max(col("batch"))).head().getAs[Number](0).longValue()
+    // a previously-compacted chain's tombstone dir exists but is empty
+    // (all epochs consumed) — same as no tombstones at all
+    val haveTombs = Option(new java.io.File(tombstoneDir).listFiles())
+      .exists(_.exists(_.getName.startsWith("batch=")))
+    val live =
+      if (!haveTombs) rows.drop("batch")
+      else {
+        val tombs = spark.read.parquet(tombstoneDir)
+          .groupBy(col(keyCol)).agg(max(col("batch")).as("tomb_epoch"))
+        rows.join(broadcast(tombs), Seq(keyCol), "left_outer")
+          .filter(col("tomb_epoch").isNull || col("batch") >= col("tomb_epoch"))
+          .drop("batch", "tomb_epoch")
+      }
+    swapCompactedSnapshot(sinkPath, live, maxEpoch)
+    val td = new java.io.File(tombstoneDir)
+    if (td.isDirectory) td.listFiles().foreach { f =>
+      val n = f.getName
+      if (n.startsWith("batch=") && n.stripPrefix("batch=").toLong <= maxEpoch)
+        deleteDir(f.toPath)
+    }
   }
 
   // leading underscore: Spark's partition discovery ignores `_`/`.`

@@ -176,6 +176,64 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("tombstoned-chain compaction preserves the resolved relation and consumes tombstones") {
+    // The store shape streamIncrementalClean keeps corpus/postings state
+    // in: whole-row-group deltas (many rows per doc) + a tombstone chain
+    // marking superseded doc versions — per-key LWW doesn't apply, so
+    // this is compactTombstonedChain's own contract: resolution
+    // identical before/after, one base dir left, tombstones consumed.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_tchain")
+    val tomb = java.nio.file.Files.createTempDirectory("graft_tchain_tomb")
+    try {
+      // doc 1 delivered at epoch 0 (2 rows) and RE-delivered at epoch 1
+      // (3 rows, tombstoning the old version); docs 2 and 3 one epoch each
+      Seq((1L, "a1x"), (1L, "a1y"), (2L, "bb")).toDF("doc_id", "s")
+        .write.parquet(s"$dir/batch=0")
+      Seq((1L, "a2x"), (1L, "a2y"), (1L, "a2z"), (3L, "cc")).toDF("doc_id", "s")
+        .write.parquet(s"$dir/batch=1")
+      Seq(Tuple1(1L)).toDF("doc_id").write.parquet(s"$tomb/batch=1")
+      val want = Set((1L, "a2x"), (1L, "a2y"), (1L, "a2z"), (2L, "bb"), (3L, "cc"))
+      def resolved(): Set[(Long, String)] = {
+        val rows = spark.read.parquet(dir.toString)
+        val tombDirs = Option(new java.io.File(tomb.toString).listFiles())
+          .exists(_.exists(_.getName.startsWith("batch=")))
+        val live = if (!tombDirs) rows else {
+          val t = spark.read.parquet(tomb.toString)
+            .groupBy(col("doc_id")).agg(max(col("batch")).as("te"))
+          rows.join(t, Seq("doc_id"), "left_outer")
+            .filter(col("te").isNull || col("batch") >= col("te"))
+        }
+        live.select(col("doc_id"), col("s"))
+          .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      }
+      assert(resolved() == want, "test chain staged wrong")
+      Events.compactTombstonedChain(spark, dir.toString, tomb.toString)
+      def dirs(p: java.nio.file.Path) = Option(new java.io.File(p.toString).listFiles())
+        .map(_.filter(f => f.isDirectory && f.getName.startsWith("batch=")).map(_.getName).toSet)
+        .getOrElse(Set.empty[String])
+      assert(resolved() == want, "compaction changed the resolved relation")
+      assert(dirs(dir) == Set("batch=1"), s"older deltas must be pruned: ${dirs(dir)}")
+      assert(dirs(tomb).isEmpty, s"consumed tombstones must be pruned: ${dirs(tomb)}")
+      // idempotent on a consumed chain (empty tombstone dir ≡ none)
+      Events.compactTombstonedChain(spark, dir.toString, tomb.toString)
+      assert(resolved() == want && dirs(dir) == Set("batch=1"))
+      // stream resumes: epoch 2 re-delivers doc 2 and tombstones it; a
+      // second compaction folds the late delta exactly
+      Seq((2L, "b2"), (4L, "dd")).toDF("doc_id", "s").write.parquet(s"$dir/batch=2")
+      Seq(Tuple1(2L)).toDF("doc_id").write.parquet(s"$tomb/batch=2")
+      val want2 = want - ((2L, "bb")) + ((2L, "b2")) + ((4L, "dd"))
+      assert(resolved() == want2, "post-compaction delta must supersede the base")
+      Events.compactTombstonedChain(spark, dir.toString, tomb.toString)
+      assert(resolved() == want2 && dirs(dir) == Set("batch=2") && dirs(tomb).isEmpty)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      for (p <- Seq(dir, tomb))
+        java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(q => java.nio.file.Files.deleteIfExists(q))
+    }
+  }
+
   test("interrupted compaction recovers without data loss (ADVICE r6 crash states)") {
     import spark.implicits._
     def withChain(f: java.nio.file.Path => Unit): Unit = {
