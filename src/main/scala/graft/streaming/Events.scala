@@ -842,11 +842,12 @@ object Events {
     *    merge-on-read: a `batch=p` row is live iff p ≥ the doc's max
     *    tombstone epoch — one broadcast join of the (delta-sized)
     *    tombstone aggregate against the scan, no corpus shuffle. A
-    *    periodic [[compactTombstonedChain]] run rewrites the resolved
-    *    rows as the single base delta and consumes the tombstones,
-    *    bounding both chain length and tombstone amplification, exactly
-    *    as [[compactDeltaChain]] does for [[ingestDedupToFiles]]'s
-    *    changelog sink;
+    *    periodic [[compactTombstonedChains]] run over all three
+    *    tombstone-sharing chains (corpus, postings, manifest) rewrites
+    *    each chain's resolved rows as its base delta and consumes the
+    *    tombstones, bounding both chain length and tombstone
+    *    amplification, exactly as [[compactDeltaChain]] does for
+    *    [[ingestDedupToFiles]]'s changelog sink;
     *  - `manifest/batch=e` — the SAME delta-chain treatment: each epoch
     *    writes only md5 over the batch's own text (O(|batch|) rows), and
     *    the resolved chain IS the corpus manifest — so no manifest-width
@@ -933,33 +934,25 @@ object Events {
               .filter(e => e < epoch && committed(e))
               .sorted.lastOption
           }
-          // merge-on-read over a delta chain: drop rows superseded by a
-          // later tombstone (the tombstone aggregate is delta-sized —
-          // re-deliveries only — hence broadcast; the chain scan itself
-          // never shuffles). `upTo` pins the view to epochs ≤ that bound
-          // (partition-pruned) — replay safety for PRIOR-state reads: a
-          // crashed attempt's own-epoch deltas must not leak into the
-          // state the replay recomputes from.
+          // merge-on-read over a delta chain — the ONE shared resolution
+          // predicate ([[tombstoneResolved]]; the compactor materializes
+          // the same relation). `upTo` pins the view to epochs ≤ that
+          // bound (partition-pruned) — replay safety for PRIOR-state
+          // reads: a crashed attempt's own-epoch deltas must not leak
+          // into the state the replay recomputes from.
           def liveChain(bss: SparkSession, dir: String,
-                        upTo: Option[Long] = None): DataFrame = {
-            def bound(df: DataFrame): DataFrame =
-              upTo.fold(df)(e => df.filter(col("batch") <= lit(e)))
-            val rows = bound(bss.read.parquet(dir)) // `batch` partition column
-            val tombs = bound(bss.read.parquet(tombstoneDir))
-              .groupBy(col("doc_id")).agg(max(col("batch")).as("tomb_epoch"))
-            rows.join(broadcast(tombs), Seq("doc_id"), "left_outer")
-              .filter(col("tomb_epoch").isNull || col("batch") >= col("tomb_epoch"))
-              .drop("batch", "tomb_epoch")
-          }
+                        upTo: Option[Long] = None): DataFrame =
+            tombstoneResolved(bss, dir, tombstoneDir, upTo = upTo)
           // the ledger chain's reader: last-write-wins per doc_id over
           // the per-epoch recompute deltas (re-delivered docs are always
           // in their epoch's closure, so LWW subsumes tombstones here;
-          // removals would need explicit retractions — see the doc)
+          // removals would need explicit retractions — see the doc).
+          // Value columns come off the stored schema, so a ledger schema
+          // change can never be silently projected away here.
           def ledgerView(ss2: SparkSession, upTo: Long): DataFrame = {
-            val valueCols = Seq("cluster_id", "n_tokens", "quality", "lang_pred")
-            ss2.read.parquet(ledgerDir)
-              .filter(col("batch") <= lit(upTo))
-              .groupBy(col("doc_id"))
+            val rows = ss2.read.parquet(ledgerDir).filter(col("batch") <= lit(upTo))
+            val valueCols = rows.columns.filterNot(c => c == "doc_id" || c == "batch").toSeq
+            rows.groupBy(col("doc_id"))
               .agg(max_by(struct(valueCols.map(col): _*), col("batch")).as("v"))
               .select(col("doc_id") +: valueCols.map(c => col(s"v.$c").as(c)): _*)
           }
@@ -1011,13 +1004,16 @@ object Events {
                 // the ledger (the commit gate's first half).
                 batchManifest
                   .write.mode("overwrite").parquet(s"$manifestDir/batch=$epoch")
-                val nextManifest = liveChain(bss, manifestDir, upTo = Some(epoch))
                 // 5. delta-scoped ledger update over the STORED chains —
                 // writing ONLY the recomputed rows (the epoch's changelog
                 // delta); the ledger write commits the epoch. The postings
                 // view is cached across the closure's BFS rounds (the same
                 // role the batch path's in-memory persist plays — without
-                // it every round re-scans and re-resolves the chain).
+                // it every round re-scans and re-resolves the chain), the
+                // next-manifest view across its two consumers (diff +
+                // mates presence gate).
+                val nextManifest =
+                  liveChain(bss, manifestDir, upTo = Some(epoch)).persist()
                 val postingsView =
                   liveChain(bss, postingsDir, upTo = Some(epoch)).persist()
                 try {
@@ -1025,7 +1021,10 @@ object Events {
                     prior, priorManifest, nextManifest, postingsView,
                     liveChain(bss, corpusDir, upTo = Some(epoch)))
                     .write.mode("overwrite").parquet(s"$ledgerDir/batch=$epoch")
-                } finally postingsView.unpersist(blocking = false)
+                } finally {
+                  postingsView.unpersist(blocking = false)
+                  nextManifest.unpersist(blocking = false)
+                }
               } finally {
                 prior.unpersist(blocking = false)
                 priorManifest.unpersist(blocking = false)
@@ -1235,33 +1234,79 @@ object Events {
     * removes). Tombstones with epochs ABOVE the compacted base (none
     * exist while the stream is quiesced, the normal compaction window)
     * are preserved verbatim.
+    *
+    * This single-chain form is ONLY for a chain with a DEDICATED
+    * tombstone dir: pruning consumes the tombstones, so a store whose
+    * chains SHARE one tombstone dir must compact them together through
+    * [[compactTombstonedChains]] — see its doc for the failure mode.
     */
   def compactTombstonedChain(spark: SparkSession, dir: String, tombstoneDir: String,
-                             keyCol: String = "doc_id"): Unit = {
-    val sinkPath = java.nio.file.Paths.get(dir)
-    recoverInterruptedCompaction(sinkPath)
-    val rows = spark.read.parquet(dir)
-    if (rows.isEmpty) return
-    val maxEpoch = rows.agg(max(col("batch"))).head().getAs[Number](0).longValue()
-    // a previously-compacted chain's tombstone dir exists but is empty
-    // (all epochs consumed) — same as no tombstones at all
+                             keyCol: String = "doc_id"): Unit =
+    compactTombstonedChains(spark, Seq(dir), tombstoneDir, keyCol)
+
+  /** The multi-chain form of [[compactTombstonedChain]] — and the ONLY
+    * correct call for a store where SEVERAL data chains resolve against
+    * one shared tombstone dir, as [[streamIncrementalClean]]'s does
+    * (corpus, postings AND manifest all consult the same re-delivery
+    * tombstones): `dirs` must list EVERY such chain. Compacting one
+    * chain alone would consume tombstones its siblings still need —
+    * their stale rows would silently resurface (and a follow-up
+    * compaction would bake them into a permanent base). Here the
+    * tombstones are pruned only after every listed chain has swapped in
+    * its resolved base, and only up to the SMALLEST compacted epoch, so
+    * a lagging chain's unconsumed tombstones survive verbatim.
+    */
+  def compactTombstonedChains(spark: SparkSession, dirs: Seq[String], tombstoneDir: String,
+                              keyCol: String = "doc_id"): Unit = {
+    val maxEpochs = dirs.flatMap { dir =>
+      val sinkPath = java.nio.file.Paths.get(dir)
+      recoverInterruptedCompaction(sinkPath)
+      val rows = spark.read.parquet(dir)
+      if (rows.isEmpty) None
+      else {
+        val maxEpoch = rows.agg(max(col("batch"))).head().getAs[Number](0).longValue()
+        swapCompactedSnapshot(sinkPath,
+          tombstoneResolved(spark, dir, tombstoneDir, keyCol), maxEpoch)
+        Some(maxEpoch)
+      }
+    }
+    if (maxEpochs.nonEmpty) {
+      val safe = maxEpochs.min
+      val td = new java.io.File(tombstoneDir)
+      if (td.isDirectory) td.listFiles().foreach { f =>
+        val n = f.getName
+        if (n.startsWith("batch=") && n.stripPrefix("batch=").toLong <= safe)
+          deleteDir(f.toPath)
+      }
+    }
+  }
+
+  /** Merge-on-read resolution of a tombstoned delta chain: a `batch=p`
+    * row is live iff p ≥ its key's max tombstone epoch (the tombstone
+    * aggregate is delta-sized — re-deliveries/removals only — hence
+    * broadcast; the chain scan itself never shuffles). `upTo` bounds
+    * BOTH the rows and the tombstones to epochs ≤ it (partition-pruned).
+    * This is the ONE copy of the predicate — the streaming reader and
+    * the compactor both resolve through it; a second copy would let an
+    * edit silently decouple the stream's view from the materialized
+    * base. A tombstone dir without `batch=` children (never written, or
+    * fully consumed by compaction) means no tombstones.
+    */
+  private[graft] def tombstoneResolved(spark: SparkSession, dir: String,
+                                       tombstoneDir: String, keyCol: String = "doc_id",
+                                       upTo: Option[Long] = None): DataFrame = {
+    def bound(df: DataFrame): DataFrame =
+      upTo.fold(df)(e => df.filter(col("batch") <= lit(e)))
+    val rows = bound(spark.read.parquet(dir)) // `batch` partition column
     val haveTombs = Option(new java.io.File(tombstoneDir).listFiles())
       .exists(_.exists(_.getName.startsWith("batch=")))
-    val live =
-      if (!haveTombs) rows.drop("batch")
-      else {
-        val tombs = spark.read.parquet(tombstoneDir)
-          .groupBy(col(keyCol)).agg(max(col("batch")).as("tomb_epoch"))
-        rows.join(broadcast(tombs), Seq(keyCol), "left_outer")
-          .filter(col("tomb_epoch").isNull || col("batch") >= col("tomb_epoch"))
-          .drop("batch", "tomb_epoch")
-      }
-    swapCompactedSnapshot(sinkPath, live, maxEpoch)
-    val td = new java.io.File(tombstoneDir)
-    if (td.isDirectory) td.listFiles().foreach { f =>
-      val n = f.getName
-      if (n.startsWith("batch=") && n.stripPrefix("batch=").toLong <= maxEpoch)
-        deleteDir(f.toPath)
+    if (!haveTombs) rows.drop("batch")
+    else {
+      val tombs = bound(spark.read.parquet(tombstoneDir))
+        .groupBy(col(keyCol)).agg(max(col("batch")).as("tomb_epoch"))
+      rows.join(broadcast(tombs), Seq(keyCol), "left_outer")
+        .filter(col("tomb_epoch").isNull || col("batch") >= col("tomb_epoch"))
+        .drop("batch", "tomb_epoch")
     }
   }
 

@@ -234,6 +234,47 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("chains sharing a tombstone dir compact together without losing resolutions") {
+    // The iclean store shape: corpus + postings + manifest chains all
+    // resolve against ONE tombstone dir. Compacting them in one
+    // compactTombstonedChains call must preserve every chain's resolved
+    // relation — the single-chain call would consume the shared
+    // tombstones after the first chain and let the second chain's stale
+    // rows leak into its compacted base (the review finding this pins).
+    import spark.implicits._
+    val a = java.nio.file.Files.createTempDirectory("graft_mchain_a")
+    val b = java.nio.file.Files.createTempDirectory("graft_mchain_b")
+    val tomb = java.nio.file.Files.createTempDirectory("graft_mchain_tomb")
+    try {
+      // doc 1 re-delivered at epoch 1; each chain carries its own rows
+      Seq((1L, "a-old"), (2L, "a-b")).toDF("doc_id", "v").write.parquet(s"$a/batch=0")
+      Seq((1L, "a-new")).toDF("doc_id", "v").write.parquet(s"$a/batch=1")
+      Seq((1L, "b-old1"), (1L, "b-old2"), (2L, "b-b")).toDF("doc_id", "v")
+        .write.parquet(s"$b/batch=0")
+      Seq((1L, "b-new1"), (1L, "b-new2")).toDF("doc_id", "v").write.parquet(s"$b/batch=1")
+      Seq(Tuple1(1L)).toDF("doc_id").write.parquet(s"$tomb/batch=1")
+      def resolved(dir: java.nio.file.Path): Set[(Long, String)] =
+        Events.tombstoneResolved(spark, dir.toString, tomb.toString)
+          .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      val wantA = Set((1L, "a-new"), (2L, "a-b"))
+      val wantB = Set((1L, "b-new1"), (1L, "b-new2"), (2L, "b-b"))
+      assert(resolved(a) == wantA && resolved(b) == wantB, "staging broken")
+      Events.compactTombstonedChains(spark, Seq(a.toString, b.toString), tomb.toString)
+      assert(resolved(a) == wantA, "chain A lost rows to shared-tombstone compaction")
+      assert(resolved(b) == wantB, "chain B resurrected tombstoned rows")
+      def dirs(p: java.nio.file.Path) = Option(new java.io.File(p.toString).listFiles())
+        .map(_.filter(f => f.isDirectory && f.getName.startsWith("batch=")).map(_.getName).toSet)
+        .getOrElse(Set.empty[String])
+      assert(dirs(a) == Set("batch=1") && dirs(b) == Set("batch=1"))
+      assert(dirs(tomb).isEmpty, "tombstones must be consumed only after BOTH chains swapped")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      for (p <- Seq(a, b, tomb))
+        java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(q => java.nio.file.Files.deleteIfExists(q))
+    }
+  }
+
   test("interrupted compaction recovers without data loss (ADVICE r6 crash states)") {
     import spark.implicits._
     def withChain(f: java.nio.file.Path => Unit): Unit = {
