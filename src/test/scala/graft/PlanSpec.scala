@@ -183,6 +183,31 @@ class PlanSpec extends AnyFunSuite {
     assert(joinLines.forall(!_.contains("text#")), "join touches raw text")
   }
 
+  test("tombstone chain resolution is a broadcast join — the chain scan never shuffles") {
+    // The merge-on-read predicate of the clean-ledger state chains: at
+    // 100 TB the chain scan is the corpus; a shuffle here would exchange
+    // it per micro-batch just to drop a handful of superseded rows. The
+    // tombstone aggregate is delta-sized and explicitly broadcast.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_plan_tchain")
+    try {
+      Seq((1L, "v0"), (2L, "w0")).toDF("doc_id", "s").write.parquet(s"$dir/chain/batch=0")
+      Seq((1L, "v1")).toDF("doc_id", "s").write.parquet(s"$dir/chain/batch=1")
+      Seq(Tuple1(1L)).toDF("doc_id").write.parquet(s"$dir/tomb/batch=1")
+      val resolved = graft.streaming.Events.tombstoneResolved(
+        spark, s"$dir/chain", s"$dir/tomb")
+      resolved.collect() // AQE finalizes the executed plan
+      val plan = resolved.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"), s"no broadcast join:\n$plan")
+      assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+        s"chain scan shuffled:\n$plan")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   test("embed_pca projection is map-only: a typed Tungsten pipeline with no exchange") {
     import graft.operators.Pca
     val embs = Tables.embeddings(spark, TestSpark.sf)
