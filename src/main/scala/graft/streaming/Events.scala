@@ -919,21 +919,8 @@ object Events {
           val manifestDir = s"$store/manifest"
           val postingsDir = s"$store/postings"
           val tombstoneDir = s"$store/tombstones"
-          // epoch e is committed only when BOTH the manifest and the
-          // (last-written) ledger carry _SUCCESS
-          def committed(e: Long): Boolean =
-            new java.io.File(s"$ledgerDir/batch=$e/_SUCCESS").exists &&
-              new java.io.File(s"$manifestDir/batch=$e/_SUCCESS").exists
-          // latest committed epoch strictly below `epoch` (replay safety)
-          def latestBelow(epoch: Long): Option[Long] = {
-            val d = new java.io.File(ledgerDir)
-            if (!d.isDirectory) None
-            else d.listFiles().toSeq
-              .map(_.getName).filter(_.startsWith("batch="))
-              .map(_.stripPrefix("batch=").toLong)
-              .filter(e => e < epoch && committed(e))
-              .sorted.lastOption
-          }
+          def latestBelow(epoch: Long): Option[Long] =
+            latestCommittedBelow(ledgerDir, manifestDir, epoch)
           // merge-on-read over a delta chain — the ONE shared resolution
           // predicate ([[tombstoneResolved]]; the compactor materializes
           // the same relation). `upTo` pins the view to epochs ≤ that
@@ -1292,6 +1279,33 @@ object Events {
     * base. A tombstone dir without `batch=` children (never written, or
     * fully consumed by compaction) means no tombstones.
     */
+  /** The replay/crash commit gate of [[streamIncrementalClean]]'s
+    * store: the latest epoch STRICTLY BELOW `epoch` whose manifest AND
+    * (last-written) ledger both carry parquet's `_SUCCESS` marker. The
+    * write order inside an epoch is manifest → … → ledger, so "ledger
+    * _SUCCESS present" normally implies a complete manifest — but a
+    * crash can leave ANY prefix, including a torn parquet dir with
+    * files and no marker, so the gate requires both markers explicitly
+    * (ADVICE r9: keying replay reads off the ledger dir alone could
+    * select an epoch whose manifest is missing or torn). Strictly-below
+    * means a replayed epoch never reads its own crashed attempt's
+    * state; uncommitted epochs are skipped, landing on the last epoch
+    * that fully committed.
+    */
+  private[graft] def latestCommittedBelow(ledgerDir: String, manifestDir: String,
+                                          epoch: Long): Option[Long] = {
+    def committed(e: Long): Boolean =
+      new java.io.File(s"$ledgerDir/batch=$e/_SUCCESS").exists &&
+        new java.io.File(s"$manifestDir/batch=$e/_SUCCESS").exists
+    val d = new java.io.File(ledgerDir)
+    if (!d.isDirectory) None
+    else d.listFiles().toSeq
+      .map(_.getName).filter(_.startsWith("batch="))
+      .map(_.stripPrefix("batch=").toLong)
+      .filter(e => e < epoch && committed(e))
+      .sorted.lastOption
+  }
+
   private[graft] def tombstoneResolved(spark: SparkSession, dir: String,
                                        tombstoneDir: String, keyCol: String = "doc_id",
                                        upTo: Option[Long] = None): DataFrame = {

@@ -234,6 +234,48 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("commit gate skips every crash state: torn ledger, missing manifest, own epoch") {
+    // latestCommittedBelow is the replay gate of the clean-ledger store
+    // (ADVICE r9): an epoch counts only when BOTH manifest and ledger
+    // carry _SUCCESS, and the current (possibly replaying) epoch is
+    // never its own predecessor. Stage every crash prefix directly.
+    val root = java.nio.file.Files.createTempDirectory("graft_gate")
+    try {
+      val ledger = s"$root/ledger"; val manifest = s"$root/manifest"
+      def stage(dir: String, epoch: Long, success: Boolean): Unit = {
+        val d = new java.io.File(s"$dir/batch=$epoch")
+        d.mkdirs()
+        java.nio.file.Files.write(d.toPath.resolve("part-0.parquet"), Array[Byte](1))
+        if (success) java.nio.file.Files.createFile(d.toPath.resolve("_SUCCESS"))
+      }
+      def gate(epoch: Long) = Events.latestCommittedBelow(ledger, manifest, epoch)
+      assert(gate(5L).isEmpty, "no store yet must mean no prior epoch")
+      // epoch 0 fully committed
+      stage(manifest, 0, success = true); stage(ledger, 0, success = true)
+      assert(gate(5L).contains(0L))
+      // epoch 1 crashed after the manifest, before the ledger
+      stage(manifest, 1, success = true)
+      assert(gate(5L).contains(0L), "manifest-only epoch must not commit")
+      // epoch 2 crashed mid-ledger-write: dir + files, no _SUCCESS
+      stage(manifest, 2, success = true); stage(ledger, 2, success = false)
+      assert(gate(5L).contains(0L), "torn ledger dir must not commit")
+      // epoch 3 with a torn MANIFEST but complete ledger (out-of-order
+      // crash cleanup, or a ledger landed by a racing replay): still out
+      stage(manifest, 3, success = false); stage(ledger, 3, success = true)
+      assert(gate(5L).contains(0L), "torn manifest must not commit")
+      // epoch 4 fully committed — becomes the new floor…
+      stage(manifest, 4, success = true); stage(ledger, 4, success = true)
+      assert(gate(5L).contains(4L))
+      // …but a REPLAY of epoch 4 must read its true predecessor, not
+      // its own (possibly partial) prior attempt
+      assert(gate(4L).contains(0L), "an epoch must never be its own predecessor")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   test("chains sharing a tombstone dir compact together without losing resolutions") {
     // The iclean store shape: corpus + postings + manifest chains all
     // resolve against ONE tombstone dir. Compacting them in one
