@@ -113,9 +113,11 @@ object Snapshot {
 
   /** A fresh stage-timer for [[incrDebug]] output: each call to the
     * returned function prints the elapsed time since the previous call
-    * (no-op when the debug knob is off).
+    * (no-op when the debug knob is off). Shared with
+    * [[graft.streaming.Events.streamIncrementalClean]]'s per-epoch
+    * attribution — one knob times the whole incremental family.
     */
-  private def incrLap(): String => Unit =
+  private[graft] def incrLap(): String => Unit =
     if (!incrDebug) _ => ()
     else {
       var t0 = System.nanoTime()

@@ -867,9 +867,15 @@ object Events {
     * (a broadcast-hash probe of the frontier against the index scan —
     * the Spark-native shape of an index lookup) and reads corpus TEXT
     * only for the closure, behind the broadcast left-semi gate.
-    * Bootstrap falls out of the same code: the first batch diffs
-    * against an EMPTY manifest, so every doc is `added` and the update
-    * IS the full compute.
+    * Bootstrap (epoch 0, no committed predecessor) writes the BATCH
+    * compute (`Corpus.ledger` over its own arrival) as the chain's
+    * first delta — the production bootstrap discipline: the delta
+    * machinery at epoch 0 would diff the arrival against an empty
+    * manifest (an extra corpus-width full-outer shuffle) and BFS the
+    * whole corpus just to rediscover that every doc is a seed. The
+    * delta path still handles an empty prior generically (the chained
+    * PropertySpec drives ITS bootstrap through the delta call), so the
+    * arm is an optimization, not a semantic fork.
     *
     * Replay/crash discipline (ADVICE r9): within an epoch the ledger is
     * written LAST, the manifest before it, and an epoch counts as
@@ -943,11 +949,13 @@ object Events {
               .agg(max_by(struct(valueCols.map(col): _*), col("batch")).as("v"))
               .select(col("doc_id") +: valueCols.map(c => col(s"v.$c").as(c)): _*)
           }
+          val outerLap = graft.operators.Snapshot.incrLap()
           val docs = ss.read.parquet(staged.toString)
           val stale = docs.filter(col("doc_id") % 10 === 0)
             .withColumn("text", concat(col("text"), lit(" [stale draft]")))
           docs.filter(col("doc_id") % 5 =!= 0).unionByName(stale)
             .write.mode("append").parquet(src.toString)
+          outerLap("stage arrival 1")
           val stream = ss.readStream.schema(rawSchema(ss, sfDir, "documents"))
             .parquet(src.toString)
           val q = stream.writeStream
@@ -956,9 +964,11 @@ object Events {
             .foreachBatch { (batch: DataFrame, epoch: Long) =>
               val bss = batch.sparkSession
               graft.GraftSession.registerFunctions(bss)
+              val lap = Snapshot.incrLap()
               // 1. land the arrival (idempotent per-epoch overwrite)
               batch.write.mode("overwrite").parquet(s"$corpusDir/batch=$epoch")
               val arrived = bss.read.parquet(s"$corpusDir/batch=$epoch")
+              lap(s"epoch $epoch: land arrival")
               // 2. prior committed state: the ledger chain's LWW
               // resolution and the manifest chain, both up to the last
               // committed epoch (scalar-width scans, no text either
@@ -984,33 +994,54 @@ object Events {
                   .join(batchManifest.select(col("doc_id")), Seq("doc_id"), "left_semi")
                   .select(col("doc_id"))
                   .write.mode("overwrite").parquet(s"$tombstoneDir/batch=$epoch")
+                lap(s"epoch $epoch: tombstones (incl. prior-state resolve)")
                 Snapshot.postings(arrived)
                   .write.mode("overwrite").parquet(s"$postingsDir/batch=$epoch")
+                lap(s"epoch $epoch: postings delta")
                 // 4. the manifest delta — the batch's own rows, O(|batch|);
                 // the resolved chain IS the next manifest. Written BEFORE
                 // the ledger (the commit gate's first half).
                 batchManifest
                   .write.mode("overwrite").parquet(s"$manifestDir/batch=$epoch")
-                // 5. delta-scoped ledger update over the STORED chains —
-                // writing ONLY the recomputed rows (the epoch's changelog
-                // delta); the ledger write commits the epoch. The postings
-                // view is cached across the closure's BFS rounds (the same
-                // role the batch path's in-memory persist plays — without
-                // it every round re-scans and re-resolves the chain), the
-                // next-manifest view across its two consumers (diff +
-                // mates presence gate).
-                val nextManifest =
-                  liveChain(bss, manifestDir, upTo = Some(epoch)).persist()
-                val postingsView =
-                  liveChain(bss, postingsDir, upTo = Some(epoch)).persist()
-                try {
-                  Snapshot.incrementalLedgerDeltaFromStoredState(
-                    prior, priorManifest, nextManifest, postingsView,
-                    liveChain(bss, corpusDir, upTo = Some(epoch)))
+                lap(s"epoch $epoch: manifest delta")
+                // 5. the ledger write — the write that commits the epoch.
+                // Epoch 0 is the PRODUCTION bootstrap: its ledger is the
+                // batch compute over its own arrival (`Corpus.ledger`),
+                // entered into the chain as the first delta — running the
+                // incremental machinery here would diff the whole arrival
+                // against an empty manifest (an extra corpus-width
+                // full-outer shuffle) and drive the BFS just to rediscover
+                // that every doc is a seed. Gated on epoch == 0 so a later
+                // epoch with no committed predecessor (unreachable under
+                // foreachBatch replay, which re-runs the uncommitted epoch
+                // itself) still resolves the stored chains generically.
+                if (epoch == 0L && latestBelow(epoch).isEmpty) {
+                  Corpus.ledger(arrived)
                     .write.mode("overwrite").parquet(s"$ledgerDir/batch=$epoch")
-                } finally {
-                  postingsView.unpersist(blocking = false)
-                  nextManifest.unpersist(blocking = false)
+                  lap(s"epoch $epoch: ledger bootstrap (batch compute commits)")
+                } else {
+                  // delta-scoped ledger update over the STORED chains —
+                  // writing ONLY the recomputed rows (the epoch's changelog
+                  // delta). The postings view is cached across the
+                  // closure's BFS rounds (the same role the batch path's
+                  // in-memory persist plays — without it every round
+                  // re-scans and re-resolves the chain), the next-manifest
+                  // view across its two consumers (diff + mates presence
+                  // gate).
+                  val nextManifest =
+                    liveChain(bss, manifestDir, upTo = Some(epoch)).persist()
+                  val postingsView =
+                    liveChain(bss, postingsDir, upTo = Some(epoch)).persist()
+                  try {
+                    Snapshot.incrementalLedgerDeltaFromStoredState(
+                      prior, priorManifest, nextManifest, postingsView,
+                      liveChain(bss, corpusDir, upTo = Some(epoch)))
+                      .write.mode("overwrite").parquet(s"$ledgerDir/batch=$epoch")
+                    lap(s"epoch $epoch: ledger update (delta write commits)")
+                  } finally {
+                    postingsView.unpersist(blocking = false)
+                    nextManifest.unpersist(blocking = false)
+                  }
                 }
               } finally {
                 prior.unpersist(blocking = false)
@@ -1023,8 +1054,10 @@ object Events {
             .start()
           try {
             q.processAllAvailable()
+            outerLap("micro-batch pass 1 (bootstrap epoch)")
             docs.filter(col("doc_id") % 5 === 0).write.mode("append").parquet(src.toString)
             q.processAllAvailable()
+            outerLap("stage + micro-batch pass 2 (incremental epoch)")
           } finally { dumpProgress("graft_iclean", q); q.stop() }
           // consumer view: the resolved ledger chain's kept rows — the
           // same filter incrementalCleanFromState applies
@@ -1034,7 +1067,9 @@ object Events {
             .filter(col("doc_id") === col("cluster_id") && col("quality") >= 0.75)
             .select(col("doc_id"), col("n_tokens"), col("quality"), col("lang_pred"))
             .orderBy(col("doc_id"))
-          detach(spark, kept)
+          val out = detach(spark, kept)
+          outerLap("consumer read-back (resolved ledger view)")
+          out
         } finally deleteDirQuietly(ckpt)
       } finally deleteDirQuietly(store)
     } finally deleteDirQuietly(src)
