@@ -182,16 +182,29 @@ object Dedup {
     * PRE-SHINGLED (and ideally persisted) input — shared with
     * [[minhashLshCheck]], which reuses the same pass for the exact side.
     */
-  private[operators] def minhashLshPairs(shingled: DataFrame, threshold: Double = DefaultThreshold,
-                                         numPerms: Int = 128, bands: Int = 16): DataFrame = {
+  /** The LSH band-bucket relation for a signature relation — one row
+    * per (doc, band): `(doc_id, band_id, band_hash)`, band_hash =
+    * xxhash64 over the band's `numPerms / bands` signature positions.
+    * This IS the inverted index behind [[minhashLsh]]'s candidate join,
+    * factored out so [[graft.streaming.Events.ingestNearDup]] can
+    * MAINTAIN it as stored per-epoch state (append each arrival batch's
+    * rows — O(|batch|·bands)) instead of recomputing corpus-wide bands
+    * per snapshot.
+    */
+  private[graft] def bandRows(sig: DataFrame, numPerms: Int = 128, bands: Int = 16): DataFrame = {
     val rows = numPerms / bands
-    val sig = minhashSignatures(shingled, numPerms)
-    val banded = sig.select(col("doc_id"), explode(array(
+    sig.select(col("doc_id"), explode(array(
       (0 until bands).map(b => struct(
         lit(b).as("band_id"),
         xxhash64((b * rows until (b + 1) * rows)
           .map(i => element_at(col("sig"), i + 1)): _*).as("band_hash"))): _*
     )).as("band")).select(col("doc_id"), col("band.band_id"), col("band.band_hash"))
+  }
+
+  private[operators] def minhashLshPairs(shingled: DataFrame, threshold: Double = DefaultThreshold,
+                                         numPerms: Int = 128, bands: Int = 16): DataFrame = {
+    val sig = minhashSignatures(shingled, numPerms)
+    val banded = bandRows(sig, numPerms, bands)
     val cand = banded.as("x").join(banded.as("y"),
         col("x.band_id") === col("y.band_id") &&
         col("x.band_hash") === col("y.band_hash") &&
@@ -207,6 +220,38 @@ object Dedup {
       .filter(jac >= threshold)
       .select(col("doc_id_1"), col("doc_id_2"), round(jac, 6).as("jaccard"))
       .orderBy(col("doc_id_1"), col("doc_id_2"))
+  }
+
+  /** Per-doc near-dup INGEST verdict over the [[minhashLsh]] criterion
+    * — the batch twin of [[graft.streaming.Events.ingestNearDup]]: a
+    * doc is KEPT iff no smaller-id doc is an LSH-candidate near-dup
+    * (exact Jaccard ≥ threshold — the keep-min-id rule of
+    * `dedup_exact`, applied over the sketch pair relation); dropped
+    * docs carry their MIN-id verified partner and that pair's jaccard.
+    * The minhash perms are fixed hashes, so the relation is a
+    * deterministic function of the corpus — which is what lets the
+    * streamed, index-maintained twin be pinned EQUAL to this one
+    * (StreamingSpec) even though neither is portable SQL.
+    *
+    * Deliberately the min-NEIGHBOR rule, not connected components: a
+    * doc's verdict depends only on its own verified neighbor set, so a
+    * new arrival can only LOWER a doc's partner (monotone min). That
+    * locality is what makes the streaming maintenance O(blast radius)
+    * with no BFS; cluster-transitive dedup is `dedup_clusters` /
+    * `pipe_clean_corpus`'s job.
+    */
+  def minhashNearDupVerdict(docs: DataFrame, threshold: Double = DefaultThreshold): DataFrame = {
+    // one shingle pass for signatures + both verify sides (see
+    // ngramJaccard for the persist-not-checkpoint rationale)
+    val pairs = minhashLshPairs(shingleHashSets(docs).persist(), threshold)
+    val best = pairs.groupBy(col("doc_id_2").as("doc_id"))
+      .agg(min(col("doc_id_1")).as("partner_id"),
+        min_by(col("jaccard"), col("doc_id_1")).as("jaccard"))
+    docs.select(col("doc_id"))
+      .join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("partner_id").isNull.as("keep"),
+        col("partner_id"), col("jaccard"))
+      .orderBy(col("doc_id"))
   }
 
   /** Containment verdict for [[minhashLsh]] — the oracle-checkable form
@@ -545,7 +590,7 @@ object Dedup {
     * dedup_minhash_lsh_check containment oracle (a width/threshold edit
     * in one copy would silently split the two).
     */
-  private val jaccardPairsCtes =
+  private[graft] val jaccardPairsCtes =
     """t AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ts
       |  FROM documents),
       |sh AS (SELECT doc_id,

@@ -1155,6 +1155,249 @@ object Events {
     } finally deleteDirQuietly(src)
   }
 
+  /** Continuous NEAR-dup-deduplicating ingestion against a MAINTAINED
+    * MinHash-LSH index — the sketch-dedup stage between
+    * [[ingestDedup]]'s exact hashes and the full clean ledger
+    * ([[streamIncrementalClean]]): an arriving doc is kept iff no
+    * already-ingested (or batch-mate) doc with a SMALLER id is an
+    * LSH-candidate near-dup verified by exact Jaccard ≥ `threshold`
+    * ([[graft.operators.Dedup.minhashNearDupVerdict]]'s criterion).
+    * State is three per-epoch delta chains:
+    *
+    *  - `bands/batch=e` — the arrival's LSH band-bucket rows
+    *    ([[graft.operators.Dedup.bandRows]], O(|batch|·16)): the stored
+    *    inverted index every later batch probes (the probe is a
+    *    broadcast-hash join of the delta-sized batch bands against the
+    *    index scan — the Spark-native shape of an index lookup);
+    *  - `shingles/batch=e` — the arrival's shingle SETS, O(|batch|):
+    *    the verify-side state (exact Jaccard needs the true sets; the
+    *    candidate pairs are delta-sized, so the verify join is two
+    *    broadcast probes of this store, never a corpus shuffle);
+    *  - `verdict/batch=e` — the CHANGELOG: one row per batch doc (keep
+    *    or partner) PLUS one row per PRIOR doc whose verdict the batch
+    *    changed — a smaller-id near-dup arriving late RETRACTS an
+    *    earlier keep. A doc's verdict is the MIN over its verified
+    *    smaller neighbors, and min is monotone under edge arrival, so
+    *    the changed set is exactly the prior docs adjacent to a smaller
+    *    batch doc: O(blast radius), no BFS, no corpus-width write.
+    *    Readers resolve last-write-wins per doc_id (the
+    *    [[ingestDedupToFiles]] changelog recipe; [[compactDeltaChain]]
+    *    bounds read amplification).
+    *
+    * Per-batch TEXT work (tokenize, shingle, minhash, band) is
+    * O(|batch|): the corpus is never re-shingled and never re-banded —
+    * the maintained-index property that makes continuous near-dup
+    * ingestion viable at 100 TB (the batch `dedup_minhash_lsh` rebuilds
+    * all of it per run). The verdict write commits the epoch (last
+    * write): a replayed batch reads prior verdicts from epochs strictly
+    * below itself and overwrites its own deltas idempotently. Arrivals
+    * are NEW docs by contract — upstream exact dedup ([[ingestDedup]])
+    * collapses re-deliveries; a re-delivering source would add
+    * [[streamIncrementalClean]]'s tombstone treatment to the
+    * bands/shingles chains.
+    *
+    * Determinism: the minhash perms are fixed hashes, so the converged
+    * verdict equals [[graft.operators.Dedup.minhashNearDupVerdict]]
+    * EXACTLY, independent of arrival order — StreamingSpec pins the
+    * equality; the SQL-checkable invariants live in
+    * [[ingestNearDupCheck]]. `deltaProbe` receives (epoch, verdict
+    * delta rows) per batch — the write-amplification counter a
+    * deployment monitors.
+    */
+  def ingestNearDup(spark: SparkSession, sfDir: String,
+                    statePartitions: Option[Int] = Some(4),
+                    threshold: Double = graft.operators.Dedup.DefaultThreshold,
+                    deltaProbe: Option[scala.collection.mutable.Buffer[(Long, Long)]] = None): DataFrame = {
+    import graft.operators.Dedup
+    val ss = sessionFor(spark, statePartitions,
+      Map("spark.sql.streaming.noDataMicroBatches.enabled" -> "false") ++ providerConf)
+    graft.GraftSession.registerFunctions(ss)
+    val staged = java.nio.file.Paths.get(s"$sfDir/documents.parquet")
+    val stagedBytes = java.nio.file.Files.size(staged)
+    val src = scratchDir("graft_neardup_src", stagedBytes)
+    try {
+      val store = scratchDir("graft_neardup_store", stagedBytes)
+      try {
+        val ckpt = scratchDir("graft_neardup_ckpt", stagedBytes)
+        try {
+          val bandsDir = s"$store/bands"
+          val shinglesDir = s"$store/shingles"
+          val verdictDir = s"$store/verdict"
+          // changelog reader: last-write-wins per doc_id over the chain
+          def lww(chain: DataFrame): DataFrame =
+            chain.groupBy(col("doc_id"))
+              .agg(max_by(struct(col("partner_id"), col("jaccard")), col("batch")).as("v"))
+              .select(col("doc_id"), col("v.partner_id").as("partner_id"),
+                col("v.jaccard").as("jaccard"))
+          val docs = ss.read.parquet(staged.toString)
+          docs.filter(col("doc_id") % 5 =!= 0).write.mode("append").parquet(src.toString)
+          val stream = ss.readStream.schema(rawSchema(ss, sfDir, "documents")).parquet(src.toString)
+          val q = stream.writeStream
+            .outputMode(OutputMode.Append)
+            .option("checkpointLocation", ckpt.toString)
+            .foreachBatch { (batch: DataFrame, epoch: Long) =>
+              val bss = batch.sparkSession
+              graft.GraftSession.registerFunctions(bss)
+              val arrived = batch.select(col("doc_id"), col("text")).persist()
+              try {
+                // O(|batch|) text work: shingle + sign + band ONLY the
+                // arrival, then append both state deltas
+                val batchSh = Dedup.shingleHashSets(arrived).persist()
+                try {
+                  batchSh.write.mode("overwrite").parquet(s"$shinglesDir/batch=$epoch")
+                  Dedup.bandRows(Dedup.minhashSignatures(batchSh))
+                    .write.mode("overwrite").parquet(s"$bandsDir/batch=$epoch")
+                  // candidates: batch bands probe the stored index (incl.
+                  // their own epoch — intra-batch near-dups count too);
+                  // the batch side is delta-sized, AQE broadcasts it
+                  val allBands = bss.read.parquet(bandsDir)
+                    .filter(col("batch") <= lit(epoch))
+                  val batchBands = bss.read.parquet(s"$bandsDir/batch=$epoch")
+                  val cand = batchBands.as("x").join(allBands.as("y"),
+                      col("x.band_id") === col("y.band_id") &&
+                      col("x.band_hash") === col("y.band_hash") &&
+                      col("x.doc_id") =!= col("y.doc_id"))
+                    .select(least(col("x.doc_id"), col("y.doc_id")).as("a"),
+                      greatest(col("x.doc_id"), col("y.doc_id")).as("b"))
+                    .distinct()
+                  // exact verify against the stored shingle sets: the
+                  // pair relation is delta-sized, so both lookups are
+                  // broadcast probes of the store scan
+                  val shState = bss.read.parquet(shinglesDir)
+                    .filter(col("batch") <= lit(epoch)).drop("batch").persist()
+                  try {
+                    val jac = col("inter") * lit(1.0) /
+                      (col("n1") + col("n2") - col("inter"))
+                    val edges = cand
+                      .join(shState.select(col("doc_id").as("a"),
+                        col("shingles").as("s1")), "a")
+                      .join(shState.select(col("doc_id").as("b"),
+                        col("shingles").as("s2")), "b")
+                      .withColumn("inter", size(array_intersect(col("s1"), col("s2"))))
+                      .withColumn("n1", size(col("s1")))
+                      .withColumn("n2", size(col("s2")))
+                      .filter(jac >= threshold)
+                      .select(col("a"), col("b"), round(jac, 6).as("jaccard"))
+                    // per-doc best NEW neighbor this epoch (min over the
+                    // smaller side; min_by ties impossible — pairs distinct)
+                    val newBest = edges.groupBy(col("b").as("doc_id"))
+                      .agg(min(col("a")).as("partner_id"),
+                        min_by(col("jaccard"), col("a")).as("jaccard"))
+                      .persist()
+                    try {
+                      // batch docs: their FULL neighbor set is this
+                      // epoch's edges (both members of every pair are in
+                      // the probed index by now)
+                      val batchVerdict = arrived.select(col("doc_id"))
+                        .join(newBest, Seq("doc_id"), "left")
+                      // prior docs whose verdict this batch LOWERS
+                      val priorUpdates =
+                        if (epoch == 0L) batchVerdict.limit(0)
+                        else {
+                          val prior = lww(bss.read.parquet(verdictDir)
+                            .filter(col("batch") < lit(epoch)))
+                          newBest
+                            .join(arrived.select(col("doc_id")),
+                              Seq("doc_id"), "left_anti")
+                            .join(prior.select(col("doc_id"),
+                              col("partner_id").as("old_partner")), Seq("doc_id"))
+                            .filter(col("old_partner").isNull ||
+                              col("partner_id") < col("old_partner"))
+                            .select(col("doc_id"), col("partner_id"), col("jaccard"))
+                        }
+                      // the verdict delta commits the epoch (last write)
+                      batchVerdict.unionByName(priorUpdates)
+                        .write.mode("overwrite").parquet(s"$verdictDir/batch=$epoch")
+                    } finally newBest.unpersist(blocking = false)
+                  } finally shState.unpersist(blocking = false)
+                } finally batchSh.unpersist(blocking = false)
+              } finally arrived.unpersist(blocking = false)
+              deltaProbe.foreach(_ += ((epoch,
+                bss.read.parquet(s"$verdictDir/batch=$epoch").count())))
+            }
+            .start()
+          try {
+            q.processAllAvailable()
+            docs.filter(col("doc_id") % 5 === 0).write.mode("append").parquet(src.toString)
+            q.processAllAvailable()
+          } finally { dumpProgress("graft_neardup", q); q.stop() }
+          // consumer view: LWW over the changelog — keep iff no partner
+          val verdicts = lww(spark.read.parquet(verdictDir))
+            .select(col("doc_id"), col("partner_id").isNull.as("keep"),
+              col("partner_id"), col("jaccard"))
+            .orderBy(col("doc_id"))
+          detach(spark, verdicts)
+        } finally deleteDirQuietly(ckpt)
+      } finally deleteDirQuietly(store)
+    } finally deleteDirQuietly(src)
+  }
+
+  /** Oracle-checkable contract of [[ingestNearDup]] — the containment-
+    * verdict pattern of `dedup_minhash_lsh_check` applied to the
+    * streamed per-doc relation. The LSH banding is not portable SQL,
+    * but the emitted verdicts have exact properties DuckDB can
+    * reproduce from the raw table alone:
+    *
+    *  - `n_docs` — one verdict row per document, no doc lost or
+    *    invented by the changelog resolution (real value, ties the row
+    *    to the data);
+    *  - `n_exact_neardup_docs` — docs with ANY smaller-id exact-Jaccard
+    *    near-dup, the recall denominator (real value, from the shared
+    *    pair CTE);
+    *  - `n_false_dups` / `n_jaccard_mismatch` — every emitted (partner,
+    *    doc) pair must appear in the exact relation with the identical
+    *    score (the verify join makes precision 1.0 by construction) —
+    *    pinned 0;
+    *  - `n_exact_dup_missed` — identical texts hash to identical bands,
+    *    so every doc with a smaller-id IDENTICAL-text mate must be
+    *    flagged (pigeonhole, hash-independent) — pinned 0;
+    *  - `recall_ok` — flagged docs ≥ `recallFloor` × the exact
+    *    denominator (banding math: ≥0.95 expected per pair at j=0.8
+    *    with 16×8 bands) — pinned true.
+    */
+  def ingestNearDupCheck(spark: SparkSession, sfDir: String,
+                         recallFloor: Double = 0.9): DataFrame = {
+    import graft.operators.Dedup
+    val streamed = ingestNearDup(spark, sfDir) // local relation (detached)
+    val docs = Tables.documents(spark, sfDir)
+    val exact = Dedup.ngramJaccard(docs)
+      .select(col("doc_id_1").as("partner_id"), col("doc_id_2").as("doc_id"),
+        col("jaccard").as("exact_jaccard"))
+      .persist()
+    val dups = streamed.filter(!col("keep"))
+      .select(col("doc_id"), col("partner_id"), col("jaccard"))
+      .join(exact, Seq("doc_id", "partner_id"), "left")
+    val h = md5(col("text").cast("binary"))
+    // pigeonhole holds only inside the sketch's domain: a doc with
+    // fewer than 3 tokens has no 3-shingle, hence no signature — and
+    // its identical-text mate is equally signature-less, so neither
+    // side can be flagged; same-token-count texts exclude together
+    val followers = docs
+      .filter(size(filter(split(col("text"), "\\s+"), t => t =!= lit(""))) >= 3)
+      .select(col("doc_id"), h.as("h"))
+    val exactDupFollowers = followers
+      .join(followers.groupBy(col("h")).agg(min(col("doc_id")).as("first_id")), "h")
+      .filter(col("doc_id") > col("first_id")).select(col("doc_id"))
+    val verdict = streamed.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(broadcast(exact.select(col("doc_id")).distinct()
+        .agg(count(lit(1)).as("n_exact_neardup_docs"))))
+      .crossJoin(broadcast(dups.agg(
+        coalesce(sum(when(col("exact_jaccard").isNull, 1L).otherwise(0L)), lit(0L))
+          .as("n_false_dups"),
+        coalesce(sum(when(col("exact_jaccard").isNotNull &&
+          col("jaccard") =!= col("exact_jaccard"), 1L).otherwise(0L)), lit(0L))
+          .as("n_jaccard_mismatch"),
+        count(lit(1)).as("n_dups"))))
+      .crossJoin(broadcast(exactDupFollowers
+        .join(streamed.filter(col("keep")), Seq("doc_id"), "left_semi")
+        .agg(count(lit(1)).as("n_exact_dup_missed"))))
+      .select(col("n_docs"), col("n_exact_neardup_docs"), col("n_false_dups"),
+        col("n_jaccard_mismatch"), col("n_exact_dup_missed"),
+        (col("n_dups") >= lit(recallFloor) * col("n_exact_neardup_docs"))
+          .as("recall_ok"))
+    Tables.materializeAndRelease(verdict, exact)
+  }
+
   /** Compact a `batch=<epoch>` delta-chain sink (the layout
     * [[ingestDedupToFiles]] writes): resolve last-write-wins per
     * `keyCols`, rewrite it as the newest epoch's directory, and prune
@@ -1399,6 +1642,8 @@ object Events {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_ingest_dedup" -> ((s, d) => ingestDedup(s, d)),
     "stream_ingest_dedup_files" -> ((s, d) => ingestDedupToFiles(s, d)),
+    "stream_ingest_neardup" -> ((s, d) => ingestNearDup(s, d)),
+    "stream_ingest_neardup_check" -> ((s, d) => ingestNearDupCheck(s, d)),
     "stream_ingest_decontam" -> ((s, d) => ingestDecontam(s, d)),
     "stream_ingest_decontam_files" -> ((s, d) => ingestDecontamToFiles(s, d)),
     "stream_window_agg" -> ((s, d) => windowAgg(s, d)),
@@ -1464,6 +1709,21 @@ object Events {
     // incremental_clean)
     "stream_incremental_clean" -> graft.operators.Corpus.oracle("pipe_clean_corpus"),
     "stream_ingest_dedup" -> ingestDedupOracle,
+    // stream_ingest_neardup itself is rows-only (the LSH banding is not
+    // portable SQL — same status as dedup_minhash_lsh); this check twin
+    // pins its exact invariants from the raw table alone: real doc and
+    // exact-near-dup counts, zero false/drifted/missed-exact verdicts,
+    // recall over the floor. The pair CTE is Dedup's shared definition.
+    "stream_ingest_neardup_check" ->
+      s"""WITH ${graft.operators.Dedup.jaccardPairsCtes},
+         |nd AS (SELECT DISTINCT doc_id_2 AS doc_id FROM pairs
+         |  WHERE inter * 1.0 / (n1 + n2 - inter) >= 0.8)
+         |SELECT (SELECT count(*) FROM documents) AS n_docs,
+         | (SELECT count(*) FROM nd) AS n_exact_neardup_docs,
+         | CAST(0 AS BIGINT) AS n_false_dups,
+         | CAST(0 AS BIGINT) AS n_jaccard_mismatch,
+         | CAST(0 AS BIGINT) AS n_exact_dup_missed,
+         | true AS recall_ok""".stripMargin,
     // decontaminated train ingestion: train docs (content-hash split)
     // sharing NO word-5-gram with any test doc, exact-deduped — the
     // string-shingle self-join mirrors decontam_ngram's criterion

@@ -76,6 +76,73 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("stream_ingest_neardup converges to the batch minhash verdict") {
+    import graft.operators.Dedup
+    val probe = scala.collection.mutable.ListBuffer.empty[(Long, Long)]
+    val streamed = Events.ingestNearDup(spark, TestSpark.sf, deltaProbe = Some(probe))
+      .collect().toSeq
+    val docs = Tables.documents(spark, TestSpark.sf)
+    val batch = Dedup.minhashNearDupVerdict(docs).collect().toSeq
+    // arrival-order independence: the index-maintained stream must land
+    // on EXACTLY the batch relation (fixed-hash minhash perms)
+    assert(streamed.nonEmpty && streamed == batch)
+    // and the dedup actually bites on the testdata
+    assert(streamed.exists(r => !r.getBoolean(1)), "no near-dup flagged — vacuous corpus")
+    // two arrivals, two epochs; the second epoch's verdict delta is
+    // blast-radius-sized: its own batch plus retracted prior docs,
+    // strictly under the corpus width (a corpus-width delta means the
+    // changelog regressed to full rewrites)
+    val deltas = probe.toMap
+    val n = docs.count()
+    val batch2 = docs.filter(col("doc_id") % 5 === 0).count()
+    assert(deltas.keySet == Set(0L, 1L), s"expected 2 epochs, got $probe")
+    assert(deltas(0L) == n - batch2, s"bootstrap delta ${deltas(0L)} != ${n - batch2}")
+    assert(deltas(1L) >= batch2 && deltas(1L) < n,
+      s"epoch-1 delta ${deltas(1L)} not blast-radius-sized (batch $batch2, corpus $n)")
+  }
+
+  test("a late smaller-id near-dup retracts the earlier keep (verdict changelog)") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    // doc 11 arrives in batch 1 (11 % 5 != 0) and is initially kept;
+    // doc 5 — IDENTICAL text, smaller id — arrives in batch 2
+    // (5 % 5 == 0), so epoch 1 must emit a retraction row for 11.
+    // Identical text → identical signatures → guaranteed LSH candidate
+    // (no dependence on banding luck). Fillers are mutually distinct.
+    val dup = (1 to 20).map(i => s"w$i").mkString(" ")
+    val fill = (id: Long) => (1 to 20).map(i => s"f$id-$i").mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("graft_neardup_spec")
+    try {
+      val stage = s"$dir/stage"
+      (Seq((5L, dup), (11L, dup)) ++ Seq(2L, 3L, 7L, 10L, 15L).map(i => (i, fill(i))))
+        .toDF("doc_id", "text")
+        .coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath, dir.resolve("documents.parquet"))
+      val probe = scala.collection.mutable.ListBuffer.empty[(Long, Long)]
+      val got = Events.ingestNearDup(spark, dir.toString, deltaProbe = Some(probe))
+        .collect().map(r => (r.getLong(0), r.getBoolean(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2))).toSeq
+      // final state: 11 is a dup of 5 (jaccard 1.0), everything else kept
+      assert(got.filter(!_._2) == Seq((11L, false, 5L)), s"verdicts: $got")
+      assert(got.size == 7 && got.count(_._2) == 6)
+      // the retraction happened IN the changelog: epoch 1 carried its
+      // own 3 arrivals (5, 10, 15) plus exactly one prior update (11)
+      assert(probe.toMap == Map(0L -> 4L, 1L -> 4L), s"deltas: $probe")
+      // and the converged relation equals the batch twin on this corpus
+      val batch = Dedup.minhashNearDupVerdict(
+        spark.read.parquet(dir.resolve("documents.parquet").toString))
+        .collect().map(r => (r.getLong(0), r.getBoolean(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2))).toSeq
+      assert(got == batch)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   test("stream_ingest_decontam equals the independent batch formulation") {
     import graft.operators.{Corpus, Training}
     // the streamed (bloom-suspect + exact-confirm) gate must land on the
