@@ -1204,6 +1204,46 @@ object Events {
     * delta rows) per batch — the write-amplification counter a
     * deployment monitors.
     */
+  /** One ingest batch's near-dup EDGE relation over the stored index —
+    * [[ingestNearDup]]'s per-epoch kernel, factored out so PlanSpec can
+    * pin its physical shape. `batchBands` (the arrival's band rows,
+    * delta-sized) probe `allBands` (the band-bucket chain) for colliding
+    * (smaller, larger) candidate pairs, which are then verified by exact
+    * Jaccard against `shState` (the shingle-set store; no `batch`
+    * column).
+    *
+    * Scale shape: the band probe is a hash join on (band_id, band_hash)
+    * — broadcast while the arrival is small, a shuffled hash join when
+    * an arrival is genuinely huge (AQE's call; either way the exchanged
+    * side is bounded by the INDEX width, ~24 B/row, never corpus text).
+    * The verify lookups run the other way: the candidate relation is
+    * delta-sized, so AQE broadcasts IT into both shingle probes and the
+    * store scan never shuffles (PlanSpec pins this — a shuffled verify
+    * join would exchange every doc's shingle array per micro-batch); on
+    * a doc_id-bucketed store ([[graft.sources.Sdfs.putPartitioned]]'s
+    * layout) the probes additionally prune to the partners' buckets.
+    */
+  private[graft] def nearDupEdges(batchBands: DataFrame, allBands: DataFrame,
+                                  shState: DataFrame,
+                                  threshold: Double = graft.operators.Dedup.DefaultThreshold): DataFrame = {
+    val cand = batchBands.as("x").join(allBands.as("y"),
+        col("x.band_id") === col("y.band_id") &&
+        col("x.band_hash") === col("y.band_hash") &&
+        col("x.doc_id") =!= col("y.doc_id"))
+      .select(least(col("x.doc_id"), col("y.doc_id")).as("a"),
+        greatest(col("x.doc_id"), col("y.doc_id")).as("b"))
+      .distinct()
+    val jac = col("inter") * lit(1.0) / (col("n1") + col("n2") - col("inter"))
+    cand
+      .join(shState.select(col("doc_id").as("a"), col("shingles").as("s1")), "a")
+      .join(shState.select(col("doc_id").as("b"), col("shingles").as("s2")), "b")
+      .withColumn("inter", size(array_intersect(col("s1"), col("s2"))))
+      .withColumn("n1", size(col("s1")))
+      .withColumn("n2", size(col("s2")))
+      .filter(jac >= threshold)
+      .select(col("a"), col("b"), round(jac, 6).as("jaccard"))
+  }
+
   def ingestNearDup(spark: SparkSession, sfDir: String,
                     statePartitions: Option[Int] = Some(4),
                     threshold: Double = graft.operators.Dedup.DefaultThreshold,
@@ -1247,37 +1287,15 @@ object Events {
                   batchSh.write.mode("overwrite").parquet(s"$shinglesDir/batch=$epoch")
                   Dedup.bandRows(Dedup.minhashSignatures(batchSh))
                     .write.mode("overwrite").parquet(s"$bandsDir/batch=$epoch")
-                  // candidates: batch bands probe the stored index (incl.
-                  // their own epoch — intra-batch near-dups count too);
-                  // the batch side is delta-sized, AQE broadcasts it
+                  // candidates + exact verify over the stored chains —
+                  // the shared, PlanSpec-pinned kernel [[nearDupEdges]]
                   val allBands = bss.read.parquet(bandsDir)
                     .filter(col("batch") <= lit(epoch))
                   val batchBands = bss.read.parquet(s"$bandsDir/batch=$epoch")
-                  val cand = batchBands.as("x").join(allBands.as("y"),
-                      col("x.band_id") === col("y.band_id") &&
-                      col("x.band_hash") === col("y.band_hash") &&
-                      col("x.doc_id") =!= col("y.doc_id"))
-                    .select(least(col("x.doc_id"), col("y.doc_id")).as("a"),
-                      greatest(col("x.doc_id"), col("y.doc_id")).as("b"))
-                    .distinct()
-                  // exact verify against the stored shingle sets: the
-                  // pair relation is delta-sized, so both lookups are
-                  // broadcast probes of the store scan
                   val shState = bss.read.parquet(shinglesDir)
                     .filter(col("batch") <= lit(epoch)).drop("batch").persist()
                   try {
-                    val jac = col("inter") * lit(1.0) /
-                      (col("n1") + col("n2") - col("inter"))
-                    val edges = cand
-                      .join(shState.select(col("doc_id").as("a"),
-                        col("shingles").as("s1")), "a")
-                      .join(shState.select(col("doc_id").as("b"),
-                        col("shingles").as("s2")), "b")
-                      .withColumn("inter", size(array_intersect(col("s1"), col("s2"))))
-                      .withColumn("n1", size(col("s1")))
-                      .withColumn("n2", size(col("s2")))
-                      .filter(jac >= threshold)
-                      .select(col("a"), col("b"), round(jac, 6).as("jaccard"))
+                    val edges = nearDupEdges(batchBands, allBands, shState, threshold)
                     // per-doc best NEW neighbor this epoch (min over the
                     // smaller side; min_by ties impossible — pairs distinct)
                     val newBest = edges.groupBy(col("b").as("doc_id"))

@@ -208,6 +208,39 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("near-dup ingest verify joins broadcast — the shingle store never shuffles") {
+    // ingestNearDup's per-epoch kernel over a staged store: the
+    // candidate relation is delta-sized, so both shingle lookups must
+    // broadcast it into the store scan — a sort-merge plan here would
+    // exchange every doc's shingle array per micro-batch. Docs 1 and 2
+    // collide in band 0 with sets at Jaccard exactly 0.8; doc 3 is
+    // unrelated noise in both stores.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_plan_neardup")
+    try {
+      Seq((1L, 0, 77L), (1L, 1, 11L), (3L, 0, 99L))
+        .toDF("doc_id", "band_id", "band_hash").write.parquet(s"$dir/bands/batch=0")
+      Seq((2L, 0, 77L), (2L, 1, 22L))
+        .toDF("doc_id", "band_id", "band_hash").write.parquet(s"$dir/bands/batch=1")
+      Seq((1L, (1L to 9L)), (2L, (1L to 8L) :+ 99L), (3L, Seq(50L, 51L)))
+        .toDF("doc_id", "shingles").write.parquet(s"$dir/shingles")
+      val edges = graft.streaming.Events.nearDupEdges(
+        spark.read.parquet(s"$dir/bands/batch=1"),
+        spark.read.parquet(s"$dir/bands"),
+        spark.read.parquet(s"$dir/shingles"))
+      val rows = edges.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(rows.toSeq == Seq((1L, 2L, 0.8)), s"wrong edges: ${rows.toSeq}")
+      val plan = edges.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"), s"no broadcast join:\n$plan")
+      assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+        s"store scan shuffled:\n$plan")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   test("embed_pca projection is map-only: a typed Tungsten pipeline with no exchange") {
     import graft.operators.Pca
     val embs = Tables.embeddings(spark, TestSpark.sf)
