@@ -201,24 +201,53 @@ object Dedup {
     )).as("band")).select(col("doc_id"), col("band.band_id"), col("band.band_hash"))
   }
 
-  private[operators] def minhashLshPairs(shingled: DataFrame, threshold: Double = DefaultThreshold,
-                                         numPerms: Int = 128, bands: Int = 16): DataFrame = {
-    val sig = minhashSignatures(shingled, numPerms)
-    val banded = bandRows(sig, numPerms, bands)
-    val cand = banded.as("x").join(banded.as("y"),
+  /** LSH candidate pairs: rows of `probe` colliding with rows of
+    * `index` on (band_id, band_hash) across distinct docs, as distinct
+    * (smaller `a`, larger `b`) id pairs. The batch self-join passes the
+    * same banded relation on both sides;
+    * [[graft.streaming.Events.ingestNearDup]] probes its delta-sized
+    * batch bands against the STORED index chain. A hash join on the
+    * band key — broadcast while the probe side is small, shuffled-hash
+    * when an arrival is genuinely huge (AQE's call; either way the
+    * exchange is bounded by the INDEX width, ~24 B/row, never corpus
+    * text).
+    */
+  private[graft] def nearDupCandidates(probe: DataFrame, index: DataFrame): DataFrame =
+    probe.as("x").join(index.as("y"),
         col("x.band_id") === col("y.band_id") &&
         col("x.band_hash") === col("y.band_hash") &&
-        col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_id_1"), col("y.doc_id").as("doc_id_2"))
+        col("x.doc_id") =!= col("y.doc_id"))
+      .select(least(col("x.doc_id"), col("y.doc_id")).as("a"),
+        greatest(col("x.doc_id"), col("y.doc_id")).as("b"))
       .distinct()
+
+  /** Exact-Jaccard verification of candidate `(a, b)` pairs against a
+    * shingle-set relation (doc_id, shingles): emits (a, b, jaccard) at
+    * or over `threshold` — THE verify math of [[minhashLshPairs]] AND
+    * the streaming ingest, one definition (an edit to the rounding or
+    * the score algebra in a lone copy would silently split the batch
+    * relation, the streamed twin, and their shared oracle). When the
+    * candidate relation is delta-sized (the streaming path), AQE
+    * broadcasts it into both lookups and the shingle store scan never
+    * shuffles — PlanSpec pins the shape.
+    */
+  private[graft] def nearDupVerify(cand: DataFrame, shingled: DataFrame,
+                                   threshold: Double = DefaultThreshold): DataFrame = {
     val jac = col("inter") * lit(1.0) / (col("n1") + col("n2") - col("inter"))
     cand
-      .join(shingled.select(col("doc_id").as("doc_id_1"), col("shingles").as("s1")), "doc_id_1")
-      .join(shingled.select(col("doc_id").as("doc_id_2"), col("shingles").as("s2")), "doc_id_2")
+      .join(shingled.select(col("doc_id").as("a"), col("shingles").as("s1")), "a")
+      .join(shingled.select(col("doc_id").as("b"), col("shingles").as("s2")), "b")
       .withColumn("inter", size(array_intersect(col("s1"), col("s2"))))
       .withColumn("n1", size(col("s1"))).withColumn("n2", size(col("s2")))
       .filter(jac >= threshold)
-      .select(col("doc_id_1"), col("doc_id_2"), round(jac, 6).as("jaccard"))
+      .select(col("a"), col("b"), round(jac, 6).as("jaccard"))
+  }
+
+  private[operators] def minhashLshPairs(shingled: DataFrame, threshold: Double = DefaultThreshold,
+                                         numPerms: Int = 128, bands: Int = 16): DataFrame = {
+    val banded = bandRows(minhashSignatures(shingled, numPerms), numPerms, bands)
+    nearDupVerify(nearDupCandidates(banded, banded), shingled, threshold)
+      .select(col("a").as("doc_id_1"), col("b").as("doc_id_2"), col("jaccard"))
       .orderBy(col("doc_id_1"), col("doc_id_2"))
   }
 

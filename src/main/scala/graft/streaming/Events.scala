@@ -785,12 +785,7 @@ object Events {
             } finally { dumpProgress("graft_idecon_files", q); q.stop() }
             // consumer view: LWW per key across the delta chain, then
             // the exact confirm drops Bloom false positives
-            val lww = spark.read.parquet(sink.toString)
-              .groupBy(col("text_hash"))
-              .agg(max_by(struct(col("keep_id"), col("n_arrivals"), col("suspect")),
-                col("batch")).as("v"))
-              .select(col("text_hash"), col("v.keep_id").as("keep_id"),
-                col("v.n_arrivals").as("n_arrivals"), col("v.suspect").as("suspect"))
+            val lww = resolveLww(spark.read.parquet(sink.toString), Seq("text_hash"))
             detach(spark, confirmSuspects(lww, docsPath))
           } finally deleteDirQuietly(ckpt)
         } finally deleteDirQuietly(sink)
@@ -940,15 +935,9 @@ object Events {
           // the per-epoch recompute deltas (re-delivered docs are always
           // in their epoch's closure, so LWW subsumes tombstones here;
           // removals would need explicit retractions — see the doc).
-          // Value columns come off the stored schema, so a ledger schema
-          // change can never be silently projected away here.
-          def ledgerView(ss2: SparkSession, upTo: Long): DataFrame = {
-            val rows = ss2.read.parquet(ledgerDir).filter(col("batch") <= lit(upTo))
-            val valueCols = rows.columns.filterNot(c => c == "doc_id" || c == "batch").toSeq
-            rows.groupBy(col("doc_id"))
-              .agg(max_by(struct(valueCols.map(col): _*), col("batch")).as("v"))
-              .select(col("doc_id") +: valueCols.map(c => col(s"v.$c").as(c)): _*)
-          }
+          def ledgerView(ss2: SparkSession, upTo: Long): DataFrame =
+            resolveLww(ss2.read.parquet(ledgerDir)
+              .filter(col("batch") <= lit(upTo)), Seq("doc_id"))
           val outerLap = graft.operators.Snapshot.incrLap()
           val docs = ss.read.parquet(staged.toString)
           val stale = docs.filter(col("doc_id") % 10 === 0)
@@ -1143,11 +1132,7 @@ object Events {
             q.processAllAvailable()
           } finally { dumpProgress("graft_ingest_files", q); q.stop() }
           // consumer view: last-write-wins per key across the delta chain
-          val lww = spark.read.parquet(sink.toString)
-            .groupBy(col("text_hash"))
-            .agg(max_by(struct(col("keep_id"), col("n_arrivals")), col("batch")).as("v"))
-            .select(col("text_hash"), col("v.keep_id").as("keep_id"),
-              col("v.n_arrivals").as("n_arrivals"))
+          val lww = resolveLww(spark.read.parquet(sink.toString), Seq("text_hash"))
             .orderBy(col("text_hash"))
           detach(spark, lww)
         } finally deleteDirQuietly(ckpt)
@@ -1170,9 +1155,12 @@ object Events {
     *    broadcast-hash join of the delta-sized batch bands against the
     *    index scan — the Spark-native shape of an index lookup);
     *  - `shingles/batch=e` — the arrival's shingle SETS, O(|batch|):
-    *    the verify-side state (exact Jaccard needs the true sets; the
-    *    candidate pairs are delta-sized, so the verify join is two
-    *    broadcast probes of this store, never a corpus shuffle);
+    *    the verify-side state (exact Jaccard needs the true sets). The
+    *    candidate pairs are delta-sized, so one scan semi-prunes this
+    *    store to the partners' sets and the verify joins broadcast-
+    *    probe that blast-radius-sized cache — the store itself never
+    *    shuffles and never lands corpus-width in the block manager; on
+    *    a doc_id-bucketed store the prune also skips files;
     *  - `verdict/batch=e` — the CHANGELOG: one row per batch doc (keep
     *    or partner) PLUS one row per PRIOR doc whose verdict the batch
     *    changed — a smaller-id near-dup arriving late RETRACTS an
@@ -1204,46 +1192,6 @@ object Events {
     * delta rows) per batch — the write-amplification counter a
     * deployment monitors.
     */
-  /** One ingest batch's near-dup EDGE relation over the stored index —
-    * [[ingestNearDup]]'s per-epoch kernel, factored out so PlanSpec can
-    * pin its physical shape. `batchBands` (the arrival's band rows,
-    * delta-sized) probe `allBands` (the band-bucket chain) for colliding
-    * (smaller, larger) candidate pairs, which are then verified by exact
-    * Jaccard against `shState` (the shingle-set store; no `batch`
-    * column).
-    *
-    * Scale shape: the band probe is a hash join on (band_id, band_hash)
-    * — broadcast while the arrival is small, a shuffled hash join when
-    * an arrival is genuinely huge (AQE's call; either way the exchanged
-    * side is bounded by the INDEX width, ~24 B/row, never corpus text).
-    * The verify lookups run the other way: the candidate relation is
-    * delta-sized, so AQE broadcasts IT into both shingle probes and the
-    * store scan never shuffles (PlanSpec pins this — a shuffled verify
-    * join would exchange every doc's shingle array per micro-batch); on
-    * a doc_id-bucketed store ([[graft.sources.Sdfs.putPartitioned]]'s
-    * layout) the probes additionally prune to the partners' buckets.
-    */
-  private[graft] def nearDupEdges(batchBands: DataFrame, allBands: DataFrame,
-                                  shState: DataFrame,
-                                  threshold: Double = graft.operators.Dedup.DefaultThreshold): DataFrame = {
-    val cand = batchBands.as("x").join(allBands.as("y"),
-        col("x.band_id") === col("y.band_id") &&
-        col("x.band_hash") === col("y.band_hash") &&
-        col("x.doc_id") =!= col("y.doc_id"))
-      .select(least(col("x.doc_id"), col("y.doc_id")).as("a"),
-        greatest(col("x.doc_id"), col("y.doc_id")).as("b"))
-      .distinct()
-    val jac = col("inter") * lit(1.0) / (col("n1") + col("n2") - col("inter"))
-    cand
-      .join(shState.select(col("doc_id").as("a"), col("shingles").as("s1")), "a")
-      .join(shState.select(col("doc_id").as("b"), col("shingles").as("s2")), "b")
-      .withColumn("inter", size(array_intersect(col("s1"), col("s2"))))
-      .withColumn("n1", size(col("s1")))
-      .withColumn("n2", size(col("s2")))
-      .filter(jac >= threshold)
-      .select(col("a"), col("b"), round(jac, 6).as("jaccard"))
-  }
-
   def ingestNearDup(spark: SparkSession, sfDir: String,
                     statePartitions: Option[Int] = Some(4),
                     threshold: Double = graft.operators.Dedup.DefaultThreshold,
@@ -1263,12 +1211,8 @@ object Events {
           val bandsDir = s"$store/bands"
           val shinglesDir = s"$store/shingles"
           val verdictDir = s"$store/verdict"
-          // changelog reader: last-write-wins per doc_id over the chain
-          def lww(chain: DataFrame): DataFrame =
-            chain.groupBy(col("doc_id"))
-              .agg(max_by(struct(col("partner_id"), col("jaccard")), col("batch")).as("v"))
-              .select(col("doc_id"), col("v.partner_id").as("partner_id"),
-                col("v.jaccard").as("jaccard"))
+          // changelog reader: the shared LWW resolution, keyed by doc_id
+          def lww(chain: DataFrame): DataFrame = resolveLww(chain, Seq("doc_id"))
           val docs = ss.read.parquet(staged.toString)
           docs.filter(col("doc_id") % 5 =!= 0).write.mode("append").parquet(src.toString)
           val stream = ss.readStream.schema(rawSchema(ss, sfDir, "documents")).parquet(src.toString)
@@ -1285,17 +1229,28 @@ object Events {
                 val batchSh = Dedup.shingleHashSets(arrived).persist()
                 try {
                   batchSh.write.mode("overwrite").parquet(s"$shinglesDir/batch=$epoch")
-                  Dedup.bandRows(Dedup.minhashSignatures(batchSh))
-                    .write.mode("overwrite").parquet(s"$bandsDir/batch=$epoch")
-                  // candidates + exact verify over the stored chains —
-                  // the shared, PlanSpec-pinned kernel [[nearDupEdges]]
+                  val batchBands = Dedup.bandRows(Dedup.minhashSignatures(batchSh))
+                  batchBands.write.mode("overwrite").parquet(s"$bandsDir/batch=$epoch")
+                  // candidates: the in-memory batch bands (recomputed off
+                  // the persisted batch shingles — no re-read of the
+                  // just-written partition) probe the stored chain, which
+                  // includes their own epoch so intra-batch pairs count
                   val allBands = bss.read.parquet(bandsDir)
                     .filter(col("batch") <= lit(epoch))
-                  val batchBands = bss.read.parquet(s"$bandsDir/batch=$epoch")
-                  val shState = bss.read.parquet(shinglesDir)
-                    .filter(col("batch") <= lit(epoch)).drop("batch").persist()
+                  val cand = Dedup.nearDupCandidates(batchBands, allBands)
+                    .localCheckpoint(true) // delta-sized; read 3× below
                   try {
-                    val edges = nearDupEdges(batchBands, allBands, shState, threshold)
+                    // verify against ONLY the partners' shingle sets: one
+                    // scan of the store semi-prunes it to the blast
+                    // radius, so the per-epoch cache is delta-sized (a
+                    // corpus-width persist here would push the whole
+                    // store through the block manager every batch)
+                    val candIds = cand.select(col("a").as("doc_id"))
+                      .union(cand.select(col("b").as("doc_id"))).distinct()
+                    val shNeeded = bss.read.parquet(shinglesDir)
+                      .filter(col("batch") <= lit(epoch)).drop("batch")
+                      .join(candIds, Seq("doc_id"), "left_semi").persist()
+                    val edges = Dedup.nearDupVerify(cand, shNeeded, threshold)
                     // per-doc best NEW neighbor this epoch (min over the
                     // smaller side; min_by ties impossible — pairs distinct)
                     val newBest = edges.groupBy(col("b").as("doc_id"))
@@ -1326,8 +1281,11 @@ object Events {
                       // the verdict delta commits the epoch (last write)
                       batchVerdict.unionByName(priorUpdates)
                         .write.mode("overwrite").parquet(s"$verdictDir/batch=$epoch")
-                    } finally newBest.unpersist(blocking = false)
-                  } finally shState.unpersist(blocking = false)
+                    } finally {
+                      newBest.unpersist(blocking = false)
+                      shNeeded.unpersist(blocking = false)
+                    }
+                  } finally graft.operators.Corpus.releaseCheckpoint(cand)
                 } finally batchSh.unpersist(blocking = false)
               } finally arrived.unpersist(blocking = false)
               deltaProbe.foreach(_ += ((epoch,
@@ -1444,6 +1402,24 @@ object Events {
     * format's transaction log (Delta/Iceberg) instead, with identical
     * relational semantics — but no crash point here loses data.
     */
+  /** Resolve a `batch=<epoch>` changelog chain last-write-wins per
+    * `keyCols` — THE merge-on-read reader every Update-mode delta-chain
+    * sink in this file shares ([[ingestDedupToFiles]],
+    * [[ingestDecontamToFiles]], [[ingestNearDup]]'s verdict chain,
+    * [[streamIncrementalClean]]'s ledger view) and the resolution
+    * [[compactDeltaChain]] materializes when it rewrites the chain as
+    * its base snapshot — one definition, so a reader and the compactor
+    * can never drift. Value columns come off the stored schema, so a
+    * sink schema change can never be silently projected away; cost is
+    * one partial-agg'd shuffle of scalar rows.
+    */
+  private[graft] def resolveLww(chain: DataFrame, keyCols: Seq[String]): DataFrame = {
+    val valueCols = chain.columns.filterNot(c => keyCols.contains(c) || c == "batch").toSeq
+    chain.groupBy(keyCols.map(col): _*)
+      .agg(max_by(struct(valueCols.map(col): _*), col("batch")).as("v"))
+      .select(keyCols.map(col) ++ valueCols.map(c => col(s"v.$c").as(c)): _*)
+  }
+
   def compactDeltaChain(spark: SparkSession, sink: String, keyCols: Seq[String]): Unit = {
     val sinkPath = java.nio.file.Paths.get(sink)
     // BEFORE the chain is read: a crash-stranded snapshot may hold the
@@ -1455,12 +1431,7 @@ object Events {
     // partition discovery types `batch` as int or long depending on the
     // epoch values present — accept either
     val maxEpoch = all.agg(max(col("batch"))).head().getAs[Number](0).longValue()
-    val valueCols = all.columns.filterNot(c => keyCols.contains(c) || c == "batch").toSeq
-    val lww = all
-      .groupBy(keyCols.map(col): _*)
-      .agg(max_by(struct(valueCols.map(col): _*), col("batch")).as("v"))
-      .select(keyCols.map(col) ++ valueCols.map(c => col(s"v.$c").as(c)): _*)
-    swapCompactedSnapshot(sinkPath, lww, maxEpoch)
+    swapCompactedSnapshot(sinkPath, resolveLww(all, keyCols), maxEpoch)
   }
 
   /** The crash-safe snapshot swap shared by [[compactDeltaChain]] and

@@ -224,9 +224,11 @@ class PlanSpec extends AnyFunSuite {
         .toDF("doc_id", "band_id", "band_hash").write.parquet(s"$dir/bands/batch=1")
       Seq((1L, (1L to 9L)), (2L, (1L to 8L) :+ 99L), (3L, Seq(50L, 51L)))
         .toDF("doc_id", "shingles").write.parquet(s"$dir/shingles")
-      val edges = graft.streaming.Events.nearDupEdges(
-        spark.read.parquet(s"$dir/bands/batch=1"),
-        spark.read.parquet(s"$dir/bands"),
+      import graft.operators.Dedup
+      val edges = Dedup.nearDupVerify(
+        Dedup.nearDupCandidates(
+          spark.read.parquet(s"$dir/bands/batch=1"),
+          spark.read.parquet(s"$dir/bands")),
         spark.read.parquet(s"$dir/shingles"))
       val rows = edges.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
       assert(rows.toSeq == Seq((1L, 2L, 0.8)), s"wrong edges: ${rows.toSeq}")
