@@ -1402,6 +1402,125 @@ object Events {
     * format's transaction log (Delta/Iceberg) instead, with identical
     * relational semantics — but no crash point here loses data.
     */
+  /** Continuous EMBEDDING ingestion with the IVF index maintained as
+    * stored state — the vector-side sibling of [[ingestNearDup]] and
+    * the streaming loop of
+    * [[graft.operators.Similarity.ivfAssign]]'s incremental contract.
+    * The FIRST arrival trains the coarse quantizer (bounded sample,
+    * taken over the arrival ORDERED BY vec_id so the sample — and hence
+    * the centroids — is a deterministic function of the data, not of
+    * file-scan order), stores it once, and FREEZES it: every batch then
+    * assigns ONLY its own vectors against the stored centroids
+    * (map-only, O(|batch|)) and appends the `(neighbor_id, cell)` delta
+    * as `assign/batch=e` — nothing corpus-sized is ever recomputed or
+    * re-assigned, and the assignment write commits the epoch (replay
+    * overwrites idempotently; a replayed epoch 0 re-trains on its own
+    * arrival and rewrites the same centroids).
+    *
+    * Frozen-centroid determinism is the whole contract: append-equals-
+    * rebuild is EXACT (AnnSpec), so the converged chain equals the
+    * one-shot assignment over the full corpus and the query side —
+    * probe + exact re-rank via
+    * [[graft.operators.Similarity.ivfTopKFromIndex]] — must equal the
+    * batch-built maintained-index result verbatim (StreamingSpec pins
+    * it; `nprobe` = 8, one notch up, because the frozen quantizer never
+    * saw the later arrivals — the `ivf_incr` discipline).
+    * [[graft.operators.Similarity.ivfCellStats]] over the resolved
+    * chain is the drift monitor that schedules the re-train. Returns
+    * the query set's top-k over the maintained index; `deltaProbe`
+    * receives (epoch, assignment delta rows) per batch.
+    */
+  def ingestAnnIvf(spark: SparkSession, sfDir: String,
+                   statePartitions: Option[Int] = Some(4),
+                   k: Int = 5, nprobe: Int = 8,
+                   deltaProbe: Option[scala.collection.mutable.Buffer[(Long, Long)]] = None): DataFrame = {
+    import graft.operators.Similarity
+    val ss = sessionFor(spark, statePartitions,
+      Map("spark.sql.streaming.noDataMicroBatches.enabled" -> "false") ++ providerConf)
+    graft.GraftSession.registerFunctions(ss)
+    val staged = java.nio.file.Paths.get(s"$sfDir/embeddings.parquet")
+    val stagedBytes = java.nio.file.Files.size(staged)
+    val src = scratchDir("graft_annstream_src", stagedBytes)
+    try {
+      val store = scratchDir("graft_annstream_store", stagedBytes)
+      try {
+        val ckpt = scratchDir("graft_annstream_ckpt", stagedBytes)
+        try {
+          val centroidsDir = s"$store/centroids"
+          val assignDir = s"$store/assign"
+          def loadCentroids(s2: SparkSession): Array[Array[Double]] =
+            s2.read.parquet(centroidsDir).orderBy(col("cell"))
+              .collect().map(_.getSeq[Double](1).toArray)
+          val emb = ss.read.parquet(staged.toString)
+          // the stream carries CORPUS vectors; the query set is static
+          val corpus = emb.filter(col("vec_id") >= Similarity.NumQueries)
+          corpus.filter(col("vec_id") % 5 =!= 0).write.mode("append").parquet(src.toString)
+          val stream = ss.readStream.schema(rawSchema(ss, sfDir, "embeddings"))
+            .parquet(src.toString)
+          val q = stream.writeStream
+            .outputMode(OutputMode.Append)
+            .option("checkpointLocation", ckpt.toString)
+            .foreachBatch { (batch: DataFrame, epoch: Long) =>
+              val bss = batch.sparkSession
+              import bss.implicits._
+              graft.GraftSession.registerFunctions(bss)
+              val arrived = batch.persist()
+              try {
+                val centroids =
+                  if (epoch == 0L) {
+                    val c = Similarity.ivfTrain(arrived.orderBy(col("vec_id")))
+                    c.zipWithIndex.map { case (v, i) => (i, v.toSeq) }.toSeq
+                      .toDF("cell", "centroid")
+                      .write.mode("overwrite").parquet(centroidsDir)
+                    c
+                  } else loadCentroids(bss)
+                Similarity.ivfAssign(arrived, centroids)
+                  .write.mode("overwrite").parquet(s"$assignDir/batch=$epoch")
+              } finally arrived.unpersist(blocking = false)
+              deltaProbe.foreach(_ += ((epoch,
+                bss.read.parquet(s"$assignDir/batch=$epoch").count())))
+            }
+            .start()
+          try {
+            q.processAllAvailable()
+            corpus.filter(col("vec_id") % 5 === 0).write.mode("append").parquet(src.toString)
+            q.processAllAvailable()
+          } finally { dumpProgress("graft_annstream", q); q.stop() }
+          // query the maintained index: resolved chain + frozen quantizer
+          val assigned = spark.read.parquet(assignDir).drop("batch")
+          val topk = Similarity.ivfTopKFromIndex(
+            Tables.embeddings(spark, sfDir), assigned, loadCentroids(spark), k, nprobe)
+          detach(spark, topk)
+        } finally deleteDirQuietly(ckpt)
+      } finally deleteDirQuietly(store)
+    } finally deleteDirQuietly(src)
+  }
+
+  /** Oracle-checkable contract of [[ingestAnnIvf]] (the
+    * `ann_recall_check` pattern): the ranked list itself is hash- and
+    * quantizer-seeded (rows-only), but the relation must have exactly k
+    * rows per query (real `n_rows`, derived by the oracle from the
+    * query-set size) and clear the maintained-index recall floor
+    * against the exact brute baseline (pinned `recall_ok`, floor 0.7 at
+    * nprobe 8 — the `ivf_incr` floor, since the frozen quantizer never
+    * saw the second arrival).
+    */
+  def ingestAnnCheck(spark: SparkSession, sfDir: String,
+                     recallFloor: Double = 0.7): DataFrame = {
+    import graft.operators.Similarity
+    val streamed = ingestAnnIvf(spark, sfDir) // local relation (detached)
+    val b = Similarity.bruteTopK(Tables.embeddings(spark, sfDir))
+      .select(col("query_id"), col("neighbor_id")).persist()
+    val verdict = streamed.agg(count(lit(1)).as("n_rows"))
+      .crossJoin(broadcast(streamed.select(col("query_id"), col("neighbor_id"))
+        .join(b, Seq("query_id", "neighbor_id"), "left_semi")
+        .agg(count(lit(1)).as("hits"))))
+      .crossJoin(broadcast(b.agg(count(lit(1)).as("n_brute"))))
+      .select(col("n_rows"),
+        (col("hits") >= lit(recallFloor) * col("n_brute")).as("recall_ok"))
+    Tables.materializeAndRelease(verdict, b)
+  }
+
   /** Resolve a `batch=<epoch>` changelog chain last-write-wins per
     * `keyCols` — THE merge-on-read reader every Update-mode delta-chain
     * sink in this file shares ([[ingestDedupToFiles]],
@@ -1633,6 +1752,8 @@ object Events {
     "stream_ingest_dedup_files" -> ((s, d) => ingestDedupToFiles(s, d)),
     "stream_ingest_neardup" -> ((s, d) => ingestNearDup(s, d)),
     "stream_ingest_neardup_check" -> ((s, d) => ingestNearDupCheck(s, d)),
+    "stream_ingest_ann" -> ((s, d) => ingestAnnIvf(s, d)),
+    "stream_ingest_ann_check" -> ((s, d) => ingestAnnCheck(s, d)),
     "stream_ingest_decontam" -> ((s, d) => ingestDecontam(s, d)),
     "stream_ingest_decontam_files" -> ((s, d) => ingestDecontamToFiles(s, d)),
     "stream_window_agg" -> ((s, d) => windowAgg(s, d)),
@@ -1698,6 +1819,14 @@ object Events {
     // incremental_clean)
     "stream_incremental_clean" -> graft.operators.Corpus.oracle("pipe_clean_corpus"),
     "stream_ingest_dedup" -> ingestDedupOracle,
+    // stream_ingest_ann is rows-only (quantizer-seeded ranked list, the
+    // dedup_minhash_lsh status); its check twin pins exactly-k rows per
+    // query (n_rows derived from the query-set size) and the
+    // maintained-index recall floor
+    "stream_ingest_ann_check" ->
+      """SELECT CAST((SELECT count(*) * 5 FROM embeddings WHERE vec_id < 10)
+        |   AS BIGINT) AS n_rows,
+        | true AS recall_ok""".stripMargin,
     // stream_ingest_neardup itself is rows-only (the LSH banding is not
     // portable SQL — same status as dedup_minhash_lsh); this check twin
     // pins its exact invariants from the raw table alone: real doc and

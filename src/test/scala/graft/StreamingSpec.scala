@@ -101,6 +101,34 @@ class StreamingSpec extends AnyFunSuite {
       s"epoch-1 delta ${deltas(1L)} not blast-radius-sized (batch $batch2, corpus $n)")
   }
 
+  test("stream_ingest_ann equals the batch-maintained IVF index, appends only deltas") {
+    import graft.operators.Similarity
+    val probe = scala.collection.mutable.ListBuffer.empty[(Long, Long)]
+    val streamed = Events.ingestAnnIvf(spark, TestSpark.sf, deltaProbe = Some(probe))
+      .collect().toSeq
+    val emb = Tables.embeddings(spark, TestSpark.sf)
+    val corpus = emb.filter(col("vec_id") >= Similarity.NumQueries)
+    // batch twin: quantizer trained on the FIRST arrival's deterministic
+    // sample (ordered by vec_id, as the stream trains), one-shot
+    // assignment of the full corpus — append-equals-rebuild makes the
+    // streamed chain identical, so the query side must match verbatim
+    val centroids = Similarity.ivfTrain(
+      corpus.filter(col("vec_id") % 5 =!= 0).orderBy(col("vec_id")))
+    val batch = Similarity.ivfTopKFromIndex(
+      emb, Similarity.ivfAssign(corpus, centroids), centroids, nprobe = 8)
+      .collect().toSeq
+    assert(streamed.nonEmpty && streamed == batch)
+    // per-epoch writes are exactly the arrivals — no re-assignment ever
+    val n = corpus.count(); val second = corpus.filter(col("vec_id") % 5 === 0).count()
+    assert(probe.toMap == Map(0L -> (n - second), 1L -> second), s"deltas: $probe")
+    // recall floor vs the exact baseline (the ivf_incr floor at nprobe 8)
+    val brute = Similarity.bruteTopK(emb)
+      .select(col("query_id"), col("neighbor_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hits = streamed.count(r => brute((r.getLong(0), r.getLong(2))))
+    assert(hits >= 0.7 * brute.size, s"recall ${hits.toDouble / brute.size} under floor")
+  }
+
   test("a late smaller-id near-dup retracts the earlier keep (verdict changelog)") {
     import spark.implicits._
     import graft.operators.Dedup
