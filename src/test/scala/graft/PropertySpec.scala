@@ -568,4 +568,104 @@ class PropertySpec extends AnyFunSuite {
     manifestChain.foreach { case (_, df) => Corpus.releaseCheckpoint(df) }
     ledgerChain.foreach { case (_, df) => Corpus.releaseCheckpoint(df) }
   }
+
+  test("near-dup ingest changelog converges to the batch verdict across 4 random arrivals") {
+    // The stored-state algebra of stream_ingest_neardup — per-epoch band
+    // and shingle chains, the verdict changelog with min-partner
+    // retractions, LWW resolution — driven through 4 RANDOM arrival
+    // batches (the streaming harness stages exactly two). Doc ids are
+    // assigned independently of arrival order, so smaller-id near-dups
+    // routinely arrive AFTER their mates — the retraction path — and
+    // near-dup groups straddle arrival boundaries arbitrarily. After
+    // every epoch the resolved changelog must equal
+    // Dedup.minhashNearDupVerdict over exactly the docs ingested so far
+    // (both sides share the fixed-hash minhash perms, so equality is
+    // exact, not statistical — an LSH miss is missed identically).
+    import org.apache.spark.sql.functions.{col, lit, max, max_by, min, min_by, struct}
+    import org.apache.spark.sql.DataFrame
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import graft.operators.Dedup
+    val seed = 20260815L
+    info(s"neardup-chain seed=$seed")
+    val rnd = new scala.util.Random(seed)
+
+    // 40-token docs: a 1-token mutation is a near-dup (J ≈ 0.854 ≥ 0.8),
+    // plus exact copies (J = 1); every doc carries a planted common
+    // trigram. ~18 base docs, ~40% spawning 1-2 dup mates.
+    val texts = scala.collection.mutable.ListBuffer.empty[String]
+    for (g <- 1 to 18) {
+      val base = Array.tabulate(40)(i => s"g${g}w$i")
+      val at = rnd.nextInt(37)
+      base(at) = "the"; base(at + 1) = "end"; base(at + 2) = "of"
+      texts += base.mkString(" ")
+      if (rnd.nextDouble() < 0.4) {
+        for (k <- 1 to 1 + rnd.nextInt(2)) {
+          if (rnd.nextBoolean()) texts += base.mkString(" ") // exact copy
+          else {
+            val m = base.clone(); m(rnd.nextInt(40)) = s"g${g}mut$k"
+            texts += m.mkString(" ")
+          }
+        }
+      }
+    }
+    // ids shuffled independently of content, arrivals a random 4-part split
+    val ids = rnd.shuffle((1L to texts.size.toLong).toList)
+    val docs = ids.zip(texts)
+    val arrivals = docs.groupBy(_ => rnd.nextInt(4)).toSeq.sortBy(_._1).map(_._2)
+    assert(arrivals.size == 4 && arrivals.forall(_.nonEmpty), "degenerate split — reseed")
+
+    val bandChain = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    val shChain = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    val verdictChain = scala.collection.mutable.ListBuffer.empty[(Int, DataFrame)]
+    val ingested = scala.collection.mutable.ListBuffer.empty[(Long, String)]
+    var retractions = 0L
+    def lww(): DataFrame = {
+      val rows = verdictChain
+        .map { case (e, df) => df.withColumn("batch", lit(e)) }.reduce(_ unionByName _)
+      rows.groupBy(col("doc_id"))
+        .agg(max_by(struct(col("partner_id"), col("jaccard")), col("batch")).as("v"))
+        .select(col("doc_id"), col("v.partner_id").as("partner_id"),
+          col("v.jaccard").as("jaccard"))
+    }
+    for ((arrival, e) <- arrivals.zipWithIndex) {
+      val batchDF = arrival.toDF("doc_id", "text")
+      val batchSh = Dedup.shingleHashSets(batchDF).localCheckpoint(true)
+      val batchBands = Dedup.bandRows(Dedup.minhashSignatures(batchSh))
+        .localCheckpoint(true)
+      shChain += batchSh; bandChain += batchBands
+      val cand = Dedup.nearDupCandidates(batchBands, bandChain.reduce(_ unionByName _))
+      val edges = Dedup.nearDupVerify(cand, shChain.reduce(_ unionByName _))
+      val newBest = edges.groupBy(col("b").as("doc_id"))
+        .agg(min(col("a")).as("partner_id"), min_by(col("jaccard"), col("a")).as("jaccard"))
+        .localCheckpoint(true)
+      val batchVerdict = batchDF.select(col("doc_id")).join(newBest, Seq("doc_id"), "left")
+      val priorUpdates =
+        if (e == 0) batchVerdict.limit(0)
+        else newBest
+          .join(batchDF.select(col("doc_id")), Seq("doc_id"), "left_anti")
+          .join(lww().select(col("doc_id"), col("partner_id").as("old_partner")), Seq("doc_id"))
+          .filter(col("old_partner").isNull || col("partner_id") < col("old_partner"))
+          .select(col("doc_id"), col("partner_id"), col("jaccard"))
+      val delta = batchVerdict.unionByName(priorUpdates).localCheckpoint(true)
+      graft.operators.Corpus.releaseCheckpoint(newBest)
+      retractions += delta.count() - arrival.size
+      verdictChain += e -> delta
+      ingested ++= arrival
+      val got = lww()
+        .select(col("doc_id"), col("partner_id").isNull.as("keep"),
+          col("partner_id"), col("jaccard"))
+        .orderBy(col("doc_id")).collect().map(_.toSeq).toSeq
+      val want = Dedup.minhashNearDupVerdict(ingested.toSeq.toDF("doc_id", "text"))
+        .collect().map(_.toSeq).toSeq
+      assert(got == want, s"epoch $e: changelog diverged from the batch verdict")
+    }
+    // the seed must actually exercise both legs
+    assert(ingested.toSeq.toDF("doc_id", "text")
+      .select(col("text")).distinct().count() < ingested.size,
+      "no duplicate texts staged — vacuous corpus, reseed")
+    assert(retractions > 0, s"seed $seed staged no cross-epoch retraction — reseed")
+    (shChain ++ bandChain).foreach(graft.operators.Corpus.releaseCheckpoint)
+    verdictChain.foreach { case (_, df) => graft.operators.Corpus.releaseCheckpoint(df) }
+  }
 }
