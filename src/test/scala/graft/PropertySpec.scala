@@ -581,7 +581,7 @@ class PropertySpec extends AnyFunSuite {
     // Dedup.minhashNearDupVerdict over exactly the docs ingested so far
     // (both sides share the fixed-hash minhash perms, so equality is
     // exact, not statistical — an LSH miss is missed identically).
-    import org.apache.spark.sql.functions.{col, lit, max, max_by, min, min_by, struct}
+    import org.apache.spark.sql.functions.{col, lit, max_by, min, min_by, struct}
     import org.apache.spark.sql.DataFrame
     val spark = TestSpark.spark
     import spark.implicits._
@@ -619,7 +619,7 @@ class PropertySpec extends AnyFunSuite {
     val shChain = scala.collection.mutable.ListBuffer.empty[DataFrame]
     val verdictChain = scala.collection.mutable.ListBuffer.empty[(Int, DataFrame)]
     val ingested = scala.collection.mutable.ListBuffer.empty[(Long, String)]
-    var retractions = 0L
+    var keepRetractions = 0L
     def lww(): DataFrame = {
       val rows = verdictChain
         .map { case (e, df) => df.withColumn("batch", lit(e)) }.reduce(_ unionByName _)
@@ -640,16 +640,22 @@ class PropertySpec extends AnyFunSuite {
         .agg(min(col("a")).as("partner_id"), min_by(col("jaccard"), col("a")).as("jaccard"))
         .localCheckpoint(true)
       val batchVerdict = batchDF.select(col("doc_id")).join(newBest, Seq("doc_id"), "left")
-      val priorUpdates =
-        if (e == 0) batchVerdict.limit(0)
+      val priorRaw =
+        if (e == 0) newBest.withColumn("old_partner", lit(null)).limit(0)
         else newBest
           .join(batchDF.select(col("doc_id")), Seq("doc_id"), "left_anti")
           .join(lww().select(col("doc_id"), col("partner_id").as("old_partner")), Seq("doc_id"))
           .filter(col("old_partner").isNull || col("partner_id") < col("old_partner"))
-          .select(col("doc_id"), col("partner_id"), col("jaccard"))
-      val delta = batchVerdict.unionByName(priorUpdates).localCheckpoint(true)
+          .localCheckpoint(true)
+      // the leg this test exists for: a prior KEEP (old partner null)
+      // flipped to a drop by a later smaller-id arrival — count it
+      // separately from mere partner improvements of already-dropped docs
+      keepRetractions += priorRaw.filter(col("old_partner").isNull).count()
+      val delta = batchVerdict
+        .unionByName(priorRaw.select(col("doc_id"), col("partner_id"), col("jaccard")))
+        .localCheckpoint(true)
       graft.operators.Corpus.releaseCheckpoint(newBest)
-      retractions += delta.count() - arrival.size
+      graft.operators.Corpus.releaseCheckpoint(priorRaw)
       verdictChain += e -> delta
       ingested ++= arrival
       val got = lww()
@@ -664,7 +670,8 @@ class PropertySpec extends AnyFunSuite {
     assert(ingested.toSeq.toDF("doc_id", "text")
       .select(col("text")).distinct().count() < ingested.size,
       "no duplicate texts staged — vacuous corpus, reseed")
-    assert(retractions > 0, s"seed $seed staged no cross-epoch retraction — reseed")
+    assert(keepRetractions > 0,
+      s"seed $seed never flipped a prior keep to a drop — reseed")
     (shChain ++ bandChain).foreach(graft.operators.Corpus.releaseCheckpoint)
     verdictChain.foreach { case (_, df) => graft.operators.Corpus.releaseCheckpoint(df) }
   }
