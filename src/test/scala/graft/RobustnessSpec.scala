@@ -165,6 +165,71 @@ class RobustnessSpec extends AnyFunSuite {
     assert(!out.map(_.getLong(0)).contains(2L))
   }
 
+  test("near-dup ingest keeps signature-less short docs and still flags real dups") {
+    // the sketch's documented domain boundary: a doc with < 3 tokens has
+    // no 3-shingle, hence no signature — identical short docs can never
+    // be flagged (the check twin excludes them from pigeonhole for the
+    // same reason), and their presence must not crash the chains or
+    // perturb the real near-dups around them
+    import spark.implicits._
+    val long1 = (1 to 20).map(i => s"w$i").mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("graft_neardup_robust")
+    try {
+      val stage = s"$dir/stage"
+      // shorts 1 and 6 are IDENTICAL, split across the two arrivals
+      // (6 % 5 != 0 lands first, 5 % 5 == 0 second); 2 and 7 are a real
+      // exact-dup pair, also split across arrivals
+      Seq((6L, "tiny doc"), (5L, "tiny doc"), (1L, ""),
+        (2L, long1), (7L, long1))
+        .toDF("doc_id", "text")
+        .coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath, dir.resolve("documents.parquet"))
+      val got = graft.streaming.Events.ingestNearDup(spark, dir.toString)
+        .collect().map(r => (r.getLong(0), r.getBoolean(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2))).toSeq
+      assert(got.size == 5, s"a doc lost its verdict row: $got")
+      assert(got.filter(!_._2) == Seq((7L, false, 2L)),
+        s"only the real dup should drop: $got")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
+  test("ANN ingest trains what the tiny first arrival affords (fewer vectors than cells)") {
+    // kmeansLite documents that a sample smaller than nCells trains that
+    // many cells and callers must size off the RETURNED length — pin
+    // that contract through the whole streaming loop: 12 corpus vectors
+    // against the default 16-cell request must bootstrap, append, and
+    // answer queries without error, k-capped by the corpus
+    import spark.implicits._
+    val rnd = new scala.util.Random(7L)
+    def vec(seed: Int) = Array.fill(4)(rnd.nextFloat() + seed)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ann_robust")
+    try {
+      val stage = s"$dir/stage"
+      ((0L until 10L).map(i => (i, vec(i.toInt % 3).toSeq)) ++
+        (10L until 22L).map(i => (i, vec(i.toInt % 3).toSeq)))
+        .toDF("vec_id", "embedding")
+        .coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath, dir.resolve("embeddings.parquet"))
+      val got = graft.streaming.Events.ingestAnnIvf(spark, dir.toString)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+      // every query answered with k rows, neighbors only from the corpus
+      assert(got.map(_._1).distinct.size == 10, s"missing queries: $got")
+      assert(got.size == 50 && got.forall(_._2 >= 10L), s"bad neighbors: $got")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   test("dedup and decontam pipelines drop null/empty docs instead of crashing") {
     // shingle-based ops: null/short docs have no 3-gram → silently absent
     assert(Dedup.ngramJaccard(docsWithNull).count() == 0)
