@@ -271,6 +271,42 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("compaction preserves LWW over NULLABLE value columns (verdict-chain shape)") {
+    // the near-dup verdict chain stores (partner_id, jaccard) with null
+    // meaning "kept" — pin that a null in the NEWEST row wins over an
+    // older non-null (and vice versa) through both the shared resolver
+    // and a compaction round trip; the generic compaction tests only
+    // stage non-null values
+    import spark.implicits._
+    val sink = java.nio.file.Files.createTempDirectory("graft_nullchain")
+    try {
+      Seq((11L, Option.empty[Long], Option.empty[Double]),
+        (7L, Option(3L), Option(0.9)))
+        .toDF("doc_id", "partner_id", "jaccard").write.parquet(s"$sink/batch=0")
+      Seq((5L, Option.empty[Long], Option.empty[Double]),
+        (11L, Option(5L), Option(1.0)), // keep retracted by a late dup
+        (7L, Option.empty[Long], Option.empty[Double])) // null overwrites value
+        .toDF("doc_id", "partner_id", "jaccard").write.parquet(s"$sink/batch=1")
+      def resolved(): Set[(Long, Option[Long], Option[Double])] =
+        Events.resolveLww(spark.read.parquet(sink.toString), Seq("doc_id"))
+          .collect().map(r => (r.getLong(0),
+            if (r.isNullAt(1)) None else Some(r.getLong(1)),
+            if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSet
+      val want = Set[(Long, Option[Long], Option[Double])](
+        (5L, None, None), (11L, Some(5L), Some(1.0)), (7L, None, None))
+      assert(resolved() == want, "chain staged wrong")
+      Events.compactDeltaChain(spark, sink.toString, Seq("doc_id"))
+      assert(resolved() == want, "compaction changed the null-bearing resolution")
+      val dirs = new java.io.File(sink.toString).listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("batch=")).map(_.getName).toSet
+      assert(dirs == Set("batch=1"), s"older deltas must be pruned: $dirs")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(sink).sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   test("tombstoned-chain compaction preserves the resolved relation and consumes tombstones") {
     // The store shape streamIncrementalClean keeps corpus/postings state
     // in: whole-row-group deltas (many rows per doc) + a tombstone chain
