@@ -63,15 +63,21 @@ object Tables {
     * fallback arm (graft's own sessions pin the read to TimestampType
     * at the config layer and never enter it).
     */
-  def events(s: SparkSession, d: String): DataFrame = {
-    val raw = load(s, d, "events")
-    raw.schema("ts").dataType match {
-      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case TimestampNTZType => raw.withColumn("ts",
+  def events(s: SparkSession, d: String): DataFrame =
+    normalizeTs(load(s, d, "events"))
+
+  /** The ONE copy of the ts normalizer (see [[events]] for the full
+    * rationale) — the streaming harness's staging path
+    * ([[graft.streaming.Events]]) delegates here, so the batch loader's
+    * and the stream's timestamp semantics can never drift apart.
+    */
+  private[graft] def normalizeTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => df.withColumn("ts",
         to_timestamp(concat(col("ts").cast("string"), lit("+00:00"))))
-      case _ => raw
+      case _ => df
     }
-  }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 

@@ -137,15 +137,18 @@ object Corpus {
     * MapReduce"), which converges in O(log n) rounds of the same
     * join+min shape.
     */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 25): DataFrame = {
+  def connectedComponents(edges: DataFrame, maxIter: Int = 25,
+                          ckptOut: Option[scala.collection.mutable.Buffer[DataFrame]] = None): DataFrame = {
     val sym = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint(true) // edge set is read every round — materialize once
     // Dup-free corpora (empty pair graph) skip the label machinery
     // entirely — the checkpointed edge set answers isEmpty as a limit-1
     // probe, and the result is the empty labeled-vertex relation.
-    if (sym.isEmpty)
+    if (sym.isEmpty) {
+      ckptOut.foreach(_ += sym) // the result READS sym: it survives
       return sym.select(col("src").as("id"), col("src").as("label"))
+    }
     var lastCkpt = sym.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint(true)
@@ -195,6 +198,11 @@ object Corpus {
           "component diameter) or use the large-star/small-star formulation " +
           "for long-path graphs")
     }
+    // the ONE block set the returned relation still reads: a one-shot
+    // query lets the session reclaim it at exit, but a long-running
+    // LOOP must release it once the labels are consumed — `ckptOut`
+    // hands the loop that handle (Snapshot's checkpointed delta form)
+    ckptOut.foreach(_ += lastCkpt)
     labels
   }
 
@@ -429,8 +437,9 @@ object Corpus {
     * returns; only the lazy scored/label join survives, which never
     * reads `edges`.
     */
-  private[operators] def ledgerFromEdges(docs: DataFrame, edges: DataFrame): DataFrame = {
-    val labels = connectedComponents(edges)
+  private[operators] def ledgerFromEdges(docs: DataFrame, edges: DataFrame,
+                                         ckptOut: Option[scala.collection.mutable.Buffer[DataFrame]] = None): DataFrame = {
+    val labels = connectedComponents(edges, ckptOut = ckptOut)
     scoredDocs(docs)
       .join(labels.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("cluster_id"),

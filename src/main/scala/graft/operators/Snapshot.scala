@@ -374,7 +374,7 @@ object Snapshot {
   def incrementalLedgerFromStoredState(prior: DataFrame, oldManifest: DataFrame,
                                        newManifest: DataFrame, postings: DataFrame,
                                        newDocs: DataFrame, maxRounds: Int = 25): DataFrame = {
-    val (recomputed, closure, deltaIds) =
+    val (recomputed, closure, deltaIds, _) =
       recomputedLedgerRows(prior, oldManifest, newManifest, postings, newDocs, maxRounds)
     // carry forward every prior ledger row the delta provably cannot
     // touch (not in the closure, not named by the delta)
@@ -398,8 +398,9 @@ object Snapshot {
     * from this relation but present in the prior chain, so
     * last-write-wins would resurface it — the caller must retract it
     * (tombstone or retraction row), using the removed ids its own
-    * manifest diff already knows, O(|delta|).
-    * [[graft.streaming.Events.streamIncrementalClean]] consumes this
+    * manifest diff already knows, O(|delta|). Long-running loops call
+    * the lifecycle-closed [[incrementalLedgerDeltaCheckpointed]] —
+    * [[graft.streaming.Events.streamIncrementalClean]] consumes that
     * per micro-batch.
     */
   def incrementalLedgerDeltaFromStoredState(prior: DataFrame, oldManifest: DataFrame,
@@ -407,14 +408,47 @@ object Snapshot {
                                             newDocs: DataFrame, maxRounds: Int = 25): DataFrame =
     recomputedLedgerRows(prior, oldManifest, newManifest, postings, newDocs, maxRounds)._1
 
+  /** [[incrementalLedgerDeltaFromStoredState]] with the checkpoint
+    * lifecycle CLOSED — what a continuously-running loop calls per
+    * epoch. The raw delta form returns a LAZY relation that still reads
+    * the closure, the CC label set and the manifest-diff checkpoints,
+    * so its caller has nothing to release, and a long-running stream
+    * would pin another O(blast radius) of localCheckpoint blocks every
+    * epoch until a driver GC (the failure mode the ngramJaccard persist
+    * note documents). This form materializes the delta rows into ONE
+    * eager checkpoint, releases every intermediate block the
+    * computation pinned, and hands back that single relation — the
+    * caller consumes it (one write) and releases it with
+    * [[Corpus.releaseCheckpoint]]. Resident state per epoch: one
+    * delta-sized block set, not a growing chain.
+    * [[graft.streaming.Events.streamIncrementalClean]] consumes this.
+    */
+  def incrementalLedgerDeltaCheckpointed(prior: DataFrame, oldManifest: DataFrame,
+                                         newManifest: DataFrame, postings: DataFrame,
+                                         newDocs: DataFrame, maxRounds: Int = 25): DataFrame = {
+    val (rec, closed, _, releasables) =
+      recomputedLedgerRows(prior, oldManifest, newManifest, postings, newDocs, maxRounds)
+    val out =
+      try rec.localCheckpoint(true)
+      catch { case t: Throwable =>
+        (closed +: releasables).foreach(Corpus.releaseCheckpoint)
+        throw t
+      }
+    (closed +: releasables).foreach(Corpus.releaseCheckpoint)
+    out
+  }
+
   /** Shared core of the two stored-state entry points: the recomputed
     * ledger rows for the delta's pair-graph closure, plus the closure
-    * and delta-id relations the full-ledger form fences its carry with.
+    * and delta-id relations the full-ledger form fences its carry with,
+    * plus the checkpoint handles (manifest diff, CC label set) only the
+    * checkpointed form releases — the full form's result reads them
+    * lazily, so IT must leave them alive.
     */
   private def recomputedLedgerRows(prior: DataFrame, oldManifest: DataFrame,
                                    newManifest: DataFrame, postings: DataFrame,
                                    newDocs: DataFrame, maxRounds: Int)
-      : (DataFrame, DataFrame, DataFrame) = {
+      : (DataFrame, DataFrame, DataFrame, Seq[DataFrame]) = {
     val lap = incrLap()
     val delta = diff(oldManifest, newManifest)
       .localCheckpoint(true) // delta-sized; read 2× (seeds + carry fence)
@@ -433,7 +467,7 @@ object Snapshot {
     // Pair-graph closure over the new corpus (same 3-gram hash kernel
     // and the same Jaccard predicate as the ledger's pair join),
     // probing the supplied posting index each round.
-    val (recomputed, closure) = {
+    val (recomputed, closure, ccCkpts) = {
       val (closed, roundEdges) = pairGraphClosure(seeds, postings, maxRounds)
       lap("pair-graph closure")
       // exact recompute on the closed sub-corpus (complete components):
@@ -448,9 +482,11 @@ object Snapshot {
       // never reads the unpersisted passes.
       val allEdges = roundEdges.reduceOption(_ union _).getOrElse(
         seeds.select(col("doc_id").as("src"), col("doc_id").as("dst")).limit(0))
+      val ccOut = scala.collection.mutable.ListBuffer.empty[DataFrame]
       val rec =
         try Corpus.ledgerFromEdges(
-          newDocs.join(closed, Seq("doc_id"), "left_semi"), allEdges)
+          newDocs.join(closed, Seq("doc_id"), "left_semi"), allEdges,
+          ckptOut = Some(ccOut))
         catch { case t: Throwable =>
           // a CC failure inside the recompute must not strand the edge
           // and closure checkpoints (release-before-throw)
@@ -460,9 +496,9 @@ object Snapshot {
         }
       lap("closure recompute (ledgerFromEdges)")
       roundEdges.foreach(Corpus.releaseCheckpoint) // CC labels materialized
-      (rec, closed)
+      (rec, closed, ccOut.toSeq)
     }
-    (recomputed, closure, deltaIds)
+    (recomputed, closure, deltaIds, delta +: ccCkpts)
   }
 
   /** The KEPT-set view of [[incrementalLedgerFromState]] — the

@@ -57,18 +57,7 @@ object Events {
     * sessions.
     */
   private[graft] def withTs(df: DataFrame): DataFrame =
-    df.schema("ts").dataType match {
-      case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      // NTZ wall-clock is UTC by the data contract: parse it with an
-      // explicit +00:00 offset, never consulting the session zone —
-      // exact on NON-UTC caller sessions too, including walls landing
-      // in the session zone's DST gap/overlap, which the old
-      // cast-then-from_utc_timestamp round-trip shifted by 1h (ADVICE
-      // r9; see graft.Tables.events for the full rationale)
-      case TimestampNTZType => df.withColumn("ts",
-        to_timestamp(concat(col("ts").cast("string"), lit("+00:00"))))
-      case _ => df
-    }
+    Tables.normalizeTs(df) // one shared normalizer — see its doc
 
   /** State-store parallelism for a streaming query: a streaming query
     * PINS spark.sql.shuffle.partitions at start, and every partition is
@@ -1000,11 +989,12 @@ object Events {
                 // incremental machinery here would diff the whole arrival
                 // against an empty manifest (an extra corpus-width
                 // full-outer shuffle) and drive the BFS just to rediscover
-                // that every doc is a seed. Gated on epoch == 0 so a later
-                // epoch with no committed predecessor (unreachable under
-                // foreachBatch replay, which re-runs the uncommitted epoch
-                // itself) still resolves the stored chains generically.
-                if (epoch == 0L && latestBelow(epoch).isEmpty) {
+                // that every doc is a seed. Gated on epoch == 0 (which
+                // implies no committed predecessor) so a later epoch with
+                // an uncommitted prior — unreachable under foreachBatch
+                // replay, which re-runs the uncommitted epoch itself —
+                // still resolves the stored chains generically.
+                if (epoch == 0L) {
                   Corpus.ledger(arrived)
                     .write.mode("overwrite").parquet(s"$ledgerDir/batch=$epoch")
                   lap(s"epoch $epoch: ledger bootstrap (batch compute commits)")
@@ -1022,10 +1012,16 @@ object Events {
                   val postingsView =
                     liveChain(bss, postingsDir, upTo = Some(epoch)).persist()
                   try {
-                    Snapshot.incrementalLedgerDeltaFromStoredState(
+                    // the CHECKPOINTED delta form: a long-running loop
+                    // must not pin another blast-radius of intermediate
+                    // checkpoint blocks every epoch — this one hands back
+                    // a single released-after-write relation
+                    val deltaRows = Snapshot.incrementalLedgerDeltaCheckpointed(
                       prior, priorManifest, nextManifest, postingsView,
                       liveChain(bss, corpusDir, upTo = Some(epoch)))
-                      .write.mode("overwrite").parquet(s"$ledgerDir/batch=$epoch")
+                    try deltaRows.write.mode("overwrite")
+                      .parquet(s"$ledgerDir/batch=$epoch")
+                    finally graft.operators.Corpus.releaseCheckpoint(deltaRows)
                     lap(s"epoch $epoch: ledger update (delta write commits)")
                   } finally {
                     postingsView.unpersist(blocking = false)
@@ -1654,17 +1650,6 @@ object Events {
     }
   }
 
-  /** Merge-on-read resolution of a tombstoned delta chain: a `batch=p`
-    * row is live iff p ≥ its key's max tombstone epoch (the tombstone
-    * aggregate is delta-sized — re-deliveries/removals only — hence
-    * broadcast; the chain scan itself never shuffles). `upTo` bounds
-    * BOTH the rows and the tombstones to epochs ≤ it (partition-pruned).
-    * This is the ONE copy of the predicate — the streaming reader and
-    * the compactor both resolve through it; a second copy would let an
-    * edit silently decouple the stream's view from the materialized
-    * base. A tombstone dir without `batch=` children (never written, or
-    * fully consumed by compaction) means no tombstones.
-    */
   /** The replay/crash commit gate of [[streamIncrementalClean]]'s
     * store: the latest epoch STRICTLY BELOW `epoch` whose manifest AND
     * (last-written) ledger both carry parquet's `_SUCCESS` marker. The
@@ -1692,6 +1677,17 @@ object Events {
       .sorted.lastOption
   }
 
+  /** Merge-on-read resolution of a tombstoned delta chain: a `batch=p`
+    * row is live iff p ≥ its key's max tombstone epoch (the tombstone
+    * aggregate is delta-sized — re-deliveries/removals only — hence
+    * broadcast; the chain scan itself never shuffles). `upTo` bounds
+    * BOTH the rows and the tombstones to epochs ≤ it (partition-pruned).
+    * This is the ONE copy of the predicate — the streaming reader and
+    * the compactor both resolve through it; a second copy would let an
+    * edit silently decouple the stream's view from the materialized
+    * base. A tombstone dir without `batch=` children (never written, or
+    * fully consumed by compaction) means no tombstones.
+    */
   private[graft] def tombstoneResolved(spark: SparkSession, dir: String,
                                        tombstoneDir: String, keyCol: String = "doc_id",
                                        upTo: Option[Long] = None): DataFrame = {

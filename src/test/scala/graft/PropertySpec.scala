@@ -494,9 +494,12 @@ class PropertySpec extends AnyFunSuite {
           val nextManifest = resolve(manifestChain.toSeq).localCheckpoint(true)
           val postingsView = resolve(postingsChain.toSeq).persist()
           try {
-            val delta = Snapshot.incrementalLedgerDeltaFromStoredState(
+            // the lifecycle-closed form the production loop runs — its
+            // intermediates are released inside, the result arrives as
+            // one eager checkpoint (released with the chain at the end)
+            val delta = Snapshot.incrementalLedgerDeltaCheckpointed(
               priorCk, priorManifestCk, nextManifest, postingsView,
-              resolve(corpusChain.toSeq)).localCheckpoint(true)
+              resolve(corpusChain.toSeq))
             ledgerChain += e -> delta
             delta.count()
           } finally {
