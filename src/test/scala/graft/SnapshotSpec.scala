@@ -189,6 +189,42 @@ class SnapshotSpec extends AnyFunSuite {
     graft.operators.Corpus.releaseCheckpoint(prior)
   }
 
+  test("checkpointed delta form pins no blocks once its result is released") {
+    // The lifecycle contract a continuously-running loop depends on:
+    // after consuming and releasing incrementalLedgerDeltaCheckpointed's
+    // result, the persistent-RDD registry holds NOTHING the call
+    // created — no closure, CC label, manifest-diff or result blocks.
+    // (The baseline is taken AFTER the prior ledger is built: batch
+    // one-shot entry points like Corpus.ledger legitimately leave their
+    // label checkpoint to session exit.)
+    import org.apache.spark.sql.functions.{col, concat, lit, when}
+    import graft.operators.Corpus
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val old = docs.filter(col("doc_id") % 11 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 7 === 0, concat(col("text"), lit(" [draft]")))
+          .otherwise(col("text")).as("text"))
+    val prior = Corpus.ledger(old).localCheckpoint(true)
+    val oldM = Snapshot.manifest(old).localCheckpoint(true)
+    val newM = Snapshot.manifest(docs).localCheckpoint(true)
+    val idx = Snapshot.postings(docs).persist()
+    idx.count() // materialize: the cache RDD must register BEFORE the baseline
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val delta = Snapshot.incrementalLedgerDeltaCheckpointed(prior, oldM, newM, idx, docs)
+    assert(delta.count() > 0)
+    Corpus.releaseCheckpoint(delta)
+    // releaseCheckpoint unpersists asynchronously — poll briefly
+    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+    def leaked() = (spark.sparkContext.getPersistentRDDs.keySet -- before)
+      .filter(spark.sparkContext.getPersistentRDDs.contains)
+    while (leaked().nonEmpty && System.nanoTime() < deadline) Thread.sleep(100)
+    assert(leaked().isEmpty, s"call left pinned RDDs: ${leaked().map(id =>
+      id -> spark.sparkContext.getPersistentRDDs(id).toDebugString
+        .linesIterator.take(6).mkString(" | "))}")
+    idx.unpersist(blocking = false)
+    Seq(prior, oldM, newM).foreach(Corpus.releaseCheckpoint)
+  }
+
   test("incrementalLedgerFromStoredState runs entirely off parquet-backed state") {
     // The fully-incremental deployment shape: prior ledger, both
     // manifests AND the posting index are READ FROM STORAGE (here a
