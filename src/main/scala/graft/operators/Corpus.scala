@@ -409,9 +409,10 @@ object Corpus {
     * in [[Snapshot.incrementalLedgerFromState]]) — capped deployments
     * re-run this from scratch per snapshot.
     */
-  def ledger(docs: DataFrame, maxShingleDf: Option[Int] = None): DataFrame = {
+  def ledger(docs: DataFrame, maxShingleDf: Option[Int] = None,
+             ckptOut: Option[scala.collection.mutable.Buffer[DataFrame]] = None): DataFrame = {
     val shingled = Dedup.shingleHashSets(docs).persist()
-    try ledgerFrom(docs, shingled, maxShingleDf)
+    try ledgerFrom(docs, shingled, maxShingleDf, ckptOut)
     finally shingled.unpersist(blocking = false)
   }
 
@@ -422,10 +423,11 @@ object Corpus {
     * scored/label join survives, which never reads `shingled`.
     */
   private[operators] def ledgerFrom(docs: DataFrame, shingled: DataFrame,
-                                    maxShingleDf: Option[Int] = None): DataFrame =
+                                    maxShingleDf: Option[Int] = None,
+                                    ckptOut: Option[scala.collection.mutable.Buffer[DataFrame]] = None): DataFrame =
     ledgerFromEdges(docs,
       Dedup.ngramJaccardPairs(shingled, maxShingleDf = maxShingleDf)
-        .select(col("doc_id_1").as("src"), col("doc_id_2").as("dst")))
+        .select(col("doc_id_1").as("src"), col("doc_id_2").as("dst")), ckptOut)
 
   /** [[ledgerFrom]] with a caller-supplied near-dup edge relation
     * (`src`, `dst`; either orientation, duplicates tolerated — CC

@@ -995,8 +995,13 @@ object Events {
                 // replay, which re-runs the uncommitted epoch itself —
                 // still resolves the stored chains generically.
                 if (epoch == 0L) {
-                  Corpus.ledger(arrived)
+                  // release the batch compute's label checkpoint after
+                  // the write — the bootstrap must leave the session as
+                  // clean as every later epoch does
+                  val ccOut = scala.collection.mutable.ListBuffer.empty[DataFrame]
+                  try Corpus.ledger(arrived, ckptOut = Some(ccOut))
                     .write.mode("overwrite").parquet(s"$ledgerDir/batch=$epoch")
+                  finally ccOut.foreach(graft.operators.Corpus.releaseCheckpoint)
                   lap(s"epoch $epoch: ledger bootstrap (batch compute commits)")
                 } else {
                   // delta-scoped ledger update over the STORED chains —

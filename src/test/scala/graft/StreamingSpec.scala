@@ -171,6 +171,33 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("the stateful ingest loops leave no pinned blocks in the session") {
+    // the operational guarantee a continuously-running deployment needs:
+    // after a full run (bootstrap + incremental epochs + read-back) the
+    // persistent-RDD registry holds nothing the loop created — every
+    // per-epoch persist is unpersisted and every checkpoint released
+    // (the r10 lifecycle work; a regression here is a slow leak that
+    // only shows after days of micro-batches)
+    def assertClean(name: String)(run: => Unit): Unit = {
+      val sc = spark.sparkContext
+      val before = sc.getPersistentRDDs.keySet
+      run
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      def leaked() = sc.getPersistentRDDs.keySet -- before
+      while (leaked().nonEmpty && System.nanoTime() < deadline) Thread.sleep(100)
+      assert(leaked().isEmpty, s"$name leaked pinned RDDs: ${leaked()}")
+    }
+    assertClean("stream_incremental_clean") {
+      assert(Events.streamIncrementalClean(spark, TestSpark.sf).collect().nonEmpty)
+    }
+    assertClean("stream_ingest_neardup") {
+      assert(Events.ingestNearDup(spark, TestSpark.sf).collect().nonEmpty)
+    }
+    assertClean("stream_ingest_ann") {
+      assert(Events.ingestAnnIvf(spark, TestSpark.sf).collect().nonEmpty)
+    }
+  }
+
   test("stream_ingest_decontam equals the independent batch formulation") {
     import graft.operators.{Corpus, Training}
     // the streamed (bloom-suspect + exact-confirm) gate must land on the
