@@ -180,6 +180,96 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("multi-chain tombstoned compaction survives random crash states losslessly") {
+    // the compactor guarding streamIncrementalClean's three state chains
+    // (corpus/postings/manifest share ONE tombstone dir): random epochs
+    // of arrivals with random re-deliveries (tombstoned, as the loop
+    // writes them — every chain carries the arrival's rows, so the
+    // shared tombstone is consistent), a random crash state planted in
+    // one random chain, then compactTombstonedChains over all of them —
+    // per-chain resolution must be byte-identical before and after,
+    // every chain pruned to one base dir, tombstones consumed, and a
+    // second run a no-op. The single-chain fuzz above covers the plain
+    // LWW compactor; this one covers the tombstoned multi-chain form.
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rng = new scala.util.Random(41L)
+    for (trial <- 0 until 5) {
+      val root = java.nio.file.Files.createTempDirectory(s"graft_tchain_prop_$trial")
+      try {
+        val tomb = s"$root/tomb"
+        val nChains = 2 + rng.nextInt(2)
+        val chains = (0 until nChains).map(c => s"$root/chain$c")
+        val nEpochs = 2 + rng.nextInt(3)
+        val seen = scala.collection.mutable.Set.empty[Long]
+        for (e <- 0 until nEpochs) {
+          val fresh = (0 until 1 + rng.nextInt(4)).map(_ => rng.nextInt(40).toLong)
+            .distinct.filterNot(seen)
+          val redelivered = rng.shuffle(seen.toSeq).take(rng.nextInt(1 + seen.size / 2))
+          val arrivals = (fresh ++ redelivered).distinct
+          for ((dir, c) <- chains.zipWithIndex) {
+            // postings-like: 1-2 rows per arrival key, chain-specific payload
+            arrivals.flatMap(k => (0 until 1 + rng.nextInt(2))
+              .map(i => (k, s"c$c-e$e-k$k-$i")))
+              .toDF("doc_id", "s").write.parquet(s"$dir/batch=$e")
+          }
+          if (redelivered.nonEmpty)
+            redelivered.map(Tuple1(_)).toDF("doc_id").write.parquet(s"$tomb/batch=$e")
+          seen ++= arrivals
+        }
+        def resolved(dir: String): Set[(Long, String)] =
+          graft.streaming.Events.tombstoneResolved(spark, dir, tomb)
+            .select(col("doc_id"), col("s"))
+            .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+        val truth = chains.map(d => d -> resolved(d)).toMap
+        // plant one recoverable crash state in one random chain
+        val victim = chains(rng.nextInt(nChains))
+        val maxE = nEpochs - 1
+        rng.nextInt(3) match {
+          case 0 => // mid-swap: snapshot complete, newest delta aside
+            resolved(victim).toSeq.toDF("doc_id", "s")
+              .write.parquet(s"$victim/_compact_tmp")
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(s"$victim/_compact_tmp/_graft_target_epoch"),
+              maxE.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            java.nio.file.Files.move(
+              java.nio.file.Paths.get(s"$victim/batch=$maxE"),
+              java.nio.file.Paths.get(s"$victim/_compact_old"))
+          case 1 => // pre-swap: stale-but-complete snapshot, chain intact
+            Seq((99L, "stale")).toDF("doc_id", "s")
+              .write.parquet(s"$victim/_compact_tmp")
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(s"$victim/_compact_tmp/_graft_target_epoch"),
+              maxE.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          case 2 => // torn snapshot write: no marker yet
+            java.nio.file.Files.createDirectories(
+              java.nio.file.Paths.get(s"$victim/_compact_tmp"))
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(s"$victim/_compact_tmp/part-0.parquet"),
+              Array[Byte](9, 9, 9))
+        }
+        graft.streaming.Events.compactTombstonedChains(spark, chains, tomb)
+        def dirsOf(p: String): Set[String] =
+          Option(new java.io.File(p).listFiles())
+            .map(_.filter(f => f.isDirectory && f.getName.startsWith("batch="))
+              .map(_.getName).toSet).getOrElse(Set.empty)
+        for (d <- chains) {
+          assert(resolved(d) == truth(d), s"trial $trial: $d lost data")
+          assert(dirsOf(d) == Set(s"batch=$maxE"), s"trial $trial: $d not pruned: ${dirsOf(d)}")
+        }
+        assert(dirsOf(tomb).isEmpty, s"trial $trial: tombstones not consumed: ${dirsOf(tomb)}")
+        // idempotent on the compacted store
+        graft.streaming.Events.compactTombstonedChains(spark, chains, tomb)
+        chains.foreach(d => assert(resolved(d) == truth(d), s"trial $trial: recompact drifted"))
+      } finally {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+    }
+  }
+
   test("RollingHash.compute equals the reference fold on random strings") {
     for (s <- randomTexts(1L, 500)) {
       val expected = s.foldLeft(0L)((acc, c) => (acc * 31 + c.toLong) % 1000000007L)
