@@ -1434,7 +1434,8 @@ object Events {
   def ingestAnnIvf(spark: SparkSession, sfDir: String,
                    statePartitions: Option[Int] = Some(4),
                    k: Int = 5, nprobe: Int = 8,
-                   deltaProbe: Option[scala.collection.mutable.Buffer[(Long, Long)]] = None): DataFrame = {
+                   deltaProbe: Option[scala.collection.mutable.Buffer[(Long, Long)]] = None,
+                   cellStatsProbe: Option[scala.collection.mutable.Buffer[(Long, Seq[(Int, Long)])]] = None): DataFrame = {
     import graft.operators.Similarity
     val ss = sessionFor(spark, statePartitions,
       Map("spark.sql.streaming.noDataMicroBatches.enabled" -> "false") ++ providerConf)
@@ -1480,6 +1481,13 @@ object Events {
               } finally arrived.unpersist(blocking = false)
               deltaProbe.foreach(_ += ((epoch,
                 bss.read.parquet(s"$assignDir/batch=$epoch").count())))
+              // the drift monitor a deployment polls after every append:
+              // max-cell share growing under frozen centroids is the
+              // signal to re-train + re-assign (ivfAssign's doc)
+              cellStatsProbe.foreach(_ += ((epoch,
+                graft.operators.Similarity.ivfCellStats(
+                  bss.read.parquet(assignDir).filter(col("batch") <= lit(epoch)))
+                  .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq)))
             }
             .start()
           try {

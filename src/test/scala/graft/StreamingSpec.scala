@@ -104,7 +104,9 @@ class StreamingSpec extends AnyFunSuite {
   test("stream_ingest_ann equals the batch-maintained IVF index, appends only deltas") {
     import graft.operators.Similarity
     val probe = scala.collection.mutable.ListBuffer.empty[(Long, Long)]
-    val streamed = Events.ingestAnnIvf(spark, TestSpark.sf, deltaProbe = Some(probe))
+    val statsProbe = scala.collection.mutable.ListBuffer.empty[(Long, Seq[(Int, Long)])]
+    val streamed = Events.ingestAnnIvf(spark, TestSpark.sf, deltaProbe = Some(probe),
+      cellStatsProbe = Some(statsProbe))
       .collect().toSeq
     val emb = Tables.embeddings(spark, TestSpark.sf)
     val corpus = emb.filter(col("vec_id") >= Similarity.NumQueries)
@@ -121,6 +123,15 @@ class StreamingSpec extends AnyFunSuite {
     // per-epoch writes are exactly the arrivals — no re-assignment ever
     val n = corpus.count(); val second = corpus.filter(col("vec_id") % 5 === 0).count()
     assert(probe.toMap == Map(0L -> (n - second), 1L -> second), s"deltas: $probe")
+    // the drift monitor: per-epoch occupancy is cumulative (appends only
+    // add), and the final reading equals the one-shot index's stats —
+    // the relation a deployment alarms on for frozen-centroid drift
+    val stats = statsProbe.toMap
+    assert(stats(0L).map(_._2).sum == n - second && stats(1L).map(_._2).sum == n,
+      s"occupancy totals drifted from arrivals: $statsProbe")
+    val oneShot = Similarity.ivfCellStats(Similarity.ivfAssign(corpus, centroids))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    assert(stats(1L) == oneShot, "final cell stats diverged from the one-shot index")
     // recall floor vs the exact baseline (the ivf_incr floor at nprobe 8)
     val brute = Similarity.bruteTopK(emb)
       .select(col("query_id"), col("neighbor_id"))
