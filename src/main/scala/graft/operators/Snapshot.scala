@@ -452,6 +452,20 @@ object Snapshot {
     val lap = incrLap()
     val delta = diff(oldManifest, newManifest)
       .localCheckpoint(true) // delta-sized; read 2× (seeds + carry fence)
+    // release-before-throw must cover the WHOLE body: a failure in the
+    // closure or the recompute otherwise strands this delta checkpoint
+    // (and per-attempt pinning in a retrying loop is exactly the leak
+    // incrementalLedgerDeltaCheckpointed exists to close)
+    try recomputedLedgerRowsFromDelta(prior, newManifest, postings, newDocs,
+      maxRounds, lap, delta)
+    catch { case t: Throwable => Corpus.releaseCheckpoint(delta); throw t }
+  }
+
+  private def recomputedLedgerRowsFromDelta(prior: DataFrame, newManifest: DataFrame,
+                                            postings: DataFrame, newDocs: DataFrame,
+                                            maxRounds: Int, lap: String => Unit,
+                                            delta: DataFrame)
+      : (DataFrame, DataFrame, DataFrame, Seq[DataFrame]) = {
     lap("manifest diff")
     val deltaIds = delta.select(col("doc_id"))
     // prior-cluster mates of delta docs, restricted to docs still
@@ -469,7 +483,7 @@ object Snapshot {
     // probing the supplied posting index each round.
     val (recomputed, closure, ccCkpts) = {
       val (closed, roundEdges) = pairGraphClosure(seeds, postings, maxRounds)
-      lap("pair-graph closure")
+      val ccOut = scala.collection.mutable.ListBuffer.empty[DataFrame]
       // exact recompute on the closed sub-corpus (complete components):
       // LEFT SEMI against the id-only closure, so the corpus-with-text
       // side is never shuffled — AQE broadcasts the delta-sized closure
@@ -480,18 +494,19 @@ object Snapshot {
       // no second shingle pass. The ledger's CC labels checkpoint
       // eagerly inside the call, so the lazy relation returned here
       // never reads the unpersisted passes.
-      val allEdges = roundEdges.reduceOption(_ union _).getOrElse(
-        seeds.select(col("doc_id").as("src"), col("doc_id").as("dst")).limit(0))
-      val ccOut = scala.collection.mutable.ListBuffer.empty[DataFrame]
       val rec =
-        try Corpus.ledgerFromEdges(
-          newDocs.join(closed, Seq("doc_id"), "left_semi"), allEdges,
-          ckptOut = Some(ccOut))
-        catch { case t: Throwable =>
+        try {
+          lap("pair-graph closure")
+          val allEdges = roundEdges.reduceOption(_ union _).getOrElse(
+            seeds.select(col("doc_id").as("src"), col("doc_id").as("dst")).limit(0))
+          Corpus.ledgerFromEdges(
+            newDocs.join(closed, Seq("doc_id"), "left_semi"), allEdges,
+            ckptOut = Some(ccOut))
+        } catch { case t: Throwable =>
           // a CC failure inside the recompute must not strand the edge
-          // and closure checkpoints (release-before-throw)
-          roundEdges.foreach(Corpus.releaseCheckpoint)
-          Corpus.releaseCheckpoint(closed)
+          // and closure checkpoints — NOR any CC label checkpoints the
+          // call already appended to ccOut before dying
+          (roundEdges ++ ccOut.toSeq :+ closed).foreach(Corpus.releaseCheckpoint)
           throw t
         }
       lap("closure recompute (ledgerFromEdges)")

@@ -1150,18 +1150,22 @@ object Events {
     * ([[graft.operators.Dedup.minhashNearDupVerdict]]'s criterion).
     * State is three per-epoch delta chains:
     *
-    *  - `bands/batch=e` — the arrival's LSH band-bucket rows
-    *    ([[graft.operators.Dedup.bandRows]], O(|batch|·16)): the stored
-    *    inverted index every later batch probes (the probe is a
-    *    broadcast-hash join of the delta-sized batch bands against the
-    *    index scan — the Spark-native shape of an index lookup);
-    *  - `shingles/batch=e` — the arrival's shingle SETS, O(|batch|):
-    *    the verify-side state (exact Jaccard needs the true sets). The
-    *    candidate pairs are delta-sized, so one scan semi-prunes this
-    *    store to the partners' sets and the verify joins broadcast-
-    *    probe that blast-radius-sized cache — the store itself never
-    *    shuffles and never lands corpus-width in the block manager; on
-    *    a doc_id-bucketed store the prune also skips files;
+    *  - `bands/batch=e/bucket=b` — the arrival's LSH band-bucket rows
+    *    ([[graft.operators.Dedup.bandRows]], O(|batch|·16)), HASH-
+    *    BUCKETED by band_hash ([[chainBucket]]): the stored inverted
+    *    index every later batch probes. The probe is a broadcast-hash
+    *    join of the delta-sized batch bands against a scan PRUNED to
+    *    the buckets the batch's hashes land in ([[prunedChainScan]]) —
+    *    file-level skipping, so a trickle batch reads a fraction of the
+    *    store instead of re-reading the whole chain (the r10 weak);
+    *  - `shingles/batch=e/bucket=b` — the arrival's shingle SETS,
+    *    O(|batch|), bucketed by doc_id: the verify-side state (exact
+    *    Jaccard needs the true sets). The candidate pairs are
+    *    delta-sized, so the verify reads only the partners' doc_id
+    *    BUCKETS (file skip) semi-joined to the exact partner ids (row
+    *    skip) and broadcast-probes that blast-radius-sized cache — the
+    *    store itself never shuffles and never lands corpus-width in the
+    *    block manager;
     *  - `verdict/batch=e` — the CHANGELOG: one row per batch doc (keep
     *    or partner) PLUS one row per PRIOR doc whose verdict the batch
     *    changed — a smaller-id near-dup arriving late RETRACTS an
@@ -1170,8 +1174,16 @@ object Events {
     *    the changed set is exactly the prior docs adjacent to a smaller
     *    batch doc: O(blast radius), no BFS, no corpus-width write.
     *    Readers resolve last-write-wins per doc_id (the
-    *    [[ingestDedupToFiles]] changelog recipe; [[compactDeltaChain]]
-    *    bounds read amplification).
+    *    [[ingestDedupToFiles]] changelog recipe).
+    *
+    * Every `compactEvery` epochs the loop compacts all three chains
+    * IN-STREAM, prefix-bounded to epochs below the one just committed
+    * (see [[compactDeltaChain]]'s `upTo` doc for why the in-flight
+    * epoch must never fold into the base), preserving the bucket
+    * layout — so the delta count a probe lists/opens stays bounded
+    * while the bucket pruning keeps its bytes proportional to the
+    * buckets touched. Each batch first repairs any crash-interrupted
+    * swap before reading the chains.
     *
     * Per-batch TEXT work (tokenize, shingle, minhash, band) is
     * O(|batch|): the corpus is never re-shingled and never re-banded —
@@ -1196,7 +1208,8 @@ object Events {
   def ingestNearDup(spark: SparkSession, sfDir: String,
                     statePartitions: Option[Int] = Some(4),
                     threshold: Double = graft.operators.Dedup.DefaultThreshold,
-                    deltaProbe: Option[scala.collection.mutable.Buffer[(Long, Long)]] = None): DataFrame = {
+                    deltaProbe: Option[scala.collection.mutable.Buffer[(Long, Long)]] = None,
+                    compactEvery: Int = 8): DataFrame = {
     import graft.operators.Dedup
     val ss = sessionFor(spark, statePartitions,
       Map("spark.sql.streaming.noDataMicroBatches.enabled" -> "false") ++ providerConf)
@@ -1223,33 +1236,52 @@ object Events {
             .foreachBatch { (batch: DataFrame, epoch: Long) =>
               val bss = batch.sparkSession
               graft.GraftSession.registerFunctions(bss)
+              // a crash mid-swap of the IN-STREAM compaction below can
+              // leave a chain whose newest prefix lives only in the
+              // stranded snapshot — repair before any chain read
+              Seq(bandsDir, shinglesDir, verdictDir).foreach(d =>
+                recoverInterruptedCompaction(java.nio.file.Paths.get(d)))
               val arrived = batch.select(col("doc_id"), col("text")).persist()
               try {
                 // O(|batch|) text work: shingle + sign + band ONLY the
-                // arrival, then append both state deltas
+                // arrival, then append both state deltas — each stored
+                // HASH-BUCKETED (a `bucket` partition column) so probe
+                // reads can prune FILES, not just rows
                 val batchSh = Dedup.shingleHashSets(arrived).persist()
                 try {
-                  batchSh.write.mode("overwrite").parquet(s"$shinglesDir/batch=$epoch")
+                  batchSh.withColumn("bucket", chainBucket(col("doc_id")))
+                    .write.partitionBy("bucket").mode("overwrite")
+                    .parquet(s"$shinglesDir/batch=$epoch")
                   val batchBands = Dedup.bandRows(Dedup.minhashSignatures(batchSh))
-                  batchBands.write.mode("overwrite").parquet(s"$bandsDir/batch=$epoch")
+                  batchBands.withColumn("bucket", chainBucket(col("band_hash")))
+                    .write.partitionBy("bucket").mode("overwrite")
+                    .parquet(s"$bandsDir/batch=$epoch")
                   // candidates: the in-memory batch bands (recomputed off
                   // the persisted batch shingles — no re-read of the
                   // just-written partition) probe the stored chain, which
-                  // includes their own epoch so intra-batch pairs count
-                  val allBands = bss.read.parquet(bandsDir)
-                    .filter(col("batch") <= lit(epoch))
+                  // includes their own epoch so intra-batch pairs count.
+                  // The index scan is pruned to the buckets the batch's
+                  // band hashes actually land in — at trickle batch
+                  // sizes the probe reads a FRACTION of the store, the
+                  // file-skipping an index lookup needs (the r10 weak:
+                  // an unpruned probe re-read the whole chain per batch)
+                  val batchBuckets = collectBuckets(batchBands, col("band_hash"))
+                  val allBands = prunedChainScan(bss, bandsDir, epoch, batchBuckets,
+                    Some(batchBands.schema))
                   val cand = Dedup.nearDupCandidates(batchBands, allBands)
                     .localCheckpoint(true) // delta-sized; read 3× below
                   try {
-                    // verify against ONLY the partners' shingle sets: one
-                    // scan of the store semi-prunes it to the blast
-                    // radius, so the per-epoch cache is delta-sized (a
-                    // corpus-width persist here would push the whole
+                    // verify against ONLY the partners' shingle sets:
+                    // the scan is pruned to the partners' doc_id buckets
+                    // (file skip) and then semi-joined to the exact ids
+                    // (row skip), so the per-epoch cache is delta-sized
+                    // (a corpus-width persist here would push the whole
                     // store through the block manager every batch)
                     val candIds = cand.select(col("a").as("doc_id"))
                       .union(cand.select(col("b").as("doc_id"))).distinct()
-                    val shNeeded = bss.read.parquet(shinglesDir)
-                      .filter(col("batch") <= lit(epoch)).drop("batch")
+                    val candBuckets = collectBuckets(candIds, col("doc_id"))
+                    val shNeeded = prunedChainScan(bss, shinglesDir, epoch, candBuckets,
+                      Some(batchSh.schema))
                       .join(candIds, Seq("doc_id"), "left_semi").persist()
                     val edges = Dedup.nearDupVerify(cand, shNeeded, threshold)
                     // per-doc best NEW neighbor this epoch (min over the
@@ -1264,9 +1296,15 @@ object Events {
                       // the probed index by now)
                       val batchVerdict = arrived.select(col("doc_id"))
                         .join(newBest, Seq("doc_id"), "left")
-                      // prior docs whose verdict this batch LOWERS
+                      // prior docs whose verdict this batch LOWERS.
+                      // Gate on COMMITTED prior state, not `epoch == 0`:
+                      // a reused streaming checkpoint over a recreated
+                      // store starts at epoch > 0 with an empty verdict
+                      // dir, and an unconditional read would throw on
+                      // the missing path (ADVICE r10)
                       val priorUpdates =
-                        if (epoch == 0L) batchVerdict.limit(0)
+                        if (committedEpochsBelow(verdictDir, epoch).isEmpty)
+                          batchVerdict.limit(0)
                         else {
                           val prior = lww(bss.read.parquet(verdictDir)
                             .filter(col("batch") < lit(epoch)))
@@ -1289,6 +1327,21 @@ object Events {
                   } finally graft.operators.Corpus.releaseCheckpoint(cand)
                 } finally batchSh.unpersist(blocking = false)
               } finally arrived.unpersist(blocking = false)
+              // in-stream compaction, PREFIX-BOUNDED to epochs < the one
+              // just committed: bounds the chains' delta count (listing
+              // + per-file open cost per probe) without ever folding the
+              // in-flight epoch into the base — a crash-replay of this
+              // epoch must only overwrite its own delta. The bucket
+              // layout is preserved through the rewrite, so probe-side
+              // file pruning survives compaction.
+              if (epoch > 0 && epoch % compactEvery.toLong == 0) {
+                compactDeltaChain(bss, bandsDir, Seq("doc_id", "band_id"),
+                  Some(epoch - 1), Seq("bucket"))
+                compactDeltaChain(bss, shinglesDir, Seq("doc_id"),
+                  Some(epoch - 1), Seq("bucket"))
+                compactDeltaChain(bss, verdictDir, Seq("doc_id"),
+                  Some(epoch - 1), Nil)
+              }
               deltaProbe.foreach(_ += ((epoch,
                 bss.read.parquet(s"$verdictDir/batch=$epoch").count())))
             }
@@ -1450,9 +1503,12 @@ object Events {
         try {
           val centroidsDir = s"$store/centroids"
           val assignDir = s"$store/assign"
+          // column selected BY NAME: a positional read would silently
+          // return wrong vectors if the stored column order ever changed
           def loadCentroids(s2: SparkSession): Array[Array[Double]] =
             s2.read.parquet(centroidsDir).orderBy(col("cell"))
-              .collect().map(_.getSeq[Double](1).toArray)
+              .select(col("centroid"))
+              .collect().map(_.getSeq[Double](0).toArray)
           val emb = ss.read.parquet(staged.toString)
           // the stream carries CORPUS vectors; the query set is static
           val corpus = emb.filter(col("vec_id") >= Similarity.NumQueries)
@@ -1541,6 +1597,57 @@ object Events {
     * sink schema change can never be silently projected away; cost is
     * one partial-agg'd shuffle of scalar rows.
     */
+  /** Bucket count for hash-bucketed delta-chain stores. 32 here; a
+    * 100 TB store raises it so one bucket ≈ a few GB — the pruning
+    * ratio at trickle batch sizes is (buckets touched)/(total), so more
+    * buckets = finer file skipping, at the cost of more (small) files
+    * per epoch, which the in-stream compaction re-merges anyway.
+    */
+  private[graft] val ChainBuckets = 32
+
+  /** The ONE bucket function both the write and the probe sides share —
+    * a drifted second copy would silently prune AWAY matching files. */
+  private[graft] def chainBucket(key: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    pmod(xxhash64(key), lit(ChainBuckets.toLong)).cast("int")
+
+  /** Distinct store buckets a delta's keys land in — bounded by
+    * min(|delta|, [[ChainBuckets]]) values, so the collect is a
+    * constant-sized driver hop, never corpus state. */
+  private[graft] def collectBuckets(delta: DataFrame, key: org.apache.spark.sql.Column): Seq[Int] =
+    delta.select(chainBucket(key).as("bucket")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+
+  /** Probe-side read of a hash-bucketed `batch=e/bucket=b` delta chain,
+    * pruned to epochs ≤ `epoch` AND the given buckets — both partition
+    * columns, so the skip happens at FILE level (PartitionFilters in
+    * the scan), not per-row: the index-lookup read shape that keeps a
+    * recurring probe's bytes proportional to the buckets it touches
+    * instead of the whole store (the r10 `stream_ingest_neardup` weak).
+    * An empty bucket list reads nothing (empty `In` folds to false).
+    * `dataSchema` (the stored columns MINUS the partition dirs), when
+    * the caller knows it — and a probe loop does, it WROTE the store —
+    * skips per-probe footer inference entirely: no non-matching file is
+    * opened even at planning time. */
+  private[graft] def prunedChainScan(spark: SparkSession, dir: String, epoch: Long,
+                                     buckets: Seq[Int],
+                                     dataSchema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame =
+    dataSchema.fold(spark.read)(s => spark.read.schema(s)).parquet(dir)
+      .filter(col("batch") <= lit(epoch) && col("bucket").isin(buckets: _*))
+      .drop("batch", "bucket")
+
+  /** Epochs strictly below `epoch` whose delta dir carries parquet's
+    * `_SUCCESS` marker — the committed-prior-state gate a replayed or
+    * checkpoint-reusing batch consults before reading a chain that may
+    * not exist yet ([[latestCommittedBelow]] is the two-dir variant). */
+  private[graft] def committedEpochsBelow(dir: String, epoch: Long): Seq[Long] = {
+    val d = new java.io.File(dir)
+    if (!d.isDirectory) Seq.empty
+    else d.listFiles().toSeq.map(_.getName)
+      .filter(_.startsWith("batch="))
+      .flatMap(_.stripPrefix("batch=").toLongOption)
+      .filter(e => e < epoch && new java.io.File(s"$dir/batch=$e/_SUCCESS").exists)
+  }
+
   private[graft] def resolveLww(chain: DataFrame, keyCols: Seq[String]): DataFrame = {
     val valueCols = chain.columns.filterNot(c => keyCols.contains(c) || c == "batch").toSeq
     chain.groupBy(keyCols.map(col): _*)
@@ -1548,18 +1655,38 @@ object Events {
       .select(keyCols.map(col) ++ valueCols.map(c => col(s"v.$c").as(c)): _*)
   }
 
-  def compactDeltaChain(spark: SparkSession, sink: String, keyCols: Seq[String]): Unit = {
+  def compactDeltaChain(spark: SparkSession, sink: String, keyCols: Seq[String]): Unit =
+    compactDeltaChain(spark, sink, keyCols, None, Nil)
+
+  /** [[compactDeltaChain]] with the two knobs a LIVE ingest loop needs
+    * (the in-stream compaction [[ingestNearDup]] schedules):
+    *
+    *  - `upTo` — compact ONLY epochs ≤ this bound, leaving later deltas
+    *    untouched. A loop compacting mid-run passes its current epoch
+    *    MINUS ONE: folding the in-flight epoch into the base would let
+    *    a crash-replay of that epoch `overwrite` the base dir — the
+    *    whole chain — with just its own delta. Prefix-bounded, the
+    *    replayed epoch only ever overwrites itself.
+    *  - `partitionCols` — sub-partition columns (e.g. the hash-bucket
+    *    column of a bucketed store) the snapshot must be rewritten
+    *    UNDER, so compaction preserves the layout the probe-side
+    *    partition pruning keys off. Without this the base dir would
+    *    flatten the buckets and every later probe would read it whole.
+    */
+  def compactDeltaChain(spark: SparkSession, sink: String, keyCols: Seq[String],
+                        upTo: Option[Long], partitionCols: Seq[String]): Unit = {
     val sinkPath = java.nio.file.Paths.get(sink)
     // BEFORE the chain is read: a crash-stranded snapshot may hold the
     // only copy of the newest delta — reading around it would compact a
     // damaged chain and make the loss permanent
     recoverInterruptedCompaction(sinkPath)
-    val all = spark.read.parquet(sink)
+    val all0 = spark.read.parquet(sink)
+    val all = upTo.fold(all0)(e => all0.filter(col("batch") <= lit(e)))
     if (all.isEmpty) return
     // partition discovery types `batch` as int or long depending on the
     // epoch values present — accept either
     val maxEpoch = all.agg(max(col("batch"))).head().getAs[Number](0).longValue()
-    swapCompactedSnapshot(sinkPath, resolveLww(all, keyCols), maxEpoch)
+    swapCompactedSnapshot(sinkPath, resolveLww(all, keyCols), maxEpoch, partitionCols)
   }
 
   /** The crash-safe snapshot swap shared by [[compactDeltaChain]] and
@@ -1570,11 +1697,16 @@ object Events {
     * exactly those [[recoverInterruptedCompaction]] repairs.
     */
   private def swapCompactedSnapshot(sinkPath: java.nio.file.Path,
-                                    snapshot: DataFrame, maxEpoch: Long): Unit = {
+                                    snapshot: DataFrame, maxEpoch: Long,
+                                    partitionCols: Seq[String] = Nil): Unit = {
     val tmp = sinkPath.resolve(CompactTmp)
     // materializes the full resolved read BEFORE any delta is touched;
-    // the marker lands last, so marker-present == snapshot complete
-    snapshot.write.parquet(tmp.toString)
+    // the marker lands last, so marker-present == snapshot complete.
+    // `partitionCols` preserves a bucketed store's sub-layout so the
+    // probe side's partition pruning survives compaction
+    val w = snapshot.write
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .parquet(tmp.toString)
     java.nio.file.Files.write(tmp.resolve(CompactMarker),
       maxEpoch.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val target = sinkPath.resolve(s"batch=$maxEpoch")
@@ -1587,9 +1719,14 @@ object Events {
     val stream = java.nio.file.Files.list(sinkPath)
     try {
       import scala.jdk.CollectionConverters._
+      // prune ONLY epochs strictly below the snapshot's: deltas ABOVE
+      // it (a live loop's in-flight epoch under a prefix-bounded
+      // compaction) are not consumed by this snapshot and must survive
       stream.iterator().asScala.toList.foreach { p =>
         val name = p.getFileName.toString
-        if (name.startsWith("batch=") && name != s"batch=$maxEpoch") deleteDir(p)
+        if (name.startsWith("batch=") &&
+            name.stripPrefix("batch=").toLongOption.exists(_ < maxEpoch))
+          deleteDir(p)
       }
     } finally stream.close()
   }

@@ -243,6 +243,58 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("bucketed chain probe prunes FILES, not just rows (prunedChainScan)") {
+    // the r10 weak's fix: the near-dup ingest stores are hash-bucketed
+    // (batch=e/bucket=b) and the probe scan must skip non-matching
+    // bucket FILES at planning time — read bytes proportional to the
+    // buckets touched, not the store. Assert via the scan's numFiles
+    // metric: 2 epochs × 4 written buckets, a 1-bucket probe must open
+    // exactly 2 of the 8 files.
+    // the proof is behavioral, not metric-based: every file OUTSIDE the
+    // probed (epoch, bucket) set is POISONED with non-parquet bytes, so
+    // any read that fails to skip it throws — a pass certifies no
+    // skipped file was opened, at planning time (explicit data schema,
+    // no footer inference) or execution time (partition pruning)
+    import spark.implicits._
+    import graft.streaming.Events
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("payload",
+        org.apache.spark.sql.types.StringType)))
+    val dir = java.nio.file.Files.createTempDirectory("graft_plan_chainprune")
+    try {
+      for (e <- 0 to 2; b <- 0 to 3) {
+        val live = b == 2 && e <= 1 // the only (epoch, bucket) cells probed
+        if (live)
+          Seq((e * 10L + b, s"v$e-$b")).toDF("doc_id", "payload").coalesce(1)
+            .write.parquet(s"$dir/chain/batch=$e/bucket=$b")
+        else {
+          val d = java.nio.file.Paths.get(s"$dir/chain/batch=$e/bucket=$b")
+          java.nio.file.Files.createDirectories(d)
+          java.nio.file.Files.write(d.resolve("part-00000.parquet"),
+            "NOT A PARQUET FILE".getBytes)
+        }
+      }
+      val pruned = Events.prunedChainScan(spark, s"$dir/chain", 1L, Seq(2), Some(schema))
+      assert(pruned.collect().map(_.getLong(0)).toSet == Set(2L, 12L))
+      // epoch bound alone must also file-skip: batch=2/bucket=2 is poison
+      val epochPruned = Events.prunedChainScan(spark, s"$dir/chain", 0L, Seq(2), Some(schema))
+      assert(epochPruned.collect().map(_.getLong(0)).toSet == Set(2L))
+      // an empty delta reads NOTHING (empty In folds to false)
+      assert(Events.prunedChainScan(spark, s"$dir/chain", 1L, Nil, Some(schema)).isEmpty)
+      // control: an UNpruned read does hit the poison — the corruption
+      // is real, so the passes above certify actual file skipping
+      intercept[Throwable] {
+        Events.prunedChainScan(spark, s"$dir/chain", 2L, (0 to 3), Some(schema)).collect()
+      }
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   test("embed_pca projection is map-only: a typed Tungsten pipeline with no exchange") {
     import graft.operators.Pca
     val embs = Tables.embeddings(spark, TestSpark.sf)

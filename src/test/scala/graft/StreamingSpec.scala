@@ -175,6 +175,12 @@ class StreamingSpec extends AnyFunSuite {
         .collect().map(r => (r.getLong(0), r.getBoolean(1),
           if (r.isNullAt(2)) -1L else r.getLong(2))).toSeq
       assert(got == batch)
+      // in-stream compaction every epoch (the swap machinery firing
+      // BETWEEN micro-batches) must not perturb a single verdict
+      val compacted = Events.ingestNearDup(spark, dir.toString, compactEvery = 1)
+        .collect().map(r => (r.getLong(0), r.getBoolean(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2))).toSeq
+      assert(compacted == batch, "per-epoch compaction changed the converged verdicts")
     } finally {
       import scala.jdk.CollectionConverters._
       java.nio.file.Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
@@ -302,6 +308,48 @@ class StreamingSpec extends AnyFunSuite {
       Events.compactDeltaChain(spark, sink.toString, Seq("k"))
       assert(dirs() == Set("batch=3") &&
         lww() == Set(("a", 1L, 9L), ("b", 2L, 2L), ("c", 3L, 1L), ("d", 4L, 1L)))
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(sink).sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
+  test("prefix-bounded compaction leaves in-flight deltas and preserves the bucket layout") {
+    // the in-stream compaction ingestNearDup schedules: `upTo` folds
+    // only epochs ≤ the bound (a crash-replay of the in-flight epoch
+    // must only ever overwrite ITSELF, never a base holding the whole
+    // chain), and `partitionCols` rewrites the base UNDER the store's
+    // bucket dirs so probe-side file pruning survives the rewrite
+    import spark.implicits._
+    val sink = java.nio.file.Files.createTempDirectory("graft_compact_prefix")
+    try {
+      def delta(rows: Seq[(Long, Long, Int)], e: Int): Unit =
+        rows.toDF("doc_id", "payload", "bucket")
+          .write.partitionBy("bucket").parquet(s"$sink/batch=$e")
+      delta(Seq((1L, 10L, 0), (2L, 20L, 1)), 0)
+      delta(Seq((3L, 30L, 0), (2L, 21L, 1)), 1)
+      delta(Seq((4L, 40L, 1)), 2) // the in-flight epoch — must survive
+      def resolved() = Events.resolveLww(
+        spark.read.parquet(sink.toString), Seq("doc_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val before = resolved()
+      assert(before == Set((1L, 10L, 0), (2L, 21L, 1), (3L, 30L, 0), (4L, 40L, 1)))
+      Events.compactDeltaChain(spark, sink.toString, Seq("doc_id"),
+        upTo = Some(1L), partitionCols = Seq("bucket"))
+      assert(resolved() == before, "prefix compaction changed the consumer relation")
+      val root = new java.io.File(sink.toString)
+      def dirs(f: java.io.File) = f.listFiles()
+        .filter(_.isDirectory).map(_.getName).filterNot(_.startsWith("_")).toSet
+      assert(dirs(root) == Set("batch=1", "batch=2"),
+        s"expected compacted base + untouched in-flight delta: ${dirs(root)}")
+      // base rewritten UNDER bucket dirs — pruning keys survive
+      assert(dirs(new java.io.File(root, "batch=1")) == Set("bucket=0", "bucket=1"),
+        "compacted base lost its bucket layout")
+      // and the pruned probe still file-skips over the compacted chain
+      val probed = Events.prunedChainScan(spark, sink.toString, 2L, Seq(0))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(probed == Set((1L, 10L), (3L, 30L)))
     } finally {
       import scala.jdk.CollectionConverters._
       java.nio.file.Files.walk(sink).sorted(java.util.Comparator.reverseOrder())
