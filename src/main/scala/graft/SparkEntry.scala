@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Corpus, Dedup, MapleJuice, Multimodal, Pca, Profile, Relational, Similarity, Snapshot, TextAnalysis, Training}
+import graft.operators.{Classifier, Corpus, Dedup, MapleJuice, Multimodal, Pca, Profile, Relational, Similarity, Snapshot, TextAnalysis, Training}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
@@ -16,7 +16,7 @@ object SparkEntry {
     * [[GraftSession]] still resolve the custom expressions.
     */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    (Relational.queries ++ TextAnalysis.queries ++ Dedup.queries ++ Corpus.queries ++ Training.queries ++ Similarity.queries ++
+    (Relational.queries ++ TextAnalysis.queries ++ Classifier.queries ++ Dedup.queries ++ Corpus.queries ++ Training.queries ++ Similarity.queries ++
       graft.sources.Sdfs.queries ++ graft.streaming.Events.queries ++ Multimodal.queries ++ Snapshot.queries ++ Profile.queries ++ Pca.queries ++
       Map[String, (SparkSession, String) => DataFrame](
         "mj_wordcount" -> ((s, d) => MapleJuice.wordCount(Tables.documents(s, d))
@@ -34,7 +34,7 @@ object SparkEntry {
     * (driver records a weaker rows-only check).
     */
   def oracleSql: Map[String, String] =
-    Relational.oracle ++ TextAnalysis.oracle ++ Dedup.oracle ++ Corpus.oracle ++ Training.oracle ++ Similarity.oracle ++
+    Relational.oracle ++ TextAnalysis.oracle ++ Classifier.oracle ++ Dedup.oracle ++ Corpus.oracle ++ Training.oracle ++ Similarity.oracle ++
       graft.streaming.Events.oracle ++ Multimodal.oracle ++ graft.sources.Sdfs.oracle ++ Snapshot.oracle ++ Profile.oracle ++ Pca.oracle ++ Map(
       "mj_wordcount" ->
         """SELECT word, count(*) AS cnt FROM (
