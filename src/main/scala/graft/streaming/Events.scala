@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
 import org.apache.spark.sql.types.{LongType, StructType, TimestampNTZType, TimestampType}
@@ -1586,6 +1586,126 @@ object Events {
     Tables.materializeAndRelease(verdict, b)
   }
 
+  /** Continuous SCORED ingestion with the trained text filter held as
+    * stored state — the classifier sibling of [[ingestAnnIvf]]'s
+    * frozen-quantizer loop, and the deployment shape of
+    * [[graft.operators.Classifier]]: a quality/topicality filter is
+    * trained ONCE on the labeled bootstrap and then scores every
+    * arrival inline, map-only. The FIRST arrival (the labeled sample by
+    * contract — here the batch trainer's own train split, so the
+    * converged relation is [[graft.operators.Classifier.classify]]
+    * VERBATIM) fits the model and stores it as `(idx, weight)` rows —
+    * column-name-addressed, one row per feature, so a stored-layout
+    * change can never silently transpose the vector. Every batch then
+    * featurizes + scores ONLY its own docs against the broadcast stored
+    * model (O(|batch|·features), no shuffle, nothing corpus-sized ever
+    * recomputed) and appends `scores/batch=e`; the score write commits
+    * the epoch (replay overwrites idempotently; a replayed epoch 0
+    * re-trains on its own arrival and rewrites the same weights).
+    *
+    * Frozen-model determinism mirrors the frozen-centroid contract:
+    * scoring is a pure function of (weights, doc), so the converged
+    * chain equals the one-shot batch scoring — StreamingSpec pins
+    * equality (probs to 1e-6: treeAggregate combine order perturbs
+    * weights at ~1e-12). Model drift (arrival distribution shifting
+    * under a frozen filter) is monitored exactly like IVF occupancy:
+    * the per-epoch positive-rate in `deltaProbe` is the alarm a
+    * deployment re-trains on.
+    */
+  def ingestClassify(spark: SparkSession, sfDir: String,
+                     statePartitions: Option[Int] = Some(4),
+                     deltaProbe: Option[scala.collection.mutable.Buffer[(Long, Long, Long)]] = None): DataFrame = {
+    import graft.operators.Classifier
+    val ss = sessionFor(spark, statePartitions,
+      Map("spark.sql.streaming.noDataMicroBatches.enabled" -> "false") ++ providerConf)
+    graft.GraftSession.registerFunctions(ss)
+    val staged = java.nio.file.Paths.get(s"$sfDir/documents.parquet")
+    val stagedBytes = java.nio.file.Files.size(staged)
+    val src = scratchDir("graft_classify_src", stagedBytes)
+    try {
+      val store = scratchDir("graft_classify_store", stagedBytes)
+      try {
+        val ckpt = scratchDir("graft_classify_ckpt", stagedBytes)
+        try {
+          val modelDir = s"$store/model"
+          val scoresDir = s"$store/scores"
+          def loadModel(s2: SparkSession): Classifier.LrModel = {
+            val w = new Array[Double](Classifier.Dim + 1)
+            s2.read.parquet(modelDir).select(col("idx"), col("weight"))
+              .collect().foreach(r => w(r.getInt(0)) = r.getDouble(1))
+            Classifier.LrModel(w, Classifier.Dim, 0L)
+          }
+          val docs = ss.read.parquet(staged.toString)
+          docs.filter(col("doc_id") % 5 =!= 0).write.mode("append").parquet(src.toString)
+          val stream = ss.readStream.schema(rawSchema(ss, sfDir, "documents")).parquet(src.toString)
+          val q = stream.writeStream
+            .outputMode(OutputMode.Append)
+            .option("checkpointLocation", ckpt.toString)
+            .foreachBatch { (batch: DataFrame, epoch: Long) =>
+              val bss = batch.sparkSession
+              import bss.implicits._
+              graft.GraftSession.registerFunctions(bss)
+              val feats = Classifier.featurized(
+                batch.select(col("doc_id"), col("text"))).persist()
+              try {
+                val model =
+                  if (epoch == 0L) {
+                    val m = Classifier.fit(feats)
+                    m.w.zipWithIndex.collect { case (v, i) if v != 0.0 => (i, v) }
+                      .toSeq.toDF("idx", "weight")
+                      .write.mode("overwrite").parquet(modelDir)
+                    m
+                  } else loadModel(bss)
+                Classifier.score(feats, model)
+                  .write.mode("overwrite").parquet(s"$scoresDir/batch=$epoch")
+              } finally feats.unpersist(blocking = false)
+              deltaProbe.foreach { buf =>
+                val d = bss.read.parquet(s"$scoresDir/batch=$epoch")
+                // (epoch, delta rows, delta positives): the positive-rate
+                // drift alarm a frozen-filter deployment re-trains on
+                buf += ((epoch, d.count(), d.filter(col("pred")).count()))
+              }
+            }
+            .start()
+          try {
+            q.processAllAvailable()
+            docs.filter(col("doc_id") % 5 === 0).write.mode("append").parquet(src.toString)
+            q.processAllAvailable()
+          } finally { dumpProgress("graft_classify", q); q.stop() }
+          val scored = spark.read.parquet(scoresDir)
+            .select(col("doc_id"), col("label"), col("split"), col("prob"), col("pred"))
+            .orderBy(col("doc_id"))
+          detach(spark, scored)
+        } finally deleteDirQuietly(ckpt)
+      } finally deleteDirQuietly(store)
+    } finally deleteDirQuietly(src)
+  }
+
+  /** Oracle-checkable contract of [[ingestClassify]] — the
+    * `text_classifier_check` invariants read off the STREAMED relation:
+    * real doc/split/label denominators from the raw table, pinned
+    * probability range and train/holdout accuracy floors. The holdout
+    * leg is the sharp one here: the second arrival (doc_id % 5 == 0) is
+    * EXACTLY the batch trainer's holdout split, scored by a model that
+    * was frozen before any of it arrived — streamed generalization,
+    * same floor. */
+  def ingestClassifyCheck(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.Classifier
+    val streamed = ingestClassify(spark, sfDir).persist()
+    def accOf(split: String): Column =
+      sum(when(col("split") === split && col("pred") === col("label"), 1L)
+        .otherwise(0L)).cast("double") /
+        sum(when(col("split") === split, 1L).otherwise(0L))
+    val verdict = streamed.agg(
+      count(lit(1)).as("n_docs"),
+      sum(when(col("label"), 1L).otherwise(0L)).as("n_label_pos"),
+      sum(when(col("prob") < 0.0 || col("prob") > 1.0, 1L).otherwise(0L))
+        .as("n_prob_oob"),
+      (accOf("train") >= Classifier.TrainFloor).as("train_acc_ok"),
+      (accOf("holdout") >= Classifier.HoldoutFloor).as("holdout_acc_ok"))
+    graft.Tables.materializeAndRelease(verdict, streamed)
+  }
+
   /** Resolve a `batch=<epoch>` changelog chain last-write-wins per
     * `keyCols` — THE merge-on-read reader every Update-mode delta-chain
     * sink in this file shares ([[ingestDedupToFiles]],
@@ -1900,6 +2020,8 @@ object Events {
     "stream_ingest_neardup_check" -> ((s, d) => ingestNearDupCheck(s, d)),
     "stream_ingest_ann" -> ((s, d) => ingestAnnIvf(s, d)),
     "stream_ingest_ann_check" -> ((s, d) => ingestAnnCheck(s, d)),
+    "stream_ingest_classify" -> ((s, d) => ingestClassify(s, d)),
+    "stream_ingest_classify_check" -> ((s, d) => ingestClassifyCheck(s, d)),
     "stream_ingest_decontam" -> ((s, d) => ingestDecontam(s, d)),
     "stream_ingest_decontam_files" -> ((s, d) => ingestDecontamToFiles(s, d)),
     "stream_window_agg" -> ((s, d) => windowAgg(s, d)),
@@ -1973,6 +2095,22 @@ object Events {
       """SELECT CAST((SELECT count(*) * 5 FROM embeddings WHERE vec_id < 10)
         |   AS BIGINT) AS n_rows,
         | true AS recall_ok""".stripMargin,
+    // stream_ingest_classify is rows-only (iterative float weights —
+    // text_classifier's status); its check twin pins the real
+    // denominators plus the frozen-model generalization floors: the
+    // second arrival IS the batch trainer's holdout split, scored by a
+    // model frozen before any of it arrived
+    "stream_ingest_classify_check" ->
+      """WITH t AS (SELECT doc_id,
+        | len(list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+        |   x -> x = 'spark')) >= 2 AS label
+        |FROM documents)
+        |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(count(*) FILTER (label) AS BIGINT) AS n_label_pos,
+        | CAST(0 AS BIGINT) AS n_prob_oob,
+        | TRUE AS train_acc_ok,
+        | TRUE AS holdout_acc_ok
+        |FROM t""".stripMargin,
     // stream_ingest_neardup itself is rows-only (the LSH banding is not
     // portable SQL — same status as dedup_minhash_lsh); this check twin
     // pins its exact invariants from the raw table alone: real doc and

@@ -140,6 +140,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(hits >= 0.7 * brute.size, s"recall ${hits.toDouble / brute.size} under floor")
   }
 
+  test("stream_ingest_classify converges to the batch-trained scoring, appends only deltas") {
+    import graft.operators.Classifier
+    val probe = scala.collection.mutable.ListBuffer.empty[(Long, Long, Long)]
+    val streamed = Events.ingestClassify(spark, TestSpark.sf, deltaProbe = Some(probe))
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getString(2),
+        r.getDouble(3), r.getBoolean(4))).toSeq
+    // batch twin: the trainer's train split IS the first arrival
+    // (doc_id % 5 != 0), so classify()'s model is the stream's frozen
+    // model up to treeAggregate combine order (~1e-12 on weights) —
+    // probs equal to 1e-6, everything discrete verbatim
+    val batch = Classifier.classify(spark, TestSpark.sf)
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getString(2),
+        r.getDouble(3), r.getBoolean(4))).toSeq
+    assert(streamed.nonEmpty && streamed.size == batch.size)
+    streamed.zip(batch).foreach { case (s, b) =>
+      assert(s._1 == b._1 && s._2 == b._2 && s._3 == b._3 && s._5 == b._5,
+        s"discrete field drifted: $s vs $b")
+      assert(math.abs(s._4 - b._4) <= 1e-6, s"prob drifted: $s vs $b")
+    }
+    // the label bites both ways on the testdata
+    assert(streamed.exists(_._2) && streamed.exists(!_._2), "degenerate label")
+    // per-epoch writes are exactly the arrivals — scoring never
+    // re-touches prior epochs
+    val docs = Tables.documents(spark, TestSpark.sf)
+    val n = docs.count(); val second = docs.filter(col("doc_id") % 5 === 0).count()
+    assert(probe.map(p => (p._1, p._2)).toMap == Map(0L -> (n - second), 1L -> second),
+      s"deltas: $probe")
+    // the drift alarm carries real positives per epoch
+    assert(probe.map(_._3).sum == streamed.count(_._5).toLong)
+  }
+
   test("a late smaller-id near-dup retracts the earlier keep (verdict changelog)") {
     import spark.implicits._
     import graft.operators.Dedup
@@ -199,10 +230,17 @@ class StreamingSpec extends AnyFunSuite {
       val sc = spark.sparkContext
       val before = sc.getPersistentRDDs.keySet
       run
-      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      // 60s: RDD-registry removal is synchronous in unpersist, but this
+      // VM throttles under sustained load and the GC-driven cleaner can
+      // lag; a REAL leak (release never called) waits forever either way
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
       def leaked() = sc.getPersistentRDDs.keySet -- before
       while (leaked().nonEmpty && System.nanoTime() < deadline) Thread.sleep(100)
-      assert(leaked().isEmpty, s"$name leaked pinned RDDs: ${leaked()}")
+      // on failure, name the leaked RDDs: the id alone can't be traced
+      // back to the persist call that skipped its release
+      val detail = leaked().toSeq.sorted.flatMap(id =>
+        sc.getPersistentRDDs.get(id).map(r => s"$id: ${r.toString}"))
+      assert(leaked().isEmpty, s"$name leaked pinned RDDs:\n${detail.mkString("\n")}")
     }
     assertClean("stream_incremental_clean") {
       assert(Events.streamIncrementalClean(spark, TestSpark.sf).collect().nonEmpty)
@@ -212,6 +250,9 @@ class StreamingSpec extends AnyFunSuite {
     }
     assertClean("stream_ingest_ann") {
       assert(Events.ingestAnnIvf(spark, TestSpark.sf).collect().nonEmpty)
+    }
+    assertClean("stream_ingest_classify") {
+      assert(Events.ingestClassify(spark, TestSpark.sf).collect().nonEmpty)
     }
   }
 
