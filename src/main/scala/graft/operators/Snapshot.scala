@@ -129,9 +129,43 @@ object Snapshot {
     }
 
 
+  /** Probe-side view of the `(doc_id, nsh, s)` posting index
+    * [[pairGraphClosure]] walks — the seam that lets the SAME BFS run
+    * against an in-memory persisted index (the batch path) or a stored,
+    * hash-bucketed delta chain read with file-level pruning (the
+    * streaming path, [[graft.streaming.Events.streamIncrementalClean]]).
+    * The closure's reads are all delta-shaped — a frontier's own rows,
+    * then the rows that could match the frontier's shingles — so a
+    * stored index never needs a corpus-width scan or cache per epoch:
+    * the impl prunes to the buckets the frontier actually touches.
+    */
+  private[graft] trait PostingsProbe {
+    /** Rows `(doc_id, nsh, s)` of the given frontier docs (result is
+      * frontier-sized; the impl may prune the underlying scan to the
+      * frontier's doc-id buckets). */
+    def forDocs(frontier: DataFrame): DataFrame
+    /** Rows that could share a shingle with `frontierPost` (a
+      * [[forDocs]] result): a superset is CORRECT — the closure's join
+      * filters on shingle equality — so the in-memory impl returns the
+      * whole index and a bucketed store returns the frontier's shingle
+      * buckets (union of per-bucket cached chunks, each read once per
+      * epoch no matter how many rounds touch it). */
+    def forShinglesOf(frontierPost: DataFrame): DataFrame
+    /** Release whatever the probe cached (end of the closure's epoch). */
+    def release(): Unit
+  }
+
+  /** The batch-path probe: the persisted index itself, both sides. */
+  private[graft] final case class InMemoryPostings(df: DataFrame) extends PostingsProbe {
+    def forDocs(frontier: DataFrame): DataFrame = df.join(frontier, "doc_id")
+    def forShinglesOf(frontierPost: DataFrame): DataFrame = df
+    def release(): Unit = ()
+  }
+
   /** BFS over the TRUE Jaccard pair graph from `seeds`, probing a
-    * persisted `(doc_id, nsh, s)` posting index (one row per doc ×
-    * distinct shingle hash; `nsh` = that doc's shingle-set size).
+    * `(doc_id, nsh, s)` posting index through a [[PostingsProbe]] (one
+    * row per doc × distinct shingle hash; `nsh` = that doc's
+    * shingle-set size).
     * Returns the closed vertex set — exactly the union of the pair
     * graph's connected components containing a seed, eagerly
     * checkpointed — plus the per-round edge relations, whose union is
@@ -150,7 +184,14 @@ object Snapshot {
     * Per-round stage timing to stderr under SPARK_GRAFT_INCR_DEBUG=1.
     */
   private[graft] def pairGraphClosure(seeds: DataFrame, postings: DataFrame,
-                                      maxRounds: Int = 25): (DataFrame, Seq[DataFrame]) = {
+                                      maxRounds: Int): (DataFrame, Seq[DataFrame]) =
+    pairGraphClosure(seeds, InMemoryPostings(postings), maxRounds)
+
+  private[graft] def pairGraphClosure(seeds: DataFrame, postings: DataFrame): (DataFrame, Seq[DataFrame]) =
+    pairGraphClosure(seeds, InMemoryPostings(postings), 25)
+
+  private[graft] def pairGraphClosure(seeds: DataFrame, postings: PostingsProbe,
+                                      maxRounds: Int): (DataFrame, Seq[DataFrame]) = {
     val debug = incrDebug
     val lap = incrLap()
     val roundEdges = scala.collection.mutable.ListBuffer.empty[DataFrame]
@@ -170,20 +211,25 @@ object Snapshot {
       roundEdges.foreach(Corpus.releaseCheckpoint)
       frontiers.foreach(Corpus.releaseCheckpoint)
     }
-    while (rounds < maxRounds && !frontier.isEmpty) {
-      val fPost = postings.join(frontier, "doc_id")
-        .select(col("doc_id").as("src"), col("nsh").as("n1"), col("s").as("fs"))
-      val cPost = postings
-        .select(col("doc_id").as("dst"), col("nsh").as("n2"), col("s"))
-      val jac = col("inter") * lit(1.0) / (col("n1") + col("n2") - col("inter"))
-      val edges = fPost
-        .join(cPost, col("fs") === col("s") && col("src") =!= col("dst"))
-        .groupBy(col("src"), col("dst"))
-        .agg(count(lit(1)).as("inter"),
-          first(col("n1")).as("n1"), first(col("n2")).as("n2"))
-        .filter(jac >= Dedup.DefaultThreshold)
-        .select(col("src"), col("dst"))
-        .localCheckpoint(true)
+    try while (rounds < maxRounds && !frontier.isEmpty) {
+      // frontier-sized; persisted because it feeds BOTH the edge join
+      // and (on a stored probe) the shingle-bucket discovery collect
+      val fp = postings.forDocs(frontier).persist()
+      val edges = try {
+        val fPost = fp
+          .select(col("doc_id").as("src"), col("nsh").as("n1"), col("s").as("fs"))
+        val cPost = postings.forShinglesOf(fp)
+          .select(col("doc_id").as("dst"), col("nsh").as("n2"), col("s"))
+        val jac = col("inter") * lit(1.0) / (col("n1") + col("n2") - col("inter"))
+        fPost
+          .join(cPost, col("fs") === col("s") && col("src") =!= col("dst"))
+          .groupBy(col("src"), col("dst"))
+          .agg(count(lit(1)).as("inter"),
+            first(col("n1")).as("n1"), first(col("n2")).as("n2"))
+          .filter(jac >= Dedup.DefaultThreshold)
+          .select(col("src"), col("dst"))
+          .localCheckpoint(true) // eager: fp is consumed by the time it returns
+      } finally fp.unpersist(blocking = false)
       roundEdges += edges
       val nextFrontier = edges.select(col("dst").as("doc_id")).distinct()
         .join(visitedView, Seq("doc_id"), "left_anti")
@@ -192,6 +238,10 @@ object Snapshot {
       frontier = nextFrontier
       rounds += 1
       lap(s"closure round $rounds${if (debug) s" (frontier=${frontier.count()})" else ""}")
+    } catch { case t: Throwable =>
+      // a mid-round failure (join, checkpoint, probe read) must not
+      // strand the rounds already checkpointed
+      releaseAll(); throw t
     }
     if (!frontier.isEmpty) {
       // release-before-throw (the connectedComponents discipline):
@@ -425,9 +475,25 @@ object Snapshot {
     */
   def incrementalLedgerDeltaCheckpointed(prior: DataFrame, oldManifest: DataFrame,
                                          newManifest: DataFrame, postings: DataFrame,
-                                         newDocs: DataFrame, maxRounds: Int = 25): DataFrame = {
+                                         newDocs: DataFrame, maxRounds: Int = 25): DataFrame =
+    incrementalLedgerDeltaCheckpointed(prior, oldManifest, newManifest,
+      InMemoryPostings(postings),
+      ids => newDocs.join(ids, Seq("doc_id"), "left_semi"), maxRounds)
+
+  /** The stored-state form of [[incrementalLedgerDeltaCheckpointed]]:
+    * the posting index arrives as a [[PostingsProbe]] (the closure
+    * reads only the buckets its frontiers touch) and the corpus text as
+    * `docsFor` — a closure-ids → docs function, so the impl can prune
+    * the stored corpus scan to the closure's doc-id buckets before the
+    * semi gate instead of scanning every document's text per epoch.
+    * The in-memory overload above passes the unpruned equivalents.
+    */
+  def incrementalLedgerDeltaCheckpointed(prior: DataFrame, oldManifest: DataFrame,
+                                         newManifest: DataFrame, postings: PostingsProbe,
+                                         docsFor: DataFrame => DataFrame,
+                                         maxRounds: Int): DataFrame = {
     val (rec, closed, _, releasables) =
-      recomputedLedgerRows(prior, oldManifest, newManifest, postings, newDocs, maxRounds)
+      recomputedLedgerRows(prior, oldManifest, newManifest, postings, docsFor, maxRounds)
     val out =
       try rec.localCheckpoint(true)
       catch { case t: Throwable =>
@@ -448,6 +514,13 @@ object Snapshot {
   private def recomputedLedgerRows(prior: DataFrame, oldManifest: DataFrame,
                                    newManifest: DataFrame, postings: DataFrame,
                                    newDocs: DataFrame, maxRounds: Int)
+      : (DataFrame, DataFrame, DataFrame, Seq[DataFrame]) =
+    recomputedLedgerRows(prior, oldManifest, newManifest, InMemoryPostings(postings),
+      ids => newDocs.join(ids, Seq("doc_id"), "left_semi"), maxRounds)
+
+  private def recomputedLedgerRows(prior: DataFrame, oldManifest: DataFrame,
+                                   newManifest: DataFrame, postings: PostingsProbe,
+                                   docsFor: DataFrame => DataFrame, maxRounds: Int)
       : (DataFrame, DataFrame, DataFrame, Seq[DataFrame]) = {
     val lap = incrLap()
     val delta = diff(oldManifest, newManifest)
@@ -456,13 +529,18 @@ object Snapshot {
     // closure or the recompute otherwise strands this delta checkpoint
     // (and per-attempt pinning in a retrying loop is exactly the leak
     // incrementalLedgerDeltaCheckpointed exists to close)
-    try recomputedLedgerRowsFromDelta(prior, newManifest, postings, newDocs,
+    try recomputedLedgerRowsFromDelta(prior, newManifest, postings, docsFor,
       maxRounds, lap, delta)
-    catch { case t: Throwable => Corpus.releaseCheckpoint(delta); throw t }
+    catch { case t: Throwable =>
+      Corpus.releaseCheckpoint(delta)
+      postings.release() // failure path: the success path released inside
+      throw t
+    }
   }
 
   private def recomputedLedgerRowsFromDelta(prior: DataFrame, newManifest: DataFrame,
-                                            postings: DataFrame, newDocs: DataFrame,
+                                            postings: PostingsProbe,
+                                            docsFor: DataFrame => DataFrame,
                                             maxRounds: Int, lap: String => Unit,
                                             delta: DataFrame)
       : (DataFrame, DataFrame, DataFrame, Seq[DataFrame]) = {
@@ -499,8 +577,7 @@ object Snapshot {
           lap("pair-graph closure")
           val allEdges = roundEdges.reduceOption(_ union _).getOrElse(
             seeds.select(col("doc_id").as("src"), col("doc_id").as("dst")).limit(0))
-          Corpus.ledgerFromEdges(
-            newDocs.join(closed, Seq("doc_id"), "left_semi"), allEdges,
+          Corpus.ledgerFromEdges(docsFor(closed), allEdges,
             ckptOut = Some(ccOut))
         } catch { case t: Throwable =>
           // a CC failure inside the recompute must not strand the edge
@@ -511,6 +588,7 @@ object Snapshot {
         }
       lap("closure recompute (ledgerFromEdges)")
       roundEdges.foreach(Corpus.releaseCheckpoint) // CC labels materialized
+      postings.release() // the probe's bucket caches are fully consumed
       (rec, closed, ccOut.toSeq)
     }
     (recomputed, closure, deltaIds, delta +: ccCkpts)

@@ -819,19 +819,28 @@ object Events {
     * chains, so the per-batch TEXT work — hashing, shingling — is
     * O(|batch|), never O(corpus):
     *
-    *  - `corpus/batch=e`, `postings/batch=e` — the arrival's raw rows
-    *    and its [[graft.operators.Snapshot.postings]] delta, appended;
+    *  - `corpus/batch=e/bucket=b` — the arrival's raw rows,
+    *    doc-id-bucketed ([[chainBucket]]) so the recompute's text read
+    *    prunes FILES to the closure's blast-radius buckets;
+    *  - `postings_by_shingle/batch=e/bucket=b` — the arrival's
+    *    [[graft.operators.Snapshot.postings]] delta, bucketed by
+    *    shingle hash (the way the closure's probe joins read it) so no
+    *    probe ever scans the chain whole; frontier doc lookups instead
+    *    RE-SHINGLE the frontier's text off the doc-bucketed corpus
+    *    chain — O(frontier) compute beats a second index store's write
+    *    amplification ([[StoredPostingsProbe]]);
     *  - `tombstones/batch=e` — doc_ids the arrival RE-DELIVERS (already
     *    in the prior manifest), O(|batch|) rows. A chain read resolves
     *    merge-on-read: a `batch=p` row is live iff p ≥ the doc's max
     *    tombstone epoch — one broadcast join of the (delta-sized)
-    *    tombstone aggregate against the scan, no corpus shuffle. A
-    *    periodic [[compactTombstonedChains]] run over all three
-    *    tombstone-sharing chains (corpus, postings, manifest) rewrites
-    *    each chain's resolved rows as its base delta and consumes the
-    *    tombstones, bounding both chain length and tombstone
-    *    amplification, exactly as [[compactDeltaChain]] does for
-    *    [[ingestDedupToFiles]]'s changelog sink;
+    *    tombstone aggregate against the scan, no corpus shuffle; the
+    *    predicate composes with bucket pruning (tombstones are per-doc,
+    *    bucket-independent). A periodic [[compactTombstonedChains]] run
+    *    over all three tombstone-sharing chains (corpus, postings,
+    *    manifest) rewrites each chain's resolved rows as its base delta
+    *    and consumes the tombstones, bounding both chain length and
+    *    tombstone amplification, exactly as [[compactDeltaChain]] does
+    *    for [[ingestDedupToFiles]]'s changelog sink;
     *  - `manifest/batch=e` — the SAME delta-chain treatment: each epoch
     *    writes only md5 over the batch's own text (O(|batch|) rows), and
     *    the resolved chain IS the corpus manifest — so no manifest-width
@@ -847,10 +856,15 @@ object Events {
     *    additionally retract removed ids (absent here — arrivals only
     *    add or re-deliver).
     *
-    * The ledger update probes the STORED postings chain each BFS round
-    * (a broadcast-hash probe of the frontier against the index scan —
-    * the Spark-native shape of an index lookup) and reads corpus TEXT
-    * only for the closure, behind the broadcast left-semi gate.
+    * The ledger update probes the STORED postings chains each BFS round
+    * (a broadcast-hash probe of the frontier against a bucket-pruned
+    * index scan — the Spark-native shape of an index lookup; each
+    * shingle bucket is read and cached at most ONCE per epoch, so the
+    * per-epoch postings bytes are the union of buckets the closure's
+    * frontiers touch, not the chain — the r10 design's corpus-width
+    * postings cache is gone) and reads corpus TEXT only for the
+    * closure: file-pruned to the closure's doc buckets, then the
+    * broadcast left-semi gate row-prunes inside the scan.
     * Bootstrap (epoch 0, no committed predecessor) writes the BATCH
     * compute (`Corpus.ledger` over its own arrival) as the chain's
     * first delta — the production bootstrap discipline: the delta
@@ -907,7 +921,10 @@ object Events {
           val corpusDir = s"$store/corpus"
           val ledgerDir = s"$store/ledger"
           val manifestDir = s"$store/manifest"
-          val postingsDir = s"$store/postings"
+          // the posting index: shingle-hash-bucketed so probe reads
+          // file-prune (frontier doc lookups re-shingle off the
+          // doc-bucketed corpus chain instead — StoredPostingsProbe doc)
+          val postingsByShingleDir = s"$store/postings_by_shingle"
           val tombstoneDir = s"$store/tombstones"
           def latestBelow(epoch: Long): Option[Long] =
             latestCommittedBelow(ledgerDir, manifestDir, epoch)
@@ -943,9 +960,18 @@ object Events {
               val bss = batch.sparkSession
               graft.GraftSession.registerFunctions(bss)
               val lap = Snapshot.incrLap()
-              // 1. land the arrival (idempotent per-epoch overwrite)
-              batch.write.mode("overwrite").parquet(s"$corpusDir/batch=$epoch")
-              val arrived = bss.read.parquet(s"$corpusDir/batch=$epoch")
+              // 1. land the arrival (idempotent per-epoch overwrite),
+              // doc-bucketed so the recompute's corpus read can prune
+              // to the closure's blast-radius buckets
+              // repartition BY the bucket column first: every bucket
+              // lands wholly in one task, so each epoch writes exactly
+              // one file per touched bucket instead of tasks × buckets
+              // small files (the compaction-friendly delta shape)
+              batch.withColumn("bucket", chainBucket(col("doc_id")))
+                .repartition(col("bucket"))
+                .write.partitionBy("bucket").mode("overwrite")
+                .parquet(s"$corpusDir/batch=$epoch")
+              val arrived = bss.read.parquet(s"$corpusDir/batch=$epoch").drop("bucket")
               lap(s"epoch $epoch: land arrival")
               // 2. prior committed state: the ledger chain's LWW
               // resolution and the manifest chain, both up to the last
@@ -955,13 +981,20 @@ object Events {
               // consumer re-pays its scan + aggregate (production
               // equally caches its hot state views; the blocks are
               // LRU-evictable and released after the epoch's write).
+              // the empty-prior arm's ledger runs the CC machinery on
+              // an empty pair graph, which still pins its edge-set
+              // checkpoint — collect and release it after the epoch
+              // (with no ckptOut it would wait for a driver GC: the
+              // LeakProbe2-reproducible pin behind the flaky
+              // loop-cleanliness failure)
+              val bootCkpts = scala.collection.mutable.ListBuffer.empty[DataFrame]
               val (prior, priorManifest) = latestBelow(epoch) match {
                 case Some(e) => (ledgerView(bss, e).persist(),
                   liveChain(bss, manifestDir, upTo = Some(e)).persist())
                 case None =>
                   // schema-correct empty state via the machinery itself —
                   // bootstrap then flows through the one verified code path
-                  (Corpus.ledger(arrived.limit(0)).persist(),
+                  (Corpus.ledger(arrived.limit(0), ckptOut = Some(bootCkpts)).persist(),
                     Snapshot.manifest(arrived.limit(0)).persist())
               }
               try {
@@ -974,8 +1007,11 @@ object Events {
                   .write.mode("overwrite").parquet(s"$tombstoneDir/batch=$epoch")
                 lap(s"epoch $epoch: tombstones (incl. prior-state resolve)")
                 Snapshot.postings(arrived)
-                  .write.mode("overwrite").parquet(s"$postingsDir/batch=$epoch")
-                lap(s"epoch $epoch: postings delta")
+                  .withColumn("bucket", chainBucket(col("s")))
+                  .repartition(col("bucket"))
+                  .write.partitionBy("bucket").mode("overwrite")
+                  .parquet(s"$postingsByShingleDir/batch=$epoch")
+                lap(s"epoch $epoch: postings delta (shingle-bucketed)")
                 // 4. the manifest delta — the batch's own rows, O(|batch|);
                 // the resolved chain IS the next manifest. Written BEFORE
                 // the ledger (the commit gate's first half).
@@ -1014,28 +1050,44 @@ object Events {
                   // gate).
                   val nextManifest =
                     liveChain(bss, manifestDir, upTo = Some(epoch)).persist()
-                  val postingsView =
-                    liveChain(bss, postingsDir, upTo = Some(epoch)).persist()
+                  // corpus text pruned to the requested ids' doc
+                  // buckets (file skip), then the exact semi gate (row
+                  // skip) — shared by the probe's frontier re-shingle
+                  // AND the recompute's closure read
+                  val docsFor: DataFrame => DataFrame = ids =>
+                    tombstoneResolvedRows(bss,
+                      prunedChainRows(bss, corpusDir, epoch,
+                        collectBuckets(ids, col("doc_id")),
+                        Some(rawSchema(bss, sfDir, "documents"))),
+                      tombstoneDir, upTo = Some(epoch))
+                      .join(ids, Seq("doc_id"), "left_semi")
+                  // the stored probe replaces the r10 corpus-width
+                  // postings cache: the closure reads only the buckets
+                  // its frontiers touch, each at most once per epoch
+                  val probe = new StoredPostingsProbe(bss, docsFor,
+                    postingsByShingleDir, tombstoneDir, epoch,
+                    Snapshot.postings(arrived.limit(0)).schema)
                   try {
                     // the CHECKPOINTED delta form: a long-running loop
                     // must not pin another blast-radius of intermediate
                     // checkpoint blocks every epoch — this one hands back
-                    // a single released-after-write relation
+                    // a single released-after-write relation (and
+                    // releases the probe's bucket chunks inside)
                     val deltaRows = Snapshot.incrementalLedgerDeltaCheckpointed(
-                      prior, priorManifest, nextManifest, postingsView,
-                      liveChain(bss, corpusDir, upTo = Some(epoch)))
+                      prior, priorManifest, nextManifest, probe, docsFor, 25)
                     try deltaRows.write.mode("overwrite")
                       .parquet(s"$ledgerDir/batch=$epoch")
                     finally graft.operators.Corpus.releaseCheckpoint(deltaRows)
                     lap(s"epoch $epoch: ledger update (delta write commits)")
                   } finally {
-                    postingsView.unpersist(blocking = false)
+                    probe.release() // idempotent; inner release is the contract
                     nextManifest.unpersist(blocking = false)
                   }
                 }
               } finally {
                 prior.unpersist(blocking = false)
                 priorManifest.unpersist(blocking = false)
+                bootCkpts.foreach(graft.operators.Corpus.releaseCheckpoint)
               }
               epochProbe.foreach(_ += ((epoch, batch.count())))
               ledgerDeltaProbe.foreach(_ +=
@@ -1250,10 +1302,16 @@ object Events {
                 val batchSh = Dedup.shingleHashSets(arrived).persist()
                 try {
                   batchSh.withColumn("bucket", chainBucket(col("doc_id")))
+                    .repartition(col("bucket")) // one file per bucket per epoch
                     .write.partitionBy("bucket").mode("overwrite")
                     .parquet(s"$shinglesDir/batch=$epoch")
+                  // persisted: consumed 3× (store write, bucket collect,
+                  // probe join) — without the cache each consumer re-runs
+                  // the 128-perm minhash over the batch
                   val batchBands = Dedup.bandRows(Dedup.minhashSignatures(batchSh))
+                    .persist()
                   batchBands.withColumn("bucket", chainBucket(col("band_hash")))
+                    .repartition(col("bucket")) // one file per bucket per epoch
                     .write.partitionBy("bucket").mode("overwrite")
                     .parquet(s"$bandsDir/batch=$epoch")
                   // candidates: the in-memory batch bands (recomputed off
@@ -1268,8 +1326,10 @@ object Events {
                   val batchBuckets = collectBuckets(batchBands, col("band_hash"))
                   val allBands = prunedChainScan(bss, bandsDir, epoch, batchBuckets,
                     Some(batchBands.schema))
-                  val cand = Dedup.nearDupCandidates(batchBands, allBands)
-                    .localCheckpoint(true) // delta-sized; read 3× below
+                  val cand = // eager checkpoint: batchBands fully consumed after
+                    try Dedup.nearDupCandidates(batchBands, allBands)
+                      .localCheckpoint(true) // delta-sized; read 3× below
+                    finally batchBands.unpersist(blocking = false)
                   try {
                     // verify against ONLY the partners' shingle sets:
                     // the scan is pruned to the partners' doc_id buckets
@@ -1755,6 +1815,69 @@ object Events {
       .filter(col("batch") <= lit(epoch) && col("bucket").isin(buckets: _*))
       .drop("batch", "bucket")
 
+  /** [[prunedChainScan]] KEEPING the `batch` column — the read shape a
+    * tombstoned chain needs (liveness compares row epoch vs tombstone
+    * epoch, so `batch` must survive until [[tombstoneResolvedRows]]). */
+  private[graft] def prunedChainRows(spark: SparkSession, dir: String, epoch: Long,
+                                     buckets: Seq[Int],
+                                     dataSchema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame =
+    dataSchema.fold(spark.read)(s => spark.read.schema(s)).parquet(dir)
+      .filter(col("batch") <= lit(epoch) && col("bucket").isin(buckets: _*))
+      .drop("bucket")
+
+  /** The stored-state [[graft.operators.Snapshot.PostingsProbe]] over a
+    * shingle-hash-bucketed postings chain plus the doc-id-bucketed
+    * corpus chain:
+    *
+    *  - `forDocs` RE-SHINGLES the frontier's text ([[graft.operators
+    *    .Snapshot.postings]] over `docsFor(frontier)` — the same
+    *    bucket-pruned corpus accessor the recompute uses). A frontier is
+    *    delta-sized, so the shingle pass is O(frontier) compute against
+    *    a file-pruned read; storing a SECOND postings chain bucketed by
+    *    doc_id would buy back that compute at the price of doubling
+    *    every epoch's index writes — at 100 TB the compute is the
+    *    cheaper side of that trade (and one fewer store to keep
+    *    tombstone-consistent);
+    *  - `forShinglesOf` reads the stored shingle-bucketed chain, pruned
+    *    to the frontier's shingle buckets, caching each bucket's
+    *    resolved rows the FIRST time a round touches it and unioning
+    *    the chunks thereafter: total index bytes read per epoch = the
+    *    union of buckets the closure's frontiers touch — at
+    *    steady-state churn a small fraction of the store, and NEVER
+    *    more than one full scan even on a closure that walks everything
+    *    (the r10 design cached the whole corpus-width chain per epoch
+    *    to get the same re-read bound; this keeps the bound and drops
+    *    the corpus-width read+cache). A chunk superset is correct by
+    *    [[graft.operators.Snapshot.PostingsProbe.forShinglesOf]]'s
+    *    contract — the closure joins on shingle equality, and a row
+    *    whose shingle is outside the requested buckets cannot match.
+    */
+  private[graft] final class StoredPostingsProbe(
+      bss: SparkSession, docsFor: DataFrame => DataFrame,
+      byShingleDir: String, tombstoneDir: String, epoch: Long,
+      dataSchema: org.apache.spark.sql.types.StructType)
+    extends graft.operators.Snapshot.PostingsProbe {
+    private val chunks = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    private val covered = scala.collection.mutable.Set.empty[Int]
+    private def resolvedPruned(buckets: Seq[Int]): DataFrame =
+      tombstoneResolvedRows(bss,
+        prunedChainRows(bss, byShingleDir, epoch, buckets, Some(dataSchema)),
+        tombstoneDir, upTo = Some(epoch))
+    def forDocs(frontier: DataFrame): DataFrame =
+      graft.operators.Snapshot.postings(docsFor(frontier))
+    def forShinglesOf(frontierPost: DataFrame): DataFrame = {
+      val fresh = collectBuckets(frontierPost, col("s")).filterNot(covered)
+      if (fresh.nonEmpty) {
+        chunks += resolvedPruned(fresh).persist()
+        covered ++= fresh
+      }
+      // empty-frontier round: a schema-correct empty scan (reads nothing)
+      chunks.reduceOption(_ unionByName _)
+        .getOrElse(resolvedPruned(Nil))
+    }
+    def release(): Unit = chunks.foreach(_.unpersist(blocking = false))
+  }
+
   /** Epochs strictly below `epoch` whose delta dir carries parquet's
     * `_SUCCESS` marker — the committed-prior-state gate a replayed or
     * checkpoint-reusing batch consults before reading a chain that may
@@ -1961,14 +2084,26 @@ object Events {
   private[graft] def tombstoneResolved(spark: SparkSession, dir: String,
                                        tombstoneDir: String, keyCol: String = "doc_id",
                                        upTo: Option[Long] = None): DataFrame = {
-    def bound(df: DataFrame): DataFrame =
-      upTo.fold(df)(e => df.filter(col("batch") <= lit(e)))
-    val rows = bound(spark.read.parquet(dir)) // `batch` partition column
+    val rows = upTo.fold(spark.read.parquet(dir))(e =>
+      spark.read.parquet(dir).filter(col("batch") <= lit(e)))
+    tombstoneResolvedRows(spark, rows, tombstoneDir, keyCol, upTo)
+  }
+
+  /** [[tombstoneResolved]] over a caller-supplied `rows` relation (must
+    * still carry the `batch` partition column, already epoch-bounded) —
+    * the form a bucket-PRUNED chain scan resolves through: pruning
+    * selects files, this predicate then decides per-row liveness, and
+    * the two compose because tombstones are keyed by doc, independent
+    * of which bucket a row lives in. */
+  private[graft] def tombstoneResolvedRows(spark: SparkSession, rows: DataFrame,
+                                           tombstoneDir: String, keyCol: String = "doc_id",
+                                           upTo: Option[Long] = None): DataFrame = {
     val haveTombs = Option(new java.io.File(tombstoneDir).listFiles())
       .exists(_.exists(_.getName.startsWith("batch=")))
     if (!haveTombs) rows.drop("batch")
     else {
-      val tombs = bound(spark.read.parquet(tombstoneDir))
+      val tombs = upTo.fold(spark.read.parquet(tombstoneDir))(e =>
+          spark.read.parquet(tombstoneDir).filter(col("batch") <= lit(e)))
         .groupBy(col(keyCol)).agg(max(col("batch")).as("tomb_epoch"))
       rows.join(broadcast(tombs), Seq(keyCol), "left_outer")
         .filter(col("tomb_epoch").isNull || col("batch") >= col("tomb_epoch"))

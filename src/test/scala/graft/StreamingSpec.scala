@@ -356,6 +356,95 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("stored postings probe equals the in-memory closure and file-prunes both stores") {
+    // streamIncrementalClean's dual-bucketed posting index: (A) the
+    // pair-graph closure must walk IDENTICALLY through the stored probe
+    // (bucket-pruned, tombstone-resolved chains) and the in-memory one
+    // over the resolved relation — including a re-delivered doc whose
+    // STALE epoch-0 text would (if tombstone resolution leaked) change
+    // the closure; (B) non-matching bucket files must never be opened —
+    // poisoned-file proof, the prunedChainScan discipline.
+    import spark.implicits._
+    import graft.operators.Snapshot
+    val dir = java.nio.file.Files.createTempDirectory("graft_probe_spec")
+    try {
+      val corpus = s"$dir/corpus"; val bySh = s"$dir/by_shingle"
+      val tomb = s"$dir/tombstones"
+      val base = (1 to 19).map(i => s"w$i").mkString(" ")
+      val other = (1 to 19).map(i => s"u$i").mkString(" ")
+      val e0 = Seq(
+        1L -> s"$base t1",
+        2L -> "completely unrelated stale draft text body junk filler words", // stale
+        3L -> s"$other t3", 4L -> s"$other t4",
+        5L -> "lone wolf text normal here").toDF("doc_id", "text")
+      val e1 = Seq(
+        2L -> s"$base t2", // re-delivery: true text IS a near-dup of 1
+        7L -> s"$base t7").toDF("doc_id", "text")
+      def writeEpoch(docs: org.apache.spark.sql.DataFrame, epoch: Int): Unit = {
+        docs.withColumn("bucket", Events.chainBucket(col("doc_id")))
+          .write.partitionBy("bucket").parquet(s"$corpus/batch=$epoch")
+        Snapshot.postings(docs)
+          .withColumn("bucket", Events.chainBucket(col("s")))
+          .write.partitionBy("bucket").parquet(s"$bySh/batch=$epoch")
+      }
+      writeEpoch(e0, 0); writeEpoch(e1, 1)
+      Seq(2L).toDF("doc_id").write.parquet(s"$tomb/batch=1")
+      val finalDocs = e0.filter(col("doc_id") =!= 2L).unionByName(e1)
+      val resolved = Snapshot.postings(finalDocs).persist()
+      val docsSchema = e0.schema
+      val docsFor: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+        ids => Events.tombstoneResolvedRows(spark,
+          Events.prunedChainRows(spark, corpus, 1L,
+            Events.collectBuckets(ids, col("doc_id")), Some(docsSchema)),
+          tomb, upTo = Some(1L))
+          .join(ids, Seq("doc_id"), "left_semi")
+      val seeds = Seq(7L).toDF("doc_id")
+      val (cMem, eMem) = Snapshot.pairGraphClosure(seeds, resolved)
+      val stored = new Events.StoredPostingsProbe(spark, docsFor, bySh, tomb, 1L,
+        resolved.schema)
+      val (cSt, eSt) = Snapshot.pairGraphClosure(seeds, stored, 25)
+      val memSet = cMem.collect().map(_.getLong(0)).toSet
+      val stSet = cSt.collect().map(_.getLong(0)).toSet
+      // the component: 7 → its near-dup mates 1 and 2 — 2 ONLY because
+      // the tombstone retired its stale epoch-0 postings
+      assert(memSet == Set(1L, 2L, 7L), s"in-memory closure wrong: $memSet")
+      assert(stSet == memSet, s"stored probe diverged: $stSet vs $memSet")
+      val memEdges = eMem.flatMap(_.collect()).map(r => (r.getLong(0), r.getLong(1))).toSet
+      val stEdges = eSt.flatMap(_.collect()).map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(stEdges == memEdges, s"edge sets diverged: $stEdges vs $memEdges")
+      ((cMem +: eMem) ++ (cSt +: eSt)).foreach(graft.operators.Corpus.releaseCheckpoint)
+      stored.release()
+      // (B) poison every bucket a {7}-frontier probe does not need; the
+      // pruned reads must succeed, an unpruned control read must not
+      val needDoc = Seq(7L).toDF("doc_id")
+        .select(Events.chainBucket(col("doc_id")).as("b")).collect().map(_.getInt(0)).toSet
+      val needSh = resolved.filter(col("doc_id") === 7L)
+        .select(Events.chainBucket(col("s")).as("b")).distinct().collect().map(_.getInt(0)).toSet
+      def poison(store: String, keep: Set[Int]): Unit =
+        new java.io.File(store).listFiles().filter(_.getName.startsWith("batch="))
+          .flatMap(_.listFiles()).filter(d => d.getName.startsWith("bucket=") &&
+            !keep.contains(d.getName.stripPrefix("bucket=").toInt))
+          .foreach(d => java.nio.file.Files.write(
+            d.toPath.resolve("part-poison.parquet"), "NOT PARQUET".getBytes))
+      poison(corpus, needDoc); poison(bySh, needSh)
+      val probe2 = new Events.StoredPostingsProbe(spark, docsFor, bySh, tomb, 1L,
+        resolved.schema)
+      val fp = probe2.forDocs(Seq(7L).toDF("doc_id")).persist()
+      assert(fp.select(col("doc_id")).distinct().collect().map(_.getLong(0)).toSeq == Seq(7L))
+      assert(probe2.forShinglesOf(fp).collect().nonEmpty) // reads only needed buckets
+      fp.unpersist(blocking = false)
+      probe2.release()
+      intercept[Throwable] {
+        spark.read.schema(docsSchema).parquet(corpus).collect()
+      }
+      resolved.unpersist(blocking = false)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   test("prefix-bounded compaction leaves in-flight deltas and preserves the bucket layout") {
     // the in-stream compaction ingestNearDup schedules: `upTo` folds
     // only epochs ≤ the bound (a crash-replay of the in-flight epoch
