@@ -2003,8 +2003,9 @@ object Events {
     * [[compactTombstonedChains]] — see its doc for the failure mode.
     */
   def compactTombstonedChain(spark: SparkSession, dir: String, tombstoneDir: String,
-                             keyCol: String = "doc_id"): Unit =
-    compactTombstonedChains(spark, Seq(dir), tombstoneDir, keyCol)
+                             keyCol: String = "doc_id",
+                             partitionCols: Seq[String] = Nil): Unit =
+    compactTombstonedChains(spark, Seq(dir), tombstoneDir, keyCol, _ => partitionCols)
 
   /** The multi-chain form of [[compactTombstonedChain]] — and the ONLY
     * correct call for a store where SEVERAL data chains resolve against
@@ -2019,7 +2020,8 @@ object Events {
     * a lagging chain's unconsumed tombstones survive verbatim.
     */
   def compactTombstonedChains(spark: SparkSession, dirs: Seq[String], tombstoneDir: String,
-                              keyCol: String = "doc_id"): Unit = {
+                              keyCol: String = "doc_id",
+                              partitionColsFor: String => Seq[String] = _ => Nil): Unit = {
     val maxEpochs = dirs.flatMap { dir =>
       val sinkPath = java.nio.file.Paths.get(dir)
       recoverInterruptedCompaction(sinkPath)
@@ -2027,8 +2029,14 @@ object Events {
       if (rows.isEmpty) None
       else {
         val maxEpoch = rows.agg(max(col("batch"))).head().getAs[Number](0).longValue()
+        // `partitionColsFor` names each chain's bucket layout (e.g. the
+        // corpus chain's doc bucket vs the postings chain's shingle
+        // bucket): compacting a bucketed chain WITHOUT it silently
+        // flattens the dirs into plain columns — probes keep working as
+        // row filters but lose the file skipping the layout exists for
         swapCompactedSnapshot(sinkPath,
-          tombstoneResolved(spark, dir, tombstoneDir, keyCol), maxEpoch)
+          tombstoneResolved(spark, dir, tombstoneDir, keyCol), maxEpoch,
+          partitionColsFor(dir))
         Some(maxEpoch)
       }
     }

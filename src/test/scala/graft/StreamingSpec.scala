@@ -445,6 +445,53 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("tombstoned compaction preserves a bucketed chain's layout (partitionColsFor)") {
+    // the incremental-clean store's chains are bucketed; compacting one
+    // without naming its layout silently flattens the bucket dirs into
+    // plain columns — row filters keep working, FILE skipping is lost.
+    // Pin: resolution unchanged, bucket dirs survive the swap, and the
+    // pruned probe still skips a poisoned non-matching bucket.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_tombbucket")
+    try {
+      val chain = s"$dir/chain"; val tomb = s"$dir/tombstones"
+      def delta(rows: Seq[(Long, String, Int)], e: Int): Unit =
+        rows.toDF("doc_id", "payload", "bucket")
+          .write.partitionBy("bucket").parquet(s"$chain/batch=$e")
+      delta(Seq((1L, "a0", 0), (2L, "b0-stale", 1)), 0)
+      delta(Seq((2L, "b1", 1), (3L, "c1", 0)), 1) // re-delivers doc 2
+      Seq(2L).toDF("doc_id").write.parquet(s"$tomb/batch=1")
+      def resolved() = Events.tombstoneResolved(spark, chain, tomb)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+      val want = Set((1L, "a0", 0), (2L, "b1", 1), (3L, "c1", 0))
+      assert(resolved() == want, "staging wrong")
+      Events.compactTombstonedChain(spark, chain, tomb,
+        partitionCols = Seq("bucket"))
+      assert(resolved() == want, "compaction changed the resolved relation")
+      val root = new java.io.File(chain)
+      val batchDirs = root.listFiles().filter(_.getName.startsWith("batch=")).map(_.getName).toSet
+      assert(batchDirs == Set("batch=1"), s"chain not compacted: $batchDirs")
+      assert(new java.io.File(root, "batch=1").listFiles()
+        .filter(_.isDirectory).map(_.getName).toSet == Set("bucket=0", "bucket=1"),
+        "compacted base lost its bucket layout")
+      // tombstones consumed
+      assert(!new java.io.File(tomb, "batch=1").exists())
+      // file skipping still real: poison bucket 1, read bucket 0 only
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$chain/batch=1/bucket=1/poison.parquet"),
+        "NOT PARQUET".getBytes)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("payload", org.apache.spark.sql.types.StringType)))
+      val got = Events.prunedChainScan(spark, chain, 1L, Seq(0), Some(schema))
+        .collect().map(_.getLong(0)).toSet
+      assert(got == Set(1L, 3L))
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   test("prefix-bounded compaction leaves in-flight deltas and preserves the bucket layout") {
     // the in-stream compaction ingestNearDup schedules: `upTo` folds
     // only epochs ≤ the bound (a crash-replay of the in-flight epoch
