@@ -418,6 +418,51 @@ object Training {
     * family applies at 100 TB if boilerplate shingles get hot; off here
     * because the exact oracle needs the uncapped join.
     */
+  /** SEMANTIC decontamination — the FOURTH family member, over
+    * EMBEDDINGS instead of shingles: flag train docs whose embedding is
+    * cosine-≥`threshold` to ANY test-split doc's embedding. This is the
+    * contamination the n-gram family structurally misses — a PARAPHRASED
+    * eval example shares meaning, not 5-grams (the embedding-similarity
+    * decontam check of the GPT-3/Llama eval-hygiene lineage). Same
+    * bounded-side shape as [[decontamFuzzy]]: the test split is small by
+    * construction (~10%) and here additionally (test_id, vec) rows —
+    * eager-checkpointed and broadcast — while the train side streams
+    * map-only out of its own scan, scored by the native codegen'd
+    * [[graft.functions.CosineSim]] (same accumulation order as DuckDB's
+    * list_cosine_similarity, so the oracle hash-matches exactly). Only
+    * docs WITH embeddings participate (the corpus↔embedding join is the
+    * doc_id = vec_id key); threshold 0.4 on this synthetic corpus (its
+    * max cross-split cosine is ≈0.51 — real pipelines run ~0.9+ on
+    * real encoders). Per contaminated train doc: how many test docs it
+    * semantically collides with and the worst cosine — the relation a
+    * pipeline subtracts (or audits) before training.
+    */
+  def decontamSemantic(spark: SparkSession, d: String,
+                       threshold: Double = 0.4): DataFrame = {
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val emb = Tables.embeddings(spark, d)
+      .select(col("vec_id").as("doc_id"),
+        col("embedding").cast(ArrayType(DoubleType)).as("v"))
+    val withSplit = Tables.documents(spark, d)
+      .select(col("doc_id"),
+        Corpus.splitOfBucket(Corpus.splitBucket(col("text"))).as("split"))
+      .join(emb, "doc_id")
+    // spread: the broadcast nested-loop scores |train|·|test| pairs in
+    // the probe-side tasks (embeddingPairs' note)
+    val train = Tables.spread(withSplit.filter(col("split") === "train"))
+      .select(col("doc_id"), col("v"))
+    val test = withSplit.filter(col("split") === "test")
+      .select(col("doc_id").as("test_id"), col("v").as("vt"))
+      .localCheckpoint(true)
+    train.crossJoin(broadcast(test))
+      .select(col("doc_id"),
+        round(graft.functions.CosineSim.cosineSim(col("v"), col("vt")), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_test_hits"), max(col("cos_sim")).as("max_cos"))
+      .orderBy(col("doc_id"))
+  }
+
   def decontamFuzzy(docs: DataFrame, threshold: Double = 0.8, n: Int = 5): DataFrame = {
     val tr = splitShingled(docs, n).filter(col("split") === "train")
       .select(col("doc_id"), size(col("shingles")).as("n1"), explode(col("shingles")).as("s"))
@@ -769,6 +814,7 @@ object Training {
     "decontam_ngram" -> ((s, d) => decontamNgram(Tables.documents(s, d))),
     "decontam_bloom" -> ((s, d) => decontamBloom(Tables.documents(s, d))),
     "decontam_fuzzy" -> ((s, d) => decontamFuzzy(Tables.documents(s, d))),
+    "decontam_semantic" -> ((s, d) => decontamSemantic(s, d)),
     "tfidf_topterms" -> ((s, d) => tfidfTopTerms(Tables.documents(s, d))),
     "pack_sequences" -> ((s, d) => packSequences(Tables.documents(s, d))),
     "pack_sequences_bestfit" -> ((s, d) => packSequencesBestFit(Tables.documents(s, d))),
@@ -936,6 +982,20 @@ object Training {
          | max(round(inter * 1.0 / (n1 + n2 - inter), 6)) AS max_jaccard
          |FROM p WHERE inter * 1.0 / (n1 + n2 - inter) >= CAST(0.8 AS DOUBLE)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "decontam_semantic" ->
+      """WITH sp AS (SELECT doc_id,
+        |  CASE WHEN substr(md5(text), 1, 2) < 'cd' THEN 'train'
+        |       WHEN substr(md5(text), 1, 2) < 'e6' THEN 'validation'
+        |       ELSE 'test' END AS split FROM documents),
+        |e AS (SELECT vec_id AS doc_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |tr AS (SELECT sp.doc_id, v FROM sp JOIN e USING (doc_id) WHERE split = 'train'),
+        |te AS (SELECT sp.doc_id AS test_id, v AS vt FROM sp JOIN e USING (doc_id) WHERE split = 'test'),
+        |hits AS (SELECT tr.doc_id,
+        |   round(list_cosine_similarity(tr.v, te.vt), 6) AS cos_sim
+        |  FROM tr CROSS JOIN te)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_test_hits, max(cos_sim) AS max_cos
+        |FROM hits WHERE cos_sim >= CAST(0.4 AS DOUBLE)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "decontam_ngram" ->
       s"""WITH $decontamCtes,
          |tr AS (SELECT doc_id, s FROM ex WHERE split = 'train'),

@@ -320,6 +320,7 @@ class PlanSpec extends AnyFunSuite {
     // crossing is a regression
     val allowedCross = Set("dedup_embedding", "ann_brute_topk", "ann_pq_topk",
       "ann_pca_topk", // broadcast query set over the projected corpus (brute-style)
+      "decontam_semantic", // bounded test-split embeddings broadcast-crossed (family shape)
       "tfidf_topterms", "mj_partition_hash", "corpus_mix",
       "corpus_mix_temperature", // 1-row n_min broadcast (same shape as corpus_mix's T)
       "corpus_mix_tokens", // 1-row token-total T broadcast (same shape)
