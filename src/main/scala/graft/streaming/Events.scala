@@ -1584,8 +1584,14 @@ object Events {
               graft.GraftSession.registerFunctions(bss)
               val arrived = batch.persist()
               try {
+                // gate on COMMITTED stored state, not `epoch == 0` (the
+                // ingestNearDup ADVICE-r10 rule): a reused streaming
+                // checkpoint over a recreated store starts at epoch > 0
+                // with no centroids — train on the first batch actually
+                // PROCESSED, which is what "first arrival" means there
                 val centroids =
-                  if (epoch == 0L) {
+                  if (!new java.io.File(s"$centroidsDir/_SUCCESS").exists ||
+                      epoch == 0L) {
                     val c = Similarity.ivfTrain(arrived.orderBy(col("vec_id")))
                     c.zipWithIndex.map { case (v, i) => (i, v.toSeq) }.toSeq
                       .toDF("cell", "centroid")
@@ -1708,8 +1714,11 @@ object Events {
               val feats = Classifier.featurized(
                 batch.select(col("doc_id"), col("text"))).persist()
               try {
+                // committed-state gate, not `epoch == 0` — see
+                // ingestAnnIvf's note (reused-checkpoint starts)
                 val model =
-                  if (epoch == 0L) {
+                  if (!new java.io.File(s"$modelDir/_SUCCESS").exists ||
+                      epoch == 0L) {
                     val m = Classifier.fit(feats)
                     m.w.zipWithIndex.collect { case (v, i) if v != 0.0 => (i, v) }
                       .toSeq.toDF("idx", "weight")

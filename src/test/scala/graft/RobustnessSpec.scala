@@ -199,6 +199,35 @@ class RobustnessSpec extends AnyFunSuite {
     }
   }
 
+  test("classifier ingest survives a tiny single-class bootstrap") {
+    // 6 docs, none with a repeated 'spark' → ALL labels negative: the
+    // logistic trainer must converge to the majority predictor without
+    // NaN/Inf (full-batch GD on a constant label is a pure bias fit)
+    // and still score the late arrival with probabilities in [0,1]
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_classify_robust")
+    try {
+      val stage = s"$dir/stage"
+      ((Seq(1L, 2L, 3L, 4L, 6L) :+ 5L).map(i =>
+        (i, s"plain filler words number $i nothing repeated here")))
+        .toDF("doc_id", "text")
+        .coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath, dir.resolve("documents.parquet"))
+      val got = graft.streaming.Events.ingestClassify(spark, dir.toString)
+        .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getDouble(3), r.getBoolean(4)))
+      assert(got.length == 6, s"a doc lost its score row: ${got.toSeq}")
+      assert(got.forall(r => !r._2 && !r._4), s"spurious positive: ${got.toSeq}")
+      assert(got.forall(r => r._3 >= 0.0 && r._3 <= 1.0 && !r._3.isNaN),
+        s"probability out of range: ${got.toSeq}")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   test("ANN ingest trains what the tiny first arrival affords (fewer vectors than cells)") {
     // kmeansLite documents that a sample smaller than nCells trains that
     // many cells and callers must size off the RETURNED length — pin
