@@ -212,6 +212,15 @@ object Bench {
     catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"BENCH_LOCAL.json write failed: ${e.getMessage}")
     }
+    // VERDICT r11 #3: the driver preserves only the TAIL of stdout, and
+    // even with small-maps-last ordering the single big record can push
+    // the canary + part of the query map past the cut on a 100+-query
+    // suite. Emit a SECOND, compact line as the very last stdout output —
+    // canary median plus the canary-normalized per-query medians only
+    // (~3 KB) — so the preserved tail always parses to the full map with
+    // its normalizer, making round-over-round comparison drift-proof
+    // regardless of where the truncation lands in the big record.
+    println(s"""{"tail":"compact","canary_median":${fmt(canaryMedian)},"latency_canary_median":${fmt(latencyMedian)},"normalized":$normJson}""")
     spark.stop()
     // A failed query must fail the bench loudly, not record a ~0s success.
     if (errors.nonEmpty) { System.err.println(errors.mkString("\n")); sys.exit(1) }

@@ -1907,6 +1907,23 @@ object Events {
       .select(keyCols.map(col) ++ valueCols.map(c => col(s"v.$c").as(c)): _*)
   }
 
+  /** Sub-partition columns a `batch=e/<col>=v` delta chain was written
+    * under, detected from the chain's own directory layout (first level
+    * inside each `batch=` dir; the chains in this file nest exactly one
+    * sub-partition level). The compaction entry points fall back to this
+    * when the caller names no layout, so a default-arg maintenance
+    * compaction of a bucketed store can never silently flatten the
+    * layout its probes' explicit-schema reads depend on (ADVICE r11).
+    */
+  private[graft] def detectChainPartitionCols(dir: String): Seq[String] = {
+    val root = new java.io.File(dir)
+    Option(root.listFiles()).getOrElse(Array.empty[java.io.File]).toSeq
+      .filter(f => f.isDirectory && f.getName.startsWith("batch="))
+      .flatMap(b => Option(b.listFiles()).getOrElse(Array.empty[java.io.File]).toSeq)
+      .filter(f => f.isDirectory && f.getName.contains("="))
+      .map(_.getName.takeWhile(_ != '=')).distinct
+  }
+
   def compactDeltaChain(spark: SparkSession, sink: String, keyCols: Seq[String]): Unit =
     compactDeltaChain(spark, sink, keyCols, None, Nil)
 
@@ -1938,7 +1955,11 @@ object Events {
     // partition discovery types `batch` as int or long depending on the
     // epoch values present — accept either
     val maxEpoch = all.agg(max(col("batch"))).head().getAs[Number](0).longValue()
-    swapCompactedSnapshot(sinkPath, resolveLww(all, keyCols), maxEpoch, partitionCols)
+    // layout preservation is not optional on a bucketed chain (see
+    // detectChainPartitionCols) — detect when the caller named nothing
+    val pcols =
+      if (partitionCols.nonEmpty) partitionCols else detectChainPartitionCols(sink)
+    swapCompactedSnapshot(sinkPath, resolveLww(all, keyCols), maxEpoch, pcols)
   }
 
   /** The crash-safe snapshot swap shared by [[compactDeltaChain]] and
@@ -2040,12 +2061,21 @@ object Events {
         val maxEpoch = rows.agg(max(col("batch"))).head().getAs[Number](0).longValue()
         // `partitionColsFor` names each chain's bucket layout (e.g. the
         // corpus chain's doc bucket vs the postings chain's shingle
-        // bucket): compacting a bucketed chain WITHOUT it silently
-        // flattens the dirs into plain columns — probes keep working as
-        // row filters but lose the file skipping the layout exists for
+        // bucket). Compacting a bucketed chain WITHOUT it would not just
+        // lose file skipping — it BREAKS the production probes: the
+        // flattened base stores `bucket` as a plain data column, and
+        // prunedChainRows/prunedChainScan read with an explicit
+        // dataSchema that excludes it, so col("bucket") no longer
+        // resolves and the probe's next read throws (ADVICE r11). Safe
+        // by construction: when the caller names nothing, detect the
+        // layout from the chain's own delta dirs and preserve it.
+        val pcols = {
+          val named = partitionColsFor(dir)
+          if (named.nonEmpty) named else detectChainPartitionCols(dir)
+        }
         swapCompactedSnapshot(sinkPath,
           tombstoneResolved(spark, dir, tombstoneDir, keyCol), maxEpoch,
-          partitionColsFor(dir))
+          pcols)
         Some(maxEpoch)
       }
     }

@@ -485,6 +485,26 @@ class StreamingSpec extends AnyFunSuite {
       val got = Events.prunedChainScan(spark, chain, 1L, Seq(0), Some(schema))
         .collect().map(_.getLong(0)).toSet
       assert(got == Set(1L, 3L))
+      // ADVICE r11: a DEFAULT-ARG maintenance compaction (caller names no
+      // layout) must auto-detect and preserve the bucket dirs — a
+      // flattened base would make the production probes' explicit-schema
+      // col("bucket") filter fail to resolve, crashing the loop's next
+      // epoch, not merely losing file skipping. Stage a fresh delta so
+      // the compactor has work, then compact with NO partitionCols.
+      java.nio.file.Files.delete(java.nio.file.Paths.get(s"$chain/batch=1/bucket=1/poison.parquet"))
+      delta(Seq((4L, "d2", 1)), 2)
+      Events.compactTombstonedChain(spark, chain, tomb)
+      val want2 = want + ((4L, "d2", 1))
+      assert(resolved() == want2, "default-arg compaction changed the resolved relation")
+      assert(new java.io.File(root, "batch=2").listFiles()
+        .filter(_.isDirectory).map(_.getName).toSet == Set("bucket=0", "bucket=1"),
+        "default-arg compaction flattened the auto-detectable bucket layout")
+      // and the explicit-schema pruned probe still RESOLVES and skips
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$chain/batch=2/bucket=1/poison.parquet"),
+        "NOT PARQUET".getBytes)
+      val got2 = Events.prunedChainScan(spark, chain, 2L, Seq(0), Some(schema))
+        .collect().map(_.getLong(0)).toSet
+      assert(got2 == Set(1L, 3L))
     } finally {
       import scala.jdk.CollectionConverters._
       java.nio.file.Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
