@@ -849,12 +849,28 @@ object Events {
     *    the rows the update recomputed (the blast radius —
     *    [[graft.operators.Snapshot.incrementalLedgerDeltaFromStoredState]]);
     *    carried docs keep their last-written row, and readers resolve
-    *    last-write-wins per doc_id (`max_by` on the epoch, one
-    *    partial-agg'd shuffle of scalar rows — the
-    *    [[ingestDedupToFiles]] changelog recipe). NO corpus-width write
-    *    survives anywhere in the loop; a removal-bearing source would
-    *    additionally retract removed ids (absent here — arrivals only
-    *    add or re-deliver).
+    *    the LAYERED changelog read: removal tombstones decide liveness
+    *    first (a removed doc writes no new ledger row, so its old rows
+    *    must die by tombstone — LWW alone would resurface them, the
+    *    caller contract `incrementalLedgerDeltaFromStoredState`
+    *    documents), then last-write-wins per doc_id among the
+    *    survivors (`max_by` on the epoch, one partial-agg'd shuffle of
+    *    scalar rows — the [[ingestDedupToFiles]] changelog recipe). NO
+    *    corpus-width write survives anywhere in the loop.
+    *
+    * REMOVALS are first-class arrivals: a row with `text IS NULL` is
+    * the crawler's delete signal (a tombstone-only delta — no state
+    * rows are written for it anywhere). The epoch tombstones the
+    * removed ids across ALL FOUR chains at once (corpus text, postings,
+    * manifest, ledger — one shared tombstone dir, one write), which (a)
+    * drops them from the next-manifest view, so the generic manifest
+    * diff classifies them `removed` and the update recomputes exactly
+    * their blast radius — prior cluster MATES whose canonical member or
+    * quality verdict the removal may flip back — and (b) retracts their
+    * ledger rows without a retraction row (absent-means-dead is what
+    * the tombstone chain encodes; compaction consumes it). Adds and
+    * removals of the SAME doc in one batch are contract-disallowed
+    * (the add's epoch-e rows would survive an epoch-e tombstone).
     *
     * The ledger update probes the STORED postings chains each BFS round
     * (a broadcast-hash probe of the frontier against a bucket-pruned
@@ -886,21 +902,28 @@ object Events {
     * rewrites its deltas idempotently (exactly-once under the standard
     * foreachBatch retry semantics).
     *
-    * The two-arrival staging exercises both incremental paths under the
-    * full-recompute oracle: arrival 1 carries doc_id % 5 ≠ 0 PLUS a
-    * deliberately STALE draft of every doc_id % 10 = 0 doc; arrival 2
-    * re-delivers those docs' true text (→ `changed`, exercising the
-    * tombstone resolution on all three chains) alongside the remaining
-    * adds — so the final corpus equals `documents` exactly and the
-    * result must equal `pipe_clean_corpus` over it (same oracle SQL,
-    * the strongest check an incremental operator can have). Stale text
-    * surviving ANY chain — corpus, postings, manifest — would shift
-    * hashes, quality scores or phantom pair-graph edges and
-    * hash-mismatch that oracle. `epochProbe` receives (epoch, batch
-    * rows) per batch for the spec; `ledgerDeltaProbe` receives (epoch,
-    * ledger delta rows) — the counter that PROVES the per-epoch ledger
-    * write is blast-radius-sized, not corpus-sized (and that a
-    * deployment monitors as its per-batch write amplification).
+    * The three-arrival staging exercises every incremental path under
+    * the full-recompute oracle: arrival 1 carries doc_id % 5 ≠ 0 PLUS a
+    * deliberately STALE draft of every doc_id % 10 = 0 doc PLUS a
+    * negative-id SHADOW copy of every doc_id % 20 = 3 doc (same text,
+    * doc_id = -(id+1) — being the smallest id in its cluster, the
+    * shadow USURPS the canonical slot and demotes the original out of
+    * the kept set); arrival 2 re-delivers the stale docs' true text
+    * (→ `changed`, exercising the tombstone resolution on all three
+    * corpus-derived chains) alongside the remaining adds; arrival 3
+    * RETRACTS the shadows (tombstone-only rows, text NULL) — the
+    * update must classify them `removed`, recompute their demoted
+    * mates, and RESTORE the originals as canonical. The final corpus
+    * therefore equals `documents` exactly and the result must equal
+    * `pipe_clean_corpus` over it (same oracle SQL, the strongest check
+    * an incremental operator can have): stale text surviving any chain,
+    * a shadow surviving retraction, OR a demoted original that the
+    * removal failed to restore all hash-mismatch that oracle.
+    * `epochProbe` receives (epoch, batch rows) per batch for the spec;
+    * `ledgerDeltaProbe` receives (epoch, ledger delta rows) — the
+    * counter that PROVES the per-epoch ledger write is
+    * blast-radius-sized, not corpus-sized (and that a deployment
+    * monitors as its per-batch write amplification).
     */
   def streamIncrementalClean(spark: SparkSession, sfDir: String,
                              statePartitions: Option[Int] = Some(4),
@@ -937,18 +960,29 @@ object Events {
           def liveChain(bss: SparkSession, dir: String,
                         upTo: Option[Long] = None): DataFrame =
             tombstoneResolved(bss, dir, tombstoneDir, upTo = upTo)
-          // the ledger chain's reader: last-write-wins per doc_id over
-          // the per-epoch recompute deltas (re-delivered docs are always
-          // in their epoch's closure, so LWW subsumes tombstones here;
-          // removals would need explicit retractions — see the doc).
+          // the ledger chain's reader: the LAYERED changelog resolution
+          // — removal tombstones kill a retracted doc's rows first (it
+          // writes no new row, so LWW alone would resurface it), then
+          // last-write-wins per doc_id among the survivors. For
+          // re-delivered docs the tombstone leg is a no-op (their
+          // recomputed row lands AT the tombstone's epoch and wins
+          // either way), so one reader serves both arrival kinds.
           def ledgerView(ss2: SparkSession, upTo: Long): DataFrame =
-            resolveLww(ss2.read.parquet(ledgerDir)
-              .filter(col("batch") <= lit(upTo)), Seq("doc_id"))
+            resolveLww(
+              tombstoneResolvedRows(ss2,
+                ss2.read.parquet(ledgerDir).filter(col("batch") <= lit(upTo)),
+                tombstoneDir, upTo = Some(upTo), keepEpoch = true),
+              Seq("doc_id"))
           val outerLap = graft.operators.Snapshot.incrLap()
           val docs = ss.read.parquet(staged.toString)
           val stale = docs.filter(col("doc_id") % 10 === 0)
             .withColumn("text", concat(col("text"), lit(" [stale draft]")))
+          // negative-id shadow copies: removed again in arrival 3 — the
+          // retraction leg's staging (see the query doc)
+          val shadows = docs.filter(col("doc_id") % 20 === 3)
+            .withColumn("doc_id", -(col("doc_id") + lit(1L)))
           docs.filter(col("doc_id") % 5 =!= 0).unionByName(stale)
+            .unionByName(shadows)
             .write.mode("append").parquet(src.toString)
           outerLap("stage arrival 1")
           val stream = ss.readStream.schema(rawSchema(ss, sfDir, "documents"))
@@ -960,18 +994,28 @@ object Events {
               val bss = batch.sparkSession
               graft.GraftSession.registerFunctions(bss)
               val lap = Snapshot.incrLap()
-              // 1. land the arrival (idempotent per-epoch overwrite),
-              // doc-bucketed so the recompute's corpus read can prune
-              // to the closure's blast-radius buckets
+              // removals are tombstone-only arrivals (text IS NULL):
+              // they land in NO state chain — only the shared tombstone
+              // write below (and the manifest-diff machinery does the
+              // rest). Adds/re-deliveries carry text.
+              val removals = batch.filter(col("text").isNull)
+                .select(col("doc_id"))
+              val adds = batch.filter(col("text").isNotNull)
+              // 1. land the arrival's ADDS (idempotent per-epoch
+              // overwrite), doc-bucketed so the recompute's corpus read
+              // can prune to the closure's blast-radius buckets
               // repartition BY the bucket column first: every bucket
               // lands wholly in one task, so each epoch writes exactly
               // one file per touched bucket instead of tasks × buckets
               // small files (the compaction-friendly delta shape)
-              batch.withColumn("bucket", chainBucket(col("doc_id")))
+              adds.withColumn("bucket", chainBucket(col("doc_id")))
                 .repartition(col("bucket"))
                 .write.partitionBy("bucket").mode("overwrite")
                 .parquet(s"$corpusDir/batch=$epoch")
-              val arrived = bss.read.parquet(s"$corpusDir/batch=$epoch").drop("bucket")
+              // explicit schema: a removal-only epoch's dir is EMPTY,
+              // and schema inference over an empty parquet dir throws
+              val arrived = bss.read.schema(rawSchema(bss, sfDir, "documents"))
+                .parquet(s"$corpusDir/batch=$epoch").drop("bucket")
               lap(s"epoch $epoch: land arrival")
               // 2. prior committed state: the ledger chain's LWW
               // resolution and the manifest chain, both up to the last
@@ -999,11 +1043,15 @@ object Events {
               }
               try {
                 // 3. O(|batch|) state deltas — the only text hashed or
-                // shingled this epoch is the batch's own
+                // shingled this epoch is the batch's own. Tombstones =
+                // re-delivered ids (already in the prior manifest) ∪
+                // REMOVED ids (the arrival's text-null rows): one write
+                // retracts a removed doc from all four chains at once.
                 val batchManifest = Snapshot.manifest(arrived)
                 priorManifest
                   .join(batchManifest.select(col("doc_id")), Seq("doc_id"), "left_semi")
                   .select(col("doc_id"))
+                  .unionByName(removals)
                   .write.mode("overwrite").parquet(s"$tombstoneDir/batch=$epoch")
                 lap(s"epoch $epoch: tombstones (incl. prior-state resolve)")
                 Snapshot.postings(arrived)
@@ -1090,8 +1138,11 @@ object Events {
                 bootCkpts.foreach(graft.operators.Corpus.releaseCheckpoint)
               }
               epochProbe.foreach(_ += ((epoch, batch.count())))
+              // explicit schema: a removal epoch whose blast radius is
+              // empty (isolated docs) writes a zero-file delta dir
               ledgerDeltaProbe.foreach(_ +=
-                ((epoch, bss.read.parquet(s"$ledgerDir/batch=$epoch").count())))
+                ((epoch, bss.read.schema(prior.schema)
+                  .parquet(s"$ledgerDir/batch=$epoch").count())))
             }
             .start()
           try {
@@ -1100,6 +1151,14 @@ object Events {
             docs.filter(col("doc_id") % 5 === 0).write.mode("append").parquet(src.toString)
             q.processAllAvailable()
             outerLap("stage + micro-batch pass 2 (incremental epoch)")
+            // arrival 3: RETRACT the shadows — tombstone-only rows (text
+            // NULL), the crawler-delete signal. The epoch must restore
+            // the originals the shadows demoted; after it the corpus
+            // equals `documents` exactly.
+            shadows.withColumn("text", lit(null).cast("string"))
+              .write.mode("append").parquet(src.toString)
+            q.processAllAvailable()
+            outerLap("stage + micro-batch pass 3 (removal epoch)")
           } finally { dumpProgress("graft_iclean", q); q.stop() }
           // consumer view: the resolved ledger chain's kept rows — the
           // same filter incrementalCleanFromState applies
@@ -1243,11 +1302,28 @@ object Events {
     * ingestion viable at 100 TB (the batch `dedup_minhash_lsh` rebuilds
     * all of it per run). The verdict write commits the epoch (last
     * write): a replayed batch reads prior verdicts from epochs strictly
-    * below itself and overwrites its own deltas idempotently. Arrivals
-    * are NEW docs by contract — upstream exact dedup ([[ingestDedup]])
-    * collapses re-deliveries; a re-delivering source would add
-    * [[streamIncrementalClean]]'s tombstone treatment to the
-    * bands/shingles chains.
+    * below itself and overwrites its own deltas idempotently. ADDED
+    * arrivals are NEW docs by contract — upstream exact dedup
+    * ([[ingestDedup]]) collapses re-deliveries; a re-delivering source
+    * would extend the tombstone treatment below to re-delivered ids.
+    *
+    * REMOVALS are first-class arrivals (text IS NULL — the upstream
+    * delete signal): the epoch writes the removed ids into a SHARED
+    * `tombstones/batch=e` chain that all three stores resolve against
+    * ([[tombstoneResolvedRows]] composes with the bucket pruning), so
+    * one write retracts the doc's band rows, shingle set and verdict
+    * rows at once — probes can never match a removed doc again, and
+    * the consumer's layered read (tombstones first, then LWW) drops it
+    * without a retraction row. The removal's BLAST RADIUS is the set
+    * of prior docs whose current partner was removed (min over a
+    * shrunken neighbor set can only move UP, so no other doc's verdict
+    * can change): each is re-verdicted from the stored index — its
+    * bands rebuilt from its STORED shingle set (fixed-hash perms make
+    * them identical to the original banding), probed bucket-pruned and
+    * tombstone-resolved, verified by exact Jaccard — an O(blast
+    * radius) recompute, no corpus rescan. Adding and removing the SAME
+    * doc in one batch is contract-disallowed (its epoch-e rows would
+    * survive an epoch-e tombstone).
     *
     * Determinism: the minhash perms are fixed hashes, so the converged
     * verdict equals [[graft.operators.Dedup.minhashNearDupVerdict]]
@@ -1277,10 +1353,31 @@ object Events {
           val bandsDir = s"$store/bands"
           val shinglesDir = s"$store/shingles"
           val verdictDir = s"$store/verdict"
-          // changelog reader: the shared LWW resolution, keyed by doc_id
-          def lww(chain: DataFrame): DataFrame = resolveLww(chain, Seq("doc_id"))
+          val tombstoneDir = s"$store/tombstones"
+          // the verdict chain's value schema — explicit-schema reads of
+          // a possibly-empty delta dir (a removal-only epoch with no
+          // blast radius writes zero files)
+          val verdictSchema = org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("doc_id", LongType),
+            org.apache.spark.sql.types.StructField("partner_id", LongType),
+            org.apache.spark.sql.types.StructField("jaccard",
+              org.apache.spark.sql.types.DoubleType)))
+          // changelog reader: removal tombstones decide liveness first
+          // (a removed doc writes no retraction row — absent-means-dead
+          // is the tombstone chain), then LWW per doc_id picks the
+          // newest surviving verdict
+          def lww(s2: SparkSession, chain: DataFrame): DataFrame =
+            resolveLww(tombstoneResolvedRows(s2, chain, tombstoneDir,
+              keepEpoch = true), Seq("doc_id"))
           val docs = ss.read.parquet(staged.toString)
-          docs.filter(col("doc_id") % 5 =!= 0).write.mode("append").parquet(src.toString)
+          // negative-id shadow copies of the %20==3 docs: being the
+          // smallest ids they become their originals' verdict partners,
+          // then arrival 3 RETRACTS them — the blast-radius recompute
+          // must restore each original's true (batch-twin) verdict
+          val shadows = docs.filter(col("doc_id") % 20 === 3)
+            .withColumn("doc_id", -(col("doc_id") + lit(1L)))
+          docs.filter(col("doc_id") % 5 =!= 0).unionByName(shadows)
+            .write.mode("append").parquet(src.toString)
           val stream = ss.readStream.schema(rawSchema(ss, sfDir, "documents")).parquet(src.toString)
           val q = stream.writeStream
             .outputMode(OutputMode.Append)
@@ -1293,8 +1390,28 @@ object Events {
               // stranded snapshot — repair before any chain read
               Seq(bandsDir, shinglesDir, verdictDir).foreach(d =>
                 recoverInterruptedCompaction(java.nio.file.Paths.get(d)))
-              val arrived = batch.select(col("doc_id"), col("text")).persist()
+              // removals (text IS NULL) vs adds — see the query doc
+              val removals = batch.filter(col("text").isNull)
+                .select(col("doc_id")).persist()
+              val arrived = batch.filter(col("text").isNotNull)
+                .select(col("doc_id"), col("text")).persist()
               try {
+                // the removal tombstone write: ONE delta retracts the
+                // removed docs from bands, shingles and verdict chains
+                // at once (idempotent per-epoch overwrite, like every
+                // other delta here)
+                removals.write.mode("overwrite")
+                  .parquet(s"$tombstoneDir/batch=$epoch")
+                val haveRemovals = !removals.isEmpty
+                // the probe read shape every index read below shares:
+                // bucket-pruned files, then tombstone-resolved rows
+                // (the two compose — tombstones are per-doc, buckets
+                // per-hash)
+                def prunedResolved(dir: String, buckets: Seq[Int],
+                                   schema: StructType): DataFrame =
+                  tombstoneResolvedRows(bss,
+                    prunedChainRows(bss, dir, epoch, buckets, Some(schema)),
+                    tombstoneDir, upTo = Some(epoch))
                 // O(|batch|) text work: shingle + sign + band ONLY the
                 // arrival, then append both state deltas — each stored
                 // HASH-BUCKETED (a `bucket` partition column) so probe
@@ -1310,6 +1427,7 @@ object Events {
                   // the 128-perm minhash over the batch
                   val batchBands = Dedup.bandRows(Dedup.minhashSignatures(batchSh))
                     .persist()
+                  val bandsSchema = batchBands.schema
                   batchBands.withColumn("bucket", chainBucket(col("band_hash")))
                     .repartition(col("bucket")) // one file per bucket per epoch
                     .write.partitionBy("bucket").mode("overwrite")
@@ -1324,8 +1442,7 @@ object Events {
                   // file-skipping an index lookup needs (the r10 weak:
                   // an unpruned probe re-read the whole chain per batch)
                   val batchBuckets = collectBuckets(batchBands, col("band_hash"))
-                  val allBands = prunedChainScan(bss, bandsDir, epoch, batchBuckets,
-                    Some(batchBands.schema))
+                  val allBands = prunedResolved(bandsDir, batchBuckets, bandsSchema)
                   val cand = // eager checkpoint: batchBands fully consumed after
                     try Dedup.nearDupCandidates(batchBands, allBands)
                       .localCheckpoint(true) // delta-sized; read 3× below
@@ -1340,8 +1457,7 @@ object Events {
                     val candIds = cand.select(col("a").as("doc_id"))
                       .union(cand.select(col("b").as("doc_id"))).distinct()
                     val candBuckets = collectBuckets(candIds, col("doc_id"))
-                    val shNeeded = prunedChainScan(bss, shinglesDir, epoch, candBuckets,
-                      Some(batchSh.schema))
+                    val shNeeded = prunedResolved(shinglesDir, candBuckets, batchSh.schema)
                       .join(candIds, Seq("doc_id"), "left_semi").persist()
                     val edges = Dedup.nearDupVerify(cand, shNeeded, threshold)
                     // per-doc best NEW neighbor this epoch (min over the
@@ -1356,63 +1472,135 @@ object Events {
                       // the probed index by now)
                       val batchVerdict = arrived.select(col("doc_id"))
                         .join(newBest, Seq("doc_id"), "left")
-                      // prior docs whose verdict this batch LOWERS.
-                      // Gate on COMMITTED prior state, not `epoch == 0`:
+                      // gate on COMMITTED prior state, not `epoch == 0`:
                       // a reused streaming checkpoint over a recreated
                       // store starts at epoch > 0 with an empty verdict
                       // dir, and an unconditional read would throw on
                       // the missing path (ADVICE r10)
+                      val committedPrior =
+                        committedEpochsBelow(verdictDir, epoch).nonEmpty
+                      def priorView(): DataFrame = lww(bss,
+                        bss.read.parquet(verdictDir)
+                          .filter(col("batch") < lit(epoch)))
+                      // prior docs whose verdict this batch's ADDS lower
                       val priorUpdates =
-                        if (committedEpochsBelow(verdictDir, epoch).isEmpty)
-                          batchVerdict.limit(0)
+                        if (!committedPrior) batchVerdict.limit(0)
                         else {
-                          val prior = lww(bss.read.parquet(verdictDir)
-                            .filter(col("batch") < lit(epoch)))
                           newBest
                             .join(arrived.select(col("doc_id")),
                               Seq("doc_id"), "left_anti")
-                            .join(prior.select(col("doc_id"),
+                            .join(priorView().select(col("doc_id"),
                               col("partner_id").as("old_partner")), Seq("doc_id"))
                             .filter(col("old_partner").isNull ||
                               col("partner_id") < col("old_partner"))
                             .select(col("doc_id"), col("partner_id"), col("jaccard"))
                         }
+                      // the REMOVAL blast radius: prior docs whose
+                      // current partner was removed this epoch — each
+                      // re-verdicted against the stored index (bands
+                      // rebuilt from its stored shingle set, probed
+                      // tombstone-resolved so removed docs can't
+                      // match). Eagerly checkpointed: its delta-sized
+                      // inputs are released before the write consumes
+                      // it. Docs removed THIS epoch are excluded — the
+                      // tombstone is their retraction.
+                      val removalUpdates: Option[DataFrame] =
+                        if (!haveRemovals || !committedPrior) None
+                        else {
+                          val affected = priorView()
+                            .join(removals.select(col("doc_id").as("partner_id")),
+                              Seq("partner_id"), "left_semi")
+                            .join(removals, Seq("doc_id"), "left_anti")
+                            .select(col("doc_id")).localCheckpoint(true)
+                          try {
+                            val affSh = prunedResolved(shinglesDir,
+                              collectBuckets(affected, col("doc_id")), batchSh.schema)
+                              .join(affected, Seq("doc_id"), "left_semi").persist()
+                            try {
+                              val affBands = Dedup.bandRows(
+                                Dedup.minhashSignatures(affSh)).persist()
+                              try {
+                                val idxBands = prunedResolved(bandsDir,
+                                  collectBuckets(affBands, col("band_hash")), bandsSchema)
+                                val cand2 = Dedup.nearDupCandidates(affBands, idxBands)
+                                  .localCheckpoint(true)
+                                try {
+                                  val candIds2 = cand2.select(col("a").as("doc_id"))
+                                    .union(cand2.select(col("b").as("doc_id"))).distinct()
+                                  val sh2 = prunedResolved(shinglesDir,
+                                    collectBuckets(candIds2, col("doc_id")), batchSh.schema)
+                                    .join(candIds2, Seq("doc_id"), "left_semi")
+                                  val best2 = Dedup.nearDupVerify(cand2, sh2, threshold)
+                                    .groupBy(col("b").as("doc_id"))
+                                    .agg(min(col("a")).as("partner_id"),
+                                      min_by(col("jaccard"), col("a")).as("jaccard"))
+                                  // restrict to the affected docs: a pair
+                                  // whose larger side is NOT affected
+                                  // carries no verdict change (its min
+                                  // partner survived the removal)
+                                  Some(affected.join(best2, Seq("doc_id"), "left")
+                                    .select(col("doc_id"), col("partner_id"),
+                                      col("jaccard"))
+                                    .localCheckpoint(true))
+                                } finally graft.operators.Corpus.releaseCheckpoint(cand2)
+                              } finally affBands.unpersist(blocking = false)
+                            } finally affSh.unpersist(blocking = false)
+                          } finally graft.operators.Corpus.releaseCheckpoint(affected)
+                        }
                       // the verdict delta commits the epoch (last write)
-                      batchVerdict.unionByName(priorUpdates)
+                      try removalUpdates
+                        .fold(batchVerdict.unionByName(priorUpdates))(
+                          batchVerdict.unionByName(priorUpdates).unionByName(_))
                         .write.mode("overwrite").parquet(s"$verdictDir/batch=$epoch")
+                      finally removalUpdates.foreach(
+                        graft.operators.Corpus.releaseCheckpoint)
                     } finally {
                       newBest.unpersist(blocking = false)
                       shNeeded.unpersist(blocking = false)
                     }
                   } finally graft.operators.Corpus.releaseCheckpoint(cand)
                 } finally batchSh.unpersist(blocking = false)
-              } finally arrived.unpersist(blocking = false)
+              } finally {
+                arrived.unpersist(blocking = false)
+                removals.unpersist(blocking = false)
+              }
               // in-stream compaction, PREFIX-BOUNDED to epochs < the one
               // just committed: bounds the chains' delta count (listing
               // + per-file open cost per probe) without ever folding the
               // in-flight epoch into the base — a crash-replay of this
-              // epoch must only overwrite its own delta. The bucket
-              // layout is preserved through the rewrite, so probe-side
-              // file pruning survives compaction.
-              if (epoch > 0 && epoch % compactEvery.toLong == 0) {
-                compactDeltaChain(bss, bandsDir, Seq("doc_id", "band_id"),
-                  Some(epoch - 1), Seq("bucket"))
-                compactDeltaChain(bss, shinglesDir, Seq("doc_id"),
-                  Some(epoch - 1), Seq("bucket"))
-                compactDeltaChain(bss, verdictDir, Seq("doc_id"),
-                  Some(epoch - 1), Nil)
-              }
+              // epoch must only overwrite its own delta. All three
+              // chains resolve against the SHARED tombstone dir, so
+              // they compact TOGETHER (the compactTombstonedChains
+              // rule: consume tombstones only after every chain
+              // swapped); the verdict chain additionally LWW-resolves
+              // per doc_id, and the bucket layouts are preserved so
+              // probe-side file pruning survives the rewrite.
+              if (epoch > 0 && epoch % compactEvery.toLong == 0)
+                compactTombstonedChains(bss,
+                  Seq(bandsDir, shinglesDir, verdictDir), tombstoneDir,
+                  partitionColsFor =
+                    d => if (d == verdictDir) Nil else Seq("bucket"),
+                  upTo = Some(epoch - 1),
+                  lwwKeysFor = d => if (d == verdictDir) Seq("doc_id") else Nil)
               deltaProbe.foreach(_ += ((epoch,
-                bss.read.parquet(s"$verdictDir/batch=$epoch").count())))
+                bss.read.schema(verdictSchema)
+                  .parquet(s"$verdictDir/batch=$epoch").count())))
             }
             .start()
           try {
             q.processAllAvailable()
             docs.filter(col("doc_id") % 5 === 0).write.mode("append").parquet(src.toString)
             q.processAllAvailable()
+            // arrival 3: RETRACT the shadows (tombstone-only rows, text
+            // NULL) — the converged relation must equal the batch twin
+            // over `documents` alone
+            shadows.withColumn("text", lit(null).cast("string"))
+              .write.mode("append").parquet(src.toString)
+            q.processAllAvailable()
           } finally { dumpProgress("graft_neardup", q); q.stop() }
-          // consumer view: LWW over the changelog — keep iff no partner
-          val verdicts = lww(spark.read.parquet(verdictDir))
+          // consumer view: tombstones first, then LWW — keep iff no
+          // partner; removed docs are absent entirely
+          val verdicts = lww(spark, spark.read.parquet(verdictDir))
             .select(col("doc_id"), col("partner_id").isNull.as("keep"),
               col("partner_id"), col("jaccard"))
             .orderBy(col("doc_id"))
@@ -2051,11 +2239,16 @@ object Events {
     */
   def compactTombstonedChains(spark: SparkSession, dirs: Seq[String], tombstoneDir: String,
                               keyCol: String = "doc_id",
-                              partitionColsFor: String => Seq[String] = _ => Nil): Unit = {
+                              partitionColsFor: String => Seq[String] = _ => Nil,
+                              upTo: Option[Long] = None,
+                              lwwKeysFor: String => Seq[String] = _ => Nil): Unit = {
     val maxEpochs = dirs.flatMap { dir =>
       val sinkPath = java.nio.file.Paths.get(dir)
       recoverInterruptedCompaction(sinkPath)
-      val rows = spark.read.parquet(dir)
+      val all0 = spark.read.parquet(dir)
+      // `upTo` prefix-bounds a LIVE loop's compaction exactly as
+      // compactDeltaChain's does: never fold the in-flight epoch
+      val rows = upTo.fold(all0)(e => all0.filter(col("batch") <= lit(e)))
       if (rows.isEmpty) None
       else {
         val maxEpoch = rows.agg(max(col("batch"))).head().getAs[Number](0).longValue()
@@ -2073,9 +2266,17 @@ object Events {
           val named = partitionColsFor(dir)
           if (named.nonEmpty) named else detectChainPartitionCols(dir)
         }
-        swapCompactedSnapshot(sinkPath,
-          tombstoneResolved(spark, dir, tombstoneDir, keyCol), maxEpoch,
-          pcols)
+        // `lwwKeysFor` marks a chain whose rows ALSO resolve
+        // last-write-wins per key (a changelog like ingestNearDup's
+        // verdict chain, living beside whole-row-delta chains that
+        // share its tombstone dir): tombstones decide liveness first,
+        // then the newest surviving row per key wins — the exact
+        // layered read the streaming consumer applies, materialized.
+        val lwwKeys = lwwKeysFor(dir)
+        val resolved = tombstoneResolvedRows(spark, rows, tombstoneDir, keyCol,
+          upTo, keepEpoch = lwwKeys.nonEmpty)
+        val snapshot = if (lwwKeys.nonEmpty) resolveLww(resolved, lwwKeys) else resolved
+        swapCompactedSnapshot(sinkPath, snapshot, maxEpoch, pcols)
         Some(maxEpoch)
       }
     }
@@ -2141,20 +2342,27 @@ object Events {
     * the form a bucket-PRUNED chain scan resolves through: pruning
     * selects files, this predicate then decides per-row liveness, and
     * the two compose because tombstones are keyed by doc, independent
-    * of which bucket a row lives in. */
+    * of which bucket a row lives in. `keepEpoch = true` retains the
+    * `batch` column in the output — the read shape an LWW changelog
+    * chain needs when it ALSO resolves tombstones (removal retractions
+    * kill a doc's rows first, [[resolveLww]] then picks the newest
+    * survivor per key — the layered resolution
+    * [[streamIncrementalClean]]'s ledger and [[ingestNearDup]]'s
+    * verdict chain read through). */
   private[graft] def tombstoneResolvedRows(spark: SparkSession, rows: DataFrame,
                                            tombstoneDir: String, keyCol: String = "doc_id",
-                                           upTo: Option[Long] = None): DataFrame = {
+                                           upTo: Option[Long] = None,
+                                           keepEpoch: Boolean = false): DataFrame = {
     val haveTombs = Option(new java.io.File(tombstoneDir).listFiles())
       .exists(_.exists(_.getName.startsWith("batch=")))
-    if (!haveTombs) rows.drop("batch")
+    if (!haveTombs) { if (keepEpoch) rows else rows.drop("batch") }
     else {
       val tombs = upTo.fold(spark.read.parquet(tombstoneDir))(e =>
           spark.read.parquet(tombstoneDir).filter(col("batch") <= lit(e)))
         .groupBy(col(keyCol)).agg(max(col("batch")).as("tomb_epoch"))
-      rows.join(broadcast(tombs), Seq(keyCol), "left_outer")
+      val live = rows.join(broadcast(tombs), Seq(keyCol), "left_outer")
         .filter(col("tomb_epoch").isNull || col("batch") >= col("tomb_epoch"))
-        .drop("batch", "tomb_epoch")
+      if (keepEpoch) live.drop("tomb_epoch") else live.drop("batch", "tomb_epoch")
     }
   }
 

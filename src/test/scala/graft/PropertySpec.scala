@@ -662,7 +662,7 @@ class PropertySpec extends AnyFunSuite {
     ledgerChain.foreach { case (_, df) => Corpus.releaseCheckpoint(df) }
   }
 
-  test("near-dup ingest changelog converges to the batch verdict across 4 random arrivals") {
+  test("near-dup ingest changelog converges to the batch verdict across random arrival and removal epochs") {
     // The stored-state algebra of stream_ingest_neardup — per-epoch band
     // and shingle chains, the verdict changelog with min-partner
     // retractions, LWW resolution — driven through 4 RANDOM arrival
@@ -712,23 +712,52 @@ class PropertySpec extends AnyFunSuite {
     val shChain = scala.collection.mutable.ListBuffer.empty[DataFrame]
     val verdictChain = scala.collection.mutable.ListBuffer.empty[(Int, DataFrame)]
     val ingested = scala.collection.mutable.ListBuffer.empty[(Long, String)]
+    // the removal model: ids tombstoned so far. Docs are never re-added
+    // after removal (the streaming contract), so the layered
+    // tombstone-then-LWW read reduces to an anti-join on this set —
+    // every removed doc's rows predate its tombstone.
+    val removed = scala.collection.mutable.Set.empty[Long]
     var keepRetractions = 0L
+    var removalReVerdicts = 0L
+    var restoredKeeps = 0L
+    def removedDF: DataFrame = removed.toSeq.toDF("doc_id")
+    def liveBands(): DataFrame = bandChain.reduce(_ unionByName _)
+      .join(removedDF, Seq("doc_id"), "left_anti")
+    def liveSh(): DataFrame = shChain.reduce(_ unionByName _)
+      .join(removedDF, Seq("doc_id"), "left_anti")
     def lww(): DataFrame = {
       val rows = verdictChain
         .map { case (e, df) => df.withColumn("batch", lit(e)) }.reduce(_ unionByName _)
-      rows.groupBy(col("doc_id"))
+      rows.join(removedDF, Seq("doc_id"), "left_anti")
+        .groupBy(col("doc_id"))
         .agg(max_by(struct(col("partner_id"), col("jaccard")), col("batch")).as("v"))
         .select(col("doc_id"), col("v.partner_id").as("partner_id"),
           col("v.jaccard").as("jaccard"))
     }
-    for ((arrival, e) <- arrivals.zipWithIndex) {
+    def checkEpoch(e: Int): Unit = {
+      val got = lww()
+        .select(col("doc_id"), col("partner_id").isNull.as("keep"),
+          col("partner_id"), col("jaccard"))
+        .orderBy(col("doc_id")).collect().map(_.toSeq).toSeq
+      val live = ingested.toSeq.filterNot(d => removed(d._1))
+      val want = Dedup.minhashNearDupVerdict(live.toDF("doc_id", "text"))
+        .collect().map(_.toSeq).toSeq
+      assert(got == want, s"epoch $e: changelog diverged from the batch verdict")
+    }
+    // schedule: arrivals interleaved with REMOVAL epochs (the
+    // stream_ingest_neardup retraction leg, driven through random
+    // state): each removal epoch removes a doc that is currently some
+    // doc's PARTNER — its dependents must be re-verdicted against the
+    // remaining index — plus a random uninvolved doc.
+    var e = 0
+    for ((arrival, k) <- arrivals.zipWithIndex) {
       val batchDF = arrival.toDF("doc_id", "text")
       val batchSh = Dedup.shingleHashSets(batchDF).localCheckpoint(true)
       val batchBands = Dedup.bandRows(Dedup.minhashSignatures(batchSh))
         .localCheckpoint(true)
       shChain += batchSh; bandChain += batchBands
-      val cand = Dedup.nearDupCandidates(batchBands, bandChain.reduce(_ unionByName _))
-      val edges = Dedup.nearDupVerify(cand, shChain.reduce(_ unionByName _))
+      val cand = Dedup.nearDupCandidates(batchBands, liveBands())
+      val edges = Dedup.nearDupVerify(cand, liveSh())
       val newBest = edges.groupBy(col("b").as("doc_id"))
         .agg(min(col("a")).as("partner_id"), min_by(col("jaccard"), col("a")).as("jaccard"))
         .localCheckpoint(true)
@@ -740,9 +769,9 @@ class PropertySpec extends AnyFunSuite {
           .join(lww().select(col("doc_id"), col("partner_id").as("old_partner")), Seq("doc_id"))
           .filter(col("old_partner").isNull || col("partner_id") < col("old_partner"))
           .localCheckpoint(true)
-      // the leg this test exists for: a prior KEEP (old partner null)
-      // flipped to a drop by a later smaller-id arrival — count it
-      // separately from mere partner improvements of already-dropped docs
+      // the original leg: a prior KEEP (old partner null) flipped to a
+      // drop by a later smaller-id arrival — count it separately from
+      // mere partner improvements of already-dropped docs
       keepRetractions += priorRaw.filter(col("old_partner").isNull).count()
       val delta = batchVerdict
         .unionByName(priorRaw.select(col("doc_id"), col("partner_id"), col("jaccard")))
@@ -751,20 +780,63 @@ class PropertySpec extends AnyFunSuite {
       graft.operators.Corpus.releaseCheckpoint(priorRaw)
       verdictChain += e -> delta
       ingested ++= arrival
-      val got = lww()
-        .select(col("doc_id"), col("partner_id").isNull.as("keep"),
-          col("partner_id"), col("jaccard"))
-        .orderBy(col("doc_id")).collect().map(_.toSeq).toSeq
-      val want = Dedup.minhashNearDupVerdict(ingested.toSeq.toDF("doc_id", "text"))
-        .collect().map(_.toSeq).toSeq
-      assert(got == want, s"epoch $e: changelog diverged from the batch verdict")
+      checkEpoch(e)
+      e += 1
+      // after arrivals 2 and 4: a REMOVAL epoch, when a partner exists
+      if (k == 1 || k == 3) {
+        val partners = lww().filter(col("partner_id").isNotNull)
+          .select(col("partner_id")).distinct()
+          .collect().map(_.getLong(0)).toSeq.sorted
+        if (partners.nonEmpty) {
+          val victim = partners(rnd.nextInt(partners.size))
+          // the bystander must not be one of the victim's dependents —
+          // removing the whole dependency pair would leave no one to
+          // re-verdict, voiding the leg this epoch exists for
+          val dependents = lww().filter(col("partner_id") === lit(victim))
+            .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+          val bystander = ingested.map(_._1)
+            .filterNot(id => removed(id) || id == victim || dependents(id))
+          val picks = Set(victim) ++
+            (if (bystander.nonEmpty) Set(bystander(rnd.nextInt(bystander.size)))
+             else Set.empty[Long])
+          // the streaming algebra: tombstone the picks, re-verdict the
+          // docs whose current partner was removed against the LIVE
+          // (tombstone-resolved) index — bands rebuilt from the stored
+          // shingle sets, min over verified smaller survivors
+          val affected = lww()
+            .filter(col("partner_id").isin(picks.toSeq: _*))
+            .join(picks.toSeq.toDF("doc_id"), Seq("doc_id"), "left_anti")
+            .select(col("doc_id")).localCheckpoint(true)
+          removed ++= picks
+          val affSh = liveSh().join(affected, Seq("doc_id"), "left_semi")
+          val affBands = Dedup.bandRows(Dedup.minhashSignatures(affSh))
+          val cand2 = Dedup.nearDupCandidates(affBands, liveBands())
+          val best2 = Dedup.nearDupVerify(cand2, liveSh())
+            .groupBy(col("b").as("doc_id"))
+            .agg(min(col("a")).as("partner_id"),
+              min_by(col("jaccard"), col("a")).as("jaccard"))
+          val delta2 = affected.join(best2, Seq("doc_id"), "left")
+            .select(col("doc_id"), col("partner_id"), col("jaccard"))
+            .localCheckpoint(true)
+          graft.operators.Corpus.releaseCheckpoint(affected)
+          removalReVerdicts += delta2.count()
+          restoredKeeps += delta2.filter(col("partner_id").isNull).count()
+          verdictChain += e -> delta2
+          checkEpoch(e)
+          e += 1
+        }
+      }
     }
-    // the seed must actually exercise both legs
+    // the seed must actually exercise every leg
     assert(ingested.toSeq.toDF("doc_id", "text")
       .select(col("text")).distinct().count() < ingested.size,
       "no duplicate texts staged — vacuous corpus, reseed")
     assert(keepRetractions > 0,
       s"seed $seed never flipped a prior keep to a drop — reseed")
+    assert(removalReVerdicts > 0,
+      s"seed $seed never re-verdicted a removed partner's dependent — reseed")
+    assert(restoredKeeps > 0,
+      s"seed $seed never restored a keep through a removal — reseed")
     (shChain ++ bandChain).foreach(graft.operators.Corpus.releaseCheckpoint)
     verdictChain.foreach { case (_, df) => graft.operators.Corpus.releaseCheckpoint(df) }
   }

@@ -84,21 +84,34 @@ class StreamingSpec extends AnyFunSuite {
     val docs = Tables.documents(spark, TestSpark.sf)
     val batch = Dedup.minhashNearDupVerdict(docs).collect().toSeq
     // arrival-order independence: the index-maintained stream must land
-    // on EXACTLY the batch relation (fixed-hash minhash perms)
+    // on EXACTLY the batch relation (fixed-hash minhash perms) — and
+    // since arrival 1 planted negative-id SHADOW duplicates that
+    // arrival 3 retracts, equality also proves the removal leg: a
+    // surviving shadow row, or an original still pointing at its
+    // removed shadow partner, would differ from the batch twin
     assert(streamed.nonEmpty && streamed == batch)
+    assert(streamed.forall(_.getLong(0) >= 0), "a removed shadow survived retraction")
     // and the dedup actually bites on the testdata
     assert(streamed.exists(r => !r.getBoolean(1)), "no near-dup flagged — vacuous corpus")
-    // two arrivals, two epochs; the second epoch's verdict delta is
-    // blast-radius-sized: its own batch plus retracted prior docs,
-    // strictly under the corpus width (a corpus-width delta means the
-    // changelog regressed to full rewrites)
+    // three arrivals, three epochs; the later epochs' verdict deltas
+    // are blast-radius-sized: own batch plus retracted/re-verdicted
+    // prior docs, strictly under the corpus width (a corpus-width delta
+    // means the changelog regressed to full rewrites)
     val deltas = probe.toMap
     val n = docs.count()
     val batch2 = docs.filter(col("doc_id") % 5 === 0).count()
-    assert(deltas.keySet == Set(0L, 1L), s"expected 2 epochs, got $probe")
-    assert(deltas(0L) == n - batch2, s"bootstrap delta ${deltas(0L)} != ${n - batch2}")
+    val shadows = docs.filter(col("doc_id") % 20 === 3).count()
+    assert(shadows > 0, "testdata has no %20==3 docs — removal staging vacuous")
+    assert(deltas.keySet == Set(0L, 1L, 2L), s"expected 3 epochs, got $probe")
+    assert(deltas(0L) == n - batch2 + shadows,
+      s"bootstrap delta ${deltas(0L)} != ${n - batch2 + shadows}")
     assert(deltas(1L) >= batch2 && deltas(1L) < n,
       s"epoch-1 delta ${deltas(1L)} not blast-radius-sized (batch $batch2, corpus $n)")
+    // the removal epoch emits ONLY the re-verdicted blast radius (the
+    // docs whose partner was a shadow) — the shadows themselves are
+    // retracted by tombstone, not by rows
+    assert(deltas(2L) >= 1 && deltas(2L) < n,
+      s"removal-epoch delta ${deltas(2L)} not blast-radius-sized (corpus $n)")
   }
 
   test("stream_ingest_ann equals the batch-maintained IVF index, appends only deltas") {
@@ -194,12 +207,17 @@ class StreamingSpec extends AnyFunSuite {
       val got = Events.ingestNearDup(spark, dir.toString, deltaProbe = Some(probe))
         .collect().map(r => (r.getLong(0), r.getBoolean(1),
           if (r.isNullAt(2)) -1L else r.getLong(2))).toSeq
-      // final state: 11 is a dup of 5 (jaccard 1.0), everything else kept
+      // final state: 11 is a dup of 5 (jaccard 1.0), everything else
+      // kept — including doc 3, whose shadow partner (-4, the staged
+      // %20==3 negative-id duplicate) was removed in epoch 2, forcing
+      // its re-verdict back to keep
       assert(got.filter(!_._2) == Seq((11L, false, 5L)), s"verdicts: $got")
       assert(got.size == 7 && got.count(_._2) == 6)
-      // the retraction happened IN the changelog: epoch 1 carried its
-      // own 3 arrivals (5, 10, 15) plus exactly one prior update (11)
-      assert(probe.toMap == Map(0L -> 4L, 1L -> 4L), s"deltas: $probe")
+      // the retractions happened IN the changelog: epoch 0 carried 4
+      // arrivals + the shadow of doc 3; epoch 1 its own 3 arrivals
+      // (5, 10, 15) plus exactly one prior update (11); epoch 2 (the
+      // shadow removal) exactly one re-verdict row (doc 3)
+      assert(probe.toMap == Map(0L -> 5L, 1L -> 4L, 2L -> 1L), s"deltas: $probe")
       // and the converged relation equals the batch twin on this corpus
       val batch = Dedup.minhashNearDupVerdict(
         spark.read.parquet(dir.resolve("documents.parquet").toString))
@@ -971,31 +989,46 @@ class StreamingSpec extends AnyFunSuite {
       .select(col("doc_id"), col("n_tokens"), col("quality"), col("lang_pred"))
       .orderBy(col("doc_id")).collect().toSeq
     assert(streamed.nonEmpty && streamed == batch)
-    // both staged arrivals processed as separate micro-batches, each
-    // non-empty — the second ledger update ran against real prior state
+    // all three staged arrivals processed as separate micro-batches —
+    // the second ledger update ran against real prior state, the third
+    // is the REMOVAL epoch (tombstone-only shadow retraction)
     val epochs = probe.toMap
-    assert(epochs.keySet == Set(0L, 1L), s"expected exactly 2 data batches, got $probe")
+    assert(epochs.keySet == Set(0L, 1L, 2L), s"expected exactly 3 data batches, got $probe")
     assert(epochs.values.forall(_ > 0), s"an arrival batch was empty: $probe")
     // the staging really RE-DELIVERS: arrival 1 carries stale drafts of
-    // the %10 docs, arrival 2 their true text — so the two batch counts
-    // overlap by exactly the %10 population, and the equality above is a
-    // live gate on the tombstone resolution of all three state chains
-    // (a surviving stale text row, posting, or manifest hash would shift
-    // the ledger away from the batch truth)
+    // the %10 docs (and the negative-id shadows), arrival 2 their true
+    // text — so the batch counts overlap by exactly the %10 population
+    // plus the shadow population, and the equality above is a live gate
+    // on the tombstone resolution of all four state chains (a surviving
+    // stale text row, posting, manifest hash, or shadow ledger row
+    // would shift the ledger away from the batch truth)
     val n = docs.count()
     val redelivered = docs.filter(col("doc_id") % 10 === 0).count()
+    val shadows = docs.filter(col("doc_id") % 20 === 3).count()
     assert(redelivered > 0, "testdata has no %10 docs — staging lost its re-delivery leg")
-    assert(epochs(0L) + epochs(1L) == n + redelivered,
-      s"arrival overlap ${epochs(0L)} + ${epochs(1L)} != $n + $redelivered")
+    assert(shadows > 0, "testdata has no %20==3 docs — staging lost its removal leg")
+    assert(epochs(0L) + epochs(1L) == n + redelivered + shadows,
+      s"arrival overlap ${epochs(0L)} + ${epochs(1L)} != $n + $redelivered + $shadows")
+    assert(epochs(2L) == shadows, s"removal epoch ${epochs(2L)} != $shadows shadow retractions")
+    // the removal leg is OBSERVABLE, not vacuous: the shadows usurped
+    // their originals' canonical slots, so at least one %20==3 original
+    // must be present in the restored kept set (equality with the batch
+    // truth already implies it — this names the mechanism on failure)
+    assert(streamed.exists(_.getLong(0) % 20 == 3),
+      "no shadowed original in the final kept set — retraction leg vacuous or broken")
     // the per-epoch LEDGER write is blast-radius-sized, never
     // corpus-sized: epoch 0 is the bootstrap (everything recomputed),
     // epoch 1 must cover at least its own arrivals (every arrival is a
     // seed) but strictly less than the whole corpus (carried docs keep
     // their epoch-0 rows — a corpus-width write here means the
-    // changelog design regressed to full rewrites)
+    // changelog design regressed to full rewrites); epoch 2 recomputes
+    // only the removed shadows' MATES (the removal blast radius — the
+    // shadows themselves write no rows, their tombstone retracts them)
     val deltas = ledgerProbe.toMap
     assert(deltas(0L) == epochs(0L), s"bootstrap delta ${deltas(0L)} != batch ${epochs(0L)}")
     assert(deltas(1L) >= epochs(1L) && deltas(1L) < n,
       s"epoch-1 ledger delta ${deltas(1L)} not blast-radius-sized (batch ${epochs(1L)}, corpus $n)")
+    assert(deltas(2L) >= 1 && deltas(2L) < n,
+      s"removal-epoch ledger delta ${deltas(2L)} not blast-radius-sized (corpus $n)")
   }
 }
