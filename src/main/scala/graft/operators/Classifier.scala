@@ -78,6 +78,15 @@ object Classifier {
   private[graft] def labelCol(text: Column): Column =
     size(filter(split(coalesce(text, lit("")), "\\s+"), t => t === lit("spark"))) >= 2
 
+  /** The label as DuckDB SQL — ONE definition interpolated into every
+    * oracle that re-states it (`text_classifier_check` here AND the
+    * streaming twin's `stream_ingest_classify_check`), so an edit to
+    * [[labelCol]] has exactly two places to touch (the Column and this
+    * string), not three diverging SQL copies (ADVICE r11). */
+  private[graft] val labelSql: String =
+    """len(list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+      |   x -> x = 'spark')) >= 2""".stripMargin
+
   /** Distinct uni+bigram hashes folded into [[Dim]] buckets — binary
     * presence features as a sorted-free `array<int>`, one codegen'd
     * expression chain inside the scan task. */
@@ -144,12 +153,25 @@ object Classifier {
   }
 
   /** Broadcast-model scoring: `(doc_id, label, split, prob, pred)` for
-    * EVERY doc, one typed map stage, no exchange. */
-  def score(featurized: DataFrame, model: LrModel): DataFrame = {
+    * EVERY doc, one typed map stage, no exchange. The model broadcast
+    * is released by GC with the returned (lazy) relation; a LOOP that
+    * scores repeatedly uses [[scoreWithHandle]] and destroys the
+    * broadcast once the scored relation is materialized — one
+    * never-released broadcast per epoch otherwise accumulates until a
+    * driver GC (ADVICE r11; [[fit]] already destroys per-iteration
+    * broadcasts). */
+  def score(featurized: DataFrame, model: LrModel): DataFrame =
+    scoreWithHandle(featurized, model)._1
+
+  /** [[score]] returning the model broadcast too, so a caller that
+    * EAGERLY consumes the relation (write, collect) can destroy it —
+    * the lifecycle a long-running scoring loop needs. */
+  private[graft] def scoreWithHandle(featurized: DataFrame, model: LrModel)
+      : (DataFrame, org.apache.spark.broadcast.Broadcast[LrModel]) = {
     val spark = featurized.sparkSession
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(model)
-    featurized.select(col("doc_id"), col("label"), col("split"), col("idx"))
+    val scored = featurized.select(col("doc_id"), col("label"), col("split"), col("idx"))
       .as[(Long, Boolean, String, Array[Int])]
       .mapPartitions { it =>
         val m = bc.value
@@ -161,6 +183,40 @@ object Classifier {
         }
       }
       .toDF("doc_id", "label", "split", "prob", "pred")
+    (scored, bc)
+  }
+
+  /** Persist a fitted model as SPARSE `(idx, weight)` rows — only
+    * non-zero weights, absent means zero, column-name-addressed so a
+    * layout change can never silently transpose the vector — plus an
+    * `idx = -1` sentinel row carrying the weight-row count. The
+    * sentinel pins the sparsity invariant: a future writer that drops
+    * rows (L1 pruning, quantization) without updating the contract
+    * makes [[loadModel]] fail loudly instead of zero-filling real
+    * weights away. */
+  private[graft] def storeModel(spark: SparkSession, model: LrModel, dir: String): Unit = {
+    import spark.implicits._
+    val sparse = model.w.zipWithIndex
+      .collect { case (v, i) if v != 0.0 => (i, v) }.toSeq
+    (sparse :+ ((-1, sparse.size.toDouble)))
+      .toDF("idx", "weight")
+      .write.mode("overwrite").parquet(dir)
+  }
+
+  /** Load a [[storeModel]]-written model, enforcing the sentinel's
+    * sparse-weight contract (exactly one meta row, its count equal to
+    * the weight rows present). */
+  private[graft] def loadModel(spark: SparkSession, dir: String): LrModel = {
+    val rows = spark.read.parquet(dir).select(col("idx"), col("weight")).collect()
+    val (meta, weights) = rows.partition(_.getInt(0) < 0)
+    require(meta.length == 1 &&
+      meta.head.getDouble(1).toLong == weights.length.toLong,
+      s"classifier model store violated its sparse-weight contract: " +
+        s"${meta.length} meta rows, ${weights.length} weight rows vs " +
+        s"recorded ${meta.headOption.map(_.getDouble(1))}")
+    val w = new Array[Double](Dim + 1)
+    weights.foreach(r => w(r.getInt(0)) = r.getDouble(1))
+    LrModel(w, Dim, 0L)
   }
 
   /** The `text_classifier` query: featurize, fit on the train split,
@@ -204,9 +260,8 @@ object Classifier {
     // check twin recomputes every denominator from the raw table and
     // pins the model contracts
     "text_classifier_check" ->
-      """WITH t AS (SELECT doc_id,
-        | len(list_filter(string_split_regex(coalesce(text, ''), '\s+'),
-        |   x -> x = 'spark')) >= 2 AS label,
+      s"""WITH t AS (SELECT doc_id,
+        | $labelSql AS label,
         | CASE WHEN doc_id % 5 = 0 THEN 'holdout' ELSE 'train' END AS split
         |FROM documents)
         |SELECT CAST(count(*) AS BIGINT) AS n_docs,

@@ -81,4 +81,38 @@ class ClassifierSpec extends AnyFunSuite {
     val plan = Classifier.score(feats, zero).queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"scoring shuffles:\n$plan")
   }
+
+  test("model store round-trips; the sparse-weight sentinel rejects a drifted writer") {
+    // the store is sparse (absent means zero) and an idx=-1 sentinel
+    // records the weight-row count — a writer that silently drops rows
+    // (L1 pruning, quantization) must fail the load, not zero-fill
+    // real weights away (VERDICT r11 #4)
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_clf_model")
+    try {
+      val w = new Array[Double](Classifier.Dim + 1)
+      w(3) = 0.25; w(17) = -1.5; w(Classifier.Dim) = 0.125 // bias
+      val m = Classifier.LrModel(w, Classifier.Dim, 42L)
+      Classifier.storeModel(spark, m, s"$dir/model")
+      val back = Classifier.loadModel(spark, s"$dir/model")
+      assert(back.w.toSeq == w.toSeq, "model round-trip drifted")
+      // a writer that DROPS a weight row without updating the sentinel
+      val rows = spark.read.parquet(s"$dir/model")
+      rows.filter(col("idx") =!= 17).write.parquet(s"$dir/dropped")
+      val e1 = intercept[IllegalArgumentException] {
+        Classifier.loadModel(spark, s"$dir/dropped")
+      }
+      assert(e1.getMessage.contains("sparse-weight contract"))
+      // a pre-sentinel legacy store (no meta row at all) is equally out
+      rows.filter(col("idx") >= 0).write.parquet(s"$dir/legacy")
+      val e2 = intercept[IllegalArgumentException] {
+        Classifier.loadModel(spark, s"$dir/legacy")
+      }
+      assert(e2.getMessage.contains("sparse-weight contract"))
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
 }

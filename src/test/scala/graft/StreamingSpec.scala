@@ -118,8 +118,9 @@ class StreamingSpec extends AnyFunSuite {
     import graft.operators.Similarity
     val probe = scala.collection.mutable.ListBuffer.empty[(Long, Long)]
     val statsProbe = scala.collection.mutable.ListBuffer.empty[(Long, Seq[(Int, Long)])]
+    val statsInputProbe = scala.collection.mutable.ListBuffer.empty[(Long, Long)]
     val streamed = Events.ingestAnnIvf(spark, TestSpark.sf, deltaProbe = Some(probe),
-      cellStatsProbe = Some(statsProbe))
+      cellStatsProbe = Some(statsProbe), cellStatsInputProbe = Some(statsInputProbe))
       .collect().toSeq
     val emb = Tables.embeddings(spark, TestSpark.sf)
     val corpus = emb.filter(col("vec_id") >= Similarity.NumQueries)
@@ -145,6 +146,13 @@ class StreamingSpec extends AnyFunSuite {
     val oneShot = Similarity.ivfCellStats(Similarity.ivfAssign(corpus, centroids))
       .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
     assert(stats(1L) == oneShot, "final cell stats diverged from the one-shot index")
+    // the monitor is INCREMENTAL (VERDICT r10 ask #4): its per-epoch
+    // input is the cellstats delta chain — O(epochs × nCells) scalar
+    // rows — never the O(corpus) assignment chain. nCells = 16.
+    val inputs = statsInputProbe.toMap
+    assert(inputs.forall { case (e, rows) => rows <= (e + 1) * 16 },
+      s"drift monitor read more than the stats chain: $statsInputProbe " +
+        s"(corpus is ${n} rows — a corpus-width read means the monitor regressed)")
     // recall floor vs the exact baseline (the ivf_incr floor at nprobe 8)
     val brute = Similarity.bruteTopK(emb)
       .select(col("query_id"), col("neighbor_id"))
@@ -230,6 +238,68 @@ class StreamingSpec extends AnyFunSuite {
         .collect().map(r => (r.getLong(0), r.getBoolean(1),
           if (r.isNullAt(2)) -1L else r.getLong(2))).toSeq
       assert(compacted == batch, "per-epoch compaction changed the converged verdicts")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
+  test("ann assignment and classify score chains file-prune point lookups (poisoned-bucket proof)") {
+    // the two r11 loops' stores joined the bucketing discipline in r12:
+    // stage each chain exactly as its loop writes it (same bucket
+    // function, same layout), poison every bucket a one-id lookup does
+    // not need, and prove the pruned read never opens them while an
+    // unpruned control read fails — the prunedChainScan contract,
+    // pinned on THESE stores' shapes
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_bucket_proof")
+    try {
+      def stage(sub: String, df: org.apache.spark.sql.DataFrame, keyCol: String): Unit =
+        df.withColumn("bucket", Events.chainBucket(col(keyCol)))
+          .repartition(col("bucket"))
+          .write.partitionBy("bucket").parquet(s"$dir/$sub/batch=0")
+      // assign-chain shape: (neighbor_id, cell)
+      stage("assign", (0L until 64L).map(i => (i, (i % 16).toInt))
+        .toDF("neighbor_id", "cell"), "neighbor_id")
+      // score-chain shape: (doc_id, label, split, prob, pred)
+      stage("scores", (0L until 64L).map(i => (i, i % 2 == 0, "train", 0.5, true))
+        .toDF("doc_id", "label", "split", "prob", "pred"), "doc_id")
+      def proveOne(sub: String, keyCol: String,
+                   schema: org.apache.spark.sql.types.StructType, id: Long): Unit = {
+        val need = Seq(id).toDF(keyCol)
+          .select(Events.chainBucket(col(keyCol)).as("b"))
+          .collect().map(_.getInt(0)).toSet
+        new java.io.File(s"$dir/$sub/batch=0").listFiles()
+          .filter(d => d.getName.startsWith("bucket=") &&
+            !need.contains(d.getName.stripPrefix("bucket=").toInt))
+          .foreach(d => java.nio.file.Files.write(
+            d.toPath.resolve("part-poison.parquet"), "NOT PARQUET".getBytes))
+        val got = Events.prunedChainScan(spark, s"$dir/$sub", 0L, need.toSeq, Some(schema))
+          .filter(col(keyCol) === lit(id)).collect()
+        assert(got.length == 1, s"$sub point lookup lost the row")
+        intercept[Throwable] {
+          spark.read.schema(schema).parquet(s"$dir/$sub").collect()
+        }
+      }
+      val assignSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("neighbor_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("cell",
+          org.apache.spark.sql.types.IntegerType)))
+      val scoreSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("label",
+          org.apache.spark.sql.types.BooleanType),
+        org.apache.spark.sql.types.StructField("split",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("prob",
+          org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("pred",
+          org.apache.spark.sql.types.BooleanType)))
+      proveOne("assign", "neighbor_id", assignSchema, 37L)
+      proveOne("scores", "doc_id", scoreSchema, 41L)
     } finally {
       import scala.jdk.CollectionConverters._
       java.nio.file.Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
