@@ -928,7 +928,8 @@ object Events {
   def streamIncrementalClean(spark: SparkSession, sfDir: String,
                              statePartitions: Option[Int] = Some(4),
                              epochProbe: Option[scala.collection.mutable.Buffer[(Long, Long)]] = None,
-                             ledgerDeltaProbe: Option[scala.collection.mutable.Buffer[(Long, Long)]] = None): DataFrame = {
+                             ledgerDeltaProbe: Option[scala.collection.mutable.Buffer[(Long, Long)]] = None,
+                             compactEvery: Int = 8): DataFrame = {
     import graft.operators.{Corpus, Snapshot}
     val ss = sessionFor(spark, statePartitions,
       Map("spark.sql.streaming.noDataMicroBatches.enabled" -> "false") ++ providerConf)
@@ -994,6 +995,11 @@ object Events {
               val bss = batch.sparkSession
               graft.GraftSession.registerFunctions(bss)
               val lap = Snapshot.incrLap()
+              // a crash mid-swap of the in-stream compaction below can
+              // leave a chain whose newest prefix lives only in the
+              // stranded snapshot — repair before any chain read
+              Seq(corpusDir, ledgerDir, manifestDir, postingsByShingleDir)
+                .foreach(d => recoverInterruptedCompaction(java.nio.file.Paths.get(d)))
               // removals are tombstone-only arrivals (text IS NULL):
               // they land in NO state chain — only the shared tombstone
               // write below (and the manifest-diff machinery does the
@@ -1137,6 +1143,18 @@ object Events {
                 priorManifest.unpersist(blocking = false)
                 bootCkpts.foreach(graft.operators.Corpus.releaseCheckpoint)
               }
+              // in-stream compaction, PREFIX-BOUNDED to epochs < the
+              // one just committed (the ingestNearDup discipline): all
+              // four chains share the tombstone dir, so they compact
+              // TOGETHER; the ledger chain LWW-resolves per doc_id on
+              // top of the tombstones (its layered reader,
+              // materialized), and the corpus/postings bucket layouts
+              // are auto-preserved (detectChainPartitionCols)
+              if (epoch > 0 && epoch % compactEvery.toLong == 0)
+                compactTombstonedChains(bss,
+                  Seq(corpusDir, postingsByShingleDir, manifestDir, ledgerDir),
+                  tombstoneDir, upTo = Some(epoch - 1),
+                  lwwKeysFor = d => if (d == ledgerDir) Seq("doc_id") else Nil)
               epochProbe.foreach(_ += ((epoch, batch.count())))
               // explicit schema: a removal epoch whose blast radius is
               // empty (isolated docs) writes a zero-file delta dir
@@ -1745,6 +1763,22 @@ object Events {
     * receives (epoch, assignment delta rows) per batch;
     * `cellStatsInputProbe` (epoch, monitor input rows) — the counter
     * proving the monitor never reads corpus-width state.
+    *
+    * REMOVALS are first-class arrivals here too (r12, completing the
+    * retraction discipline across all four ingest loops): a row with
+    * `embedding IS NULL` is the upstream delete signal. The epoch
+    * tombstones the removed ids against the assignment chain (the
+    * query side resolves tombstones before probing, so a removed
+    * vector can never be returned), and the cellstats delta carries
+    * NEGATIVE per-cell counts for the removed vectors — their cells
+    * read back from the chain via a bucket-pruned point lookup
+    * (O(|removals|) buckets, the read shape the bucketing exists for)
+    * — so the running occupancy monitor stays exact without ever
+    * re-aggregating the chain. The staging removes the corpus's
+    * `vec_id % 17 = 0` vectors in a third arrival; the converged query
+    * result must equal the maintained-index build over the LIVE corpus
+    * (StreamingSpec) and clear the recall floor against brute force
+    * over the same live corpus (the check twin).
     */
   def ingestAnnIvf(spark: SparkSession, sfDir: String,
                    statePartitions: Option[Int] = Some(4),
@@ -1767,6 +1801,14 @@ object Events {
           val centroidsDir = s"$store/centroids"
           val assignDir = s"$store/assign"
           val cellStatsDir = s"$store/cellstats"
+          val tombstoneDir = s"$store/tombstones"
+          // the assignment chain's value schema — explicit-schema reads
+          // of possibly-empty delta dirs (a removal-only epoch assigns
+          // nothing)
+          val assignSchema = org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("neighbor_id", LongType),
+            org.apache.spark.sql.types.StructField("cell",
+              org.apache.spark.sql.types.IntegerType)))
           // column selected BY NAME: a positional read would silently
           // return wrong vectors if the stored column order ever changed
           def loadCentroids(s2: SparkSession): Array[Array[Double]] =
@@ -1786,8 +1828,13 @@ object Events {
               val bss = batch.sparkSession
               import bss.implicits._
               graft.GraftSession.registerFunctions(bss)
-              val arrived = batch.persist()
+              // removals (embedding IS NULL) vs adds — see the query doc
+              val removals = batch.filter(col("embedding").isNull)
+                .select(col("vec_id").as("neighbor_id")).persist()
+              val arrived = batch.filter(col("embedding").isNotNull).persist()
               try {
+                removals.write.mode("overwrite")
+                  .parquet(s"$tombstoneDir/batch=$epoch")
                 // gate on COMMITTED stored state, not `epoch == 0` (the
                 // ingestNearDup ADVICE-r10 rule): a reused streaming
                 // checkpoint over a recreated store starts at epoch > 0
@@ -1810,13 +1857,34 @@ object Events {
                   .write.partitionBy("bucket").mode("overwrite")
                   .parquet(s"$assignDir/batch=$epoch")
                 // the monitor's per-epoch state delta: THIS batch's
-                // per-cell counts, O(nCells) rows — never the corpus
-                graft.operators.Similarity.ivfCellStats(
-                  bss.read.parquet(s"$assignDir/batch=$epoch"))
+                // per-cell counts, O(nCells) rows — never the corpus —
+                // PLUS negative counts for the removed vectors' cells,
+                // looked up from the chain bucket-pruned (file skip) and
+                // tombstone-resolved to PRIOR epochs so a doubly-removed
+                // id can never be double-subtracted
+                val addStats = graft.operators.Similarity.ivfCellStats(
+                  bss.read.schema(assignSchema)
+                    .parquet(s"$assignDir/batch=$epoch"))
+                val remStats =
+                  if (removals.isEmpty) addStats.limit(0)
+                  else tombstoneResolvedRows(bss,
+                      prunedChainRows(bss, assignDir, epoch,
+                        collectBuckets(removals, col("neighbor_id")),
+                        Some(assignSchema)),
+                      tombstoneDir, keyCol = "neighbor_id",
+                      upTo = Some(epoch - 1))
+                    .join(removals, Seq("neighbor_id"), "left_semi")
+                    .groupBy(col("cell"))
+                    .agg((-count(lit(1))).as("n"))
+                addStats.unionByName(remStats)
                   .write.mode("overwrite").parquet(s"$cellStatsDir/batch=$epoch")
-              } finally arrived.unpersist(blocking = false)
+              } finally {
+                arrived.unpersist(blocking = false)
+                removals.unpersist(blocking = false)
+              }
               deltaProbe.foreach(_ += ((epoch,
-                bss.read.parquet(s"$assignDir/batch=$epoch").count())))
+                bss.read.schema(assignSchema)
+                  .parquet(s"$assignDir/batch=$epoch").count())))
               // the drift monitor a deployment polls after every append:
               // running per-cell occupancy summed off the STATS chain —
               // O(epochs × nCells) scalar rows per poll, with the full
@@ -1825,9 +1893,11 @@ object Events {
                 val statsChain = bss.read.parquet(cellStatsDir)
                   .filter(col("batch") <= lit(epoch))
                 cellStatsInputProbe.foreach(_ += ((epoch, statsChain.count())))
+                // n > 0: a cell fully drained by removals drops out,
+                // matching the one-shot groupBy-count over the live set
                 buf += ((epoch,
                   statsChain.groupBy(col("cell")).agg(sum(col("n")).as("n"))
-                    .orderBy(col("cell"))
+                    .filter(col("n") > 0).orderBy(col("cell"))
                     .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq))
               }
             }
@@ -1836,9 +1906,20 @@ object Events {
             q.processAllAvailable()
             corpus.filter(col("vec_id") % 5 === 0).write.mode("append").parquet(src.toString)
             q.processAllAvailable()
+            // arrival 3: REMOVE the %17 vectors (embedding-null rows —
+            // the upstream delete signal); the maintained index must
+            // stop returning them
+            corpus.filter(col("vec_id") % 17 === 0)
+              .withColumn("embedding",
+                lit(null).cast(rawSchema(ss, sfDir, "embeddings")("embedding").dataType))
+              .write.mode("append").parquet(src.toString)
+            q.processAllAvailable()
           } finally { dumpProgress("graft_annstream", q); q.stop() }
-          // query the maintained index: resolved chain + frozen quantizer
-          val assigned = spark.read.parquet(assignDir).drop("batch", "bucket")
+          // query the maintained index: tombstone-resolved chain +
+          // frozen quantizer — a removed vector never reaches the probe
+          val assigned = tombstoneResolvedRows(spark,
+            spark.read.parquet(assignDir).drop("bucket"),
+            tombstoneDir, keyCol = "neighbor_id")
           val topk = Similarity.ivfTopKFromIndex(
             Tables.embeddings(spark, sfDir), assigned, loadCentroids(spark), k, nprobe)
           detach(spark, topk)
@@ -1860,7 +1941,13 @@ object Events {
                      recallFloor: Double = 0.7): DataFrame = {
     import graft.operators.Similarity
     val streamed = ingestAnnIvf(spark, sfDir) // local relation (detached)
-    val b = Similarity.bruteTopK(Tables.embeddings(spark, sfDir))
+    // brute baseline over the LIVE corpus: the staging's third arrival
+    // removed the %17 vectors, and the recall contract is against exact
+    // search over the same corpus the index now holds (queries < NumQueries
+    // are never removed)
+    val live = Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") < Similarity.NumQueries || col("vec_id") % 17 =!= 0)
+    val b = Similarity.bruteTopK(live)
       .select(col("query_id"), col("neighbor_id")).persist()
     val verdict = streamed.agg(count(lit(1)).as("n_rows"))
       .crossJoin(broadcast(streamed.select(col("query_id"), col("neighbor_id"))
@@ -1902,6 +1989,16 @@ object Events {
     * under a frozen filter) is monitored exactly like IVF occupancy:
     * the per-epoch positive-rate in `deltaProbe` is the alarm a
     * deployment re-trains on.
+    *
+    * REMOVALS (text IS NULL — r12, the shared retraction discipline):
+    * the epoch tombstones the removed doc_ids against the score chain;
+    * the consumer resolves tombstones before reading, so a removed
+    * doc's verdict vanishes without a retraction row. Scoring is
+    * per-doc independent, so a removal has NO blast radius here — the
+    * tombstone IS the entire update, O(|removals|). The staging plants
+    * negative-id shadow copies in arrival 1 and retracts them in
+    * arrival 3, so the converged relation equals the batch twin over
+    * `documents` exactly (same check-twin oracle).
     */
   def ingestClassify(spark: SparkSession, sfDir: String,
                      statePartitions: Option[Int] = Some(4),
@@ -1920,8 +2017,27 @@ object Events {
         try {
           val modelDir = s"$store/model"
           val scoresDir = s"$store/scores"
+          val tombstoneDir = s"$store/tombstones"
+          // the score chain's value schema — explicit-schema reads of a
+          // possibly-empty delta dir (a removal-only epoch scores nothing)
+          val scoreSchema = org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("doc_id", LongType),
+            org.apache.spark.sql.types.StructField("label",
+              org.apache.spark.sql.types.BooleanType),
+            org.apache.spark.sql.types.StructField("split",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("prob",
+              org.apache.spark.sql.types.DoubleType),
+            org.apache.spark.sql.types.StructField("pred",
+              org.apache.spark.sql.types.BooleanType)))
           val docs = ss.read.parquet(staged.toString)
-          docs.filter(col("doc_id") % 5 =!= 0).write.mode("append").parquet(src.toString)
+          // negative-id shadow copies, staged in arrival 2 — AFTER the
+          // model froze on arrival 1, so the fitted weights equal the
+          // batch twin's — and retracted in arrival 3 (query doc)
+          val shadows = docs.filter(col("doc_id") % 20 === 3)
+            .withColumn("doc_id", -(col("doc_id") + lit(1L)))
+          docs.filter(col("doc_id") % 5 =!= 0)
+            .write.mode("append").parquet(src.toString)
           val stream = ss.readStream.schema(rawSchema(ss, sfDir, "documents")).parquet(src.toString)
           val q = stream.writeStream
             .outputMode(OutputMode.Append)
@@ -1930,8 +2046,12 @@ object Events {
               val bss = batch.sparkSession
               import bss.implicits._
               graft.GraftSession.registerFunctions(bss)
+              // removals (text IS NULL): tombstone-only, no scoring work
+              batch.filter(col("text").isNull).select(col("doc_id"))
+                .write.mode("overwrite").parquet(s"$tombstoneDir/batch=$epoch")
               val feats = Classifier.featurized(
-                batch.select(col("doc_id"), col("text"))).persist()
+                batch.filter(col("text").isNotNull)
+                  .select(col("doc_id"), col("text"))).persist()
               try {
                 // committed-state gate, not `epoch == 0` — see
                 // ingestAnnIvf's note (reused-checkpoint starts)
@@ -1959,7 +2079,8 @@ object Events {
                 finally bcModel.destroy()
               } finally feats.unpersist(blocking = false)
               deltaProbe.foreach { buf =>
-                val d = bss.read.parquet(s"$scoresDir/batch=$epoch")
+                val d = bss.read.schema(scoreSchema)
+                  .parquet(s"$scoresDir/batch=$epoch")
                 // (epoch, delta rows, delta positives): the positive-rate
                 // drift alarm a frozen-filter deployment re-trains on
                 buf += ((epoch, d.count(), d.filter(col("pred")).count()))
@@ -1968,10 +2089,18 @@ object Events {
             .start()
           try {
             q.processAllAvailable()
-            docs.filter(col("doc_id") % 5 === 0).write.mode("append").parquet(src.toString)
+            docs.filter(col("doc_id") % 5 === 0).unionByName(shadows)
+              .write.mode("append").parquet(src.toString)
+            q.processAllAvailable()
+            // arrival 3: RETRACT the shadows (text-null rows) — the
+            // tombstone is the whole update, scoring has no blast radius
+            shadows.withColumn("text", lit(null).cast("string"))
+              .write.mode("append").parquet(src.toString)
             q.processAllAvailable()
           } finally { dumpProgress("graft_classify", q); q.stop() }
-          val scored = spark.read.parquet(scoresDir)
+          // consumer: tombstone-resolved chain — removed docs absent
+          val scored = tombstoneResolvedRows(spark,
+            spark.read.parquet(scoresDir).drop("bucket"), tombstoneDir)
             .select(col("doc_id"), col("label"), col("split"), col("prob"), col("pred"))
             .orderBy(col("doc_id"))
           detach(spark, scored)

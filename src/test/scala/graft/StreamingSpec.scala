@@ -124,41 +124,56 @@ class StreamingSpec extends AnyFunSuite {
       .collect().toSeq
     val emb = Tables.embeddings(spark, TestSpark.sf)
     val corpus = emb.filter(col("vec_id") >= Similarity.NumQueries)
+    // the third arrival REMOVES the %17 vectors — the maintained index
+    // must converge to the LIVE corpus
+    val live = corpus.filter(col("vec_id") % 17 =!= 0)
     // batch twin: quantizer trained on the FIRST arrival's deterministic
     // sample (ordered by vec_id, as the stream trains), one-shot
-    // assignment of the full corpus — append-equals-rebuild makes the
-    // streamed chain identical, so the query side must match verbatim
+    // assignment of the live corpus — append-equals-rebuild plus
+    // tombstone resolution makes the streamed chain identical, so the
+    // query side must match verbatim
     val centroids = Similarity.ivfTrain(
       corpus.filter(col("vec_id") % 5 =!= 0).orderBy(col("vec_id")))
     val batch = Similarity.ivfTopKFromIndex(
-      emb, Similarity.ivfAssign(corpus, centroids), centroids, nprobe = 8)
+      emb, Similarity.ivfAssign(live, centroids), centroids, nprobe = 8)
       .collect().toSeq
     assert(streamed.nonEmpty && streamed == batch)
-    // per-epoch writes are exactly the arrivals — no re-assignment ever
+    // per-epoch writes are exactly the arrivals — no re-assignment
+    // ever; the removal epoch assigns NOTHING (tombstone-only)
     val n = corpus.count(); val second = corpus.filter(col("vec_id") % 5 === 0).count()
-    assert(probe.toMap == Map(0L -> (n - second), 1L -> second), s"deltas: $probe")
-    // the drift monitor: per-epoch occupancy is cumulative (appends only
-    // add), and the final reading equals the one-shot index's stats —
-    // the relation a deployment alarms on for frozen-centroid drift
+    val removedN = corpus.filter(col("vec_id") % 17 === 0).count()
+    assert(removedN > 0, "testdata has no %17 vectors — removal staging vacuous")
+    assert(probe.toMap == Map(0L -> (n - second), 1L -> second, 2L -> 0L),
+      s"deltas: $probe")
+    // the drift monitor: occupancy accumulates through the adds and
+    // DRAINS through the removals (negative delta rows), landing on the
+    // one-shot stats over the live corpus — the relation a deployment
+    // alarms on for frozen-centroid drift
     val stats = statsProbe.toMap
-    assert(stats(0L).map(_._2).sum == n - second && stats(1L).map(_._2).sum == n,
+    assert(stats(0L).map(_._2).sum == n - second && stats(1L).map(_._2).sum == n &&
+      stats(2L).map(_._2).sum == n - removedN,
       s"occupancy totals drifted from arrivals: $statsProbe")
-    val oneShot = Similarity.ivfCellStats(Similarity.ivfAssign(corpus, centroids))
+    val oneShot = Similarity.ivfCellStats(Similarity.ivfAssign(live, centroids))
       .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
-    assert(stats(1L) == oneShot, "final cell stats diverged from the one-shot index")
+    assert(stats(2L) == oneShot, "final cell stats diverged from the one-shot live index")
     // the monitor is INCREMENTAL (VERDICT r10 ask #4): its per-epoch
     // input is the cellstats delta chain — O(epochs × nCells) scalar
-    // rows — never the O(corpus) assignment chain. nCells = 16.
+    // rows (a removal epoch writes up to 2×nCells: adds + negatives) —
+    // never the O(corpus) assignment chain. nCells = 16.
     val inputs = statsInputProbe.toMap
-    assert(inputs.forall { case (e, rows) => rows <= (e + 1) * 16 },
+    assert(inputs.forall { case (e, rows) => rows <= (e + 1) * 32 },
       s"drift monitor read more than the stats chain: $statsInputProbe " +
         s"(corpus is ${n} rows — a corpus-width read means the monitor regressed)")
-    // recall floor vs the exact baseline (the ivf_incr floor at nprobe 8)
-    val brute = Similarity.bruteTopK(emb)
+    // recall floor vs the exact baseline over the SAME live corpus
+    // (the ivf_incr floor at nprobe 8)
+    val brute = Similarity.bruteTopK(
+      emb.filter(col("vec_id") < Similarity.NumQueries || col("vec_id") % 17 =!= 0))
       .select(col("query_id"), col("neighbor_id"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val hits = streamed.count(r => brute((r.getLong(0), r.getLong(2))))
     assert(hits >= 0.7 * brute.size, s"recall ${hits.toDouble / brute.size} under floor")
+    // no removed vector survives in any result list
+    assert(streamed.forall(_.getLong(2) % 17 != 0), "a removed vector was returned")
   }
 
   test("stream_ingest_classify converges to the batch-trained scoring, appends only deltas") {
@@ -183,13 +198,24 @@ class StreamingSpec extends AnyFunSuite {
     // the label bites both ways on the testdata
     assert(streamed.exists(_._2) && streamed.exists(!_._2), "degenerate label")
     // per-epoch writes are exactly the arrivals — scoring never
-    // re-touches prior epochs
+    // re-touches prior epochs. Arrival 2 carries the negative-id
+    // shadows (scored by the frozen model), arrival 3 retracts them
+    // tombstone-only: zero scoring work, and the equality above proves
+    // they vanished from the converged relation
     val docs = Tables.documents(spark, TestSpark.sf)
     val n = docs.count(); val second = docs.filter(col("doc_id") % 5 === 0).count()
-    assert(probe.map(p => (p._1, p._2)).toMap == Map(0L -> (n - second), 1L -> second),
+    val shadows = docs.filter(col("doc_id") % 20 === 3).count()
+    assert(shadows > 0, "testdata has no %20==3 docs — removal staging vacuous")
+    assert(probe.map(p => (p._1, p._2)).toMap ==
+      Map(0L -> (n - second), 1L -> (second + shadows), 2L -> 0L),
       s"deltas: $probe")
-    // the drift alarm carries real positives per epoch
-    assert(probe.map(_._3).sum == streamed.count(_._5).toLong)
+    assert(streamed.forall(_._1 >= 0), "a removed shadow survived retraction")
+    // the drift alarm carries real positives per epoch: the epochs' sum
+    // equals the final relation's positives plus the (later-removed)
+    // shadows' — a shadow shares its original's text, hence its pred
+    val shadowPos = streamed.count(t => t._1 % 20 == 3 && t._5).toLong
+    assert(probe.map(_._3).sum == streamed.count(_._5).toLong + shadowPos,
+      s"positives ${probe.map(_._3).sum} != ${streamed.count(_._5)} + $shadowPos")
   }
 
   test("a late smaller-id near-dup retracts the earlier keep (verdict changelog)") {
@@ -1225,5 +1251,13 @@ class StreamingSpec extends AnyFunSuite {
       s"epoch-1 ledger delta ${deltas(1L)} not blast-radius-sized (batch ${epochs(1L)}, corpus $n)")
     assert(deltas(2L) >= 1 && deltas(2L) < n,
       s"removal-epoch ledger delta ${deltas(2L)} not blast-radius-sized (corpus $n)")
+    // in-stream compaction every epoch (all four chains folding through
+    // the shared-tombstone multi-chain compactor, ledger LWW on top,
+    // bucket layouts auto-preserved) must not perturb a single row —
+    // the swap machinery firing BETWEEN live micro-batches, over a
+    // store that still carries un-consumed removal tombstones
+    val compacted = Events.streamIncrementalClean(spark, TestSpark.sf, compactEvery = 1)
+      .collect().toSeq
+    assert(compacted == batch, "per-epoch compaction changed the converged ledger")
   }
 }
