@@ -1320,10 +1320,20 @@ object Events {
     * ingestion viable at 100 TB (the batch `dedup_minhash_lsh` rebuilds
     * all of it per run). The verdict write commits the epoch (last
     * write): a replayed batch reads prior verdicts from epochs strictly
-    * below itself and overwrites its own deltas idempotently. ADDED
-    * arrivals are NEW docs by contract — upstream exact dedup
-    * ([[ingestDedup]]) collapses re-deliveries; a re-delivering source
-    * would extend the tombstone treatment below to re-delivered ids.
+    * below itself and overwrites its own deltas idempotently.
+    *
+    * RE-DELIVERIES are supported (r12, the full crawl semantics): a
+    * batch doc already known to the store (its id appears in the
+    * verdict chain) supersedes its old version WHOLESALE — the epoch
+    * tombstones it alongside the removals, which kills its old band /
+    * shingle / verdict rows while the batch's own epoch-e rows survive
+    * (liveness is `batch ≥ tomb_epoch`, the [[streamIncrementalClean]]
+    * rule). The re-delivered doc's fresh verdict is its ordinary
+    * batchVerdict row; prior docs whose PARTNER was re-delivered join
+    * the removal blast radius below (the old text's edge may have
+    * vanished) and are re-verdicted against the live index — which now
+    * holds the new text's bands, so an edge that survived the text
+    * change is re-found with its new jaccard.
     *
     * REMOVALS are first-class arrivals (text IS NULL — the upstream
     * delete signal): the epoch writes the removed ids into a SHARED
@@ -1394,7 +1404,15 @@ object Events {
           // must restore each original's true (batch-twin) verdict
           val shadows = docs.filter(col("doc_id") % 20 === 3)
             .withColumn("doc_id", -(col("doc_id") + lit(1L)))
+          // stale drafts of the %10 docs (the streamIncrementalClean
+          // staging rule): arrival 2 RE-DELIVERS their true text, so
+          // the wholesale-supersede path runs under the batch-twin
+          // oracle — a stale band/shingle/verdict row surviving the
+          // re-delivery tombstone would shift the converged relation
+          val stale = docs.filter(col("doc_id") % 10 === 0)
+            .withColumn("text", concat(col("text"), lit(" [stale draft]")))
           docs.filter(col("doc_id") % 5 =!= 0).unionByName(shadows)
+            .unionByName(stale)
             .write.mode("append").parquet(src.toString)
           val stream = ss.readStream.schema(rawSchema(ss, sfDir, "documents")).parquet(src.toString)
           val q = stream.writeStream
@@ -1413,14 +1431,29 @@ object Events {
                 .select(col("doc_id")).persist()
               val arrived = batch.filter(col("text").isNotNull)
                 .select(col("doc_id"), col("text")).persist()
+              // gate on COMMITTED prior state, not `epoch == 0`: a
+              // reused streaming checkpoint over a recreated store
+              // starts at epoch > 0 with an empty verdict dir, and an
+              // unconditional read would throw on the missing path
+              // (ADVICE r10)
+              val committedPrior = committedEpochsBelow(verdictDir, epoch).nonEmpty
+              // RE-DELIVERED ids: batch docs the store already holds —
+              // superseded wholesale via the same tombstone write (the
+              // doc's old rows die, its epoch-e rows survive)
+              val redelivered =
+                if (!committedPrior) removals.limit(0)
+                else arrived.select(col("doc_id"))
+                  .join(bss.read.parquet(verdictDir)
+                    .filter(col("batch") < lit(epoch))
+                    .select(col("doc_id")).distinct(), Seq("doc_id"), "left_semi")
+              // retired = removed ∪ re-delivered: ONE tombstone delta
+              // retracts their old rows from bands, shingles and
+              // verdict chains at once (idempotent per-epoch overwrite)
+              val retired = removals.unionByName(redelivered).persist()
               try {
-                // the removal tombstone write: ONE delta retracts the
-                // removed docs from bands, shingles and verdict chains
-                // at once (idempotent per-epoch overwrite, like every
-                // other delta here)
-                removals.write.mode("overwrite")
+                retired.write.mode("overwrite")
                   .parquet(s"$tombstoneDir/batch=$epoch")
-                val haveRemovals = !removals.isEmpty
+                val haveRetired = !retired.isEmpty
                 // the probe read shape every index read below shares:
                 // bucket-pruned files, then tombstone-resolved rows
                 // (the two compose — tombstones are per-doc, buckets
@@ -1490,13 +1523,6 @@ object Events {
                       // the probed index by now)
                       val batchVerdict = arrived.select(col("doc_id"))
                         .join(newBest, Seq("doc_id"), "left")
-                      // gate on COMMITTED prior state, not `epoch == 0`:
-                      // a reused streaming checkpoint over a recreated
-                      // store starts at epoch > 0 with an empty verdict
-                      // dir, and an unconditional read would throw on
-                      // the missing path (ADVICE r10)
-                      val committedPrior =
-                        committedEpochsBelow(verdictDir, epoch).nonEmpty
                       def priorView(): DataFrame = lww(bss,
                         bss.read.parquet(verdictDir)
                           .filter(col("batch") < lit(epoch)))
@@ -1513,22 +1539,28 @@ object Events {
                               col("partner_id") < col("old_partner"))
                             .select(col("doc_id"), col("partner_id"), col("jaccard"))
                         }
-                      // the REMOVAL blast radius: prior docs whose
-                      // current partner was removed this epoch — each
+                      // the RETIREMENT blast radius: prior docs whose
+                      // current partner was removed OR re-delivered
+                      // this epoch (either can erase the edge) — each
                       // re-verdicted against the stored index (bands
                       // rebuilt from its stored shingle set, probed
-                      // tombstone-resolved so removed docs can't
-                      // match). Eagerly checkpointed: its delta-sized
-                      // inputs are released before the write consumes
-                      // it. Docs removed THIS epoch are excluded — the
-                      // tombstone is their retraction.
+                      // tombstone-resolved so retired rows can't
+                      // match; a re-delivered partner's NEW bands are
+                      // live, so a surviving edge is re-found).
+                      // Eagerly checkpointed: its delta-sized inputs
+                      // are released before the write consumes it.
+                      // Removed docs are excluded (the tombstone is
+                      // their retraction) and so are batch docs
+                      // (batchVerdict is authoritative for them).
                       val removalUpdates: Option[DataFrame] =
-                        if (!haveRemovals || !committedPrior) None
+                        if (!haveRetired || !committedPrior) None
                         else {
                           val affected = priorView()
-                            .join(removals.select(col("doc_id").as("partner_id")),
+                            .join(retired.select(col("doc_id").as("partner_id")),
                               Seq("partner_id"), "left_semi")
                             .join(removals, Seq("doc_id"), "left_anti")
+                            .join(arrived.select(col("doc_id")),
+                              Seq("doc_id"), "left_anti")
                             .select(col("doc_id")).localCheckpoint(true)
                           try {
                             val affSh = prunedResolved(shinglesDir,
@@ -1581,6 +1613,7 @@ object Events {
               } finally {
                 arrived.unpersist(blocking = false)
                 removals.unpersist(blocking = false)
+                retired.unpersist(blocking = false)
               }
               // in-stream compaction, PREFIX-BOUNDED to epochs < the one
               // just committed: bounds the chains' delta count (listing

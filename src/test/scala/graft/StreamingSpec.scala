@@ -86,9 +86,11 @@ class StreamingSpec extends AnyFunSuite {
     // arrival-order independence: the index-maintained stream must land
     // on EXACTLY the batch relation (fixed-hash minhash perms) — and
     // since arrival 1 planted negative-id SHADOW duplicates that
-    // arrival 3 retracts, equality also proves the removal leg: a
-    // surviving shadow row, or an original still pointing at its
-    // removed shadow partner, would differ from the batch twin
+    // arrival 3 retracts PLUS stale drafts of the %10 docs that
+    // arrival 2 re-delivers, equality also proves the removal AND
+    // re-delivery legs: a surviving shadow row, an original still
+    // pointing at its removed shadow partner, or a stale band/shingle
+    // row matching after the supersede would differ from the batch twin
     assert(streamed.nonEmpty && streamed == batch)
     assert(streamed.forall(_.getLong(0) >= 0), "a removed shadow survived retraction")
     // and the dedup actually bites on the testdata
@@ -101,10 +103,12 @@ class StreamingSpec extends AnyFunSuite {
     val n = docs.count()
     val batch2 = docs.filter(col("doc_id") % 5 === 0).count()
     val shadows = docs.filter(col("doc_id") % 20 === 3).count()
+    val redelivered = docs.filter(col("doc_id") % 10 === 0).count()
     assert(shadows > 0, "testdata has no %20==3 docs — removal staging vacuous")
+    assert(redelivered > 0, "testdata has no %10 docs — re-delivery staging vacuous")
     assert(deltas.keySet == Set(0L, 1L, 2L), s"expected 3 epochs, got $probe")
-    assert(deltas(0L) == n - batch2 + shadows,
-      s"bootstrap delta ${deltas(0L)} != ${n - batch2 + shadows}")
+    assert(deltas(0L) == n - batch2 + shadows + redelivered,
+      s"bootstrap delta ${deltas(0L)} != ${n - batch2 + shadows + redelivered}")
     assert(deltas(1L) >= batch2 && deltas(1L) < n,
       s"epoch-1 delta ${deltas(1L)} not blast-radius-sized (batch $batch2, corpus $n)")
     // the removal epoch emits ONLY the re-verdicted blast radius (the
@@ -248,10 +252,11 @@ class StreamingSpec extends AnyFunSuite {
       assert(got.filter(!_._2) == Seq((11L, false, 5L)), s"verdicts: $got")
       assert(got.size == 7 && got.count(_._2) == 6)
       // the retractions happened IN the changelog: epoch 0 carried 4
-      // arrivals + the shadow of doc 3; epoch 1 its own 3 arrivals
-      // (5, 10, 15) plus exactly one prior update (11); epoch 2 (the
-      // shadow removal) exactly one re-verdict row (doc 3)
-      assert(probe.toMap == Map(0L -> 5L, 1L -> 4L, 2L -> 1L), s"deltas: $probe")
+      // arrivals + the shadow of doc 3 + the stale draft of doc 10;
+      // epoch 1 its own 3 arrivals (5, the re-delivered 10, 15) plus
+      // exactly one prior update (11); epoch 2 (the shadow removal)
+      // exactly one re-verdict row (doc 3)
+      assert(probe.toMap == Map(0L -> 6L, 1L -> 4L, 2L -> 1L), s"deltas: $probe")
       // and the converged relation equals the batch twin on this corpus
       val batch = Dedup.minhashNearDupVerdict(
         spark.read.parquet(dir.resolve("documents.parquet").toString))
