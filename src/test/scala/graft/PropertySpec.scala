@@ -662,7 +662,7 @@ class PropertySpec extends AnyFunSuite {
     ledgerChain.foreach { case (_, df) => Corpus.releaseCheckpoint(df) }
   }
 
-  test("near-dup ingest changelog converges to the batch verdict across random arrival and removal epochs") {
+  test("near-dup ingest changelog converges to the batch verdict across random arrival, removal and re-delivery epochs") {
     // The stored-state algebra of stream_ingest_neardup — per-epoch band
     // and shingle chains, the verdict changelog with min-partner
     // retractions, LWW resolution — driven through 4 RANDOM arrival
@@ -708,54 +708,68 @@ class PropertySpec extends AnyFunSuite {
     val arrivals = docs.groupBy(_ => rnd.nextInt(4)).toSeq.sortBy(_._1).map(_._2)
     assert(arrivals.size == 4 && arrivals.forall(_.nonEmpty), "degenerate split — reseed")
 
-    val bandChain = scala.collection.mutable.ListBuffer.empty[DataFrame]
-    val shChain = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    // epoch-tagged chains + the tombstone map — the EXACT production
+    // liveness predicate: a row is live iff its epoch >= its doc's max
+    // tombstone epoch. Re-deliveries write new rows AT their tombstone
+    // epoch (old rows die, new survive — the wholesale supersede);
+    // removals write none (the tombstone is the whole retraction).
+    val bandChain = scala.collection.mutable.ListBuffer.empty[(Int, DataFrame)]
+    val shChain = scala.collection.mutable.ListBuffer.empty[(Int, DataFrame)]
     val verdictChain = scala.collection.mutable.ListBuffer.empty[(Int, DataFrame)]
-    val ingested = scala.collection.mutable.ListBuffer.empty[(Long, String)]
-    // the removal model: ids tombstoned so far. Docs are never re-added
-    // after removal (the streaming contract), so the layered
-    // tombstone-then-LWW read reduces to an anti-join on this set —
-    // every removed doc's rows predate its tombstone.
-    val removed = scala.collection.mutable.Set.empty[Long]
+    val current = scala.collection.mutable.LinkedHashMap.empty[Long, String]
+    val tomb = scala.collection.mutable.Map.empty[Long, Int]
     var keepRetractions = 0L
-    var removalReVerdicts = 0L
+    var reVerdicts = 0L
     var restoredKeeps = 0L
-    def removedDF: DataFrame = removed.toSeq.toDF("doc_id")
-    def liveBands(): DataFrame = bandChain.reduce(_ unionByName _)
-      .join(removedDF, Seq("doc_id"), "left_anti")
-    def liveSh(): DataFrame = shChain.reduce(_ unionByName _)
-      .join(removedDF, Seq("doc_id"), "left_anti")
-    def lww(): DataFrame = {
-      val rows = verdictChain
-        .map { case (e, df) => df.withColumn("batch", lit(e)) }.reduce(_ unionByName _)
-      rows.join(removedDF, Seq("doc_id"), "left_anti")
+    var redeliveredCount = 0L
+    var removedCount = 0L
+    def resolvedRows(chain: Seq[(Int, DataFrame)], keepEpoch: Boolean): DataFrame = {
+      val rows = chain.map { case (ep, df) => df.withColumn("batch", lit(ep)) }
+        .reduce(_ unionByName _)
+      val live =
+        if (tomb.isEmpty) rows
+        else rows
+          .join(org.apache.spark.sql.functions.broadcast(
+            tomb.toSeq.toDF("doc_id", "te")), Seq("doc_id"), "left_outer")
+          .filter(col("te").isNull || col("batch") >= col("te")).drop("te")
+      if (keepEpoch) live else live.drop("batch")
+    }
+    def liveBands(): DataFrame = resolvedRows(bandChain.toSeq, keepEpoch = false)
+    def liveSh(): DataFrame = resolvedRows(shChain.toSeq, keepEpoch = false)
+    def lww(): DataFrame =
+      resolvedRows(verdictChain.toSeq, keepEpoch = true)
         .groupBy(col("doc_id"))
         .agg(max_by(struct(col("partner_id"), col("jaccard")), col("batch")).as("v"))
         .select(col("doc_id"), col("v.partner_id").as("partner_id"),
           col("v.jaccard").as("jaccard"))
-    }
     def checkEpoch(e: Int): Unit = {
       val got = lww()
         .select(col("doc_id"), col("partner_id").isNull.as("keep"),
           col("partner_id"), col("jaccard"))
         .orderBy(col("doc_id")).collect().map(_.toSeq).toSeq
-      val live = ingested.toSeq.filterNot(d => removed(d._1))
-      val want = Dedup.minhashNearDupVerdict(live.toDF("doc_id", "text"))
+      val want = Dedup.minhashNearDupVerdict(current.toSeq.toDF("doc_id", "text"))
         .collect().map(_.toSeq).toSeq
       assert(got == want, s"epoch $e: changelog diverged from the batch verdict")
     }
-    // schedule: arrivals interleaved with REMOVAL epochs (the
-    // stream_ingest_neardup retraction leg, driven through random
-    // state): each removal epoch removes a doc that is currently some
-    // doc's PARTNER — its dependents must be re-verdicted against the
-    // remaining index — plus a random uninvolved doc.
-    var e = 0
-    for ((arrival, k) <- arrivals.zipWithIndex) {
-      val batchDF = arrival.toDF("doc_id", "text")
+    // ONE event processor running the streaming algebra verbatim:
+    // arrivals may be NEW or RE-DELIVERED docs (ids the store already
+    // holds — superseded wholesale via the tombstone), removals are
+    // tombstone-only; the retirement blast radius (docs whose current
+    // partner was removed or re-delivered) is re-verdicted from the
+    // stored shingle sets against the live index.
+    def processEvent(e: Int, arrivalDocs: Seq[(Long, String)], removeIds: Set[Long]): Unit = {
+      val redeliv = arrivalDocs.map(_._1).filter(current.contains).toSet
+      redeliveredCount += redeliv.size; removedCount += removeIds.size
+      val retiredIds = removeIds ++ redeliv
+      val hadPrior = verdictChain.nonEmpty
+      retiredIds.foreach(id => tomb(id) = e)
+      removeIds.foreach(current.remove)
+      arrivalDocs.foreach { case (id, t) => current(id) = t }
+      val batchDF = arrivalDocs.toDF("doc_id", "text")
       val batchSh = Dedup.shingleHashSets(batchDF).localCheckpoint(true)
       val batchBands = Dedup.bandRows(Dedup.minhashSignatures(batchSh))
         .localCheckpoint(true)
-      shChain += batchSh; bandChain += batchBands
+      shChain += e -> batchSh; bandChain += e -> batchBands
       val cand = Dedup.nearDupCandidates(batchBands, liveBands())
       val edges = Dedup.nearDupVerify(cand, liveSh())
       val newBest = edges.groupBy(col("b").as("doc_id"))
@@ -763,51 +777,26 @@ class PropertySpec extends AnyFunSuite {
         .localCheckpoint(true)
       val batchVerdict = batchDF.select(col("doc_id")).join(newBest, Seq("doc_id"), "left")
       val priorRaw =
-        if (e == 0) newBest.withColumn("old_partner", lit(null)).limit(0)
+        if (!hadPrior) newBest.withColumn("old_partner", lit(null)).limit(0)
         else newBest
           .join(batchDF.select(col("doc_id")), Seq("doc_id"), "left_anti")
           .join(lww().select(col("doc_id"), col("partner_id").as("old_partner")), Seq("doc_id"))
           .filter(col("old_partner").isNull || col("partner_id") < col("old_partner"))
           .localCheckpoint(true)
-      // the original leg: a prior KEEP (old partner null) flipped to a
-      // drop by a later smaller-id arrival — count it separately from
-      // mere partner improvements of already-dropped docs
+      // a prior KEEP (old partner null) flipped to a drop by a later
+      // smaller-id arrival — counted separately from mere partner
+      // improvements of already-dropped docs
       keepRetractions += priorRaw.filter(col("old_partner").isNull).count()
-      val delta = batchVerdict
-        .unionByName(priorRaw.select(col("doc_id"), col("partner_id"), col("jaccard")))
-        .localCheckpoint(true)
-      graft.operators.Corpus.releaseCheckpoint(newBest)
-      graft.operators.Corpus.releaseCheckpoint(priorRaw)
-      verdictChain += e -> delta
-      ingested ++= arrival
-      checkEpoch(e)
-      e += 1
-      // after arrivals 2 and 4: a REMOVAL epoch, when a partner exists
-      if (k == 1 || k == 3) {
-        val partners = lww().filter(col("partner_id").isNotNull)
-          .select(col("partner_id")).distinct()
-          .collect().map(_.getLong(0)).toSeq.sorted
-        if (partners.nonEmpty) {
-          val victim = partners(rnd.nextInt(partners.size))
-          // the bystander must not be one of the victim's dependents —
-          // removing the whole dependency pair would leave no one to
-          // re-verdict, voiding the leg this epoch exists for
-          val dependents = lww().filter(col("partner_id") === lit(victim))
-            .select(col("doc_id")).collect().map(_.getLong(0)).toSet
-          val bystander = ingested.map(_._1)
-            .filterNot(id => removed(id) || id == victim || dependents(id))
-          val picks = Set(victim) ++
-            (if (bystander.nonEmpty) Set(bystander(rnd.nextInt(bystander.size)))
-             else Set.empty[Long])
-          // the streaming algebra: tombstone the picks, re-verdict the
-          // docs whose current partner was removed against the LIVE
-          // (tombstone-resolved) index — bands rebuilt from the stored
-          // shingle sets, min over verified smaller survivors
+      val affCkpts = scala.collection.mutable.ListBuffer.empty[DataFrame]
+      val affDelta =
+        if (retiredIds.isEmpty || !hadPrior) batchVerdict.limit(0)
+        else {
           val affected = lww()
-            .filter(col("partner_id").isin(picks.toSeq: _*))
-            .join(picks.toSeq.toDF("doc_id"), Seq("doc_id"), "left_anti")
+            .filter(col("partner_id").isin(retiredIds.toSeq: _*))
+            .join(removeIds.toSeq.toDF("doc_id"), Seq("doc_id"), "left_anti")
+            .join(batchDF.select(col("doc_id")), Seq("doc_id"), "left_anti")
             .select(col("doc_id")).localCheckpoint(true)
-          removed ++= picks
+          affCkpts += affected
           val affSh = liveSh().join(affected, Seq("doc_id"), "left_semi")
           val affBands = Dedup.bandRows(Dedup.minhashSignatures(affSh))
           val cand2 = Dedup.nearDupCandidates(affBands, liveBands())
@@ -815,29 +804,81 @@ class PropertySpec extends AnyFunSuite {
             .groupBy(col("b").as("doc_id"))
             .agg(min(col("a")).as("partner_id"),
               min_by(col("jaccard"), col("a")).as("jaccard"))
-          val delta2 = affected.join(best2, Seq("doc_id"), "left")
+          val d2 = affected.join(best2, Seq("doc_id"), "left")
             .select(col("doc_id"), col("partner_id"), col("jaccard"))
             .localCheckpoint(true)
-          graft.operators.Corpus.releaseCheckpoint(affected)
-          removalReVerdicts += delta2.count()
-          restoredKeeps += delta2.filter(col("partner_id").isNull).count()
-          verdictChain += e -> delta2
-          checkEpoch(e)
-          e += 1
+          affCkpts += d2
+          reVerdicts += d2.count()
+          restoredKeeps += d2.filter(col("partner_id").isNull).count()
+          d2
+        }
+      val delta = batchVerdict
+        .unionByName(priorRaw.select(col("doc_id"), col("partner_id"), col("jaccard")))
+        .unionByName(affDelta)
+        .localCheckpoint(true)
+      graft.operators.Corpus.releaseCheckpoint(newBest)
+      graft.operators.Corpus.releaseCheckpoint(priorRaw)
+      affCkpts.foreach(graft.operators.Corpus.releaseCheckpoint)
+      verdictChain += e -> delta
+    }
+    def partnersNow(): Seq[Long] = lww().filter(col("partner_id").isNotNull)
+      .select(col("partner_id")).distinct()
+      .collect().map(_.getLong(0)).toSeq.sorted
+    // schedule: arrivals interleaved with REMOVAL epochs, and the later
+    // arrivals each RE-DELIVER a mutated copy of a current PARTNER doc
+    // (guaranteed dependents whose edge to it must be re-scored or
+    // dropped) — removals pick a current partner plus a bystander.
+    var e = 0
+    for ((arrival, k) <- arrivals.zipWithIndex) {
+      val redeliv: Seq[(Long, String)] =
+        if (k < 2) Seq.empty
+        else {
+          val ps = partnersNow().filterNot(id => arrival.exists(_._1 == id))
+          if (ps.isEmpty) Seq.empty
+          else {
+            val id = ps(rnd.nextInt(ps.size))
+            val toks = current(id).split(" ")
+            toks(rnd.nextInt(toks.length)) = s"re${e}x"
+            Seq((id, toks.mkString(" ")))
+          }
+        }
+      processEvent(e, arrival ++ redeliv, Set.empty)
+      checkEpoch(e); e += 1
+      if (k == 1 || k == 3) {
+        val ps = partnersNow()
+        if (ps.nonEmpty) {
+          val victim = ps(rnd.nextInt(ps.size))
+          // the bystander must not be one of the victim's dependents —
+          // removing the whole dependency pair would leave no one to
+          // re-verdict, voiding the leg this epoch exists for
+          val dependents = lww().filter(col("partner_id") === lit(victim))
+            .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+          val bystander = current.keys.toSeq
+            .filterNot(id => id == victim || dependents(id))
+          val picks = Set(victim) ++
+            (if (bystander.nonEmpty) Set(bystander(rnd.nextInt(bystander.size)))
+             else Set.empty[Long])
+          processEvent(e, Seq.empty, picks)
+          checkEpoch(e); e += 1
         }
       }
     }
     // the seed must actually exercise every leg
-    assert(ingested.toSeq.toDF("doc_id", "text")
-      .select(col("text")).distinct().count() < ingested.size,
+    assert(docs.toDF("doc_id", "text")
+      .select(col("text")).distinct().count() < docs.size,
       "no duplicate texts staged — vacuous corpus, reseed")
     assert(keepRetractions > 0,
       s"seed $seed never flipped a prior keep to a drop — reseed")
-    assert(removalReVerdicts > 0,
-      s"seed $seed never re-verdicted a removed partner's dependent — reseed")
+    assert(reVerdicts > 0,
+      s"seed $seed never re-verdicted a retired partner's dependent — reseed")
     assert(restoredKeeps > 0,
-      s"seed $seed never restored a keep through a removal — reseed")
-    (shChain ++ bandChain).foreach(graft.operators.Corpus.releaseCheckpoint)
+      s"seed $seed never restored a keep through a retirement — reseed")
+    assert(redeliveredCount > 0,
+      s"seed $seed never re-delivered a doc — reseed")
+    assert(removedCount > 0,
+      s"seed $seed never removed a doc — reseed")
+    (shChain ++ bandChain).foreach { case (_, df) =>
+      graft.operators.Corpus.releaseCheckpoint(df) }
     verdictChain.foreach { case (_, df) => graft.operators.Corpus.releaseCheckpoint(df) }
   }
 }
