@@ -1437,15 +1437,23 @@ object Events {
               // unconditional read would throw on the missing path
               // (ADVICE r10)
               val committedPrior = committedEpochsBelow(verdictDir, epoch).nonEmpty
-              // RE-DELIVERED ids: batch docs the store already holds —
-              // superseded wholesale via the same tombstone write (the
-              // doc's old rows die, its epoch-e rows survive)
+              // RE-DELIVERED ids: batch docs whose INDEX STATE the
+              // store already holds — superseded wholesale via the same
+              // tombstone write (the doc's old rows die, its epoch-e
+              // rows survive). Membership is probed against the
+              // doc-id-bucketed SHINGLE chain pruned to the batch's own
+              // buckets — O(batch buckets) files read, never a chain
+              // scan — and that chain is exactly the right notion: a
+              // sub-shingle-length doc has no index rows to supersede
+              // (and no edges, hence no dependents), so its verdict
+              // supersede rides on plain LWW.
+              val shinglesSchema = Dedup.shingleHashSets(arrived.limit(0)).schema
               val redelivered =
                 if (!committedPrior) removals.limit(0)
                 else arrived.select(col("doc_id"))
-                  .join(bss.read.parquet(verdictDir)
-                    .filter(col("batch") < lit(epoch))
-                    .select(col("doc_id")).distinct(), Seq("doc_id"), "left_semi")
+                  .join(prunedChainRows(bss, shinglesDir, epoch - 1,
+                      collectBuckets(arrived, col("doc_id")), Some(shinglesSchema))
+                    .select(col("doc_id")), Seq("doc_id"), "left_semi")
               // retired = removed ∪ re-delivered: ONE tombstone delta
               // retracts their old rows from bands, shingles and
               // verdict chains at once (idempotent per-epoch overwrite)
