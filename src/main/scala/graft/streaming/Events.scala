@@ -976,11 +976,11 @@ object Events {
               Seq("doc_id"))
           val outerLap = graft.operators.Snapshot.incrLap()
           val docs = ss.read.parquet(staged.toString)
-          val stale = docs.filter(col("doc_id") % 10 === 0)
+          val stale = docs.filter(col("doc_id") % RedeliveryMod === 0)
             .withColumn("text", concat(col("text"), lit(" [stale draft]")))
           // negative-id shadow copies: removed again in arrival 3 — the
           // retraction leg's staging (see the query doc)
-          val shadows = docs.filter(col("doc_id") % 20 === 3)
+          val shadows = docs.filter(col("doc_id") % ShadowMod === ShadowRem)
             .withColumn("doc_id", -(col("doc_id") + lit(1L)))
           docs.filter(col("doc_id") % 5 =!= 0).unionByName(stale)
             .unionByName(shadows)
@@ -1402,14 +1402,14 @@ object Events {
           // smallest ids they become their originals' verdict partners,
           // then arrival 3 RETRACTS them — the blast-radius recompute
           // must restore each original's true (batch-twin) verdict
-          val shadows = docs.filter(col("doc_id") % 20 === 3)
+          val shadows = docs.filter(col("doc_id") % ShadowMod === ShadowRem)
             .withColumn("doc_id", -(col("doc_id") + lit(1L)))
           // stale drafts of the %10 docs (the streamIncrementalClean
           // staging rule): arrival 2 RE-DELIVERS their true text, so
           // the wholesale-supersede path runs under the batch-twin
           // oracle — a stale band/shingle/verdict row surviving the
           // re-delivery tombstone would shift the converged relation
-          val stale = docs.filter(col("doc_id") % 10 === 0)
+          val stale = docs.filter(col("doc_id") % RedeliveryMod === 0)
             .withColumn("text", concat(col("text"), lit(" [stale draft]")))
           docs.filter(col("doc_id") % 5 =!= 0).unionByName(shadows)
             .unionByName(stale)
@@ -1950,7 +1950,7 @@ object Events {
             // arrival 3: REMOVE the %17 vectors (embedding-null rows —
             // the upstream delete signal); the maintained index must
             // stop returning them
-            corpus.filter(col("vec_id") % 17 === 0)
+            corpus.filter(col("vec_id") % AnnRemovalMod === 0)
               .withColumn("embedding",
                 lit(null).cast(rawSchema(ss, sfDir, "embeddings")("embedding").dataType))
               .write.mode("append").parquet(src.toString)
@@ -1987,7 +1987,7 @@ object Events {
     // search over the same corpus the index now holds (queries < NumQueries
     // are never removed)
     val live = Tables.embeddings(spark, sfDir)
-      .filter(col("vec_id") < Similarity.NumQueries || col("vec_id") % 17 =!= 0)
+      .filter(col("vec_id") < Similarity.NumQueries || col("vec_id") % AnnRemovalMod =!= 0)
     val b = Similarity.bruteTopK(live)
       .select(col("query_id"), col("neighbor_id")).persist()
     val verdict = streamed.agg(count(lit(1)).as("n_rows"))
@@ -2075,7 +2075,7 @@ object Events {
           // negative-id shadow copies, staged in arrival 2 — AFTER the
           // model froze on arrival 1, so the fitted weights equal the
           // batch twin's — and retracted in arrival 3 (query doc)
-          val shadows = docs.filter(col("doc_id") % 20 === 3)
+          val shadows = docs.filter(col("doc_id") % ShadowMod === ShadowRem)
             .withColumn("doc_id", -(col("doc_id") + lit(1L)))
           docs.filter(col("doc_id") % 5 =!= 0)
             .write.mode("append").parquet(src.toString)
@@ -2193,6 +2193,19 @@ object Events {
     * per epoch, which the in-stream compaction re-merges anyway.
     */
   private[graft] val ChainBuckets = 32
+
+  /** Staging knobs the retraction legs share between each loop, its
+    * check twin and the batch-twin equality specs — a drifted copy
+    * would silently decouple a check twin's live-corpus model from
+    * what the loop actually staged. Docs `% ShadowMod == ShadowRem`
+    * get negative-id shadow copies (retracted in the final arrival);
+    * docs `% RedeliveryMod == 0` are staged stale then re-delivered;
+    * embeddings `% AnnRemovalMod == 0` are removed from the ANN loop's
+    * corpus. */
+  private[graft] val ShadowMod = 20L
+  private[graft] val ShadowRem = 3L
+  private[graft] val RedeliveryMod = 10L
+  private[graft] val AnnRemovalMod = 17L
 
   /** The ONE bucket function both the write and the probe sides share —
     * a drifted second copy would silently prune AWAY matching files. */
