@@ -176,10 +176,15 @@ class RobustnessSpec extends AnyFunSuite {
     val dir = java.nio.file.Files.createTempDirectory("graft_neardup_robust")
     try {
       val stage = s"$dir/stage"
-      // shorts 1 and 6 are IDENTICAL, split across the two arrivals
+      // shorts 1 and 6 are IDENTICAL, split across the arrivals
       // (6 % 5 != 0 lands first, 5 % 5 == 0 second); 2 and 7 are a real
-      // exact-dup pair, also split across arrivals
-      Seq((6L, "tiny doc"), (5L, "tiny doc"), (1L, ""),
+      // exact-dup pair, also split across arrivals. Doc 3 (%20==3) is a
+      // SHORT doc too, so its staged negative-id shadow is equally
+      // signature-less: the final removal epoch then has an EMPTY blast
+      // radius (a signature-less doc can be nobody's partner) — the
+      // zero-affected removal path, empty delta dir and all, must not
+      // crash or leave the shadow behind
+      Seq((6L, "tiny doc"), (5L, "tiny doc"), (1L, ""), (3L, "tiny doc"),
         (2L, long1), (7L, long1))
         .toDF("doc_id", "text")
         .coalesce(1).write.mode("overwrite").parquet(stage)
@@ -189,7 +194,8 @@ class RobustnessSpec extends AnyFunSuite {
       val got = graft.streaming.Events.ingestNearDup(spark, dir.toString)
         .collect().map(r => (r.getLong(0), r.getBoolean(1),
           if (r.isNullAt(2)) -1L else r.getLong(2))).toSeq
-      assert(got.size == 5, s"a doc lost its verdict row: $got")
+      assert(got.size == 6, s"a doc lost its verdict row: $got")
+      assert(got.forall(_._1 >= 0), s"the removed shadow survived: $got")
       assert(got.filter(!_._2) == Seq((7L, false, 2L)),
         s"only the real dup should drop: $got")
     } finally {
