@@ -416,6 +416,25 @@ object Corpus {
     finally shingled.unpersist(blocking = false)
   }
 
+  /** [[ledger]]'s output schema as a VALUE — a stored-ledger chain
+    * reader over possibly-zero-file delta dirs (a removal-only epoch's
+    * blast radius can be empty) needs an explicit schema, and deriving
+    * it from `ledger(empty)` would eagerly run the CC machinery just
+    * for analysis. CorpusSpec pins this equal to the real output
+    * schema so the two can never drift. */
+  val LedgerSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("cluster_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("n_tokens",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("quality",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("lang_pred",
+        org.apache.spark.sql.types.StringType)))
+
   /** [[ledger]] with a caller-owned shingle pass — so a caller that
     * already persisted `shingleHashSets` for these exact docs (the
     * incremental closure) doesn't pay the kernel twice. The CC labels

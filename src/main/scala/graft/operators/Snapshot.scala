@@ -52,6 +52,17 @@ object Snapshot {
   def manifest(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), md5(col("text")).as("h"))
 
+  /** [[manifest]]'s schema as a value — stored manifest-chain readers
+    * over possibly-zero-file delta dirs (a removal-only epoch writes an
+    * empty manifest delta) need an explicit schema; SnapshotSpec pins
+    * it equal to the real output schema. */
+  val ManifestSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("h",
+        org.apache.spark.sql.types.StringType)))
+
   /** The derived OLD snapshot, WITH text (see object doc): absent %11
     * (→ added), ` [draft]`-suffixed %7 (→ changed), retired docs at a
     * data-derived id offset (→ removed). [[snapshotDiff]] sees only its

@@ -958,9 +958,13 @@ object Events {
           // bound (partition-pruned) — replay safety for PRIOR-state
           // reads: a crashed attempt's own-epoch deltas must not leak
           // into the state the replay recomputes from.
+          // explicit schema: a removal-only epoch commits an EMPTY
+          // manifest delta, and a chain whose dirs are all zero-file
+          // would crash schema inference (r12 review)
           def liveChain(bss: SparkSession, dir: String,
                         upTo: Option[Long] = None): DataFrame =
-            tombstoneResolved(bss, dir, tombstoneDir, upTo = upTo)
+            tombstoneResolved(bss, dir, tombstoneDir, upTo = upTo,
+              dataSchema = Some(Snapshot.ManifestSchema))
           // the ledger chain's reader: the LAYERED changelog resolution
           // — removal tombstones kill a retracted doc's rows first (it
           // writes no new row, so LWW alone would resurface it), then
@@ -971,7 +975,8 @@ object Events {
           def ledgerView(ss2: SparkSession, upTo: Long): DataFrame =
             resolveLww(
               tombstoneResolvedRows(ss2,
-                ss2.read.parquet(ledgerDir).filter(col("batch") <= lit(upTo)),
+                ss2.read.schema(graft.operators.Corpus.LedgerSchema)
+                  .parquet(ledgerDir).filter(col("batch") <= lit(upTo)),
                 tombstoneDir, upTo = Some(upTo), keepEpoch = true),
               Seq("doc_id"))
           val outerLap = graft.operators.Snapshot.incrLap()
@@ -1456,21 +1461,55 @@ object Events {
                     .select(col("doc_id")), Seq("doc_id"), "left_semi")
               // retired = removed ∪ re-delivered: ONE tombstone delta
               // retracts their old rows from bands, shingles and
-              // verdict chains at once (idempotent per-epoch overwrite)
+              // verdict chains at once (idempotent per-epoch overwrite).
+              // Written ONLY when non-empty: a retirement-free run then
+              // never grows a tombstone chain and every probe takes the
+              // no-tombstone fast path (replay-safe — a replayed batch
+              // recomputes the same set from the same files).
               val retired = removals.unionByName(redelivered).persist()
+              // the per-epoch tombstone AGGREGATE, computed once and
+              // shared by every probe in the batch — each probe would
+              // otherwise re-read + re-aggregate the chain, up to 5×
+              // per epoch (r12 review). Epoch-invariant within the
+              // batch; explicit schema so an all-empty chain can't
+              // crash inference. Released in the epoch's finally.
+              var tombAgg: Option[DataFrame] = None
               try {
-                retired.write.mode("overwrite")
-                  .parquet(s"$tombstoneDir/batch=$epoch")
                 val haveRetired = !retired.isEmpty
+                if (haveRetired)
+                  retired.write.mode("overwrite")
+                    .parquet(s"$tombstoneDir/batch=$epoch")
+                tombAgg = {
+                  val haveTombs = Option(new java.io.File(tombstoneDir).listFiles())
+                    .exists(_.exists(_.getName.startsWith("batch=")))
+                  if (!haveTombs) None
+                  else Some(bss.read
+                    .schema(org.apache.spark.sql.types.StructType(Seq(
+                      org.apache.spark.sql.types.StructField("doc_id", LongType))))
+                    .parquet(tombstoneDir)
+                    .filter(col("batch") <= lit(epoch))
+                    .groupBy(col("doc_id")).agg(max(col("batch")).as("tomb_epoch"))
+                    .persist())
+                }
+                def resolveWith(rows: DataFrame, keepEpoch: Boolean): DataFrame =
+                  tombAgg match {
+                    case None => if (keepEpoch) rows else rows.drop("batch")
+                    case Some(t) =>
+                      val live = rows.join(broadcast(t), Seq("doc_id"), "left_outer")
+                        .filter(col("tomb_epoch").isNull ||
+                          col("batch") >= col("tomb_epoch"))
+                      if (keepEpoch) live.drop("tomb_epoch")
+                      else live.drop("batch", "tomb_epoch")
+                  }
                 // the probe read shape every index read below shares:
                 // bucket-pruned files, then tombstone-resolved rows
                 // (the two compose — tombstones are per-doc, buckets
                 // per-hash)
                 def prunedResolved(dir: String, buckets: Seq[Int],
                                    schema: StructType): DataFrame =
-                  tombstoneResolvedRows(bss,
+                  resolveWith(
                     prunedChainRows(bss, dir, epoch, buckets, Some(schema)),
-                    tombstoneDir, upTo = Some(epoch))
+                    keepEpoch = false)
                 // O(|batch|) text work: shingle + sign + band ONLY the
                 // arrival, then append both state deltas — each stored
                 // HASH-BUCKETED (a `bucket` partition column) so probe
@@ -1531,22 +1570,32 @@ object Events {
                       // the probed index by now)
                       val batchVerdict = arrived.select(col("doc_id"))
                         .join(newBest, Seq("doc_id"), "left")
-                      def priorView(): DataFrame = lww(bss,
-                        bss.read.parquet(verdictDir)
-                          .filter(col("batch") < lit(epoch)))
+                      // ONE prior resolution per epoch, shared by the
+                      // two consumers below (r12 review: recomputing it
+                      // doubled the per-epoch chain scan + LWW); the
+                      // explicit schema keeps a zero-file chain —
+                      // committed epochs whose deltas were all empty —
+                      // from crashing inference
+                      val priorV: Option[DataFrame] =
+                        if (!committedPrior) None
+                        else Some(resolveLww(resolveWith(
+                          bss.read.schema(verdictSchema).parquet(verdictDir)
+                            .filter(col("batch") < lit(epoch)),
+                          keepEpoch = true), Seq("doc_id")).persist())
+                      try {
                       // prior docs whose verdict this batch's ADDS lower
-                      val priorUpdates =
-                        if (!committedPrior) batchVerdict.limit(0)
-                        else {
+                      val priorUpdates = priorV match {
+                        case None => batchVerdict.limit(0)
+                        case Some(prior) =>
                           newBest
                             .join(arrived.select(col("doc_id")),
                               Seq("doc_id"), "left_anti")
-                            .join(priorView().select(col("doc_id"),
+                            .join(prior.select(col("doc_id"),
                               col("partner_id").as("old_partner")), Seq("doc_id"))
                             .filter(col("old_partner").isNull ||
                               col("partner_id") < col("old_partner"))
                             .select(col("doc_id"), col("partner_id"), col("jaccard"))
-                        }
+                      }
                       // the RETIREMENT blast radius: prior docs whose
                       // current partner was removed OR re-delivered
                       // this epoch (either can erase the edge) — each
@@ -1561,9 +1610,9 @@ object Events {
                       // their retraction) and so are batch docs
                       // (batchVerdict is authoritative for them).
                       val removalUpdates: Option[DataFrame] =
-                        if (!haveRetired || !committedPrior) None
+                        if (!haveRetired || priorV.isEmpty) None
                         else {
-                          val affected = priorView()
+                          val affected = priorV.get
                             .join(retired.select(col("doc_id").as("partner_id")),
                               Seq("partner_id"), "left_semi")
                             .join(removals, Seq("doc_id"), "left_anti")
@@ -1612,6 +1661,7 @@ object Events {
                         .write.mode("overwrite").parquet(s"$verdictDir/batch=$epoch")
                       finally removalUpdates.foreach(
                         graft.operators.Corpus.releaseCheckpoint)
+                      } finally priorV.foreach(_.unpersist(blocking = false))
                     } finally {
                       newBest.unpersist(blocking = false)
                       shNeeded.unpersist(blocking = false)
@@ -1622,6 +1672,7 @@ object Events {
                 arrived.unpersist(blocking = false)
                 removals.unpersist(blocking = false)
                 retired.unpersist(blocking = false)
+                tombAgg.foreach(_.unpersist(blocking = false))
               }
               // in-stream compaction, PREFIX-BOUNDED to epochs < the one
               // just committed: bounds the chains' delta count (listing
@@ -1659,7 +1710,8 @@ object Events {
           } finally { dumpProgress("graft_neardup", q); q.stop() }
           // consumer view: tombstones first, then LWW — keep iff no
           // partner; removed docs are absent entirely
-          val verdicts = lww(spark, spark.read.parquet(verdictDir))
+          val verdicts = lww(spark,
+            spark.read.schema(verdictSchema).parquet(verdictDir))
             .select(col("doc_id"), col("partner_id").isNull.as("keep"),
               col("partner_id"), col("jaccard"))
             .orderBy(col("doc_id"))
@@ -1850,6 +1902,10 @@ object Events {
             org.apache.spark.sql.types.StructField("neighbor_id", LongType),
             org.apache.spark.sql.types.StructField("cell",
               org.apache.spark.sql.types.IntegerType)))
+          val cellStatsSchema = org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("cell",
+              org.apache.spark.sql.types.IntegerType),
+            org.apache.spark.sql.types.StructField("n", LongType)))
           // column selected BY NAME: a positional read would silently
           // return wrong vectors if the stored column order ever changed
           def loadCentroids(s2: SparkSession): Array[Array[Double]] =
@@ -1874,25 +1930,40 @@ object Events {
                 .select(col("vec_id").as("neighbor_id")).persist()
               val arrived = batch.filter(col("embedding").isNotNull).persist()
               try {
-                removals.write.mode("overwrite")
-                  .parquet(s"$tombstoneDir/batch=$epoch")
+                // tombstones written only when non-empty: a removal-free
+                // run never grows the chain and every reader takes the
+                // no-tombstone fast path (r12 review; replay recomputes
+                // the same set, so the conditional is idempotent)
+                val haveRemovals = !removals.isEmpty
+                if (haveRemovals)
+                  removals.write.mode("overwrite")
+                    .parquet(s"$tombstoneDir/batch=$epoch")
                 // gate on COMMITTED stored state, not `epoch == 0` (the
                 // ingestNearDup ADVICE-r10 rule): a reused streaming
                 // checkpoint over a recreated store starts at epoch > 0
                 // with no centroids — train on the first batch actually
-                // PROCESSED, which is what "first arrival" means there
-                val centroids =
-                  if (!new java.io.File(s"$centroidsDir/_SUCCESS").exists ||
-                      epoch == 0L) {
+                // PROCESSED, which is what "first arrival" means there.
+                // A head-of-stream batch with NO adds (pure removal
+                // backlog) has nothing to train OR assign: the model
+                // waits for the first real arrival (r12 review).
+                val haveAdds = !arrived.isEmpty
+                val centroidsOpt: Option[Array[Array[Double]]] =
+                  if (new java.io.File(s"$centroidsDir/_SUCCESS").exists &&
+                      epoch != 0L) Some(loadCentroids(bss))
+                  else if (haveAdds) {
                     val c = Similarity.ivfTrain(arrived.orderBy(col("vec_id")))
                     c.zipWithIndex.map { case (v, i) => (i, v.toSeq) }.toSeq
                       .toDF("cell", "centroid")
                       .write.mode("overwrite").parquet(centroidsDir)
-                    c
-                  } else loadCentroids(bss)
+                    Some(c)
+                  } else None
                 // neighbor-id-bucketed delta (one file per touched
-                // bucket) — the same store shape as every other chain
-                Similarity.ivfAssign(arrived, centroids)
+                // bucket) — the same store shape as every other chain;
+                // schema-correct empty when there is nothing to assign
+                centroidsOpt.fold(
+                  bss.createDataFrame(bss.sparkContext
+                    .emptyRDD[org.apache.spark.sql.Row], assignSchema))(
+                  c => Similarity.ivfAssign(arrived, c))
                   .withColumn("bucket", chainBucket(col("neighbor_id")))
                   .repartition(col("bucket"))
                   .write.partitionBy("bucket").mode("overwrite")
@@ -1907,7 +1978,7 @@ object Events {
                   bss.read.schema(assignSchema)
                     .parquet(s"$assignDir/batch=$epoch"))
                 val remStats =
-                  if (removals.isEmpty) addStats.limit(0)
+                  if (!haveRemovals) addStats.limit(0)
                   else tombstoneResolvedRows(bss,
                       prunedChainRows(bss, assignDir, epoch,
                         collectBuckets(removals, col("neighbor_id")),
@@ -1931,7 +2002,8 @@ object Events {
               // O(epochs × nCells) scalar rows per poll, with the full
               // assignment chain never re-read (VERDICT r10 ask #4)
               cellStatsProbe.foreach { buf =>
-                val statsChain = bss.read.parquet(cellStatsDir)
+                val statsChain = bss.read.schema(cellStatsSchema)
+                  .parquet(cellStatsDir)
                   .filter(col("batch") <= lit(epoch))
                 cellStatsInputProbe.foreach(_ += ((epoch, statsChain.count())))
                 // n > 0: a cell fully drained by removals drops out,
@@ -1959,7 +2031,7 @@ object Events {
           // query the maintained index: tombstone-resolved chain +
           // frozen quantizer — a removed vector never reaches the probe
           val assigned = tombstoneResolvedRows(spark,
-            spark.read.parquet(assignDir).drop("bucket"),
+            spark.read.schema(assignSchema).parquet(assignDir).drop("bucket"),
             tombstoneDir, keyCol = "neighbor_id")
           val topk = Similarity.ivfTopKFromIndex(
             Tables.embeddings(spark, sfDir), assigned, loadCentroids(spark), k, nprobe)
@@ -2087,37 +2159,55 @@ object Events {
               val bss = batch.sparkSession
               import bss.implicits._
               graft.GraftSession.registerFunctions(bss)
-              // removals (text IS NULL): tombstone-only, no scoring work
-              batch.filter(col("text").isNull).select(col("doc_id"))
-                .write.mode("overwrite").parquet(s"$tombstoneDir/batch=$epoch")
+              // removals (text IS NULL): tombstone-only, no scoring
+              // work — and written only when non-empty, so a
+              // removal-free run never grows the chain (r12 review)
+              val removalsC = batch.filter(col("text").isNull)
+                .select(col("doc_id"))
+              if (!removalsC.isEmpty)
+                removalsC.write.mode("overwrite")
+                  .parquet(s"$tombstoneDir/batch=$epoch")
               val feats = Classifier.featurized(
                 batch.filter(col("text").isNotNull)
                   .select(col("doc_id"), col("text"))).persist()
               try {
                 // committed-state gate, not `epoch == 0` — see
-                // ingestAnnIvf's note (reused-checkpoint starts)
-                // the store/load pair carries the sparse-weight
+                // ingestAnnIvf's note (reused-checkpoint starts).
+                // The store/load pair carries the sparse-weight
                 // sentinel contract (Classifier.storeModel's doc —
-                // VERDICT r11 "what's wrong" #4)
-                val model =
-                  if (!new java.io.File(s"$modelDir/_SUCCESS").exists ||
-                      epoch == 0L) {
+                // VERDICT r11 "what's wrong" #4). A head-of-stream
+                // batch with NO adds (pure removal backlog) has
+                // nothing to train or score: the model waits for the
+                // first real arrival (r12 review).
+                val modelOpt: Option[Classifier.LrModel] =
+                  if (new java.io.File(s"$modelDir/_SUCCESS").exists &&
+                      epoch != 0L) Some(Classifier.loadModel(bss, modelDir))
+                  else if (!feats.isEmpty) {
                     val m = Classifier.fit(feats)
                     Classifier.storeModel(bss, m, modelDir)
-                    m
-                  } else Classifier.loadModel(bss, modelDir)
-                // scoring via the handle form: the per-epoch model
-                // broadcast is DESTROYED once the delta is written —
-                // score()'s GC-released broadcast would otherwise
-                // accumulate one per epoch for the loop's lifetime
-                // (ADVICE r11)
-                val (scored, bcModel) = Classifier.scoreWithHandle(feats, model)
-                try scored
-                  .withColumn("bucket", chainBucket(col("doc_id")))
-                  .repartition(col("bucket")) // one file per bucket per epoch
-                  .write.partitionBy("bucket").mode("overwrite")
-                  .parquet(s"$scoresDir/batch=$epoch")
-                finally bcModel.destroy()
+                    Some(m)
+                  } else None
+                modelOpt match {
+                  case Some(model) =>
+                    // scoring via the handle form: the per-epoch model
+                    // broadcast is DESTROYED once the delta is written —
+                    // score()'s GC-released broadcast would otherwise
+                    // accumulate one per epoch for the loop's lifetime
+                    // (ADVICE r11)
+                    val (scored, bcModel) = Classifier.scoreWithHandle(feats, model)
+                    try scored
+                      .withColumn("bucket", chainBucket(col("doc_id")))
+                      .repartition(col("bucket")) // one file per bucket per epoch
+                      .write.partitionBy("bucket").mode("overwrite")
+                      .parquet(s"$scoresDir/batch=$epoch")
+                    finally bcModel.destroy()
+                  case None =>
+                    // schema-correct empty delta commits the epoch
+                    bss.createDataFrame(bss.sparkContext
+                      .emptyRDD[org.apache.spark.sql.Row], scoreSchema)
+                      .write.mode("overwrite")
+                      .parquet(s"$scoresDir/batch=$epoch")
+                }
               } finally feats.unpersist(blocking = false)
               deltaProbe.foreach { buf =>
                 val d = bss.read.schema(scoreSchema)
@@ -2141,7 +2231,8 @@ object Events {
           } finally { dumpProgress("graft_classify", q); q.stop() }
           // consumer: tombstone-resolved chain — removed docs absent
           val scored = tombstoneResolvedRows(spark,
-            spark.read.parquet(scoresDir).drop("bucket"), tombstoneDir)
+            spark.read.schema(scoreSchema).parquet(scoresDir).drop("bucket"),
+            tombstoneDir)
             .select(col("doc_id"), col("label"), col("split"), col("prob"), col("pred"))
             .orderBy(col("doc_id"))
           detach(spark, scored)
@@ -2556,9 +2647,13 @@ object Events {
     */
   private[graft] def tombstoneResolved(spark: SparkSession, dir: String,
                                        tombstoneDir: String, keyCol: String = "doc_id",
-                                       upTo: Option[Long] = None): DataFrame = {
-    val rows = upTo.fold(spark.read.parquet(dir))(e =>
-      spark.read.parquet(dir).filter(col("batch") <= lit(e)))
+                                       upTo: Option[Long] = None,
+                                       dataSchema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
+    // dataSchema: loop readers over chains that may hold zero-file
+    // committed epochs (empty deltas) pass the stored schema so
+    // inference never has to open a footer
+    val scan = dataSchema.fold(spark.read)(s => spark.read.schema(s)).parquet(dir)
+    val rows = upTo.fold(scan)(e => scan.filter(col("batch") <= lit(e)))
     tombstoneResolvedRows(spark, rows, tombstoneDir, keyCol, upTo)
   }
 
@@ -2582,8 +2677,15 @@ object Events {
       .exists(_.exists(_.getName.startsWith("batch=")))
     if (!haveTombs) { if (keepEpoch) rows else rows.drop("batch") }
     else {
-      val tombs = upTo.fold(spark.read.parquet(tombstoneDir))(e =>
-          spark.read.parquet(tombstoneDir).filter(col("batch") <= lit(e)))
+      // explicit schema (every chain's tombstone key is a long id): a
+      // chain whose delta dirs are all ZERO-FILE (committed epochs with
+      // no retirements) would otherwise crash schema inference — the
+      // removal-only-head-of-stream latent the r12 review flagged
+      val tombSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField(keyCol, LongType)))
+      val tombs = upTo.fold(spark.read.schema(tombSchema).parquet(tombstoneDir))(e =>
+          spark.read.schema(tombSchema).parquet(tombstoneDir)
+            .filter(col("batch") <= lit(e)))
         .groupBy(col(keyCol)).agg(max(col("batch")).as("tomb_epoch"))
       val live = rows.join(broadcast(tombs), Seq(keyCol), "left_outer")
         .filter(col("tomb_epoch").isNull || col("batch") >= col("tomb_epoch"))

@@ -16,6 +16,27 @@ class SnapshotSpec extends AnyFunSuite {
     rows.toDF("doc_id", "h")
   }
 
+  test("published chain-reader schemas match the real relation schemas") {
+    // the stored-chain readers pass ManifestSchema / LedgerSchema
+    // explicitly (zero-file delta dirs have nothing to infer from) —
+    // pin name+type equality with the live outputs so the literals can
+    // never drift (nullability deliberately excluded: computed columns'
+    // nullable flags vary with input nullability, and parquet readers
+    // don't enforce them)
+    import spark.implicits._
+    val tiny = Seq((1L, "alpha beta gamma delta epsilon one"),
+      (2L, "alpha beta gamma delta epsilon two")).toDF("doc_id", "text")
+    def shape(s: org.apache.spark.sql.types.StructType) =
+      s.map(f => (f.name, f.dataType))
+    assert(shape(graft.operators.Snapshot.manifest(tiny).schema) ==
+      shape(graft.operators.Snapshot.ManifestSchema))
+    val ledgerCkpts = scala.collection.mutable.ListBuffer.empty[org.apache.spark.sql.DataFrame]
+    try assert(shape(graft.operators.Corpus.ledger(tiny,
+        ckptOut = Some(ledgerCkpts)).schema) ==
+      shape(graft.operators.Corpus.LedgerSchema))
+    finally ledgerCkpts.foreach(graft.operators.Corpus.releaseCheckpoint)
+  }
+
   test("diff classifies added / removed / changed and drops unchanged") {
     val oldM = manifest(1L -> "a", 2L -> "b", 3L -> "c")
     val newM = manifest(2L -> "b", 3L -> "C2", 4L -> "d")
