@@ -1109,22 +1109,30 @@ object Events {
                   // gate).
                   val nextManifest =
                     liveChain(bss, manifestDir, upTo = Some(epoch)).persist()
+                  // ONE tombstone aggregate per epoch, shared by every
+                  // corpus-text read and every postings-bucket chunk of
+                  // the closure (each tombstoneResolvedRows call would
+                  // otherwise re-read + re-aggregate the chain — the
+                  // r12 review's repeated-resolution finding, applied
+                  // to the flagship loop)
+                  val tombAggE = tombstoneAggregate(bss, tombstoneDir,
+                    upTo = Some(epoch)).map(_.persist())
                   // corpus text pruned to the requested ids' doc
                   // buckets (file skip), then the exact semi gate (row
                   // skip) — shared by the probe's frontier re-shingle
                   // AND the recompute's closure read
                   val docsFor: DataFrame => DataFrame = ids =>
-                    tombstoneResolvedRows(bss,
+                    tombstoneResolvedRowsWith(
                       prunedChainRows(bss, corpusDir, epoch,
                         collectBuckets(ids, col("doc_id")),
                         Some(rawSchema(bss, sfDir, "documents"))),
-                      tombstoneDir, upTo = Some(epoch))
+                      tombAggE)
                       .join(ids, Seq("doc_id"), "left_semi")
                   // the stored probe replaces the r10 corpus-width
                   // postings cache: the closure reads only the buckets
                   // its frontiers touch, each at most once per epoch
                   val probe = new StoredPostingsProbe(bss, docsFor,
-                    postingsByShingleDir, tombstoneDir, epoch,
+                    postingsByShingleDir, tombAggE, epoch,
                     Snapshot.postings(arrived.limit(0)).schema)
                   try {
                     // the CHECKPOINTED delta form: a long-running loop
@@ -1141,6 +1149,7 @@ object Events {
                   } finally {
                     probe.release() // idempotent; inner release is the contract
                     nextManifest.unpersist(blocking = false)
+                    tombAggE.foreach(_.unpersist(blocking = false))
                   }
                 }
               } finally {
@@ -1479,37 +1488,17 @@ object Events {
                 if (haveRetired)
                   retired.write.mode("overwrite")
                     .parquet(s"$tombstoneDir/batch=$epoch")
-                tombAgg = {
-                  val haveTombs = Option(new java.io.File(tombstoneDir).listFiles())
-                    .exists(_.exists(_.getName.startsWith("batch=")))
-                  if (!haveTombs) None
-                  else Some(bss.read
-                    .schema(org.apache.spark.sql.types.StructType(Seq(
-                      org.apache.spark.sql.types.StructField("doc_id", LongType))))
-                    .parquet(tombstoneDir)
-                    .filter(col("batch") <= lit(epoch))
-                    .groupBy(col("doc_id")).agg(max(col("batch")).as("tomb_epoch"))
-                    .persist())
-                }
-                def resolveWith(rows: DataFrame, keepEpoch: Boolean): DataFrame =
-                  tombAgg match {
-                    case None => if (keepEpoch) rows else rows.drop("batch")
-                    case Some(t) =>
-                      val live = rows.join(broadcast(t), Seq("doc_id"), "left_outer")
-                        .filter(col("tomb_epoch").isNull ||
-                          col("batch") >= col("tomb_epoch"))
-                      if (keepEpoch) live.drop("tomb_epoch")
-                      else live.drop("batch", "tomb_epoch")
-                  }
+                tombAgg = tombstoneAggregate(bss, tombstoneDir,
+                  upTo = Some(epoch)).map(_.persist())
                 // the probe read shape every index read below shares:
                 // bucket-pruned files, then tombstone-resolved rows
                 // (the two compose — tombstones are per-doc, buckets
                 // per-hash)
                 def prunedResolved(dir: String, buckets: Seq[Int],
                                    schema: StructType): DataFrame =
-                  resolveWith(
+                  tombstoneResolvedRowsWith(
                     prunedChainRows(bss, dir, epoch, buckets, Some(schema)),
-                    keepEpoch = false)
+                    tombAgg)
                 // O(|batch|) text work: shingle + sign + band ONLY the
                 // arrival, then append both state deltas — each stored
                 // HASH-BUCKETED (a `bucket` partition column) so probe
@@ -1578,10 +1567,10 @@ object Events {
                       // from crashing inference
                       val priorV: Option[DataFrame] =
                         if (!committedPrior) None
-                        else Some(resolveLww(resolveWith(
+                        else Some(resolveLww(tombstoneResolvedRowsWith(
                           bss.read.schema(verdictSchema).parquet(verdictDir)
                             .filter(col("batch") < lit(epoch)),
-                          keepEpoch = true), Seq("doc_id")).persist())
+                          tombAgg, keepEpoch = true), Seq("doc_id")).persist())
                       try {
                       // prior docs whose verdict this batch's ADDS lower
                       val priorUpdates = priorV match {
@@ -2367,15 +2356,18 @@ object Events {
     */
   private[graft] final class StoredPostingsProbe(
       bss: SparkSession, docsFor: DataFrame => DataFrame,
-      byShingleDir: String, tombstoneDir: String, epoch: Long,
+      byShingleDir: String, tombAgg: Option[DataFrame], epoch: Long,
       dataSchema: org.apache.spark.sql.types.StructType)
     extends graft.operators.Snapshot.PostingsProbe {
     private val chunks = scala.collection.mutable.ListBuffer.empty[DataFrame]
     private val covered = scala.collection.mutable.Set.empty[Int]
+    // the caller's precomputed per-epoch tombstone aggregate
+    // ([[tombstoneAggregate]]) — per-chunk re-derivation would re-read
+    // the tombstone chain once per bucket group (r12 review)
     private def resolvedPruned(buckets: Seq[Int]): DataFrame =
-      tombstoneResolvedRows(bss,
+      tombstoneResolvedRowsWith(
         prunedChainRows(bss, byShingleDir, epoch, buckets, Some(dataSchema)),
-        tombstoneDir, upTo = Some(epoch))
+        tombAgg)
     def forDocs(frontier: DataFrame): DataFrame =
       graft.operators.Snapshot.postings(docsFor(frontier))
     def forShinglesOf(frontierPost: DataFrame): DataFrame = {
@@ -2672,26 +2664,46 @@ object Events {
   private[graft] def tombstoneResolvedRows(spark: SparkSession, rows: DataFrame,
                                            tombstoneDir: String, keyCol: String = "doc_id",
                                            upTo: Option[Long] = None,
-                                           keepEpoch: Boolean = false): DataFrame = {
+                                           keepEpoch: Boolean = false): DataFrame =
+    tombstoneResolvedRowsWith(rows,
+      tombstoneAggregate(spark, tombstoneDir, keyCol, upTo), keepEpoch)
+
+  /** The per-key max-tombstone-epoch aggregate of a tombstone chain —
+    * None when the chain has never been written. Factored out so a
+    * LOOP can compute it ONCE per epoch (persist) and share it across
+    * every probe of the batch ([[tombstoneResolvedRowsWith]]); each
+    * probe re-deriving it re-reads and re-aggregates the chain (the
+    * r12 review's repeated-resolution finding). Explicit key schema:
+    * a chain whose delta dirs are all zero-file (committed epochs with
+    * no retirements) would crash schema inference. */
+  private[graft] def tombstoneAggregate(spark: SparkSession, tombstoneDir: String,
+                                        keyCol: String = "doc_id",
+                                        upTo: Option[Long] = None): Option[DataFrame] = {
     val haveTombs = Option(new java.io.File(tombstoneDir).listFiles())
       .exists(_.exists(_.getName.startsWith("batch=")))
-    if (!haveTombs) { if (keepEpoch) rows else rows.drop("batch") }
+    if (!haveTombs) None
     else {
-      // explicit schema (every chain's tombstone key is a long id): a
-      // chain whose delta dirs are all ZERO-FILE (committed epochs with
-      // no retirements) would otherwise crash schema inference — the
-      // removal-only-head-of-stream latent the r12 review flagged
       val tombSchema = org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField(keyCol, LongType)))
-      val tombs = upTo.fold(spark.read.schema(tombSchema).parquet(tombstoneDir))(e =>
-          spark.read.schema(tombSchema).parquet(tombstoneDir)
-            .filter(col("batch") <= lit(e)))
-        .groupBy(col(keyCol)).agg(max(col("batch")).as("tomb_epoch"))
-      val live = rows.join(broadcast(tombs), Seq(keyCol), "left_outer")
-        .filter(col("tomb_epoch").isNull || col("batch") >= col("tomb_epoch"))
-      if (keepEpoch) live.drop("tomb_epoch") else live.drop("batch", "tomb_epoch")
+      val scan = spark.read.schema(tombSchema).parquet(tombstoneDir)
+      Some(upTo.fold(scan)(e => scan.filter(col("batch") <= lit(e)))
+        .groupBy(col(keyCol)).agg(max(col("batch")).as("tomb_epoch")))
     }
   }
+
+  /** Apply a precomputed [[tombstoneAggregate]] to an epoch-tagged
+    * `rows` relation — the liveness predicate (`batch >= tomb_epoch`)
+    * with the aggregate's key column as the join key. */
+  private[graft] def tombstoneResolvedRowsWith(rows: DataFrame,
+                                               tombAgg: Option[DataFrame],
+                                               keepEpoch: Boolean = false): DataFrame =
+    tombAgg match {
+      case None => if (keepEpoch) rows else rows.drop("batch")
+      case Some(t) =>
+        val live = rows.join(broadcast(t), Seq(t.columns.head), "left_outer")
+          .filter(col("tomb_epoch").isNull || col("batch") >= col("tomb_epoch"))
+        if (keepEpoch) live.drop("tomb_epoch") else live.drop("batch", "tomb_epoch")
+    }
 
   // leading underscore: Spark's partition discovery ignores `_`/`.`
   // paths, so a live reader never lists these mid-compaction dirs

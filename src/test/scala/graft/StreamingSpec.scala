@@ -606,7 +606,8 @@ class StreamingSpec extends AnyFunSuite {
           .join(ids, Seq("doc_id"), "left_semi")
       val seeds = Seq(7L).toDF("doc_id")
       val (cMem, eMem) = Snapshot.pairGraphClosure(seeds, resolved)
-      val stored = new Events.StoredPostingsProbe(spark, docsFor, bySh, tomb, 1L,
+      val tombAgg = Events.tombstoneAggregate(spark, tomb, upTo = Some(1L))
+      val stored = new Events.StoredPostingsProbe(spark, docsFor, bySh, tombAgg, 1L,
         resolved.schema)
       val (cSt, eSt) = Snapshot.pairGraphClosure(seeds, stored, 25)
       val memSet = cMem.collect().map(_.getLong(0)).toSet
@@ -633,7 +634,7 @@ class StreamingSpec extends AnyFunSuite {
           .foreach(d => java.nio.file.Files.write(
             d.toPath.resolve("part-poison.parquet"), "NOT PARQUET".getBytes))
       poison(corpus, needDoc); poison(bySh, needSh)
-      val probe2 = new Events.StoredPostingsProbe(spark, docsFor, bySh, tomb, 1L,
+      val probe2 = new Events.StoredPostingsProbe(spark, docsFor, bySh, tombAgg, 1L,
         resolved.schema)
       val fp = probe2.forDocs(Seq(7L).toDF("doc_id")).persist()
       assert(fp.select(col("doc_id")).distinct().collect().map(_.getLong(0)).toSeq == Seq(7L))
