@@ -958,12 +958,15 @@ object Events {
           // bound (partition-pruned) — replay safety for PRIOR-state
           // reads: a crashed attempt's own-epoch deltas must not leak
           // into the state the replay recomputes from.
-          // explicit schema: a removal-only epoch commits an EMPTY
-          // manifest delta, and a chain whose dirs are all zero-file
-          // would crash schema inference (r12 review)
-          def liveChain(bss: SparkSession, dir: String,
-                        upTo: Option[Long] = None): DataFrame =
-            tombstoneResolved(bss, dir, tombstoneDir, upTo = upTo,
+          // the resolved MANIFEST view (the only chain read this way —
+          // the schema is bound to the dir, so a caller can't pair the
+          // manifest schema with another chain's files and silently
+          // null-fill; r12 review #2). Explicit schema: a removal-only
+          // epoch commits an EMPTY manifest delta, and a chain whose
+          // dirs are all zero-file would crash schema inference.
+          def manifestView(bss: SparkSession,
+                           upTo: Option[Long] = None): DataFrame =
+            tombstoneResolved(bss, manifestDir, tombstoneDir, upTo = upTo,
               dataSchema = Some(Snapshot.ManifestSchema))
           // the ledger chain's reader: the LAYERED changelog resolution
           // — removal tombstones kill a retracted doc's rows first (it
@@ -1045,7 +1048,7 @@ object Events {
               val bootCkpts = scala.collection.mutable.ListBuffer.empty[DataFrame]
               val (prior, priorManifest) = latestBelow(epoch) match {
                 case Some(e) => (ledgerView(bss, e).persist(),
-                  liveChain(bss, manifestDir, upTo = Some(e)).persist())
+                  manifestView(bss, upTo = Some(e)).persist())
                 case None =>
                   // schema-correct empty state via the machinery itself —
                   // bootstrap then flows through the one verified code path
@@ -1107,16 +1110,19 @@ object Events {
                   // re-scans and re-resolves the chain), the next-manifest
                   // view across its two consumers (diff + mates presence
                   // gate).
-                  val nextManifest =
-                    liveChain(bss, manifestDir, upTo = Some(epoch)).persist()
-                  // ONE tombstone aggregate per epoch, shared by every
-                  // corpus-text read and every postings-bucket chunk of
-                  // the closure (each tombstoneResolvedRows call would
-                  // otherwise re-read + re-aggregate the chain — the
-                  // r12 review's repeated-resolution finding, applied
-                  // to the flagship loop)
+                  // ONE tombstone aggregate per epoch, shared by the
+                  // next-manifest view, every corpus-text read and
+                  // every postings-bucket chunk of the closure (each
+                  // tombstoneResolvedRows call would otherwise re-read
+                  // + re-aggregate the chain — the r12 review's
+                  // repeated-resolution finding, applied to the
+                  // flagship loop)
                   val tombAggE = tombstoneAggregate(bss, tombstoneDir,
                     upTo = Some(epoch)).map(_.persist())
+                  val nextManifest = tombstoneResolvedRowsWith(
+                    bss.read.schema(Snapshot.ManifestSchema)
+                      .parquet(manifestDir).filter(col("batch") <= lit(epoch)),
+                    tombAggE).persist()
                   // corpus text pruned to the requested ids' doc
                   // buckets (file skip), then the exact semi gate (row
                   // skip) — shared by the probe's frontier re-shingle
@@ -1967,7 +1973,7 @@ object Events {
                   bss.read.schema(assignSchema)
                     .parquet(s"$assignDir/batch=$epoch"))
                 val remStats =
-                  if (!haveRemovals) addStats.limit(0)
+                  if (!haveRemovals || centroidsOpt.isEmpty) addStats.limit(0)
                   else tombstoneResolvedRows(bss,
                       prunedChainRows(bss, assignDir, epoch,
                         collectBuckets(removals, col("neighbor_id")),
@@ -2191,10 +2197,16 @@ object Events {
                       .parquet(s"$scoresDir/batch=$epoch")
                     finally bcModel.destroy()
                   case None =>
-                    // schema-correct empty delta commits the epoch
+                    // schema-correct empty delta commits the epoch —
+                    // routed through the SAME bucket layout as a real
+                    // delta: a non-partitioned empty write would land
+                    // a part file at a different directory depth and
+                    // break partition discovery over the whole chain
+                    // (r12 review #2)
                     bss.createDataFrame(bss.sparkContext
                       .emptyRDD[org.apache.spark.sql.Row], scoreSchema)
-                      .write.mode("overwrite")
+                      .withColumn("bucket", chainBucket(col("doc_id")))
+                      .write.partitionBy("bucket").mode("overwrite")
                       .parquet(s"$scoresDir/batch=$epoch")
                 }
               } finally feats.unpersist(blocking = false)
@@ -2666,7 +2678,7 @@ object Events {
                                            upTo: Option[Long] = None,
                                            keepEpoch: Boolean = false): DataFrame =
     tombstoneResolvedRowsWith(rows,
-      tombstoneAggregate(spark, tombstoneDir, keyCol, upTo), keepEpoch)
+      tombstoneAggregate(spark, tombstoneDir, keyCol, upTo), keyCol, keepEpoch)
 
   /** The per-key max-tombstone-epoch aggregate of a tombstone chain —
     * None when the chain has never been written. Factored out so a
@@ -2692,15 +2704,19 @@ object Events {
   }
 
   /** Apply a precomputed [[tombstoneAggregate]] to an epoch-tagged
-    * `rows` relation — the liveness predicate (`batch >= tomb_epoch`)
-    * with the aggregate's key column as the join key. */
+    * `rows` relation — the liveness predicate (`batch >= tomb_epoch`).
+    * `keyCol` is passed explicitly (not read off the aggregate's
+    * column order): an implicit positional contract would let a
+    * reshaped aggregate silently join on the wrong column and
+    * resurrect tombstoned rows (r12 review #2). */
   private[graft] def tombstoneResolvedRowsWith(rows: DataFrame,
                                                tombAgg: Option[DataFrame],
+                                               keyCol: String = "doc_id",
                                                keepEpoch: Boolean = false): DataFrame =
     tombAgg match {
       case None => if (keepEpoch) rows else rows.drop("batch")
       case Some(t) =>
-        val live = rows.join(broadcast(t), Seq(t.columns.head), "left_outer")
+        val live = rows.join(broadcast(t), Seq(keyCol), "left_outer")
           .filter(col("tomb_epoch").isNull || col("batch") >= col("tomb_epoch"))
         if (keepEpoch) live.drop("tomb_epoch") else live.drop("batch", "tomb_epoch")
     }

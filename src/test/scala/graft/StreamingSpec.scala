@@ -102,8 +102,8 @@ class StreamingSpec extends AnyFunSuite {
     val deltas = probe.toMap
     val n = docs.count()
     val batch2 = docs.filter(col("doc_id") % 5 === 0).count()
-    val shadows = docs.filter(col("doc_id") % 20 === 3).count()
-    val redelivered = docs.filter(col("doc_id") % 10 === 0).count()
+    val shadows = docs.filter(col("doc_id") % graft.streaming.Events.ShadowMod === graft.streaming.Events.ShadowRem).count()
+    val redelivered = docs.filter(col("doc_id") % graft.streaming.Events.RedeliveryMod === 0).count()
     assert(shadows > 0, "testdata has no %20==3 docs — removal staging vacuous")
     assert(redelivered > 0, "testdata has no %10 docs — re-delivery staging vacuous")
     assert(deltas.keySet == Set(0L, 1L, 2L), s"expected 3 epochs, got $probe")
@@ -130,7 +130,7 @@ class StreamingSpec extends AnyFunSuite {
     val corpus = emb.filter(col("vec_id") >= Similarity.NumQueries)
     // the third arrival REMOVES the %17 vectors — the maintained index
     // must converge to the LIVE corpus
-    val live = corpus.filter(col("vec_id") % 17 =!= 0)
+    val live = corpus.filter(col("vec_id") % graft.streaming.Events.AnnRemovalMod =!= 0)
     // batch twin: quantizer trained on the FIRST arrival's deterministic
     // sample (ordered by vec_id, as the stream trains), one-shot
     // assignment of the live corpus — append-equals-rebuild plus
@@ -145,7 +145,7 @@ class StreamingSpec extends AnyFunSuite {
     // per-epoch writes are exactly the arrivals — no re-assignment
     // ever; the removal epoch assigns NOTHING (tombstone-only)
     val n = corpus.count(); val second = corpus.filter(col("vec_id") % 5 === 0).count()
-    val removedN = corpus.filter(col("vec_id") % 17 === 0).count()
+    val removedN = corpus.filter(col("vec_id") % graft.streaming.Events.AnnRemovalMod === 0).count()
     assert(removedN > 0, "testdata has no %17 vectors — removal staging vacuous")
     assert(probe.toMap == Map(0L -> (n - second), 1L -> second, 2L -> 0L),
       s"deltas: $probe")
@@ -171,13 +171,13 @@ class StreamingSpec extends AnyFunSuite {
     // recall floor vs the exact baseline over the SAME live corpus
     // (the ivf_incr floor at nprobe 8)
     val brute = Similarity.bruteTopK(
-      emb.filter(col("vec_id") < Similarity.NumQueries || col("vec_id") % 17 =!= 0))
+      emb.filter(col("vec_id") < Similarity.NumQueries || col("vec_id") % graft.streaming.Events.AnnRemovalMod =!= 0))
       .select(col("query_id"), col("neighbor_id"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val hits = streamed.count(r => brute((r.getLong(0), r.getLong(2))))
     assert(hits >= 0.7 * brute.size, s"recall ${hits.toDouble / brute.size} under floor")
     // no removed vector survives in any result list
-    assert(streamed.forall(_.getLong(2) % 17 != 0), "a removed vector was returned")
+    assert(streamed.forall(_.getLong(2) % graft.streaming.Events.AnnRemovalMod != 0), "a removed vector was returned")
   }
 
   test("stream_ingest_classify converges to the batch-trained scoring, appends only deltas") {
@@ -208,7 +208,7 @@ class StreamingSpec extends AnyFunSuite {
     // they vanished from the converged relation
     val docs = Tables.documents(spark, TestSpark.sf)
     val n = docs.count(); val second = docs.filter(col("doc_id") % 5 === 0).count()
-    val shadows = docs.filter(col("doc_id") % 20 === 3).count()
+    val shadows = docs.filter(col("doc_id") % graft.streaming.Events.ShadowMod === graft.streaming.Events.ShadowRem).count()
     assert(shadows > 0, "testdata has no %20==3 docs — removal staging vacuous")
     assert(probe.map(p => (p._1, p._2)).toMap ==
       Map(0L -> (n - second), 1L -> (second + shadows), 2L -> 0L),
@@ -217,7 +217,7 @@ class StreamingSpec extends AnyFunSuite {
     // the drift alarm carries real positives per epoch: the epochs' sum
     // equals the final relation's positives plus the (later-removed)
     // shadows' — a shadow shares its original's text, hence its pred
-    val shadowPos = streamed.count(t => t._1 % 20 == 3 && t._5).toLong
+    val shadowPos = streamed.count(t => t._1 % graft.streaming.Events.ShadowMod == graft.streaming.Events.ShadowRem && t._5).toLong
     assert(probe.map(_._3).sum == streamed.count(_._5).toLong + shadowPos,
       s"positives ${probe.map(_._3).sum} != ${streamed.count(_._5)} + $shadowPos")
   }
@@ -1230,8 +1230,8 @@ class StreamingSpec extends AnyFunSuite {
     // stale text row, posting, manifest hash, or shadow ledger row
     // would shift the ledger away from the batch truth)
     val n = docs.count()
-    val redelivered = docs.filter(col("doc_id") % 10 === 0).count()
-    val shadows = docs.filter(col("doc_id") % 20 === 3).count()
+    val redelivered = docs.filter(col("doc_id") % graft.streaming.Events.RedeliveryMod === 0).count()
+    val shadows = docs.filter(col("doc_id") % graft.streaming.Events.ShadowMod === graft.streaming.Events.ShadowRem).count()
     assert(redelivered > 0, "testdata has no %10 docs — staging lost its re-delivery leg")
     assert(shadows > 0, "testdata has no %20==3 docs — staging lost its removal leg")
     assert(epochs(0L) + epochs(1L) == n + redelivered + shadows,
@@ -1241,7 +1241,7 @@ class StreamingSpec extends AnyFunSuite {
     // their originals' canonical slots, so at least one %20==3 original
     // must be present in the restored kept set (equality with the batch
     // truth already implies it — this names the mechanism on failure)
-    assert(streamed.exists(_.getLong(0) % 20 == 3),
+    assert(streamed.exists(_.getLong(0) % graft.streaming.Events.ShadowMod == graft.streaming.Events.ShadowRem),
       "no shadowed original in the final kept set — retraction leg vacuous or broken")
     // the per-epoch LEDGER write is blast-radius-sized, never
     // corpus-sized: epoch 0 is the bootstrap (everything recomputed),
