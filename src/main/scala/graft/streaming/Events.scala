@@ -984,6 +984,13 @@ object Events {
               Seq("doc_id"))
           val outerLap = graft.operators.Snapshot.incrLap()
           val docs = ss.read.parquet(staged.toString)
+          // chain value schemas (stored columns minus the partition
+          // dirs), derived once at setup — the in-stream compaction
+          // reads every chain with an explicit schema so a chain whose
+          // committed deltas are all zero-file (pure-removal head
+          // epochs) can never crash inference (ADVICE r12)
+          val docSchema = rawSchema(ss, sfDir, "documents")
+          val postingsSchema = Snapshot.postings(docs.limit(0)).schema
           val stale = docs.filter(col("doc_id") % RedeliveryMod === 0)
             .withColumn("text", concat(col("text"), lit(" [stale draft]")))
           // negative-id shadow copies: removed again in arrival 3 — the
@@ -1046,6 +1053,10 @@ object Events {
               // LeakProbe2-reproducible pin behind the flaky
               // loop-cleanliness failure)
               val bootCkpts = scala.collection.mutable.ListBuffer.empty[DataFrame]
+              // the arrival's manifest, O(|batch|) map-only — persisted:
+              // consumed by the tombstone semi, the manifest delta write
+              // and the hash-unchanged re-delivery carry below
+              val batchManifest = Snapshot.manifest(arrived).persist()
               val (prior, priorManifest) = latestBelow(epoch) match {
                 case Some(e) => (ledgerView(bss, e).persist(),
                   manifestView(bss, upTo = Some(e)).persist())
@@ -1061,12 +1072,18 @@ object Events {
                 // re-delivered ids (already in the prior manifest) ∪
                 // REMOVED ids (the arrival's text-null rows): one write
                 // retracts a removed doc from all four chains at once.
-                val batchManifest = Snapshot.manifest(arrived)
-                priorManifest
+                // Written ONLY when non-empty (the other three loops'
+                // discipline, ADVICE r12): an adds-only deployment then
+                // never grows a tombstone chain and every probe takes
+                // tombstoneAggregate's no-tombstone fast path. Replay-
+                // safe — a replayed epoch recomputes the same set from
+                // the same committed prior state.
+                val tomb = priorManifest
                   .join(batchManifest.select(col("doc_id")), Seq("doc_id"), "left_semi")
                   .select(col("doc_id"))
                   .unionByName(removals)
-                  .write.mode("overwrite").parquet(s"$tombstoneDir/batch=$epoch")
+                if (!tomb.isEmpty)
+                  tomb.write.mode("overwrite").parquet(s"$tombstoneDir/batch=$epoch")
                 lap(s"epoch $epoch: tombstones (incl. prior-state resolve)")
                 Snapshot.postings(arrived)
                   .withColumn("bucket", chainBucket(col("s")))
@@ -1148,7 +1165,26 @@ object Events {
                     // releases the probe's bucket chunks inside)
                     val deltaRows = Snapshot.incrementalLedgerDeltaCheckpointed(
                       prior, priorManifest, nextManifest, probe, docsFor, 25)
-                    try deltaRows.write.mode("overwrite")
+                    // HASH-UNCHANGED re-deliveries (ADVICE r12, high):
+                    // the manifest diff classifies a same-(doc_id, h)
+                    // re-delivery as 'unchanged' — no recompute seed, no
+                    // epoch-e ledger row — while this epoch's tombstone
+                    // kills the doc's older rows; the layered ledgerView
+                    // would silently drop every unchanged re-crawled
+                    // page. Carry the prior ledger row forward AT this
+                    // epoch for any such doc the recompute didn't
+                    // already re-emit (if its cluster neighborhood DID
+                    // change it is in deltaRows and the recomputed row
+                    // wins via the anti-join). Both joins are against
+                    // batch-/delta-sized sides — broadcast semis over
+                    // the already-cached prior, never a full shuffle.
+                    val unchangedIds = priorManifest
+                      .join(batchManifest, Seq("doc_id", "h"), "left_semi")
+                      .select(col("doc_id"))
+                    val carry = prior
+                      .join(unchangedIds, Seq("doc_id"), "left_semi")
+                      .join(deltaRows.select(col("doc_id")), Seq("doc_id"), "left_anti")
+                    try deltaRows.unionByName(carry).write.mode("overwrite")
                       .parquet(s"$ledgerDir/batch=$epoch")
                     finally graft.operators.Corpus.releaseCheckpoint(deltaRows)
                     lap(s"epoch $epoch: ledger update (delta write commits)")
@@ -1161,6 +1197,7 @@ object Events {
               } finally {
                 prior.unpersist(blocking = false)
                 priorManifest.unpersist(blocking = false)
+                batchManifest.unpersist(blocking = false)
                 bootCkpts.foreach(graft.operators.Corpus.releaseCheckpoint)
               }
               // in-stream compaction, PREFIX-BOUNDED to epochs < the
@@ -1174,7 +1211,12 @@ object Events {
                 compactTombstonedChains(bss,
                   Seq(corpusDir, postingsByShingleDir, manifestDir, ledgerDir),
                   tombstoneDir, upTo = Some(epoch - 1),
-                  lwwKeysFor = d => if (d == ledgerDir) Seq("doc_id") else Nil)
+                  lwwKeysFor = d => if (d == ledgerDir) Seq("doc_id") else Nil,
+                  dataSchemaFor = d => Some(
+                    if (d == corpusDir) docSchema
+                    else if (d == postingsByShingleDir) postingsSchema
+                    else if (d == manifestDir) Snapshot.ManifestSchema
+                    else Corpus.LedgerSchema))
               epochProbe.foreach(_ += ((epoch, batch.count())))
               // explicit schema: a removal epoch whose blast radius is
               // empty (isolated docs) writes a zero-file delta dir
@@ -1190,10 +1232,15 @@ object Events {
             q.processAllAvailable()
             outerLap("stage + micro-batch pass 2 (incremental epoch)")
             // arrival 3: RETRACT the shadows — tombstone-only rows (text
-            // NULL), the crawler-delete signal. The epoch must restore
+            // NULL), the crawler-delete signal — PLUS the unchanged
+            // re-crawl wave: the %IdenticalRedeliveryMod docs arrive
+            // again with byte-identical text, exercising the
+            // hash-unchanged carry (their ledger rows must survive the
+            // epoch's own re-delivery tombstone). The epoch must restore
             // the originals the shadows demoted; after it the corpus
             // equals `documents` exactly.
             shadows.withColumn("text", lit(null).cast("string"))
+              .unionByName(docs.filter(col("doc_id") % IdenticalRedeliveryMod === 0))
               .write.mode("append").parquet(src.toString)
             q.processAllAvailable()
             outerLap("stage + micro-batch pass 3 (removal epoch)")
@@ -1418,6 +1465,14 @@ object Events {
             resolveLww(tombstoneResolvedRows(s2, chain, tombstoneDir,
               keepEpoch = true), Seq("doc_id"))
           val docs = ss.read.parquet(staged.toString)
+          // the shingle and band chains' value schemas, derived once at
+          // setup (analysis-only — nothing executes): shared by the
+          // per-epoch probes AND the in-stream compaction, whose
+          // explicit-schema reads keep an all-zero-file chain from
+          // crashing inference (ADVICE r12)
+          val shinglesSchema = Dedup.shingleHashSets(docs.limit(0)).schema
+          val bandsSchema = Dedup.bandRows(
+            Dedup.minhashSignatures(Dedup.shingleHashSets(docs.limit(0)))).schema
           // negative-id shadow copies of the %20==3 docs: being the
           // smallest ids they become their originals' verdict partners,
           // then arrival 3 RETRACTS them — the blast-radius recompute
@@ -1467,12 +1522,25 @@ object Events {
               // sub-shingle-length doc has no index rows to supersede
               // (and no edges, hence no dependents), so its verdict
               // supersede rides on plain LWW.
-              val shinglesSchema = Dedup.shingleHashSets(arrived.limit(0)).schema
+              // PRIOR epochs' tombstone aggregate, computed BEFORE this
+              // epoch's own tombstone write: the membership probe
+              // resolves through it, so a doc removed in an earlier
+              // epoch and re-added now is classified NEW whatever the
+              // compaction timing (ADVICE r12: the unresolved probe made
+              // the tombstone write set — and hence the blast-radius
+              // work — depend on whether compaction had physically
+              // dropped the dead rows yet). The epoch's own aggregate
+              // below MERGES this with the batch's retired set in
+              // memory, so the chain is still read once per epoch.
+              val tombAggPrior = tombstoneAggregate(bss, tombstoneDir,
+                upTo = Some(epoch - 1)).map(_.persist())
               val redelivered =
                 if (!committedPrior) removals.limit(0)
                 else arrived.select(col("doc_id"))
-                  .join(prunedChainRows(bss, shinglesDir, epoch - 1,
-                      collectBuckets(arrived, col("doc_id")), Some(shinglesSchema))
+                  .join(tombstoneResolvedRowsWith(
+                      prunedChainRows(bss, shinglesDir, epoch - 1,
+                        collectBuckets(arrived, col("doc_id")), Some(shinglesSchema)),
+                      tombAggPrior)
                     .select(col("doc_id")), Seq("doc_id"), "left_semi")
               // retired = removed ∪ re-delivered: ONE tombstone delta
               // retracts their old rows from bands, shingles and
@@ -1494,8 +1562,22 @@ object Events {
                 if (haveRetired)
                   retired.write.mode("overwrite")
                     .parquet(s"$tombstoneDir/batch=$epoch")
-                tombAgg = tombstoneAggregate(bss, tombstoneDir,
-                  upTo = Some(epoch)).map(_.persist())
+                // the epoch's aggregate = prior aggregate ⊕ this batch's
+                // retired set at epoch e — no second chain read; e
+                // exceeds every prior epoch so the max is exact (and a
+                // crashed attempt's own-epoch dir holds the same
+                // recomputed set, so excluding it from tombAggPrior
+                // loses nothing on replay)
+                tombAgg =
+                  if (!haveRetired) tombAggPrior
+                  else {
+                    val ours = retired.select(col("doc_id"))
+                      .withColumn("tomb_epoch", lit(epoch))
+                    Some(tombAggPrior.fold(ours)(p => p.unionByName(ours)
+                        .groupBy(col("doc_id"))
+                        .agg(max(col("tomb_epoch")).as("tomb_epoch")))
+                      .persist())
+                  }
                 // the probe read shape every index read below shares:
                 // bucket-pruned files, then tombstone-resolved rows
                 // (the two compose — tombstones are per-doc, buckets
@@ -1520,7 +1602,6 @@ object Events {
                   // the 128-perm minhash over the batch
                   val batchBands = Dedup.bandRows(Dedup.minhashSignatures(batchSh))
                     .persist()
-                  val bandsSchema = batchBands.schema
                   batchBands.withColumn("bucket", chainBucket(col("band_hash")))
                     .repartition(col("bucket")) // one file per bucket per epoch
                     .write.partitionBy("bucket").mode("overwrite")
@@ -1667,7 +1748,11 @@ object Events {
                 arrived.unpersist(blocking = false)
                 removals.unpersist(blocking = false)
                 retired.unpersist(blocking = false)
-                tombAgg.foreach(_.unpersist(blocking = false))
+                // tombAgg may BE tombAggPrior (no retirements) — release
+                // each persisted relation exactly once
+                tombAgg.filterNot(t => tombAggPrior.exists(_ eq t))
+                  .foreach(_.unpersist(blocking = false))
+                tombAggPrior.foreach(_.unpersist(blocking = false))
               }
               // in-stream compaction, PREFIX-BOUNDED to epochs < the one
               // just committed: bounds the chains' delta count (listing
@@ -1686,7 +1771,11 @@ object Events {
                   partitionColsFor =
                     d => if (d == verdictDir) Nil else Seq("bucket"),
                   upTo = Some(epoch - 1),
-                  lwwKeysFor = d => if (d == verdictDir) Seq("doc_id") else Nil)
+                  lwwKeysFor = d => if (d == verdictDir) Seq("doc_id") else Nil,
+                  dataSchemaFor = d => Some(
+                    if (d == bandsDir) bandsSchema
+                    else if (d == shinglesDir) shinglesSchema
+                    else verdictSchema))
               deltaProbe.foreach(_ += ((epoch,
                 bss.read.schema(verdictSchema)
                   .parquet(s"$verdictDir/batch=$epoch").count())))
@@ -2298,6 +2387,15 @@ object Events {
   private[graft] val ShadowRem = 3L
   private[graft] val RedeliveryMod = 10L
   private[graft] val AnnRemovalMod = 17L
+  /** Docs `% IdenticalRedeliveryMod == 0` are RE-delivered with
+    * byte-identical text in the final arrival — the unchanged re-crawl
+    * wave. The manifest diff classifies them 'unchanged' (no recompute
+    * seed), so the loop must carry their prior ledger rows past its own
+    * re-delivery tombstone (ADVICE r12 high: without the carry the
+    * layered reader silently drops every unchanged page). Conservative
+    * by construction: the doc's final text equals the raw table's, so
+    * every batch-SQL oracle is untouched. */
+  private[graft] val IdenticalRedeliveryMod = 9L
 
   /** The ONE bucket function both the write and the probe sides share —
     * a drifted second copy would silently prune AWAY matching files. */
@@ -2451,13 +2549,18 @@ object Events {
     *    flatten the buckets and every later probe would read it whole.
     */
   def compactDeltaChain(spark: SparkSession, sink: String, keyCols: Seq[String],
-                        upTo: Option[Long], partitionCols: Seq[String]): Unit = {
+                        upTo: Option[Long], partitionCols: Seq[String],
+                        dataSchema: Option[org.apache.spark.sql.types.StructType] = None): Unit = {
     val sinkPath = java.nio.file.Paths.get(sink)
     // BEFORE the chain is read: a crash-stranded snapshot may hold the
     // only copy of the newest delta — reading around it would compact a
     // damaged chain and make the loss permanent
     recoverInterruptedCompaction(sinkPath)
-    val all0 = spark.read.parquet(sink)
+    // `dataSchema` (stored columns minus partition dirs): a chain whose
+    // committed deltas are ALL zero-file — reachable since pure-removal
+    // head-of-stream epochs commit empty deltas (r12) — crashes schema
+    // inference; a loop passes the schema it wrote with (ADVICE r12)
+    val all0 = dataSchema.fold(spark.read)(s => spark.read.schema(s)).parquet(sink)
     val all = upTo.fold(all0)(e => all0.filter(col("batch") <= lit(e)))
     if (all.isEmpty) return
     // partition discovery types `batch` as int or long depending on the
@@ -2561,11 +2664,17 @@ object Events {
                               keyCol: String = "doc_id",
                               partitionColsFor: String => Seq[String] = _ => Nil,
                               upTo: Option[Long] = None,
-                              lwwKeysFor: String => Seq[String] = _ => Nil): Unit = {
+                              lwwKeysFor: String => Seq[String] = _ => Nil,
+                              dataSchemaFor: String => Option[org.apache.spark.sql.types.StructType] = _ => None): Unit = {
     val maxEpochs = dirs.flatMap { dir =>
       val sinkPath = java.nio.file.Paths.get(dir)
       recoverInterruptedCompaction(sinkPath)
-      val all0 = spark.read.parquet(dir)
+      // `dataSchemaFor` (stored columns minus partition dirs): a chain
+      // whose committed deltas are ALL zero-file — reachable since
+      // pure-removal head-of-stream epochs commit empty deltas (r12) —
+      // crashes schema inference; the loops pass the schema they wrote
+      // with (ADVICE r12)
+      val all0 = dataSchemaFor(dir).fold(spark.read)(s => spark.read.schema(s)).parquet(dir)
       // `upTo` prefix-bounds a LIVE loop's compaction exactly as
       // compactDeltaChain's does: never fold the in-flight epoch
       val rows = upTo.fold(all0)(e => all0.filter(col("batch") <= lit(e)))

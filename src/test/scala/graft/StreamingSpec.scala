@@ -1232,11 +1232,22 @@ class StreamingSpec extends AnyFunSuite {
     val n = docs.count()
     val redelivered = docs.filter(col("doc_id") % graft.streaming.Events.RedeliveryMod === 0).count()
     val shadows = docs.filter(col("doc_id") % graft.streaming.Events.ShadowMod === graft.streaming.Events.ShadowRem).count()
+    // arrival 3 also carries the UNCHANGED re-crawl wave: the %9 docs
+    // re-delivered with byte-identical text. The manifest diff sees
+    // them as 'unchanged' (no recompute seed) while the epoch's
+    // tombstone kills their older ledger rows — the equality with the
+    // batch truth above is the live gate on the hash-unchanged CARRY
+    // (ADVICE r12 high: without it every unchanged page silently
+    // vanishes from the cleaned corpus)
+    val identical = docs.filter(
+      col("doc_id") % graft.streaming.Events.IdenticalRedeliveryMod === 0).count()
     assert(redelivered > 0, "testdata has no %10 docs — staging lost its re-delivery leg")
     assert(shadows > 0, "testdata has no %20==3 docs — staging lost its removal leg")
+    assert(identical > 0, "testdata has no %9 docs — staging lost its unchanged-re-crawl leg")
     assert(epochs(0L) + epochs(1L) == n + redelivered + shadows,
       s"arrival overlap ${epochs(0L)} + ${epochs(1L)} != $n + $redelivered + $shadows")
-    assert(epochs(2L) == shadows, s"removal epoch ${epochs(2L)} != $shadows shadow retractions")
+    assert(epochs(2L) == shadows + identical,
+      s"final epoch ${epochs(2L)} != $shadows shadow retractions + $identical unchanged re-deliveries")
     // the removal leg is OBSERVABLE, not vacuous: the shadows usurped
     // their originals' canonical slots, so at least one %20==3 original
     // must be present in the restored kept set (equality with the batch
@@ -1255,8 +1266,12 @@ class StreamingSpec extends AnyFunSuite {
     assert(deltas(0L) == epochs(0L), s"bootstrap delta ${deltas(0L)} != batch ${epochs(0L)}")
     assert(deltas(1L) >= epochs(1L) && deltas(1L) < n,
       s"epoch-1 ledger delta ${deltas(1L)} not blast-radius-sized (batch ${epochs(1L)}, corpus $n)")
-    assert(deltas(2L) >= 1 && deltas(2L) < n,
-      s"removal-epoch ledger delta ${deltas(2L)} not blast-radius-sized (corpus $n)")
+    // ≥ identical: every unchanged re-delivery must land an epoch-2
+    // replacement row (the carry — or the recompute, if its cluster
+    // neighborhood changed), else the layered reader drops the doc
+    assert(deltas(2L) >= identical && deltas(2L) < n,
+      s"final-epoch ledger delta ${deltas(2L)} not (carry + blast-radius)-sized " +
+        s"($identical unchanged re-deliveries, corpus $n)")
     // in-stream compaction every epoch (all four chains folding through
     // the shared-tombstone multi-chain compactor, ledger LWW on top,
     // bucket layouts auto-preserved) must not perturb a single row —
