@@ -1951,11 +1951,26 @@ object Events {
     * read back from the chain via a bucket-pruned point lookup
     * (O(|removals|) buckets, the read shape the bucketing exists for)
     * — so the running occupancy monitor stays exact without ever
-    * re-aggregating the chain. The staging removes the corpus's
-    * `vec_id % 17 = 0` vectors in a third arrival; the converged query
-    * result must equal the maintained-index build over the LIVE corpus
-    * (StreamingSpec) and clear the recall floor against brute force
-    * over the same live corpus (the check twin).
+    * re-aggregating the chain.
+    *
+    * RE-DELIVERIES complete the crawl lifecycle (r13, the
+    * [[ingestNearDup]] discipline): a batch vector whose id the
+    * assignment chain already holds is superseded WHOLESALE — the
+    * membership probe reads the neighbor-id-bucketed chain pruned to
+    * the batch's own buckets (never a chain scan), the epoch's
+    * tombstone retracts the old assignment rows (the batch's own
+    * epoch-e rows survive — liveness is `batch ≥ tomb_epoch`), and the
+    * cellstats delta carries negative counts for the superseded cells
+    * alongside the positive counts of the fresh assignment. Without
+    * the supersede a re-arriving vec_id stayed live in TWO cells and
+    * the occupancy monitor double-counted it (VERDICT r12 #1). The
+    * staging removes the corpus's `vec_id % 17 = 0` vectors in a third
+    * arrival and RE-delivers the `% 10` ones (identical embeddings —
+    * frozen centroids make the re-assignment deterministic, so the
+    * converged relation is unchanged and the oracle holds); the
+    * converged query result must equal the maintained-index build over
+    * the LIVE corpus (StreamingSpec) and clear the recall floor
+    * against brute force over the same live corpus (the check twin).
     */
   def ingestAnnIvf(spark: SparkSession, sfDir: String,
                    statePartitions: Option[Int] = Some(4),
@@ -2013,14 +2028,41 @@ object Events {
               val removals = batch.filter(col("embedding").isNull)
                 .select(col("vec_id").as("neighbor_id")).persist()
               val arrived = batch.filter(col("embedding").isNotNull).persist()
+              // PRIOR epochs' tombstone aggregate, shared by the
+              // re-delivery membership probe and the superseded-
+              // assignment lookup below (one chain read per epoch —
+              // the near-dup discipline)
+              val tombAggPrior = tombstoneAggregate(bss, tombstoneDir,
+                keyCol = "neighbor_id", upTo = Some(epoch - 1)).map(_.persist())
+              // RE-DELIVERED ids (r13): batch vectors the assignment
+              // chain already holds — superseded wholesale via the same
+              // tombstone write (old rows die, the batch's own epoch-e
+              // rows survive). Membership is probed against the
+              // neighbor-id-bucketed chain pruned to the batch's own
+              // buckets and resolved through the PRIOR tombstones, so a
+              // removed-then-re-added id is classified NEW whatever the
+              // compaction timing.
+              val committedPrior = committedEpochsBelow(assignDir, epoch).nonEmpty
+              val redelivered =
+                if (!committedPrior) removals.limit(0)
+                else arrived.select(col("vec_id").as("neighbor_id"))
+                  .join(tombstoneResolvedRowsWith(
+                      prunedChainRows(bss, assignDir, epoch - 1,
+                        collectBuckets(arrived, col("vec_id")), Some(assignSchema)),
+                      tombAggPrior, keyCol = "neighbor_id")
+                    .select(col("neighbor_id")), Seq("neighbor_id"), "left_semi")
+              // retired = removed ∪ re-delivered: one tombstone delta
+              // retracts both kinds' old rows
+              val retired = removals.unionByName(redelivered).persist()
               try {
-                // tombstones written only when non-empty: a removal-free
-                // run never grows the chain and every reader takes the
-                // no-tombstone fast path (r12 review; replay recomputes
-                // the same set, so the conditional is idempotent)
-                val haveRemovals = !removals.isEmpty
-                if (haveRemovals)
-                  removals.write.mode("overwrite")
+                // tombstones written only when non-empty: a
+                // retirement-free run never grows the chain and every
+                // reader takes the no-tombstone fast path (r12 review;
+                // replay recomputes the same set, so the conditional is
+                // idempotent)
+                val haveRetired = !retired.isEmpty
+                if (haveRetired)
+                  retired.write.mode("overwrite")
                     .parquet(s"$tombstoneDir/batch=$epoch")
                 // gate on COMMITTED stored state, not `epoch == 0` (the
                 // ingestNearDup ADVICE-r10 rule): a reused streaming
@@ -2054,22 +2096,25 @@ object Events {
                   .parquet(s"$assignDir/batch=$epoch")
                 // the monitor's per-epoch state delta: THIS batch's
                 // per-cell counts, O(nCells) rows — never the corpus —
-                // PLUS negative counts for the removed vectors' cells,
-                // looked up from the chain bucket-pruned (file skip) and
-                // tombstone-resolved to PRIOR epochs so a doubly-removed
-                // id can never be double-subtracted
+                // PLUS negative counts for the RETIRED vectors' prior
+                // cells (removed AND superseded re-deliveries — a
+                // re-assigned vector must leave its old cell's count),
+                // looked up from the chain's PRIOR epochs bucket-pruned
+                // (file skip; epoch-1 bounds the row scan so the
+                // re-delivered batch's own fresh rows are never
+                // subtracted) and tombstone-resolved so a doubly-
+                // retired id can never be double-subtracted
                 val addStats = graft.operators.Similarity.ivfCellStats(
                   bss.read.schema(assignSchema)
                     .parquet(s"$assignDir/batch=$epoch"))
                 val remStats =
-                  if (!haveRemovals || centroidsOpt.isEmpty) addStats.limit(0)
-                  else tombstoneResolvedRows(bss,
-                      prunedChainRows(bss, assignDir, epoch,
-                        collectBuckets(removals, col("neighbor_id")),
+                  if (!haveRetired || centroidsOpt.isEmpty) addStats.limit(0)
+                  else tombstoneResolvedRowsWith(
+                      prunedChainRows(bss, assignDir, epoch - 1,
+                        collectBuckets(retired, col("neighbor_id")),
                         Some(assignSchema)),
-                      tombstoneDir, keyCol = "neighbor_id",
-                      upTo = Some(epoch - 1))
-                    .join(removals, Seq("neighbor_id"), "left_semi")
+                      tombAggPrior, keyCol = "neighbor_id")
+                    .join(retired, Seq("neighbor_id"), "left_semi")
                     .groupBy(col("cell"))
                     .agg((-count(lit(1))).as("n"))
                 addStats.unionByName(remStats)
@@ -2077,6 +2122,8 @@ object Events {
               } finally {
                 arrived.unpersist(blocking = false)
                 removals.unpersist(blocking = false)
+                retired.unpersist(blocking = false)
+                tombAggPrior.foreach(_.unpersist(blocking = false))
               }
               deltaProbe.foreach(_ += ((epoch,
                 bss.read.schema(assignSchema)
@@ -2104,11 +2151,16 @@ object Events {
             corpus.filter(col("vec_id") % 5 === 0).write.mode("append").parquet(src.toString)
             q.processAllAvailable()
             // arrival 3: REMOVE the %17 vectors (embedding-null rows —
-            // the upstream delete signal); the maintained index must
-            // stop returning them
+            // the upstream delete signal) and RE-deliver the %10 ones
+            // (identical embeddings — the supersede path must tombstone
+            // their old assignment rows and net the cellstats to zero,
+            // or the index holds the vector live in two cells); the
+            // maintained index must stop returning the removed ones
             corpus.filter(col("vec_id") % AnnRemovalMod === 0)
               .withColumn("embedding",
                 lit(null).cast(rawSchema(ss, sfDir, "embeddings")("embedding").dataType))
+              .unionByName(corpus.filter(col("vec_id") % RedeliveryMod === 0 &&
+                col("vec_id") % AnnRemovalMod =!= 0))
               .write.mode("append").parquet(src.toString)
             q.processAllAvailable()
           } finally { dumpProgress("graft_annstream", q); q.stop() }
@@ -2190,12 +2242,19 @@ object Events {
     * REMOVALS (text IS NULL — r12, the shared retraction discipline):
     * the epoch tombstones the removed doc_ids against the score chain;
     * the consumer resolves tombstones before reading, so a removed
-    * doc's verdict vanishes without a retraction row. Scoring is
-    * per-doc independent, so a removal has NO blast radius here — the
-    * tombstone IS the entire update, O(|removals|). The staging plants
-    * negative-id shadow copies in arrival 1 and retracts them in
-    * arrival 3, so the converged relation equals the batch twin over
-    * `documents` exactly (same check-twin oracle).
+    * doc's verdict vanishes without a retraction row. RE-DELIVERIES
+    * (r13): a batch doc the chain already holds is superseded through
+    * the same tombstone — its old score rows die, the epoch's own
+    * re-score survives — membership probed off the bucket-pruned chain,
+    * never a scan (without the supersede the consumer emitted duplicate
+    * rows per re-scored doc, VERDICT r12 #1). Scoring is per-doc
+    * independent, so neither arrival kind has a blast radius — the
+    * tombstone IS the entire update, O(|retired|). The staging plants
+    * negative-id shadow copies in arrival 2 (after the model froze),
+    * retracts them in arrival 3
+    * and re-delivers the %10 docs with identical text there, so the
+    * converged relation equals the batch twin over `documents` exactly
+    * (same check-twin oracle).
     */
   def ingestClassify(spark: SparkSession, sfDir: String,
                      statePartitions: Option[Int] = Some(4),
@@ -2244,12 +2303,34 @@ object Events {
               import bss.implicits._
               graft.GraftSession.registerFunctions(bss)
               // removals (text IS NULL): tombstone-only, no scoring
-              // work — and written only when non-empty, so a
-              // removal-free run never grows the chain (r12 review)
+              // work. RE-DELIVERED ids (r13): batch docs the score
+              // chain already holds — the same tombstone supersedes
+              // their old rows wholesale (the batch's own epoch-e
+              // scores survive; without this the consumer emitted
+              // duplicate rows for a re-scored doc, VERDICT r12 #1).
+              // Membership is probed against the doc-id-bucketed chain
+              // pruned to the batch's own buckets and resolved through
+              // the PRIOR tombstones. Written only when non-empty, so
+              // a retirement-free run never grows the chain (r12
+              // review). Scoring stays per-doc independent: the
+              // tombstone IS the entire update, no blast radius.
               val removalsC = batch.filter(col("text").isNull)
                 .select(col("doc_id"))
-              if (!removalsC.isEmpty)
-                removalsC.write.mode("overwrite")
+              val addIds = batch.filter(col("text").isNotNull)
+                .select(col("doc_id"))
+              val tombAggPrior = tombstoneAggregate(bss, tombstoneDir,
+                upTo = Some(epoch - 1)).map(_.persist())
+              val committedPrior = committedEpochsBelow(scoresDir, epoch).nonEmpty
+              val redelivered =
+                if (!committedPrior) removalsC.limit(0)
+                else addIds.join(tombstoneResolvedRowsWith(
+                    prunedChainRows(bss, scoresDir, epoch - 1,
+                      collectBuckets(addIds, col("doc_id")), Some(scoreSchema)),
+                    tombAggPrior)
+                  .select(col("doc_id")), Seq("doc_id"), "left_semi")
+              val retired = removalsC.unionByName(redelivered).persist()
+              if (!retired.isEmpty)
+                retired.write.mode("overwrite")
                   .parquet(s"$tombstoneDir/batch=$epoch")
               val feats = Classifier.featurized(
                 batch.filter(col("text").isNotNull)
@@ -2298,7 +2379,11 @@ object Events {
                       .write.partitionBy("bucket").mode("overwrite")
                       .parquet(s"$scoresDir/batch=$epoch")
                 }
-              } finally feats.unpersist(blocking = false)
+              } finally {
+                feats.unpersist(blocking = false)
+                retired.unpersist(blocking = false)
+                tombAggPrior.foreach(_.unpersist(blocking = false))
+              }
               deltaProbe.foreach { buf =>
                 val d = bss.read.schema(scoreSchema)
                   .parquet(s"$scoresDir/batch=$epoch")
@@ -2314,8 +2399,13 @@ object Events {
               .write.mode("append").parquet(src.toString)
             q.processAllAvailable()
             // arrival 3: RETRACT the shadows (text-null rows) — the
-            // tombstone is the whole update, scoring has no blast radius
+            // tombstone is the whole update, scoring has no blast
+            // radius — and RE-deliver the %10 docs with identical text
+            // (the frozen model re-scores them identically; the
+            // supersede must tombstone their old rows or the consumer
+            // emits duplicates)
             shadows.withColumn("text", lit(null).cast("string"))
+              .unionByName(docs.filter(col("doc_id") % RedeliveryMod === 0))
               .write.mode("append").parquet(src.toString)
             q.processAllAvailable()
           } finally { dumpProgress("graft_classify", q); q.stop() }

@@ -143,11 +143,18 @@ class StreamingSpec extends AnyFunSuite {
       .collect().toSeq
     assert(streamed.nonEmpty && streamed == batch)
     // per-epoch writes are exactly the arrivals — no re-assignment
-    // ever; the removal epoch assigns NOTHING (tombstone-only)
+    // ever; the final epoch's delta is exactly the RE-DELIVERED
+    // vectors' fresh assignments (removals are tombstone-only), and
+    // the converged equality above proves the supersede worked: a
+    // surviving old assignment row would surface the re-delivered
+    // vector in two cells and break the verbatim match
     val n = corpus.count(); val second = corpus.filter(col("vec_id") % 5 === 0).count()
     val removedN = corpus.filter(col("vec_id") % graft.streaming.Events.AnnRemovalMod === 0).count()
+    val redeliveredN = corpus.filter(col("vec_id") % graft.streaming.Events.RedeliveryMod === 0 &&
+      col("vec_id") % graft.streaming.Events.AnnRemovalMod =!= 0).count()
     assert(removedN > 0, "testdata has no %17 vectors — removal staging vacuous")
-    assert(probe.toMap == Map(0L -> (n - second), 1L -> second, 2L -> 0L),
+    assert(redeliveredN > 0, "testdata has no %10 vectors — re-delivery staging vacuous")
+    assert(probe.toMap == Map(0L -> (n - second), 1L -> second, 2L -> redeliveredN),
       s"deltas: $probe")
     // the drift monitor: occupancy accumulates through the adds and
     // DRAINS through the removals (negative delta rows), landing on the
@@ -203,23 +210,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.exists(_._2) && streamed.exists(!_._2), "degenerate label")
     // per-epoch writes are exactly the arrivals — scoring never
     // re-touches prior epochs. Arrival 2 carries the negative-id
-    // shadows (scored by the frozen model), arrival 3 retracts them
-    // tombstone-only: zero scoring work, and the equality above proves
-    // they vanished from the converged relation
+    // shadows (scored by the frozen model); arrival 3 retracts them
+    // tombstone-only AND re-delivers the %10 docs with identical text
+    // — the frozen model re-scores exactly those, their old rows die
+    // under the supersede tombstone, and the verbatim equality above
+    // proves no duplicate row survived (VERDICT r12 #1: before the
+    // supersede, a re-scored doc surfaced twice in the consumer view)
     val docs = Tables.documents(spark, TestSpark.sf)
     val n = docs.count(); val second = docs.filter(col("doc_id") % 5 === 0).count()
     val shadows = docs.filter(col("doc_id") % graft.streaming.Events.ShadowMod === graft.streaming.Events.ShadowRem).count()
+    val redeliveredN = docs.filter(col("doc_id") % graft.streaming.Events.RedeliveryMod === 0).count()
     assert(shadows > 0, "testdata has no %20==3 docs — removal staging vacuous")
+    assert(redeliveredN > 0, "testdata has no %10 docs — re-delivery staging vacuous")
     assert(probe.map(p => (p._1, p._2)).toMap ==
-      Map(0L -> (n - second), 1L -> (second + shadows), 2L -> 0L),
+      Map(0L -> (n - second), 1L -> (second + shadows), 2L -> redeliveredN),
       s"deltas: $probe")
     assert(streamed.forall(_._1 >= 0), "a removed shadow survived retraction")
     // the drift alarm carries real positives per epoch: the epochs' sum
     // equals the final relation's positives plus the (later-removed)
-    // shadows' — a shadow shares its original's text, hence its pred
+    // shadows' plus the re-delivered docs' SECOND scoring — a shadow
+    // shares its original's text, hence its pred; a re-delivered doc
+    // scores identically both times under the frozen model
     val shadowPos = streamed.count(t => t._1 % graft.streaming.Events.ShadowMod == graft.streaming.Events.ShadowRem && t._5).toLong
-    assert(probe.map(_._3).sum == streamed.count(_._5).toLong + shadowPos,
-      s"positives ${probe.map(_._3).sum} != ${streamed.count(_._5)} + $shadowPos")
+    val redeliveredPos = streamed.count(t => t._1 % graft.streaming.Events.RedeliveryMod == 0 && t._5).toLong
+    assert(probe.map(_._3).sum == streamed.count(_._5).toLong + shadowPos + redeliveredPos,
+      s"positives ${probe.map(_._3).sum} != ${streamed.count(_._5)} + $shadowPos + $redeliveredPos")
   }
 
   test("a late smaller-id near-dup retracts the earlier keep (verdict changelog)") {
