@@ -1432,7 +1432,8 @@ object Events {
                     statePartitions: Option[Int] = Some(4),
                     threshold: Double = graft.operators.Dedup.DefaultThreshold,
                     deltaProbe: Option[scala.collection.mutable.Buffer[(Long, Long)]] = None,
-                    compactEvery: Int = 8): DataFrame = {
+                    compactEvery: Int = 8,
+                    priorFetchProbe: Option[scala.collection.mutable.Buffer[(Long, Long, Long)]] = None): DataFrame = {
     import graft.operators.Dedup
     val ss = sessionFor(spark, statePartitions,
       Map("spark.sql.streaming.noDataMicroBatches.enabled" -> "false") ++ providerConf)
@@ -1646,32 +1647,51 @@ object Events {
                       // the probed index by now)
                       val batchVerdict = arrived.select(col("doc_id"))
                         .join(newBest, Seq("doc_id"), "left")
-                      // ONE prior resolution per epoch, shared by the
-                      // two consumers below (r12 review: recomputing it
-                      // doubled the per-epoch chain scan + LWW); the
-                      // explicit schema keeps a zero-file chain —
-                      // committed epochs whose deltas were all empty —
-                      // from crashing inference
-                      val priorV: Option[DataFrame] =
-                        if (!committedPrior) None
-                        else Some(resolveLww(tombstoneResolvedRowsWith(
-                          bss.read.schema(verdictSchema).parquet(verdictDir)
-                            .filter(col("batch") < lit(epoch)),
-                          tombAgg, keepEpoch = true), Seq("doc_id")).persist())
-                      try {
+                      // PRIOR verdicts are fetched BUCKET-PRUNED per
+                      // consumer instead of LWW-resolving the whole
+                      // chain once per epoch (VERDICT r12 #2: that
+                      // priorV shuffle was the last per-epoch
+                      // full-width aggregate in any loop, and the
+                      // verdict chain the only store chain without a
+                      // bucket layout). Each fetch reads only the
+                      // requested ids' buckets (file skip), semi-joins
+                      // the exact ids BEFORE the LWW aggregate (row
+                      // skip), and layers the epoch's tombstone
+                      // aggregate under LWW — the same resolution,
+                      // restricted to the delta's blast radius.
+                      // `priorFetchProbe` accumulates (requested ids,
+                      // chain rows entering LWW) per epoch — the spec
+                      // counter proving the prior resolution is
+                      // delta-sized, never manifest-width.
+                      var fetchedIds = 0L
+                      var fetchedRows = 0L
+                      def priorLwwFor(ids: DataFrame): DataFrame = {
+                        val rows = tombstoneResolvedRowsWith(
+                          prunedChainRows(bss, verdictDir, epoch - 1,
+                            collectBuckets(ids, col("doc_id")), Some(verdictSchema)),
+                          tombAgg, keepEpoch = true)
+                          .join(ids, Seq("doc_id"), "left_semi")
+                        if (priorFetchProbe.isDefined) {
+                          fetchedIds += ids.count(); fetchedRows += rows.count()
+                        }
+                        resolveLww(rows, Seq("doc_id"))
+                      }
                       // prior docs whose verdict this batch's ADDS lower
-                      val priorUpdates = priorV match {
-                        case None => batchVerdict.limit(0)
-                        case Some(prior) =>
-                          newBest
+                      val priorUpdates =
+                        if (!committedPrior) batchVerdict.limit(0)
+                        else {
+                          val cands = newBest
                             .join(arrived.select(col("doc_id")),
                               Seq("doc_id"), "left_anti")
-                            .join(prior.select(col("doc_id"),
-                              col("partner_id").as("old_partner")), Seq("doc_id"))
+                          cands
+                            .join(priorLwwFor(cands.select(col("doc_id")))
+                                .select(col("doc_id"),
+                                  col("partner_id").as("old_partner")),
+                              Seq("doc_id"))
                             .filter(col("old_partner").isNull ||
                               col("partner_id") < col("old_partner"))
                             .select(col("doc_id"), col("partner_id"), col("jaccard"))
-                      }
+                        }
                       // the RETIREMENT blast radius: prior docs whose
                       // current partner was removed OR re-delivered
                       // this epoch (either can erase the edge) — each
@@ -1686,9 +1706,24 @@ object Events {
                       // their retraction) and so are batch docs
                       // (batchVerdict is authoritative for them).
                       val removalUpdates: Option[DataFrame] =
-                        if (!haveRetired || priorV.isEmpty) None
+                        if (!haveRetired || !committedPrior) None
                         else {
-                          val affected = priorV.get
+                          // candidate ids in ONE map-only broadcast-semi
+                          // pass over the chain: docs with ANY row
+                          // naming a retired partner (no shuffle, no
+                          // text; the distinct shuffles only the
+                          // candidate set). The bucket-pruned LWW fetch
+                          // of exactly those docs' histories then
+                          // decides whose CURRENT partner retired.
+                          val touchIds = withChainPartitionCols(
+                              bss.read.schema(verdictSchema).parquet(verdictDir),
+                              "batch")
+                            .filter(col("batch") < lit(epoch))
+                            .join(broadcast(retired
+                                .select(col("doc_id").as("partner_id"))),
+                              Seq("partner_id"), "left_semi")
+                            .select(col("doc_id")).distinct()
+                          val affected = priorLwwFor(touchIds)
                             .join(retired.select(col("doc_id").as("partner_id")),
                               Seq("partner_id"), "left_semi")
                             .join(removals, Seq("doc_id"), "left_anti")
@@ -1730,14 +1765,19 @@ object Events {
                             } finally affSh.unpersist(blocking = false)
                           } finally graft.operators.Corpus.releaseCheckpoint(affected)
                         }
-                      // the verdict delta commits the epoch (last write)
+                      // the verdict delta commits the epoch (last
+                      // write) — doc-id-bucketed like every other chain
+                      // (r13), so the prior fetches above file-prune
                       try removalUpdates
                         .fold(batchVerdict.unionByName(priorUpdates))(
                           batchVerdict.unionByName(priorUpdates).unionByName(_))
-                        .write.mode("overwrite").parquet(s"$verdictDir/batch=$epoch")
+                        .withColumn("bucket", chainBucket(col("doc_id")))
+                        .repartition(col("bucket")) // one file per bucket per epoch
+                        .write.partitionBy("bucket").mode("overwrite")
+                        .parquet(s"$verdictDir/batch=$epoch")
                       finally removalUpdates.foreach(
                         graft.operators.Corpus.releaseCheckpoint)
-                      } finally priorV.foreach(_.unpersist(blocking = false))
+                      priorFetchProbe.foreach(_ += ((epoch, fetchedIds, fetchedRows)))
                     } finally {
                       newBest.unpersist(blocking = false)
                       shNeeded.unpersist(blocking = false)
@@ -1768,8 +1808,7 @@ object Events {
               if (epoch > 0 && epoch % compactEvery.toLong == 0)
                 compactTombstonedChains(bss,
                   Seq(bandsDir, shinglesDir, verdictDir), tombstoneDir,
-                  partitionColsFor =
-                    d => if (d == verdictDir) Nil else Seq("bucket"),
+                  partitionColsFor = _ => Seq("bucket"),
                   upTo = Some(epoch - 1),
                   lwwKeysFor = d => if (d == verdictDir) Seq("doc_id") else Nil,
                   dataSchemaFor = d => Some(
@@ -2510,10 +2549,24 @@ object Events {
     * the caller knows it — and a probe loop does, it WROTE the store —
     * skips per-probe footer inference entirely: no non-matching file is
     * opened even at planning time. */
+  /** Guard for explicit-schema chain scans: partition discovery is
+    * FILE-driven, so a chain whose committed deltas are all zero-file
+    * (reachable since pure-removal head-of-stream epochs commit empty
+    * deltas, r12) yields NO `batch`/`bucket` columns and any predicate
+    * on them fails analysis. A missing partition column implies zero
+    * data files, so adding it to the (necessarily empty) scan is
+    * exact — the probe then reads nothing instead of crashing. */
+  private[graft] def withChainPartitionCols(scan: DataFrame, cols: String*): DataFrame =
+    cols.foldLeft(scan)((df, c) =>
+      if (df.columns.contains(c)) df
+      else df.withColumn(c, lit(null).cast(if (c == "bucket") "int" else "long")))
+
   private[graft] def prunedChainScan(spark: SparkSession, dir: String, epoch: Long,
                                      buckets: Seq[Int],
                                      dataSchema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame =
-    dataSchema.fold(spark.read)(s => spark.read.schema(s)).parquet(dir)
+    withChainPartitionCols(
+      dataSchema.fold(spark.read)(s => spark.read.schema(s)).parquet(dir),
+      "batch", "bucket")
       .filter(col("batch") <= lit(epoch) && col("bucket").isin(buckets: _*))
       .drop("batch", "bucket")
 
@@ -2523,7 +2576,9 @@ object Events {
   private[graft] def prunedChainRows(spark: SparkSession, dir: String, epoch: Long,
                                      buckets: Seq[Int],
                                      dataSchema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame =
-    dataSchema.fold(spark.read)(s => spark.read.schema(s)).parquet(dir)
+    withChainPartitionCols(
+      dataSchema.fold(spark.read)(s => spark.read.schema(s)).parquet(dir),
+      "batch", "bucket")
       .filter(col("batch") <= lit(epoch) && col("bucket").isin(buckets: _*))
       .drop("bucket")
 
@@ -2854,8 +2909,10 @@ object Events {
                                        dataSchema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
     // dataSchema: loop readers over chains that may hold zero-file
     // committed epochs (empty deltas) pass the stored schema so
-    // inference never has to open a footer
-    val scan = dataSchema.fold(spark.read)(s => spark.read.schema(s)).parquet(dir)
+    // inference never has to open a footer; the partition-col guard
+    // covers the all-zero-file chain (see withChainPartitionCols)
+    val scan = withChainPartitionCols(
+      dataSchema.fold(spark.read)(s => spark.read.schema(s)).parquet(dir), "batch")
     val rows = upTo.fold(scan)(e => scan.filter(col("batch") <= lit(e)))
     tombstoneResolvedRows(spark, rows, tombstoneDir, keyCol, upTo)
   }

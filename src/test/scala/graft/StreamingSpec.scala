@@ -79,7 +79,9 @@ class StreamingSpec extends AnyFunSuite {
   test("stream_ingest_neardup converges to the batch minhash verdict") {
     import graft.operators.Dedup
     val probe = scala.collection.mutable.ListBuffer.empty[(Long, Long)]
-    val streamed = Events.ingestNearDup(spark, TestSpark.sf, deltaProbe = Some(probe))
+    val fetchProbe = scala.collection.mutable.ListBuffer.empty[(Long, Long, Long)]
+    val streamed = Events.ingestNearDup(spark, TestSpark.sf, deltaProbe = Some(probe),
+      priorFetchProbe = Some(fetchProbe))
       .collect().toSeq
     val docs = Tables.documents(spark, TestSpark.sf)
     val batch = Dedup.minhashNearDupVerdict(docs).collect().toSeq
@@ -116,6 +118,25 @@ class StreamingSpec extends AnyFunSuite {
     // retracted by tombstone, not by rows
     assert(deltas(2L) >= 1 && deltas(2L) < n,
       s"removal-epoch delta ${deltas(2L)} not blast-radius-sized (corpus $n)")
+    // the PRIOR-verdict resolution is delta-sized (VERDICT r12 #2): the
+    // loop fetches only the requested ids' bucket-pruned chain rows —
+    // never an LWW over the whole chain. Epoch 0 has no prior;
+    // later epochs request strictly fewer ids than the corpus holds,
+    // and the rows entering LWW are bounded by one row per requested id
+    // per committed epoch (the old design pushed the ENTIRE chain —
+    // ≥ corpus width — through the aggregate every epoch)
+    val fetches = fetchProbe.map(t => (t._1, (t._2, t._3))).toMap
+    assert(fetches.keySet == Set(0L, 1L, 2L), s"fetch probe epochs: $fetchProbe")
+    assert(fetches(0L) == ((0L, 0L)), s"bootstrap epoch fetched prior state: $fetchProbe")
+    Seq(1L, 2L).foreach { e =>
+      val (ids, rows) = fetches(e)
+      assert(ids < n,
+        s"epoch-$e prior fetch requested $ids ids (corpus $n) — not delta-sized")
+      assert(rows <= ids * (e + 1),
+        s"epoch-$e prior fetch read $rows chain rows for $ids ids — more than one row/id/epoch")
+    }
+    // non-vacuous: the retirement epochs really consulted prior state
+    assert(fetches.values.map(_._1).sum > 0, s"prior fetch never ran: $fetchProbe")
   }
 
   test("stream_ingest_ann equals the batch-maintained IVF index, appends only deltas") {
