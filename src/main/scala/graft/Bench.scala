@@ -221,6 +221,16 @@ object Bench {
     // its normalizer, making round-over-round comparison drift-proof
     // regardless of where the truncation lands in the big record.
     println(s"""{"tail":"compact","canary_median":${fmt(canaryMedian)},"latency_canary_median":${fmt(latencyMedian)},"normalized":$normJson}""")
+    // VERDICT r12 #1 (third attempt at the truncation): at 106 queries
+    // even the compact line is ~2.7 KB and the driver preserves only
+    // the last 2,000 chars — the canary LED that line, so it was
+    // exactly the part that got cut. This FINAL ~120-byte line carries
+    // only the headline numbers; it survives any truncation point, so
+    // the driver artifact always parses to a canary and a normalized
+    // total (per-query medians live in the compact line above and in
+    // the untrimmed SPARK_GRAFT_BENCH_OUT file).
+    val normalizedTotal = if (canaryMedian == 0.0) 0.0 else total / canaryMedian
+    println(s"""{"tail":"nano","canary_median":${fmt(canaryMedian)},"normalized_total":${fmt(normalizedTotal)},"n_queries":${results.size},"n_errors":${errors.size}}""")
     spark.stop()
     // A failed query must fail the bench loudly, not record a ~0s success.
     if (errors.nonEmpty) { System.err.println(errors.mkString("\n")); sys.exit(1) }
