@@ -590,8 +590,20 @@ class PropertySpec extends AnyFunSuite {
             val delta = Snapshot.incrementalLedgerDeltaCheckpointed(
               priorCk, priorManifestCk, nextManifest, postingsView,
               resolve(corpusChain.toSeq))
-            ledgerChain += e -> delta
-            delta.count()
+            // the production CARRY (ADVICE r12 high): a hash-unchanged
+            // re-delivery seeds no recompute row while this epoch's
+            // tombstone kills its older ledger rows — carry the prior
+            // row forward AT this epoch unless the recompute already
+            // re-emitted the doc (cluster neighborhood changed)
+            val unchangedIds = priorManifestCk
+              .join(batchManifest, Seq("doc_id", "h"), "left_semi")
+              .select(col("doc_id"))
+            val carried = priorCk.join(unchangedIds, Seq("doc_id"), "left_semi")
+              .join(delta.select(col("doc_id")), Seq("doc_id"), "left_anti")
+            val deltaAll = delta.unionByName(carried).localCheckpoint(true)
+            Corpus.releaseCheckpoint(delta)
+            ledgerChain += e -> deltaAll
+            deltaAll.count()
           } finally {
             postingsView.unpersist(blocking = false)
             Corpus.releaseCheckpoint(nextManifest)
@@ -618,7 +630,7 @@ class PropertySpec extends AnyFunSuite {
     // epoch 0: bootstrap — the whole corpus is one 'added' delta
     runEpoch(0, currentDF(), Seq.empty)
     assertConverged(0)
-    var nRemoved = 0; var nReadds = 0; var nChanged = 0
+    var nRemoved = 0; var nReadds = 0; var nChanged = 0; var nUnchangedRe = 0
 
     for (e <- 1 to 4) {
       val current = toks.keys.toSeq.sorted
@@ -636,6 +648,10 @@ class PropertySpec extends AnyFunSuite {
       }
       val changedMajor = survivors.diff(changedMinor).filter(_ => rnd.nextDouble() < 0.08)
       changedMajor.foreach { i => toks(i) = freshTokens(s"e${e}M$i") }
+      // the unchanged re-crawl wave: re-delivered with IDENTICAL text —
+      // reaches the ledger only through the carry (ADVICE r12 high)
+      val unchangedRe = survivors.diff(changedMinor).diff(changedMajor)
+        .filter(_ => rnd.nextDouble() < 0.10)
       // chain links off random survivors (extends — possibly bridges —
       // existing clusters) plus fresh singleton docs
       val parents = rnd.shuffle(toks.keys.toSeq.sorted).take(3)
@@ -643,12 +659,15 @@ class PropertySpec extends AnyFunSuite {
         val t = toks(p).clone(); t(rnd.nextInt(40)) = s"e${e}x$p"; add(t)
       }
       val fresh = (1 to 2).map(_ => add(freshTokens(s"e${e}new${nextId}")))
-      val batchIds = (readds ++ changedMinor ++ changedMajor ++ links ++ fresh).distinct
+      val batchIds = (readds ++ changedMinor ++ changedMajor ++ unchangedRe ++
+        links ++ fresh).distinct
       nRemoved += removed.size; nReadds += readds.size
       nChanged += changedMinor.size + changedMajor.size
+      nUnchangedRe += unchangedRe.size
       val deltaRows = runEpoch(e, docsDF(batchIds), removed)
       info(s"epoch $e: batch=${batchIds.size} removed=${removed.size} " +
-        s"readds=${readds.size} ledger-delta=$deltaRows corpus=${toks.size}")
+        s"readds=${readds.size} unchanged-re=${unchangedRe.size} " +
+        s"ledger-delta=$deltaRows corpus=${toks.size}")
       assertConverged(e)
     }
     // the seed must have exercised every edit leg at least once —
@@ -656,6 +675,8 @@ class PropertySpec extends AnyFunSuite {
     // the streaming harness already covers (reseed if this ever trips)
     assert(nRemoved > 0 && nReadds > 0 && nChanged > 0,
       s"seed $seed staged no removals/re-adds/changes ($nRemoved/$nReadds/$nChanged)")
+    assert(nUnchangedRe > 0,
+      s"seed $seed staged no identical-text re-deliveries — the carry leg is vacuous, reseed")
     // release the chained checkpoints
     postingsChain.foreach { case (_, df) => Corpus.releaseCheckpoint(df) }
     manifestChain.foreach { case (_, df) => Corpus.releaseCheckpoint(df) }
@@ -881,5 +902,223 @@ class PropertySpec extends AnyFunSuite {
     (shChain ++ bandChain).foreach { case (_, df) =>
       graft.operators.Corpus.releaseCheckpoint(df) }
     verdictChain.foreach { case (_, df) => graft.operators.Corpus.releaseCheckpoint(df) }
+  }
+
+  test("ivf assignment and cellstats chains converge to the rebuilt live index across random retirement epochs") {
+    // The stored-state algebra of stream_ingest_ann — frozen quantizer,
+    // per-epoch assignment deltas, shared tombstones for removals AND
+    // wholesale re-delivery supersedes, incremental cellstats deltas —
+    // driven through RANDOM epochs (the streaming harness stages one
+    // fixed schedule whose re-deliveries keep their embedding; here a
+    // re-delivered vector is RE-EMBEDDED, so the supersede can MOVE it
+    // across cells — the case the negative cellstats delta exists for).
+    // After every epoch: the tombstone-resolved assignment chain must
+    // equal ivfAssign over the live corpus (append-equals-rebuild under
+    // interleaved retirement), and the cellstats chain's per-cell SUM
+    // must equal the live occupancy — the drift monitor never diverges
+    // from the truth it approximates.
+    import org.apache.spark.sql.functions.{broadcast, col, count, lit, sum}
+    import org.apache.spark.sql.DataFrame
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import graft.operators.Similarity
+    val seed = 20260816L
+    info(s"ivf-chain seed=$seed")
+    val rnd = new scala.util.Random(seed)
+    val dim = 8
+    def vec(): Seq[Double] = Seq.fill(dim)(rnd.nextGaussian())
+    val current = scala.collection.mutable.LinkedHashMap.empty[Long, Seq[Double]]
+    var nextId = 100L
+    def df(rows: Seq[(Long, Seq[Double])]): DataFrame =
+      rows.toDF("vec_id", "embedding")
+    val first = (1 to 30).map { _ => nextId += 1; nextId -> vec() }
+    first.foreach { case (i, v) => current(i) = v }
+    // frozen quantizer — trained once on the deterministic bootstrap
+    val centroids = Similarity.ivfTrain(df(first.sortBy(_._1)))
+    val assignChain = scala.collection.mutable.ListBuffer.empty[(Int, DataFrame)]
+    val statsChain = scala.collection.mutable.ListBuffer.empty[(Int, DataFrame)]
+    val tomb = scala.collection.mutable.Map.empty[Long, Int]
+    var nRemoved = 0; var nRedelivered = 0; var nMovedCells = 0L
+    def resolvedAssign(): DataFrame = {
+      val rows = assignChain.map { case (e, d) => d.withColumn("batch", lit(e)) }
+        .reduce(_ unionByName _)
+      val live =
+        if (tomb.isEmpty) rows
+        else rows.join(broadcast(tomb.toSeq.toDF("neighbor_id", "te")),
+            Seq("neighbor_id"), "left_outer")
+          .filter(col("te").isNull || col("batch") >= col("te")).drop("te")
+      live.drop("batch")
+    }
+    def runEpoch(e: Int, batch: Seq[(Long, Seq[Double])], removed: Seq[Long]): Unit = {
+      // the production membership probe: batch ids whose assignment the
+      // store holds LIVE (prior tombstones resolved first — a removed-
+      // then-re-added id is NEW)
+      val liveBefore: Set[Long] =
+        if (assignChain.isEmpty) Set.empty
+        else resolvedAssign().select(col("neighbor_id"))
+          .collect().map(_.getLong(0)).toSet
+      val redelivered = batch.map(_._1).filter(liveBefore)
+      val retired = removed ++ redelivered
+      nRemoved += removed.size; nRedelivered += redelivered.size
+      // negative cellstats from the PRIOR live view, before this
+      // epoch's tombstones land (the loop's epoch-1-bounded lookup)
+      val neg: DataFrame =
+        if (retired.isEmpty || assignChain.isEmpty)
+          Seq.empty[(Int, Long)].toDF("cell", "n")
+        else resolvedAssign()
+          .join(broadcast(retired.toDF("neighbor_id")), Seq("neighbor_id"), "left_semi")
+          .groupBy(col("cell")).agg((-count(lit(1))).as("n"))
+      val delta = Similarity.ivfAssign(df(batch), centroids).localCheckpoint(true)
+      val stats = Similarity.ivfCellStats(delta).unionByName(neg).localCheckpoint(true)
+      retired.foreach(i => tomb(i) = e)
+      removed.foreach(current.remove)
+      batch.foreach { case (i, v) => current(i) = v }
+      assignChain += e -> delta
+      statsChain += e -> stats
+    }
+    def assertConverged(e: Int): Unit = {
+      val got = resolvedAssign().orderBy(col("neighbor_id"))
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+      val want = Similarity.ivfAssign(df(current.toSeq.sortBy(_._1)), centroids)
+        .orderBy(col("neighbor_id"))
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+      assert(got.nonEmpty && got == want,
+        s"epoch $e: resolved assignment chain != rebuilt live index")
+      // exactly ONE live row per live vector — the double-live defect
+      // the supersede tombstone exists to prevent
+      assert(got.map(_._1) == got.map(_._1).distinct,
+        s"epoch $e: a vector is live in more than one cell")
+      val gotStats = statsChain.map { case (_, d) => d }
+        .reduce(_ unionByName _)
+        .groupBy(col("cell")).agg(sum(col("n")).as("n"))
+        .filter(col("n") > 0)
+        .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+      val wantStats = want.groupBy(_._2).map { case (c, v) => c -> v.size.toLong }
+      assert(gotStats == wantStats,
+        s"epoch $e: cellstats chain sum $gotStats != live occupancy $wantStats")
+    }
+    runEpoch(0, first, Seq.empty)
+    assertConverged(0)
+    for (e <- 1 to 4) {
+      val live = current.keys.toSeq.sorted
+      val removed = rnd.shuffle(live).take(1 + rnd.nextInt(3))
+      val stay = live.diff(removed)
+      // re-embedded re-deliveries: supersede may move cells
+      val redeliv = rnd.shuffle(stay).take(1 + rnd.nextInt(3)).map { i =>
+        val before = Similarity.ivfAssign(df(Seq(i -> current(i))), centroids)
+          .collect().head.getInt(1)
+        val nv = vec()
+        val after = Similarity.ivfAssign(df(Seq(i -> nv)), centroids)
+          .collect().head.getInt(1)
+        if (before != after) nMovedCells += 1
+        i -> nv
+      }
+      val adds = (1 to 2).map { _ => nextId += 1; nextId -> vec() }
+      runEpoch(e, redeliv ++ adds, removed)
+      assertConverged(e)
+    }
+    assert(nRemoved > 0 && nRedelivered > 0,
+      s"seed $seed staged no removals/re-deliveries ($nRemoved/$nRedelivered)")
+    assert(nMovedCells > 0,
+      s"seed $seed: no re-embedded vector changed cell — the negative-delta leg is vacuous, reseed")
+    (assignChain ++ statsChain).foreach { case (_, d) =>
+      graft.operators.Corpus.releaseCheckpoint(d) }
+  }
+
+  test("classifier score chain converges to frozen-model scoring across random retirement epochs") {
+    // The stored-state algebra of stream_ingest_classify: a model fit
+    // ONCE on the bootstrap arrival and frozen, per-epoch score deltas,
+    // shared tombstones for removals and re-delivery supersedes, and a
+    // consumer that resolves TOMBSTONES ONLY (no LWW — the supersede
+    // writes the replacement at the tombstone's own epoch, so liveness
+    // alone leaves exactly one row per doc; without the supersede a
+    // re-scored doc surfaces twice, VERDICT r12 #1). Re-deliveries
+    // RE-WRITE the text, so the frozen model's re-score can differ from
+    // the superseded row — the resolved chain must equal scoring the
+    // LIVE corpus (latest text per doc) with the frozen model.
+    import org.apache.spark.sql.functions.{broadcast, col, lit}
+    import org.apache.spark.sql.DataFrame
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import graft.operators.Classifier
+    val seed = 20260817L
+    info(s"score-chain seed=$seed")
+    val rnd = new scala.util.Random(seed)
+    // real docs — the label heuristic needs natural text to bite
+    val pool = Tables.documents(spark, TestSpark.sf)
+      .select(col("doc_id"), col("text"))
+      .orderBy(col("doc_id")).limit(60)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toSeq
+    val (bootstrap, later) = pool.splitAt(40)
+    val current = scala.collection.mutable.LinkedHashMap.empty[Long, String]
+    bootstrap.foreach { case (i, t) => current(i) = t }
+    def df(rows: Seq[(Long, String)]): DataFrame = rows.toDF("doc_id", "text")
+    val model = Classifier.fit(Classifier.featurized(df(bootstrap)))
+    def scoreOf(rows: Seq[(Long, String)]): DataFrame = {
+      val (scored, bc) = Classifier.scoreWithHandle(Classifier.featurized(df(rows)), model)
+      val out = scored.localCheckpoint(true)
+      bc.destroy()
+      out
+    }
+    val scoreChain = scala.collection.mutable.ListBuffer.empty[(Int, DataFrame)]
+    val tomb = scala.collection.mutable.Map.empty[Long, Int]
+    var nRemoved = 0; var nRedelivered = 0
+    def resolved(): DataFrame = {
+      val rows = scoreChain.map { case (e, d) => d.withColumn("batch", lit(e)) }
+        .reduce(_ unionByName _)
+      val live =
+        if (tomb.isEmpty) rows
+        else rows.join(broadcast(tomb.toSeq.toDF("doc_id", "te")),
+            Seq("doc_id"), "left_outer")
+          .filter(col("te").isNull || col("batch") >= col("te")).drop("te")
+      live.drop("batch")
+    }
+    def runEpoch(e: Int, batch: Seq[(Long, String)], removed: Seq[Long]): Unit = {
+      val liveBefore: Set[Long] =
+        if (scoreChain.isEmpty) Set.empty
+        else resolved().select(col("doc_id")).collect().map(_.getLong(0)).toSet
+      val redelivered = batch.map(_._1).filter(liveBefore)
+      nRemoved += removed.size; nRedelivered += redelivered.size
+      (removed ++ redelivered).foreach(i => tomb(i) = e)
+      removed.foreach(current.remove)
+      batch.foreach { case (i, t) => current(i) = t }
+      scoreChain += e -> scoreOf(batch)
+    }
+    def assertConverged(e: Int): Unit = {
+      val got = resolved().orderBy(col("doc_id"))
+        .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getString(2),
+          r.getDouble(3), r.getBoolean(4))).toSeq
+      val wantDf = scoreOf(current.toSeq.sortBy(_._1))
+      val want = wantDf.orderBy(col("doc_id"))
+        .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getString(2),
+          r.getDouble(3), r.getBoolean(4))).toSeq
+      graft.operators.Corpus.releaseCheckpoint(wantDf)
+      assert(got.nonEmpty && got.size == want.size,
+        s"epoch $e: ${got.size} live rows != ${want.size} live docs " +
+          "(a superseded row survived or a doc vanished)")
+      got.zip(want).foreach { case (g, w) =>
+        assert(g._1 == w._1 && g._2 == w._2 && g._3 == w._3 && g._5 == w._5,
+          s"epoch $e: discrete field drifted: $g vs $w")
+        assert(math.abs(g._4 - w._4) <= 1e-9, s"epoch $e: prob drifted: $g vs $w")
+      }
+    }
+    runEpoch(0, bootstrap, Seq.empty)
+    assertConverged(0)
+    var cursor = later
+    for (e <- 1 to 4) {
+      val live = current.keys.toSeq.sorted
+      val removed = rnd.shuffle(live).take(1 + rnd.nextInt(3))
+      val stay = live.diff(removed)
+      // re-delivered with CHANGED text — the frozen model re-scores
+      val redeliv = rnd.shuffle(stay).take(1 + rnd.nextInt(3))
+        .map(i => i -> (current(i) + s" appended epoch $e tail tokens"))
+      val (adds, rest) = cursor.splitAt(3)
+      cursor = rest
+      runEpoch(e, redeliv ++ adds, removed)
+      assertConverged(e)
+    }
+    assert(nRemoved > 0 && nRedelivered > 0,
+      s"seed $seed staged no removals/re-deliveries ($nRemoved/$nRedelivered)")
+    scoreChain.foreach { case (_, d) => graft.operators.Corpus.releaseCheckpoint(d) }
   }
 }
