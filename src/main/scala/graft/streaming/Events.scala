@@ -1428,12 +1428,22 @@ object Events {
     * delta rows) per batch — the write-amplification counter a
     * deployment monitors.
     */
+  /** `crashAtEpoch` (spec hook): throw once at the very END of that
+    * epoch's foreachBatch — after every chain delta, the tombstones and
+    * the in-stream compaction landed, but before the streaming
+    * checkpoint commits the offsets (the worst replay state: output
+    * present, commit missing). The harness then restarts the query on
+    * the SAME checkpoint, so the epoch replays over the already-written
+    * (and possibly just-compacted) store and must overwrite only its
+    * own deltas — the triple-hardening leg (RocksDB × compaction ×
+    * replay) StreamingSpec pins against the batch oracle. */
   def ingestNearDup(spark: SparkSession, sfDir: String,
                     statePartitions: Option[Int] = Some(4),
                     threshold: Double = graft.operators.Dedup.DefaultThreshold,
                     deltaProbe: Option[scala.collection.mutable.Buffer[(Long, Long)]] = None,
                     compactEvery: Int = 8,
-                    priorFetchProbe: Option[scala.collection.mutable.Buffer[(Long, Long, Long)]] = None): DataFrame = {
+                    priorFetchProbe: Option[scala.collection.mutable.Buffer[(Long, Long, Long)]] = None,
+                    crashAtEpoch: Option[Long] = None): DataFrame = {
     import graft.operators.Dedup
     val ss = sessionFor(spark, statePartitions,
       Map("spark.sql.streaming.noDataMicroBatches.enabled" -> "false") ++ providerConf)
@@ -1491,7 +1501,8 @@ object Events {
             .unionByName(stale)
             .write.mode("append").parquet(src.toString)
           val stream = ss.readStream.schema(rawSchema(ss, sfDir, "documents")).parquet(src.toString)
-          val q = stream.writeStream
+          @volatile var crashArmed = crashAtEpoch.isDefined
+          def startQ(): StreamingQuery = stream.writeStream
             .outputMode(OutputMode.Append)
             .option("checkpointLocation", ckpt.toString)
             .foreachBatch { (batch: DataFrame, epoch: Long) =>
@@ -1818,18 +1829,39 @@ object Events {
               deltaProbe.foreach(_ += ((epoch,
                 bss.read.schema(verdictSchema)
                   .parquet(s"$verdictDir/batch=$epoch").count())))
+              // spec hook: die AFTER everything landed (deltas,
+              // tombstones, compaction) but BEFORE the streaming
+              // checkpoint commits — the harness restarts on the same
+              // checkpoint and this epoch REPLAYS over the
+              // already-written store (see the crashAtEpoch doc)
+              if (crashArmed && crashAtEpoch.contains(epoch)) {
+                crashArmed = false
+                throw new RuntimeException(s"injected post-write crash at epoch $epoch")
+              }
             }
             .start()
+          var q = startQ()
+          // drain, surviving the injected crash exactly once: restart
+          // on the SAME checkpoint so the uncommitted epoch replays
+          def drainWithReplay(): Unit =
+            try q.processAllAvailable()
+            catch {
+              case _: org.apache.spark.sql.streaming.StreamingQueryException
+                  if crashAtEpoch.isDefined =>
+                try q.stop() catch { case scala.util.control.NonFatal(_) => () }
+                q = startQ()
+                q.processAllAvailable()
+            }
           try {
-            q.processAllAvailable()
+            drainWithReplay()
             docs.filter(col("doc_id") % 5 === 0).write.mode("append").parquet(src.toString)
-            q.processAllAvailable()
+            drainWithReplay()
             // arrival 3: RETRACT the shadows (tombstone-only rows, text
             // NULL) — the converged relation must equal the batch twin
             // over `documents` alone
             shadows.withColumn("text", lit(null).cast("string"))
               .write.mode("append").parquet(src.toString)
-            q.processAllAvailable()
+            drainWithReplay()
           } finally { dumpProgress("graft_neardup", q); q.stop() }
           // consumer view: tombstones first, then LWW — keep iff no
           // partner; removed docs are absent entirely
