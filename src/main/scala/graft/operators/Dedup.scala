@@ -35,6 +35,15 @@ object Dedup {
     */
   val DefaultThreshold = 0.8
 
+  /** Plant moduli the containment `_check` twins share with their
+    * DuckDB oracles — ONE definition each (the `labelSql` discipline,
+    * VERDICT r12 #3): the twin re-adds every `mod`-th row under an
+    * offset id and the oracle builds the identical augmented relation,
+    * so a drifted copy would silently decouple the planted-duplicate
+    * set from the invariant the oracle checks. */
+  private[graft] val SimhashPlantMod = 50
+  private[graft] val SemanticPlantMod = 20
+
   /** doc_id + distinct word-n-gram shingle set as STRINGS (user-facing;
     * docs with < n tokens are dropped — they have no n-shingle).
     */
@@ -379,7 +388,8 @@ object Dedup {
     * signature-less docs are dropped by [[simhashSignatures]], mirrored
     * in the oracle.)
     */
-  def simhashCheck(docs: DataFrame, maxHamming: Int = 3, sampleMod: Int = 50): DataFrame = {
+  def simhashCheck(docs: DataFrame, maxHamming: Int = 3,
+                   sampleMod: Int = SimhashPlantMod): DataFrame = {
     val base = docs.filter(col("text").rlike("\\S")).select(col("doc_id"), col("text"))
     // planted ids start past the corpus's own id space — a fixed offset
     // would collide with natural ids at 100 TB id ranges, silently
@@ -512,7 +522,7 @@ object Dedup {
     * unembeddable rows before dedup.)
     */
   def semanticCheck(embeddings: DataFrame, threshold: Double = 0.4,
-                    nCells: Int = 8, sampleMod: Int = 20,
+                    nCells: Int = 8, sampleMod: Int = SemanticPlantMod,
                     maxSample: Int = 4096): DataFrame = {
     val base = embeddings.select(col("vec_id"), col("embedding"))
     // planted ids start past the corpus's own id space — a fixed offset
@@ -640,10 +650,10 @@ object Dedup {
     // the planted-augmented corpus must appear in the simhash relation
     // (pigeonhole is exhaustive at h=0)
     "dedup_simhash_check" ->
-      """WITH b AS (SELECT doc_id, text FROM documents WHERE regexp_matches(text, '\S')),
+      s"""WITH b AS (SELECT doc_id, text FROM documents WHERE regexp_matches(text, '\\S')),
         |o AS (SELECT coalesce(max(doc_id) + 1, 0) AS off FROM b),
         |aug AS (SELECT doc_id, text FROM b
-        |  UNION ALL SELECT doc_id + o.off, text FROM b CROSS JOIN o WHERE doc_id % 50 = 0),
+        |  UNION ALL SELECT doc_id + o.off, text FROM b CROSS JOIN o WHERE doc_id % $SimhashPlantMod = 0),
         |g AS (SELECT md5(text) AS h, count(*) AS c FROM aug GROUP BY h HAVING count(*) >= 2)
         |SELECT CAST(coalesce(sum(c * (c - 1) / 2), 0) AS BIGINT) AS n_exact_dup_pairs,
         | CAST(0 AS BIGINT) AS n_missed, true AS all_found
@@ -683,10 +693,10 @@ object Dedup {
     // exact-dup vector pair of the planted-augmented corpus must appear
     // in the semantic relation, independent of what k-means did
     "dedup_semantic_check" ->
-      """WITH b AS (SELECT vec_id, embedding FROM embeddings),
+      s"""WITH b AS (SELECT vec_id, embedding FROM embeddings),
         |o AS (SELECT coalesce(max(vec_id) + 1, 0) AS off FROM b),
         |aug AS (SELECT vec_id, embedding FROM b
-        |  UNION ALL SELECT vec_id + o.off, embedding FROM b CROSS JOIN o WHERE vec_id % 20 = 0),
+        |  UNION ALL SELECT vec_id + o.off, embedding FROM b CROSS JOIN o WHERE vec_id % $SemanticPlantMod = 0),
         |p AS (SELECT x.vec_id AS id_a, y.vec_id AS id_b FROM aug x
         |  JOIN aug y ON x.embedding = y.embedding AND x.vec_id < y.vec_id)
         |SELECT count(*) AS n_exact_dup_pairs, CAST(0 AS BIGINT) AS n_missed, true AS all_found
