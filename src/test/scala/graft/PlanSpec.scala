@@ -295,6 +295,63 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("prior-state reads are bucket-pruned or broadcast-filtered — never a full-width shuffle") {
+    // SURVEY §5's per-epoch prior-state budget (VERDICT r12 #2, closed
+    // r13): an ingest loop may consult manifest-width stored state only
+    // through (a) a bucket-pruned fetch whose bucket predicate prunes
+    // at PLANNING time (PartitionFilters, file-level skip) or (b) a
+    // map-only broadcast-filtered scan — pinned here on the near-dup
+    // verdict chain's two prior-fetch shapes.
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.streaming.Events
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("partner_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("jaccard",
+        org.apache.spark.sql.types.DoubleType)))
+    val dir = java.nio.file.Files.createTempDirectory("graft_plan_priorfetch")
+    try {
+      for (e <- 0 to 1)
+        (0L until 32L).map(i => (i, i / 2, 0.9)).toDF("doc_id", "partner_id", "jaccard")
+          .withColumn("bucket", Events.chainBucket(col("doc_id")))
+          .repartition(col("bucket"))
+          .write.partitionBy("bucket").parquet(s"$dir/verdict/batch=$e")
+      // (a) the LWW fetch: the bucket predicate must live in
+      // PartitionFilters (planning-time file skip), not PushedFilters
+      val fetch = Events.prunedChainRows(spark, s"$dir/verdict", 1L, Seq(3, 7), Some(schema))
+      fetch.collect()
+      val scan = fetch.queryExecution.executedPlan.collectLeaves().collectFirst {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }.getOrElse(fail("no FileSourceScanExec in the pruned fetch"))
+      val partFilters = scan.metadata("PartitionFilters")
+      assert(partFilters.contains("bucket"),
+        s"bucket predicate missing from PartitionFilters: $partFilters")
+      assert(!scan.metadata("PushedFilters").contains("bucket"),
+        "bucket must prune partitions, not be a row-level pushed filter")
+      // (b) the retirement candidate scan: retired ids broadcast into a
+      // semi join over the chain — the chain side never shuffles
+      val retired = Seq(5L, 9L).toDF("partner_id")
+      val touch = spark.read.schema(schema).parquet(s"$dir/verdict")
+        .filter(col("batch") < org.apache.spark.sql.functions.lit(2L))
+        .join(org.apache.spark.sql.functions.broadcast(retired),
+          Seq("partner_id"), "left_semi")
+        .select(col("doc_id"))
+      touch.collect()
+      val plan = touch.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"),
+        s"retirement candidate scan lost its broadcast semi join:\n$plan")
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"retirement candidate scan shuffles the chain:\n$plan")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   test("embed_pca projection is map-only: a typed Tungsten pipeline with no exchange") {
     import graft.operators.Pca
     val embs = Tables.embeddings(spark, TestSpark.sf)

@@ -332,6 +332,9 @@ class StreamingSpec extends AnyFunSuite {
       // score-chain shape: (doc_id, label, split, prob, pred)
       stage("scores", (0L until 64L).map(i => (i, i % 2 == 0, "train", 0.5, true))
         .toDF("doc_id", "label", "split", "prob", "pred"), "doc_id")
+      // verdict-chain shape (bucketed r13): (doc_id, partner_id, jaccard)
+      stage("verdict", (0L until 64L).map(i => (i, i / 2, 0.9))
+        .toDF("doc_id", "partner_id", "jaccard"), "doc_id")
       def proveOne(sub: String, keyCol: String,
                    schema: org.apache.spark.sql.types.StructType, id: Long): Unit = {
         val need = Seq(id).toDF(keyCol)
@@ -365,8 +368,16 @@ class StreamingSpec extends AnyFunSuite {
           org.apache.spark.sql.types.DoubleType),
         org.apache.spark.sql.types.StructField("pred",
           org.apache.spark.sql.types.BooleanType)))
+      val verdictSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("partner_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("jaccard",
+          org.apache.spark.sql.types.DoubleType)))
       proveOne("assign", "neighbor_id", assignSchema, 37L)
       proveOne("scores", "doc_id", scoreSchema, 41L)
+      proveOne("verdict", "doc_id", verdictSchema, 43L)
     } finally {
       import scala.jdk.CollectionConverters._
       java.nio.file.Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
