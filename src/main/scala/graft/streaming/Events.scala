@@ -978,17 +978,21 @@ object Events {
           def ledgerView(ss2: SparkSession, upTo: Long): DataFrame =
             resolveLww(
               tombstoneResolvedRows(ss2,
-                ss2.read.schema(graft.operators.Corpus.LedgerSchema)
-                  .parquet(ledgerDir).filter(col("batch") <= lit(upTo)),
+                withChainPartitionCols(
+                  ss2.read.schema(graft.operators.Corpus.LedgerSchema)
+                    .parquet(ledgerDir), "batch")
+                  .filter(col("batch") <= lit(upTo)),
                 tombstoneDir, upTo = Some(upTo), keepEpoch = true),
               Seq("doc_id"))
           val outerLap = graft.operators.Snapshot.incrLap()
           val docs = ss.read.parquet(staged.toString)
           // chain value schemas (stored columns minus the partition
-          // dirs), derived once at setup — the in-stream compaction
-          // reads every chain with an explicit schema so a chain whose
-          // committed deltas are all zero-file (pure-removal head
-          // epochs) can never crash inference (ADVICE r12)
+          // dirs), derived ONCE at setup and shared by every per-epoch
+          // read, the closure probe and the in-stream compaction — no
+          // per-epoch footer/analysis re-derivation, and the explicit
+          // schemas keep a chain whose committed deltas are all
+          // zero-file (pure-removal head epochs) from crashing
+          // inference (ADVICE r12)
           val docSchema = rawSchema(ss, sfDir, "documents")
           val postingsSchema = Snapshot.postings(docs.limit(0)).schema
           val stale = docs.filter(col("doc_id") % RedeliveryMod === 0)
@@ -1035,7 +1039,7 @@ object Events {
                 .parquet(s"$corpusDir/batch=$epoch")
               // explicit schema: a removal-only epoch's dir is EMPTY,
               // and schema inference over an empty parquet dir throws
-              val arrived = bss.read.schema(rawSchema(bss, sfDir, "documents"))
+              val arrived = bss.read.schema(docSchema)
                 .parquet(s"$corpusDir/batch=$epoch").drop("bucket")
               lap(s"epoch $epoch: land arrival")
               // 2. prior committed state: the ledger chain's LWW
@@ -1137,8 +1141,10 @@ object Events {
                   val tombAggE = tombstoneAggregate(bss, tombstoneDir,
                     upTo = Some(epoch)).map(_.persist())
                   val nextManifest = tombstoneResolvedRowsWith(
-                    bss.read.schema(Snapshot.ManifestSchema)
-                      .parquet(manifestDir).filter(col("batch") <= lit(epoch)),
+                    withChainPartitionCols(
+                      bss.read.schema(Snapshot.ManifestSchema)
+                        .parquet(manifestDir), "batch")
+                      .filter(col("batch") <= lit(epoch)),
                     tombAggE).persist()
                   // corpus text pruned to the requested ids' doc
                   // buckets (file skip), then the exact semi gate (row
@@ -1148,15 +1154,14 @@ object Events {
                     tombstoneResolvedRowsWith(
                       prunedChainRows(bss, corpusDir, epoch,
                         collectBuckets(ids, col("doc_id")),
-                        Some(rawSchema(bss, sfDir, "documents"))),
+                        Some(docSchema)),
                       tombAggE)
                       .join(ids, Seq("doc_id"), "left_semi")
                   // the stored probe replaces the r10 corpus-width
                   // postings cache: the closure reads only the buckets
                   // its frontiers touch, each at most once per epoch
                   val probe = new StoredPostingsProbe(bss, docsFor,
-                    postingsByShingleDir, tombAggE, epoch,
-                    Snapshot.postings(arrived.limit(0)).schema)
+                    postingsByShingleDir, tombAggE, epoch, postingsSchema)
                   try {
                     // the CHECKPOINTED delta form: a long-running loop
                     // must not pin another blast-radius of intermediate
@@ -2204,8 +2209,12 @@ object Events {
               // O(epochs × nCells) scalar rows per poll, with the full
               // assignment chain never re-read (VERDICT r10 ask #4)
               cellStatsProbe.foreach { buf =>
-                val statsChain = bss.read.schema(cellStatsSchema)
-                  .parquet(cellStatsDir)
+                // partition-col guard: pure-removal head epochs commit
+                // zero-file stats deltas (nothing assigned, no prior
+                // cells to subtract) — the monitor must read empty,
+                // not fail analysis
+                val statsChain = withChainPartitionCols(
+                    bss.read.schema(cellStatsSchema).parquet(cellStatsDir), "batch")
                   .filter(col("batch") <= lit(epoch))
                 cellStatsInputProbe.foreach(_ += ((epoch, statsChain.count())))
                 // n > 0: a cell fully drained by removals drops out,
@@ -2736,8 +2745,12 @@ object Events {
     // `dataSchema` (stored columns minus partition dirs): a chain whose
     // committed deltas are ALL zero-file — reachable since pure-removal
     // head-of-stream epochs commit empty deltas (r12) — crashes schema
-    // inference; a loop passes the schema it wrote with (ADVICE r12)
-    val all0 = dataSchema.fold(spark.read)(s => spark.read.schema(s)).parquet(sink)
+    // inference; a loop passes the schema it wrote with (ADVICE r12).
+    // The partition-col guard covers the same state's OTHER failure:
+    // no data files → no discovered `batch` column → the epoch filter
+    // would fail analysis before isEmpty can short-circuit.
+    val all0 = withChainPartitionCols(
+      dataSchema.fold(spark.read)(s => spark.read.schema(s)).parquet(sink), "batch")
     val all = upTo.fold(all0)(e => all0.filter(col("batch") <= lit(e)))
     if (all.isEmpty) return
     // partition discovery types `batch` as int or long depending on the
@@ -2850,8 +2863,11 @@ object Events {
       // whose committed deltas are ALL zero-file — reachable since
       // pure-removal head-of-stream epochs commit empty deltas (r12) —
       // crashes schema inference; the loops pass the schema they wrote
-      // with (ADVICE r12)
-      val all0 = dataSchemaFor(dir).fold(spark.read)(s => spark.read.schema(s)).parquet(dir)
+      // with (ADVICE r12). The partition-col guard covers the same
+      // state's epoch filter (no files → no `batch` column).
+      val all0 = withChainPartitionCols(
+        dataSchemaFor(dir).fold(spark.read)(s => spark.read.schema(s)).parquet(dir),
+        "batch")
       // `upTo` prefix-bounds a LIVE loop's compaction exactly as
       // compactDeltaChain's does: never fold the in-flight epoch
       val rows = upTo.fold(all0)(e => all0.filter(col("batch") <= lit(e)))
@@ -2985,7 +3001,12 @@ object Events {
     else {
       val tombSchema = org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField(keyCol, LongType)))
-      val scan = spark.read.schema(tombSchema).parquet(tombstoneDir)
+      // partition-col guard: a torn first-ever tombstone write (crash
+      // mid-write leaves batch=e with no committed data files) must
+      // resolve to an EMPTY aggregate on replay, not fail analysis —
+      // the replayed epoch's own overwrite then repairs the dir
+      val scan = withChainPartitionCols(
+        spark.read.schema(tombSchema).parquet(tombstoneDir), "batch")
       Some(upTo.fold(scan)(e => scan.filter(col("batch") <= lit(e)))
         .groupBy(col(keyCol)).agg(max(col("batch")).as("tomb_epoch")))
     }

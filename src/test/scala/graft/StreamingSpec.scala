@@ -385,6 +385,48 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("every chain reader survives an all-zero-file chain (pure-removal head epochs)") {
+    // Partition discovery is FILE-driven: a chain whose committed
+    // epochs are all zero-file (a pure-removal head-of-stream backlog,
+    // or a torn first tombstone write) yields NO batch/bucket columns,
+    // and any unguarded predicate on them fails analysis — wedging the
+    // epoch in a permanent replay crash. Pin that every reader in the
+    // probe/compaction/aggregate family resolves to EMPTY instead.
+    import spark.implicits._
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.StringType)))
+    val dir = java.nio.file.Files.createTempDirectory("graft_zerofile_chain")
+    try {
+      val chain = s"$dir/chain"; val tomb = s"$dir/tomb"
+      // two committed epochs, both zero-file: an empty bucketed write
+      // (the loops' empty-delta shape) and an empty plain write
+      Seq.empty[(Long, String)].toDF("doc_id", "v")
+        .withColumn("bucket", Events.chainBucket(col("doc_id")))
+        .write.partitionBy("bucket").parquet(s"$chain/batch=0")
+      Seq.empty[(Long, String)].toDF("doc_id", "v").write.parquet(s"$chain/batch=1")
+      // a TORN tombstone write: the dir exists, no committed files
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$tomb/batch=0"))
+      assert(Events.prunedChainRows(spark, chain, 1L, Seq(0, 1), Some(schema)).isEmpty)
+      assert(Events.prunedChainScan(spark, chain, 1L, Seq(0, 1), Some(schema)).isEmpty)
+      val agg = Events.tombstoneAggregate(spark, tomb, upTo = Some(0L))
+      assert(agg.isDefined && agg.get.isEmpty,
+        "torn tombstone dir must aggregate to empty, not fail analysis")
+      assert(Events.tombstoneResolved(spark, chain, tomb,
+        upTo = Some(1L), dataSchema = Some(schema)).isEmpty)
+      // both compaction entry points must no-op, not throw
+      Events.compactDeltaChain(spark, chain, Seq("doc_id"), Some(1L), Nil, Some(schema))
+      Events.compactTombstonedChains(spark, Seq(chain), tomb,
+        dataSchemaFor = _ => Some(schema))
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   test("reused-checkpoint replay over a COMPACTED store overwrites only its own epoch") {
     // VERDICT r11 ask #6: the committed-state gates and the in-stream
     // compaction are each spec'd alone — this pins their INTERACTION.
