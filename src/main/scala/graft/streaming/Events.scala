@@ -2047,13 +2047,22 @@ object Events {
     * converged query result must equal the maintained-index build over
     * the LIVE corpus (StreamingSpec) and clear the recall floor
     * against brute force over the same live corpus (the check twin).
+    *
+    * In-stream compaction (r13, every `compactEvery` epochs,
+    * prefix-bounded): the assign chain folds tombstone-resolved with
+    * its bucket layout preserved, and the cellstats chain folds
+    * through [[compactAdditiveChain]] (its resolution is a per-cell
+    * SUM, not last-write-wins) — bounding both chains' delta counts
+    * and the tombstone aggregate's growth for a loop that would
+    * otherwise append one delta per epoch forever.
     */
   def ingestAnnIvf(spark: SparkSession, sfDir: String,
                    statePartitions: Option[Int] = Some(4),
                    k: Int = 5, nprobe: Int = 8,
                    deltaProbe: Option[scala.collection.mutable.Buffer[(Long, Long)]] = None,
                    cellStatsProbe: Option[scala.collection.mutable.Buffer[(Long, Seq[(Int, Long)])]] = None,
-                   cellStatsInputProbe: Option[scala.collection.mutable.Buffer[(Long, Long)]] = None): DataFrame = {
+                   cellStatsInputProbe: Option[scala.collection.mutable.Buffer[(Long, Long)]] = None,
+                   compactEvery: Int = 8): DataFrame = {
     import graft.operators.Similarity
     val ss = sessionFor(spark, statePartitions,
       Map("spark.sql.streaming.noDataMicroBatches.enabled" -> "false") ++ providerConf)
@@ -2100,6 +2109,11 @@ object Events {
               val bss = batch.sparkSession
               import bss.implicits._
               graft.GraftSession.registerFunctions(bss)
+              // a crash mid-swap of the in-stream compaction below can
+              // leave a chain whose newest prefix lives only in the
+              // stranded snapshot — repair before any chain read
+              Seq(assignDir, cellStatsDir).foreach(d =>
+                recoverInterruptedCompaction(java.nio.file.Paths.get(d)))
               // removals (embedding IS NULL) vs adds — see the query doc
               val removals = batch.filter(col("embedding").isNull)
                 .select(col("vec_id").as("neighbor_id")).persist()
@@ -2200,6 +2214,24 @@ object Events {
                 removals.unpersist(blocking = false)
                 retired.unpersist(blocking = false)
                 tombAggPrior.foreach(_.unpersist(blocking = false))
+              }
+              // in-stream compaction (r13 — the near-dup discipline,
+              // previously missing here: at 100 TB the assign chain and
+              // its tombstones would otherwise grow one delta per epoch
+              // forever). PREFIX-BOUNDED to epochs < the one just
+              // committed; the assign chain folds tombstone-resolved
+              // with its bucket layout preserved, and the cellstats
+              // chain — ADDITIVE, not last-write-wins — folds through
+              // the sum-merge compactor (per-cell totals are the
+              // resolution its consumers apply).
+              if (epoch > 0 && epoch % compactEvery.toLong == 0) {
+                compactTombstonedChains(bss, Seq(assignDir), tombstoneDir,
+                  keyCol = "neighbor_id",
+                  partitionColsFor = _ => Seq("bucket"),
+                  upTo = Some(epoch - 1),
+                  dataSchemaFor = _ => Some(assignSchema))
+                compactAdditiveChain(bss, cellStatsDir, Seq("cell"), "n",
+                  upTo = Some(epoch - 1), dataSchema = Some(cellStatsSchema))
               }
               deltaProbe.foreach(_ += ((epoch,
                 bss.read.schema(assignSchema)
@@ -2334,11 +2366,14 @@ object Events {
     * retracts them in arrival 3
     * and re-delivers the %10 docs with identical text there, so the
     * converged relation equals the batch twin over `documents` exactly
-    * (same check-twin oracle).
+    * (same check-twin oracle). In-stream compaction (r13, every
+    * `compactEvery` epochs, prefix-bounded) folds the score chain
+    * tombstone-resolved with its bucket layout preserved.
     */
   def ingestClassify(spark: SparkSession, sfDir: String,
                      statePartitions: Option[Int] = Some(4),
-                     deltaProbe: Option[scala.collection.mutable.Buffer[(Long, Long, Long)]] = None): DataFrame = {
+                     deltaProbe: Option[scala.collection.mutable.Buffer[(Long, Long, Long)]] = None,
+                     compactEvery: Int = 8): DataFrame = {
     import graft.operators.Classifier
     val ss = sessionFor(spark, statePartitions,
       Map("spark.sql.streaming.noDataMicroBatches.enabled" -> "false") ++ providerConf)
@@ -2382,6 +2417,8 @@ object Events {
               val bss = batch.sparkSession
               import bss.implicits._
               graft.GraftSession.registerFunctions(bss)
+              // repair a crash-stranded compaction swap before any read
+              recoverInterruptedCompaction(java.nio.file.Paths.get(scoresDir))
               // removals (text IS NULL): tombstone-only, no scoring
               // work. RE-DELIVERED ids (r13): batch docs the score
               // chain already holds — the same tombstone supersedes
@@ -2464,6 +2501,15 @@ object Events {
                 retired.unpersist(blocking = false)
                 tombAggPrior.foreach(_.unpersist(blocking = false))
               }
+              // in-stream compaction (r13): the score chain folds
+              // tombstone-resolved (supersede tombstones leave one live
+              // row per doc — no LWW needed) with its bucket layout
+              // preserved; prefix-bounded like every other loop
+              if (epoch > 0 && epoch % compactEvery.toLong == 0)
+                compactTombstonedChains(bss, Seq(scoresDir), tombstoneDir,
+                  partitionColsFor = _ => Seq("bucket"),
+                  upTo = Some(epoch - 1),
+                  dataSchemaFor = _ => Some(scoreSchema))
               deltaProbe.foreach { buf =>
                 val d = bss.read.schema(scoreSchema)
                   .parquet(s"$scoresDir/batch=$epoch")
@@ -2761,6 +2807,31 @@ object Events {
     val pcols =
       if (partitionCols.nonEmpty) partitionCols else detectChainPartitionCols(sink)
     swapCompactedSnapshot(sinkPath, resolveLww(all, keyCols), maxEpoch, pcols)
+  }
+
+  /** Compaction for an ADDITIVE delta chain — per-key signed counts
+    * whose resolution is a SUM, not last-write-wins (the IVF cellstats
+    * chain: adds append positive rows, retirements negative ones, and
+    * every consumer reads `groupBy(key).sum`). Folds epochs ≤ `upTo`
+    * into one summed base delta at the max epoch through the same
+    * crash-safe swap as the other compactors. Zero-sum keys are KEPT:
+    * the chain's contract is additive, and a consumer that filters
+    * drained keys does so itself (dropping them here would be harmless
+    * today but bakes a consumer policy into the store).
+    */
+  def compactAdditiveChain(spark: SparkSession, sink: String, keyCols: Seq[String],
+                           sumCol: String, upTo: Option[Long] = None,
+                           dataSchema: Option[org.apache.spark.sql.types.StructType] = None): Unit = {
+    val sinkPath = java.nio.file.Paths.get(sink)
+    recoverInterruptedCompaction(sinkPath)
+    val all0 = withChainPartitionCols(
+      dataSchema.fold(spark.read)(s => spark.read.schema(s)).parquet(sink), "batch")
+    val all = upTo.fold(all0)(e => all0.filter(col("batch") <= lit(e)))
+    if (all.isEmpty) return
+    val maxEpoch = all.agg(max(col("batch"))).head().getAs[Number](0).longValue()
+    val snapshot = all.groupBy(keyCols.map(col): _*)
+      .agg(sum(col(sumCol)).as(sumCol))
+    swapCompactedSnapshot(sinkPath, snapshot, maxEpoch, Nil)
   }
 
   /** The crash-safe snapshot swap shared by [[compactDeltaChain]] and

@@ -206,6 +206,14 @@ class StreamingSpec extends AnyFunSuite {
     assert(hits >= 0.7 * brute.size, s"recall ${hits.toDouble / brute.size} under floor")
     // no removed vector survives in any result list
     assert(streamed.forall(_.getLong(2) % graft.streaming.Events.AnnRemovalMod != 0), "a removed vector was returned")
+    // in-stream compaction every epoch (r13: assign chain folded
+    // tombstone-resolved with its bucket layout, cellstats chain folded
+    // through the ADDITIVE sum-merge compactor) must not perturb a
+    // single result row — the swap machinery firing between live
+    // micro-batches over a store still carrying unconsumed tombstones
+    val compacted = Events.ingestAnnIvf(spark, TestSpark.sf, compactEvery = 1)
+      .collect().toSeq
+    assert(compacted == batch, "per-epoch compaction changed the converged ANN result")
   }
 
   test("stream_ingest_classify converges to the batch-trained scoring, appends only deltas") {
@@ -256,6 +264,19 @@ class StreamingSpec extends AnyFunSuite {
     val redeliveredPos = streamed.count(t => t._1 % graft.streaming.Events.RedeliveryMod == 0 && t._5).toLong
     assert(probe.map(_._3).sum == streamed.count(_._5).toLong + shadowPos + redeliveredPos,
       s"positives ${probe.map(_._3).sum} != ${streamed.count(_._5)} + $shadowPos + $redeliveredPos")
+    // in-stream compaction every epoch (r13: score chain folded
+    // tombstone-resolved, bucket layout preserved) must not perturb
+    // the converged relation — probs at the refit tolerance
+    val compacted = Events.ingestClassify(spark, TestSpark.sf, compactEvery = 1)
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getString(2),
+        r.getDouble(3), r.getBoolean(4))).toSeq
+    assert(compacted.size == batch.size, "per-epoch compaction changed the row count")
+    compacted.zip(batch).foreach { case (c, b) =>
+      assert(c._1 == b._1 && c._2 == b._2 && c._3 == b._3 && c._5 == b._5,
+        s"per-epoch compaction drifted a discrete field: $c vs $b")
+      assert(math.abs(c._4 - b._4) <= 1e-6,
+        s"per-epoch compaction drifted a prob: $c vs $b")
+    }
   }
 
   test("a late smaller-id near-dup retracts the earlier keep (verdict changelog)") {
@@ -378,6 +399,41 @@ class StreamingSpec extends AnyFunSuite {
       proveOne("assign", "neighbor_id", assignSchema, 37L)
       proveOne("scores", "doc_id", scoreSchema, 41L)
       proveOne("verdict", "doc_id", verdictSchema, 43L)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
+  test("additive-chain compaction preserves per-key sums, keeps zero-sum keys, leaves later deltas") {
+    // compactAdditiveChain's contract (the IVF cellstats chain): the
+    // resolution is a per-key SUM over signed rows — folding epochs
+    // ≤ upTo must not change any consumer's sum, a fully-drained key
+    // (sum 0) stays in the base (the additive algebra, not a consumer
+    // policy), and deltas past the bound survive untouched.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_additive_compact")
+    try {
+      val chain = s"$dir/stats"
+      Seq((1, 5L), (2, 3L), (3, 2L)).toDF("cell", "n").write.parquet(s"$chain/batch=0")
+      Seq((1, -2L), (3, -2L)).toDF("cell", "n").write.parquet(s"$chain/batch=1")
+      Seq((2, 4L), (4, 7L)).toDF("cell", "n").write.parquet(s"$chain/batch=2")
+      def sums() = spark.read.parquet(chain)
+        .groupBy(col("cell")).agg(sum(col("n")).as("n"))
+        .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+      val before = sums()
+      Events.compactAdditiveChain(spark, chain, Seq("cell"), "n", upTo = Some(1L))
+      assert(sums() == before, "compaction changed a per-key sum")
+      val dirs = new java.io.File(chain).listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("batch=")).map(_.getName).toSet
+      assert(dirs == Set("batch=1", "batch=2"),
+        s"expected the folded base at batch=1 plus the untouched batch=2, got $dirs")
+      // cell 3 drained to zero inside the fold — it must survive as a
+      // zero row, not vanish (sum semantics, consumer filters itself)
+      val base = spark.read.parquet(s"$chain/batch=1")
+        .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+      assert(base.get(3).contains(0L), s"drained key dropped from the folded base: $base")
     } finally {
       import scala.jdk.CollectionConverters._
       java.nio.file.Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
