@@ -2260,7 +2260,15 @@ object Events {
             .start()
           try {
             q.processAllAvailable()
-            corpus.filter(col("vec_id") % 5 === 0).write.mode("append").parquet(src.toString)
+            // arrival 2: the second half PLUS an early re-delivery of
+            // the %10==EarlyRedeliveryRem vectors (arrival-1 members,
+            // byte-identical) — their supersede tombstones land at
+            // epoch 1, so a compactEvery=1 run folds + consumes
+            // tombstones mid-stream (see EarlyRedeliveryRem)
+            corpus.filter(col("vec_id") % 5 === 0)
+              .unionByName(corpus.filter(
+                col("vec_id") % RedeliveryMod === EarlyRedeliveryRem))
+              .write.mode("append").parquet(src.toString)
             q.processAllAvailable()
             // arrival 3: REMOVE the %17 vectors (embedding-null rows —
             // the upstream delete signal) and RE-deliver the %10 ones
@@ -2521,7 +2529,13 @@ object Events {
             .start()
           try {
             q.processAllAvailable()
+            // arrival 2 also EARLY-re-delivers the %10==EarlyRedeliveryRem
+            // docs (arrival-1 members, identical text): their supersede
+            // tombstones land at epoch 1, so compactEvery=1 folds +
+            // consumes tombstones mid-stream (see EarlyRedeliveryRem)
             docs.filter(col("doc_id") % 5 === 0).unionByName(shadows)
+              .unionByName(docs.filter(
+                col("doc_id") % RedeliveryMod === EarlyRedeliveryRem))
               .write.mode("append").parquet(src.toString)
             q.processAllAvailable()
             // arrival 3: RETRACT the shadows (text-null rows) — the
@@ -2612,6 +2626,15 @@ object Events {
     * by construction: the doc's final text equals the raw table's, so
     * every batch-SQL oracle is untouched. */
   private[graft] val IdenticalRedeliveryMod = 9L
+  /** Ids `% RedeliveryMod == EarlyRedeliveryRem` are re-delivered
+    * byte-identical in ARRIVAL 2 of the ANN and classify stagings —
+    * the remainder is chosen so `% 5 != 0` (arrival-1 members), which
+    * plants supersede tombstones at epoch 1: a `compactEvery = 1` run
+    * then folds and CONSUMES tombstones while the stream is live, the
+    * fold-with-tombstones interaction the equality specs pin (r13
+    * review: the final-epoch tombstones alone always sit above the
+    * prefix bound, leaving that path unexercised). */
+  private[graft] val EarlyRedeliveryRem = 3L
 
   /** The ONE bucket function both the write and the probe sides share —
     * a drifted second copy would silently prune AWAY matching files. */
@@ -2780,34 +2803,42 @@ object Events {
     *    partition pruning keys off. Without this the base dir would
     *    flatten the buckets and every later probe would read it whole.
     */
-  def compactDeltaChain(spark: SparkSession, sink: String, keyCols: Seq[String],
-                        upTo: Option[Long], partitionCols: Seq[String],
-                        dataSchema: Option[org.apache.spark.sql.types.StructType] = None): Unit = {
-    val sinkPath = java.nio.file.Paths.get(sink)
-    // BEFORE the chain is read: a crash-stranded snapshot may hold the
-    // only copy of the newest delta — reading around it would compact a
-    // damaged chain and make the loss permanent
-    recoverInterruptedCompaction(sinkPath)
-    // `dataSchema` (stored columns minus partition dirs): a chain whose
-    // committed deltas are ALL zero-file — reachable since pure-removal
-    // head-of-stream epochs commit empty deltas (r12) — crashes schema
-    // inference; a loop passes the schema it wrote with (ADVICE r12).
-    // The partition-col guard covers the same state's OTHER failure:
-    // no data files → no discovered `batch` column → the epoch filter
-    // would fail analysis before isEmpty can short-circuit.
+  /** The chain-read preamble every compactor shares: repair a
+    * crash-stranded swap, read with the caller's explicit schema (an
+    * all-zero-file chain — pure-removal head epochs — crashes
+    * inference, ADVICE r12), guard the `batch` partition column (the
+    * same state's epoch filter would fail analysis before isEmpty can
+    * short-circuit), bound to epochs ≤ `upTo`, and return None when
+    * nothing is foldable. ONE definition (r13 review: three diverging
+    * copies of these guards had accumulated). */
+  private def boundedChainRead(spark: SparkSession, sink: String,
+                               upTo: Option[Long],
+                               dataSchema: Option[org.apache.spark.sql.types.StructType])
+      : Option[(DataFrame, Long)] = {
+    recoverInterruptedCompaction(java.nio.file.Paths.get(sink))
     val all0 = withChainPartitionCols(
       dataSchema.fold(spark.read)(s => spark.read.schema(s)).parquet(sink), "batch")
     val all = upTo.fold(all0)(e => all0.filter(col("batch") <= lit(e)))
-    if (all.isEmpty) return
-    // partition discovery types `batch` as int or long depending on the
-    // epoch values present — accept either
-    val maxEpoch = all.agg(max(col("batch"))).head().getAs[Number](0).longValue()
-    // layout preservation is not optional on a bucketed chain (see
-    // detectChainPartitionCols) — detect when the caller named nothing
-    val pcols =
-      if (partitionCols.nonEmpty) partitionCols else detectChainPartitionCols(sink)
-    swapCompactedSnapshot(sinkPath, resolveLww(all, keyCols), maxEpoch, pcols)
+    if (all.isEmpty) None
+    else {
+      // partition discovery types `batch` as int or long depending on
+      // the epoch values present — accept either
+      val maxEpoch = all.agg(max(col("batch"))).head().getAs[Number](0).longValue()
+      Some((all, maxEpoch))
+    }
   }
+
+  def compactDeltaChain(spark: SparkSession, sink: String, keyCols: Seq[String],
+                        upTo: Option[Long], partitionCols: Seq[String],
+                        dataSchema: Option[org.apache.spark.sql.types.StructType] = None): Unit =
+    boundedChainRead(spark, sink, upTo, dataSchema).foreach { case (all, maxEpoch) =>
+      // layout preservation is not optional on a bucketed chain (see
+      // detectChainPartitionCols) — detect when the caller named nothing
+      val pcols =
+        if (partitionCols.nonEmpty) partitionCols else detectChainPartitionCols(sink)
+      swapCompactedSnapshot(java.nio.file.Paths.get(sink),
+        resolveLww(all, keyCols), maxEpoch, pcols)
+    }
 
   /** Compaction for an ADDITIVE delta chain — per-key signed counts
     * whose resolution is a SUM, not last-write-wins (the IVF cellstats
@@ -2821,18 +2852,22 @@ object Events {
     */
   def compactAdditiveChain(spark: SparkSession, sink: String, keyCols: Seq[String],
                            sumCol: String, upTo: Option[Long] = None,
-                           dataSchema: Option[org.apache.spark.sql.types.StructType] = None): Unit = {
-    val sinkPath = java.nio.file.Paths.get(sink)
-    recoverInterruptedCompaction(sinkPath)
-    val all0 = withChainPartitionCols(
-      dataSchema.fold(spark.read)(s => spark.read.schema(s)).parquet(sink), "batch")
-    val all = upTo.fold(all0)(e => all0.filter(col("batch") <= lit(e)))
-    if (all.isEmpty) return
-    val maxEpoch = all.agg(max(col("batch"))).head().getAs[Number](0).longValue()
-    val snapshot = all.groupBy(keyCols.map(col): _*)
-      .agg(sum(col(sumCol)).as(sumCol))
-    swapCompactedSnapshot(sinkPath, snapshot, maxEpoch, Nil)
-  }
+                           dataSchema: Option[org.apache.spark.sql.types.StructType] = None,
+                           partitionCols: Seq[String] = Nil): Unit =
+    boundedChainRead(spark, sink, upTo, dataSchema).foreach { case (all, maxEpoch) =>
+      // same mandatory-layout rule as the sibling compactors: detect a
+      // bucketed layout when the caller names nothing, so a future
+      // bucketed additive chain can't be silently flattened (r13
+      // review; today's only additive chain, cellstats, is unbucketed).
+      // Layout columns are hash-functions of the key, so grouping by
+      // key ∪ layout is sum-equivalent and keeps them for the write.
+      val pcols =
+        if (partitionCols.nonEmpty) partitionCols else detectChainPartitionCols(sink)
+      val groupCols = (keyCols ++ pcols.filter(all.columns.contains)).distinct
+      val snapshot = all.groupBy(groupCols.map(col): _*)
+        .agg(sum(col(sumCol)).as(sumCol))
+      swapCompactedSnapshot(java.nio.file.Paths.get(sink), snapshot, maxEpoch, pcols)
+    }
 
   /** The crash-safe snapshot swap shared by [[compactDeltaChain]] and
     * [[compactTombstonedChain]]: materialize `snapshot` into a hidden
@@ -2929,22 +2964,11 @@ object Events {
                               dataSchemaFor: String => Option[org.apache.spark.sql.types.StructType] = _ => None): Unit = {
     val maxEpochs = dirs.flatMap { dir =>
       val sinkPath = java.nio.file.Paths.get(dir)
-      recoverInterruptedCompaction(sinkPath)
-      // `dataSchemaFor` (stored columns minus partition dirs): a chain
-      // whose committed deltas are ALL zero-file — reachable since
-      // pure-removal head-of-stream epochs commit empty deltas (r12) —
-      // crashes schema inference; the loops pass the schema they wrote
-      // with (ADVICE r12). The partition-col guard covers the same
-      // state's epoch filter (no files → no `batch` column).
-      val all0 = withChainPartitionCols(
-        dataSchemaFor(dir).fold(spark.read)(s => spark.read.schema(s)).parquet(dir),
-        "batch")
       // `upTo` prefix-bounds a LIVE loop's compaction exactly as
-      // compactDeltaChain's does: never fold the in-flight epoch
-      val rows = upTo.fold(all0)(e => all0.filter(col("batch") <= lit(e)))
-      if (rows.isEmpty) None
-      else {
-        val maxEpoch = rows.agg(max(col("batch"))).head().getAs[Number](0).longValue()
+      // compactDeltaChain's does: never fold the in-flight epoch (the
+      // shared preamble also repairs crash states and guards the
+      // zero-file chain, see boundedChainRead)
+      boundedChainRead(spark, dir, upTo, dataSchemaFor(dir)).map { case (rows, maxEpoch) =>
         // `partitionColsFor` names each chain's bucket layout (e.g. the
         // corpus chain's doc bucket vs the postings chain's shingle
         // bucket). Compacting a bucketed chain WITHOUT it would not just
@@ -2970,7 +2994,7 @@ object Events {
           upTo, keepEpoch = lwwKeys.nonEmpty)
         val snapshot = if (lwwKeys.nonEmpty) resolveLww(resolved, lwwKeys) else resolved
         swapCompactedSnapshot(sinkPath, snapshot, maxEpoch, pcols)
-        Some(maxEpoch)
+        maxEpoch
       }
     }
     if (maxEpochs.nonEmpty) {
@@ -3125,7 +3149,7 @@ object Events {
     *    rename consumes tmp, so `batch=<epoch>` exists) → aside is a
     *    consumed duplicate, discard it.
     */
-  private def recoverInterruptedCompaction(sinkPath: java.nio.file.Path): Unit = {
+  private[graft] def recoverInterruptedCompaction(sinkPath: java.nio.file.Path): Unit = {
     val tmp = sinkPath.resolve(CompactTmp)
     val marker = tmp.resolve(CompactMarker)
     if (java.nio.file.Files.exists(marker)) {
@@ -3136,6 +3160,35 @@ object Events {
       else deleteDirQuietly(tmp)
     } else deleteDirQuietly(tmp)
     deleteDirQuietly(sinkPath.resolve(CompactAside))
+    // Finish an interrupted PRUNE: the marker travels INSIDE the
+    // swapped base (it lands in tmp before the rename and nothing
+    // removes it — leading underscore, invisible to Spark reads), so a
+    // base dir carrying it is by construction the complete fold of
+    // every epoch ≤ its value, and any older delta still present is a
+    // consumed duplicate a crash between the swap-in and the prune
+    // left behind. For an LWW chain those are harmless (the base wins
+    // per key), but a WHOLE-ROW chain (bands/shingles/assign/scores)
+    // would emit each pre-fold row twice and an ADDITIVE chain would
+    // double-count — and the next compaction would bake the
+    // duplicates into its new base permanently. Deleting below the
+    // newest marker-bearing base is idempotent housekeeping, safe at
+    // any crash point (r13 review).
+    val sink = sinkPath.toFile
+    if (sink.isDirectory) {
+      val baseEpochs = sink.listFiles().toSeq
+        .filter(f => f.isDirectory && f.getName.startsWith("batch=") &&
+          java.nio.file.Files.exists(f.toPath.resolve(CompactMarker)))
+        .flatMap(_.getName.stripPrefix("batch=").toLongOption)
+      if (baseEpochs.nonEmpty) {
+        val top = baseEpochs.max
+        sink.listFiles().foreach { f =>
+          val n = f.getName
+          if (n.startsWith("batch=") &&
+              n.stripPrefix("batch=").toLongOption.exists(_ < top))
+            deleteDir(f.toPath)
+        }
+      }
+    }
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

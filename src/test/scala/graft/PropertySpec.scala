@@ -218,17 +218,40 @@ class PropertySpec extends AnyFunSuite {
             redelivered.map(Tuple1(_)).toDF("doc_id").write.parquet(s"$tomb/batch=$e")
           seen ++= arrivals
         }
-        def resolved(dir: String): Set[(Long, String)] =
+        // MULTISET comparison (sorted, with multiplicity — r13 review):
+        // the duplicate-row corruption a mid-swap/mid-prune crash can
+        // produce on a whole-row chain is invisible to a Set
+        def resolved(dir: String): Seq[(Long, String)] =
           graft.streaming.Events.tombstoneResolved(spark, dir, tomb)
             .select(col("doc_id"), col("s"))
-            .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+            .collect().map(r => (r.getLong(0), r.getString(1))).toSeq.sorted
         val truth = chains.map(d => d -> resolved(d)).toMap
-        // plant one recoverable crash state in one random chain
+        // plant one recoverable crash state in one random chain (trial
+        // 0 always plants the mid-prune state — the newest case)
         val victim = chains(rng.nextInt(nChains))
         val maxE = nEpochs - 1
-        rng.nextInt(3) match {
+        (if (trial == 0) 3 else rng.nextInt(4)) match {
+          case 3 =>
+            // mid-PRUNE: the swap completed (folded base at maxE, the
+            // marker travels inside it) but the crash hit before the
+            // old deltas were deleted — on a whole-row chain they are
+            // consumed duplicates the entry-point recovery must prune,
+            // or the re-fold bakes every pre-fold row in twice
+            val fold = graft.streaming.Events
+              .tombstoneResolved(spark, victim, tomb)
+              .select(col("doc_id"), col("s")).collect()
+              .map(r => (r.getLong(0), r.getString(1))).toSeq
+            val target = java.nio.file.Paths.get(s"$victim/batch=$maxE")
+            import scala.jdk.CollectionConverters._
+            java.nio.file.Files.walk(target)
+              .sorted(java.util.Comparator.reverseOrder())
+              .iterator().asScala.foreach(p => java.nio.file.Files.deleteIfExists(p))
+            fold.toDF("doc_id", "s").write.parquet(target.toString)
+            java.nio.file.Files.write(
+              target.resolve("_graft_target_epoch"),
+              maxE.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
           case 0 => // mid-swap: snapshot complete, newest delta aside
-            resolved(victim).toSeq.toDF("doc_id", "s")
+            resolved(victim).toDF("doc_id", "s")
               .write.parquet(s"$victim/_compact_tmp")
             java.nio.file.Files.write(
               java.nio.file.Paths.get(s"$victim/_compact_tmp/_graft_target_epoch"),

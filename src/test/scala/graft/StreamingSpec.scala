@@ -173,9 +173,15 @@ class StreamingSpec extends AnyFunSuite {
     val removedN = corpus.filter(col("vec_id") % graft.streaming.Events.AnnRemovalMod === 0).count()
     val redeliveredN = corpus.filter(col("vec_id") % graft.streaming.Events.RedeliveryMod === 0 &&
       col("vec_id") % graft.streaming.Events.AnnRemovalMod =!= 0).count()
+    // the EARLY re-delivery slice (arrival-1 members re-arriving in
+    // arrival 2 — plants epoch-1 supersede tombstones so the
+    // compactEvery=1 rerun below folds + consumes tombstones live)
+    val earlyN = corpus.filter(col("vec_id") % graft.streaming.Events.RedeliveryMod ===
+      graft.streaming.Events.EarlyRedeliveryRem).count()
     assert(removedN > 0, "testdata has no %17 vectors — removal staging vacuous")
     assert(redeliveredN > 0, "testdata has no %10 vectors — re-delivery staging vacuous")
-    assert(probe.toMap == Map(0L -> (n - second), 1L -> second, 2L -> redeliveredN),
+    assert(earlyN > 0, "testdata has no %10==3 vectors — early re-delivery staging vacuous")
+    assert(probe.toMap == Map(0L -> (n - second), 1L -> (second + earlyN), 2L -> redeliveredN),
       s"deltas: $probe")
     // the drift monitor: occupancy accumulates through the adds and
     // DRAINS through the removals (negative delta rows), landing on the
@@ -249,21 +255,30 @@ class StreamingSpec extends AnyFunSuite {
     val n = docs.count(); val second = docs.filter(col("doc_id") % 5 === 0).count()
     val shadows = docs.filter(col("doc_id") % graft.streaming.Events.ShadowMod === graft.streaming.Events.ShadowRem).count()
     val redeliveredN = docs.filter(col("doc_id") % graft.streaming.Events.RedeliveryMod === 0).count()
+    // the EARLY re-delivery slice (arrival-1 members re-scored in
+    // arrival 2 — plants epoch-1 supersede tombstones so the
+    // compactEvery=1 rerun below folds + consumes tombstones live)
+    val earlyN = docs.filter(col("doc_id") % graft.streaming.Events.RedeliveryMod ===
+      graft.streaming.Events.EarlyRedeliveryRem).count()
     assert(shadows > 0, "testdata has no %20==3 docs — removal staging vacuous")
     assert(redeliveredN > 0, "testdata has no %10 docs — re-delivery staging vacuous")
+    assert(earlyN > 0, "testdata has no %10==3 docs — early re-delivery staging vacuous")
     assert(probe.map(p => (p._1, p._2)).toMap ==
-      Map(0L -> (n - second), 1L -> (second + shadows), 2L -> redeliveredN),
+      Map(0L -> (n - second), 1L -> (second + shadows + earlyN), 2L -> redeliveredN),
       s"deltas: $probe")
     assert(streamed.forall(_._1 >= 0), "a removed shadow survived retraction")
     // the drift alarm carries real positives per epoch: the epochs' sum
     // equals the final relation's positives plus the (later-removed)
-    // shadows' plus the re-delivered docs' SECOND scoring — a shadow
+    // shadows' plus each re-delivered doc's SECOND scoring (the early
+    // %10==3 slice at epoch 1, the %10==0 wave at epoch 2) — a shadow
     // shares its original's text, hence its pred; a re-delivered doc
     // scores identically both times under the frozen model
     val shadowPos = streamed.count(t => t._1 % graft.streaming.Events.ShadowMod == graft.streaming.Events.ShadowRem && t._5).toLong
     val redeliveredPos = streamed.count(t => t._1 % graft.streaming.Events.RedeliveryMod == 0 && t._5).toLong
-    assert(probe.map(_._3).sum == streamed.count(_._5).toLong + shadowPos + redeliveredPos,
-      s"positives ${probe.map(_._3).sum} != ${streamed.count(_._5)} + $shadowPos + $redeliveredPos")
+    val earlyPos = streamed.count(t => t._1 % graft.streaming.Events.RedeliveryMod ==
+      graft.streaming.Events.EarlyRedeliveryRem && t._5).toLong
+    assert(probe.map(_._3).sum == streamed.count(_._5).toLong + shadowPos + redeliveredPos + earlyPos,
+      s"positives ${probe.map(_._3).sum} != ${streamed.count(_._5)} + $shadowPos + $redeliveredPos + $earlyPos")
     // in-stream compaction every epoch (r13: score chain folded
     // tombstone-resolved, bucket layout preserved) must not perturb
     // the converged relation — probs at the refit tolerance
