@@ -2788,21 +2788,6 @@ object Events {
   def compactDeltaChain(spark: SparkSession, sink: String, keyCols: Seq[String]): Unit =
     compactDeltaChain(spark, sink, keyCols, None, Nil)
 
-  /** [[compactDeltaChain]] with the two knobs a LIVE ingest loop needs
-    * (the in-stream compaction [[ingestNearDup]] schedules):
-    *
-    *  - `upTo` — compact ONLY epochs ≤ this bound, leaving later deltas
-    *    untouched. A loop compacting mid-run passes its current epoch
-    *    MINUS ONE: folding the in-flight epoch into the base would let
-    *    a crash-replay of that epoch `overwrite` the base dir — the
-    *    whole chain — with just its own delta. Prefix-bounded, the
-    *    replayed epoch only ever overwrites itself.
-    *  - `partitionCols` — sub-partition columns (e.g. the hash-bucket
-    *    column of a bucketed store) the snapshot must be rewritten
-    *    UNDER, so compaction preserves the layout the probe-side
-    *    partition pruning keys off. Without this the base dir would
-    *    flatten the buckets and every later probe would read it whole.
-    */
   /** The chain-read preamble every compactor shares: repair a
     * crash-stranded swap, read with the caller's explicit schema (an
     * all-zero-file chain — pure-removal head epochs — crashes
@@ -2828,6 +2813,21 @@ object Events {
     }
   }
 
+  /** [[compactDeltaChain]] with the two knobs a LIVE ingest loop needs
+    * (the in-stream compaction [[ingestNearDup]] schedules):
+    *
+    *  - `upTo` — compact ONLY epochs ≤ this bound, leaving later deltas
+    *    untouched. A loop compacting mid-run passes its current epoch
+    *    MINUS ONE: folding the in-flight epoch into the base would let
+    *    a crash-replay of that epoch `overwrite` the base dir — the
+    *    whole chain — with just its own delta. Prefix-bounded, the
+    *    replayed epoch only ever overwrites itself.
+    *  - `partitionCols` — sub-partition columns (e.g. the hash-bucket
+    *    column of a bucketed store) the snapshot must be rewritten
+    *    UNDER, so compaction preserves the layout the probe-side
+    *    partition pruning keys off. Without this the base dir would
+    *    flatten the buckets and every later probe would read it whole.
+    */
   def compactDeltaChain(spark: SparkSession, sink: String, keyCols: Seq[String],
                         upTo: Option[Long], partitionCols: Seq[String],
                         dataSchema: Option[org.apache.spark.sql.types.StructType] = None): Unit =
@@ -2860,11 +2860,12 @@ object Events {
       // bucketed additive chain can't be silently flattened (r13
       // review; today's only additive chain, cellstats, is unbucketed).
       // Layout columns are hash-functions of the key, so grouping by
-      // key ∪ layout is sum-equivalent and keeps them for the write.
+      // key ∪ layout is sum-equivalent and keeps them for the write —
+      // a layout column missing from the read fails analysis loudly,
+      // exactly like the sibling compactors' partitioned writes.
       val pcols =
         if (partitionCols.nonEmpty) partitionCols else detectChainPartitionCols(sink)
-      val groupCols = (keyCols ++ pcols.filter(all.columns.contains)).distinct
-      val snapshot = all.groupBy(groupCols.map(col): _*)
+      val snapshot = all.groupBy((keyCols ++ pcols).distinct.map(col): _*)
         .agg(sum(col(sumCol)).as(sumCol))
       swapCompactedSnapshot(java.nio.file.Paths.get(sink), snapshot, maxEpoch, pcols)
     }
@@ -2896,20 +2897,27 @@ object Events {
     java.nio.file.Files.move(target, aside)
     java.nio.file.Files.move(tmp, target)
     deleteDirQuietly(aside)
-    val stream = java.nio.file.Files.list(sinkPath)
-    try {
-      import scala.jdk.CollectionConverters._
-      // prune ONLY epochs strictly below the snapshot's: deltas ABOVE
-      // it (a live loop's in-flight epoch under a prefix-bounded
-      // compaction) are not consumed by this snapshot and must survive
-      stream.iterator().asScala.toList.foreach { p =>
-        val name = p.getFileName.toString
-        if (name.startsWith("batch=") &&
-            name.stripPrefix("batch=").toLongOption.exists(_ < maxEpoch))
-          deleteDir(p)
-      }
-    } finally stream.close()
+    // prune ONLY epochs strictly below the snapshot's: deltas ABOVE
+    // it (a live loop's in-flight epoch under a prefix-bounded
+    // compaction) are not consumed by this snapshot and must survive
+    pruneDeltasBelow(sinkPath, maxEpoch)
   }
+
+  /** Delete every `batch=` delta strictly below `epoch` — the consume
+    * step of a compaction swap, shared verbatim with the crash-recovery
+    * path that finishes an interrupted prune (ONE definition of the
+    * parse-compare-delete invariant; r13 review). Null-guarded: a
+    * transient listing failure skips the prune — it is idempotent
+    * housekeeping the next recovery retries — instead of failing the
+    * caller's micro-batch. */
+  private def pruneDeltasBelow(sinkPath: java.nio.file.Path, epoch: Long): Unit =
+    Option(sinkPath.toFile.listFiles()).getOrElse(Array.empty[java.io.File])
+      .foreach { f =>
+        val n = f.getName
+        if (n.startsWith("batch=") &&
+            n.stripPrefix("batch=").toLongOption.exists(_ < epoch))
+          deleteDir(f.toPath)
+      }
 
   /** Compaction for a TOMBSTONED delta chain — the store shape
     * [[streamIncrementalClean]] keeps its corpus and posting-index
@@ -3149,7 +3157,7 @@ object Events {
     *    rename consumes tmp, so `batch=<epoch>` exists) → aside is a
     *    consumed duplicate, discard it.
     */
-  private[graft] def recoverInterruptedCompaction(sinkPath: java.nio.file.Path): Unit = {
+  private def recoverInterruptedCompaction(sinkPath: java.nio.file.Path): Unit = {
     val tmp = sinkPath.resolve(CompactTmp)
     val marker = tmp.resolve(CompactMarker)
     if (java.nio.file.Files.exists(marker)) {
@@ -3173,22 +3181,12 @@ object Events {
     // duplicates into its new base permanently. Deleting below the
     // newest marker-bearing base is idempotent housekeeping, safe at
     // any crash point (r13 review).
-    val sink = sinkPath.toFile
-    if (sink.isDirectory) {
-      val baseEpochs = sink.listFiles().toSeq
-        .filter(f => f.isDirectory && f.getName.startsWith("batch=") &&
-          java.nio.file.Files.exists(f.toPath.resolve(CompactMarker)))
-        .flatMap(_.getName.stripPrefix("batch=").toLongOption)
-      if (baseEpochs.nonEmpty) {
-        val top = baseEpochs.max
-        sink.listFiles().foreach { f =>
-          val n = f.getName
-          if (n.startsWith("batch=") &&
-              n.stripPrefix("batch=").toLongOption.exists(_ < top))
-            deleteDir(f.toPath)
-        }
-      }
-    }
+    val baseEpochs = Option(sinkPath.toFile.listFiles())
+      .getOrElse(Array.empty[java.io.File]).toSeq
+      .filter(f => f.isDirectory && f.getName.startsWith("batch=") &&
+        java.nio.file.Files.exists(f.toPath.resolve(CompactMarker)))
+      .flatMap(_.getName.stripPrefix("batch=").toLongOption)
+    baseEpochs.maxOption.foreach(pruneDeltasBelow(sinkPath, _))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
