@@ -883,7 +883,11 @@ class PropertySpec extends AnyFunSuite {
           else {
             val id = ps(rnd.nextInt(ps.size))
             val toks = current(id).split(" ")
-            toks(rnd.nextInt(toks.length)) = s"re${e}x"
+            // k==2 re-delivers BYTE-IDENTICAL (the unchanged re-crawl:
+            // the supersede must retire and re-add the same rows with
+            // no verdict drift), k==3 a mutated copy (the edge-erasing
+            // kind the retraction blast radius exists for)
+            if (k == 3) toks(rnd.nextInt(toks.length)) = s"re${e}x"
             Seq((id, toks.mkString(" ")))
           }
         }
