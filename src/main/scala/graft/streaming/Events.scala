@@ -2906,18 +2906,26 @@ object Events {
   /** Delete every `batch=` delta strictly below `epoch` — the consume
     * step of a compaction swap, shared verbatim with the crash-recovery
     * path that finishes an interrupted prune (ONE definition of the
-    * parse-compare-delete invariant; r13 review). Null-guarded: a
-    * transient listing failure skips the prune — it is idempotent
-    * housekeeping the next recovery retries — instead of failing the
-    * caller's micro-batch. */
-  private def pruneDeltasBelow(sinkPath: java.nio.file.Path, epoch: Long): Unit =
-    Option(sinkPath.toFile.listFiles()).getOrElse(Array.empty[java.io.File])
-      .foreach { f =>
-        val n = f.getName
-        if (n.startsWith("batch=") &&
-            n.stripPrefix("batch=").toLongOption.exists(_ < epoch))
-          deleteDir(f.toPath)
-      }
+    * parse-compare-delete invariant; r13 review). A failed listing of
+    * an EXISTING directory THROWS instead of skipping: a skipped prune
+    * would let every reader between here and the next recovery observe
+    * the consumed deltas as duplicates (double-counted additive sums,
+    * twice-emitted whole rows) — failing the caller's epoch is the
+    * safe outcome, replay re-runs the recovery before any read. */
+  private def pruneDeltasBelow(sinkPath: java.nio.file.Path, epoch: Long): Unit = {
+    val dir = sinkPath.toFile
+    if (!dir.isDirectory) return
+    val listed = dir.listFiles()
+    if (listed == null)
+      throw new IllegalStateException(
+        s"cannot list $sinkPath to prune compaction-consumed deltas")
+    listed.foreach { f =>
+      val n = f.getName
+      if (n.startsWith("batch=") &&
+          n.stripPrefix("batch=").toLongOption.exists(_ < epoch))
+        deleteDir(f.toPath)
+    }
+  }
 
   /** Compaction for a TOMBSTONED delta chain — the store shape
     * [[streamIncrementalClean]] keeps its corpus and posting-index
@@ -3180,13 +3188,21 @@ object Events {
     // double-count — and the next compaction would bake the
     // duplicates into its new base permanently. Deleting below the
     // newest marker-bearing base is idempotent housekeeping, safe at
-    // any crash point (r13 review).
-    val baseEpochs = Option(sinkPath.toFile.listFiles())
-      .getOrElse(Array.empty[java.io.File]).toSeq
-      .filter(f => f.isDirectory && f.getName.startsWith("batch=") &&
-        java.nio.file.Files.exists(f.toPath.resolve(CompactMarker)))
-      .flatMap(_.getName.stripPrefix("batch=").toLongOption)
-    baseEpochs.maxOption.foreach(pruneDeltasBelow(sinkPath, _))
+    // any crash point (r13 review). A chain dir that does not exist
+    // yet is fine (first epoch); a listing FAILURE on an existing one
+    // throws — skipping would let this epoch read duplicates.
+    val sink = sinkPath.toFile
+    if (sink.isDirectory) {
+      val listed = sink.listFiles()
+      if (listed == null)
+        throw new IllegalStateException(
+          s"cannot list $sinkPath during compaction recovery")
+      val baseEpochs = listed.toSeq
+        .filter(f => f.isDirectory && f.getName.startsWith("batch=") &&
+          java.nio.file.Files.exists(f.toPath.resolve(CompactMarker)))
+        .flatMap(_.getName.stripPrefix("batch=").toLongOption)
+      baseEpochs.maxOption.foreach(pruneDeltasBelow(sinkPath, _))
+    }
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

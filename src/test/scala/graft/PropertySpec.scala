@@ -768,6 +768,8 @@ class PropertySpec extends AnyFunSuite {
     var restoredKeeps = 0L
     var redeliveredCount = 0L
     var removedCount = 0L
+    var identicalRe = 0L
+    var mutatedRe = 0L
     def resolvedRows(chain: Seq[(Int, DataFrame)], keepEpoch: Boolean): DataFrame = {
       val rows = chain.map { case (ep, df) => df.withColumn("batch", lit(ep)) }
         .reduce(_ unionByName _)
@@ -870,9 +872,11 @@ class PropertySpec extends AnyFunSuite {
       .select(col("partner_id")).distinct()
       .collect().map(_.getLong(0)).toSeq.sorted
     // schedule: arrivals interleaved with REMOVAL epochs, and the later
-    // arrivals each RE-DELIVER a mutated copy of a current PARTNER doc
-    // (guaranteed dependents whose edge to it must be re-scored or
-    // dropped) — removals pick a current partner plus a bystander.
+    // arrivals each RE-DELIVER a current PARTNER doc (guaranteed
+    // dependents whose edge to it must be re-scored or dropped) — the
+    // first re-delivery byte-identical (the unchanged re-crawl), the
+    // second a mutated copy (the edge-erasing kind). Removals pick a
+    // current partner plus a bystander.
     var e = 0
     for ((arrival, k) <- arrivals.zipWithIndex) {
       val redeliv: Seq[(Long, String)] =
@@ -887,7 +891,8 @@ class PropertySpec extends AnyFunSuite {
             // the supersede must retire and re-add the same rows with
             // no verdict drift), k==3 a mutated copy (the edge-erasing
             // kind the retraction blast radius exists for)
-            if (k == 3) toks(rnd.nextInt(toks.length)) = s"re${e}x"
+            if (k == 3) { toks(rnd.nextInt(toks.length)) = s"re${e}x"; mutatedRe += 1 }
+            else identicalRe += 1
             Seq((id, toks.mkString(" ")))
           }
         }
@@ -924,6 +929,8 @@ class PropertySpec extends AnyFunSuite {
       s"seed $seed never restored a keep through a retirement — reseed")
     assert(redeliveredCount > 0,
       s"seed $seed never re-delivered a doc — reseed")
+    assert(identicalRe > 0 && mutatedRe > 0,
+      s"seed $seed missed a re-delivery kind (identical=$identicalRe mutated=$mutatedRe) — reseed")
     assert(removedCount > 0,
       s"seed $seed never removed a doc — reseed")
     (shChain ++ bandChain).foreach { case (_, df) =>
