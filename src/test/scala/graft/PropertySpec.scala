@@ -938,6 +938,90 @@ class PropertySpec extends AnyFunSuite {
     verdictChain.foreach { case (_, df) => graft.operators.Corpus.releaseCheckpoint(df) }
   }
 
+  test("additive-chain compaction survives random crash states without double-counting") {
+    // compactAdditiveChain shares the crash-safe swap + recovery with
+    // the LWW compactors, but its failure mode is sharper: a consumed
+    // delta left beside the folded base DOUBLE-COUNTS every key (LWW
+    // merely resolves the duplicate away). Random signed chains, a
+    // random crash state planted — including the mid-prune state where
+    // the swap completed (marker inside the base) but the old deltas
+    // survived — then compaction; per-key sums must be exact.
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, sum}
+    val rng = new scala.util.Random(53L)
+    for (trial <- 0 until 5) {
+      val sink = java.nio.file.Files.createTempDirectory(s"graft_addcrash_$trial")
+      try {
+        val nEpochs = 2 + rng.nextInt(3)
+        for (e <- 0 until nEpochs) {
+          (0 until 1 + rng.nextInt(6))
+            .map(_ => (rng.nextInt(8), (rng.nextInt(9) - 4).toLong))
+            .toDF("cell", "n").write.parquet(s"$sink/batch=$e")
+        }
+        def sums(): Map[Int, Long] = spark.read.parquet(sink.toString)
+          .groupBy(col("cell")).agg(sum(col("n")).as("n"))
+          .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+        val truth = sums()
+        val maxE = nEpochs - 1
+        // plant a crash state (trial 0 always the mid-prune state)
+        (if (trial == 0) 3 else rng.nextInt(4)) match {
+          case 3 =>
+            // mid-PRUNE: folded base swapped in (marker travels inside
+            // it), old deltas not yet deleted — the double-count state
+            val fold = spark.read.parquet(sink.toString)
+              .filter(col("batch") <= maxE)
+              .groupBy(col("cell")).agg(sum(col("n")).as("n"))
+              .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+            val target = java.nio.file.Paths.get(s"$sink/batch=$maxE")
+            import scala.jdk.CollectionConverters._
+            java.nio.file.Files.walk(target)
+              .sorted(java.util.Comparator.reverseOrder())
+              .iterator().asScala.foreach(p => java.nio.file.Files.deleteIfExists(p))
+            fold.toDF("cell", "n").write.parquet(target.toString)
+            java.nio.file.Files.write(target.resolve("_graft_target_epoch"),
+              maxE.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          case 0 =>
+            // mid-swap: snapshot complete in tmp, newest delta aside
+            spark.read.parquet(sink.toString)
+              .groupBy(col("cell")).agg(sum(col("n")).as("n"))
+              .write.parquet(s"$sink/_compact_tmp")
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(s"$sink/_compact_tmp/_graft_target_epoch"),
+              maxE.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            java.nio.file.Files.move(
+              java.nio.file.Paths.get(s"$sink/batch=$maxE"),
+              java.nio.file.Paths.get(s"$sink/_compact_old"))
+          case 1 =>
+            // pre-swap: stale-but-complete snapshot, chain intact
+            Seq((99, 123L)).toDF("cell", "n").write.parquet(s"$sink/_compact_tmp")
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(s"$sink/_compact_tmp/_graft_target_epoch"),
+              maxE.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          case 2 =>
+            // torn snapshot write: no marker yet
+            java.nio.file.Files.createDirectories(
+              java.nio.file.Paths.get(s"$sink/_compact_tmp"))
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(s"$sink/_compact_tmp/part-0.parquet"),
+              Array[Byte](7, 7, 7))
+        }
+        graft.streaming.Events.compactAdditiveChain(spark, sink.toString, Seq("cell"), "n")
+        assert(sums() == truth, s"trial $trial: per-key sums drifted after crash recovery")
+        val dirs = new java.io.File(sink.toString).listFiles()
+          .filter(f => f.isDirectory && f.getName.startsWith("batch=")).map(_.getName).toSet
+        assert(dirs == Set(s"batch=$maxE"), s"trial $trial: not folded to one base: $dirs")
+        // idempotent on the compacted store
+        graft.streaming.Events.compactAdditiveChain(spark, sink.toString, Seq("cell"), "n")
+        assert(sums() == truth, s"trial $trial: recompaction drifted the sums")
+      } finally {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(sink).sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+    }
+  }
+
   test("ivf assignment and cellstats chains converge to the rebuilt live index across random retirement epochs") {
     // The stored-state algebra of stream_ingest_ann — frozen quantizer,
     // per-epoch assignment deltas, shared tombstones for removals AND

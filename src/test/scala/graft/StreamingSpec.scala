@@ -216,10 +216,17 @@ class StreamingSpec extends AnyFunSuite {
     // tombstone-resolved with its bucket layout, cellstats chain folded
     // through the ADDITIVE sum-merge compactor) must not perturb a
     // single result row — the swap machinery firing between live
-    // micro-batches over a store still carrying unconsumed tombstones
-    val compacted = Events.ingestAnnIvf(spark, TestSpark.sf, compactEvery = 1)
+    // micro-batches over a store still carrying unconsumed tombstones —
+    // and the drift monitor summed over the FOLDED stats chain must
+    // still land on the one-shot live occupancy (a duplicate or lost
+    // row in the fold shifts a sum)
+    val statsProbeC = scala.collection.mutable.ListBuffer.empty[(Long, Seq[(Int, Long)])]
+    val compacted = Events.ingestAnnIvf(spark, TestSpark.sf, compactEvery = 1,
+      cellStatsProbe = Some(statsProbeC))
       .collect().toSeq
     assert(compacted == batch, "per-epoch compaction changed the converged ANN result")
+    assert(statsProbeC.toMap.apply(2L) == oneShot,
+      "folded cellstats chain diverged from the one-shot live occupancy")
   }
 
   test("stream_ingest_classify converges to the batch-trained scoring, appends only deltas") {
