@@ -86,9 +86,22 @@ object Bench {
     val names = selected.toSeq.sortBy(_._1)
     val times =
       scala.collection.mutable.LinkedHashMap(names.map { case (n, _) => n -> List.empty[Double] }: _*)
+    // Per-query stage laps (VERDICT r13 #4): the streaming loops mark
+    // staging / drain / consumer boundaries through graft.Laps; one
+    // per-pass map per query (stages summed within a pass — a crash-
+    // replayed drain records its stage twice and the pass total is the
+    // honest cost), medianed per stage across passes below. Only
+    // queries emitting at least one CLASSIFIED stage (stage*/drain*/
+    // consumer*/oracle* — the bench_compare.py split prefixes) carry a
+    // record: the batch incremental family's internal laps ("manifest
+    // diff", "closure round N") are not a staging-vs-loop split.
+    val lapPrefixes = Seq("stage", "drain", "consumer", "oracle")
+    val lapsByQuery = scala.collection.mutable.Map
+      .empty[String, scala.collection.mutable.ListBuffer[Map[String, Double]]]
     for (_ <- 1 to reps) {
       for (((name, fn), i) <- names.zipWithIndex) {
         if (i % CanaryEvery == 0) { canary(); latencyCanary() }
+        Laps.begin()
         val t0 = System.nanoTime()
         // noop sink: full plan executes (every column materialized), nothing
         // written — unlike count(), Catalyst can't prune unevaluated aggs.
@@ -103,7 +116,17 @@ object Bench {
         // understate the total and flag a false "regression" on every
         // query the round after it's fixed. Failed queries live in
         // `errors` (and rc=1) only.
-        if (ok) times(name) = times(name) :+ (System.nanoTime() - t0) / 1e9
+        val elapsed = (System.nanoTime() - t0) / 1e9
+        val laps = Laps.end()
+        if (ok) {
+          times(name) = times(name) :+ elapsed
+          if (laps.exists { case (s, _) => lapPrefixes.exists(s.startsWith) })
+            lapsByQuery.getOrElseUpdate(name,
+              scala.collection.mutable.ListBuffer.empty) +=
+              laps.foldLeft(scala.collection.immutable.ListMap.empty[String, Double]) {
+                case (m, (s, v)) => m.updated(s, m.getOrElse(s, 0.0) + v)
+              }
+        }
         // UNTIMED cache release (ADVICE r5): several operators persist a
         // shared pass and return lazily (no post-materialization point to
         // unpersist at); without this hook those evictable blocks
@@ -199,7 +222,17 @@ object Bench {
     val latencyMedian = if (latencyTimes.isEmpty) 0.0 else median(latencyTimes.toSeq)
     val rocksdbJson = rocksdbTimes
       .map { case (k, v) => q(k) + ":" + fmt(v) }.mkString("{", ",", "}")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","errors":$errs,"clear_cache":${!clearCacheOff},"reps":$repsJson,"canary":$canaryJson,"canary_median":${fmt(canaryMedian)},"canary_spread":${fmt(canarySpread)},"latency_canary":$latencyJson,"latency_canary_median":${fmt(latencyMedian)},"rocksdb_stream":$rocksdbJson,"queries":$qs,"mins":$minsJson,"normalized":$normJson}"""
+    // per-query {stage: seconds} (median across passes, stage order =
+    // first appearance) — the staging-vs-loop split's raw material
+    val lapsJson = results.flatMap { case (k, _, _) =>
+      lapsByQuery.get(k).map { passes =>
+        val stages = passes.flatMap(_.keys).distinct
+        q(k) + ":" + stages.map(s =>
+          q(s) + ":" + fmt(median(passes.flatMap(_.get(s)).toSeq)))
+          .mkString("{", ",", "}")
+      }
+    }.mkString("{", ",", "}")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","errors":$errs,"clear_cache":${!clearCacheOff},"reps":$repsJson,"canary":$canaryJson,"canary_median":${fmt(canaryMedian)},"canary_spread":${fmt(canarySpread)},"latency_canary":$latencyJson,"latency_canary_median":${fmt(latencyMedian)},"rocksdb_stream":$rocksdbJson,"laps":$lapsJson,"queries":$qs,"mins":$minsJson,"normalized":$normJson}"""
     println(json)
     // Belt-and-braces for the same truncation: the COMPLETE record also
     // lands in a file the driver never trims (cwd-resolved — the driver
@@ -230,8 +263,12 @@ object Bench {
     // total (per-query medians live in the compact line above and in
     // the untrimmed SPARK_GRAFT_BENCH_OUT file).
     val normalizedTotal = if (canaryMedian == 0.0) 0.0 else total / canaryMedian
-    println(s"""{"tail":"nano","canary_median":${fmt(canaryMedian)},"normalized_total":${fmt(normalizedTotal)},"n_queries":${results.size},"n_errors":${errors.size}}""")
+    // emitted AFTER spark.stop() (VERDICT r13 #6): nothing of ours can
+    // print past it, so the only stdout that can follow the nano line
+    // is sbt's own [success] trailer — the driver's tail-preserving
+    // truncation always retains a regex-recoverable canary
     spark.stop()
+    println(s"""{"tail":"nano","canary_median":${fmt(canaryMedian)},"normalized_total":${fmt(normalizedTotal)},"n_queries":${results.size},"n_errors":${errors.size}}""")
     // A failed query must fail the bench loudly, not record a ~0s success.
     if (errors.nonEmpty) { System.err.println(errors.mkString("\n")); sys.exit(1) }
   }

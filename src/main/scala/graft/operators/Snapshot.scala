@@ -43,6 +43,18 @@ import org.apache.spark.sql.functions._
   */
 object Snapshot {
 
+  /** Staging moduli of the derived old snapshot — ONE definition each,
+    * interpolated into both the Scala staging ([[oldSnapshot]]) and the
+    * `snapshot_diff` oracle SQL below (the `Dedup.SimhashPlantMod`
+    * treatment, VERDICT r13 #5): a drifted edit to either side now
+    * breaks the shared constant instead of silently decoupling the
+    * plant from its oracle. SnapshotSpec re-derives the expected sets
+    * from its own literals on purpose — an independent third opinion.
+    */
+  private[graft] val AddedMod = 11L   // absent from the old snapshot → 'added'
+  private[graft] val ChangedMod = 7L  // ' [draft]'-suffixed in the old snapshot → 'changed'
+  private[graft] val RemovedMod = 13L // retired rows present only in the old snapshot → 'removed'
+
   /** Manifest of a `(doc_id, text)` relation: `(doc_id, h)`.
     * The md5 is computed inside the scan projection — text never
     * survives past the map side. PUBLIC: the stored-state incremental
@@ -74,12 +86,12 @@ object Snapshot {
     // same pattern as dedup_simhash_check's plant offset)
     val off = docs.agg((max(col("doc_id")) + lit(1L)).as("off"))
     val base = docs
-      .filter(col("doc_id") % 11 =!= 0)
+      .filter(col("doc_id") % AddedMod =!= 0)
       .select(col("doc_id"),
-        when(col("doc_id") % 7 === 0, concat(col("text"), lit(" [draft]")))
+        when(col("doc_id") % ChangedMod === 0, concat(col("text"), lit(" [draft]")))
           .otherwise(col("text")).as("text"))
     val retired = docs
-      .filter(col("doc_id") % 13 === 0)
+      .filter(col("doc_id") % RemovedMod === 0)
       .crossJoin(broadcast(off))
       .select((col("doc_id") + col("off")).as("doc_id"),
         concat(lit("retired "), col("doc_id").cast("string")).as("text"))
@@ -122,22 +134,25 @@ object Snapshot {
   private def incrDebug: Boolean =
     sys.env.get("SPARK_GRAFT_INCR_DEBUG").contains("1")
 
-  /** A fresh stage-timer for [[incrDebug]] output: each call to the
-    * returned function prints the elapsed time since the previous call
-    * (no-op when the debug knob is off). Shared with
-    * [[graft.streaming.Events.streamIncrementalClean]]'s per-epoch
-    * attribution — one knob times the whole incremental family.
+  /** A fresh stage-timer: each call to the returned function records
+    * the elapsed time since the previous call into [[graft.Laps]]
+    * (collected only inside a Bench begin/end window — a volatile read
+    * otherwise) and, under SPARK_GRAFT_INCR_DEBUG=1, prints it to
+    * stderr. Shared by the four streaming ingest loops' stage marks and
+    * [[pairGraphClosure]]'s per-round attribution — one timer for the
+    * whole incremental family.
     */
-  private[graft] def incrLap(): String => Unit =
-    if (!incrDebug) _ => ()
-    else {
-      var t0 = System.nanoTime()
-      stage => {
-        val t = System.nanoTime()
-        System.err.println(f"[incr-debug] $stage: ${(t - t0) / 1e9}%.2fs")
-        t0 = t
-      }
+  private[graft] def incrLap(): String => Unit = {
+    val debug = incrDebug
+    var t0 = System.nanoTime()
+    stage => {
+      val t = System.nanoTime()
+      val secs = (t - t0) / 1e9
+      graft.Laps.record(stage, secs)
+      if (debug) System.err.println(f"[incr-debug] $stage: $secs%.2fs")
+      t0 = t
     }
+  }
 
 
   /** Probe-side view of the `(doc_id, nsh, s)` posting index
@@ -674,15 +689,15 @@ object Snapshot {
     "snapshot_apply" ->
       "SELECT doc_id, text FROM documents ORDER BY doc_id",
     "snapshot_diff" ->
-      """WITH newm AS (SELECT doc_id, md5(text) AS h FROM documents),
+      s"""WITH newm AS (SELECT doc_id, md5(text) AS h FROM documents),
         |oldm AS (
         |  SELECT doc_id,
-        |    md5(CASE WHEN doc_id % 7 = 0 THEN text || ' [draft]' ELSE text END) AS h
-        |  FROM documents WHERE doc_id % 11 <> 0
+        |    md5(CASE WHEN doc_id % $ChangedMod = 0 THEN text || ' [draft]' ELSE text END) AS h
+        |  FROM documents WHERE doc_id % $AddedMod <> 0
         |  UNION ALL
         |  SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents),
         |    md5('retired ' || CAST(doc_id AS VARCHAR))
-        |  FROM documents WHERE doc_id % 13 = 0),
+        |  FROM documents WHERE doc_id % $RemovedMod = 0),
         |d AS (SELECT coalesce(n.doc_id, o.doc_id) AS doc_id,
         |  CASE WHEN o.doc_id IS NULL THEN 'added'
         |       WHEN n.doc_id IS NULL THEN 'removed'

@@ -220,6 +220,46 @@ object Events {
             s" :: $state")
       }
 
+  /** Drain-with-replay harness around a restartable bounded streaming
+    * query — ONE implementation shared by the four ingest loops
+    * (VERDICT r13 #7; it previously lived inline in [[ingestNearDup]]).
+    * `drain()` is `processAllAvailable()`, and when an ARMED crash
+    * injection (the loops' `crashAtEpoch` spec hook) kills the query it
+    * restarts the stream on the SAME checkpoint exactly once, so the
+    * uncommitted epoch REPLAYS over the already-written store — the
+    * worst-case recovery the store mechanics must absorb (output
+    * present, stream commit missing). NOT a general retry: with no
+    * crash injection armed a StreamingQueryException propagates (a
+    * real failure must fail the run, not silently re-run an epoch).
+    */
+  /* Staging invariant shared by every harness below: each staged
+   * arrival is written `coalesce(1)` — ONE part file, committed by a
+   * single atomic rename. A multi-file append materializes file-by-
+   * file, and a FileStreamSource poll landing mid-append discovers a
+   * PREFIX of the arrival, splitting one staged arrival into two
+   * micro-batches; under full-suite CPU load that window is wide
+   * enough to trip the per-epoch probe assertions and, worse, to
+   * split the classify loop's train arrival under the frozen model
+   * (the r13 223/224 full-suite flake, reproduced + pinned r14).
+   * One file per arrival is also the contract a production ingest
+   * hands a file source: a crawler batch lands behind an atomic
+   * manifest/rename, never part-by-part into the watched dir. */
+
+  private final class ReplayingDrain(startQ: () => StreamingQuery,
+                                     expectCrash: Boolean) {
+    private var q: StreamingQuery = startQ()
+    def drain(): Unit =
+      try q.processAllAvailable()
+      catch {
+        case _: org.apache.spark.sql.streaming.StreamingQueryException if expectCrash =>
+          try q.stop() catch { case scala.util.control.NonFatal(_) => () }
+          q = startQ()
+          q.processAllAvailable()
+      }
+    /** Terminal cleanup: progress dump + stop (the loops' `finally`). */
+    def finish(name: String): Unit = { dumpProgress(name, q); q.stop() }
+  }
+
   private def deleteDir(dir: java.nio.file.Path): Unit = {
     val walk = java.nio.file.Files.walk(dir)
     try {
@@ -255,7 +295,7 @@ object Events {
     for (i <- 1 to 2) {
       base.withColumn("ts", farFutureTs(rawMax, i))
         .withColumn(overrideCol, value)
-        .write.mode("append").parquet(dir.toString)
+        .coalesce(1).write.mode("append").parquet(dir.toString)
       q.processAllAvailable()
     }
   }
@@ -343,7 +383,7 @@ object Events {
       flush = (ss, dir, q) => {
         ss.read.parquet(s"$sfDir/events.parquet")
           .filter(col("event_id") % 10 === 0)
-          .write.mode("append").parquet(dir.toString)
+          .coalesce(1).write.mode("append").parquet(dir.toString)
         q.processAllAvailable()
       }) { stream =>
       stream
@@ -755,7 +795,7 @@ object Events {
             val docs = ss.read.parquet(docsPath)
             // two arrivals (doc_id % 5) — the second drain must be a
             // genuinely incremental micro-batch, as in ingestDedupToFiles
-            docs.filter(col("doc_id") % 5 =!= 0).write.mode("append").parquet(src.toString)
+            docs.filter(col("doc_id") % 5 =!= 0).coalesce(1).write.mode("append").parquet(src.toString)
             val stream = ss.readStream.schema(rawSchema(ss, sfDir, "documents")).parquet(src.toString)
             val gated = decontamGate(stream, bfB)
             val q = gated.writeStream
@@ -764,12 +804,12 @@ object Events {
               .foreachBatch { (batch: DataFrame, epoch: Long) =>
                 val delta = if (deltaProbe.isDefined) batch.persist() else batch
                 delta.write.mode("overwrite").parquet(s"$sink/batch=$epoch")
-                deltaProbe.foreach { p => p += ((epoch, delta.count())); delta.unpersist() }
+                deltaProbe.foreach { p => probeAdd(p, (epoch, delta.count())); delta.unpersist() }
               }
               .start()
             try {
               q.processAllAvailable()
-              docs.filter(col("doc_id") % 5 === 0).write.mode("append").parquet(src.toString)
+              docs.filter(col("doc_id") % 5 === 0).coalesce(1).write.mode("append").parquet(src.toString)
               q.processAllAvailable()
             } finally { dumpProgress("graft_idecon_files", q); q.stop() }
             // consumer view: LWW per key across the delta chain, then
@@ -929,7 +969,8 @@ object Events {
                              statePartitions: Option[Int] = Some(4),
                              epochProbe: Option[scala.collection.mutable.Buffer[(Long, Long)]] = None,
                              ledgerDeltaProbe: Option[scala.collection.mutable.Buffer[(Long, Long)]] = None,
-                             compactEvery: Int = 8): DataFrame = {
+                             compactEvery: Int = 8,
+                             crashAtEpoch: Option[Long] = None): DataFrame = {
     import graft.operators.{Corpus, Snapshot}
     val ss = sessionFor(spark, statePartitions,
       Map("spark.sql.streaming.noDataMicroBatches.enabled" -> "false") ++ providerConf)
@@ -1003,11 +1044,12 @@ object Events {
             .withColumn("doc_id", -(col("doc_id") + lit(1L)))
           docs.filter(col("doc_id") % 5 =!= 0).unionByName(stale)
             .unionByName(shadows)
-            .write.mode("append").parquet(src.toString)
+            .coalesce(1).write.mode("append").parquet(src.toString)
           outerLap("stage arrival 1")
           val stream = ss.readStream.schema(rawSchema(ss, sfDir, "documents"))
             .parquet(src.toString)
-          val q = stream.writeStream
+          @volatile var crashArmed = crashAtEpoch.isDefined
+          def startQ(): StreamingQuery = stream.writeStream
             .outputMode(OutputMode.Append)
             .option("checkpointLocation", ckpt.toString)
             .foreachBatch { (batch: DataFrame, epoch: Long) =>
@@ -1101,6 +1143,21 @@ object Events {
                 batchManifest
                   .write.mode("overwrite").parquet(s"$manifestDir/batch=$epoch")
                 lap(s"epoch $epoch: manifest delta")
+                // spec hook (VERDICT r13 #3 — THE clean-loop crash
+                // state): die BETWEEN the two commit markers — the
+                // epoch's manifest `_SUCCESS` exists, its ledger write
+                // never starts. latestCommittedBelow requires BOTH, so
+                // a replay resolves prior state from the last FULLY
+                // committed epoch, re-derives the same tombstone/
+                // postings/manifest deltas over the torn dirs
+                // (idempotent overwrites) and writes the ledger that
+                // completes the gate. None of the batch-path fuzzes
+                // reaches this state through the real streaming path.
+                if (crashArmed && crashAtEpoch.contains(epoch)) {
+                  crashArmed = false
+                  throw new RuntimeException(
+                    s"injected between-commit-markers crash at epoch $epoch")
+                }
                 // 5. the ledger write — the write that commits the epoch.
                 // Epoch 0 is the PRODUCTION bootstrap: its ledger is the
                 // batch compute over its own arrival (`Corpus.ledger`),
@@ -1222,20 +1279,22 @@ object Events {
                     else if (d == postingsByShingleDir) postingsSchema
                     else if (d == manifestDir) Snapshot.ManifestSchema
                     else Corpus.LedgerSchema))
-              epochProbe.foreach(_ += ((epoch, batch.count())))
+              epochProbe.foreach(probeAdd(_, (epoch, batch.count())))
               // explicit schema: a removal epoch whose blast radius is
               // empty (isolated docs) writes a zero-file delta dir
-              ledgerDeltaProbe.foreach(_ +=
-                ((epoch, bss.read.schema(prior.schema)
+              ledgerDeltaProbe.foreach(probeAdd(_,
+                (epoch, bss.read.schema(prior.schema)
                   .parquet(s"$ledgerDir/batch=$epoch").count())))
             }
             .start()
+          val dr = new ReplayingDrain(() => startQ(), crashAtEpoch.isDefined)
           try {
-            q.processAllAvailable()
-            outerLap("micro-batch pass 1 (bootstrap epoch)")
-            docs.filter(col("doc_id") % 5 === 0).write.mode("append").parquet(src.toString)
-            q.processAllAvailable()
-            outerLap("stage + micro-batch pass 2 (incremental epoch)")
+            dr.drain()
+            outerLap("drain 1 (bootstrap epoch)")
+            docs.filter(col("doc_id") % 5 === 0).coalesce(1).write.mode("append").parquet(src.toString)
+            outerLap("stage arrival 2")
+            dr.drain()
+            outerLap("drain 2 (incremental epoch)")
             // arrival 3: RETRACT the shadows — tombstone-only rows (text
             // NULL), the crawler-delete signal — PLUS the unchanged
             // re-crawl wave: the %IdenticalRedeliveryMod docs arrive
@@ -1246,10 +1305,11 @@ object Events {
             // equals `documents` exactly.
             shadows.withColumn("text", lit(null).cast("string"))
               .unionByName(docs.filter(col("doc_id") % IdenticalRedeliveryMod === 0))
-              .write.mode("append").parquet(src.toString)
-            q.processAllAvailable()
-            outerLap("stage + micro-batch pass 3 (removal epoch)")
-          } finally { dumpProgress("graft_iclean", q); q.stop() }
+              .coalesce(1).write.mode("append").parquet(src.toString)
+            outerLap("stage arrival 3")
+            dr.drain()
+            outerLap("drain 3 (removal epoch)")
+          } finally dr.finish("graft_iclean")
           // consumer view: the resolved ledger chain's kept rows — the
           // same filter incrementalCleanFromState applies
           val last = latestBelow(Long.MaxValue).getOrElse(
@@ -1312,7 +1372,7 @@ object Events {
           val docs = ss.read.parquet(staged.toString)
           // arrival 1: most of the corpus; arrival 2 lands after the
           // first drain, forcing a second (incremental) micro-batch
-          docs.filter(col("doc_id") % 5 =!= 0).write.mode("append").parquet(src.toString)
+          docs.filter(col("doc_id") % 5 =!= 0).coalesce(1).write.mode("append").parquet(src.toString)
           val stream = ss.readStream.schema(rawSchema(ss, sfDir, "documents")).parquet(src.toString)
           val deduped = stream
             .filter(graft.functions.TokenStats.tokenStats(col("text"))
@@ -1325,12 +1385,12 @@ object Events {
             .foreachBatch { (batch: DataFrame, epoch: Long) =>
               val delta = if (deltaProbe.isDefined) batch.persist() else batch
               delta.write.mode("overwrite").parquet(s"$sink/batch=$epoch")
-              deltaProbe.foreach { p => p += ((epoch, delta.count())); delta.unpersist() }
+              deltaProbe.foreach { p => probeAdd(p, (epoch, delta.count())); delta.unpersist() }
             }
             .start()
           try {
             q.processAllAvailable()
-            docs.filter(col("doc_id") % 5 === 0).write.mode("append").parquet(src.toString)
+            docs.filter(col("doc_id") % 5 === 0).coalesce(1).write.mode("append").parquet(src.toString)
             q.processAllAvailable()
           } finally { dumpProgress("graft_ingest_files", q); q.stop() }
           // consumer view: last-write-wins per key across the delta chain
@@ -1480,6 +1540,10 @@ object Events {
           def lww(s2: SparkSession, chain: DataFrame): DataFrame =
             resolveLww(tombstoneResolvedRows(s2, chain, tombstoneDir,
               keepEpoch = true), Seq("doc_id"))
+          // stage-lap timer (VERDICT r13 #4): stage/drain/consumer marks
+          // land in graft.Laps when Bench collects, so the bench record
+          // splits this query's cost into staging vs loop vs read-back
+          val outerLap = graft.operators.Snapshot.incrLap()
           val docs = ss.read.parquet(staged.toString)
           // the shingle and band chains' value schemas, derived once at
           // setup (analysis-only — nothing executes): shared by the
@@ -1504,7 +1568,8 @@ object Events {
             .withColumn("text", concat(col("text"), lit(" [stale draft]")))
           docs.filter(col("doc_id") % 5 =!= 0).unionByName(shadows)
             .unionByName(stale)
-            .write.mode("append").parquet(src.toString)
+            .coalesce(1).write.mode("append").parquet(src.toString)
+          outerLap("stage arrival 1")
           val stream = ss.readStream.schema(rawSchema(ss, sfDir, "documents")).parquet(src.toString)
           @volatile var crashArmed = crashAtEpoch.isDefined
           def startQ(): StreamingQuery = stream.writeStream
@@ -1590,9 +1655,16 @@ object Events {
                   else {
                     val ours = retired.select(col("doc_id"))
                       .withColumn("tomb_epoch", lit(epoch))
-                    Some(tombAggPrior.fold(ours)(p => p.unionByName(ours)
-                        .groupBy(col("doc_id"))
-                        .agg(max(col("tomb_epoch")).as("tomb_epoch")))
+                    // BOTH arms end in the per-key groupBy (ADVICE r13):
+                    // the aggregate's invariant is one row per doc_id,
+                    // and a micro-batch carrying duplicate rows for one
+                    // doc would otherwise seed duplicate keys on the
+                    // first-ever retirement epoch — fanning out every
+                    // chain row for that doc in the left_outer liveness
+                    // probes downstream
+                    Some(tombAggPrior.fold(ours)(p => p.unionByName(ours))
+                      .groupBy(col("doc_id"))
+                      .agg(max(col("tomb_epoch")).as("tomb_epoch"))
                       .persist())
                   }
                 // the probe read shape every index read below shares:
@@ -1687,6 +1759,10 @@ object Events {
                             collectBuckets(ids, col("doc_id")), Some(verdictSchema)),
                           tombAgg, keepEpoch = true)
                           .join(ids, Seq("doc_id"), "left_semi")
+                        // PROBE-ONLY extra jobs (ADVICE r13): these two
+                        // counts re-execute the ids and pre-LWW rows
+                        // plans solely to feed the spec's blast-radius
+                        // accounting — an unprobed run never runs them
                         if (priorFetchProbe.isDefined) {
                           fetchedIds += ids.count(); fetchedRows += rows.count()
                         }
@@ -1793,7 +1869,7 @@ object Events {
                         .parquet(s"$verdictDir/batch=$epoch")
                       finally removalUpdates.foreach(
                         graft.operators.Corpus.releaseCheckpoint)
-                      priorFetchProbe.foreach(_ += ((epoch, fetchedIds, fetchedRows)))
+                      priorFetchProbe.foreach(probeAdd(_, (epoch, fetchedIds, fetchedRows)))
                     } finally {
                       newBest.unpersist(blocking = false)
                       shNeeded.unpersist(blocking = false)
@@ -1831,7 +1907,7 @@ object Events {
                     if (d == bandsDir) bandsSchema
                     else if (d == shinglesDir) shinglesSchema
                     else verdictSchema))
-              deltaProbe.foreach(_ += ((epoch,
+              deltaProbe.foreach(probeAdd(_, (epoch,
                 bss.read.schema(verdictSchema)
                   .parquet(s"$verdictDir/batch=$epoch").count())))
               // spec hook: die AFTER everything landed (deltas,
@@ -1845,29 +1921,23 @@ object Events {
               }
             }
             .start()
-          var q = startQ()
-          // drain, surviving the injected crash exactly once: restart
-          // on the SAME checkpoint so the uncommitted epoch replays
-          def drainWithReplay(): Unit =
-            try q.processAllAvailable()
-            catch {
-              case _: org.apache.spark.sql.streaming.StreamingQueryException
-                  if crashAtEpoch.isDefined =>
-                try q.stop() catch { case scala.util.control.NonFatal(_) => () }
-                q = startQ()
-                q.processAllAvailable()
-            }
+          val dr = new ReplayingDrain(() => startQ(), crashAtEpoch.isDefined)
           try {
-            drainWithReplay()
-            docs.filter(col("doc_id") % 5 === 0).write.mode("append").parquet(src.toString)
-            drainWithReplay()
+            dr.drain()
+            outerLap("drain 1 (bootstrap epoch)")
+            docs.filter(col("doc_id") % 5 === 0).coalesce(1).write.mode("append").parquet(src.toString)
+            outerLap("stage arrival 2")
+            dr.drain()
+            outerLap("drain 2 (incremental epoch)")
             // arrival 3: RETRACT the shadows (tombstone-only rows, text
             // NULL) — the converged relation must equal the batch twin
             // over `documents` alone
             shadows.withColumn("text", lit(null).cast("string"))
-              .write.mode("append").parquet(src.toString)
-            drainWithReplay()
-          } finally { dumpProgress("graft_neardup", q); q.stop() }
+              .coalesce(1).write.mode("append").parquet(src.toString)
+            outerLap("stage arrival 3")
+            dr.drain()
+            outerLap("drain 3 (removal epoch)")
+          } finally dr.finish("graft_neardup")
           // consumer view: tombstones first, then LWW — keep iff no
           // partner; removed docs are absent entirely
           val verdicts = lww(spark,
@@ -1875,7 +1945,9 @@ object Events {
             .select(col("doc_id"), col("partner_id").isNull.as("keep"),
               col("partner_id"), col("jaccard"))
             .orderBy(col("doc_id"))
-          detach(spark, verdicts)
+          val out = detach(spark, verdicts)
+          outerLap("consumer read-back (resolved verdict view)")
+          out
         } finally deleteDirQuietly(ckpt)
       } finally deleteDirQuietly(store)
     } finally deleteDirQuietly(src)
@@ -2062,7 +2134,8 @@ object Events {
                    deltaProbe: Option[scala.collection.mutable.Buffer[(Long, Long)]] = None,
                    cellStatsProbe: Option[scala.collection.mutable.Buffer[(Long, Seq[(Int, Long)])]] = None,
                    cellStatsInputProbe: Option[scala.collection.mutable.Buffer[(Long, Long)]] = None,
-                   compactEvery: Int = 8): DataFrame = {
+                   compactEvery: Int = 8,
+                   crashAtEpoch: Option[Long] = None): DataFrame = {
     import graft.operators.Similarity
     val ss = sessionFor(spark, statePartitions,
       Map("spark.sql.streaming.noDataMicroBatches.enabled" -> "false") ++ providerConf)
@@ -2096,13 +2169,16 @@ object Events {
             s2.read.parquet(centroidsDir).orderBy(col("cell"))
               .select(col("centroid"))
               .collect().map(_.getSeq[Double](0).toArray)
+          val outerLap = graft.operators.Snapshot.incrLap()
           val emb = ss.read.parquet(staged.toString)
           // the stream carries CORPUS vectors; the query set is static
           val corpus = emb.filter(col("vec_id") >= Similarity.NumQueries)
-          corpus.filter(col("vec_id") % 5 =!= 0).write.mode("append").parquet(src.toString)
+          corpus.filter(col("vec_id") % 5 =!= 0).coalesce(1).write.mode("append").parquet(src.toString)
+          outerLap("stage arrival 1")
           val stream = ss.readStream.schema(rawSchema(ss, sfDir, "embeddings"))
             .parquet(src.toString)
-          val q = stream.writeStream
+          @volatile var crashArmed = crashAtEpoch.isDefined
+          def startQ(): StreamingQuery = stream.writeStream
             .outputMode(OutputMode.Append)
             .option("checkpointLocation", ckpt.toString)
             .foreachBatch { (batch: DataFrame, epoch: Long) =>
@@ -2233,7 +2309,7 @@ object Events {
                 compactAdditiveChain(bss, cellStatsDir, Seq("cell"), "n",
                   upTo = Some(epoch - 1), dataSchema = Some(cellStatsSchema))
               }
-              deltaProbe.foreach(_ += ((epoch,
+              deltaProbe.foreach(probeAdd(_, (epoch,
                 bss.read.schema(assignSchema)
                   .parquet(s"$assignDir/batch=$epoch").count())))
               // the drift monitor a deployment polls after every append:
@@ -2248,18 +2324,30 @@ object Events {
                 val statsChain = withChainPartitionCols(
                     bss.read.schema(cellStatsSchema).parquet(cellStatsDir), "batch")
                   .filter(col("batch") <= lit(epoch))
-                cellStatsInputProbe.foreach(_ += ((epoch, statsChain.count())))
+                cellStatsInputProbe.foreach(probeAdd(_, (epoch, statsChain.count())))
                 // n > 0: a cell fully drained by removals drops out,
                 // matching the one-shot groupBy-count over the live set
-                buf += ((epoch,
+                probeAdd(buf, (epoch,
                   statsChain.groupBy(col("cell")).agg(sum(col("n")).as("n"))
                     .filter(col("n") > 0).orderBy(col("cell"))
                     .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq))
               }
+              // spec hook (VERDICT r13 #3 — the ingestNearDup shape):
+              // die AFTER everything landed (assign delta, cellstats,
+              // tombstones, compaction) but BEFORE the streaming
+              // checkpoint commits; the harness restarts on the same
+              // checkpoint and this epoch REPLAYS over the
+              // already-written store
+              if (crashArmed && crashAtEpoch.contains(epoch)) {
+                crashArmed = false
+                throw new RuntimeException(s"injected post-write crash at epoch $epoch")
+              }
             }
             .start()
+          val dr = new ReplayingDrain(() => startQ(), crashAtEpoch.isDefined)
           try {
-            q.processAllAvailable()
+            dr.drain()
+            outerLap("drain 1 (bootstrap epoch)")
             // arrival 2: the second half PLUS an early re-delivery of
             // the %10==EarlyRedeliveryRem vectors (arrival-1 members,
             // byte-identical) — their supersede tombstones land at
@@ -2268,8 +2356,10 @@ object Events {
             corpus.filter(col("vec_id") % 5 === 0)
               .unionByName(corpus.filter(
                 col("vec_id") % RedeliveryMod === EarlyRedeliveryRem))
-              .write.mode("append").parquet(src.toString)
-            q.processAllAvailable()
+              .coalesce(1).write.mode("append").parquet(src.toString)
+            outerLap("stage arrival 2")
+            dr.drain()
+            outerLap("drain 2 (incremental epoch)")
             // arrival 3: REMOVE the %17 vectors (embedding-null rows —
             // the upstream delete signal) and RE-deliver the %10 ones
             // (identical embeddings — the supersede path must tombstone
@@ -2281,9 +2371,11 @@ object Events {
                 lit(null).cast(rawSchema(ss, sfDir, "embeddings")("embedding").dataType))
               .unionByName(corpus.filter(col("vec_id") % RedeliveryMod === 0 &&
                 col("vec_id") % AnnRemovalMod =!= 0))
-              .write.mode("append").parquet(src.toString)
-            q.processAllAvailable()
-          } finally { dumpProgress("graft_annstream", q); q.stop() }
+              .coalesce(1).write.mode("append").parquet(src.toString)
+            outerLap("stage arrival 3")
+            dr.drain()
+            outerLap("drain 3 (removal epoch)")
+          } finally dr.finish("graft_annstream")
           // query the maintained index: tombstone-resolved chain +
           // frozen quantizer — a removed vector never reaches the probe
           val assigned = tombstoneResolvedRows(spark,
@@ -2291,7 +2383,9 @@ object Events {
             tombstoneDir, keyCol = "neighbor_id")
           val topk = Similarity.ivfTopKFromIndex(
             Tables.embeddings(spark, sfDir), assigned, loadCentroids(spark), k, nprobe)
-          detach(spark, topk)
+          val out = detach(spark, topk)
+          outerLap("consumer read-back (maintained-index top-k)")
+          out
         } finally deleteDirQuietly(ckpt)
       } finally deleteDirQuietly(store)
     } finally deleteDirQuietly(src)
@@ -2381,7 +2475,8 @@ object Events {
   def ingestClassify(spark: SparkSession, sfDir: String,
                      statePartitions: Option[Int] = Some(4),
                      deltaProbe: Option[scala.collection.mutable.Buffer[(Long, Long, Long)]] = None,
-                     compactEvery: Int = 8): DataFrame = {
+                     compactEvery: Int = 8,
+                     crashAtEpoch: Option[Long] = None): DataFrame = {
     import graft.operators.Classifier
     val ss = sessionFor(spark, statePartitions,
       Map("spark.sql.streaming.noDataMicroBatches.enabled" -> "false") ++ providerConf)
@@ -2409,6 +2504,7 @@ object Events {
               org.apache.spark.sql.types.DoubleType),
             org.apache.spark.sql.types.StructField("pred",
               org.apache.spark.sql.types.BooleanType)))
+          val outerLap = graft.operators.Snapshot.incrLap()
           val docs = ss.read.parquet(staged.toString)
           // negative-id shadow copies, staged in arrival 2 — AFTER the
           // model froze on arrival 1, so the fitted weights equal the
@@ -2416,9 +2512,11 @@ object Events {
           val shadows = docs.filter(col("doc_id") % ShadowMod === ShadowRem)
             .withColumn("doc_id", -(col("doc_id") + lit(1L)))
           docs.filter(col("doc_id") % 5 =!= 0)
-            .write.mode("append").parquet(src.toString)
+            .coalesce(1).write.mode("append").parquet(src.toString)
+          outerLap("stage arrival 1")
           val stream = ss.readStream.schema(rawSchema(ss, sfDir, "documents")).parquet(src.toString)
-          val q = stream.writeStream
+          @volatile var crashArmed = crashAtEpoch.isDefined
+          def startQ(): StreamingQuery = stream.writeStream
             .outputMode(OutputMode.Append)
             .option("checkpointLocation", ckpt.toString)
             .foreachBatch { (batch: DataFrame, epoch: Long) =>
@@ -2523,12 +2621,20 @@ object Events {
                   .parquet(s"$scoresDir/batch=$epoch")
                 // (epoch, delta rows, delta positives): the positive-rate
                 // drift alarm a frozen-filter deployment re-trains on
-                buf += ((epoch, d.count(), d.filter(col("pred")).count()))
+                probeAdd(buf, (epoch, d.count(), d.filter(col("pred")).count()))
+              }
+              // spec hook (VERDICT r13 #3): die post-write, pre-commit —
+              // replay over the already-written store on restart
+              if (crashArmed && crashAtEpoch.contains(epoch)) {
+                crashArmed = false
+                throw new RuntimeException(s"injected post-write crash at epoch $epoch")
               }
             }
             .start()
+          val dr = new ReplayingDrain(() => startQ(), crashAtEpoch.isDefined)
           try {
-            q.processAllAvailable()
+            dr.drain()
+            outerLap("drain 1 (bootstrap epoch)")
             // arrival 2 also EARLY-re-delivers the %10==EarlyRedeliveryRem
             // docs (arrival-1 members, identical text): their supersede
             // tombstones land at epoch 1, so compactEvery=1 folds +
@@ -2536,8 +2642,10 @@ object Events {
             docs.filter(col("doc_id") % 5 === 0).unionByName(shadows)
               .unionByName(docs.filter(
                 col("doc_id") % RedeliveryMod === EarlyRedeliveryRem))
-              .write.mode("append").parquet(src.toString)
-            q.processAllAvailable()
+              .coalesce(1).write.mode("append").parquet(src.toString)
+            outerLap("stage arrival 2")
+            dr.drain()
+            outerLap("drain 2 (incremental epoch)")
             // arrival 3: RETRACT the shadows (text-null rows) — the
             // tombstone is the whole update, scoring has no blast
             // radius — and RE-deliver the %10 docs with identical text
@@ -2546,16 +2654,20 @@ object Events {
             // emits duplicates)
             shadows.withColumn("text", lit(null).cast("string"))
               .unionByName(docs.filter(col("doc_id") % RedeliveryMod === 0))
-              .write.mode("append").parquet(src.toString)
-            q.processAllAvailable()
-          } finally { dumpProgress("graft_classify", q); q.stop() }
+              .coalesce(1).write.mode("append").parquet(src.toString)
+            outerLap("stage arrival 3")
+            dr.drain()
+            outerLap("drain 3 (removal epoch)")
+          } finally dr.finish("graft_classify")
           // consumer: tombstone-resolved chain — removed docs absent
           val scored = tombstoneResolvedRows(spark,
             spark.read.schema(scoreSchema).parquet(scoresDir).drop("bucket"),
             tombstoneDir)
             .select(col("doc_id"), col("label"), col("split"), col("prob"), col("pred"))
             .orderBy(col("doc_id"))
-          detach(spark, scored)
+          val out = detach(spark, scored)
+          outerLap("consumer read-back (resolved score view)")
+          out
         } finally deleteDirQuietly(ckpt)
       } finally deleteDirQuietly(store)
     } finally deleteDirQuietly(src)
@@ -2636,6 +2748,21 @@ object Events {
     * prefix bound, leaving that path unexercised). */
   private[graft] val EarlyRedeliveryRem = 3L
 
+  /** Replace-by-epoch append for the loops' spec probe buffers (first
+    * tuple element = epoch). A crash-replayed epoch re-runs its
+    * instrumentation, and a plain `+=` would record the replayed epoch
+    * twice — masked by `.toMap` in today's specs but a trap for any
+    * future assertion over buffer length or sums (ADVICE r13). The
+    * probes' own `count()` calls re-execute the counted plans; those
+    * are spec-only extra jobs, never part of the loop's work.
+    */
+  private def probeAdd[T <: Product](buf: scala.collection.mutable.Buffer[T], entry: T): Unit = {
+    val ep = entry.productElement(0)
+    val kept = buf.filterNot(_.productElement(0) == ep)
+    buf.clear()
+    buf ++= kept += entry
+  }
+
   /** The ONE bucket function both the write and the probe sides share —
     * a drifted second copy would silently prune AWAY matching files. */
   private[graft] def chainBucket(key: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
@@ -2665,11 +2792,31 @@ object Events {
     * deltas, r12) yields NO `batch`/`bucket` columns and any predicate
     * on them fails analysis. A missing partition column implies zero
     * data files, so adding it to the (necessarily empty) scan is
-    * exact — the probe then reads nothing instead of crashing. */
-  private[graft] def withChainPartitionCols(scan: DataFrame, cols: String*): DataFrame =
-    cols.foldLeft(scan)((df, c) =>
-      if (df.columns.contains(c)) df
-      else df.withColumn(c, lit(null).cast(if (c == "bucket") "int" else "long")))
+    * exact — the probe then reads nothing instead of crashing.
+    * VERIFIED, not assumed (ADVICE r13): a scan that holds ROWS yet
+    * lacks the column is not a zero-data chain — it's a reader pointed
+    * at a populated store written without the expected layout (a
+    * pre-bucketing chain, a mis-wired dir), and synthesizing a null
+    * column there would turn every probe into a silently-empty read
+    * that classifies the whole world as new. That mis-wiring must fail
+    * loudly. The emptiness probe keys on ROWS, not files: an empty
+    * unbucketed delta write legitimately leaves one zero-row part file
+    * behind (only partitioned empty writes are file-less), so the
+    * check is a head(1) job — and it runs only on the rare
+    * missing-column path. */
+  private[graft] def withChainPartitionCols(scan: DataFrame, cols: String*): DataFrame = {
+    val missing = cols.filterNot(scan.columns.contains)
+    if (missing.isEmpty) scan
+    else {
+      if (scan.inputFiles.nonEmpty && !scan.isEmpty)
+        throw new IllegalStateException(
+          s"chain scan is missing partition column(s) ${missing.mkString(", ")} " +
+            "yet holds data rows — populated chain written without the " +
+            s"expected partition layout (e.g. ${scan.inputFiles.head})")
+      missing.foldLeft(scan)((df, c) =>
+        df.withColumn(c, lit(null).cast(if (c == "bucket") "int" else "long")))
+    }
+  }
 
   private[graft] def prunedChainScan(spark: SparkSession, dir: String, epoch: Long,
                                      buckets: Seq[Int],

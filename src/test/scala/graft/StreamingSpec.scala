@@ -542,7 +542,9 @@ class StreamingSpec extends AnyFunSuite {
         }
         .start()
       def stage(rows: (String, Long)*): Unit =
-        rows.toDF("k", "v").write.mode("append").parquet(src.toString)
+        // coalesce(1): one part file per staged arrival — atomic w.r.t.
+        // the live stream's file discovery (see Events' staging note)
+        rows.toDF("k", "v").coalesce(1).write.mode("append").parquet(src.toString)
       // two committed epochs
       val q1 = runStream()
       try {
@@ -1249,6 +1251,65 @@ class StreamingSpec extends AnyFunSuite {
       assert(got.nonEmpty && got == want,
         "triple-hardened run (RocksDB + per-epoch compaction + replayed epoch) diverged")
     } finally System.clearProperty("graft.stateStore.providerClass")
+  }
+
+  test("post-write crash replay converges on the ANN, classify and clean loops") {
+    // VERDICT r13 #3: the crashAtEpoch hook (throw at the worst replay
+    // point — output present, streaming commit missing) existed only on
+    // ingestNearDup; these legs pin the other three loops. Each run
+    // crashes once, restarts on the SAME checkpoint (ReplayingDrain),
+    // and replays the torn epoch over the already-written store — with
+    // per-epoch compaction live, so the replay also crosses a folded
+    // chain. The converged relations must equal the loops' batch twins
+    // exactly (probs at the classify contract tolerance).
+    import graft.operators.{Classifier, Corpus, Similarity}
+    val emb = Tables.embeddings(spark, TestSpark.sf)
+    val corpus = emb.filter(col("vec_id") >= Similarity.NumQueries)
+    val live = corpus.filter(col("vec_id") % graft.streaming.Events.AnnRemovalMod =!= 0)
+    val centroids = Similarity.ivfTrain(
+      corpus.filter(col("vec_id") % 5 =!= 0).orderBy(col("vec_id")))
+    val annBatch = Similarity.ivfTopKFromIndex(
+      emb, Similarity.ivfAssign(live, centroids), centroids, nprobe = 8)
+      .collect().toSeq
+    // crash at epoch 2 — the removal + re-delivery epoch: tombstones,
+    // the fresh assignment delta, the negative cellstats AND the
+    // prefix-bounded compaction all land before the throw
+    val annGot = Events.ingestAnnIvf(spark, TestSpark.sf, compactEvery = 1,
+      crashAtEpoch = Some(2L)).collect().toSeq
+    assert(annGot.nonEmpty && annGot == annBatch,
+      "ANN loop diverged through a post-write crash replay")
+
+    val clsBatch = Classifier.classify(spark, TestSpark.sf)
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getString(2),
+        r.getDouble(3), r.getBoolean(4))).toSeq
+    val clsGot = Events.ingestClassify(spark, TestSpark.sf, compactEvery = 1,
+      crashAtEpoch = Some(2L))
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getString(2),
+        r.getDouble(3), r.getBoolean(4))).toSeq
+    assert(clsGot.nonEmpty && clsGot.size == clsBatch.size,
+      "classify loop lost or invented rows through a crash replay")
+    clsGot.zip(clsBatch).foreach { case (g, b) =>
+      assert(g._1 == b._1 && g._2 == b._2 && g._3 == b._3 && g._5 == b._5,
+        s"classify discrete field diverged through a crash replay: $g vs $b")
+      assert(math.abs(g._4 - b._4) <= 1e-6,
+        s"classify prob diverged through a crash replay: $g vs $b")
+    }
+
+    // the clean loop's crash is the two-marker window the verdict named:
+    // the manifest delta's _SUCCESS is on disk, the ledger's is NOT —
+    // the one half-committed state latestCommittedBelow exists to skip.
+    // The replayed epoch must resolve prior state from the last FULLY
+    // committed epoch, rewrite its own manifest idempotently, and land
+    // the ledger delta as if the crash never happened.
+    val docs = Tables.documents(spark, TestSpark.sf)
+    val cleanBatch = Corpus.ledger(docs)
+      .filter(col("doc_id") === col("cluster_id") && col("quality") >= 0.75)
+      .select(col("doc_id"), col("n_tokens"), col("quality"), col("lang_pred"))
+      .orderBy(col("doc_id")).collect().toSeq
+    val cleanGot = Events.streamIncrementalClean(spark, TestSpark.sf,
+      compactEvery = 1, crashAtEpoch = Some(2L)).collect().toSeq
+    assert(cleanGot.nonEmpty && cleanGot == cleanBatch,
+      "clean loop diverged through a manifest-committed/ledger-missing crash replay")
   }
 
   test("RocksDB state store: the four stateful ingest loops match the default provider") {

@@ -46,4 +46,47 @@ print(f"\ncanary_median A={A.get('canary_median')} (spread {A.get('canary_spread
 print(f"aggregate normalized: A={tot_a:.1f} B={tot_b:.1f} ratio={tot_b/tot_a:.3f}")
 print(f"agreement: {agree}/{len(shared)} = {frac:.1%} within ±{int(thr*100)}% "
       f"({'PASS' if frac >= 0.9 else 'FAIL'} at the >=90% gate)")
+
+# Staging-vs-loop attribution (VERDICT r13 #4): the loop queries carry a
+# per-stage `laps` map ({query: {stage: seconds}}). Stage-name prefixes
+# classify each lap — "stage"/"oracle" = harness staging, "drain" = the
+# streaming loop's own drains, "consumer" = the converged read-back;
+# "epoch N:" laps are per-epoch DETAIL inside a drain (not summed into
+# the split, or drain time would double-count). Whatever the laps don't
+# cover ("other": session setup, plan analysis, the _check twin's oracle
+# side) is the query median minus the covered laps. All numbers are
+# canary-normalized like the table above, so a mover reads directly as
+# "staging grew" vs "the loop got slower".
+def lap_split(rec, q):
+    laps = rec.get("laps", {}).get(q)
+    if not laps:
+        return None
+    cm = rec.get("canary_median") or 1.0
+    split = {"staging": 0.0, "loop": 0.0, "readback": 0.0}
+    for stage, secs in laps.items():
+        if stage.startswith("epoch"):
+            continue
+        if stage.startswith(("stage", "oracle")):
+            split["staging"] += secs / cm
+        elif stage.startswith("drain"):
+            split["loop"] += secs / cm
+        elif stage.startswith("consumer"):
+            split["readback"] += secs / cm
+    covered = sum(split.values())
+    split["other"] = max(0.0, rec.get("normalized", {}).get(q, covered) - covered)
+    return split
+
+lap_qs = sorted(set(A.get("laps", {})) | set(B.get("laps", {})))
+if lap_qs:
+    print(f"\nstaging-vs-loop split (canary-normalized; B/A per component):")
+    print(f"{'query':34s} {'part':>9s} {'A':>8s} {'B':>8s} {'B/A':>6s}")
+    for q in lap_qs:
+        sa, sb = lap_split(A, q), lap_split(B, q)
+        for part in ("staging", "loop", "readback", "other"):
+            x = (sa or {}).get(part, 0.0)
+            y = (sb or {}).get(part, 0.0)
+            if x == 0.0 and y == 0.0:
+                continue
+            r = f"{y / x:6.2f}" if x else "   new"
+            print(f"{q:34s} {part:>9s} {x:8.2f} {y:8.2f} {r}")
 sys.exit(0 if frac >= 0.9 else 1)
