@@ -1980,6 +1980,10 @@ object Events {
                          recallFloor: Double = 0.9): DataFrame = {
     import graft.operators.Dedup
     val streamed = ingestNearDup(spark, sfDir) // local relation (detached)
+    // the check's own cost (the exact pair relation + containment
+    // joins) gets a lap of its own, so the bench split doesn't lump
+    // the oracle side into "other"
+    val oracleLap = graft.operators.Snapshot.incrLap()
     val docs = Tables.documents(spark, sfDir)
     val exact = Dedup.ngramJaccard(docs)
       .select(col("doc_id_1").as("partner_id"), col("doc_id_2").as("doc_id"),
@@ -2016,7 +2020,9 @@ object Events {
         col("n_jaccard_mismatch"), col("n_exact_dup_missed"),
         (col("n_dups") >= lit(recallFloor) * col("n_exact_neardup_docs"))
           .as("recall_ok"))
-    Tables.materializeAndRelease(verdict, exact)
+    val out = Tables.materializeAndRelease(verdict, exact)
+    oracleLap("oracle verify (exact pair containment)")
+    out
   }
 
   /** Compact a `batch=<epoch>` delta-chain sink (the layout
@@ -2404,6 +2410,7 @@ object Events {
                      recallFloor: Double = 0.7): DataFrame = {
     import graft.operators.Similarity
     val streamed = ingestAnnIvf(spark, sfDir) // local relation (detached)
+    val oracleLap = graft.operators.Snapshot.incrLap()
     // brute baseline over the LIVE corpus: the staging's third arrival
     // removed the %17 vectors, and the recall contract is against exact
     // search over the same corpus the index now holds (queries < NumQueries
@@ -2419,7 +2426,9 @@ object Events {
       .crossJoin(broadcast(b.agg(count(lit(1)).as("n_brute"))))
       .select(col("n_rows"),
         (col("hits") >= lit(recallFloor) * col("n_brute")).as("recall_ok"))
-    Tables.materializeAndRelease(verdict, b)
+    val out = Tables.materializeAndRelease(verdict, b)
+    oracleLap("oracle verify (brute-force recall)")
+    out
   }
 
   /** Continuous SCORED ingestion with the trained text filter held as
@@ -2684,6 +2693,7 @@ object Events {
   def ingestClassifyCheck(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.operators.Classifier
     val streamed = ingestClassify(spark, sfDir).persist()
+    val oracleLap = graft.operators.Snapshot.incrLap()
     def accOf(split: String): Column =
       sum(when(col("split") === split && col("pred") === col("label"), 1L)
         .otherwise(0L)).cast("double") /
@@ -2695,7 +2705,9 @@ object Events {
         .as("n_prob_oob"),
       (accOf("train") >= Classifier.TrainFloor).as("train_acc_ok"),
       (accOf("holdout") >= Classifier.HoldoutFloor).as("holdout_acc_ok"))
-    graft.Tables.materializeAndRelease(verdict, streamed)
+    val out = graft.Tables.materializeAndRelease(verdict, streamed)
+    oracleLap("oracle verify (floors + prob bounds)")
+    out
   }
 
   /** Resolve a `batch=<epoch>` changelog chain last-write-wins per
