@@ -243,15 +243,31 @@ object Events {
    * (the r13 223/224 full-suite flake, reproduced + pinned r14).
    * One file per arrival is also the contract a production ingest
    * hands a file source: a crawler batch lands behind an atomic
-   * manifest/rename, never part-by-part into the watched dir. */
+   * manifest/rename, never part-by-part into the watched dir.
+   * `stageArrival` is that invariant made structural — every staged
+   * write goes through it, so the next arrival added can't
+   * reintroduce the race by forgetting the coalesce. */
+  private implicit class ArrivalStager(df: DataFrame) {
+    def stageArrival(watched: java.nio.file.Path): Unit =
+      df.coalesce(1).write.mode("append").parquet(watched.toString)
+  }
 
   private final class ReplayingDrain(startQ: () => StreamingQuery,
                                      expectCrash: Boolean) {
     private var q: StreamingQuery = startQ()
+    // the restart is keyed on the INJECTED crash having actually fired
+    // (its marker message travels in the exception's cause chain), not
+    // on the injection merely being configured — a real failure in an
+    // earlier epoch of a crash-armed run must still fail the run, or
+    // the injection plumbing would silently green-wash flaky loop bugs
+    private def injectionFired(t: Throwable): Boolean =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .exists(e => Option(e.getMessage).exists(_.contains("injected")))
     def drain(): Unit =
       try q.processAllAvailable()
       catch {
-        case _: org.apache.spark.sql.streaming.StreamingQueryException if expectCrash =>
+        case e: org.apache.spark.sql.streaming.StreamingQueryException
+            if expectCrash && injectionFired(e) =>
           try q.stop() catch { case scala.util.control.NonFatal(_) => () }
           q = startQ()
           q.processAllAvailable()
@@ -295,7 +311,7 @@ object Events {
     for (i <- 1 to 2) {
       base.withColumn("ts", farFutureTs(rawMax, i))
         .withColumn(overrideCol, value)
-        .coalesce(1).write.mode("append").parquet(dir.toString)
+        .stageArrival(dir)
       q.processAllAvailable()
     }
   }
@@ -383,7 +399,7 @@ object Events {
       flush = (ss, dir, q) => {
         ss.read.parquet(s"$sfDir/events.parquet")
           .filter(col("event_id") % 10 === 0)
-          .coalesce(1).write.mode("append").parquet(dir.toString)
+          .stageArrival(dir)
         q.processAllAvailable()
       }) { stream =>
       stream
@@ -795,7 +811,7 @@ object Events {
             val docs = ss.read.parquet(docsPath)
             // two arrivals (doc_id % 5) — the second drain must be a
             // genuinely incremental micro-batch, as in ingestDedupToFiles
-            docs.filter(col("doc_id") % 5 =!= 0).coalesce(1).write.mode("append").parquet(src.toString)
+            docs.filter(col("doc_id") % 5 =!= 0).stageArrival(src)
             val stream = ss.readStream.schema(rawSchema(ss, sfDir, "documents")).parquet(src.toString)
             val gated = decontamGate(stream, bfB)
             val q = gated.writeStream
@@ -809,7 +825,7 @@ object Events {
               .start()
             try {
               q.processAllAvailable()
-              docs.filter(col("doc_id") % 5 === 0).coalesce(1).write.mode("append").parquet(src.toString)
+              docs.filter(col("doc_id") % 5 === 0).stageArrival(src)
               q.processAllAvailable()
             } finally { dumpProgress("graft_idecon_files", q); q.stop() }
             // consumer view: LWW per key across the delta chain, then
@@ -1044,7 +1060,7 @@ object Events {
             .withColumn("doc_id", -(col("doc_id") + lit(1L)))
           docs.filter(col("doc_id") % 5 =!= 0).unionByName(stale)
             .unionByName(shadows)
-            .coalesce(1).write.mode("append").parquet(src.toString)
+            .stageArrival(src)
           outerLap("stage arrival 1")
           val stream = ss.readStream.schema(rawSchema(ss, sfDir, "documents"))
             .parquet(src.toString)
@@ -1291,7 +1307,7 @@ object Events {
           try {
             dr.drain()
             outerLap("drain 1 (bootstrap epoch)")
-            docs.filter(col("doc_id") % 5 === 0).coalesce(1).write.mode("append").parquet(src.toString)
+            docs.filter(col("doc_id") % 5 === 0).stageArrival(src)
             outerLap("stage arrival 2")
             dr.drain()
             outerLap("drain 2 (incremental epoch)")
@@ -1305,7 +1321,7 @@ object Events {
             // equals `documents` exactly.
             shadows.withColumn("text", lit(null).cast("string"))
               .unionByName(docs.filter(col("doc_id") % IdenticalRedeliveryMod === 0))
-              .coalesce(1).write.mode("append").parquet(src.toString)
+              .stageArrival(src)
             outerLap("stage arrival 3")
             dr.drain()
             outerLap("drain 3 (removal epoch)")
@@ -1372,7 +1388,7 @@ object Events {
           val docs = ss.read.parquet(staged.toString)
           // arrival 1: most of the corpus; arrival 2 lands after the
           // first drain, forcing a second (incremental) micro-batch
-          docs.filter(col("doc_id") % 5 =!= 0).coalesce(1).write.mode("append").parquet(src.toString)
+          docs.filter(col("doc_id") % 5 =!= 0).stageArrival(src)
           val stream = ss.readStream.schema(rawSchema(ss, sfDir, "documents")).parquet(src.toString)
           val deduped = stream
             .filter(graft.functions.TokenStats.tokenStats(col("text"))
@@ -1390,7 +1406,7 @@ object Events {
             .start()
           try {
             q.processAllAvailable()
-            docs.filter(col("doc_id") % 5 === 0).coalesce(1).write.mode("append").parquet(src.toString)
+            docs.filter(col("doc_id") % 5 === 0).stageArrival(src)
             q.processAllAvailable()
           } finally { dumpProgress("graft_ingest_files", q); q.stop() }
           // consumer view: last-write-wins per key across the delta chain
@@ -1568,7 +1584,7 @@ object Events {
             .withColumn("text", concat(col("text"), lit(" [stale draft]")))
           docs.filter(col("doc_id") % 5 =!= 0).unionByName(shadows)
             .unionByName(stale)
-            .coalesce(1).write.mode("append").parquet(src.toString)
+            .stageArrival(src)
           outerLap("stage arrival 1")
           val stream = ss.readStream.schema(rawSchema(ss, sfDir, "documents")).parquet(src.toString)
           @volatile var crashArmed = crashAtEpoch.isDefined
@@ -1925,7 +1941,7 @@ object Events {
           try {
             dr.drain()
             outerLap("drain 1 (bootstrap epoch)")
-            docs.filter(col("doc_id") % 5 === 0).coalesce(1).write.mode("append").parquet(src.toString)
+            docs.filter(col("doc_id") % 5 === 0).stageArrival(src)
             outerLap("stage arrival 2")
             dr.drain()
             outerLap("drain 2 (incremental epoch)")
@@ -1933,7 +1949,7 @@ object Events {
             // NULL) — the converged relation must equal the batch twin
             // over `documents` alone
             shadows.withColumn("text", lit(null).cast("string"))
-              .coalesce(1).write.mode("append").parquet(src.toString)
+              .stageArrival(src)
             outerLap("stage arrival 3")
             dr.drain()
             outerLap("drain 3 (removal epoch)")
@@ -2179,7 +2195,7 @@ object Events {
           val emb = ss.read.parquet(staged.toString)
           // the stream carries CORPUS vectors; the query set is static
           val corpus = emb.filter(col("vec_id") >= Similarity.NumQueries)
-          corpus.filter(col("vec_id") % 5 =!= 0).coalesce(1).write.mode("append").parquet(src.toString)
+          corpus.filter(col("vec_id") % 5 =!= 0).stageArrival(src)
           outerLap("stage arrival 1")
           val stream = ss.readStream.schema(rawSchema(ss, sfDir, "embeddings"))
             .parquet(src.toString)
@@ -2362,7 +2378,7 @@ object Events {
             corpus.filter(col("vec_id") % 5 === 0)
               .unionByName(corpus.filter(
                 col("vec_id") % RedeliveryMod === EarlyRedeliveryRem))
-              .coalesce(1).write.mode("append").parquet(src.toString)
+              .stageArrival(src)
             outerLap("stage arrival 2")
             dr.drain()
             outerLap("drain 2 (incremental epoch)")
@@ -2377,7 +2393,7 @@ object Events {
                 lit(null).cast(rawSchema(ss, sfDir, "embeddings")("embedding").dataType))
               .unionByName(corpus.filter(col("vec_id") % RedeliveryMod === 0 &&
                 col("vec_id") % AnnRemovalMod =!= 0))
-              .coalesce(1).write.mode("append").parquet(src.toString)
+              .stageArrival(src)
             outerLap("stage arrival 3")
             dr.drain()
             outerLap("drain 3 (removal epoch)")
@@ -2521,7 +2537,7 @@ object Events {
           val shadows = docs.filter(col("doc_id") % ShadowMod === ShadowRem)
             .withColumn("doc_id", -(col("doc_id") + lit(1L)))
           docs.filter(col("doc_id") % 5 =!= 0)
-            .coalesce(1).write.mode("append").parquet(src.toString)
+            .stageArrival(src)
           outerLap("stage arrival 1")
           val stream = ss.readStream.schema(rawSchema(ss, sfDir, "documents")).parquet(src.toString)
           @volatile var crashArmed = crashAtEpoch.isDefined
@@ -2651,7 +2667,7 @@ object Events {
             docs.filter(col("doc_id") % 5 === 0).unionByName(shadows)
               .unionByName(docs.filter(
                 col("doc_id") % RedeliveryMod === EarlyRedeliveryRem))
-              .coalesce(1).write.mode("append").parquet(src.toString)
+              .stageArrival(src)
             outerLap("stage arrival 2")
             dr.drain()
             outerLap("drain 2 (incremental epoch)")
@@ -2663,7 +2679,7 @@ object Events {
             // emits duplicates)
             shadows.withColumn("text", lit(null).cast("string"))
               .unionByName(docs.filter(col("doc_id") % RedeliveryMod === 0))
-              .coalesce(1).write.mode("append").parquet(src.toString)
+              .stageArrival(src)
             outerLap("stage arrival 3")
             dr.drain()
             outerLap("drain 3 (removal epoch)")

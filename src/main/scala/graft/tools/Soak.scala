@@ -30,14 +30,25 @@ import org.apache.spark.sql.functions._
 object Soak {
   private val Replicas = 10
 
+  /** Generator fingerprint stamped beside the derived tables: bump on
+    * ANY change to the replica construction (mangle regex, jitter,
+    * Replicas) so a cached /tmp corpus from an older generator is
+    * rebuilt instead of silently profiled — growth factors and
+    * convergence verdicts must always describe the code under test. */
+  private val GeneratorVersion = s"v2-replicas$Replicas-sparkrestore-floatjitter"
+
   private def buildSf1(spark: SparkSession, sf01: String, out: String): Unit = {
     val outDir = java.nio.file.Paths.get(out)
+    val marker = outDir.resolve("_GENERATOR")
     if (java.nio.file.Files.exists(outDir.resolve("documents.parquet")) &&
-        java.nio.file.Files.exists(outDir.resolve("embeddings.parquet"))) {
-      System.err.println(s"[soak] reusing existing sf1 tables at $out")
+        java.nio.file.Files.exists(outDir.resolve("embeddings.parquet")) &&
+        java.nio.file.Files.exists(marker) &&
+        new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") == GeneratorVersion) {
+      System.err.println(s"[soak] reusing existing sf1 tables at $out ($GeneratorVersion)")
       return
     }
     java.nio.file.Files.createDirectories(outDir)
+    java.nio.file.Files.deleteIfExists(marker)
     val docs = spark.read.parquet(s"$sf01/documents.parquet")
     val docOff = docs.agg(max(col("doc_id"))).head().getLong(0) + 1L
     val docReps = (0 until Replicas).map { k =>
@@ -68,6 +79,7 @@ object Soak {
         emb.columns.filterNot(Set("vec_id", "embedding")).map(col): _*)
     }
     writeSingleFile(embReps.reduce(_ unionByName _), s"$out/embeddings.parquet")
+    java.nio.file.Files.write(marker, GeneratorVersion.getBytes("UTF-8"))
     System.err.println(s"[soak] built sf1 tables at $out " +
       s"(docs ${docOff * Replicas}, vecs ${embOff * Replicas})")
   }
@@ -128,6 +140,11 @@ object Soak {
     // 0), plus the clean loop's exact equality to its batch twin
     // (its oracle is plain SQL the spec re-derives here).
     var failures = List.empty[String]
+    // DELIBERATE double-run: the profile passes above measure the RAW
+    // loops so growth factors aren't interleaved with verification
+    // jobs; the gates below re-run each loop inside its twin/equality
+    // harness. At sf1 that is ~2x the loop cost — accepted, the soak
+    // is a once-per-round tool and a clean profile is its product.
     // classify's `_check` twin is NOT run at sf1: its train/holdout
     // accuracy floors gate MODEL quality, and the replica word-mangle
     // deliberately makes 10 disjoint vocabularies share one hashed

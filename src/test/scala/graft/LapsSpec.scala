@@ -1,0 +1,36 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The process-wide stage-lap collector Bench wraps around each timed
+  * query. The contract the bench split depends on: records land ONLY
+  * inside a begin/end window (production loop code pays a volatile
+  * read otherwise), end() drains in arrival order without collapsing
+  * repeated stages (a crash-replayed drain records its stage twice and
+  * the summed pass total is the honest cost), and begin() discards
+  * whatever a previous window left behind.
+  */
+class LapsSpec extends AnyFunSuite {
+
+  test("records only inside a begin/end window, in arrival order") {
+    Laps.record("before window", 1.0) // dropped: inactive
+    Laps.begin()
+    Laps.record("stage a", 0.5)
+    Laps.record("stage b", 0.25)
+    Laps.record("stage a", 0.125) // repeat preserved, not merged
+    val got = Laps.end()
+    assert(got == Seq(("stage a", 0.5), ("stage b", 0.25), ("stage a", 0.125)))
+    Laps.record("after window", 1.0) // dropped: window closed
+    Laps.begin()
+    assert(Laps.end().isEmpty, "a new window must start empty")
+  }
+
+  test("begin discards a previous window's leftovers") {
+    Laps.begin()
+    Laps.record("orphan", 9.0)
+    // no end(): simulates a query that failed mid-window
+    Laps.begin()
+    Laps.record("fresh", 1.0)
+    assert(Laps.end() == Seq(("fresh", 1.0)))
+  }
+}

@@ -498,6 +498,18 @@ class StreamingSpec extends AnyFunSuite {
       Events.compactDeltaChain(spark, chain, Seq("doc_id"), Some(1L), Nil, Some(schema))
       Events.compactTombstonedChains(spark, Seq(chain), tomb,
         dataSchemaFor = _ => Some(schema))
+      // the CONVERSE guard (ADVICE r13): a chain that holds ROWS yet
+      // lacks the expected partition column is a mis-wired or
+      // pre-layout store, and synthesizing a null column there would
+      // turn every probe into a silently-empty read — it must fail
+      // loudly, not classify the world as new
+      val populated = s"$dir/populated"
+      Seq((1L, "a"), (2L, "b")).toDF("doc_id", "v")
+        .coalesce(1).write.parquet(s"$populated/batch=0")
+      val ex = intercept[IllegalStateException] {
+        Events.prunedChainRows(spark, populated, 0L, Seq(0, 1), Some(schema)).isEmpty
+      }
+      assert(ex.getMessage.contains("without the expected partition layout"), ex.getMessage)
     } finally {
       import scala.jdk.CollectionConverters._
       java.nio.file.Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
@@ -1244,12 +1256,19 @@ class StreamingSpec extends AnyFunSuite {
     val Rocks = "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
     System.setProperty("graft.stateStore.providerClass", Rocks)
     try {
+      val probe = scala.collection.mutable.ListBuffer.empty[(Long, Long)]
       val got = Events.ingestNearDup(spark, TestSpark.sf, compactEvery = 1,
-        crashAtEpoch = Some(1L)).collect().toSeq
+        deltaProbe = Some(probe), crashAtEpoch = Some(1L)).collect().toSeq
       val want = graft.operators.Dedup.minhashNearDupVerdict(
         Tables.documents(spark, TestSpark.sf)).collect().toSeq
       assert(got.nonEmpty && got == want,
         "triple-hardened run (RocksDB + per-epoch compaction + replayed epoch) diverged")
+      // the crashed epoch REPLAYS its instrumentation too: probe appends
+      // are keyed by epoch (replace, not append — ADVICE r13), so the
+      // buffer must hold exactly one entry per epoch even though epoch 1
+      // ran twice
+      assert(probe.map(_._1).sorted == Seq(0L, 1L, 2L),
+        s"replayed epoch double-logged in the delta probe: $probe")
     } finally System.clearProperty("graft.stateStore.providerClass")
   }
 
