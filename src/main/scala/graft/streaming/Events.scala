@@ -252,17 +252,23 @@ object Events {
       df.coalesce(1).write.mode("append").parquet(watched.toString)
   }
 
+  /** Marker type for the loops' crashAtEpoch spec hooks — the ONE
+    * signal [[ReplayingDrain]] restarts on. A plain message-matched
+    * RuntimeException would couple four throw sites to a magic
+    * substring (and could collide with a real error quoting it). */
+  private final class InjectedCrash(msg: String) extends RuntimeException(msg)
+
   private final class ReplayingDrain(startQ: () => StreamingQuery,
                                      expectCrash: Boolean) {
     private var q: StreamingQuery = startQ()
     // the restart is keyed on the INJECTED crash having actually fired
-    // (its marker message travels in the exception's cause chain), not
-    // on the injection merely being configured — a real failure in an
+    // (the marker TYPE travels in the exception's cause chain), not on
+    // the injection merely being configured — a real failure in an
     // earlier epoch of a crash-armed run must still fail the run, or
     // the injection plumbing would silently green-wash flaky loop bugs
     private def injectionFired(t: Throwable): Boolean =
       Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
-        .exists(e => Option(e.getMessage).exists(_.contains("injected")))
+        .exists(_.isInstanceOf[InjectedCrash])
     def drain(): Unit =
       try q.processAllAvailable()
       catch {
@@ -1171,7 +1177,7 @@ object Events {
                 // reaches this state through the real streaming path.
                 if (crashArmed && crashAtEpoch.contains(epoch)) {
                   crashArmed = false
-                  throw new RuntimeException(
+                  throw new InjectedCrash(
                     s"injected between-commit-markers crash at epoch $epoch")
                 }
                 // 5. the ledger write — the write that commits the epoch.
@@ -1933,7 +1939,7 @@ object Events {
               // already-written store (see the crashAtEpoch doc)
               if (crashArmed && crashAtEpoch.contains(epoch)) {
                 crashArmed = false
-                throw new RuntimeException(s"injected post-write crash at epoch $epoch")
+                throw new InjectedCrash(s"injected post-write crash at epoch $epoch")
               }
             }
             .start()
@@ -2362,7 +2368,7 @@ object Events {
               // already-written store
               if (crashArmed && crashAtEpoch.contains(epoch)) {
                 crashArmed = false
-                throw new RuntimeException(s"injected post-write crash at epoch $epoch")
+                throw new InjectedCrash(s"injected post-write crash at epoch $epoch")
               }
             }
             .start()
@@ -2652,7 +2658,7 @@ object Events {
               // replay over the already-written store on restart
               if (crashArmed && crashAtEpoch.contains(epoch)) {
                 crashArmed = false
-                throw new RuntimeException(s"injected post-write crash at epoch $epoch")
+                throw new InjectedCrash(s"injected post-write crash at epoch $epoch")
               }
             }
             .start()

@@ -30,12 +30,24 @@ import org.apache.spark.sql.functions._
 object Soak {
   private val Replicas = 10
 
-  /** Generator fingerprint stamped beside the derived tables: bump on
-    * ANY change to the replica construction (mangle regex, jitter,
-    * Replicas) so a cached /tmp corpus from an older generator is
-    * rebuilt instead of silently profiled — growth factors and
-    * convergence verdicts must always describe the code under test. */
-  private val GeneratorVersion = s"v2-replicas$Replicas-sparkrestore-floatjitter"
+  // The replica construction's knobs, hoisted so the generator
+  // fingerprint below DERIVES from them — an edit to any of these
+  // invalidates the cached corpus automatically instead of relying on
+  // someone remembering to bump a version string.
+  private val MangleRe = "(\\S+)"                      // every word gets ~k
+  private val RestoreToken = "spark"                   // the classifier label token
+  private def restoreRe(k: Int) = s"(?<=^|\\s)$RestoreToken~$k(?=\\s|$$)"
+  private val JitterScale = 0.1                        // embedding jitter amplitude
+  private val JitterSteps = 1000L                      // jitter quantization
+
+  /** Generator fingerprint stamped beside the derived tables (file
+    * `_GENERATOR`): derived from the construction knobs, so a cached
+    * /tmp corpus from an older generator is rebuilt instead of
+    * silently profiled — growth factors and convergence verdicts must
+    * always describe the code under test. */
+  private val GeneratorVersion =
+    s"v2-replicas$Replicas-${(MangleRe, RestoreToken, restoreRe(0),
+      JitterScale, JitterSteps).hashCode}"
 
   private def buildSf1(spark: SparkSession, sf01: String, out: String): Unit = {
     val outDir = java.nio.file.Paths.get(out)
@@ -60,8 +72,8 @@ object Soak {
         // wholesale mangle would zero the positive class in 9/10
         // replicas (degenerate label, vacuous accuracy floors)
         regexp_replace(
-          regexp_replace(col("text"), "(\\S+)", s"$$1~$k"),
-          s"(?<=^|\\s)spark~$k(?=\\s|$$)", "spark").as("text")) ++
+          regexp_replace(col("text"), MangleRe, s"$$1~$k"),
+          restoreRe(k), RestoreToken).as("text")) ++
         docs.columns.filterNot(Set("doc_id", "text")).map(col): _*)
     }
     writeSingleFile(docReps.reduce(_ unionByName _), s"$out/documents.parquet")
@@ -74,8 +86,9 @@ object Soak {
         // cast back to float: the driver tables carry array<float>, and
         // the loops derive their stream schemas from the actual table
         transform(col("embedding"), (x, i) =>
-          (x + (pmod(xxhash64(col("vec_id"), i, lit(k)), lit(1000L))
-            .cast("double") / 1000.0 - 0.5) * 0.1).cast("float")).as("embedding")) ++
+          (x + (pmod(xxhash64(col("vec_id"), i, lit(k)), lit(JitterSteps))
+            .cast("double") / JitterSteps.toDouble - 0.5) * JitterScale)
+            .cast("float")).as("embedding")) ++
         emb.columns.filterNot(Set("vec_id", "embedding")).map(col): _*)
     }
     writeSingleFile(embReps.reduce(_ unionByName _), s"$out/embeddings.parquet")
