@@ -402,12 +402,14 @@ object Corpus {
     * re-materialize the stored ledger.
     *
     * `maxShingleDf` is the 100 TB skew-cap recipe ([[Dedup
-    * .ngramJaccard]]'s doc) for STANDALONE recomputes. The incremental
-    * loop deliberately does not accept it: the cap prunes by GLOBAL
-    * shingle df, which a delta perturbs for docs the closure never
-    * reaches, so a capped pair graph is not delta-stable (see the note
-    * in [[Snapshot.incrementalLedgerFromState]]) — capped deployments
-    * re-run this from scratch per snapshot.
+    * .ngramJaccard]]'s doc). The incremental loop maintains the SAME
+    * capped ledger delta-stably via the capped
+    * [[Snapshot.incrementalLedgerFromStoredState]] overload — it
+    * additionally reads the prior epoch's posting index to detect cap
+    * CROSSINGS (a delta can push a shingle's global df across the cap,
+    * flipping edges between docs the delta never names) and seeds
+    * their blast radius; SnapshotSpec pins capped-incremental equal to
+    * this from-scratch form row-for-row.
     */
   def ledger(docs: DataFrame, maxShingleDf: Option[Int] = None,
              ckptOut: Option[scala.collection.mutable.Buffer[DataFrame]] = None): DataFrame = {

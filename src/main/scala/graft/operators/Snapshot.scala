@@ -436,16 +436,19 @@ object Snapshot {
     * away, or phantom shingle edges re-introduce the stale text into
     * the pair graph.
     *
-    * Deliberately NO maxShingleDf here, although the full-recompute
-    * family accepts it: a CAPPED pair graph is not delta-stable. The
-    * cap prunes shingles by GLOBAL document frequency, and a delta doc
-    * adding or removing one occurrence can push a shingle across the
-    * cap, creating or destroying capped edges between UNTOUCHED docs
-    * the closure never reaches (they are not seeds, not mates, and the
-    * flipped shingle may exist only in a removed doc's old text —
-    * undetectable from stored state). Incremental-equals-full therefore
-    * only holds for the uncapped predicate; a capped deployment
-    * re-runs `Corpus.ledger(newDocs, cap)` from scratch instead.
+    * This overload runs the UNCAPPED pair graph. The `maxShingleDf`
+    * skew cap — the default recipe at web scale — is NOT a plain
+    * parameter here because a capped pair graph is not delta-stable
+    * from THIS state alone: the cap prunes shingles by GLOBAL document
+    * frequency, and a delta doc adding or removing one occurrence can
+    * push a shingle across the cap, creating or destroying capped
+    * edges between UNTOUCHED docs (not seeds, not mates — and the
+    * flipped shingle may exist only in a removed doc's old text, which
+    * no current-epoch relation records). The capped overload below
+    * therefore additionally takes the PRIOR epoch's posting index
+    * ([[ShingleDfCap]]) — state a maintained-index deployment already
+    * holds — and recovers exactness by seeding every cap CROSSING's
+    * blast radius; see its doc.
     */
   def incrementalLedgerFromStoredState(prior: DataFrame, oldManifest: DataFrame,
                                        newManifest: DataFrame, postings: DataFrame,
@@ -457,6 +460,123 @@ object Snapshot {
     val carried = prior
       .join(closure, Seq("doc_id"), "left_anti")
       .join(deltaIds, Seq("doc_id"), "left_anti")
+    recomputed.unionByName(carried)
+  }
+
+  /** The extra stored state the CAPPED incremental loop reads: the
+    * `maxShingleDf` cap itself plus the PRIOR epoch's posting index
+    * (exactly [[postings]] of the old snapshot — the maintained-index
+    * chain BEFORE the epoch's delta is applied, so a deployment that
+    * maintains the index per [[incrementalLedgerFromStoredState]]'s
+    * contract already has it). The old index is what makes the cap
+    * delta-stable: a crossing shingle may survive only in a REMOVED
+    * doc's old text, visible in no current-epoch relation.
+    */
+  final case class ShingleDfCap(maxDf: Int, oldPostings: DataFrame)
+
+  /** CAPPED [[incrementalLedgerFromStoredState]]: the next ledger under
+    * the `maxShingleDf` skew cap ([[graft.operators.Dedup.ngramJaccard]]'s
+    * 100 TB recipe — shingles with document frequency > cap are excluded
+    * from the pair join; `n1`/`n2` stay full set sizes, so the capped
+    * Jaccard is the same lower bound the batch family computes).
+    * Provably equal to `Corpus.ledger(newDocs, Some(cap.maxDf))`
+    * recomputed from scratch (SnapshotSpec pins row-for-row equality
+    * across multi-epoch chains with engineered cap crossings;
+    * PropertySpec fuzzes random edit chains).
+    *
+    * Why the uncapped seeds are not enough: the capped edge predicate
+    * depends on the epoch's GLOBAL per-shingle document frequency, and
+    * a delta occurrence can push a shingle ACROSS the cap, flipping
+    * capped edges between docs the delta never names (each endpoint
+    * merely HOLDS the crossing shingle). The closure must therefore
+    * also seed every cap crossing's blast radius — and any flipped
+    * edge's endpoints hold a crossing shingle by definition, so that
+    * blast radius is exact:
+    *
+    *  1. TOUCHED shingles = shingles of delta docs' old rows
+    *     (`cap.oldPostings` ⋉ delta ids — changed/removed old text) ∪
+    *     delta docs' new rows (`postings` ⋉ delta ids). Only these can
+    *     change df: every other shingle's holder set is identical in
+    *     both snapshots.
+    *  2. Per touched shingle, `df_new` is ONE count over the new index
+    *     restricted to the touched shingles (on a hash-bucketed stored
+    *     index this prunes to the touched shingles' buckets — df
+    *     changes only in delta buckets), and `df_old = df_new − shift`
+    *     where shift = (new delta holders − old delta holders), a
+    *     delta-sized aggregate — untouched docs' contributions cancel,
+    *     so the OLD index is read only for the delta's own rows.
+    *  3. CROSSING shingles are those where `df_old > cap` and
+    *     `df_new > cap` disagree. Extra seeds = the crossing shingles'
+    *     new-corpus holders (their capped edge sets may have flipped)
+    *     — plus, through the shared core, their prior cluster mates
+    *     (canonical re-election), exactly like delta docs.
+    *  4. The closure and the recompute then run over the CAPPED new
+    *     index (hot shingles dropped; `nsh` stays the full set size) —
+    *     the identical predicate `ngramJaccardPairs` applies, so
+    *     closure components equal the from-scratch capped components.
+    *
+    * Carry soundness under the cap: a carried doc's new component
+    * contains no seed, so no member holds a crossing shingle and every
+    * member's text is unchanged — a flipped edge between two members
+    * would require a SHARED crossing shingle (inter counts only shared
+    * surviving shingles; n1/n2 are text-derived), making both seeds.
+    * Member edges are therefore identical in both epochs' capped
+    * graphs and the component (hence its min label) is unchanged.
+    *
+    * No defaults on this overload (Scala permits them on only one
+    * alternative); pass `maxRounds = 25` for the standard bound.
+    */
+  def incrementalLedgerFromStoredState(prior: DataFrame, oldManifest: DataFrame,
+                                       newManifest: DataFrame, postings: DataFrame,
+                                       newDocs: DataFrame, cap: ShingleDfCap,
+                                       maxRounds: Int): DataFrame = {
+    val lap = incrLap()
+    val delta = diff(oldManifest, newManifest)
+      .localCheckpoint(true) // delta-sized; read by seeds, crossing detection, carry fence
+    val deltaIds = delta.select(col("doc_id"))
+    // -- cap-crossing detection (delta-shaped reads; see steps 1-3 above)
+    val oldDeltaPost = cap.oldPostings.join(deltaIds, Seq("doc_id"), "left_semi")
+      .select(col("s"), lit(-1L).as("side"))
+    val newDeltaPost = postings.join(deltaIds, Seq("doc_id"), "left_semi")
+      .select(col("s"), lit(1L).as("side"))
+    val deltaPost = newDeltaPost.unionByName(oldDeltaPost).persist()
+    // all new-index rows of touched shingles: the ONE index read of the
+    // detection (bucket-prunable on a stored hash-bucketed index)
+    val touchedRows = postings
+      .join(deltaPost.select(col("s")).distinct(), Seq("s"), "left_semi").persist()
+    val dfNew = touchedRows.groupBy(col("s")).agg(count(lit(1)).as("df_new"))
+    val shift = deltaPost.groupBy(col("s")).agg(sum(col("side")).as("shift"))
+    val crossing = shift.join(dfNew, Seq("s"), "left")
+      .select(col("s"), coalesce(col("df_new"), lit(0L)).as("df_new"),
+        (coalesce(col("df_new"), lit(0L)) - col("shift")).as("df_old"))
+      .filter((col("df_old") > cap.maxDf) =!= (col("df_new") > cap.maxDf))
+      .select(col("s"))
+    val extraSeeds = touchedRows.join(crossing, Seq("s"), "left_semi")
+      .select(col("doc_id")).distinct()
+    // -- capped index: the same global-df hot filter ngramJaccardPairs
+    // applies (strictly-greater excluded; one shared definition of the
+    // predicate would be circular here — DedupSpec pins the boundary)
+    val hotS = postings.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > cap.maxDf).select(col("s"))
+    val cappedIdx = postings.join(broadcast(hotS), Seq("s"), "left_anti").persist()
+    val core =
+      try recomputedLedgerRowsFromDelta(prior, newManifest, InMemoryPostings(cappedIdx),
+        ids => newDocs.join(ids, Seq("doc_id"), "left_semi"), maxRounds, lap, delta,
+        Some(extraSeeds))
+      catch { case t: Throwable =>
+        Corpus.releaseCheckpoint(delta)
+        throw t
+      } finally {
+        // every cache is fully consumed by the time the core returns:
+        // seeds checkpoint eagerly at closure entry, the closure rounds
+        // and CC labels checkpoint inside, and the lazy result reads
+        // only docsFor(closed) + labels — never the index
+        Seq(deltaPost, touchedRows, cappedIdx).foreach(_.unpersist(blocking = false))
+      }
+    val (recomputed, closure, dIds, _) = core
+    val carried = prior
+      .join(closure, Seq("doc_id"), "left_anti")
+      .join(dIds, Seq("doc_id"), "left_anti")
     recomputed.unionByName(carried)
   }
 
@@ -568,19 +688,26 @@ object Snapshot {
                                             postings: PostingsProbe,
                                             docsFor: DataFrame => DataFrame,
                                             maxRounds: Int, lap: String => Unit,
-                                            delta: DataFrame)
+                                            delta: DataFrame,
+                                            extraSeedIds: Option[DataFrame] = None)
       : (DataFrame, DataFrame, DataFrame, Seq[DataFrame]) = {
     lap("manifest diff")
     val deltaIds = delta.select(col("doc_id"))
+    // the capped path's cap-crossing holders join the delta docs as
+    // first-class seeds: present in the new corpus by construction
+    // (they come from the new index), and entitled to the same
+    // prior-cluster-mate expansion (canonical re-election)
+    val seedBase = extraSeedIds.fold(deltaIds)(e => deltaIds.union(e))
     // prior-cluster mates of delta docs, restricted to docs still
     // present — presence is decided against the MANIFEST (stored
     // scalar-width state), so the corpus store isn't touched here
-    val mates = prior.join(deltaIds, "doc_id")
+    val mates = prior.join(seedBase, "doc_id")
       .select(col("cluster_id")).distinct()
       .join(prior, "cluster_id")
       .select(col("doc_id"))
       .join(newManifest.select(col("doc_id")), Seq("doc_id"), "left_semi")
     val seeds = delta.filter(col("status") =!= "removed").select(col("doc_id"))
+      .union(extraSeedIds.getOrElse(deltaIds.limit(0)))
       .union(mates).distinct()
     // Pair-graph closure over the new corpus (same 3-gram hash kernel
     // and the same Jaccard predicate as the ledger's pair join),

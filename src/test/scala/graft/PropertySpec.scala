@@ -394,11 +394,9 @@ class PropertySpec extends AnyFunSuite {
     val spark = TestSpark.spark
     import spark.implicits._
     import graft.operators.{Corpus, Snapshot}
-    // No capped trial: the incremental loop deliberately rejects
-    // maxShingleDf — a capped pair graph prunes by GLOBAL shingle df,
-    // which a delta can flip for docs outside the closure's reach, so
-    // incremental-equals-full only holds uncapped (see the note in
-    // Snapshot.incrementalLedgerFromState).
+    // Uncapped trials only here; the maxShingleDf cap needs the prior
+    // posting index for delta-stability (cap crossings) and is fuzzed
+    // by its own chained-epoch test below.
     val rnd = new scala.util.Random(20260813L)
     for (trial <- 1 to 3) {
       val docs = scala.collection.mutable.ListBuffer.empty[(Long, String)]
@@ -435,6 +433,73 @@ class PropertySpec extends AnyFunSuite {
       assert(got.nonEmpty && got == want,
         s"trial $trial: incremental next ledger diverged from the from-scratch recompute")
       Corpus.releaseCheckpoint(prior)
+    }
+  }
+
+  test("capped incremental ledger equals the from-scratch capped ledger across random edit chains") {
+    // The maxShingleDf delta-stability fuzz (VERDICT r14 #1): docs are
+    // random windows of two SHARED base token sequences, so shingle
+    // document frequencies crowd the cap and random edits push them
+    // across constantly — the cap-crossing machinery fires on nearly
+    // every epoch, not just in SnapshotSpec's engineered scenario.
+    // Each epoch feeds the previous OUTPUT back as prior (ledger in,
+    // ledger out) and must equal Corpus.ledger(current, Some(cap))
+    // recomputed from scratch, all five columns, row for row.
+    import org.apache.spark.sql.functions.col
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import graft.operators.{Corpus, Snapshot}
+    val rnd = new scala.util.Random(20260815L)
+    for (trial <- 1 to 2) {
+      val cap = 2 + rnd.nextInt(2)
+      val bases = Array.tabulate(2)(b => Array.tabulate(18)(i => s"b${b}w${i}t$trial"))
+      def window(): String = {
+        val b = bases(rnd.nextInt(2))
+        val len = 5 + rnd.nextInt(5)
+        val at = rnd.nextInt(b.length - len + 1)
+        b.slice(at, at + len).mkString(" ")
+      }
+      val cur = scala.collection.mutable.LinkedHashMap.empty[Long, String]
+      var nextId = 1L
+      for (_ <- 1 to 10) { cur(nextId) = window(); nextId += 1 }
+      def currentDF() = cur.toSeq.toDF("doc_id", "text")
+      // independent non-vacuity meter: global per-shingle df on each
+      // side, counted with the spec's own groupBy — the trial must
+      // actually cross the cap somewhere or it proves nothing
+      def dfMap(docs: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+        Snapshot.postings(docs).groupBy(col("s")).count()
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      var crossingsSeen = 0L
+      var oldDocs = currentDF()
+      var prior = Corpus.ledger(oldDocs, Some(cap)).localCheckpoint(true)
+      for (epoch <- 1 to 3) {
+        for (id <- cur.keys.toSeq) rnd.nextInt(10) match {
+          case 0 | 1 | 2 => cur(id) = window() // 'changed'
+          case 3 => if (cur.size > 4) cur.remove(id) // 'removed'
+          case _ => ()
+        }
+        for (_ <- 0 to rnd.nextInt(2)) { cur(nextId) = window(); nextId += 1 } // 'added'
+        val newDocs = currentDF()
+        val next = Snapshot.incrementalLedgerFromStoredState(
+          prior, Snapshot.manifest(oldDocs), Snapshot.manifest(newDocs),
+          Snapshot.postings(newDocs), newDocs,
+          Snapshot.ShingleDfCap(cap, Snapshot.postings(oldDocs)), 25)
+          .localCheckpoint(true)
+        val got = next.orderBy(col("doc_id")).collect().map(_.toSeq).toSeq
+        val want = Corpus.ledger(newDocs, Some(cap)).orderBy(col("doc_id"))
+          .collect().map(_.toSeq).toSeq
+        assert(got.nonEmpty && got == want,
+          s"trial $trial epoch $epoch (cap=$cap): capped incremental diverged")
+        val (dOld, dNew) = (dfMap(oldDocs), dfMap(newDocs))
+        crossingsSeen += (dOld.keySet ++ dNew.keySet).count(s =>
+          (dOld.getOrElse(s, 0L) > cap) != (dNew.getOrElse(s, 0L) > cap))
+        Corpus.releaseCheckpoint(prior)
+        prior = next
+        oldDocs = newDocs
+      }
+      Corpus.releaseCheckpoint(prior)
+      assert(crossingsSeen > 0,
+        s"trial $trial (cap=$cap): no epoch crossed the cap — the fuzz is vacuous")
     }
   }
 

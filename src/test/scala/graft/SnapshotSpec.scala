@@ -321,4 +321,78 @@ class SnapshotSpec extends AnyFunSuite {
       s"accumulated edges should cover exactly the 1-2 pair, got $pairs")
     (closed +: edges).foreach(graft.operators.Corpus.releaseCheckpoint)
   }
+
+  test("capped incremental ledger survives engineered cap crossings outside the naive closure") {
+    // The maxShingleDf delta-stability leg (VERDICT r14 #1). Docs 1,2
+    // are identical 7-token near-dups (5 shared shingles, J=1.0); with
+    // ONE shared shingle capped out the capped-Jaccard lower bound is
+    // 4/(5+5-4)=0.667 < 0.8, so their edge exists iff shingle
+    // s="gamma delta epsilon" is under the cap. Epoch 1 ADDS doc 7 —
+    // unrelated to 1,2 (one shared shingle, J=1/9) — pushing df(s)
+    // 2→3 over cap=2: the 1–2 edge is destroyed between two docs the
+    // delta never names. Epoch 2 REMOVES doc 7: df(s) back to 2, the
+    // edge re-forms — and the naive seed set is provably EMPTY (7's
+    // prior cluster is a singleton of a now-absent doc), so an
+    // uncapped-style closure would carry the stale split forever. Each
+    // epoch's output must equal the from-scratch capped ledger
+    // row-for-row, and feeds back as the next epoch's prior (ledger
+    // in, ledger out).
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    import graft.operators.Corpus
+    val cap = 2
+    val nearDup = "alpha beta gamma delta epsilon zeta eta"
+    val fillers = (3L to 6L).map(i => i -> s"f${i}a f${i}b f${i}c f${i}d f${i}e f${i}f")
+    val e0 = (Seq(1L -> nearDup, 2L -> nearDup) ++ fillers).toDF("doc_id", "text")
+    val hotDoc = Seq(7L -> "ppp qqq gamma delta epsilon rrr sss")
+    val e1 = (Seq(1L -> nearDup, 2L -> nearDup) ++ fillers ++ hotDoc).toDF("doc_id", "text")
+    val e2 = e0 // doc 7 removed again
+
+    def cappedNext(prior: org.apache.spark.sql.DataFrame,
+                   oldDocs: org.apache.spark.sql.DataFrame,
+                   newDocs: org.apache.spark.sql.DataFrame) =
+      Snapshot.incrementalLedgerFromStoredState(
+        prior, Snapshot.manifest(oldDocs), Snapshot.manifest(newDocs),
+        Snapshot.postings(newDocs), newDocs,
+        Snapshot.ShingleDfCap(cap, Snapshot.postings(oldDocs)), 25)
+    def fromScratch(docs: org.apache.spark.sql.DataFrame) =
+      Corpus.ledger(docs, Some(cap)).orderBy(col("doc_id")).collect().map(_.toSeq).toSeq
+    def naiveSeeds(prior: org.apache.spark.sql.DataFrame,
+                   oldDocs: org.apache.spark.sql.DataFrame,
+                   newDocs: org.apache.spark.sql.DataFrame): Set[Long] = {
+      val delta = Snapshot.diff(Snapshot.manifest(oldDocs), Snapshot.manifest(newDocs))
+      val deltaIds = delta.select(col("doc_id"))
+      val mates = prior.join(deltaIds, "doc_id").select(col("cluster_id")).distinct()
+        .join(prior, "cluster_id").select(col("doc_id"))
+        .join(Snapshot.manifest(newDocs).select(col("doc_id")), Seq("doc_id"), "left_semi")
+      delta.filter(col("status") =!= "removed").select(col("doc_id")).union(mates)
+        .collect().map(_.getLong(0)).toSet
+    }
+
+    val ledger0 = Corpus.ledger(e0, Some(cap)).localCheckpoint(true)
+    // the engineered premise: 1,2 clustered at epoch 0, split at epoch 1
+    val cluster0 = ledger0.filter(col("doc_id") === 2L).select(col("cluster_id"))
+      .collect().head.getLong(0)
+    assert(cluster0 == 1L, s"epoch 0 premise: doc 2 should cluster under 1, got $cluster0")
+    assert(!Set(1L, 2L).subsetOf(naiveSeeds(ledger0, e0, e1)),
+      "engineered premise broken: docs 1,2 must be OUTSIDE the naive seed set at epoch 1")
+
+    val next1 = cappedNext(ledger0, e0, e1).localCheckpoint(true)
+    val got1 = next1.orderBy(col("doc_id")).collect().map(_.toSeq).toSeq
+    assert(got1 == fromScratch(e1),
+      "epoch 1 (crossing UP via an added holder): capped incremental diverged")
+    assert(got1.find(_.head == 2L).get(1) == 2L,
+      "epoch 1 premise: the 1-2 cluster should have split under the capped graph")
+
+    assert(naiveSeeds(next1, e1, e2).isEmpty,
+      "engineered premise broken: epoch 2's naive seed set must be EMPTY " +
+        "(removed doc with a singleton prior cluster)")
+    val next2 = cappedNext(next1, e1, e2)
+    val got2 = next2.orderBy(col("doc_id")).collect().map(_.toSeq).toSeq
+    assert(got2 == fromScratch(e2),
+      "epoch 2 (crossing DOWN via a removed holder): capped incremental diverged")
+    assert(got2.find(_.head == 2L).get(1) == 1L,
+      "epoch 2 premise: the 1-2 cluster should have re-formed")
+    Seq(ledger0, next1).foreach(Corpus.releaseCheckpoint)
+  }
 }
