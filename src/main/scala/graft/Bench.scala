@@ -96,8 +96,14 @@ object Bench {
     // record: the batch incremental family's internal laps ("manifest
     // diff", "closure round N") are not a staging-vs-loop split.
     val lapPrefixes = Seq("stage", "drain", "consumer", "oracle")
+    // each entry: (the pass's wall-clock elapsed, its stage→secs map) —
+    // the elapsed rides along so `laps_passes` can pair every stage map
+    // with ITS OWN pass total, making the split's residual "other"
+    // EXACT per pass instead of a cross-pass-alignment estimate
+    // (VERDICT r14 #5: per-query and per-stage medians previously came
+    // from different pass alignments, so the residual was noisy)
     val lapsByQuery = scala.collection.mutable.Map
-      .empty[String, scala.collection.mutable.ListBuffer[Map[String, Double]]]
+      .empty[String, scala.collection.mutable.ListBuffer[(Double, Map[String, Double])]]
     for (_ <- 1 to reps) {
       for (((name, fn), i) <- names.zipWithIndex) {
         if (i % CanaryEvery == 0) { canary(); latencyCanary() }
@@ -123,9 +129,10 @@ object Bench {
           if (laps.exists { case (s, _) => lapPrefixes.exists(s.startsWith) })
             lapsByQuery.getOrElseUpdate(name,
               scala.collection.mutable.ListBuffer.empty) +=
-              laps.foldLeft(scala.collection.immutable.ListMap.empty[String, Double]) {
-                case (m, (s, v)) => m.updated(s, m.getOrElse(s, 0.0) + v)
-              }
+              (elapsed ->
+                laps.foldLeft(scala.collection.immutable.ListMap.empty[String, Double]) {
+                  case (m, (s, v)) => m.updated(s, m.getOrElse(s, 0.0) + v)
+                })
         }
         // UNTIMED cache release (ADVICE r5): several operators persist a
         // shared pass and return lazily (no post-materialization point to
@@ -226,13 +233,27 @@ object Bench {
     // first appearance) — the staging-vs-loop split's raw material
     val lapsJson = results.flatMap { case (k, _, _) =>
       lapsByQuery.get(k).map { passes =>
-        val stages = passes.flatMap(_.keys).distinct
+        val stages = passes.flatMap(_._2.keys).distinct
         q(k) + ":" + stages.map(s =>
-          q(s) + ":" + fmt(median(passes.flatMap(_.get(s)).toSeq)))
+          q(s) + ":" + fmt(median(passes.flatMap(_._2.get(s)).toSeq)))
           .mkString("{", ",", "}")
       }
     }.mkString("{", ",", "}")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","errors":$errs,"clear_cache":${!clearCacheOff},"reps":$repsJson,"canary":$canaryJson,"canary_median":${fmt(canaryMedian)},"canary_spread":${fmt(canarySpread)},"latency_canary":$latencyJson,"latency_canary_median":${fmt(latencyMedian)},"rocksdb_stream":$rocksdbJson,"laps":$lapsJson,"queries":$qs,"mins":$minsJson,"normalized":$normJson}"""
+    // per-PASS laps (VERDICT r14 #5): each pass's stage map together
+    // with that pass's own elapsed under the reserved "_total" key, so
+    // bench_compare.py computes an EXACT per-pass residual (elapsed −
+    // covered laps) and medians the four split components over aligned
+    // passes — the medianed `laps` map above stays for cross-round
+    // comparison with older records
+    val lapsPassesJson = results.flatMap { case (k, _, _) =>
+      lapsByQuery.get(k).map { passes =>
+        q(k) + ":" + passes.map { case (tot, m) =>
+          (("_total" -> tot) +: m.toSeq).map { case (s, v) => q(s) + ":" + fmt(v) }
+            .mkString("{", ",", "}")
+        }.mkString("[", ",", "]")
+      }
+    }.mkString("{", ",", "}")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","errors":$errs,"clear_cache":${!clearCacheOff},"reps":$repsJson,"canary":$canaryJson,"canary_median":${fmt(canaryMedian)},"canary_spread":${fmt(canarySpread)},"latency_canary":$latencyJson,"latency_canary_median":${fmt(latencyMedian)},"rocksdb_stream":$rocksdbJson,"laps_passes":$lapsPassesJson,"laps":$lapsJson,"queries":$qs,"mins":$minsJson,"normalized":$normJson}"""
     println(json)
     // Belt-and-braces for the same truncation: the COMPLETE record also
     // lands in a file the driver never trims (cwd-resolved — the driver

@@ -18,8 +18,31 @@ object Laps {
   private val buf = new java.util.concurrent.ConcurrentLinkedQueue[(String, Double)]
   @volatile private var active = false
 
-  /** Start collecting (clears anything a previous window left). */
-  def begin(): Unit = { buf.clear(); active = true }
+  /** Label prefix for marks that are INTERNAL DETAIL of an enclosing
+    * stage (the incremental pipeline's "manifest diff" / "closure
+    * round N" inside a loop's drain): bench_compare.py's
+    * staging/loop/readback split excludes them structurally — summing
+    * them would double-count the drain they are already part of
+    * (ADVICE r14: the old exclusion relied on detail labels happening
+    * not to start with a classified prefix). */
+  val DetailPrefix = "detail: "
+
+  /** Start collecting (clears anything a previous window left).
+    * SINGLE-OWNER contract (ADVICE r14): windows must not nest or
+    * overlap — the collector is process-global, so a second begin()
+    * from a concurrent owner discards the active window's marks.
+    * Safe today because Test/fork runs suites sequentially and
+    * Bench/Soak are single-driver loops; loud (stderr, not a throw —
+    * a profiling guard must not kill a bench) if that ever changes.
+    * A begin() after a FAILED query that never reached end() is the
+    * legitimate same-owner reuse (LapsSpec pins the discard). */
+  def begin(): Unit = {
+    if (active)
+      System.err.println("[laps] WARNING: begin() while a window is " +
+        "active — the previous window's marks are discarded " +
+        "(single-owner contract; see Laps.begin doc)")
+    buf.clear(); active = true
+  }
 
   /** Stop collecting and drain the recorded `(stage, seconds)` marks in
     * arrival order. */

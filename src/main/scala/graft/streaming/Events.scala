@@ -1064,6 +1064,11 @@ object Events {
           // retraction leg's staging (see the query doc)
           val shadows = docs.filter(col("doc_id") % ShadowMod === ShadowRem)
             .withColumn("doc_id", -(col("doc_id") + lit(1L)))
+          // boundary mark (ADVICE r14): everything since the timer's
+          // creation — staged-table reads, schema derivation — is
+          // SETUP, not staging; without this the first stage lap
+          // absorbs it and inflates the bench split's staging part
+          outerLap("setup")
           docs.filter(col("doc_id") % 5 =!= 0).unionByName(stale)
             .unionByName(shadows)
             .stageArrival(src)
@@ -1588,6 +1593,7 @@ object Events {
           // re-delivery tombstone would shift the converged relation
           val stale = docs.filter(col("doc_id") % RedeliveryMod === 0)
             .withColumn("text", concat(col("text"), lit(" [stale draft]")))
+          outerLap("setup") // pre-staging boundary (ADVICE r14, see clean loop)
           docs.filter(col("doc_id") % 5 =!= 0).unionByName(shadows)
             .unionByName(stale)
             .stageArrival(src)
@@ -2201,6 +2207,7 @@ object Events {
           val emb = ss.read.parquet(staged.toString)
           // the stream carries CORPUS vectors; the query set is static
           val corpus = emb.filter(col("vec_id") >= Similarity.NumQueries)
+          outerLap("setup") // pre-staging boundary (ADVICE r14, see clean loop)
           corpus.filter(col("vec_id") % 5 =!= 0).stageArrival(src)
           outerLap("stage arrival 1")
           val stream = ss.readStream.schema(rawSchema(ss, sfDir, "embeddings"))
@@ -2542,6 +2549,7 @@ object Events {
           // batch twin's — and retracted in arrival 3 (query doc)
           val shadows = docs.filter(col("doc_id") % ShadowMod === ShadowRem)
             .withColumn("doc_id", -(col("doc_id") + lit(1L)))
+          outerLap("setup") // pre-staging boundary (ADVICE r14, see clean loop)
           docs.filter(col("doc_id") % 5 =!= 0)
             .stageArrival(src)
           outerLap("stage arrival 1")
@@ -2791,10 +2799,14 @@ object Events {
     * are spec-only extra jobs, never part of the loop's work.
     */
   private def probeAdd[T <: Product](buf: scala.collection.mutable.Buffer[T], entry: T): Unit = {
+    // keyed by the entry's first element (the epoch): crash replay
+    // re-delivers an epoch and must supersede its earlier entry, not
+    // duplicate it. In-place index update (the old filter+clear+rebuild
+    // churned the whole buffer per append); consumers read these as
+    // per-epoch maps, so replacement position is immaterial.
     val ep = entry.productElement(0)
-    val kept = buf.filterNot(_.productElement(0) == ep)
-    buf.clear()
-    buf ++= kept += entry
+    val i = buf.indexWhere(_.productElement(0) == ep)
+    if (i >= 0) buf(i) = entry else buf += entry
   }
 
   /** The ONE bucket function both the write and the probe sides share —
@@ -2917,13 +2929,23 @@ object Events {
     def forDocs(frontier: DataFrame): DataFrame =
       graft.operators.Snapshot.postings(docsFor(frontier))
     def forShinglesOf(frontierPost: DataFrame): DataFrame = {
-      val fresh = collectBuckets(frontierPost, col("s")).filterNot(covered)
+      val want = collectBuckets(frontierPost, col("s"))
+      val fresh = want.filterNot(covered)
       if (fresh.nonEmpty) {
         chunks += resolvedPruned(fresh).persist()
         covered ++= fresh
       }
-      // empty-frontier round: a schema-correct empty scan (reads nothing)
+      // Prune the cached union to THIS round's buckets (r15): a later
+      // round's frontier touches few buckets, and handing it every
+      // chunk earlier rounds cached feeds the closure join input that
+      // cannot match. The bucket is recomputed map-side from `s` (the
+      // ONE shared chainBucket — prunedChainRows dropped the partition
+      // column), so cached rows are filtered in place, never re-read
+      // from disk. Superset contract intact: every row sharing a
+      // shingle with the frontier lives in the frontier's own buckets.
       chunks.reduceOption(_ unionByName _)
+        .map(_.filter(chainBucket(col("s")).isin(want: _*)))
+        // empty-frontier round: a schema-correct empty scan (reads nothing)
         .getOrElse(resolvedPruned(Nil))
     }
     def release(): Unit = chunks.foreach(_.unpersist(blocking = false))

@@ -35,19 +35,52 @@ object Soak {
   // invalidates the cached corpus automatically instead of relying on
   // someone remembering to bump a version string.
   private val MangleRe = "(\\S+)"                      // every word gets ~k
+  private def mangleRepl(k: Int) = s"$$1~$k"           // the ~k replacement template
   private val RestoreToken = "spark"                   // the classifier label token
   private def restoreRe(k: Int) = s"(?<=^|\\s)$RestoreToken~$k(?=\\s|$$)"
   private val JitterScale = 0.1                        // embedding jitter amplitude
   private val JitterSteps = 1000L                      // jitter quantization
 
+  /** Replica k's text mangle: every word gets `~k`, then the bare
+    * label token is RESTORED (the classifier's label is "token
+    * `spark` appears ≥2×"; a wholesale mangle would zero the positive
+    * class in 9/10 replicas). ONE definition, used by [[buildSf1]] AND
+    * rendered into [[GeneratorVersion]]. */
+  private def mangledText(k: Int) =
+    regexp_replace(
+      regexp_replace(col("text"), MangleRe, mangleRepl(k)),
+      restoreRe(k), RestoreToken)
+
+  /** Replica k's embedding jitter (deterministic, so no cross-replica
+    * vector is an exact tie; cast back to float — the driver tables
+    * carry array<float> and the loops derive stream schemas from the
+    * actual table). ONE definition, builder + fingerprint. */
+  private def jitteredEmbedding(k: Int) =
+    transform(col("embedding"), (x, i) =>
+      (x + (pmod(xxhash64(col("vec_id"), i, lit(k)), lit(JitterSteps))
+        .cast("double") / JitterSteps.toDouble - 0.5) * JitterScale)
+        .cast("float"))
+
+  /** Replica k's id shift. ONE definition, builder + fingerprint. */
+  private def shiftedId(idCol: String, k: Int, off: Long) =
+    col(idCol) + lit(k.toLong * off)
+
   /** Generator fingerprint stamped beside the derived tables (file
-    * `_GENERATOR`): derived from the construction knobs, so a cached
-    * /tmp corpus from an older generator is rebuilt instead of
-    * silently profiled — growth factors and convergence verdicts must
-    * always describe the code under test. */
-  private val GeneratorVersion =
-    s"v2-replicas$Replicas-${(MangleRe, RestoreToken, restoreRe(0),
-      JitterScale, JitterSteps).hashCode}"
+    * `_GENERATOR`): rendered from the CONSTRUCTION EXPRESSIONS
+    * themselves (ADVICE r14 — a knob-subset hash missed edits to the
+    * inline replacement template, jitter formula shape or id-offset
+    * scheme), so a cached /tmp corpus from an older generator is
+    * rebuilt instead of silently profiled — growth factors and
+    * convergence verdicts must always describe the code under test.
+    * Lambda variable names (`x_N`) come from a process-global counter
+    * and are normalized out, or the fingerprint would differ run to
+    * run and defeat the cache entirely. */
+  private val GeneratorVersion = {
+    val probe = Seq(mangledText(1), jitteredEmbedding(1),
+      shiftedId("doc_id", 1, 12345L))
+      .map(_.toString.replaceAll("([a-z])_\\d+", "$1_N")).mkString("|")
+    s"v3-replicas$Replicas-${probe.hashCode}"
+  }
 
   private def buildSf1(spark: SparkSession, sf01: String, out: String): Unit = {
     val outDir = java.nio.file.Paths.get(out)
@@ -66,14 +99,8 @@ object Soak {
     val docReps = (0 until Replicas).map { k =>
       if (k == 0) docs
       else docs.select(Seq(
-        (col("doc_id") + lit(k.toLong * docOff)).as("doc_id"),
-        // mangle every word, then RESTORE the bare token `spark` — the
-        // classifier's label is "token `spark` appears ≥2×", and a
-        // wholesale mangle would zero the positive class in 9/10
-        // replicas (degenerate label, vacuous accuracy floors)
-        regexp_replace(
-          regexp_replace(col("text"), MangleRe, s"$$1~$k"),
-          restoreRe(k), RestoreToken).as("text")) ++
+        shiftedId("doc_id", k, docOff).as("doc_id"),
+        mangledText(k).as("text")) ++
         docs.columns.filterNot(Set("doc_id", "text")).map(col): _*)
     }
     writeSingleFile(docReps.reduce(_ unionByName _), s"$out/documents.parquet")
@@ -82,13 +109,8 @@ object Soak {
     val embReps = (0 until Replicas).map { k =>
       if (k == 0) emb
       else emb.select(Seq(
-        (col("vec_id") + lit(k.toLong * embOff)).as("vec_id"),
-        // cast back to float: the driver tables carry array<float>, and
-        // the loops derive their stream schemas from the actual table
-        transform(col("embedding"), (x, i) =>
-          (x + (pmod(xxhash64(col("vec_id"), i, lit(k)), lit(JitterSteps))
-            .cast("double") / JitterSteps.toDouble - 0.5) * JitterScale)
-            .cast("float")).as("embedding")) ++
+        shiftedId("vec_id", k, embOff).as("vec_id"),
+        jitteredEmbedding(k).as("embedding")) ++
         emb.columns.filterNot(Set("vec_id", "embedding")).map(col): _*)
     }
     writeSingleFile(embReps.reduce(_ unionByName _), s"$out/embeddings.parquet")
@@ -112,7 +134,10 @@ object Soak {
     java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(tmp))
   }
 
-  /** One timed loop pass with stage laps (summed per stage label). */
+  /** One timed loop pass with stage laps (summed per stage label; the
+    * bench-split detail prefix is stripped — the soak's profile table
+    * WANTS the internal marks, under their plain r14-compatible
+    * names). */
   private def lapped(fn: => DataFrame): (Double, Long, Map[String, Double]) = {
     graft.Laps.begin()
     val t0 = System.nanoTime()
@@ -120,15 +145,54 @@ object Soak {
     val total = (System.nanoTime() - t0) / 1e9
     val laps = graft.Laps.end().foldLeft(
       scala.collection.immutable.ListMap.empty[String, Double]) {
-      case (m, (s, v)) => m.updated(s, m.getOrElse(s, 0.0) + v)
+      case (m, (s0, v)) =>
+        val s = s0.stripPrefix(graft.Laps.DetailPrefix)
+        m.updated(s, m.getOrElse(s, 0.0) + v)
     }
     (total, n, laps)
   }
+
+  // ---- asserted growth gates (VERDICT r14 #2) -------------------------
+  // The r14 soak PRINTED growth factors and relied on a human reading
+  // the table; these constants encode that reading so a stage going
+  // super-linear fails the run. Thresholds sit ~2× the r14-measured
+  // worst (removal-epoch stages ≤1.7×, arrival-proportional ≤7.9× at
+  // 10× data) so a single-pass throttle spike on this VM doesn't flake
+  // the gate while a real scale regression still trips it. Stages
+  // under MinGateSecs at sf1 are skipped: sub-second laps are fixed
+  // per-epoch overhead, and their ratios are noise, not scale signal.
+  private val RemovalSlack = 3.0        // blast-radius stages: ≤3× under 10× data
+  private val ArrivalSlackPerData = 1.5 // arrival-proportional: ≤1.5× the data growth
+  private val MinGateSecs = 2.0
+
+  /** Removal-epoch (blast-radius) stages: arrival 3 is the loops'
+    * removal feed, drained as epoch 2 / drain 3. */
+  private def isRemovalStage(stage: String): Boolean =
+    stage.startsWith("drain 3") || stage.startsWith("epoch 2")
+
+  // ---- sf1 classifier model-quality floor (VERDICT r14 #3) ------------
+  // The real-data floors (TrainFloor 0.80) are not meaningful on the
+  // synthetic corpus: the replica mangle makes 10 near-disjoint
+  // vocabularies share one hashed feature space, diluting capacity by
+  // design. The non-vacuous sf1 floor is the corpus's own MEASURED
+  // majority-class rate plus a margin: a zero-weight model (prob 0.5
+  // everywhere → constant pred) scores exactly the majority rate and
+  // fails (SoakSpec pins the flip), while the r15-measured streamed
+  // accuracy at sf1 clears it with headroom.
+  private[graft] val ClassifyMarginOverMajority = 0.05
+  private[graft] def classifyFloorPasses(acc: Double, majorityRate: Double): Boolean =
+    acc >= majorityRate + ClassifyMarginOverMajority
 
   def main(args: Array[String]): Unit = {
     val sf01 = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val sf1 = args.lift(1).getOrElse("/tmp/graft_sf1")
     val spark = graft.GraftSession.local()
+    // which streaming state-store backend this soak exercises — the
+    // RocksDB pass (VERDICT r14 #6) is the same command under
+    // SPARK_GRAFT_STATE_STORE=rocksdb, and the profile artifact must
+    // name the backend it measured
+    System.err.println("[soak] state store: " +
+      sys.env.getOrElse("SPARK_GRAFT_STATE_STORE", "default (HDFS-backed)"))
     buildSf1(spark, sf01, sf1)
     import graft.streaming.Events
     val loops: Seq[(String, String => DataFrame)] = Seq(
@@ -199,6 +263,20 @@ object Soak {
     }
     if (!clsBatch.exists(_._2) || !clsBatch.exists(!_._2))
       failures ::= "sf1 classify label degenerate — the spark-token restore regressed"
+    // model-quality floor at sf1 (VERDICT r14 #3): whole-corpus
+    // accuracy of the streamed scores vs the measured majority-class
+    // baseline — the floor a constant predictor exactly fails
+    if (clsGot.nonEmpty) {
+      val n = clsGot.size.toDouble
+      val posRate = clsGot.count(_._2) / n
+      val majority = math.max(posRate, 1.0 - posRate)
+      val acc = clsGot.count(g => g._5 == g._2) / n
+      System.err.println(f"[soak] sf1 classify accuracy $acc%.3f vs majority " +
+        f"baseline $majority%.3f (floor = majority + $ClassifyMarginOverMajority)")
+      if (!classifyFloorPasses(acc, majority))
+        failures ::= f"stream_ingest_classify sf1 accuracy $acc%.3f below the " +
+          f"majority+margin floor ($majority%.3f + $ClassifyMarginOverMajority)"
+    }
     System.err.println(s"[soak] stream_incremental_clean batch-twin equality @ sf1")
     val docs1 = spark.read.parquet(s"$sf1/documents.parquet")
     val cleanBatch = graft.operators.Corpus.ledger(docs1)
@@ -214,6 +292,24 @@ object Soak {
     for ((loop, stage, a, b) <- rows) {
       val g = if (a > 0) f"${b / a}%.1f×" else "new"
       println(f"| $loop | $stage | $a%.2f | $b%.2f | $g |")
+    }
+    // growth gates (VERDICT r14 #2): the profile table, asserted
+    val dataGrowth = Replicas.toDouble
+    for ((loop, stage, a, b) <- rows if stage != "TOTAL" && b >= MinGateSecs) {
+      if (a > 0) {
+        val growth = b / a
+        val (limit, cls) =
+          if (isRemovalStage(stage)) (RemovalSlack, "removal-epoch blast-radius")
+          else (ArrivalSlackPerData * dataGrowth, "arrival-proportional")
+        if (growth > limit)
+          failures ::= f"growth gate: $loop / $stage grew $growth%.1f× under " +
+            f"$dataGrowth%.0f× data (limit $limit%.1f×, $cls)"
+      } else
+        // a stage that exists only at sf1 (e.g. a renamed lap) has no
+        // ratio — loud on stderr so a rename is noticed, but not a
+        // failure: the gate's subject is growth, not label stability
+        System.err.println(f"[soak] growth gate: $loop / $stage is NEW at sf1 " +
+          f"($b%.2fs) — no sf0.1 baseline to gate against")
     }
     if (failures.nonEmpty) {
       System.err.println("[soak] FAILURES:\n  " + failures.mkString("\n  "))

@@ -221,6 +221,32 @@ class DedupSpec extends AnyFunSuite {
     assert(row.getBoolean(2), s"containment broken: $row")
   }
 
+  test("length-filter prune keeps a pair at exactly the threshold boundary") {
+    // The r15 join-predicate length filter (jac ≤ min/max, so
+    // min/max < t can't pass) must be EXACTLY consistent with the jac
+    // filter at the boundary. This pair sits on it: n1=4, n2=5 shingles,
+    // all 4 shared → jac = 4/(4+5-4) = 4/5 = 0.8 = the default
+    // threshold, and min/max = 4/5 too. The division form keeps it
+    // (round-to-nearest is monotone, both quotients land on the same
+    // double as literal 0.8); the rejected t·n2 multiplication form
+    // would compute 0.8·5 = 4.0000000000000002 > 4 and silently drop
+    // this true pair — the regression this test exists to catch.
+    import spark.implicits._
+    val docs = Seq(
+      1L -> "a b c d e f",     // 4 word-3-gram shingles
+      2L -> "a b c d e f g"    // 5 shingles, sharing all 4
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.ngramJaccard(docs).collect()
+    assert(pairs.length == 1 &&
+      pairs.head.getLong(0) == 1L && pairs.head.getLong(1) == 2L,
+      s"boundary pair (jac exactly 0.8) must survive the length filter: ${pairs.toSeq}")
+    assert(math.abs(pairs.head.getDouble(2) - 0.8) < 1e-12)
+    // and a pair just UNDER the size bound is pruned: n1=3, n2=5 →
+    // min/max = 0.6 < 0.8, jac ≤ 0.6 regardless of overlap
+    val docs2 = Seq(1L -> "a b c d e", 2L -> "a b c d e f g").toDF("doc_id", "text")
+    assert(Dedup.ngramJaccard(docs2).collect().isEmpty)
+  }
+
   test("semantic containment verdict is falsifiable: impossible threshold reports misses") {
     // cosine never exceeds 1.0, so every planted pair must be missed and
     // the verdict must be able to say so (guards against a vacuous check)

@@ -48,23 +48,29 @@ print(f"agreement: {agree}/{len(shared)} = {frac:.1%} within ±{int(thr*100)}% "
       f"({'PASS' if frac >= 0.9 else 'FAIL'} at the >=90% gate)")
 
 # Staging-vs-loop attribution (VERDICT r13 #4): the loop queries carry a
-# per-stage `laps` map ({query: {stage: seconds}}). Stage-name prefixes
-# classify each lap — "stage"/"oracle" = harness staging, "drain" = the
-# streaming loop's own drains, "consumer" = the converged read-back;
-# "epoch N:" laps are per-epoch DETAIL inside a drain (not summed into
-# the split, or drain time would double-count). Whatever the laps don't
-# cover ("other": session setup, plan analysis, the _check twin's oracle
-# side) is the query median minus the covered laps. All numbers are
-# canary-normalized like the table above, so a mover reads directly as
-# "staging grew" vs "the loop got slower".
-def lap_split(rec, q):
-    laps = rec.get("laps", {}).get(q)
-    if not laps:
-        return None
-    cm = rec.get("canary_median") or 1.0
+# per-stage `laps` map ({query: {stage: seconds}}) and, since r15, a
+# per-PASS `laps_passes` list ({query: [{_total: secs, stage: secs}]}).
+# Stage-name prefixes classify each lap — "stage"/"oracle" = harness
+# staging, "drain" = the streaming loop's own drains, "consumer" = the
+# converged read-back. Two kinds of laps are structurally EXCLUDED from
+# the sums: "epoch N:" and "detail: " marks are per-epoch / internal
+# detail recorded INSIDE a drain (summing them would double-count the
+# drain; the "detail: " prefix is the emitters' explicit marker, ADVICE
+# r14 — classification no longer relies on detail labels happening to
+# avoid the classified prefixes), and the reserved "_total" key is the
+# pass's own wall clock. Whatever the laps don't cover ("other":
+# session setup, plan analysis, the _check twin's oracle side) is the
+# pass total minus the covered laps — EXACT per pass when laps_passes
+# is present (VERDICT r14 #5), else estimated from the medians as older
+# records allow. All numbers are canary-normalized like the table
+# above, so a mover reads directly as "staging grew" vs "the loop got
+# slower".
+import statistics
+
+def _split_of(laps, total_norm, cm):
     split = {"staging": 0.0, "loop": 0.0, "readback": 0.0}
     for stage, secs in laps.items():
-        if stage.startswith("epoch"):
+        if stage.startswith(("epoch", "detail:")) or stage == "_total":
             continue
         if stage.startswith(("stage", "oracle")):
             split["staging"] += secs / cm
@@ -72,9 +78,23 @@ def lap_split(rec, q):
             split["loop"] += secs / cm
         elif stage.startswith("consumer"):
             split["readback"] += secs / cm
+        # anything else (e.g. "setup") is deliberately unclassified:
+        # it lands in the residual below
     covered = sum(split.values())
-    split["other"] = max(0.0, rec.get("normalized", {}).get(q, covered) - covered)
+    split["other"] = max(0.0, (total_norm if total_norm is not None else covered) - covered)
     return split
+
+def lap_split(rec, q):
+    cm = rec.get("canary_median") or 1.0
+    passes = rec.get("laps_passes", {}).get(q)
+    if passes:
+        per_pass = [_split_of(p, p.get("_total", 0.0) / cm, cm) for p in passes]
+        return {k: statistics.median([s[k] for s in per_pass])
+                for k in ("staging", "loop", "readback", "other")}
+    laps = rec.get("laps", {}).get(q)
+    if not laps:
+        return None
+    return _split_of(laps, rec.get("normalized", {}).get(q), cm)
 
 lap_qs = sorted(set(A.get("laps", {})) | set(B.get("laps", {})))
 if lap_qs:
