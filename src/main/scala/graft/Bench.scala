@@ -243,8 +243,13 @@ object Bench {
     // with that pass's own elapsed under the reserved "_total" key, so
     // bench_compare.py computes an EXACT per-pass residual (elapsed −
     // covered laps) and medians the four split components over aligned
-    // passes — the medianed `laps` map above stays for cross-round
-    // comparison with older records
+    // passes. The medianed `laps` map above stays so bench_compare's
+    // fallback split still reads pre-r15 records; note its KEYS for
+    // the incremental family's internal marks gained the "detail: "
+    // prefix in r15 (a one-time spelling change vs older records —
+    // the split never summed those marks on either side, but a human
+    // diffing per-stage values across the r14/r15 boundary must strip
+    // the prefix, as Soak's profile table does)
     val lapsPassesJson = results.flatMap { case (k, _, _) =>
       lapsByQuery.get(k).map { passes =>
         q(k) + ":" + passes.map { case (tot, m) =>

@@ -125,6 +125,25 @@ object Dedup {
     * ordering their downstream consumers (CC, anti-join) would destroy
     * anyway.
     */
+  /** The LENGTH-filter join predicate shared by the pair self-join and
+    * the incremental closure's frontier join (ONE definition — a
+    * drifted second copy could split the closure's edge set from the
+    * ledger's at exact boundaries): jac = inter/(n1+n2−inter) ≤
+    * min(n1,n2)/max(n1,n2), so a pair whose size ratio is under the
+    * threshold can never pass the exact filter — its candidate rows
+    * are dropped INSIDE the join instead of riding through the
+    * per-pair aggregation shuffle (on skewed real corpora most
+    * cross-size boilerplate collisions die here; measured −62% on the
+    * sf1 closure's dominant round). Division form deliberately
+    * mirrors the jac expression: round-to-nearest is monotone, so the
+    * double size bound can never contradict the double jac at the
+    * threshold boundary (a t·n2 multiplication CAN round just above
+    * an integer n1 at an exact 4/5 boundary and silently drop a true
+    * pair — DedupSpec pins it). Columns `n1`/`n2` must be in scope.
+    */
+  private[operators] def sizeRatioOk(threshold: Double): org.apache.spark.sql.Column =
+    least(col("n1"), col("n2")) * lit(1.0) / greatest(col("n1"), col("n2")) >= threshold
+
   private[operators] def ngramJaccardPairs(shingled: DataFrame, threshold: Double = DefaultThreshold,
                                            maxShingleDf: Option[Int] = None): DataFrame = {
     // Join on the 64-bit shingle hash, not the shingle string: identical
@@ -144,20 +163,8 @@ object Dedup {
     val a = ex.select(col("doc_id").as("doc_id_1"), col("nsh").as("n1"), col("s"))
     val b = ex.select(col("doc_id").as("doc_id_2"), col("nsh").as("n2"), col("s"))
     val jac = col("inter") * lit(1.0) / (col("n1") + col("n2") - col("inter"))
-    // LENGTH filter pushed into the join predicate (r15): jac =
-    // inter/(n1+n2−inter) ≤ min(n1,n2)/max(n1,n2), so a pair whose
-    // size ratio is under the threshold can never pass the exact
-    // filter — its candidate rows are dropped INSIDE the join instead
-    // of riding through the per-pair aggregation shuffle (on skewed
-    // real corpora most cross-size boilerplate collisions die here).
-    // Division form deliberately mirrors the jac expression: round-to-
-    // nearest is monotone, so the double size bound can never
-    // contradict the double jac at the threshold boundary (a t·n2
-    // multiplication CAN round just above an integer n1 at an exact
-    // 4/5 boundary and silently drop a true pair — DedupSpec pins it).
-    val sizeOk =
-      least(col("n1"), col("n2")) * lit(1.0) / greatest(col("n1"), col("n2")) >= threshold
-    a.join(b, a("s") === b("s") && col("doc_id_1") < col("doc_id_2") && sizeOk)
+    a.join(b, a("s") === b("s") && col("doc_id_1") < col("doc_id_2") &&
+      sizeRatioOk(threshold))
       .groupBy(col("doc_id_1"), col("doc_id_2"))
       .agg(count(lit(1)).as("inter"), first(col("n1")).as("n1"), first(col("n2")).as("n2"))
       .filter(jac >= threshold)

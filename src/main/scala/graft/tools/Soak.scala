@@ -74,10 +74,13 @@ object Soak {
     * convergence verdicts must always describe the code under test.
     * Lambda variable names (`x_N`) come from a process-global counter
     * and are normalized out, or the fingerprint would differ run to
-    * run and defeat the cache entirely. */
+    * run and defeat the cache entirely. Rendered at TWO replica
+    * indices (and two offsets): a k=1-only probe is blind to
+    * replica-index-degenerate edits (`k` → `k·k`, `k·off` → `k²·off`)
+    * that evaluate identically at 1 (r15 review). */
   private val GeneratorVersion = {
-    val probe = Seq(mangledText(1), jitteredEmbedding(1),
-      shiftedId("doc_id", 1, 12345L))
+    val probe = Seq(1, 2).flatMap(k => Seq(mangledText(k), jitteredEmbedding(k),
+      shiftedId("doc_id", k, 12345L + k)))
       .map(_.toString.replaceAll("([a-z])_\\d+", "$1_N")).mkString("|")
     s"v3-replicas$Replicas-${probe.hashCode}"
   }
@@ -221,18 +224,32 @@ object Soak {
     val loopCanaries = scala.collection.mutable.Map.empty[String, (Double, Double)]
     canary(spark) // untimed: the canary's own codegen would fake a throttle
     for ((name, fn) <- loops) {
-      val ca = canary(spark)
-      System.err.println(f"[soak] $name @ sf0.1 (canary $ca%.3fs)")
+      // each pass is BRACKETED by canaries and normalized by the
+      // slower of its two (r15 review): a throttle window that begins
+      // mid-pass is invisible to a before-only sample, and the slower
+      // bracket is the honest machine speed the pass ran under
+      val c0 = canary(spark)
+      System.err.println(f"[soak] $name @ sf0.1 (canary $c0%.3fs)")
       val (t01, n01, laps01) = lapped(fn(sf01))
       System.err.println(f"[soak] $name sf0.1 total $t01%.1fs rows $n01")
-      val cb = canary(spark)
-      System.err.println(f"[soak] $name @ sf1 (canary $cb%.3fs)")
+      val c1 = canary(spark) // closes the sf0.1 bracket, opens sf1's
+      System.err.println(f"[soak] $name @ sf1 (canary $c1%.3fs)")
       val (t1, n1, laps1) = lapped(fn(sf1))
-      System.err.println(f"[soak] $name sf1 total $t1%.1fs rows $n1")
-      loopCanaries(name) = (ca, cb)
+      val c2 = canary(spark)
+      System.err.println(f"[soak] $name sf1 total $t1%.1fs rows $n1 (canary $c2%.3fs)")
+      loopCanaries(name) = (math.max(c0, c1), math.max(c1, c2))
       rows += ((name, "TOTAL", t01, t1))
       for ((stage, s1) <- laps1)
         rows += ((name, stage, laps01.getOrElse(stage, 0.0), s1))
+      // the converse of the NEW-at-sf1 notice below: a stage recorded
+      // at sf0.1 that never ran at sf1 would otherwise vanish without
+      // a table row — itself a scale signal (a skipped pipeline stage
+      // at 10× data), so it gets a 0-second sf1 row and a loud line
+      for ((stage, s0) <- laps01 if !laps1.contains(stage)) {
+        rows += ((name, stage, s0, 0.0))
+        System.err.println(f"[soak] $name / $stage ran at sf0.1 ($s0%.2fs) " +
+          "but NOT at sf1 — renamed lap or a stage skipped at scale")
+      }
     }
     // converged-relation gates at sf1: the `_check` twins (single-row
     // verdicts — every boolean must hold, every pinned counter must be
