@@ -117,14 +117,6 @@ object Dedup {
     ngramJaccardPairs(shingleHashSets(docs, n).persist(), threshold, maxShingleDf)
       .orderBy(col("doc_id_1"), col("doc_id_2"))
 
-  /** The pair-join core of [[ngramJaccard]] over a PRE-SHINGLED input
-    * (`doc_id`, `shingles` from [[shingleHashSets]]) and WITHOUT the
-    * user-facing global sort. Composite operators (near-dup clustering,
-    * the cleaning pipeline) call this directly so they can persist one
-    * shingle pass across the self-join's two sides and never pay an
-    * ordering their downstream consumers (CC, anti-join) would destroy
-    * anyway.
-    */
   /** The LENGTH-filter join predicate shared by the pair self-join and
     * the incremental closure's frontier join (ONE definition — a
     * drifted second copy could split the closure's edge set from the
@@ -144,6 +136,14 @@ object Dedup {
   private[operators] def sizeRatioOk(threshold: Double): org.apache.spark.sql.Column =
     least(col("n1"), col("n2")) * lit(1.0) / greatest(col("n1"), col("n2")) >= threshold
 
+  /** The pair-join core of [[ngramJaccard]] over a PRE-SHINGLED input
+    * (`doc_id`, `shingles` from [[shingleHashSets]]) and WITHOUT the
+    * user-facing global sort. Composite operators (near-dup clustering,
+    * the cleaning pipeline) call this directly so they can persist one
+    * shingle pass across the self-join's two sides and never pay an
+    * ordering their downstream consumers (CC, anti-join) would destroy
+    * anyway.
+    */
   private[operators] def ngramJaccardPairs(shingled: DataFrame, threshold: Double = DefaultThreshold,
                                            maxShingleDf: Option[Int] = None): DataFrame = {
     // Join on the 64-bit shingle hash, not the shingle string: identical
