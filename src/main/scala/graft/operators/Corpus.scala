@@ -485,17 +485,23 @@ object Corpus {
 
   /** The §2.3 ngram-Jaccard pair SQL, reused as the edge set of the
     * clustering oracles (kept in lockstep with Dedup.oracle).
+    * Parameterized over the pair join's source so the CAPPED variant
+    * ([[pairsCteCapped]] — global shingle df > cap excluded, `nsh`
+    * stays the FULL set size, matching `ngramJaccardPairs(cap)`'s
+    * lower-bound semantics) shares every other line verbatim.
+    * NOTE: this template is s-interpolated, so regex backslashes are
+    * doubled (`\\s`) where the old plain-triple-quoted form had `\s`.
     */
-  private val pairsCte =
-    """t AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ts
+  private def pairsCteFrom(capCte: String, src: String): String =
+    s"""t AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ts
       |  FROM documents),
       |sh AS (SELECT doc_id,
       |   list_distinct([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] for i in range(1, len(ts)-1)]) AS shingles
       |  FROM t WHERE len(ts) >= 3),
-      |ex AS (SELECT doc_id, unnest(shingles) AS s, len(shingles) AS nsh FROM sh),
+      |ex AS (SELECT doc_id, unnest(shingles) AS s, len(shingles) AS nsh FROM sh),$capCte
       |pairs AS (SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2, count(*) AS inter,
       |   any_value(a.nsh) AS n1, any_value(b.nsh) AS n2
-      |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2
+      |  FROM $src a JOIN $src b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2
       |  HAVING count(*) * 1.0 / (any_value(a.nsh) + any_value(b.nsh) - count(*)) >= 0.8),
       |edges AS (SELECT doc_id_1 AS src, doc_id_2 AS dst FROM pairs
       |  UNION SELECT doc_id_2, doc_id_1 FROM pairs),
@@ -504,6 +510,27 @@ object Corpus {
       |   WHERE e.dst <> r.src),
       |clusters AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
       |  FROM reach GROUP BY src)""".stripMargin
+
+  private val pairsCte = pairsCteFrom("", "ex")
+
+  /** [[pairsCte]] under the `maxShingleDf` cap: rows of shingles whose
+    * GLOBAL document frequency exceeds the cap are excluded before the
+    * pair join (strictly-greater, matching the Scala hot filter), while
+    * `nsh` keeps the full shingle-set size — the capped Jaccard lower
+    * bound, line-for-line the uncapped CTE otherwise. */
+  private def pairsCteCapped(cap: Int): String = pairsCteFrom(
+    s"""
+      |excap AS (SELECT * FROM ex WHERE s NOT IN (
+      |  SELECT s FROM ex GROUP BY s HAVING count(*) > $cap)),""".stripMargin, "excap")
+
+  /** The full clean-gate SQL under the cap — the oracle of the CAPPED
+    * streamed incremental clean ([[graft.streaming.Events]] registers
+    * it with its shared cap constant interpolated). */
+  private[graft] def cleanCorpusSqlCapped(cap: Int): String =
+    s"""WITH RECURSIVE ${pairsCteCapped(cap)},
+       |$scoringCtes
+       |SELECT doc_id, n_tokens, quality, lang_pred FROM s3
+       |WHERE quality >= 0.75 ORDER BY doc_id""".stripMargin
 
   /** The clean-corpus scoring chain (drop near-dups → token stats →
     * quality + langid), shared by the `pipe_clean_corpus` and

@@ -196,6 +196,74 @@ object Snapshot {
     def release(): Unit = ()
   }
 
+  /** A probe under the `maxShingleDf` cap: every read drops rows whose
+    * shingle is in the (small, broadcast) hot set, while `nsh` — full
+    * set size, computed at posting time — rides through untouched, so
+    * the closure's Jaccard is the same lower bound
+    * [[graft.operators.Dedup.ngramJaccardPairs]] computes under the
+    * cap. Capping BOTH sides of the closure join keeps it minimal;
+    * capping either alone would already be correct (a dropped row can
+    * match nothing). Bucket discovery on a stored inner probe sees the
+    * capped frontier rows — a hot shingle's (possibly huge) bucket is
+    * then never even read unless a live shingle shares it. */
+  private[graft] final case class CappedPostings(inner: PostingsProbe, hot: DataFrame)
+    extends PostingsProbe {
+    def forDocs(frontier: DataFrame): DataFrame =
+      inner.forDocs(frontier).join(broadcast(hot), Seq("s"), "left_anti")
+    def forShinglesOf(frontierPost: DataFrame): DataFrame =
+      inner.forShinglesOf(frontierPost).join(broadcast(hot), Seq("s"), "left_anti")
+    def release(): Unit = inner.release()
+  }
+
+  /** The cap-crossing machinery shared by the in-memory capped overload
+    * and the stored-chain capped delta ([[incrementalLedgerDeltaCheckpointedCapped]]):
+    * given the epoch's delta ids, the UNCAPPED new-index probe, the
+    * delta docs' OLD posting rows and the prior epoch's hot set,
+    * returns (extra closure seeds, the NEXT hot set as an eager
+    * checkpoint, the caches to unpersist once the closure has
+    * materialized its seeds).
+    *
+    * Only delta-doc shingles can change df, so: the df SHIFT per
+    * shingle is a delta-sized aggregate (new delta holders − old delta
+    * holders; untouched docs cancel), `df_new` is ONE count over the
+    * new index restricted to the touched shingles (a bucket-pruned
+    * read on a stored probe), and `df_old = df_new − shift`. CROSSING
+    * shingles — where `df_old > cap` and `df_new > cap` disagree —
+    * seed their new-corpus holders (any flipped capped edge's
+    * endpoints hold one by definition). The hot set advances without
+    * any full-index pass: untouched shingles keep their prior
+    * membership, touched shingles are re-decided from their exact
+    * `df_new` — so hot(e) is exact by induction from an exact hot(0).
+    */
+  private def capCrossings(deltaIds: DataFrame, postings: PostingsProbe,
+                           oldDeltaPost: DataFrame, hotPrior: DataFrame, maxDf: Int)
+      : (DataFrame, DataFrame, Seq[DataFrame]) = {
+    val newDeltaPost = postings.forDocs(deltaIds)
+    val deltaPost = newDeltaPost.select(col("s"), lit(1L).as("side"))
+      .unionByName(oldDeltaPost.select(col("s"), lit(-1L).as("side"))).persist()
+    val touchedS = deltaPost.select(col("s")).distinct()
+    // all new-index rows of touched shingles — forShinglesOf only needs
+    // the `s` column of its argument (bucket discovery), and its
+    // superset result is then restricted to exactly the touched set
+    val touchedRows = postings.forShinglesOf(deltaPost)
+      .join(touchedS, Seq("s"), "left_semi").persist()
+    val dfNew = touchedRows.groupBy(col("s")).agg(count(lit(1)).as("df_new"))
+    val shift = deltaPost.groupBy(col("s")).agg(sum(col("side")).as("shift"))
+    val crossing = shift.join(dfNew, Seq("s"), "left")
+      .select(col("s"), coalesce(col("df_new"), lit(0L)).as("df_new"),
+        (coalesce(col("df_new"), lit(0L)) - col("shift")).as("df_old"))
+      .filter((col("df_old") > maxDf) =!= (col("df_new") > maxDf))
+      .select(col("s"))
+    val extraSeeds = touchedRows.join(crossing, Seq("s"), "left_semi")
+      .select(col("doc_id")).distinct()
+    // eager: the closure anti-joins the hot set EVERY round, and the
+    // stored-chain caller persists it as the epoch's hot snapshot
+    val hotNext = hotPrior.join(touchedS, Seq("s"), "left_anti")
+      .unionByName(dfNew.filter(col("df_new") > maxDf).select(col("s")))
+      .localCheckpoint(true)
+    (extraSeeds, hotNext, Seq(deltaPost, touchedRows))
+  }
+
   /** BFS over the TRUE Jaccard pair graph from `seeds`, probing a
     * `(doc_id, nsh, s)` posting index through a [[PostingsProbe]] (one
     * row per doc × distinct shingle hash; `nsh` = that doc's
@@ -537,21 +605,18 @@ object Snapshot {
     * Member edges are therefore identical in both epochs' capped
     * graphs and the component (hence its min label) is unchanged.
     *
-    * Scale shape of THIS overload (r15 review): steps 1-3 are
-    * delta-proportional (delta-sized aggregates plus ONE
-    * touched-shingle-restricted index count, bucket-prunable on a
-    * stored index), but step 4's hot-set derivation recomputes global
-    * per-shingle df with a full-index aggregation and hands the capped
-    * index to the in-memory closure probe. That is the right shape for
-    * this stored-DataFrame batch form — the full-index pass is the
-    * same one `ngramJaccardPairs(cap)` pays, and everything downstream
-    * of it is blast-radius-sized — but it is NOT yet the bucket-pruned
-    * chain shape of the uncapped streaming loop. The chain integration
-    * needs no new semantics: the hot set updates incrementally as
-    * hot(e) = (hot(e-1) ∖ crossings-down) ∪ crossings-up — exactly the
-    * crossing relation step 3 already computes — and a capped
-    * [[PostingsProbe]] filters its bucket reads against the broadcast
-    * hot set row-wise, keeping every read delta-shaped.
+    * Scale shape of THIS overload: the crossing detection and closure
+    * are delta-proportional (delta-sized aggregates plus ONE
+    * touched-shingle-restricted index count), but the PRIOR hot set is
+    * derived here with one full pass over the supplied old index —
+    * the honest cost of the stateless stored-DataFrame form, which
+    * receives no hot snapshot to advance from. The chain deployment
+    * doesn't pay it: [[incrementalLedgerDeltaCheckpointedCapped]]
+    * advances a PERSISTED hot snapshot from the delta's crossings
+    * (exact by induction) and caps the bucket-pruned
+    * [[PostingsProbe]] reads against it broadcast —
+    * [[graft.streaming.Events.streamIncrementalClean]]'s capped mode
+    * runs that loop with every per-epoch read delta-shaped.
     *
     * No defaults on this overload (Scala permits them on only one
     * alternative); pass `maxRounds = 25` for the standard bound.
@@ -564,45 +629,32 @@ object Snapshot {
     val delta = diff(oldManifest, newManifest)
       .localCheckpoint(true) // delta-sized; read by seeds, crossing detection, carry fence
     val deltaIds = delta.select(col("doc_id"))
-    // -- cap-crossing detection (delta-shaped reads; see steps 1-3 above)
-    val oldDeltaPost = cap.oldPostings.join(deltaIds, Seq("doc_id"), "left_semi")
-      .select(col("s"), lit(-1L).as("side"))
-    val newDeltaPost = postings.join(deltaIds, Seq("doc_id"), "left_semi")
-      .select(col("s"), lit(1L).as("side"))
-    val deltaPost = newDeltaPost.unionByName(oldDeltaPost).persist()
-    // all new-index rows of touched shingles: the ONE index read of the
-    // detection (bucket-prunable on a stored hash-bucketed index)
-    val touchedRows = postings
-      .join(deltaPost.select(col("s")).distinct(), Seq("s"), "left_semi").persist()
-    val dfNew = touchedRows.groupBy(col("s")).agg(count(lit(1)).as("df_new"))
-    val shift = deltaPost.groupBy(col("s")).agg(sum(col("side")).as("shift"))
-    val crossing = shift.join(dfNew, Seq("s"), "left")
-      .select(col("s"), coalesce(col("df_new"), lit(0L)).as("df_new"),
-        (coalesce(col("df_new"), lit(0L)) - col("shift")).as("df_old"))
-      .filter((col("df_old") > cap.maxDf) =!= (col("df_new") > cap.maxDf))
-      .select(col("s"))
-    val extraSeeds = touchedRows.join(crossing, Seq("s"), "left_semi")
-      .select(col("doc_id")).distinct()
-    // -- capped index: the same global-df hot filter ngramJaccardPairs
-    // applies (strictly-greater excluded; one shared definition of the
-    // predicate would be circular here — DedupSpec pins the boundary)
-    val hotS = postings.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val probe = InMemoryPostings(postings)
+    // PRIOR hot set, derived from the supplied old index (the stored-
+    // chain loop reads its persisted hot snapshot here instead); the
+    // strictly-greater boundary matches ngramJaccardPairs' hot filter
+    // (one shared SQL definition would be circular — DedupSpec pins it)
+    val hotPrior = cap.oldPostings.groupBy(col("s")).agg(count(lit(1)).as("df"))
       .filter(col("df") > cap.maxDf).select(col("s"))
-    val cappedIdx = postings.join(broadcast(hotS), Seq("s"), "left_anti").persist()
+    val (extraSeeds, hotNext, caches) =
+      try capCrossings(deltaIds, probe,
+        cap.oldPostings.join(deltaIds, Seq("doc_id"), "left_semi"), hotPrior, cap.maxDf)
+      catch { case t: Throwable => Corpus.releaseCheckpoint(delta); throw t }
     val core =
-      try recomputedLedgerRowsFromDelta(prior, newManifest, InMemoryPostings(cappedIdx),
+      try recomputedLedgerRowsFromDelta(prior, newManifest, CappedPostings(probe, hotNext),
         ids => newDocs.join(ids, Seq("doc_id"), "left_semi"), maxRounds, lap, delta,
         Some(extraSeeds))
       catch { case t: Throwable =>
-        Corpus.releaseCheckpoint(delta)
+        Seq(delta, hotNext).foreach(Corpus.releaseCheckpoint)
         throw t
       } finally {
-        // every cache is fully consumed by the time the core returns:
+        // the caches are fully consumed by the time the core returns:
         // seeds checkpoint eagerly at closure entry, the closure rounds
         // and CC labels checkpoint inside, and the lazy result reads
         // only docsFor(closed) + labels — never the index
-        Seq(deltaPost, touchedRows, cappedIdx).foreach(_.unpersist(blocking = false))
+        caches.foreach(_.unpersist(blocking = false))
       }
+    Corpus.releaseCheckpoint(hotNext) // closure consumed it round-by-round
     val (recomputed, closure, dIds, _) = core
     val carried = prior
       .join(closure, Seq("doc_id"), "left_anti")
@@ -678,6 +730,64 @@ object Snapshot {
       }
     (closed +: releasables).foreach(Corpus.releaseCheckpoint)
     out
+  }
+
+  /** The CAPPED stored-chain delta — [[incrementalLedgerDeltaCheckpointed]]
+    * under `maxShingleDf`, with every read still delta-shaped: no
+    * full-index pass anywhere. The extra stored state a capped chain
+    * loop maintains is ONE small relation — the epoch's hot-shingle
+    * set `(s)` — advanced here from `hotPrior` plus the delta's
+    * crossings (exact by induction; the bootstrap epoch derives hot(0)
+    * from its own arrival's postings, the same compute its batch
+    * bootstrap ledger already pays). `oldPostingsFor` supplies the
+    * delta docs' PRIOR-epoch posting rows — on the standard chain
+    * layout that is a re-shingle of the delta ids' old text off the
+    * doc-bucketed corpus chain resolved at the prior epoch, O(|delta|)
+    * compute against a file-pruned read (the [[graft.streaming.Events
+    * .StoredPostingsProbe]] forDocs trade, applied to the old view).
+    *
+    * Returns (the epoch's recomputed ledger rows, the NEXT hot set) —
+    * both eager checkpoints the caller consumes (one write each: the
+    * ledger delta and the epoch's hot snapshot, written BEFORE the
+    * committing ledger write) and then releases with
+    * [[Corpus.releaseCheckpoint]].
+    * [[graft.streaming.Events.streamIncrementalClean]]'s capped mode
+    * consumes this per micro-batch; spec-pinned equal to the batch
+    * `Corpus.ledger(corpus, cap)` the same way the uncapped loop is.
+    */
+  def incrementalLedgerDeltaCheckpointedCapped(
+      prior: DataFrame, oldManifest: DataFrame, newManifest: DataFrame,
+      postings: PostingsProbe, docsFor: DataFrame => DataFrame,
+      maxRounds: Int, maxDf: Int, hotPrior: DataFrame,
+      oldPostingsFor: DataFrame => DataFrame): (DataFrame, DataFrame) = {
+    val lap = incrLap(detail = true)
+    val delta = diff(oldManifest, newManifest).localCheckpoint(true)
+    var hotNext: DataFrame = null
+    var caches: Seq[DataFrame] = Nil
+    try {
+      val deltaIds = delta.select(col("doc_id"))
+      val (extraSeeds, hot, c) =
+        capCrossings(deltaIds, postings, oldPostingsFor(deltaIds), hotPrior, maxDf)
+      hotNext = hot; caches = c
+      val (rec, closed, _, releasables) = recomputedLedgerRowsFromDelta(
+        prior, newManifest, CappedPostings(postings, hotNext), docsFor,
+        maxRounds, lap, delta, Some(extraSeeds))
+      val out =
+        try rec.localCheckpoint(true)
+        catch { case t: Throwable =>
+          (closed +: releasables).foreach(Corpus.releaseCheckpoint)
+          throw t
+        }
+      (closed +: releasables).foreach(Corpus.releaseCheckpoint)
+      (out, hotNext)
+    } catch { case t: Throwable =>
+      // releaseCheckpoint is idempotent (rdd.unpersist), so the paths
+      // that already released `delta` via `releasables` are safe here
+      Corpus.releaseCheckpoint(delta)
+      if (hotNext != null) Corpus.releaseCheckpoint(hotNext)
+      postings.release() // idempotent; the success path released inside
+      throw t
+    } finally caches.foreach(_.unpersist(blocking = false))
   }
 
   /** Shared core of the two stored-state entry points: the recomputed

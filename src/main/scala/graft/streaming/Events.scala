@@ -920,6 +920,22 @@ object Events {
     *    scalar rows — the [[ingestDedupToFiles]] changelog recipe). NO
     *    corpus-width write survives anywhere in the loop.
     *
+    * CAPPED mode (`maxShingleDf`, the `stream_incremental_clean_capped`
+    * query): the loop maintains ONE extra stored relation — the
+    * epoch's hot-shingle snapshot `hot_shingles/batch=e` (shingles
+    * with live df > cap; small by construction) — written before the
+    * committing ledger write and advanced per epoch by
+    * [[graft.operators.Snapshot.incrementalLedgerDeltaCheckpointedCapped]]
+    * from the prior committed snapshot plus the delta's cap crossings,
+    * so no full-index df pass ever runs after the bootstrap (which
+    * derives hot(0) from its own arrival, the corpus it already
+    * scans). The closure probes the same [[StoredPostingsProbe]]
+    * wrapped in a broadcast hot-set filter
+    * ([[graft.operators.Snapshot.CappedPostings]]); the delta docs'
+    * OLD postings (the df-shift side) re-shingle their prior-epoch
+    * text off the doc-bucketed corpus chain resolved at the
+    * predecessor — every capped-epoch read stays delta-shaped.
+    *
     * REMOVALS are first-class arrivals: a row with `text IS NULL` is
     * the crawler's delete signal (a tombstone-only delta — no state
     * rows are written for it anywhere). The epoch tombstones the
@@ -992,7 +1008,8 @@ object Events {
                              epochProbe: Option[scala.collection.mutable.Buffer[(Long, Long)]] = None,
                              ledgerDeltaProbe: Option[scala.collection.mutable.Buffer[(Long, Long)]] = None,
                              compactEvery: Int = 8,
-                             crashAtEpoch: Option[Long] = None): DataFrame = {
+                             crashAtEpoch: Option[Long] = None,
+                             maxShingleDf: Option[Int] = None): DataFrame = {
     import graft.operators.{Corpus, Snapshot}
     val ss = sessionFor(spark, statePartitions,
       Map("spark.sql.streaming.noDataMicroBatches.enabled" -> "false") ++ providerConf)
@@ -1013,6 +1030,18 @@ object Events {
           // doc-bucketed corpus chain instead — StoredPostingsProbe doc)
           val postingsByShingleDir = s"$store/postings_by_shingle"
           val tombstoneDir = s"$store/tombstones"
+          // CAPPED mode's one extra stored relation: the epoch's full
+          // hot-shingle set (small — shingles with live df > cap),
+          // written per epoch as `hot_shingles/batch=e` BEFORE the
+          // committing ledger write and advanced from the prior
+          // committed snapshot plus the delta's crossings — no
+          // full-index df pass ever runs after bootstrap. Only the
+          // latest committed epoch's snapshot is read; a deployment
+          // prunes older dirs (tiny files) with its compaction cadence.
+          val hotDir = s"$store/hot_shingles"
+          val hotSchema = org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("s",
+              org.apache.spark.sql.types.LongType)))
           def latestBelow(epoch: Long): Option[Long] =
             latestCommittedBelow(ledgerDir, manifestDir, epoch)
           // merge-on-read over a delta chain — the ONE shared resolution
@@ -1130,7 +1159,8 @@ object Events {
               // consumed by the tombstone semi, the manifest delta write
               // and the hash-unchanged re-delivery carry below
               val batchManifest = Snapshot.manifest(arrived).persist()
-              val (prior, priorManifest) = latestBelow(epoch) match {
+              val priorEpochOpt = latestBelow(epoch)
+              val (prior, priorManifest) = priorEpochOpt match {
                 case Some(e) => (ledgerView(bss, e).persist(),
                   manifestView(bss, upTo = Some(e)).persist())
                 case None =>
@@ -1198,11 +1228,21 @@ object Events {
                 // replay, which re-runs the uncommitted epoch itself —
                 // still resolves the stored chains generically.
                 if (epoch == 0L) {
+                  // capped bootstrap: hot(0) over the arrival's own
+                  // postings — the same corpus the batch ledger below
+                  // scans anyway; written BEFORE the committing ledger
+                  // write so every committed epoch has its hot snapshot
+                  maxShingleDf.foreach { capDf =>
+                    Snapshot.postings(arrived)
+                      .groupBy(col("s")).agg(count(lit(1)).as("df"))
+                      .filter(col("df") > capDf).select(col("s"))
+                      .write.mode("overwrite").parquet(s"$hotDir/batch=$epoch")
+                  }
                   // release the batch compute's label checkpoint after
                   // the write — the bootstrap must leave the session as
                   // clean as every later epoch does
                   val ccOut = scala.collection.mutable.ListBuffer.empty[DataFrame]
-                  try Corpus.ledger(arrived, ckptOut = Some(ccOut))
+                  try Corpus.ledger(arrived, maxShingleDf, ckptOut = Some(ccOut))
                     .write.mode("overwrite").parquet(s"$ledgerDir/batch=$epoch")
                   finally ccOut.foreach(graft.operators.Corpus.releaseCheckpoint)
                   lap(s"epoch $epoch: ledger bootstrap (batch compute commits)")
@@ -1251,9 +1291,52 @@ object Events {
                     // must not pin another blast-radius of intermediate
                     // checkpoint blocks every epoch — this one hands back
                     // a single released-after-write relation (and
-                    // releases the probe's bucket chunks inside)
-                    val deltaRows = Snapshot.incrementalLedgerDeltaCheckpointed(
-                      prior, priorManifest, nextManifest, probe, docsFor, 25)
+                    // releases the probe's bucket chunks inside).
+                    // CAPPED mode runs the capped twin, which also
+                    // advances the epoch's hot-shingle snapshot from the
+                    // prior committed one + the delta's cap crossings —
+                    // every read stays delta-shaped (no full-index pass).
+                    val (deltaRows, hotNextOpt) = maxShingleDf match {
+                      case None =>
+                        (Snapshot.incrementalLedgerDeltaCheckpointed(
+                          prior, priorManifest, nextManifest, probe, docsFor, 25), None)
+                      case Some(capDf) =>
+                        // prior hot snapshot: the latest committed
+                        // epoch's (an epoch-0 bootstrap always wrote
+                        // one); the no-predecessor arm is unreachable
+                        // under replay but stays schema-generic
+                        val hotPrior = priorEpochOpt match {
+                          case Some(pe) =>
+                            bss.read.schema(hotSchema).parquet(s"$hotDir/batch=$pe")
+                          case None => Snapshot.postings(arrived).select(col("s")).limit(0)
+                        }
+                        // delta docs' OLD posting rows: re-shingle their
+                        // prior-epoch text off the doc-bucketed corpus
+                        // chain resolved AT the predecessor — O(|delta|)
+                        // compute against a file-pruned read (the
+                        // StoredPostingsProbe forDocs trade, applied to
+                        // the old view; needs its OWN tombstone bound —
+                        // the epoch's aggregate would resolve away text
+                        // this epoch superseded, which is exactly the
+                        // text whose shingles the df shift must count)
+                        val tombAggPrev = tombstoneAggregate(bss, tombstoneDir,
+                          upTo = Some(priorEpochOpt.getOrElse(-1L))).map(_.persist())
+                        try {
+                          val oldPostingsFor: DataFrame => DataFrame = ids =>
+                            Snapshot.postings(
+                              tombstoneResolvedRowsWith(
+                                prunedChainRows(bss, corpusDir,
+                                  priorEpochOpt.getOrElse(-1L),
+                                  collectBuckets(ids, col("doc_id")),
+                                  Some(docSchema)),
+                                tombAggPrev)
+                                .join(ids, Seq("doc_id"), "left_semi"))
+                          val (d, h) = Snapshot.incrementalLedgerDeltaCheckpointedCapped(
+                            prior, priorManifest, nextManifest, probe, docsFor,
+                            25, capDf, hotPrior, oldPostingsFor)
+                          (d, Some(h))
+                        } finally tombAggPrev.foreach(_.unpersist(blocking = false))
+                    }
                     // HASH-UNCHANGED re-deliveries (ADVICE r12, high):
                     // the manifest diff classifies a same-(doc_id, h)
                     // re-delivery as 'unchanged' — no recompute seed, no
@@ -1273,9 +1356,17 @@ object Events {
                     val carry = prior
                       .join(unchangedIds, Seq("doc_id"), "left_semi")
                       .join(deltaRows.select(col("doc_id")), Seq("doc_id"), "left_anti")
+                    // capped: the epoch's hot snapshot lands BEFORE the
+                    // committing ledger write (idempotent overwrite on
+                    // replay), so a committed epoch always has one
+                    hotNextOpt.foreach(_.write.mode("overwrite")
+                      .parquet(s"$hotDir/batch=$epoch"))
                     try deltaRows.unionByName(carry).write.mode("overwrite")
                       .parquet(s"$ledgerDir/batch=$epoch")
-                    finally graft.operators.Corpus.releaseCheckpoint(deltaRows)
+                    finally {
+                      graft.operators.Corpus.releaseCheckpoint(deltaRows)
+                      hotNextOpt.foreach(graft.operators.Corpus.releaseCheckpoint)
+                    }
                     lap(s"epoch $epoch: ledger update (delta write commits)")
                   } finally {
                     probe.release() // idempotent; inner release is the contract
@@ -2780,6 +2871,15 @@ object Events {
     * by construction: the doc's final text equals the raw table's, so
     * every batch-SQL oracle is untouched. */
   private[graft] val IdenticalRedeliveryMod = 9L
+  /** The `maxShingleDf` cap of the CAPPED streamed clean query
+    * (`stream_incremental_clean_capped`) — ONE definition interpolated
+    * into both the loop invocation and its DuckDB oracle
+    * ([[graft.operators.Corpus.cleanCorpusSqlCapped]]). Chosen so the
+    * cap genuinely BITES on the driver tables (measured: pair count
+    * drops 28→11 at sf0.001 and 25→20 at sf0.01 — hot shingles exist
+    * AND qualifying edges die), so the capped result differs from the
+    * uncapped and the oracle match is non-vacuous. */
+  private[graft] val CleanCapDf = 4
   /** Ids `% RedeliveryMod == EarlyRedeliveryRem` are re-delivered
     * byte-identical in ARRIVAL 2 of the ANN and classify stagings —
     * the remainder is chosen so `% 5 != 0` (arrival-1 members), which
@@ -3428,7 +3528,9 @@ object Events {
     "stream_session_window" -> ((s, d) => sessionWindowAgg(s, d)),
     "stream_sessionize" -> ((s, d) => sessionize(s, d)),
     "stream_corpus_report" -> ((s, d) => streamCorpusReport(s, d)),
-    "stream_incremental_clean" -> ((s, d) => streamIncrementalClean(s, d)))
+    "stream_incremental_clean" -> ((s, d) => streamIncrementalClean(s, d)),
+    "stream_incremental_clean_capped" -> ((s, d) =>
+      streamIncrementalClean(s, d, maxShingleDf = Some(CleanCapDf))))
 
   /** The incrementally-maintained dedup_exact relation over quality-
     * passing docs — arrival-order-free by construction. ONE definition
@@ -3481,6 +3583,12 @@ object Events {
     // pipe_clean_corpus's from-scratch SQL (the same one that gates
     // incremental_clean)
     "stream_incremental_clean" -> graft.operators.Corpus.oracle("pipe_clean_corpus"),
+    // the CAPPED loop converges to the capped batch clean gate — the
+    // from-scratch SQL with the shared cap constant interpolated (the
+    // cap bites on the driver tables, so this match is non-vacuous:
+    // the capped kept set differs from the uncapped one)
+    "stream_incremental_clean_capped" ->
+      graft.operators.Corpus.cleanCorpusSqlCapped(CleanCapDf),
     "stream_ingest_dedup" -> ingestDedupOracle,
     // stream_ingest_ann is rows-only (quantizer-seeded ranked list, the
     // dedup_minhash_lsh status); its check twin pins exactly-k rows per

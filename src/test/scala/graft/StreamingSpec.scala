@@ -1471,6 +1471,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.collect().toSeq == batch.collect().toSeq)
   }
 
+  test("CAPPED streamed incremental clean equals the capped batch gate across staged epochs") {
+    // The maxShingleDf chain integration (r15): the loop maintains one
+    // extra stored relation — the epoch's hot-shingle snapshot,
+    // advanced from the prior committed one plus the delta's cap
+    // crossings — and the converged kept set must equal the CAPPED
+    // batch clean gate over the final corpus, through the same staged
+    // re-delivery/shadow/removal epochs the uncapped leg runs.
+    import graft.operators.Corpus
+    def keptView(capped: Option[Int]) =
+      Corpus.ledger(Tables.documents(spark, TestSpark.sf), capped)
+        .filter(col("doc_id") === col("cluster_id") && col("quality") >= 0.75)
+        .select(col("doc_id"), col("n_tokens"), col("quality"), col("lang_pred"))
+        .orderBy(col("doc_id")).collect().toSeq
+    val streamed = Events.streamIncrementalClean(spark, TestSpark.sf,
+      maxShingleDf = Some(Events.CleanCapDf)).collect().toSeq
+    val batchCapped = keptView(Some(Events.CleanCapDf))
+    assert(streamed.nonEmpty && streamed == batchCapped,
+      "capped streamed ledger diverged from the capped batch gate")
+    // non-vacuity: the cap must BITE at this SF (excluded hot shingles
+    // kill real edges, so the capped kept set differs from uncapped) —
+    // otherwise this leg proves only that the cap plumbing is inert
+    assert(streamed != keptView(None),
+      s"cap ${Events.CleanCapDf} does not bite at ${TestSpark.sf} — vacuous leg")
+  }
+
+  test("CAPPED streamed incremental clean survives the between-markers crash replay") {
+    // the capped branch adds a write (the hot snapshot) between the
+    // manifest and ledger markers; a replayed epoch must re-advance the
+    // SAME hot set from the same committed prior and overwrite
+    // idempotently — converging to the identical capped batch truth
+    import graft.operators.Corpus
+    val streamed = Events.streamIncrementalClean(spark, TestSpark.sf,
+      crashAtEpoch = Some(1L), maxShingleDf = Some(Events.CleanCapDf)).collect().toSeq
+    val batch = Corpus.ledger(Tables.documents(spark, TestSpark.sf), Some(Events.CleanCapDf))
+      .filter(col("doc_id") === col("cluster_id") && col("quality") >= 0.75)
+      .select(col("doc_id"), col("n_tokens"), col("quality"), col("lang_pred"))
+      .orderBy(col("doc_id")).collect().toSeq
+    assert(streamed.nonEmpty && streamed == batch,
+      "crash-replayed capped loop diverged from the capped batch gate")
+  }
+
   test("stream_incremental_clean's maintained ledger converges to the batch clean gate") {
     val probe = scala.collection.mutable.ListBuffer.empty[(Long, Long)]
     val ledgerProbe = scala.collection.mutable.ListBuffer.empty[(Long, Long)]
