@@ -136,6 +136,17 @@ object Dedup {
   private[operators] def sizeRatioOk(threshold: Double): org.apache.spark.sql.Column =
     least(col("n1"), col("n2")) * lit(1.0) / greatest(col("n1"), col("n2")) >= threshold
 
+  /** The `maxShingleDf` HOT set of a posting relation (any relation
+    * with one row per doc × distinct shingle, shingle in `s`):
+    * shingles whose document frequency STRICTLY exceeds the cap. ONE
+    * definition of the boundary for the batch pair join, the capped
+    * incremental overload's prior-hot derivation and the streaming
+    * loop's hot(0) bootstrap (r15 review: the predicate had grown four
+    * hand-rolled copies). */
+  private[graft] def hotShingles(postings: DataFrame, maxDf: Int): DataFrame =
+    postings.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf).select(col("s"))
+
   /** The pair-join core of [[ngramJaccard]] over a PRE-SHINGLED input
     * (`doc_id`, `shingles` from [[shingleHashSets]]) and WITHOUT the
     * user-facing global sort. Composite operators (near-dup clustering,
@@ -155,9 +166,7 @@ object Dedup {
         explode(col("shingles")).as("s"))
     val ex = maxShingleDf match {
       case Some(cap) =>
-        val hot = exAll.groupBy(col("s")).agg(count(lit(1)).as("df"))
-          .filter(col("df") > cap).select(col("s"))
-        exAll.join(broadcast(hot), Seq("s"), "left_anti")
+        exAll.join(broadcast(hotShingles(exAll, cap)), Seq("s"), "left_anti")
       case None => exAll
     }
     val a = ex.select(col("doc_id").as("doc_id_1"), col("nsh").as("n1"), col("s"))

@@ -257,10 +257,18 @@ object Snapshot {
     val extraSeeds = touchedRows.join(crossing, Seq("s"), "left_semi")
       .select(col("doc_id")).distinct()
     // eager: the closure anti-joins the hot set EVERY round, and the
-    // stored-chain caller persists it as the epoch's hot snapshot
-    val hotNext = hotPrior.join(touchedS, Seq("s"), "left_anti")
-      .unionByName(dfNew.filter(col("df_new") > maxDf).select(col("s")))
-      .localCheckpoint(true)
+    // stored-chain caller persists it as the epoch's hot snapshot.
+    // This checkpoint job is what materializes both caches — if it
+    // dies, no caller ever receives the caches seq, so the failure
+    // path must unpersist here (release-before-throw; r15 review)
+    val hotNext =
+      try hotPrior.join(touchedS, Seq("s"), "left_anti")
+        .unionByName(dfNew.filter(col("df_new") > maxDf).select(col("s")))
+        .localCheckpoint(true)
+      catch { case t: Throwable =>
+        Seq(deltaPost, touchedRows).foreach(_.unpersist(blocking = false))
+        throw t
+      }
     (extraSeeds, hotNext, Seq(deltaPost, touchedRows))
   }
 
@@ -631,11 +639,9 @@ object Snapshot {
     val deltaIds = delta.select(col("doc_id"))
     val probe = InMemoryPostings(postings)
     // PRIOR hot set, derived from the supplied old index (the stored-
-    // chain loop reads its persisted hot snapshot here instead); the
-    // strictly-greater boundary matches ngramJaccardPairs' hot filter
-    // (one shared SQL definition would be circular — DedupSpec pins it)
-    val hotPrior = cap.oldPostings.groupBy(col("s")).agg(count(lit(1)).as("df"))
-      .filter(col("df") > cap.maxDf).select(col("s"))
+    // chain loop reads its persisted hot snapshot here instead) — the
+    // ONE shared boundary definition, Dedup.hotShingles
+    val hotPrior = Dedup.hotShingles(cap.oldPostings, cap.maxDf)
     val (extraSeeds, hotNext, caches) =
       try capCrossings(deltaIds, probe,
         cap.oldPostings.join(deltaIds, Seq("doc_id"), "left_semi"), hotPrior, cap.maxDf)

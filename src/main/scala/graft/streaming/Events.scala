@@ -1210,7 +1210,14 @@ object Events {
                 // (idempotent overwrites) and writes the ledger that
                 // completes the gate. None of the batch-path fuzzes
                 // reaches this state through the real streaming path.
-                if (crashArmed && crashAtEpoch.contains(epoch)) {
+                // CAPPED incremental epochs defer to their own,
+                // strictly-worse hook (post-hot-write pre-ledger,
+                // below): replay from HERE is mechanically the
+                // uncapped replay, already covered. A capped epoch-0
+                // crash still fires here (the bootstrap has no second
+                // hook — a crash-armed run must always crash).
+                if (crashArmed && (maxShingleDf.isEmpty || epoch == 0L) &&
+                    crashAtEpoch.contains(epoch)) {
                   crashArmed = false
                   throw new InjectedCrash(
                     s"injected between-commit-markers crash at epoch $epoch")
@@ -1228,14 +1235,17 @@ object Events {
                 // replay, which re-runs the uncommitted epoch itself —
                 // still resolves the stored chains generically.
                 if (epoch == 0L) {
-                  // capped bootstrap: hot(0) over the arrival's own
-                  // postings — the same corpus the batch ledger below
-                  // scans anyway; written BEFORE the committing ledger
-                  // write so every committed epoch has its hot snapshot
+                  // capped bootstrap: hot(0) read back off the epoch's
+                  // OWN postings delta (scalar rows, written two steps
+                  // up — re-shingling the arrival's text here would be
+                  // the kernel's third full pass this epoch; r15
+                  // review), through the ONE shared boundary predicate.
+                  // Written BEFORE the committing ledger write so every
+                  // committed epoch has its hot snapshot.
                   maxShingleDf.foreach { capDf =>
-                    Snapshot.postings(arrived)
-                      .groupBy(col("s")).agg(count(lit(1)).as("df"))
-                      .filter(col("df") > capDf).select(col("s"))
+                    graft.operators.Dedup.hotShingles(
+                      bss.read.schema(postingsSchema)
+                        .parquet(s"$postingsByShingleDir/batch=$epoch"), capDf)
                       .write.mode("overwrite").parquet(s"$hotDir/batch=$epoch")
                   }
                   // release the batch compute's label checkpoint after
@@ -1356,14 +1366,31 @@ object Events {
                     val carry = prior
                       .join(unchangedIds, Seq("doc_id"), "left_semi")
                       .join(deltaRows.select(col("doc_id")), Seq("doc_id"), "left_anti")
-                    // capped: the epoch's hot snapshot lands BEFORE the
-                    // committing ledger write (idempotent overwrite on
-                    // replay), so a committed epoch always has one
-                    hotNextOpt.foreach(_.write.mode("overwrite")
-                      .parquet(s"$hotDir/batch=$epoch"))
-                    try deltaRows.unionByName(carry).write.mode("overwrite")
-                      .parquet(s"$ledgerDir/batch=$epoch")
-                    finally {
+                    try {
+                      // capped: the epoch's hot snapshot lands BEFORE
+                      // the committing ledger write (idempotent
+                      // overwrite on replay), so a committed epoch
+                      // always has one — inside this guard, or a failed
+                      // hot write strands both checkpoints (r15 review)
+                      hotNextOpt.foreach(_.write.mode("overwrite")
+                        .parquet(s"$hotDir/batch=$epoch"))
+                      // capped mode's WORST replay point: the hot
+                      // snapshot is on disk, the committing ledger
+                      // write never ran — the replay must re-advance
+                      // from the committed PREDECESSOR's snapshot and
+                      // overwrite the torn one idempotently (the
+                      // between-markers hook above yields to this one
+                      // in capped mode; StreamingSpec's capped crash
+                      // leg lands exactly here)
+                      if (crashArmed && hotNextOpt.isDefined &&
+                          crashAtEpoch.contains(epoch)) {
+                        crashArmed = false
+                        throw new InjectedCrash(
+                          s"injected post-hot-write pre-ledger crash at epoch $epoch")
+                      }
+                      deltaRows.unionByName(carry).write.mode("overwrite")
+                        .parquet(s"$ledgerDir/batch=$epoch")
+                    } finally {
                       graft.operators.Corpus.releaseCheckpoint(deltaRows)
                       hotNextOpt.foreach(graft.operators.Corpus.releaseCheckpoint)
                     }

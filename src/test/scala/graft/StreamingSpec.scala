@@ -632,6 +632,13 @@ class StreamingSpec extends AnyFunSuite {
     assertClean("stream_incremental_clean") {
       assert(Events.streamIncrementalClean(spark, TestSpark.sf).collect().nonEmpty)
     }
+    // the capped mode adds four cache/checkpoint lifecycles per epoch
+    // (crossing caches, hotNext, the prior-epoch tombstone aggregate,
+    // the hot snapshot) — guard them with the same registry gate
+    assertClean("stream_incremental_clean_capped") {
+      assert(Events.streamIncrementalClean(spark, TestSpark.sf,
+        maxShingleDf = Some(Events.CleanCapDf)).collect().nonEmpty)
+    }
     assertClean("stream_ingest_neardup") {
       assert(Events.ingestNearDup(spark, TestSpark.sf).collect().nonEmpty)
     }
@@ -1496,11 +1503,14 @@ class StreamingSpec extends AnyFunSuite {
       s"cap ${Events.CleanCapDf} does not bite at ${TestSpark.sf} — vacuous leg")
   }
 
-  test("CAPPED streamed incremental clean survives the between-markers crash replay") {
-    // the capped branch adds a write (the hot snapshot) between the
-    // manifest and ledger markers; a replayed epoch must re-advance the
-    // SAME hot set from the same committed prior and overwrite
-    // idempotently — converging to the identical capped batch truth
+  test("CAPPED streamed incremental clean survives the post-hot-write crash replay") {
+    // the capped branch's OWN worst replay point (its crash hook fires
+    // post-hot-write, pre-ledger — the between-markers hook defers to
+    // it in capped incremental epochs): the torn epoch's hot snapshot
+    // is on disk while the epoch is uncommitted, and the replay must
+    // re-advance from the committed PREDECESSOR's snapshot and
+    // overwrite the stale one idempotently — converging to the
+    // identical capped batch truth
     import graft.operators.Corpus
     val streamed = Events.streamIncrementalClean(spark, TestSpark.sf,
       crashAtEpoch = Some(1L), maxShingleDf = Some(Events.CleanCapDf)).collect().toSeq
