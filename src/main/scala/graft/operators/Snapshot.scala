@@ -768,6 +768,7 @@ object Snapshot {
       oldPostingsFor: DataFrame => DataFrame): (DataFrame, DataFrame) = {
     val lap = incrLap(detail = true)
     val delta = diff(oldManifest, newManifest).localCheckpoint(true)
+    lap("manifest diff")
     var hotNext: DataFrame = null
     var caches: Seq[DataFrame] = Nil
     try {
@@ -775,6 +776,10 @@ object Snapshot {
       val (extraSeeds, hot, c) =
         capCrossings(deltaIds, postings, oldPostingsFor(deltaIds), hotPrior, maxDf)
       hotNext = hot; caches = c
+      // own mark: the hot-advance checkpoint materialized the crossing
+      // machinery here — without this the core's first "manifest diff"
+      // mark would absorb it and misattribute the capped mode's cost
+      lap("cap crossings (hot advance)")
       val (rec, closed, _, releasables) = recomputedLedgerRowsFromDelta(
         prior, newManifest, CappedPostings(postings, hotNext), docsFor,
         maxRounds, lap, delta, Some(extraSeeds))

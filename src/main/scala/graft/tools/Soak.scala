@@ -226,7 +226,12 @@ object Soak {
       "stream_ingest_neardup" -> (d => Events.ingestNearDup(spark, d)),
       "stream_ingest_ann" -> (d => Events.ingestAnnIvf(spark, d)),
       "stream_ingest_classify" -> (d => Events.ingestClassify(spark, d)),
-      "stream_incremental_clean" -> (d => Events.streamIncrementalClean(spark, d)))
+      "stream_incremental_clean" -> (d => Events.streamIncrementalClean(spark, d)),
+      // the capped loop (r15): same staging, plus the hot-shingle
+      // snapshot chain and crossing machinery — its growth factors
+      // certify the cap's chain integration at 10× data
+      "stream_incremental_clean_capped" -> (d =>
+        Events.streamIncrementalClean(spark, d, maxShingleDf = Some(Events.CleanCapDf))))
     val rows = scala.collection.mutable.ListBuffer.empty[(String, String, Double, Double)]
     // per-loop (sf0.1 canary, sf1 canary) — the gate's normalizers
     val loopCanaries = scala.collection.mutable.Map.empty[String, (Double, Double)]
@@ -326,14 +331,26 @@ object Soak {
     }
     System.err.println(s"[soak] stream_incremental_clean batch-twin equality @ sf1")
     val docs1 = spark.read.parquet(s"$sf1/documents.parquet")
-    val cleanBatch = graft.operators.Corpus.ledger(docs1)
+    def keptView(cap: Option[Int]) = graft.operators.Corpus.ledger(docs1, cap)
       .filter(col("doc_id") === col("cluster_id") && col("quality") >= 0.75)
       .select(col("doc_id"), col("n_tokens"), col("quality"), col("lang_pred"))
       .orderBy(col("doc_id")).collect().toSeq
+    val cleanBatch = keptView(None)
     val cleanGot = Events.streamIncrementalClean(spark, sf1).collect().toSeq
     if (cleanGot.isEmpty || cleanGot != cleanBatch)
       failures ::= s"stream_incremental_clean sf1 diverged from batch twin " +
         s"(${cleanGot.size} vs ${cleanBatch.size} rows)"
+    System.err.println(s"[soak] stream_incremental_clean_capped batch-twin equality @ sf1")
+    val cleanCapBatch = keptView(Some(Events.CleanCapDf))
+    val cleanCapGot = Events.streamIncrementalClean(spark, sf1,
+      maxShingleDf = Some(Events.CleanCapDf)).collect().toSeq
+    if (cleanCapGot.isEmpty || cleanCapGot != cleanCapBatch)
+      failures ::= s"stream_incremental_clean_capped sf1 diverged from capped batch twin " +
+        s"(${cleanCapGot.size} vs ${cleanCapBatch.size} rows)"
+    // non-vacuity at 10×: the per-replica word-mangle preserves each
+    // replica's shingle dfs, so the cap must keep biting at sf1
+    if (cleanCapGot.nonEmpty && cleanCapGot == cleanBatch)
+      failures ::= s"cap ${Events.CleanCapDf} does not bite at sf1 — capped gate vacuous"
     println("| loop | stage | sf0.1 s | sf1 s | growth |")
     println("|---|---|---|---|---|")
     for ((loop, stage, a, b) <- rows) {

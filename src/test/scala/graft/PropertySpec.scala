@@ -503,6 +503,85 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("capped chain-form ledger and hot-set induction converge across random edit epochs") {
+    // The CHAIN form's extra claim beyond the overload fuzz above: the
+    // hot set is not re-derived from an index pass each epoch but
+    // ADVANCED — hot(e) = (hot(e-1) ∖ touched) ∪ {touched: df_new >
+    // cap} — and fed back, so an induction error compounds. Each epoch
+    // here calls incrementalLedgerDeltaCheckpointedCapped with the
+    // PREVIOUS epoch's returned hot set (bootstrap included: epoch 0
+    // flows through the same call with empty prior state), asserts the
+    // advanced hot set equals the from-scratch hot derivation, and
+    // reassembles the full next ledger (delta ∪ carry, the
+    // stored-state carry fence) against Corpus.ledger(cur, cap).
+    import org.apache.spark.sql.functions.col
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import graft.operators.{Corpus, Dedup, Snapshot}
+    val rnd = new scala.util.Random(20260816L)
+    val cap = 3
+    val bases = Array.tabulate(2)(b => Array.tabulate(18)(i => s"cb${b}w$i"))
+    def window(): String = {
+      val b = bases(rnd.nextInt(2))
+      val len = 5 + rnd.nextInt(5)
+      val at = rnd.nextInt(b.length - len + 1)
+      b.slice(at, at + len).mkString(" ")
+    }
+    val cur = scala.collection.mutable.LinkedHashMap.empty[Long, String]
+    var nextId = 1L
+    def currentDF() = cur.toSeq.toDF("doc_id", "text")
+    var oldDocs = currentDF() // empty at bootstrap
+    var prior = Corpus.ledger(oldDocs).localCheckpoint(true) // empty ledger
+    var hot = Snapshot.postings(oldDocs).select(col("s")).limit(0)
+      .localCheckpoint(true)
+    for (epoch <- 0 to 3) {
+      if (epoch == 0) for (_ <- 1 to 10) { cur(nextId) = window(); nextId += 1 }
+      else {
+        for (id <- cur.keys.toSeq) rnd.nextInt(10) match {
+          case 0 | 1 | 2 => cur(id) = window()
+          case 3 => if (cur.size > 4) cur.remove(id)
+          case _ => ()
+        }
+        for (_ <- 0 to rnd.nextInt(2)) { cur(nextId) = window(); nextId += 1 }
+      }
+      val newDocs = currentDF()
+      val oldSnap = oldDocs
+      val idx = Snapshot.postings(newDocs).persist()
+      val (deltaRows, hotNext) = Snapshot.incrementalLedgerDeltaCheckpointedCapped(
+        prior, Snapshot.manifest(oldSnap), Snapshot.manifest(newDocs),
+        Snapshot.InMemoryPostings(idx),
+        ids => newDocs.join(ids, Seq("doc_id"), "left_semi"),
+        25, cap, hot,
+        ids => Snapshot.postings(oldSnap).join(ids, Seq("doc_id"), "left_semi"))
+      // the advanced hot set must equal the from-scratch derivation —
+      // the induction's per-epoch exactness claim, checked directly
+      val wantHot = Dedup.hotShingles(idx, cap).collect().map(_.getLong(0)).toSet
+      val gotHot = hotNext.collect().map(_.getLong(0)).toSet
+      assert(gotHot == wantHot,
+        s"epoch $epoch: advanced hot set $gotHot != from-scratch $wantHot")
+      // full next ledger = recomputed delta ∪ carried prior rows
+      // (closure ids == deltaRows ids; removed ids fenced by the delta)
+      val deltaIds = Snapshot.diff(Snapshot.manifest(oldSnap), Snapshot.manifest(newDocs))
+        .select(col("doc_id"))
+      val next = deltaRows.unionByName(
+        prior.join(deltaRows.select(col("doc_id")), Seq("doc_id"), "left_anti")
+          .join(deltaIds, Seq("doc_id"), "left_anti"))
+        .localCheckpoint(true)
+      val got = next.orderBy(col("doc_id")).collect().map(_.toSeq).toSeq
+      val want = Corpus.ledger(newDocs, Some(cap)).orderBy(col("doc_id"))
+        .collect().map(_.toSeq).toSeq
+      assert(got.nonEmpty && got == want,
+        s"epoch $epoch (cap=$cap): capped chain-form ledger diverged")
+      idx.unpersist(blocking = false)
+      Seq(prior, hot).foreach(Corpus.releaseCheckpoint)
+      Corpus.releaseCheckpoint(deltaRows)
+      prior = next
+      hot = hotNext
+      oldDocs = newDocs
+    }
+    Seq(prior, hot).foreach(Corpus.releaseCheckpoint)
+  }
+
   test("ledger changelog delta + last-write-wins + retraction equals the full next ledger") {
     // The delta-chain contract of incrementalLedgerDeltaFromStoredState
     // (the write streamIncrementalClean appends per epoch), pinned on a
