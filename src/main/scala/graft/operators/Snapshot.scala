@@ -636,6 +636,7 @@ object Snapshot {
     val lap = incrLap(detail = true)
     val delta = diff(oldManifest, newManifest)
       .localCheckpoint(true) // delta-sized; read by seeds, crossing detection, carry fence
+    lap("manifest diff")
     val deltaIds = delta.select(col("doc_id"))
     val probe = InMemoryPostings(postings)
     // PRIOR hot set, derived from the supplied old index (the stored-
@@ -822,6 +823,7 @@ object Snapshot {
     val lap = incrLap(detail = true)
     val delta = diff(oldManifest, newManifest)
       .localCheckpoint(true) // delta-sized; read 2× (seeds + carry fence)
+    lap("manifest diff")
     // release-before-throw must cover the WHOLE body: a failure in the
     // closure or the recompute otherwise strands this delta checkpoint
     // (and per-attempt pinning in a retrying loop is exactly the leak
@@ -842,7 +844,10 @@ object Snapshot {
                                             delta: DataFrame,
                                             extraSeedIds: Option[DataFrame] = None)
       : (DataFrame, DataFrame, DataFrame, Seq[DataFrame]) = {
-    lap("manifest diff")
+    // the "manifest diff" lap is CALLER-owned: every caller builds the
+    // delta checkpoint itself and marks right after it (the capped
+    // chain form inserts a crossing mark in between — a mark here
+    // would double-record the stage; r15 review)
     val deltaIds = delta.select(col("doc_id"))
     // the capped path's cap-crossing holders join the delta docs as
     // first-class seeds: present in the new corpus by construction

@@ -348,8 +348,11 @@ object Soak {
       failures ::= s"stream_incremental_clean_capped sf1 diverged from capped batch twin " +
         s"(${cleanCapGot.size} vs ${cleanCapBatch.size} rows)"
     // non-vacuity at 10×: the per-replica word-mangle preserves each
-    // replica's shingle dfs, so the cap must keep biting at sf1
-    if (cleanCapGot.nonEmpty && cleanCapGot == cleanBatch)
+    // replica's shingle dfs, so the cap must keep biting at sf1 —
+    // stated on the two BATCH oracles (comparing the streamed output
+    // against the uncapped batch would misreport a cap-dropping stream
+    // bug as vacuity; r15 review)
+    if (cleanCapBatch == cleanBatch)
       failures ::= s"cap ${Events.CleanCapDf} does not bite at sf1 — capped gate vacuous"
     println("| loop | stage | sf0.1 s | sf1 s | growth |")
     println("|---|---|---|---|---|")

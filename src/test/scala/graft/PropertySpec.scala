@@ -436,6 +436,21 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  /** Shared window-corpus generator of the two capped fuzzes: docs are
+    * random windows (5-9 tokens) of two 18-token base sequences unique
+    * to `tag`, so shingle document frequencies crowd a small cap and
+    * random edits push them across constantly. One definition — the
+    * two fuzzes' edit mixes must stay comparable (r15 review). */
+  private def windowDoc(rnd: scala.util.Random, tag: String): () => String = {
+    val bases = Array.tabulate(2)(b => Array.tabulate(18)(i => s"${tag}b${b}w$i"))
+    () => {
+      val b = bases(rnd.nextInt(2))
+      val len = 5 + rnd.nextInt(5)
+      val at = rnd.nextInt(b.length - len + 1)
+      b.slice(at, at + len).mkString(" ")
+    }
+  }
+
   test("capped incremental ledger equals the from-scratch capped ledger across random edit chains") {
     // The maxShingleDf delta-stability fuzz (VERDICT r14 #1): docs are
     // random windows of two SHARED base token sequences, so shingle
@@ -452,13 +467,7 @@ class PropertySpec extends AnyFunSuite {
     val rnd = new scala.util.Random(20260815L)
     for (trial <- 1 to 2) {
       val cap = 2 + rnd.nextInt(2)
-      val bases = Array.tabulate(2)(b => Array.tabulate(18)(i => s"b${b}w${i}t$trial"))
-      def window(): String = {
-        val b = bases(rnd.nextInt(2))
-        val len = 5 + rnd.nextInt(5)
-        val at = rnd.nextInt(b.length - len + 1)
-        b.slice(at, at + len).mkString(" ")
-      }
+      val window = windowDoc(rnd, s"t$trial")
       val cur = scala.collection.mutable.LinkedHashMap.empty[Long, String]
       var nextId = 1L
       for (_ <- 1 to 10) { cur(nextId) = window(); nextId += 1 }
@@ -520,13 +529,7 @@ class PropertySpec extends AnyFunSuite {
     import graft.operators.{Corpus, Dedup, Snapshot}
     val rnd = new scala.util.Random(20260816L)
     val cap = 3
-    val bases = Array.tabulate(2)(b => Array.tabulate(18)(i => s"cb${b}w$i"))
-    def window(): String = {
-      val b = bases(rnd.nextInt(2))
-      val len = 5 + rnd.nextInt(5)
-      val at = rnd.nextInt(b.length - len + 1)
-      b.slice(at, at + len).mkString(" ")
-    }
+    val window = windowDoc(rnd, "cf")
     val cur = scala.collection.mutable.LinkedHashMap.empty[Long, String]
     var nextId = 1L
     def currentDF() = cur.toSeq.toDF("doc_id", "text")
@@ -534,6 +537,12 @@ class PropertySpec extends AnyFunSuite {
     var prior = Corpus.ledger(oldDocs).localCheckpoint(true) // empty ledger
     var hot = Snapshot.postings(oldDocs).select(col("s")).limit(0)
       .localCheckpoint(true)
+    // non-vacuity meters (the sibling test's crossingsSeen discipline):
+    // the hot set must be non-empty somewhere (the cap binds) and must
+    // MOVE across epochs (the advance is exercised beyond a no-op)
+    var hotSeen = 0L
+    var hotMoves = 0
+    var prevHot: Option[Set[Long]] = None
     for (epoch <- 0 to 3) {
       if (epoch == 0) for (_ <- 1 to 10) { cur(nextId) = window(); nextId += 1 }
       else {
@@ -559,6 +568,9 @@ class PropertySpec extends AnyFunSuite {
       val gotHot = hotNext.collect().map(_.getLong(0)).toSet
       assert(gotHot == wantHot,
         s"epoch $epoch: advanced hot set $gotHot != from-scratch $wantHot")
+      hotSeen += gotHot.size
+      if (prevHot.exists(_ != gotHot)) hotMoves += 1
+      prevHot = Some(gotHot)
       // full next ledger = recomputed delta ∪ carried prior rows
       // (closure ids == deltaRows ids; removed ids fenced by the delta)
       val deltaIds = Snapshot.diff(Snapshot.manifest(oldSnap), Snapshot.manifest(newDocs))
@@ -580,6 +592,9 @@ class PropertySpec extends AnyFunSuite {
       oldDocs = newDocs
     }
     Seq(prior, hot).foreach(Corpus.releaseCheckpoint)
+    assert(hotSeen > 0, s"cap $cap never bound a shingle — the fuzz is vacuous")
+    assert(hotMoves > 0,
+      "the hot set never changed across epochs — the advance was a no-op throughout")
   }
 
   test("ledger changelog delta + last-write-wins + retraction equals the full next ledger") {
