@@ -253,7 +253,9 @@ object Bench {
     val lapsPassesJson = results.flatMap { case (k, _, _) =>
       lapsByQuery.get(k).map { passes =>
         q(k) + ":" + passes.map { case (tot, m) =>
-          (("_total" -> tot) +: m.toSeq).map { case (s, v) => q(s) + ":" + fmt(v) }
+          // the reserved key cannot collide with a stage label —
+          // Laps.record escapes any lap literally named it (ADVICE r15)
+          ((Laps.ReservedTotalKey -> tot) +: m.toSeq).map { case (s, v) => q(s) + ":" + fmt(v) }
             .mkString("{", ",", "}")
         }.mkString("[", ",", "]")
       }

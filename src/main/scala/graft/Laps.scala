@@ -54,6 +54,22 @@ object Laps {
     out.toList
   }
 
+  /** The key [[Bench]]'s per-pass lap objects reserve for the pass
+    * wall-clock (`laps_passes`); a lap literally labeled this would
+    * silently overwrite the pass total and corrupt bench_compare's
+    * exact per-pass residual (ADVICE r15). */
+  val ReservedTotalKey = "_total"
+
   private[graft] def record(stage: String, secs: Double): Unit =
-    if (active) buf.add((stage, secs))
+    if (active) {
+      // Escape rather than throw — a profiling guard must not kill a
+      // bench (same philosophy as begin()'s warn) — but loudly, and
+      // under a name that cannot collide with the reserved key.
+      val s = if (stage == ReservedTotalKey) {
+        System.err.println(s"[laps] WARNING: lap label \"$ReservedTotalKey\" collides " +
+          "with the reserved per-pass total key — recorded as \"escaped: _total\"")
+        "escaped: " + ReservedTotalKey
+      } else stage
+      buf.add((s, secs))
+    }
 }

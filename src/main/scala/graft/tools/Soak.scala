@@ -372,10 +372,22 @@ object Soak {
         val (limit, cls) =
           if (isRemovalStage(stage)) (RemovalSlack, "removal-epoch blast-radius")
           else (ArrivalSlackPerData * dataGrowth, "arrival-proportional")
-        if (growth > limit)
+        if (growth > limit && b / a > limit)
           failures ::= f"growth gate: $loop / $stage grew $growth%.1f× " +
             f"canary-normalized under $dataGrowth%.0f× data " +
             f"(raw ${b / a}%.1f×, canaries $ca%.3f→$cb%.3f; limit $limit%.1f×, $cls)"
+        else if (growth > limit)
+          // the normalization's OTHER blind spot (ADVICE r15): a canary
+          // spike that brackets the sf0.1 pass without overlapping it
+          // deflates a/ca and INFLATES the normalized ratio — a
+          // false-fail with no real regression. Mirror the masking
+          // branch below: hard-fail only when raw AND normalized both
+          // exceed the limit; a normalized-only exceedance is loud and
+          // adjudicated by an idle re-run.
+          System.err.println(f"[soak] growth gate WARNING: $loop / $stage " +
+            f"normalizes to $growth%.1f× (over the $limit%.1f× limit) but raw is " +
+            f"only ${b / a}%.1f× (canaries $ca%.3f→$cb%.3f) — a canary spike in " +
+            "the sf0.1 bracket, not a scale regression; re-run idle to adjudicate")
         else if (b / a > limit)
           // the normalization's known blind spot (r15 review): the
           // slower-bracket canary can only LOOSEN the gate, so a canary

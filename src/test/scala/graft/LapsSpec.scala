@@ -25,6 +25,18 @@ class LapsSpec extends AnyFunSuite {
     assert(Laps.end().isEmpty, "a new window must start empty")
   }
 
+  test("a lap literally labeled \"_total\" is escaped, not recorded verbatim") {
+    // "_total" is the reserved per-pass wall-clock key in Bench's
+    // laps_passes objects; a verbatim record would overwrite the pass
+    // total and corrupt bench_compare's exact residual (ADVICE r15).
+    Laps.begin()
+    Laps.record(Laps.ReservedTotalKey, 2.0)
+    Laps.record("stage a", 1.0)
+    val got = Laps.end()
+    assert(got == Seq(("escaped: _total", 2.0), ("stage a", 1.0)))
+    assert(!got.exists(_._1 == Laps.ReservedTotalKey))
+  }
+
   test("begin discards a previous window's leftovers") {
     Laps.begin()
     Laps.record("orphan", 9.0)
