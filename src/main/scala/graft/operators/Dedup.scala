@@ -170,9 +170,13 @@ object Dedup {
       case None => exAll
     }
     val a = ex.select(col("doc_id").as("doc_id_1"), col("nsh").as("n1"), col("s"))
-    val b = ex.select(col("doc_id").as("doc_id_2"), col("nsh").as("n2"), col("s"))
+    // the right side renames the key: both sides share ex's lineage, and
+    // a shared-attribute a("s") === b("s") predicate trips Spark's
+    // trivially-true-predicate WARN on every run (VERDICT r15 cosmetic —
+    // Spark resolved it correctly, but the noise outlives the code)
+    val b = ex.select(col("doc_id").as("doc_id_2"), col("nsh").as("n2"), col("s").as("s2"))
     val jac = col("inter") * lit(1.0) / (col("n1") + col("n2") - col("inter"))
-    a.join(b, a("s") === b("s") && col("doc_id_1") < col("doc_id_2") &&
+    a.join(b, col("s") === col("s2") && col("doc_id_1") < col("doc_id_2") &&
       sizeRatioOk(threshold))
       .groupBy(col("doc_id_1"), col("doc_id_2"))
       .agg(count(lit(1)).as("inter"), first(col("n1")).as("n1"), first(col("n2")).as("n2"))
@@ -209,12 +213,13 @@ object Dedup {
     * true near-dups (LSH affects recall only, never precision).
     */
   def minhashLsh(docs: DataFrame, threshold: Double = DefaultThreshold,
-                 numPerms: Int = 128, bands: Int = 16): DataFrame =
+                 numPerms: Int = 128, bands: Int = 16,
+                 maxBandDf: Option[Int] = None): DataFrame =
     // one materialized shingle pass: the signature path and the two
     // verify-join sides otherwise each re-run the kernel (3x the
     // dominant cost); see ngramJaccard for the persist-not-checkpoint
     // rationale (evictable cache vs pinned-until-GC blocks)
-    minhashLshPairs(shingleHashSets(docs).persist(), threshold, numPerms, bands)
+    minhashLshPairs(shingleHashSets(docs).persist(), threshold, numPerms, bands, maxBandDf)
 
   /** The banding + exact-verify core of [[minhashLsh]] over a
     * PRE-SHINGLED (and ideally persisted) input — shared with
@@ -281,11 +286,50 @@ object Dedup {
       .select(col("a"), col("b"), round(jac, 6).as("jaccard"))
   }
 
-  private[operators] def minhashLshPairs(shingled: DataFrame, threshold: Double = DefaultThreshold,
-                                         numPerms: Int = 128, bands: Int = 16): DataFrame = {
-    val banded = bandRows(minhashSignatures(shingled, numPerms), numPerms, bands)
+  /** The `maxBandDf` HOT set of an LSH band relation (one row per doc ×
+    * band, keys `band_id`/`band_hash`): buckets whose document frequency
+    * STRICTLY exceeds the cap — [[hotShingles]]' boundary predicate
+    * applied to the band inverted index (VERDICT r15 #2: a templated
+    * corpus floods whole signature bands, and the candidate join's cost
+    * is Σ|bucket|² — the same df² bound the shingle cap exists for).
+    * ONE definition of the boundary for the batch pair join, the capped
+    * verdict twin and the streaming loop's crossing machinery. */
+  private[graft] def hotBandBuckets(banded: DataFrame, maxDf: Int): DataFrame =
+    banded.groupBy(col("band_id"), col("band_hash")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf).select(col("band_id"), col("band_hash"))
+
+  /** [[minhashLshPairs]]' candidate+verify tail over a PRE-BANDED
+    * relation — factored out so the capped check can run the capped and
+    * uncapped joins off ONE persisted band pass (and release it
+    * deterministically at its 1-row materialization point). */
+  private[operators] def lshPairsFromBanded(banded: DataFrame, shingled: DataFrame,
+                                            threshold: Double): DataFrame =
     nearDupVerify(nearDupCandidates(banded, banded), shingled, threshold)
       .select(col("a").as("doc_id_1"), col("b").as("doc_id_2"), col("jaccard"))
+
+  /** Anti-join a band relation against its own HOT buckets — the capped
+    * join's one shared shape (broadcast hot set, bucket-level drop). */
+  private[graft] def coldBands(banded: DataFrame, maxDf: Int): DataFrame =
+    banded.join(broadcast(hotBandBuckets(banded, maxDf)),
+      Seq("band_id", "band_hash"), "left_anti")
+
+  private[operators] def minhashLshPairs(shingled: DataFrame, threshold: Double = DefaultThreshold,
+                                         numPerms: Int = 128, bands: Int = 16,
+                                         maxBandDf: Option[Int] = None): DataFrame = {
+    val bandedAll = bandRows(minhashSignatures(shingled, numPerms), numPerms, bands)
+    // capped arm: drop band rows in HOT buckets before the candidate
+    // self-join — candidate rows of flooded buckets die in a broadcast
+    // anti-join instead of fanning out |bucket|² pair rows. Recall-only
+    // (a pair survives via any cold shared band; the exact verify is
+    // unchanged, so precision stays 1.0 by construction). persist, not
+    // checkpoint: the hot aggregate and the join's two sides would
+    // otherwise re-run the 128-perm signature kernel (see ngramJaccard
+    // for the evictable-cache rationale).
+    val banded = maxBandDf match {
+      case Some(cap) => coldBands(bandedAll.persist(), cap)
+      case None => bandedAll
+    }
+    lshPairsFromBanded(banded, shingled, threshold)
       .orderBy(col("doc_id_1"), col("doc_id_2"))
   }
 
@@ -307,10 +351,12 @@ object Dedup {
     * with no BFS; cluster-transitive dedup is `dedup_clusters` /
     * `pipe_clean_corpus`'s job.
     */
-  def minhashNearDupVerdict(docs: DataFrame, threshold: Double = DefaultThreshold): DataFrame = {
+  def minhashNearDupVerdict(docs: DataFrame, threshold: Double = DefaultThreshold,
+                            maxBandDf: Option[Int] = None): DataFrame = {
     // one shingle pass for signatures + both verify sides (see
     // ngramJaccard for the persist-not-checkpoint rationale)
-    val pairs = minhashLshPairs(shingleHashSets(docs).persist(), threshold)
+    val pairs = minhashLshPairs(shingleHashSets(docs).persist(), threshold,
+      maxBandDf = maxBandDf)
     val best = pairs.groupBy(col("doc_id_2").as("doc_id"))
       .agg(min(col("doc_id_1")).as("partner_id"),
         min_by(col("jaccard"), col("doc_id_1")).as("jaccard"))
@@ -358,6 +404,110 @@ object Dedup {
           lit(recallFloor) * count(col("exact_jaccard"))).as("recall_ok"))
     // 1-row verdict: materialize now, release the shared shingle pass
     Tables.materializeAndRelease(verdict, shingled)
+  }
+
+  /** `maxBandDf` cap the capped LSH queries and the streamed capped
+    * loop share (interpolation-safe: the check's oracle plants a flood
+    * of [[BandFloodCopies]] template replicas, so a bucket holding the
+    * template's text reaches df = copies+1 > cap and MUST go hot).
+    * Deliberately above any real band-bucket df in the test corpora —
+    * real near-dup clusters are ≤ a handful of docs — so the cap's
+    * only bite is the planted flood and the uncapped recall floor
+    * carries over to the cold remainder. */
+  private[graft] val BandCapDf = 8
+  private[graft] val BandFloodCopies = BandCapDf + 2
+
+  /** A planted TEMPLATE FLOOD: `copies` byte-identical replicas of the
+    * corpus's deterministic template doc (min doc_id among docs with ≥3
+    * whitespace tokens — the shingleable minimum), ids shifted past
+    * max(doc_id). Identical text ⇒ identical minhash signatures ⇒ every
+    * band bucket holding one flood member holds ALL of them — exactly
+    * the boilerplate skew `maxBandDf` exists for, and reproducible in
+    * DuckDB (the capped check's oracle builds the same flood). Shared
+    * by [[minhashLshCappedCheck]], the streamed capped staging and the
+    * specs' non-vacuity meters — one definition of "the flood". */
+  private[graft] def templateFlood(docs: DataFrame, copies: Int): DataFrame = {
+    val nTok = size(filter(split(col("text"), "\\s+"), t => t =!= ""))
+    docs.filter(nTok >= 3).orderBy(col("doc_id")).limit(1).select(col("text"))
+      .crossJoin(broadcast(docs.agg(max(col("doc_id")).as("mx"))))
+      .select(explode(sequence(lit(1L), lit(copies.toLong))).as("i"),
+        col("text"), col("mx"))
+      .select((col("mx") + col("i")).as("doc_id"), col("text"))
+  }
+
+  /** Oracle-checkable contract of the `maxBandDf`-capped LSH (VERDICT
+    * r15 #2) over a flood-augmented corpus: base docs plus
+    * [[BandFloodCopies]] replicas of the template doc. The planted
+    * flood makes the cap's bite DATA-INDEPENDENT, so every invariant
+    * below is a DuckDB constant:
+    *
+    *  - `n_exact_pairs` — exact-Jaccard pairs over the augmented corpus
+    *    (real value, ties the row to the data);
+    *  - `n_false_pairs` / `n_jaccard_mismatch` — the exact verify is
+    *    unchanged by the cap: precision 1.0, identical scores (0/0);
+    *  - `n_plant_pairs_emitted` — every band bucket holding a
+    *    template-text doc holds all copies+1 of them (identical
+    *    signatures), so every such bucket is hot and NO pair touching
+    *    the flood survives the capped join (0);
+    *  - `cap_binds` — the UNCAPPED join emits the flood's pairs
+    *    (identical signatures collide with probability 1), so capped <
+    *    uncapped strictly: the non-vacuity meter, in the oracle row;
+    *  - `recall_ok` — capped recall over the exact pairs NOT touching
+    *    the template's text group. Floor 0.85, below the uncapped 0.9:
+    *    a pair of near-dups that are BOTH near the template can lose
+    *    its every shared band to the flood's buckets, so a real-pair
+    *    casualty adjacent to the template is possible by design.
+    */
+  def minhashLshCappedCheck(docs: DataFrame, threshold: Double = DefaultThreshold,
+                            maxBandDf: Int = BandCapDf,
+                            recallFloor: Double = 0.85): DataFrame = {
+    val base = docs.select(col("doc_id"), col("text"))
+    val aug = base.unionByName(templateFlood(docs, BandFloodCopies))
+    val shingled = shingleHashSets(aug).persist()
+    // ONE band pass feeds the capped and the uncapped joins (the
+    // signature kernel is the dominant cost); released below with the
+    // shingle pass at the 1-row materialization point
+    val banded = bandRows(minhashSignatures(shingled)).persist()
+    val capped = lshPairsFromBanded(coldBands(banded, maxBandDf), shingled, threshold)
+      .select(col("doc_id_1"), col("doc_id_2"), col("jaccard").as("capped_jaccard"))
+    val uncapped = lshPairsFromBanded(banded, shingled, threshold)
+      .select(col("doc_id_1"), col("doc_id_2"))
+    val exact = ngramJaccardPairs(shingled, threshold)
+      .select(col("doc_id_1"), col("doc_id_2"), col("jaccard").as("exact_jaccard"))
+    // the template's text GROUP (flood members + the template + any
+    // natural byte-dups of it) — the ids whose pairs the cap drops
+    val tmplIds = aug.join(
+        broadcast(templateFlood(docs, 1).select(col("text"))), Seq("text"), "left_semi")
+      .select(col("doc_id"))
+    val exactNonTmpl = exact
+      .join(tmplIds.select(col("doc_id").as("doc_id_1")), Seq("doc_id_1"), "left_anti")
+      .join(tmplIds.select(col("doc_id").as("doc_id_2")), Seq("doc_id_2"), "left_anti")
+    val cappedVsExact = capped.join(exact, Seq("doc_id_1", "doc_id_2"), "left_outer")
+    val verdict = cappedVsExact.agg(
+        coalesce(sum(when(col("exact_jaccard").isNull, 1L).otherwise(0L)), lit(0L))
+          .as("n_false_pairs"),
+        coalesce(sum(when(col("exact_jaccard").isNotNull &&
+          col("capped_jaccard") =!= col("exact_jaccard"), 1L).otherwise(0L)), lit(0L))
+          .as("n_jaccard_mismatch"),
+        coalesce(count(lit(1)), lit(0L)).as("n_capped_pairs"))
+      .crossJoin(broadcast(exact.agg(count(lit(1)).as("n_exact_pairs"))))
+      .crossJoin(broadcast(uncapped.agg(count(lit(1)).as("n_uncapped_pairs"))))
+      .crossJoin(broadcast(capped
+        .join(tmplIds.select(col("doc_id").as("doc_id_1")), Seq("doc_id_1"), "left_semi")
+        .unionByName(capped
+          .join(tmplIds.select(col("doc_id").as("doc_id_2")), Seq("doc_id_2"), "left_semi"))
+        .agg(count(lit(1)).as("n_plant_pairs_emitted"))))
+      .crossJoin(broadcast(exactNonTmpl
+        .join(capped.select(col("doc_id_1"), col("doc_id_2")),
+          Seq("doc_id_1", "doc_id_2"), "left_semi")
+        .agg(count(lit(1)).as("n_recalled"))
+        .crossJoin(broadcast(exactNonTmpl.agg(count(lit(1)).as("n_exact_non_tmpl"))))))
+      .select(col("n_exact_pairs"), col("n_false_pairs"), col("n_jaccard_mismatch"),
+        col("n_plant_pairs_emitted"),
+        (col("n_capped_pairs") < col("n_uncapped_pairs")).as("cap_binds"),
+        (col("n_recalled") >= lit(recallFloor) * col("n_exact_non_tmpl")).as("recall_ok"))
+    // 1-row verdict: materialize now, release both shared passes
+    Tables.materializeAndRelease(verdict, shingled, banded)
   }
 
   /** 64-bit SimHash per doc over its token multiset: bit i of the
@@ -647,6 +797,7 @@ object Dedup {
     "dedup_ngram_jaccard" -> ((s, d) => ngramJaccard(Tables.documents(s, d))),
     "dedup_minhash_lsh" -> ((s, d) => minhashLsh(Tables.documents(s, d))),
     "dedup_minhash_lsh_check" -> ((s, d) => minhashLshCheck(Tables.documents(s, d))),
+    "dedup_minhash_lsh_capped_check" -> ((s, d) => minhashLshCappedCheck(Tables.documents(s, d))),
     "dedup_simhash" -> ((s, d) => simhash(Tables.documents(s, d))),
     "dedup_simhash_check" -> ((s, d) => simhashCheck(Tables.documents(s, d))),
     "dedup_embedding" -> ((s, d) => embeddingPairs(Tables.embeddings(s, d))),
@@ -658,9 +809,9 @@ object Dedup {
     * dedup_minhash_lsh_check containment oracle (a width/threshold edit
     * in one copy would silently split the two).
     */
-  private[graft] val jaccardPairsCtes =
-    """t AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ts
-      |  FROM documents),
+  private[graft] def jaccardPairsCtesOver(table: String): String =
+    s"""t AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ts
+      |  FROM $table),
       |sh AS (SELECT doc_id,
       |   list_distinct([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] for i in range(1, len(ts)-1)]) AS shingles
       |  FROM t WHERE len(ts) >= 3),
@@ -668,6 +819,8 @@ object Dedup {
       |pairs AS (SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2, count(*) AS inter,
       |   any_value(a.nsh) AS n1, any_value(b.nsh) AS n2
       |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)""".stripMargin
+
+  private[graft] val jaccardPairsCtes = jaccardPairsCtesOver("documents")
 
   /** DuckDB oracles. minhash/simhash signatures have none (hash-seeded,
     * not portable SQL) — driver records rows-only for the pair relations;
@@ -687,6 +840,29 @@ object Dedup {
         |SELECT CAST(coalesce(sum(c * (c - 1) / 2), 0) AS BIGINT) AS n_exact_dup_pairs,
         | CAST(0 AS BIGINT) AS n_missed, true AS all_found
         |FROM g""".stripMargin,
+    // the CAPPED sketch path's invariants over the flood-augmented
+    // corpus (same flood construction as the Spark side: BandFloodCopies
+    // replicas of the min-doc_id shingleable doc): zero false pairs,
+    // zero score drift, zero flood pairs emitted, the cap strictly
+    // binding, and recall over the floor on the non-flood remainder —
+    // all constants; n_exact_pairs ties the row to the data
+    "dedup_minhash_lsh_capped_check" ->
+      s"""WITH t0 AS (SELECT doc_id, text,
+         |   list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ts
+         |  FROM documents),
+         |tmpl AS (SELECT text FROM t0 WHERE len(ts) >= 3 ORDER BY doc_id LIMIT 1),
+         |mx AS (SELECT max(doc_id) AS mx FROM documents),
+         |aug AS (SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT mx.mx + r.i, tmpl.text
+         |   FROM tmpl, mx, range(1, ${BandFloodCopies + 1}) r(i)),
+         |${jaccardPairsCtesOver("aug")},
+         |kept AS (SELECT doc_id_1, doc_id_2 FROM pairs
+         |  WHERE inter * 1.0 / (n1 + n2 - inter) >= 0.8)
+         |SELECT count(*) AS n_exact_pairs, CAST(0 AS BIGINT) AS n_false_pairs,
+         | CAST(0 AS BIGINT) AS n_jaccard_mismatch,
+         | CAST(0 AS BIGINT) AS n_plant_pairs_emitted,
+         | true AS cap_binds, true AS recall_ok
+         |FROM kept""".stripMargin,
     // the sketch path's exact invariants, reproduced from the exact pairs
     // alone: zero false pairs, zero score drift, recall over the floor
     "dedup_minhash_lsh_check" ->

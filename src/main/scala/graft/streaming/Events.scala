@@ -1009,7 +1009,8 @@ object Events {
                              ledgerDeltaProbe: Option[scala.collection.mutable.Buffer[(Long, Long)]] = None,
                              compactEvery: Int = 8,
                              crashAtEpoch: Option[Long] = None,
-                             maxShingleDf: Option[Int] = None): DataFrame = {
+                             maxShingleDf: Option[Int] = None,
+                             hotDirsProbe: Option[scala.collection.mutable.Buffer[(Long, Seq[Long])]] = None): DataFrame = {
     import graft.operators.{Corpus, Snapshot}
     val ss = sessionFor(spark, statePartitions,
       Map("spark.sql.streaming.noDataMicroBatches.enabled" -> "false") ++ providerConf)
@@ -1036,8 +1037,9 @@ object Events {
           // committing ledger write and advanced from the prior
           // committed snapshot plus the delta's crossings — no
           // full-index df pass ever runs after bootstrap. Only the
-          // latest committed epoch's snapshot is read; a deployment
-          // prunes older dirs (tiny files) with its compaction cadence.
+          // latest committed epoch's snapshot is read; older snapshot
+          // dirs are pruned IN-LOOP on the compactEvery cadence — the
+          // pass right after the chain compaction (VERDICT r15 #4).
           val hotDir = s"$store/hot_shingles"
           val hotSchema = org.apache.spark.sql.types.StructType(Seq(
             org.apache.spark.sql.types.StructField("s",
@@ -1414,7 +1416,7 @@ object Events {
               // top of the tombstones (its layered reader,
               // materialized), and the corpus/postings bucket layouts
               // are auto-preserved (detectChainPartitionCols)
-              if (epoch > 0 && epoch % compactEvery.toLong == 0)
+              if (epoch > 0 && epoch % compactEvery.toLong == 0) {
                 compactTombstonedChains(bss,
                   Seq(corpusDir, postingsByShingleDir, manifestDir, ledgerDir),
                   tombstoneDir, upTo = Some(epoch - 1),
@@ -1424,6 +1426,37 @@ object Events {
                     else if (d == postingsByShingleDir) postingsSchema
                     else if (d == manifestDir) Snapshot.ManifestSchema
                     else Corpus.LedgerSchema))
+                // capped mode's fifth stored relation joins the cadence
+                // (VERDICT r15 #4): hot-shingle dirs are SNAPSHOTS, not
+                // deltas — no resolution to fold, pruning is plain
+                // deletion. The just-committed epoch's snapshot is the
+                // one every future epoch reads; its committed
+                // PREDECESSOR's must ALSO survive — a crash after this
+                // pass but before the stream checkpoint commits replays
+                // THIS epoch, whose hotPrior read resolves to the
+                // predecessor (the four chains survive that same window
+                // because their compacted base carries the folded
+                // content; a deleted snapshot is simply gone). Deletion
+                // is idempotent, so a crash mid-prune just retries.
+                if (maxShingleDf.isDefined) {
+                  val keep = Set(epoch) ++ latestBelow(epoch)
+                  val hotPath = java.nio.file.Paths.get(hotDir)
+                  if (java.nio.file.Files.isDirectory(hotPath)) {
+                    import scala.jdk.CollectionConverters._
+                    val listing = java.nio.file.Files.list(hotPath)
+                    val snapshots =
+                      try listing.iterator().asScala.toList
+                        .filter(_.getFileName.toString.startsWith("batch="))
+                        .map(p => p -> p.getFileName.toString
+                          .stripPrefix("batch=").toLong)
+                      finally listing.close()
+                    snapshots.filterNot(s => keep.contains(s._2))
+                      .foreach(s => deleteDir(s._1))
+                    hotDirsProbe.foreach(probeAdd(_,
+                      (epoch, snapshots.map(_._2).filter(keep.contains).sorted)))
+                  }
+                }
+              }
               epochProbe.foreach(probeAdd(_, (epoch, batch.count())))
               // explicit schema: a removal epoch whose blast radius is
               // empty (isolated docs) writes a zero-file delta dir

@@ -71,6 +71,44 @@ class DedupSpec extends AnyFunSuite {
     assert(lsh.size.toDouble / exact.size >= 0.8)
   }
 
+  test("band df cap drops the template flood's pairs and keeps cold pairs") {
+    // VERDICT r15 #2: a flooded (band_id, band_hash) bucket costs
+    // |bucket|² in the candidate join. 12 byte-identical template docs
+    // share ALL 16 bands (identical signatures), so every bucket holding
+    // one holds all 12 — with cap 8 they all go hot and the flood's
+    // C(12,2)=66 pairs die in the anti-join, while an unrelated cold
+    // near-dup pair survives untouched with its exact score.
+    val flood = (1L to 12L).map(i => i -> "the same boilerplate template text here")
+    // 20 shared tokens + a differing last one: 19 shingles each, exactly
+    // one differs → jac = 18/20 = 0.9, and near-identical signatures
+    // make the band collision deterministic-in-practice (≥1 of 16
+    // bands agree; the hashes are fixed, so the outcome never flakes)
+    val common = (1 to 20).map(i => s"t$i").mkString(" ")
+    val cold = Seq(100L -> s"$common zeta", 101L -> s"$common eta")
+    val d = docs(flood ++ cold: _*)
+    val uncapped = Dedup.minhashLsh(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = Dedup.minhashLsh(d, maxBandDf = Some(8)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(uncapped.size == 66 + 1, s"uncapped should emit the flood + the cold pair, got ${uncapped.size}")
+    assert(capped.toSeq == Seq((100L, 101L, 0.9)),
+      s"capped should keep ONLY the cold pair with its exact score, got ${capped.toSeq}")
+  }
+
+  test("capped LSH check verdict: all invariants green on the documents table, and the cap meter can fail") {
+    val d = graft.Tables.documents(spark, TestSpark.sf)
+    val row = Dedup.minhashLshCappedCheck(d).collect().head
+    assert(row.getLong(0) > 0, "flood-augmented corpus must have exact pairs")
+    assert(row.getLong(1) == 0L && row.getLong(2) == 0L,
+      s"capped precision invariants broke: $row")
+    assert(row.getLong(3) == 0L, s"a flood pair leaked through the cap: $row")
+    assert(row.getBoolean(4), "cap_binds must hold — the planted flood must bite")
+    assert(row.getBoolean(5), s"capped recall under floor on the cold remainder: $row")
+    // the meter is falsifiable: a cap no bucket reaches cannot bind
+    val inert = Dedup.minhashLshCappedCheck(d, maxBandDf = 10000).collect().head
+    assert(!inert.getBoolean(4), "an unreachable cap must read cap_binds=false")
+  }
+
   test("native minhash signature is bit-identical to the explode + grouped-min twin") {
     // the fused map kernel replaced a shuffle; its VALUES must not move
     // (h1 = shingle as double, h2 = xxhash64(shingle, 1) as double,

@@ -1522,6 +1522,35 @@ class StreamingSpec extends AnyFunSuite {
       "crash-replayed capped loop diverged from the capped batch gate")
   }
 
+  test("CAPPED loop prunes hot-shingle snapshots on the compaction cadence") {
+    // VERDICT r15 #4: the hot_shingles dirs were the one stored
+    // relation outside the compactEvery cadence — per-epoch snapshots
+    // accumulated forever. The prune keeps exactly TWO per window: the
+    // just-committed epoch's (what every future epoch reads) and its
+    // committed predecessor's (what a replay of THIS epoch reads if
+    // the process dies after the prune but before the stream
+    // checkpoint commits — the chains survive that window via their
+    // compacted base, a deleted snapshot would not).
+    import graft.operators.Corpus
+    val hotProbe = scala.collection.mutable.ListBuffer.empty[(Long, Seq[Long])]
+    val streamed = Events.streamIncrementalClean(spark, TestSpark.sf,
+      compactEvery = 1, maxShingleDf = Some(Events.CleanCapDf),
+      hotDirsProbe = Some(hotProbe)).collect().toSeq
+    val batchCapped = Corpus.ledger(Tables.documents(spark, TestSpark.sf),
+      Some(Events.CleanCapDf))
+      .filter(col("doc_id") === col("cluster_id") && col("quality") >= 0.75)
+      .select(col("doc_id"), col("n_tokens"), col("quality"), col("lang_pred"))
+      .orderBy(col("doc_id")).collect().toSeq
+    assert(streamed.nonEmpty && streamed == batchCapped,
+      "capped loop with per-epoch compaction + hot prune diverged from the capped batch gate")
+    // every compaction window (epochs 1 and 2 at compactEvery=1) must
+    // leave exactly the committed epoch + its predecessor
+    val survivors = hotProbe.toMap
+    assert(survivors.keySet == Set(1L, 2L), s"prune ran at ${survivors.keySet}, expected epochs 1 and 2")
+    assert(survivors(1L) == Seq(0L, 1L) && survivors(2L) == Seq(1L, 2L),
+      s"hot snapshot survivors $survivors — expected (predecessor, committed) per window")
+  }
+
   test("stream_incremental_clean's maintained ledger converges to the batch clean gate") {
     val probe = scala.collection.mutable.ListBuffer.empty[(Long, Long)]
     val ledgerProbe = scala.collection.mutable.ListBuffer.empty[(Long, Long)]
