@@ -297,6 +297,23 @@ object Similarity {
   def ivfCellStats(assigned: DataFrame): DataFrame =
     assigned.groupBy(col("cell")).agg(count(lit(1)).as("n")).orderBy(col("cell"))
 
+  /** THE drift metric over a cell-occupancy relation (`cell`, `n`):
+    * the largest cell's share of the total. Frozen centroids under a
+    * shifted arrival distribution funnel the new mass into few cells —
+    * the share grows toward the drifted fraction of the corpus, while
+    * a distribution-stable corpus stays near 1/nCells. One definition,
+    * shared by the streaming loop's re-train trigger
+    * ([[graft.streaming.Events.ingestAnnIvf]]'s `driftMaxCellShare`)
+    * and the specs that pin the metric trips on an engineered wave and
+    * stays quiet on a stable one. Empty stats read 0.0 (nothing
+    * indexed — nothing to migrate). */
+  def maxCellShare(cellStats: DataFrame): Double = {
+    val r = cellStats.agg(coalesce(max(col("n")), lit(0L)).as("mx"),
+      coalesce(sum(col("n")), lit(0L)).as("tot")).head()
+    val (mx, tot) = (r.getLong(0), r.getLong(1))
+    if (tot == 0L) 0.0 else mx.toDouble / tot
+  }
+
   // ----------------------------------------------------------------- PQ
 
   /** Product-quantization top-k (asymmetric distance computation + exact

@@ -1686,7 +1686,10 @@ object Events {
                     deltaProbe: Option[scala.collection.mutable.Buffer[(Long, Long)]] = None,
                     compactEvery: Int = 8,
                     priorFetchProbe: Option[scala.collection.mutable.Buffer[(Long, Long, Long)]] = None,
-                    crashAtEpoch: Option[Long] = None): DataFrame = {
+                    crashAtEpoch: Option[Long] = None,
+                    maxBandDf: Option[Int] = None,
+                    capCrossingsProbe: Option[scala.collection.mutable.Buffer[(Long, Long, Long)]] = None,
+                    hotDirsProbe: Option[scala.collection.mutable.Buffer[(Long, Seq[Long])]] = None): DataFrame = {
     import graft.operators.Dedup
     val ss = sessionFor(spark, statePartitions,
       Map("spark.sql.streaming.noDataMicroBatches.enabled" -> "false") ++ providerConf)
@@ -1703,6 +1706,20 @@ object Events {
           val shinglesDir = s"$store/shingles"
           val verdictDir = s"$store/verdict"
           val tombstoneDir = s"$store/tombstones"
+          // CAPPED mode's one extra stored relation (the
+          // streamIncrementalClean hot-shingle discipline, applied to
+          // the LSH inverted index): the epoch's full hot band-bucket
+          // set — (band_id, band_hash) with live df > maxBandDf —
+          // written per epoch BEFORE the committing verdict write and
+          // advanced from the prior committed snapshot plus the delta's
+          // cap crossings; older snapshots are pruned on the
+          // compactEvery cadence. No full-index df pass ever runs after
+          // the bootstrap epoch.
+          val hotBandsDir = s"$store/hot_bands"
+          val hotBandsSchema = org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("band_id",
+              org.apache.spark.sql.types.IntegerType),
+            org.apache.spark.sql.types.StructField("band_hash", LongType)))
           // the verdict chain's value schema — explicit-schema reads of
           // a possibly-empty delta dir (a removal-only epoch with no
           // blast radius writes zero files)
@@ -1744,9 +1761,31 @@ object Events {
           // re-delivery tombstone would shift the converged relation
           val stale = docs.filter(col("doc_id") % RedeliveryMod === 0)
             .withColumn("text", concat(col("text"), lit(" [stale draft]")))
+          // CAPPED staging: a planted template flood that crosses the
+          // cap UP mid-stream and back DOWN before convergence — every
+          // copy is retracted by arrival 3, so the converged corpus is
+          // `documents` exactly and the capped batch twin stays the
+          // gate. Arrival 1 carries too few copies to trip the cap
+          // (bucket df ≤ copies + the template's own small text group);
+          // arrival 2 tops the buckets over it — the up-crossing must
+          // retract every verdict that leaned on a flood pair; arrival
+          // 3 removes all copies — the down-crossing must resurface the
+          // suppressed real pairs. Rows are widened to the table schema
+          // with null metadata (the loop consumes doc_id/text only).
+          def widen(f: DataFrame): DataFrame =
+            f.select(docs.schema.fields.map(fd => fd.name match {
+              case "doc_id" | "text" => col(fd.name)
+              case _ => lit(null).cast(fd.dataType).as(fd.name)
+            }): _*)
+          val flood = maxBandDf.map { _ =>
+            val all = widen(Dedup.templateFlood(docs, Dedup.BandFloodCopies))
+            val head = widen(Dedup.templateFlood(docs, Dedup.BandCapDf - 4))
+            (head, all.join(head.select(col("doc_id")), Seq("doc_id"), "left_anti"), all)
+          }
           outerLap("setup") // pre-staging boundary (ADVICE r14, see clean loop)
-          docs.filter(col("doc_id") % 5 =!= 0).unionByName(shadows)
-            .unionByName(stale)
+          flood.map(_._1).foldLeft(
+              docs.filter(col("doc_id") % 5 =!= 0).unionByName(shadows)
+                .unionByName(stale))(_ unionByName _)
             .stageArrival(src)
           outerLap("stage arrival 1")
           val stream = ss.readStream.schema(rawSchema(ss, sfDir, "documents")).parquet(src.toString)
@@ -1818,6 +1857,11 @@ object Events {
               // batch; explicit schema so an all-empty chain can't
               // crash inference. Released in the epoch's finally.
               var tombAgg: Option[DataFrame] = None
+              // capped mode's eager checkpoints (the touched-bucket df
+              // table and the advanced hot set), registered as they are
+              // created so the epoch's finally releases them on every
+              // path — including a failure between the two
+              var capRelease: List[DataFrame] = Nil
               try {
                 val haveRetired = !retired.isEmpty
                 if (haveRetired)
@@ -1874,6 +1918,96 @@ object Events {
                     .repartition(col("bucket")) // one file per bucket per epoch
                     .write.partitionBy("bucket").mode("overwrite")
                     .parquet(s"$bandsDir/batch=$epoch")
+                  // ---- CAPPED mode: advance the hot band-bucket set,
+                  // delta-stably (VERDICT r15 #2 — the maxShingleDf
+                  // crossing machinery applied to the LSH index). Only
+                  // delta docs change a bucket's df: the shift is a
+                  // delta-sized signed aggregate (+1 per batch band row,
+                  // −1 per retired doc's OLD band row, rebuilt from its
+                  // stored shingle set resolved at the PRIOR epoch — the
+                  // epoch's own tombstone kills exactly the rows whose
+                  // bands the shift must subtract), df_new one
+                  // touched-restricted bucket-pruned count over the
+                  // chain (which already holds this epoch's delta), and
+                  // df_prior = df_new − shift. A pair a crossing adds or
+                  // retracts collides INSIDE the crossing bucket, so
+                  // both endpoints are bucket members — the blast radius
+                  // recomputed against the new hot set further below.
+                  val capState: Option[(DataFrame, DataFrame)] = maxBandDf.map { cap =>
+                    val oldBands =
+                      if (!haveRetired || !committedPrior)
+                        batchBands.select(col("band_id"), col("band_hash")).limit(0)
+                      else Dedup.bandRows(Dedup.minhashSignatures(
+                          tombstoneResolvedRowsWith(
+                            prunedChainRows(bss, shinglesDir, epoch - 1,
+                              collectBuckets(retired, col("doc_id")),
+                              Some(shinglesSchema)),
+                            tombAggPrior)
+                            .join(retired, Seq("doc_id"), "left_semi")))
+                        .select(col("band_id"), col("band_hash"))
+                    val shift = batchBands
+                      .select(col("band_id"), col("band_hash"), lit(1L).as("d"))
+                      .unionByName(oldBands.withColumn("d", lit(-1L)))
+                      .groupBy(col("band_id"), col("band_hash"))
+                      .agg(sum(col("d")).as("shift"))
+                    val dfNew = prunedResolved(bandsDir,
+                        collectBuckets(shift, col("band_hash")), bandsSchema)
+                      .join(shift.select(col("band_id"), col("band_hash")),
+                        Seq("band_id", "band_hash"), "left_semi")
+                      .groupBy(col("band_id"), col("band_hash"))
+                      .agg(count(lit(1)).as("df_new"))
+                    // a touched bucket fully drained by retirements has
+                    // no chain row left — df_new 0, not a dropped key
+                    val touched = shift.join(dfNew,
+                        Seq("band_id", "band_hash"), "left")
+                      .na.fill(0L, Seq("df_new"))
+                      .withColumn("df_prior", col("df_new") - col("shift"))
+                      .localCheckpoint(true)
+                    capRelease ::= touched
+                    val hotPrior = committedEpochsBelow(verdictDir, epoch) match {
+                      case es if es.nonEmpty =>
+                        bss.read.schema(hotBandsSchema)
+                          .parquet(s"$hotBandsDir/batch=${es.max}")
+                      case _ =>
+                        batchBands.select(col("band_id"), col("band_hash")).limit(0)
+                    }
+                    // hot(e) = (hot(e−1) minus touched) ∪ (touched with
+                    // df_new > cap) — exact by induction, the
+                    // streamIncrementalClean hot-advance rule. Written
+                    // BEFORE the committing verdict write so every
+                    // committed epoch has its snapshot (idempotent
+                    // overwrite on replay, which re-advances from the
+                    // committed predecessor's snapshot).
+                    val hotNext = hotPrior
+                      .join(touched.select(col("band_id"), col("band_hash")),
+                        Seq("band_id", "band_hash"), "left_anti")
+                      .unionByName(touched.filter(col("df_new") > cap)
+                        .select(col("band_id"), col("band_hash")))
+                      .localCheckpoint(true)
+                    capRelease ::= hotNext
+                    capCrossingsProbe.foreach { buf =>
+                      // probe-only counts (spec non-vacuity meters): an
+                      // unprobed run never executes them
+                      val up = touched.filter(col("df_prior") <= cap &&
+                        col("df_new") > cap).count()
+                      val down = touched.filter(col("df_prior") > cap &&
+                        col("df_new") <= cap).count()
+                      probeAdd(buf, (epoch, up, down))
+                    }
+                    hotNext.write.mode("overwrite")
+                      .parquet(s"$hotBandsDir/batch=$epoch")
+                    (touched, hotNext)
+                  }
+                  // the one capped join shape: band rows in hot buckets
+                  // die in a broadcast anti-join on the PROBE side —
+                  // bucket-level hotness means the index side of a hot
+                  // bucket can never be reached, so one anti-join
+                  // suffices (the Dedup.coldBands discipline)
+                  def coldSide(bands: DataFrame): DataFrame = capState match {
+                    case Some((_, hot)) => bands.join(broadcast(hot),
+                      Seq("band_id", "band_hash"), "left_anti")
+                    case None => bands
+                  }
                   // candidates: the in-memory batch bands (recomputed off
                   // the persisted batch shingles — no re-read of the
                   // just-written partition) probe the stored chain, which
@@ -1886,7 +2020,7 @@ object Events {
                   val batchBuckets = collectBuckets(batchBands, col("band_hash"))
                   val allBands = prunedResolved(bandsDir, batchBuckets, bandsSchema)
                   val cand = // eager checkpoint: batchBands fully consumed after
-                    try Dedup.nearDupCandidates(batchBands, allBands)
+                    try Dedup.nearDupCandidates(coldSide(batchBands), allBands)
                       .localCheckpoint(true) // delta-sized; read 3× below
                     finally batchBands.unpersist(blocking = false)
                   try {
@@ -1976,7 +2110,7 @@ object Events {
                       // Removed docs are excluded (the tombstone is
                       // their retraction) and so are batch docs
                       // (batchVerdict is authoritative for them).
-                      val removalUpdates: Option[DataFrame] =
+                      val removalAffected: Option[DataFrame] =
                         if (!haveRetired || !committedPrior) None
                         else {
                           // candidate ids in ONE map-only broadcast-semi
@@ -1994,60 +2128,118 @@ object Events {
                                 .select(col("doc_id").as("partner_id"))),
                               Seq("partner_id"), "left_semi")
                             .select(col("doc_id")).distinct()
-                          val affected = priorLwwFor(touchIds)
+                          Some(priorLwwFor(touchIds)
                             .join(retired.select(col("doc_id").as("partner_id")),
                               Seq("partner_id"), "left_semi")
                             .join(removals, Seq("doc_id"), "left_anti")
                             .join(arrived.select(col("doc_id")),
                               Seq("doc_id"), "left_anti")
-                            .select(col("doc_id")).localCheckpoint(true)
-                          try {
-                            val affSh = prunedResolved(shinglesDir,
-                              collectBuckets(affected, col("doc_id")), batchSh.schema)
-                              .join(affected, Seq("doc_id"), "left_semi").persist()
-                            try {
-                              val affBands = Dedup.bandRows(
-                                Dedup.minhashSignatures(affSh)).persist()
-                              try {
-                                val idxBands = prunedResolved(bandsDir,
-                                  collectBuckets(affBands, col("band_hash")), bandsSchema)
-                                val cand2 = Dedup.nearDupCandidates(affBands, idxBands)
-                                  .localCheckpoint(true)
-                                try {
-                                  val candIds2 = cand2.select(col("a").as("doc_id"))
-                                    .union(cand2.select(col("b").as("doc_id"))).distinct()
-                                  val sh2 = prunedResolved(shinglesDir,
-                                    collectBuckets(candIds2, col("doc_id")), batchSh.schema)
-                                    .join(candIds2, Seq("doc_id"), "left_semi")
-                                  val best2 = Dedup.nearDupVerify(cand2, sh2, threshold)
-                                    .groupBy(col("b").as("doc_id"))
-                                    .agg(min(col("a")).as("partner_id"),
-                                      min_by(col("jaccard"), col("a")).as("jaccard"))
-                                  // restrict to the affected docs: a pair
-                                  // whose larger side is NOT affected
-                                  // carries no verdict change (its min
-                                  // partner survived the removal)
-                                  Some(affected.join(best2, Seq("doc_id"), "left")
-                                    .select(col("doc_id"), col("partner_id"),
-                                      col("jaccard"))
-                                    .localCheckpoint(true))
-                                } finally graft.operators.Corpus.releaseCheckpoint(cand2)
-                              } finally affBands.unpersist(blocking = false)
-                            } finally affSh.unpersist(blocking = false)
-                          } finally graft.operators.Corpus.releaseCheckpoint(affected)
+                            .select(col("doc_id")))
                         }
+                      // CAPPED: the crossing buckets' MEMBER docs join
+                      // the blast radius — an up-crossing retracts every
+                      // pair through its bucket, a down-crossing
+                      // resurfaces them, and in both directions the
+                      // pair's two endpoints are members of the bucket
+                      // itself, so recomputing the members is complete.
+                      // Removed docs are dead and batch docs excluded
+                      // (batchVerdict, already capped, is authoritative).
+                      val crossingAffected: Option[DataFrame] =
+                        for { (touched, _) <- capState; cap <- maxBandDf } yield {
+                          val crossKeys = touched.filter(
+                              (col("df_prior") <= cap && col("df_new") > cap) ||
+                              (col("df_prior") > cap && col("df_new") <= cap))
+                            .select(col("band_id"), col("band_hash"))
+                          prunedResolved(bandsDir,
+                              collectBuckets(crossKeys, col("band_hash")), bandsSchema)
+                            .join(crossKeys, Seq("band_id", "band_hash"), "left_semi")
+                            .select(col("doc_id")).distinct()
+                            .join(removals, Seq("doc_id"), "left_anti")
+                            .join(arrived.select(col("doc_id")),
+                              Seq("doc_id"), "left_anti")
+                        }
+                      // ONE recompute over the union: a doc affected by
+                      // both a retirement and a crossing gets a single
+                      // authoritative full re-verdict — never two
+                      // same-epoch rows whose LWW tie is undefined
+                      val recomputeIds: Option[DataFrame] =
+                        (removalAffected.toSeq ++ crossingAffected.toSeq)
+                          .reduceOption(_ unionByName _)
+                          .map(_.distinct().localCheckpoint(true))
+                      val recomputeUpdates: Option[DataFrame] =
+                        recomputeIds.map { affected =>
+                          val affSh = prunedResolved(shinglesDir,
+                            collectBuckets(affected, col("doc_id")), batchSh.schema)
+                            .join(affected, Seq("doc_id"), "left_semi").persist()
+                          try {
+                            val affBands = Dedup.bandRows(
+                              Dedup.minhashSignatures(affSh)).persist()
+                            try {
+                              val idxBands = prunedResolved(bandsDir,
+                                collectBuckets(affBands, col("band_hash")), bandsSchema)
+                              val cand2 = Dedup.nearDupCandidates(
+                                  coldSide(affBands), idxBands)
+                                .localCheckpoint(true)
+                              try {
+                                val candIds2 = cand2.select(col("a").as("doc_id"))
+                                  .union(cand2.select(col("b").as("doc_id"))).distinct()
+                                val sh2 = prunedResolved(shinglesDir,
+                                  collectBuckets(candIds2, col("doc_id")), batchSh.schema)
+                                  .join(candIds2, Seq("doc_id"), "left_semi")
+                                val best2 = Dedup.nearDupVerify(cand2, sh2, threshold)
+                                  .groupBy(col("b").as("doc_id"))
+                                  .agg(min(col("a")).as("partner_id"),
+                                    min_by(col("jaccard"), col("a")).as("jaccard"))
+                                // restrict to the affected docs: a pair
+                                // whose larger side is NOT affected
+                                // carries no verdict change (its min
+                                // partner survived the removal; crossing
+                                // pairs have both endpoints affected)
+                                affected.join(best2, Seq("doc_id"), "left")
+                                  .select(col("doc_id"), col("partner_id"),
+                                    col("jaccard"))
+                                  .localCheckpoint(true)
+                              } finally graft.operators.Corpus.releaseCheckpoint(cand2)
+                            } finally affBands.unpersist(blocking = false)
+                          } finally affSh.unpersist(blocking = false)
+                        }
+                      // a recomputed doc's row is authoritative; drop any
+                      // same-epoch priorUpdates row for it (the two agree
+                      // when both fire — the stored partner is the
+                      // historical min — but one row per doc per epoch is
+                      // the chain's invariant, not a tie-break accident)
+                      val priorUpdatesFinal = recomputeIds
+                        .fold(priorUpdates)(ids =>
+                          priorUpdates.join(ids, Seq("doc_id"), "left_anti"))
+                      // CAPPED mode's worst replay point (spec hook): the
+                      // epoch's hot snapshot is on disk, the committing
+                      // verdict write never ran — the replay must
+                      // re-advance from the committed predecessor's
+                      // snapshot and overwrite the torn one idempotently
+                      // (the end-of-epoch hook defers to this one in
+                      // capped mode)
+                      if (crashArmed && maxBandDf.isDefined &&
+                          crashAtEpoch.contains(epoch)) {
+                        crashArmed = false
+                        throw new InjectedCrash(
+                          s"injected post-hot-write pre-verdict crash at epoch $epoch")
+                      }
                       // the verdict delta commits the epoch (last
                       // write) — doc-id-bucketed like every other chain
                       // (r13), so the prior fetches above file-prune
-                      try removalUpdates
-                        .fold(batchVerdict.unionByName(priorUpdates))(
-                          batchVerdict.unionByName(priorUpdates).unionByName(_))
+                      try recomputeUpdates
+                        .fold(batchVerdict.unionByName(priorUpdatesFinal))(
+                          batchVerdict.unionByName(priorUpdatesFinal).unionByName(_))
                         .withColumn("bucket", chainBucket(col("doc_id")))
                         .repartition(col("bucket")) // one file per bucket per epoch
                         .write.partitionBy("bucket").mode("overwrite")
                         .parquet(s"$verdictDir/batch=$epoch")
-                      finally removalUpdates.foreach(
-                        graft.operators.Corpus.releaseCheckpoint)
+                      finally {
+                        recomputeUpdates.foreach(
+                          graft.operators.Corpus.releaseCheckpoint)
+                        recomputeIds.foreach(
+                          graft.operators.Corpus.releaseCheckpoint)
+                      }
                       priorFetchProbe.foreach(probeAdd(_, (epoch, fetchedIds, fetchedRows)))
                     } finally {
                       newBest.unpersist(blocking = false)
@@ -2059,6 +2251,7 @@ object Events {
                 arrived.unpersist(blocking = false)
                 removals.unpersist(blocking = false)
                 retired.unpersist(blocking = false)
+                capRelease.foreach(graft.operators.Corpus.releaseCheckpoint)
                 // tombAgg may BE tombAggPrior (no retirements) — release
                 // each persisted relation exactly once
                 tombAgg.filterNot(t => tombAggPrior.exists(_ eq t))
@@ -2076,7 +2269,7 @@ object Events {
               // swapped); the verdict chain additionally LWW-resolves
               // per doc_id, and the bucket layouts are preserved so
               // probe-side file pruning survives the rewrite.
-              if (epoch > 0 && epoch % compactEvery.toLong == 0)
+              if (epoch > 0 && epoch % compactEvery.toLong == 0) {
                 compactTombstonedChains(bss,
                   Seq(bandsDir, shinglesDir, verdictDir), tombstoneDir,
                   partitionColsFor = _ => Seq("bucket"),
@@ -2086,6 +2279,32 @@ object Events {
                     if (d == bandsDir) bandsSchema
                     else if (d == shinglesDir) shinglesSchema
                     else verdictSchema))
+                // capped mode's hot snapshots join the cadence (the
+                // streamIncrementalClean prune rule): keep the
+                // just-committed epoch's snapshot AND its committed
+                // predecessor's — a crash after this pass but before
+                // the stream checkpoint commits replays THIS epoch,
+                // whose hot-prior read resolves to the predecessor
+                if (maxBandDf.isDefined) {
+                  val keep = Set(epoch) ++ committedEpochsBelow(verdictDir, epoch)
+                    .sorted.lastOption
+                  val hotPath = java.nio.file.Paths.get(hotBandsDir)
+                  if (java.nio.file.Files.isDirectory(hotPath)) {
+                    import scala.jdk.CollectionConverters._
+                    val listing = java.nio.file.Files.list(hotPath)
+                    val snapshots =
+                      try listing.iterator().asScala.toList
+                        .filter(_.getFileName.toString.startsWith("batch="))
+                        .map(p => p -> p.getFileName.toString
+                          .stripPrefix("batch=").toLong)
+                      finally listing.close()
+                    snapshots.filterNot(s => keep.contains(s._2))
+                      .foreach(s => deleteDir(s._1))
+                    hotDirsProbe.foreach(probeAdd(_,
+                      (epoch, snapshots.map(_._2).filter(keep.contains).sorted)))
+                  }
+                }
+              }
               deltaProbe.foreach(probeAdd(_, (epoch,
                 bss.read.schema(verdictSchema)
                   .parquet(s"$verdictDir/batch=$epoch").count())))
@@ -2093,8 +2312,12 @@ object Events {
               // tombstones, compaction) but BEFORE the streaming
               // checkpoint commits — the harness restarts on the same
               // checkpoint and this epoch REPLAYS over the
-              // already-written store (see the crashAtEpoch doc)
-              if (crashArmed && crashAtEpoch.contains(epoch)) {
+              // already-written store (see the crashAtEpoch doc).
+              // CAPPED runs defer to their own, strictly-worse hook
+              // (post-hot-write pre-verdict, above) — a crash-armed
+              // capped run must still always crash, and it does: the
+              // capped hook fires unconditionally in capped mode.
+              if (crashArmed && maxBandDf.isEmpty && crashAtEpoch.contains(epoch)) {
                 crashArmed = false
                 throw new InjectedCrash(s"injected post-write crash at epoch $epoch")
               }
@@ -2104,14 +2327,20 @@ object Events {
           try {
             dr.drain()
             outerLap("drain 1 (bootstrap epoch)")
-            docs.filter(col("doc_id") % 5 === 0).stageArrival(src)
+            // arrival 2 additionally tops the planted flood over the
+            // cap in capped mode (the up-crossing epoch)
+            flood.map(_._2).foldLeft(docs.filter(col("doc_id") % 5 === 0))(
+                _ unionByName _)
+              .stageArrival(src)
             outerLap("stage arrival 2")
             dr.drain()
             outerLap("drain 2 (incremental epoch)")
             // arrival 3: RETRACT the shadows (tombstone-only rows, text
-            // NULL) — the converged relation must equal the batch twin
-            // over `documents` alone
-            shadows.withColumn("text", lit(null).cast("string"))
+            // NULL) — and in capped mode EVERY flood copy with them
+            // (the down-crossing epoch) — the converged relation must
+            // equal the batch twin over `documents` alone
+            flood.map(_._3).foldLeft(shadows)(_ unionByName _)
+              .withColumn("text", lit(null).cast("string"))
               .stageArrival(src)
             outerLap("stage arrival 3")
             dr.drain()
@@ -2313,6 +2542,24 @@ object Events {
     * and the tombstone aggregate's growth for a loop that would
     * otherwise append one delta per epoch forever.
     */
+  /** The engineered drift wave's per-dimension shift — far outside the
+    * unit-ish embedding range, so a shifted cloud funnels into one or
+    * two frozen-quantizer cells and [[graft.operators.Similarity
+    * .maxCellShare]] visibly jumps. ONE definition: the staged wave,
+    * the check twin's reconstruction and the specs all shift with it. */
+  private[graft] val DriftWaveShift = 8.0f
+
+  /** Default re-train trigger for the migrating loop: a fifth of the
+    * corpus landing in one cell reads ~0.2 share against a ~1/16
+    * stable baseline — 0.15 sits between them with margin both ways. */
+  private[graft] val DriftMaxCellShareDefault = 0.15
+
+  /** Apply the drift wave to a vector relation (the `embedding` column
+    * shifted by [[DriftWaveShift]] per dimension, float-preserved). */
+  private[graft] def driftShift(df: DataFrame): DataFrame =
+    df.withColumn("embedding",
+      transform(col("embedding"), x => (x + lit(DriftWaveShift)).cast("float")))
+
   def ingestAnnIvf(spark: SparkSession, sfDir: String,
                    statePartitions: Option[Int] = Some(4),
                    k: Int = 5, nprobe: Int = 8,
@@ -2320,7 +2567,11 @@ object Events {
                    cellStatsProbe: Option[scala.collection.mutable.Buffer[(Long, Seq[(Int, Long)])]] = None,
                    cellStatsInputProbe: Option[scala.collection.mutable.Buffer[(Long, Long)]] = None,
                    compactEvery: Int = 8,
-                   crashAtEpoch: Option[Long] = None): DataFrame = {
+                   crashAtEpoch: Option[Long] = None,
+                   driftMaxCellShare: Option[Double] = None,
+                   migrateBucketsPerEpoch: Int = 16,
+                   driftWaveArrival2: Boolean = false,
+                   migrationProbe: Option[scala.collection.mutable.Buffer[(Long, String)]] = None): DataFrame = {
     import graft.operators.Similarity
     val ss = sessionFor(spark, statePartitions,
       Map("spark.sql.streaming.noDataMicroBatches.enabled" -> "false") ++ providerConf)
@@ -2337,6 +2588,38 @@ object Events {
           val assignDir = s"$store/assign"
           val cellStatsDir = s"$store/cellstats"
           val tombstoneDir = s"$store/tombstones"
+          // MIGRATION mode's extra stored state (VERDICT r15 #1 — the
+          // re-train/cutover the drift monitor exists for):
+          //  - `vectors/batch=e` — the live corpus VECTOR chain
+          //    (neighbor-id-bucketed, shares the tombstone dir): the
+          //    store the background re-assignment reads old vectors
+          //    from, and the rerank source once the raw table's rows
+          //    can be stale (a drifted wave);
+          //  - `centroids_v2` + `assign_v2/batch=e` — quantizer v2 and
+          //    its OWN epoch chain, built in the background: each
+          //    post-trip epoch v2-assigns its own arrivals plus one
+          //    bucket-cursor CHUNK of pre-trip vectors (the cursor is
+          //    a pure function of the epoch number — replay-safe, no
+          //    mutable state);
+          //  - `migration_started` / `active_version` — tiny markers
+          //    (atomic tmp+move): the trip epoch, and the query-side
+          //    cutover flag, flipped only when v2's live assignment
+          //    count equals the live corpus count. v1 stays the
+          //    loop's commit/membership chain throughout (the flip is
+          //    the QUERY side's — retiring v1's chain is a deployment
+          //    cleanup once drained).
+          val vectorsDir = s"$store/vectors"
+          val centroidsV2Dir = s"$store/centroids_v2"
+          val assignV2Dir = s"$store/assign_v2"
+          val migStartPath = java.nio.file.Paths.get(s"$store/migration_started")
+          val activeV2Path = java.nio.file.Paths.get(s"$store/active_version")
+          def writeMarker(p: java.nio.file.Path, content: String): Unit = {
+            val tmp = p.resolveSibling(p.getFileName.toString + ".tmp")
+            java.nio.file.Files.write(tmp, content.getBytes("UTF-8"))
+            java.nio.file.Files.move(tmp, p,
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          }
           // the assignment chain's value schema — explicit-schema reads
           // of possibly-empty delta dirs (a removal-only epoch assigns
           // nothing)
@@ -2348,10 +2631,14 @@ object Events {
             org.apache.spark.sql.types.StructField("cell",
               org.apache.spark.sql.types.IntegerType),
             org.apache.spark.sql.types.StructField("n", LongType)))
+          val vectorsSchema = org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("neighbor_id", LongType),
+            org.apache.spark.sql.types.StructField("embedding",
+              rawSchema(ss, sfDir, "embeddings")("embedding").dataType)))
           // column selected BY NAME: a positional read would silently
           // return wrong vectors if the stored column order ever changed
-          def loadCentroids(s2: SparkSession): Array[Array[Double]] =
-            s2.read.parquet(centroidsDir).orderBy(col("cell"))
+          def loadCentroids(s2: SparkSession, dir: String = centroidsDir): Array[Array[Double]] =
+            s2.read.parquet(dir).orderBy(col("cell"))
               .select(col("centroid"))
               .collect().map(_.getSeq[Double](0).toArray)
           val outerLap = graft.operators.Snapshot.incrLap()
@@ -2374,7 +2661,7 @@ object Events {
               // a crash mid-swap of the in-stream compaction below can
               // leave a chain whose newest prefix lives only in the
               // stranded snapshot — repair before any chain read
-              Seq(assignDir, cellStatsDir).foreach(d =>
+              Seq(assignDir, cellStatsDir, vectorsDir, assignV2Dir).foreach(d =>
                 recoverInterruptedCompaction(java.nio.file.Paths.get(d)))
               // removals (embedding IS NULL) vs adds — see the query doc
               val removals = batch.filter(col("embedding").isNull)
@@ -2446,6 +2733,17 @@ object Events {
                   .repartition(col("bucket"))
                   .write.partitionBy("bucket").mode("overwrite")
                   .parquet(s"$assignDir/batch=$epoch")
+                // MIGRATION mode: the corpus vector chain — O(|batch|)
+                // per epoch, neighbor-id-bucketed, tombstone-shared.
+                // Written from epoch 0 (the background re-assignment
+                // reads PRE-trip vectors from it) and doubling as the
+                // rerank source once table rows can be stale.
+                if (driftMaxCellShare.isDefined)
+                  arrived.select(col("vec_id").as("neighbor_id"), col("embedding"))
+                    .withColumn("bucket", chainBucket(col("neighbor_id")))
+                    .repartition(col("bucket"))
+                    .write.partitionBy("bucket").mode("overwrite")
+                    .parquet(s"$vectorsDir/batch=$epoch")
                 // the monitor's per-epoch state delta: THIS batch's
                 // per-cell counts, O(nCells) rows — never the corpus —
                 // PLUS negative counts for the RETIRED vectors' prior
@@ -2471,6 +2769,140 @@ object Events {
                     .agg((-count(lit(1))).as("n"))
                 addStats.unionByName(remStats)
                   .write.mode("overwrite").parquet(s"$cellStatsDir/batch=$epoch")
+                // ---- IVF re-train / cutover (VERDICT r15 #1) --------
+                // The consumer the drift monitor exists for. Trip: the
+                // summed stats chain's max-cell share over the
+                // threshold. Response: train quantizer v2 ONCE on a
+                // bounded deterministic sample of the LIVE corpus, then
+                // build v2's own epoch chain in the BACKGROUND — each
+                // epoch v2-assigns its arrivals plus one bucket-cursor
+                // chunk of old vectors (cursor = f(epoch − trip epoch),
+                // no mutable state, replay recomputes its own chunk) —
+                // and flip the query side only when v2's live count
+                // equals the live corpus count (the completeness gate;
+                // two scalar-chain counts per PRE-cutover epoch, the
+                // inherent price of certifying a migration complete).
+                if (driftMaxCellShare.isDefined) {
+                  val note = new StringBuilder
+                  // the epoch's tombstone aggregate = prior ⊕ this
+                  // batch's retired set (the ingestNearDup merge — no
+                  // second chain read); may BE tombAggPrior
+                  val tombAggE =
+                    if (!haveRetired) tombAggPrior
+                    else {
+                      val ours = retired.select(col("neighbor_id"))
+                        .withColumn("tomb_epoch", lit(epoch))
+                      Some(tombAggPrior.fold(ours)(p => p.unionByName(ours))
+                        .groupBy(col("neighbor_id"))
+                        .agg(max(col("tomb_epoch")).as("tomb_epoch"))
+                        .persist())
+                    }
+                  try {
+                    def liveVectors(): DataFrame = tombstoneResolvedRowsWith(
+                      withChainPartitionCols(
+                        bss.read.schema(vectorsSchema).parquet(vectorsDir),
+                        "batch", "bucket")
+                        .filter(col("batch") <= lit(epoch)).drop("bucket"),
+                      tombAggE, keyCol = "neighbor_id")
+                    val activeV2 = java.nio.file.Files.exists(activeV2Path)
+                    if (!activeV2 && !java.nio.file.Files.exists(migStartPath)) {
+                      val share = Similarity.maxCellShare(
+                        withChainPartitionCols(
+                          bss.read.schema(cellStatsSchema).parquet(cellStatsDir), "batch")
+                          .filter(col("batch") <= lit(epoch))
+                          .groupBy(col("cell")).agg(sum(col("n")).as("n"))
+                          .filter(col("n") > 0))
+                      note ++= f"share=$share%.3f "
+                      if (share > driftMaxCellShare.get) {
+                        writeMarker(migStartPath, epoch.toString)
+                        note ++= "trip "
+                      }
+                    }
+                    if (java.nio.file.Files.exists(migStartPath)) {
+                      val m0 = new String(java.nio.file.Files
+                        .readAllBytes(migStartPath), "UTF-8").trim.toLong
+                      // v2: trained at the trip epoch on the live
+                      // corpus (bounded sample inside ivfTrain,
+                      // deterministic order) — replay of m0 retrains
+                      // identically and overwrites idempotently
+                      val v2 =
+                        if (epoch == m0) {
+                          val c = Similarity.ivfTrain(liveVectors()
+                            .select(col("neighbor_id").as("vec_id"), col("embedding"))
+                            .orderBy(col("vec_id")))
+                          c.zipWithIndex.map { case (v, i) => (i, v.toSeq) }.toSeq
+                            .toDF("cell", "centroid")
+                            .write.mode("overwrite").parquet(centroidsV2Dir)
+                          note ++= "v2-trained "
+                          c
+                        } else loadCentroids(bss, centroidsV2Dir)
+                      // the epoch's v2 delta: its own arrivals + the
+                      // cursor's chunk of OLD vectors — file-pruned to
+                      // the cursor buckets, tombstone-resolved, and
+                      // anti-joined against v2's PRIOR-epoch ids (a
+                      // replay must redo its own chunk) and this
+                      // epoch's arrivals (already assigned above).
+                      // Anti-join (not a batch<m0 filter) keeps the
+                      // chunk correct across compactions, which fold
+                      // old rows up to newer batch values.
+                      val b0 = ((epoch - m0) * migrateBucketsPerEpoch).toInt
+                      val chunkBuckets =
+                        (b0 until math.min(b0 + migrateBucketsPerEpoch, ChainBuckets)).toList
+                      val chunkVecs =
+                        if (chunkBuckets.isEmpty)
+                          liveVectors().limit(0)
+                        else {
+                          val v2PriorIds =
+                            if (committedEpochsBelow(assignV2Dir, epoch).isEmpty)
+                              arrived.select(col("vec_id").as("neighbor_id")).limit(0)
+                            else tombstoneResolvedRowsWith(
+                              prunedChainRows(bss, assignV2Dir, epoch - 1,
+                                chunkBuckets, Some(assignSchema)),
+                              tombAggE, keyCol = "neighbor_id")
+                              .select(col("neighbor_id"))
+                          tombstoneResolvedRowsWith(
+                            prunedChainRows(bss, vectorsDir, epoch,
+                              chunkBuckets, Some(vectorsSchema)),
+                            tombAggE, keyCol = "neighbor_id")
+                            .join(v2PriorIds, Seq("neighbor_id"), "left_anti")
+                            .join(arrived.select(col("vec_id").as("neighbor_id")),
+                              Seq("neighbor_id"), "left_anti")
+                        }
+                      if (chunkBuckets.nonEmpty)
+                        note ++= s"chunk=[${chunkBuckets.head},${chunkBuckets.last}] "
+                      Similarity.ivfAssign(arrived, v2)
+                        .unionByName(Similarity.ivfAssign(
+                          chunkVecs.select(col("neighbor_id").as("vec_id"),
+                            col("embedding")), v2))
+                        .withColumn("bucket", chainBucket(col("neighbor_id")))
+                        .repartition(col("bucket"))
+                        .write.partitionBy("bucket").mode("overwrite")
+                        .parquet(s"$assignV2Dir/batch=$epoch")
+                      // cutover: v2 is complete exactly when its live
+                      // ids equal the live corpus — flip the query
+                      // side once, atomically (replay of the cutover
+                      // epoch sees the marker and just re-lands its
+                      // idempotent v2 delta)
+                      if (!activeV2) {
+                        val liveN = liveVectors().count()
+                        val v2N = tombstoneResolvedRowsWith(
+                          withChainPartitionCols(
+                            bss.read.schema(assignSchema).parquet(assignV2Dir),
+                            "batch", "bucket")
+                            .filter(col("batch") <= lit(epoch)).drop("bucket"),
+                          tombAggE, keyCol = "neighbor_id").count()
+                        note ++= s"v2=$v2N/$liveN "
+                        if (v2N == liveN) {
+                          writeMarker(activeV2Path, "2")
+                          note ++= "cutover "
+                        }
+                      }
+                    }
+                  } finally tombAggE
+                    .filterNot(t => tombAggPrior.exists(_ eq t))
+                    .foreach(_.unpersist(blocking = false))
+                  migrationProbe.foreach(probeAdd(_, (epoch, note.toString.trim)))
+                }
               } finally {
                 arrived.unpersist(blocking = false)
                 removals.unpersist(blocking = false)
@@ -2487,11 +2919,23 @@ object Events {
               // the sum-merge compactor (per-cell totals are the
               // resolution its consumers apply).
               if (epoch > 0 && epoch % compactEvery.toLong == 0) {
-                compactTombstonedChains(bss, Seq(assignDir), tombstoneDir,
+                // migration mode's chains fold in the SAME call — the
+                // multi-chain compactor consumes the shared tombstones
+                // only after every chain swapped, so a second call
+                // would find them already gone (the chunk reads are
+                // anti-join-based, so folding old vector rows up to
+                // newer batch values is harmless)
+                val migChains =
+                  (if (java.nio.file.Files.isDirectory(
+                    java.nio.file.Paths.get(vectorsDir))) Seq(vectorsDir) else Nil) ++
+                  (if (java.nio.file.Files.isDirectory(
+                    java.nio.file.Paths.get(assignV2Dir))) Seq(assignV2Dir) else Nil)
+                compactTombstonedChains(bss, Seq(assignDir) ++ migChains, tombstoneDir,
                   keyCol = "neighbor_id",
                   partitionColsFor = _ => Seq("bucket"),
                   upTo = Some(epoch - 1),
-                  dataSchemaFor = _ => Some(assignSchema))
+                  dataSchemaFor = d =>
+                    Some(if (d == vectorsDir) vectorsSchema else assignSchema))
                 compactAdditiveChain(bss, cellStatsDir, Seq("cell"), "n",
                   upTo = Some(epoch - 1), dataSchema = Some(cellStatsSchema))
               }
@@ -2538,10 +2982,18 @@ object Events {
             // the %10==EarlyRedeliveryRem vectors (arrival-1 members,
             // byte-identical) — their supersede tombstones land at
             // epoch 1, so a compactEvery=1 run folds + consumes
-            // tombstones mid-stream (see EarlyRedeliveryRem)
-            corpus.filter(col("vec_id") % 5 === 0)
+            // tombstones mid-stream (see EarlyRedeliveryRem).
+            // DRIFT-WAVE staging (the migrate variant): the second
+            // half arrives SHIFTED off the base distribution — the
+            // engineered drift that must trip the re-train — and the
+            // early-redelivery extra is dropped so the live corpus
+            // stays a closed-form function of the table (the check
+            // twin and the specs reconstruct it verbatim).
+            (if (driftWaveArrival2)
+              driftShift(corpus.filter(col("vec_id") % 5 === 0))
+            else corpus.filter(col("vec_id") % 5 === 0)
               .unionByName(corpus.filter(
-                col("vec_id") % RedeliveryMod === EarlyRedeliveryRem))
+                col("vec_id") % RedeliveryMod === EarlyRedeliveryRem)))
               .stageArrival(src)
             outerLap("stage arrival 2")
             dr.drain()
@@ -2551,24 +3003,48 @@ object Events {
             // (identical embeddings — the supersede path must tombstone
             // their old assignment rows and net the cellstats to zero,
             // or the index holds the vector live in two cells); the
-            // maintained index must stop returning the removed ones
+            // maintained index must stop returning the removed ones.
+            // Every %10 id is a %5==0 id, so in drift mode the
+            // re-delivery carries the SHIFTED embedding — identical to
+            // what arrived, or the re-crawl would silently change the
+            // corpus.
             corpus.filter(col("vec_id") % AnnRemovalMod === 0)
               .withColumn("embedding",
                 lit(null).cast(rawSchema(ss, sfDir, "embeddings")("embedding").dataType))
-              .unionByName(corpus.filter(col("vec_id") % RedeliveryMod === 0 &&
-                col("vec_id") % AnnRemovalMod =!= 0))
+              .unionByName {
+                val redel = corpus.filter(col("vec_id") % RedeliveryMod === 0 &&
+                  col("vec_id") % AnnRemovalMod =!= 0)
+                if (driftWaveArrival2) driftShift(redel) else redel
+              }
               .stageArrival(src)
             outerLap("stage arrival 3")
             dr.drain()
             outerLap("drain 3 (removal epoch)")
           } finally dr.finish("graft_annstream")
           // query the maintained index: tombstone-resolved chain +
-          // frozen quantizer — a removed vector never reaches the probe
+          // frozen quantizer — a removed vector never reaches the
+          // probe. The CUTOVER is here: once the active-version marker
+          // exists, the query side reads the v2 chain and quantizer —
+          // and in migration mode reranks against the LIVE vector
+          // chain (table rows are stale for a drifted wave), with the
+          // static query set still from the table.
+          val (qAssignDir, qCentroidsDir) =
+            if (java.nio.file.Files.exists(activeV2Path)) (assignV2Dir, centroidsV2Dir)
+            else (assignDir, centroidsDir)
           val assigned = tombstoneResolvedRows(spark,
-            spark.read.schema(assignSchema).parquet(assignDir).drop("bucket"),
+            spark.read.schema(assignSchema).parquet(qAssignDir).drop("bucket"),
             tombstoneDir, keyCol = "neighbor_id")
+          val embForQuery =
+            if (driftMaxCellShare.isEmpty) Tables.embeddings(spark, sfDir)
+            else Tables.embeddings(spark, sfDir)
+              .filter(col("vec_id") < Similarity.NumQueries)
+              .select(col("vec_id"), col("embedding"))
+              .unionByName(tombstoneResolvedRows(spark,
+                spark.read.schema(vectorsSchema).parquet(vectorsDir).drop("bucket"),
+                tombstoneDir, keyCol = "neighbor_id")
+                .select(col("neighbor_id").as("vec_id"), col("embedding")))
           val topk = Similarity.ivfTopKFromIndex(
-            Tables.embeddings(spark, sfDir), assigned, loadCentroids(spark), k, nprobe)
+            embForQuery, assigned, loadCentroids(spark, qCentroidsDir), k, nprobe)
           val out = detach(spark, topk)
           outerLap("consumer read-back (maintained-index top-k)")
           out
@@ -2608,6 +3084,66 @@ object Events {
         (col("hits") >= lit(recallFloor) * col("n_brute")).as("recall_ok"))
     val out = Tables.materializeAndRelease(verdict, b)
     oracleLap("oracle verify (brute-force recall)")
+    out
+  }
+
+  /** Oracle-checkable contract of the MIGRATING loop (VERDICT r15 #1,
+    * the `stream_ingest_ann_migrate` twin): runs [[ingestAnnIvf]] with
+    * the drift monitor armed and the engineered wave staged, then pins
+    * the migration's whole contract in one row —
+    *
+    *  - `n_rows` — exactly k rows per query after the cutover (real,
+    *    oracle-derived from the query-set size);
+    *  - `drift_tripped` / `cutover_done` — the monitor fired at a
+    *    POST-bootstrap epoch and the query side flipped (pinned true);
+    *  - `migrated_equals_fresh` — the post-cutover top-k equals a
+    *    from-scratch v2 build over the live corpus VERBATIM: v2
+    *    centroids retrained on the same deterministic sample the loop
+    *    used (the live corpus at the trip epoch), the live corpus
+    *    reconstructed in closed form from the staging rules (base ∪
+    *    shifted wave, minus the %AnnRemovalMod removals — the %10
+    *    re-deliveries are identical), assignment by the same frozen
+    *    kernel (pinned true);
+    *  - `recall_ok` — the migrated index clears the maintained-index
+    *    floor against brute force over the same live corpus: the
+    *    `ivf_incr` contract held THROUGH a migration (pinned true).
+    */
+  def ingestAnnMigrateCheck(spark: SparkSession, sfDir: String,
+                            k: Int = 5, nprobe: Int = 8,
+                            recallFloor: Double = 0.7): DataFrame = {
+    import graft.operators.Similarity
+    val probe = scala.collection.mutable.ListBuffer.empty[(Long, String)]
+    val streamed = ingestAnnIvf(spark, sfDir,
+      driftMaxCellShare = Some(DriftMaxCellShareDefault),
+      driftWaveArrival2 = true, migrationProbe = Some(probe),
+      k = k, nprobe = nprobe) // local relation (detached)
+    val oracleLap = graft.operators.Snapshot.incrLap()
+    val emb = Tables.embeddings(spark, sfDir)
+    val corpus = emb.filter(col("vec_id") >= Similarity.NumQueries)
+    val wave = driftShift(corpus.filter(col("vec_id") % 5 === 0))
+    val m0Corpus = corpus.filter(col("vec_id") % 5 =!= 0).unionByName(wave)
+    val finalCorpus = m0Corpus.filter(col("vec_id") % AnnRemovalMod =!= 0)
+    val embLive = emb.filter(col("vec_id") < Similarity.NumQueries)
+      .unionByName(finalCorpus)
+    val v2 = Similarity.ivfTrain(m0Corpus.orderBy(col("vec_id")))
+    val fresh = Similarity.ivfTopKFromIndex(embLive,
+      Similarity.ivfAssign(finalCorpus, v2), v2, k, nprobe)
+    val b = Similarity.bruteTopK(embLive, k)
+      .select(col("query_id"), col("neighbor_id")).persist()
+    val tripped = probe.exists { case (e, s) => e >= 1 && s.contains("trip") }
+    val cutover = probe.exists(_._2.contains("cutover"))
+    val sameAsFresh = streamed.collect().toSeq == fresh.collect().toSeq
+    val verdict = streamed.agg(count(lit(1)).as("n_rows"))
+      .crossJoin(broadcast(streamed.select(col("query_id"), col("neighbor_id"))
+        .join(b, Seq("query_id", "neighbor_id"), "left_semi")
+        .agg(count(lit(1)).as("hits"))))
+      .crossJoin(broadcast(b.agg(count(lit(1)).as("n_brute"))))
+      .select(col("n_rows"), lit(tripped).as("drift_tripped"),
+        lit(cutover).as("cutover_done"),
+        lit(sameAsFresh).as("migrated_equals_fresh"),
+        (col("hits") >= lit(recallFloor) * col("n_brute")).as("recall_ok"))
+    val out = Tables.materializeAndRelease(verdict, b)
+    oracleLap("oracle verify (fresh-v2 equality + brute recall)")
     out
   }
 
@@ -3573,8 +4109,21 @@ object Events {
     "stream_ingest_dedup_files" -> ((s, d) => ingestDedupToFiles(s, d)),
     "stream_ingest_neardup" -> ((s, d) => ingestNearDup(s, d)),
     "stream_ingest_neardup_check" -> ((s, d) => ingestNearDupCheck(s, d)),
+    // the maxBandDf-capped loop (VERDICT r15 #2): same staging PLUS a
+    // planted template flood that crosses the cap up mid-stream and is
+    // fully retracted — rows-only by design (LSH is not portable SQL);
+    // StreamingSpec pins converged == the capped batch twin verbatim
+    // with crossing non-vacuity meters
+    "stream_ingest_neardup_capped" -> ((s, d) =>
+      ingestNearDup(s, d, maxBandDf = Some(graft.operators.Dedup.BandCapDf))),
     "stream_ingest_ann" -> ((s, d) => ingestAnnIvf(s, d)),
     "stream_ingest_ann_check" -> ((s, d) => ingestAnnCheck(s, d)),
+    // the drift-triggered re-train/cutover loop (r16): monitor armed,
+    // engineered wave staged — rows-only (quantizer-seeded list); its
+    // check twin pins the whole migration contract under the oracle
+    "stream_ingest_ann_migrate" -> ((s, d) => ingestAnnIvf(s, d,
+      driftMaxCellShare = Some(DriftMaxCellShareDefault), driftWaveArrival2 = true)),
+    "stream_ingest_ann_migrate_check" -> ((s, d) => ingestAnnMigrateCheck(s, d)),
     "stream_ingest_classify" -> ((s, d) => ingestClassify(s, d)),
     "stream_ingest_classify_check" -> ((s, d) => ingestClassifyCheck(s, d)),
     "stream_ingest_decontam" -> ((s, d) => ingestDecontam(s, d)),
@@ -3658,6 +4207,16 @@ object Events {
       """SELECT CAST((SELECT count(*) * 5 FROM embeddings WHERE vec_id < 10)
         |   AS BIGINT) AS n_rows,
         | true AS recall_ok""".stripMargin,
+    // stream_ingest_ann_migrate is rows-only (same status); its check
+    // twin pins the migration contract: k rows per query post-cutover,
+    // the drift trip + cutover events, verbatim equality with a fresh
+    // v2 build over the reconstructed live corpus, and the
+    // maintained-index recall floor held through the migration
+    "stream_ingest_ann_migrate_check" ->
+      """SELECT CAST((SELECT count(*) * 5 FROM embeddings WHERE vec_id < 10)
+        |   AS BIGINT) AS n_rows,
+        | true AS drift_tripped, true AS cutover_done,
+        | true AS migrated_equals_fresh, true AS recall_ok""".stripMargin,
     // stream_ingest_classify is rows-only (iterative float weights —
     // text_classifier's status); its check twin pins the real
     // denominators plus the frozen-model generalization floors: the

@@ -147,4 +147,29 @@ class AnnSpec extends AnyFunSuite {
     val c2 = Similarity.kmeansLite(sample, 2)
     assert(c1.flatten.toSeq == c2.flatten.toSeq)
   }
+
+  test("maxCellShare: the drift metric trips on the engineered wave and stays quiet on the stable corpus") {
+    // the re-train trigger's margins, measured on the driver table:
+    // natural max-cell share ≤ 0.084 at every SF, the shifted wave's
+    // ≥ 0.24 — the 0.15 threshold sits ~1.8× from both (the same
+    // construction the migrating loop's monitor sees)
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.embeddings(spark, TestSpark.sf)
+    val corpus = emb.filter(col("vec_id") >= Similarity.NumQueries)
+    val base = corpus.filter(col("vec_id") % 5 =!= 0)
+    val v1 = Similarity.ivfTrain(base.orderBy(col("vec_id")))
+    val threshold = graft.streaming.Events.DriftMaxCellShareDefault
+    val stable = Similarity.maxCellShare(
+      Similarity.ivfCellStats(Similarity.ivfAssign(corpus, v1)))
+    assert(stable <= threshold,
+      f"stable corpus reads $stable%.3f — over the $threshold trigger")
+    val wave = graft.streaming.Events.driftShift(corpus.filter(col("vec_id") % 5 === 0))
+    val drifted = Similarity.maxCellShare(
+      Similarity.ivfCellStats(Similarity.ivfAssign(base.unionByName(wave), v1)))
+    assert(drifted > threshold,
+      f"drifted corpus reads $drifted%.3f — under the $threshold trigger")
+    // empty stats read 0.0: nothing indexed, nothing to migrate
+    assert(Similarity.maxCellShare(
+      Similarity.ivfCellStats(Similarity.ivfAssign(corpus.limit(0), v1))) == 0.0)
+  }
 }

@@ -229,6 +229,83 @@ class StreamingSpec extends AnyFunSuite {
       "folded cellstats chain diverged from the one-shot live occupancy")
   }
 
+  /** The migrate staging's fresh-v2 truth, reconstructed in closed
+    * form (VERDICT r15 #1): v2 trains on the live corpus at the trip
+    * epoch (base ∪ shifted wave — the same deterministic sample order
+    * the loop uses), assignment is the frozen kernel over the FINAL
+    * live corpus (%AnnRemovalMod removed; the %10 re-deliveries are
+    * identical), rerank against the live vectors. */
+  private def migrateFreshBuild(): (Seq[org.apache.spark.sql.Row], Set[(Long, Long)]) = {
+    import graft.operators.Similarity
+    val emb = Tables.embeddings(spark, TestSpark.sf)
+    val corpus = emb.filter(col("vec_id") >= Similarity.NumQueries)
+    val wave = Events.driftShift(corpus.filter(col("vec_id") % 5 === 0))
+    val m0Corpus = corpus.filter(col("vec_id") % 5 =!= 0).unionByName(wave)
+    val finalCorpus = m0Corpus.filter(col("vec_id") % Events.AnnRemovalMod =!= 0)
+    val embLive = emb.filter(col("vec_id") < Similarity.NumQueries)
+      .unionByName(finalCorpus)
+    val v2 = Similarity.ivfTrain(m0Corpus.orderBy(col("vec_id")))
+    val fresh = Similarity.ivfTopKFromIndex(embLive,
+      Similarity.ivfAssign(finalCorpus, v2), v2, k = 5, nprobe = 8).collect().toSeq
+    val brute = Similarity.bruteTopK(embLive)
+      .select(col("query_id"), col("neighbor_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    (fresh, brute)
+  }
+
+  test("IVF drift migration: the wave trips the monitor, the loop migrates mid-stream, cutover equals a fresh v2 build") {
+    val probe = scala.collection.mutable.ListBuffer.empty[(Long, String)]
+    val streamed = Events.ingestAnnIvf(spark, TestSpark.sf,
+      driftMaxCellShare = Some(Events.DriftMaxCellShareDefault),
+      driftWaveArrival2 = true, migrationProbe = Some(probe)).collect().toSeq
+    val events = probe.sortBy(_._1)
+    // the monitor must stay quiet on the stable bootstrap and trip on
+    // the wave epoch — then train v2 exactly once
+    assert(!events.exists(e => e._1 == 0L && e._2.contains("trip")),
+      s"tripped at bootstrap: $events")
+    assert(events.exists(e => e._1 == 1L && e._2.contains("trip")),
+      s"no trip at the wave epoch: $events")
+    assert(events.count(_._2.contains("v2-trained")) == 1, s"events: $events")
+    // the background re-assignment SPANS epochs (32 buckets at
+    // 16/epoch) and the cutover lands at the second — a mid-stream
+    // migration, not a stop-the-world rebuild
+    assert(events.exists(e => e._1 == 1L && e._2.contains("chunk=[0,15]")) &&
+      events.exists(e => e._1 == 2L && e._2.contains("chunk=[16,31]")),
+      s"chunks did not span epochs: $events")
+    assert(events.count(_._2.contains("cutover")) == 1 &&
+      events.exists(e => e._1 == 2L && e._2.contains("cutover")),
+      s"cutover events: $events")
+    // post-cutover top-k equals the fresh v2 build VERBATIM, and the
+    // ivf_incr recall floor holds through the migration
+    val (fresh, brute) = migrateFreshBuild()
+    assert(streamed.nonEmpty && streamed == fresh,
+      "post-cutover top-k diverged from the fresh v2 build")
+    val hits = streamed.count(r => brute((r.getLong(0), r.getLong(2))))
+    assert(hits >= 0.7 * brute.size,
+      s"recall through the migration ${hits.toDouble / brute.size} under the 0.7 floor")
+  }
+
+  test("IVF drift migration: stable arrivals never trip; the crash-replayed cutover epoch converges") {
+    // falsifiability: monitor armed, staging UNdrifted — no trip, no
+    // migration, the consumer keeps serving v1
+    val probe = scala.collection.mutable.ListBuffer.empty[(Long, String)]
+    val undrifted = Events.ingestAnnIvf(spark, TestSpark.sf,
+      driftMaxCellShare = Some(Events.DriftMaxCellShareDefault),
+      migrationProbe = Some(probe)).collect().toSeq
+    assert(undrifted.nonEmpty)
+    assert(probe.nonEmpty && !probe.exists(_._2.contains("trip")),
+      s"a distribution-stable corpus tripped the monitor: $probe")
+    // crash at the cutover epoch (post-write, pre-checkpoint-commit):
+    // the replay sees the marker already flipped and re-lands its
+    // idempotent v2 delta — converging to the same fresh build
+    val crashed = Events.ingestAnnIvf(spark, TestSpark.sf,
+      driftMaxCellShare = Some(Events.DriftMaxCellShareDefault),
+      driftWaveArrival2 = true, crashAtEpoch = Some(2L)).collect().toSeq
+    val (fresh, _) = migrateFreshBuild()
+    assert(crashed.nonEmpty && crashed == fresh,
+      "crash-replayed migration diverged from the fresh v2 build")
+  }
+
   test("stream_ingest_classify converges to the batch-trained scoring, appends only deltas") {
     import graft.operators.Classifier
     val probe = scala.collection.mutable.ListBuffer.empty[(Long, Long, Long)]
@@ -299,6 +376,107 @@ class StreamingSpec extends AnyFunSuite {
       assert(math.abs(c._4 - b._4) <= 1e-6,
         s"per-epoch compaction drifted a prob: $c vs $b")
     }
+  }
+
+  test("CAPPED stream_ingest_neardup converges to the capped batch twin through cap crossings") {
+    // VERDICT r15 #2, the streamed leg: the loop maintains the hot
+    // band-bucket set delta-stably and its staging plants a template
+    // flood that crosses the cap UP at epoch 1 (pairs through the
+    // flooded buckets retract from every member's verdict) and back
+    // DOWN at epoch 2 when all copies are removed (the suppressed real
+    // pairs resurface). The converged relation must equal the capped
+    // batch twin over `documents` verbatim — which here also equals
+    // the uncapped twin, since no REAL band bucket exceeds the cap:
+    // the equality therefore proves the crossing retractions restored
+    // every verdict the flood perturbed.
+    import graft.operators.Dedup
+    val crossings = scala.collection.mutable.ListBuffer.empty[(Long, Long, Long)]
+    val hotProbe = scala.collection.mutable.ListBuffer.empty[(Long, Seq[Long])]
+    val streamed = Events.ingestNearDup(spark, TestSpark.sf,
+      maxBandDf = Some(Dedup.BandCapDf), compactEvery = 1,
+      capCrossingsProbe = Some(crossings), hotDirsProbe = Some(hotProbe))
+      .collect().toSeq
+    val batch = Dedup.minhashNearDupVerdict(Tables.documents(spark, TestSpark.sf),
+      maxBandDf = Some(Dedup.BandCapDf)).collect().toSeq
+    assert(streamed.nonEmpty && streamed == batch,
+      "capped streamed verdicts diverged from the capped batch twin")
+    // non-vacuity meters: the cap must actually CROSS, both ways, at
+    // post-bootstrap epochs — otherwise this leg proves only that the
+    // hot plumbing is inert
+    val byEpoch = crossings.map(c => c._1 -> ((c._2, c._3))).toMap
+    assert(byEpoch.getOrElse(1L, (0L, 0L))._1 >= 1,
+      s"no up-crossing at the flood-topping epoch: $crossings")
+    assert(byEpoch.getOrElse(2L, (0L, 0L))._2 >= 1,
+      s"no down-crossing at the flood-removal epoch: $crossings")
+    // the hot snapshot chain is pruned on the compaction cadence:
+    // exactly (committed predecessor, committed epoch) per window
+    val survivors = hotProbe.toMap
+    assert(survivors.keySet == Set(1L, 2L) &&
+      survivors(1L) == Seq(0L, 1L) && survivors(2L) == Seq(1L, 2L),
+      s"hot band snapshot survivors: $survivors")
+  }
+
+  test("CAPPED stream_ingest_neardup: the cap binds at convergence on a flooded corpus") {
+    // the capped TRUTH must differ from the uncapped one when the
+    // table itself carries a persistent flood — the non-vacuity the
+    // documents-table leg can't show (its flood is retracted). 12
+    // byte-identical docs share every band bucket (df 12 > 8), so the
+    // capped twin keeps them all (their pairs are suppressed) while
+    // the uncapped twin pairs them; a cold real near-dup pair must
+    // survive capping in both.
+    import spark.implicits._
+    import graft.operators.Dedup
+    val tmpl = "the same boilerplate template text here"
+    val common = (1 to 20).map(i => s"w$i").mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("graft_neardup_cap_spec")
+    try {
+      val stage = s"$dir/stage"
+      ((1L to 12L).map(i => (i, tmpl)) ++
+        Seq((100L, s"$common zeta"), (101L, s"$common eta")))
+        .toDF("doc_id", "text")
+        .coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath, dir.resolve("documents.parquet"))
+      val table = spark.read.parquet(dir.resolve("documents.parquet").toString)
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getBoolean(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2))).toSeq
+      val streamed = rows(Events.ingestNearDup(spark, dir.toString,
+        maxBandDf = Some(Dedup.BandCapDf)))
+      val cappedTwin = rows(Dedup.minhashNearDupVerdict(table,
+        maxBandDf = Some(Dedup.BandCapDf)))
+      val uncappedTwin = rows(Dedup.minhashNearDupVerdict(table))
+      assert(streamed.nonEmpty && streamed == cappedTwin,
+        s"flooded-corpus capped stream diverged: $streamed vs $cappedTwin")
+      assert(cappedTwin != uncappedTwin,
+        "cap does not bind at convergence on the flooded corpus — vacuous leg")
+      // the flood survives capped (pairs suppressed), the cold real
+      // pair is found in both
+      assert(cappedTwin.filter(!_._2) == Seq((101L, false, 100L)),
+        s"capped verdicts: $cappedTwin")
+      assert(uncappedTwin.count(!_._2) > 1, s"uncapped verdicts: $uncappedTwin")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
+  test("CAPPED stream_ingest_neardup survives the post-hot-write crash replay") {
+    // the capped branch's OWN worst replay point (its crash hook fires
+    // post-hot-write, pre-verdict — the end-of-epoch hook defers to it
+    // in capped mode): the torn epoch's hot snapshot is on disk while
+    // the epoch is uncommitted; the replay must re-advance from the
+    // committed predecessor's snapshot and overwrite the stale one
+    // idempotently, converging to the identical capped batch truth.
+    import graft.operators.Dedup
+    val streamed = Events.ingestNearDup(spark, TestSpark.sf,
+      maxBandDf = Some(Dedup.BandCapDf), crashAtEpoch = Some(1L)).collect().toSeq
+    val batch = Dedup.minhashNearDupVerdict(Tables.documents(spark, TestSpark.sf),
+      maxBandDf = Some(Dedup.BandCapDf)).collect().toSeq
+    assert(streamed.nonEmpty && streamed == batch,
+      "crash-replayed capped neardup loop diverged from the capped batch twin")
   }
 
   test("a late smaller-id near-dup retracts the earlier keep (verdict changelog)") {
@@ -642,8 +820,21 @@ class StreamingSpec extends AnyFunSuite {
     assertClean("stream_ingest_neardup") {
       assert(Events.ingestNearDup(spark, TestSpark.sf).collect().nonEmpty)
     }
+    // the capped mode adds the touched-df and hotNext checkpoints and
+    // the crossing recompute's caches per epoch (r16)
+    assertClean("stream_ingest_neardup_capped") {
+      assert(Events.ingestNearDup(spark, TestSpark.sf,
+        maxBandDf = Some(graft.operators.Dedup.BandCapDf)).collect().nonEmpty)
+    }
     assertClean("stream_ingest_ann") {
       assert(Events.ingestAnnIvf(spark, TestSpark.sf).collect().nonEmpty)
+    }
+    // migration mode adds the per-epoch tombstone-aggregate merge and
+    // the v2 build's reads (r16)
+    assertClean("stream_ingest_ann_migrate") {
+      assert(Events.ingestAnnIvf(spark, TestSpark.sf,
+        driftMaxCellShare = Some(Events.DriftMaxCellShareDefault),
+        driftWaveArrival2 = true).collect().nonEmpty)
     }
     assertClean("stream_ingest_classify") {
       assert(Events.ingestClassify(spark, TestSpark.sf).collect().nonEmpty)
