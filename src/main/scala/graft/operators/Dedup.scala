@@ -321,12 +321,16 @@ object Dedup {
     // self-join — candidate rows of flooded buckets die in a broadcast
     // anti-join instead of fanning out |bucket|² pair rows. Recall-only
     // (a pair survives via any cold shared band; the exact verify is
-    // unchanged, so precision stays 1.0 by construction). persist, not
-    // checkpoint: the hot aggregate and the join's two sides would
-    // otherwise re-run the 128-perm signature kernel (see ngramJaccard
-    // for the evictable-cache rationale).
+    // unchanged, so precision stays 1.0 by construction). Deliberately
+    // NOT cached: the returned frame is lazy, so a persist here would
+    // have no release point and every capped call would pin a
+    // corpus-wide band cache forever (r16 review) — the hot aggregate
+    // re-runs the signature kernel over the caller's persisted shingle
+    // pass instead, and the one perf-sensitive capped caller
+    // ([[minhashLshCappedCheck]], the driver query) persists its own
+    // band pass and releases it at its materialization point.
     val banded = maxBandDf match {
-      case Some(cap) => coldBands(bandedAll.persist(), cap)
+      case Some(cap) => coldBands(bandedAll, cap)
       case None => bandedAll
     }
     lshPairsFromBanded(banded, shingled, threshold)
@@ -426,14 +430,20 @@ object Dedup {
     * DuckDB (the capped check's oracle builds the same flood). Shared
     * by [[minhashLshCappedCheck]], the streamed capped staging and the
     * specs' non-vacuity meters — one definition of "the flood". */
-  private[graft] def templateFlood(docs: DataFrame, copies: Int): DataFrame = {
+  /** The corpus's deterministic template — the 1-row `text` relation
+    * [[templateFlood]] replicates (exposed so a caller needing both
+    * the flood and the template's text derives the scan once). */
+  private[graft] def templateText(docs: DataFrame): DataFrame = {
     val nTok = size(filter(split(col("text"), "\\s+"), t => t =!= ""))
     docs.filter(nTok >= 3).orderBy(col("doc_id")).limit(1).select(col("text"))
+  }
+
+  private[graft] def templateFlood(docs: DataFrame, copies: Int): DataFrame =
+    templateText(docs)
       .crossJoin(broadcast(docs.agg(max(col("doc_id")).as("mx"))))
       .select(explode(sequence(lit(1L), lit(copies.toLong))).as("i"),
         col("text"), col("mx"))
       .select((col("mx") + col("i")).as("doc_id"), col("text"))
-  }
 
   /** Oracle-checkable contract of the `maxBandDf`-capped LSH (VERDICT
     * r15 #2) over a flood-augmented corpus: base docs plus
@@ -465,19 +475,25 @@ object Dedup {
     val aug = base.unionByName(templateFlood(docs, BandFloodCopies))
     val shingled = shingleHashSets(aug).persist()
     // ONE band pass feeds the capped and the uncapped joins (the
-    // signature kernel is the dominant cost); released below with the
-    // shingle pass at the 1-row materialization point
+    // signature kernel is the dominant cost), and the two PAIR
+    // relations are persisted too — each is consumed by several
+    // verdict aggregates below, and an uncached reference would re-run
+    // its candidate+verify (or inverted-index) joins per consumer
+    // (r16 review: ~4× the necessary join cost). All released at the
+    // 1-row materialization point.
     val banded = bandRows(minhashSignatures(shingled)).persist()
     val capped = lshPairsFromBanded(coldBands(banded, maxBandDf), shingled, threshold)
       .select(col("doc_id_1"), col("doc_id_2"), col("jaccard").as("capped_jaccard"))
+      .persist()
     val uncapped = lshPairsFromBanded(banded, shingled, threshold)
       .select(col("doc_id_1"), col("doc_id_2"))
     val exact = ngramJaccardPairs(shingled, threshold)
       .select(col("doc_id_1"), col("doc_id_2"), col("jaccard").as("exact_jaccard"))
+      .persist()
     // the template's text GROUP (flood members + the template + any
-    // natural byte-dups of it) — the ids whose pairs the cap drops
-    val tmplIds = aug.join(
-        broadcast(templateFlood(docs, 1).select(col("text"))), Seq("text"), "left_semi")
+    // natural byte-dups of it) — the ids whose pairs the cap drops;
+    // the template scan is derived once (shared with the flood above)
+    val tmplIds = aug.join(broadcast(templateText(docs)), Seq("text"), "left_semi")
       .select(col("doc_id"))
     val exactNonTmpl = exact
       .join(tmplIds.select(col("doc_id").as("doc_id_1")), Seq("doc_id_1"), "left_anti")
@@ -506,8 +522,8 @@ object Dedup {
         col("n_plant_pairs_emitted"),
         (col("n_capped_pairs") < col("n_uncapped_pairs")).as("cap_binds"),
         (col("n_recalled") >= lit(recallFloor) * col("n_exact_non_tmpl")).as("recall_ok"))
-    // 1-row verdict: materialize now, release both shared passes
-    Tables.materializeAndRelease(verdict, shingled, banded)
+    // 1-row verdict: materialize now, release all four shared passes
+    Tables.materializeAndRelease(verdict, shingled, banded, capped, exact)
   }
 
   /** 64-bit SimHash per doc over its token multiset: bit i of the

@@ -282,6 +282,33 @@ object Events {
     def finish(name: String): Unit = { dumpProgress(name, q); q.stop() }
   }
 
+  /** Prune a per-epoch SNAPSHOT chain (the capped loops' hot_shingles /
+    * hot_bands dirs) on the compaction cadence: snapshots are not
+    * deltas — no resolution to fold, pruning is plain deletion — and
+    * exactly the epochs in `keep` survive: the just-committed epoch's
+    * snapshot (what every future epoch reads) and its committed
+    * PREDECESSOR's (what a replay of THIS epoch reads if the process
+    * dies after the prune but before the stream checkpoint commits —
+    * the delta chains survive that window via their compacted base, a
+    * deleted snapshot would not). Deletion is idempotent, so a crash
+    * mid-prune just retries. ONE definition for both capped loops
+    * (r16 review: the block had grown two verbatim copies). */
+  private def pruneSnapshotChain(dir: String, keep: Set[Long], epoch: Long,
+      probe: Option[scala.collection.mutable.Buffer[(Long, Seq[Long])]]): Unit = {
+    val path = java.nio.file.Paths.get(dir)
+    if (java.nio.file.Files.isDirectory(path)) {
+      import scala.jdk.CollectionConverters._
+      val listing = java.nio.file.Files.list(path)
+      val snapshots =
+        try listing.iterator().asScala.toList
+          .filter(_.getFileName.toString.startsWith("batch="))
+          .map(p => p -> p.getFileName.toString.stripPrefix("batch=").toLong)
+        finally listing.close()
+      snapshots.filterNot(s => keep.contains(s._2)).foreach(s => deleteDir(s._1))
+      probe.foreach(probeAdd(_, (epoch, snapshots.map(_._2).filter(keep.contains).sorted)))
+    }
+  }
+
   private def deleteDir(dir: java.nio.file.Path): Unit = {
     val walk = java.nio.file.Files.walk(dir)
     try {
@@ -1427,35 +1454,11 @@ object Events {
                     else if (d == manifestDir) Snapshot.ManifestSchema
                     else Corpus.LedgerSchema))
                 // capped mode's fifth stored relation joins the cadence
-                // (VERDICT r15 #4): hot-shingle dirs are SNAPSHOTS, not
-                // deltas — no resolution to fold, pruning is plain
-                // deletion. The just-committed epoch's snapshot is the
-                // one every future epoch reads; its committed
-                // PREDECESSOR's must ALSO survive — a crash after this
-                // pass but before the stream checkpoint commits replays
-                // THIS epoch, whose hotPrior read resolves to the
-                // predecessor (the four chains survive that same window
-                // because their compacted base carries the folded
-                // content; a deleted snapshot is simply gone). Deletion
-                // is idempotent, so a crash mid-prune just retries.
-                if (maxShingleDf.isDefined) {
-                  val keep = Set(epoch) ++ latestBelow(epoch)
-                  val hotPath = java.nio.file.Paths.get(hotDir)
-                  if (java.nio.file.Files.isDirectory(hotPath)) {
-                    import scala.jdk.CollectionConverters._
-                    val listing = java.nio.file.Files.list(hotPath)
-                    val snapshots =
-                      try listing.iterator().asScala.toList
-                        .filter(_.getFileName.toString.startsWith("batch="))
-                        .map(p => p -> p.getFileName.toString
-                          .stripPrefix("batch=").toLong)
-                      finally listing.close()
-                    snapshots.filterNot(s => keep.contains(s._2))
-                      .foreach(s => deleteDir(s._1))
-                    hotDirsProbe.foreach(probeAdd(_,
-                      (epoch, snapshots.map(_._2).filter(keep.contains).sorted)))
-                  }
-                }
+                // (VERDICT r15 #4): see pruneSnapshotChain for the
+                // keep-the-predecessor replay argument
+                if (maxShingleDf.isDefined)
+                  pruneSnapshotChain(hotDir, Set(epoch) ++ latestBelow(epoch),
+                    epoch, hotDirsProbe)
               }
               epochProbe.foreach(probeAdd(_, (epoch, batch.count())))
               // explicit schema: a removal epoch whose blast radius is
@@ -2279,31 +2282,14 @@ object Events {
                     if (d == bandsDir) bandsSchema
                     else if (d == shinglesDir) shinglesSchema
                     else verdictSchema))
-                // capped mode's hot snapshots join the cadence (the
-                // streamIncrementalClean prune rule): keep the
-                // just-committed epoch's snapshot AND its committed
-                // predecessor's — a crash after this pass but before
-                // the stream checkpoint commits replays THIS epoch,
-                // whose hot-prior read resolves to the predecessor
-                if (maxBandDf.isDefined) {
-                  val keep = Set(epoch) ++ committedEpochsBelow(verdictDir, epoch)
-                    .sorted.lastOption
-                  val hotPath = java.nio.file.Paths.get(hotBandsDir)
-                  if (java.nio.file.Files.isDirectory(hotPath)) {
-                    import scala.jdk.CollectionConverters._
-                    val listing = java.nio.file.Files.list(hotPath)
-                    val snapshots =
-                      try listing.iterator().asScala.toList
-                        .filter(_.getFileName.toString.startsWith("batch="))
-                        .map(p => p -> p.getFileName.toString
-                          .stripPrefix("batch=").toLong)
-                      finally listing.close()
-                    snapshots.filterNot(s => keep.contains(s._2))
-                      .foreach(s => deleteDir(s._1))
-                    hotDirsProbe.foreach(probeAdd(_,
-                      (epoch, snapshots.map(_._2).filter(keep.contains).sorted)))
-                  }
-                }
+                // capped mode's hot snapshots join the cadence — see
+                // pruneSnapshotChain for the keep-the-predecessor
+                // replay argument
+                if (maxBandDf.isDefined)
+                  pruneSnapshotChain(hotBandsDir,
+                    Set(epoch) ++ committedEpochsBelow(verdictDir, epoch)
+                      .sorted.lastOption,
+                    epoch, hotDirsProbe)
               }
               deltaProbe.foreach(probeAdd(_, (epoch,
                 bss.read.schema(verdictSchema)
