@@ -29,6 +29,10 @@ import org.apache.spark.sql.functions._
   */
 object Soak {
   private val Replicas = 10
+  // the THIRD scale point (VERDICT r15 #3): two points can't separate
+  // n·const from n^1.5·small-const — the fitted growth EXPONENT across
+  // sf0.1 / sf0.3 / sf1 can
+  private val MidReplicas = 3
 
   // The replica construction's knobs, hoisted so the generator
   // fingerprint below DERIVES from them — an edit to any of these
@@ -86,28 +90,30 @@ object Soak {
     * indices (and two offsets): a k=1-only probe is blind to
     * replica-index-degenerate edits (`k` → `k·k`, `k·off` → `k²·off`)
     * that evaluate identically at 1 (r15 review). */
-  private val GeneratorVersion = {
+  private def generatorVersion(replicas: Int) = {
     val probe = Seq(1, 2).flatMap(k => Seq(mangledText(k), jitteredEmbedding(k),
       shiftedId("doc_id", k, 12345L + k)))
       .map(_.toString.replaceAll("([a-z])_\\d+", "$1_N")).mkString("|")
-    s"v3-s$StructureVersion-replicas$Replicas-${probe.hashCode}"
+    s"v3-s$StructureVersion-replicas$replicas-${probe.hashCode}"
   }
 
-  private def buildSf1(spark: SparkSession, sf01: String, out: String): Unit = {
+  private def buildScaled(spark: SparkSession, sf01: String, out: String,
+                          replicas: Int): Unit = {
+    val version = generatorVersion(replicas)
     val outDir = java.nio.file.Paths.get(out)
     val marker = outDir.resolve("_GENERATOR")
     if (java.nio.file.Files.exists(outDir.resolve("documents.parquet")) &&
         java.nio.file.Files.exists(outDir.resolve("embeddings.parquet")) &&
         java.nio.file.Files.exists(marker) &&
-        new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") == GeneratorVersion) {
-      System.err.println(s"[soak] reusing existing sf1 tables at $out ($GeneratorVersion)")
+        new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") == version) {
+      System.err.println(s"[soak] reusing existing ${replicas}x tables at $out ($version)")
       return
     }
     java.nio.file.Files.createDirectories(outDir)
     java.nio.file.Files.deleteIfExists(marker)
     val docs = spark.read.parquet(s"$sf01/documents.parquet")
     val docOff = docs.agg(max(col("doc_id"))).head().getLong(0) + 1L
-    val docReps = (0 until Replicas).map { k =>
+    val docReps = (0 until replicas).map { k =>
       if (k == 0) docs
       else docs.select(Seq(
         shiftedId("doc_id", k, docOff).as("doc_id"),
@@ -117,7 +123,7 @@ object Soak {
     writeSingleFile(docReps.reduce(_ unionByName _), s"$out/documents.parquet")
     val emb = spark.read.parquet(s"$sf01/embeddings.parquet")
     val embOff = emb.agg(max(col("vec_id"))).head().getLong(0) + 1L
-    val embReps = (0 until Replicas).map { k =>
+    val embReps = (0 until replicas).map { k =>
       if (k == 0) emb
       else emb.select(Seq(
         shiftedId("vec_id", k, embOff).as("vec_id"),
@@ -125,9 +131,9 @@ object Soak {
         emb.columns.filterNot(Set("vec_id", "embedding")).map(col): _*)
     }
     writeSingleFile(embReps.reduce(_ unionByName _), s"$out/embeddings.parquet")
-    java.nio.file.Files.write(marker, GeneratorVersion.getBytes("UTF-8"))
-    System.err.println(s"[soak] built sf1 tables at $out " +
-      s"(docs ${docOff * Replicas}, vecs ${embOff * Replicas})")
+    java.nio.file.Files.write(marker, version.getBytes("UTF-8"))
+    System.err.println(s"[soak] built ${replicas}x tables at $out " +
+      s"(docs ${docOff * replicas}, vecs ${embOff * replicas})")
   }
 
   /** The testdata layout stages each table as a single parquet FILE
@@ -210,9 +216,26 @@ object Soak {
   private[graft] def classifyFloorPasses(acc: Double, majorityRate: Double): Boolean =
     acc >= majorityRate + ClassifyMarginOverMajority
 
+  /** Least-squares slope of ys over xs — the growth-exponent fit's
+    * kernel (xs = log data factors, ys = log stage seconds). */
+  private[graft] def fittedSlope(xs: Seq[Double], ys: Seq[Double]): Double = {
+    val n = xs.size.toDouble
+    val mx = xs.sum / n; val my = ys.sum / n
+    xs.zip(ys).map { case (x, y) => (x - mx) * (y - my) }.sum /
+      xs.map(x => (x - mx) * (x - mx)).sum
+  }
+
+  // exponent limits (VERDICT r15 #3): a blast-radius stage growing past
+  // n^1.2, or an arrival-proportional one past n^1.3, is super-linear
+  // in a way the two-point ratio gates (which these ADD to, not
+  // replace) can miss when the constant is small
+  private val RemovalExponentMax = 1.2
+  private val ArrivalExponentMax = 1.3
+
   def main(args: Array[String]): Unit = {
     val sf01 = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val sf1 = args.lift(1).getOrElse("/tmp/graft_sf1")
+    val sf03 = args.lift(2).getOrElse("/tmp/graft_sf03")
     val spark = graft.GraftSession.local()
     // which streaming state-store backend this soak exercises — the
     // RocksDB pass (VERDICT r14 #6) is the same command under
@@ -220,48 +243,61 @@ object Soak {
     // name the backend it measured
     System.err.println("[soak] state store: " +
       sys.env.getOrElse("SPARK_GRAFT_STATE_STORE", "default (HDFS-backed)"))
-    buildSf1(spark, sf01, sf1)
+    buildScaled(spark, sf01, sf1, Replicas)
+    buildScaled(spark, sf01, sf03, MidReplicas)
+    // (label, dir, data factor) — three scale points so the gates can
+    // fit a growth EXPONENT per stage, not just a two-point ratio
+    val scales = Seq(("sf0.1", sf01, 1.0), ("sf0.3", sf03, MidReplicas.toDouble),
+      ("sf1", sf1, Replicas.toDouble))
     import graft.streaming.Events
     val loops: Seq[(String, String => DataFrame)] = Seq(
       "stream_ingest_neardup" -> (d => Events.ingestNearDup(spark, d)),
+      // the band-capped loop (r16): same staging plus the hot
+      // band-bucket snapshot chain, the crossing machinery and the
+      // staged template flood — its growth factors certify the cap's
+      // chain integration at 10× data
+      "stream_ingest_neardup_capped" -> (d => Events.ingestNearDup(spark, d,
+        maxBandDf = Some(graft.operators.Dedup.BandCapDf))),
       "stream_ingest_ann" -> (d => Events.ingestAnnIvf(spark, d)),
       "stream_ingest_classify" -> (d => Events.ingestClassify(spark, d)),
       "stream_incremental_clean" -> (d => Events.streamIncrementalClean(spark, d)),
-      // the capped loop (r15): same staging, plus the hot-shingle
-      // snapshot chain and crossing machinery — its growth factors
-      // certify the cap's chain integration at 10× data
+      // the capped clean loop (r15): same staging, plus the hot-shingle
+      // snapshot chain and crossing machinery
       "stream_incremental_clean_capped" -> (d =>
         Events.streamIncrementalClean(spark, d, maxShingleDf = Some(Events.CleanCapDf))))
-    val rows = scala.collection.mutable.ListBuffer.empty[(String, String, Double, Double)]
-    // per-loop (sf0.1 canary, sf1 canary) — the gate's normalizers
-    val loopCanaries = scala.collection.mutable.Map.empty[String, (Double, Double)]
+    // per (loop, stage): seconds at each scale point, scale-aligned
+    val rows = scala.collection.mutable.ListBuffer.empty[(String, String, Vector[Double])]
+    // per-loop per-scale canary normalizer (max of the pass's brackets)
+    val loopCanaries = scala.collection.mutable.Map.empty[String, Vector[Double]]
     canary(spark) // untimed: the canary's own codegen would fake a throttle
     for ((name, fn) <- loops) {
       // each pass is BRACKETED by canaries and normalized by the
       // slower of its two (r15 review): a throttle window that begins
       // mid-pass is invisible to a before-only sample, and the slower
       // bracket is the honest machine speed the pass ran under
-      val c0 = canary(spark)
-      System.err.println(f"[soak] $name @ sf0.1 (canary $c0%.3fs)")
-      val (t01, n01, laps01) = lapped(fn(sf01))
-      System.err.println(f"[soak] $name sf0.1 total $t01%.1fs rows $n01")
-      val c1 = canary(spark) // closes the sf0.1 bracket, opens sf1's
-      System.err.println(f"[soak] $name @ sf1 (canary $c1%.3fs)")
-      val (t1, n1, laps1) = lapped(fn(sf1))
-      val c2 = canary(spark)
-      System.err.println(f"[soak] $name sf1 total $t1%.1fs rows $n1 (canary $c2%.3fs)")
-      loopCanaries(name) = (math.max(c0, c1), math.max(c1, c2))
-      rows += ((name, "TOTAL", t01, t1))
-      for ((stage, s1) <- laps1)
-        rows += ((name, stage, laps01.getOrElse(stage, 0.0), s1))
-      // the converse of the NEW-at-sf1 notice below: a stage recorded
-      // at sf0.1 that never ran at sf1 would otherwise vanish without
-      // a table row — itself a scale signal (a skipped pipeline stage
-      // at 10× data), so it gets a 0-second sf1 row and a loud line
-      for ((stage, s0) <- laps01 if !laps1.contains(stage)) {
-        rows += ((name, stage, s0, 0.0))
-        System.err.println(f"[soak] $name / $stage ran at sf0.1 ($s0%.2fs) " +
-          "but NOT at sf1 — renamed lap or a stage skipped at scale")
+      var cPrev = canary(spark)
+      val passes = scales.map { case (label, dir, _) =>
+        System.err.println(f"[soak] $name @ $label (canary $cPrev%.3fs)")
+        val (t, n, laps) = lapped(fn(dir))
+        val cNext = canary(spark)
+        System.err.println(f"[soak] $name $label total $t%.1fs rows $n (canary $cNext%.3fs)")
+        val norm = math.max(cPrev, cNext)
+        cPrev = cNext
+        (t, laps, norm)
+      }
+      loopCanaries(name) = passes.map(_._3).toVector
+      rows += ((name, "TOTAL", passes.map(_._1).toVector))
+      // stage rows are scale-aligned over the UNION of stage labels:
+      // a stage missing at any scale gets a 0-second slot and a loud
+      // line — a renamed lap or a stage skipped at scale is itself a
+      // scale signal, not a silent table hole
+      val allStages = passes.flatMap(_._2.keys).distinct
+      for (stage <- allStages) {
+        val ts = passes.map(_._2.getOrElse(stage, 0.0)).toVector
+        rows += ((name, stage, ts))
+        for (((label, _, _), t) <- scales.zip(ts) if t == 0.0)
+          System.err.println(f"[soak] $name / $stage did NOT run at $label " +
+            "— renamed lap or a stage skipped at that scale")
       }
     }
     // converged-relation gates at sf1: the `_check` twins (single-row
@@ -354,20 +390,39 @@ object Soak {
     // bug as vacuity; r15 review)
     if (cleanCapBatch == cleanBatch)
       failures ::= s"cap ${Events.CleanCapDf} does not bite at sf1 — capped gate vacuous"
-    println("| loop | stage | sf0.1 s | sf1 s | growth |")
-    println("|---|---|---|---|---|")
-    for ((loop, stage, a, b) <- rows) {
-      val g = if (a > 0) f"${b / a}%.1f×" else "new"
-      println(f"| $loop | $stage | $a%.2f | $b%.2f | $g |")
+    // the band-capped near-dup loop's convergence gate (r16): verbatim
+    // equality with the CAPPED batch twin over the sf1 corpus — the
+    // staged flood crosses the cap up and back down at 10× data, so
+    // equality proves the crossing retractions restored every verdict
+    System.err.println(s"[soak] stream_ingest_neardup_capped batch-twin equality @ sf1")
+    val ndCap = Some(graft.operators.Dedup.BandCapDf)
+    val ndCapGot = Events.ingestNearDup(spark, sf1, maxBandDf = ndCap).collect().toSeq
+    val ndCapBatch = graft.operators.Dedup.minhashNearDupVerdict(
+      docs1, maxBandDf = ndCap).collect().toSeq
+    if (ndCapGot.isEmpty || ndCapGot != ndCapBatch)
+      failures ::= s"stream_ingest_neardup_capped sf1 diverged from the capped batch twin " +
+        s"(${ndCapGot.size} vs ${ndCapBatch.size} rows)"
+    val scaleHeader = scales.map(_._1 + " s").mkString(" | ")
+    println(s"| loop | stage | $scaleHeader | growth | exponent |")
+    println("|---|---|" + scales.map(_ => "---|").mkString + "---|---|")
+    val logFactors = scales.map(s => math.log(s._3))
+    for ((loop, stage, ts) <- rows) {
+      val cells = ts.map(t => f"$t%.2f").mkString(" | ")
+      val g = if (ts.head > 0) f"${ts.last / ts.head}%.1f×" else "new"
+      val expo = if (ts.forall(_ > 0))
+        f"${fittedSlope(logFactors, ts.map(math.log(_)))}%.2f" else "-"
+      println(s"| $loop | $stage | $cells | $g | $expo |")
     }
     // growth gates (VERDICT r14 #2): the profile table, asserted —
     // each pass's laps divided by ITS adjacent canary first, so a
     // throttle window covering one pass reads as machine speed, not
     // stage growth (the raw table above stays in seconds)
     val dataGrowth = Replicas.toDouble
-    for ((loop, stage, a, b) <- rows if stage != "TOTAL" && b >= MinGateSecs) {
+    for ((loop, stage, ts) <- rows if stage != "TOTAL" && ts.last >= MinGateSecs) {
+      val (a, b) = (ts.head, ts.last)
+      val cs = loopCanaries.getOrElse(loop, Vector.fill(scales.size)(1.0))
+      val (ca, cb) = (cs.head, cs.last)
       if (a > 0) {
-        val (ca, cb) = loopCanaries.getOrElse(loop, (1.0, 1.0))
         val growth = (b / cb) / (a / ca)
         val (limit, cls) =
           if (isRemovalStage(stage)) (RemovalSlack, "removal-epoch blast-radius")
@@ -405,6 +460,28 @@ object Soak {
         // failure: the gate's subject is growth, not label stability
         System.err.println(f"[soak] growth gate: $loop / $stage is NEW at sf1 " +
           f"($b%.2fs) — no sf0.1 baseline to gate against")
+      // the EXPONENT gate (VERDICT r15 #3): three points fit a slope
+      // in log-log space — the n^1.5-with-a-small-constant shape the
+      // two-point ratio gates can't see. Same two-sided discipline:
+      // hard-fail only when the raw AND canary-normalized fits both
+      // exceed the class limit; one-sided exceedances warn for an
+      // idle re-run.
+      if (ts.forall(_ > 0)) {
+        val expRaw = fittedSlope(logFactors, ts.map(math.log(_)))
+        val expNorm = fittedSlope(logFactors,
+          ts.zip(cs).map { case (t, c) => math.log(t / c) })
+        val (eLimit, cls) =
+          if (isRemovalStage(stage)) (RemovalExponentMax, "removal-epoch blast-radius")
+          else (ArrivalExponentMax, "arrival-proportional")
+        if (expNorm > eLimit && expRaw > eLimit)
+          failures ::= f"exponent gate: $loop / $stage grows ~n^$expNorm%.2f " +
+            f"canary-normalized (raw n^$expRaw%.2f; limit n^$eLimit%.1f, $cls; " +
+            s"seconds ${ts.map(t => f"$t%.2f").mkString("/")})"
+        else if (expNorm > eLimit || expRaw > eLimit)
+          System.err.println(f"[soak] exponent gate WARNING: $loop / $stage fits " +
+            f"n^$expNorm%.2f normalized / n^$expRaw%.2f raw against the " +
+            f"n^$eLimit%.1f limit — one-sided, re-run idle to adjudicate")
+      }
     }
     if (failures.nonEmpty) {
       System.err.println("[soak] FAILURES:\n  " + failures.mkString("\n  "))
