@@ -450,6 +450,20 @@ object Corpus {
       Dedup.ngramJaccardPairs(shingled, maxShingleDf = maxShingleDf)
         .select(col("doc_id_1").as("src"), col("doc_id_2").as("dst")), ckptOut)
 
+  /** [[ledger]] with a caller-owned POSTING relation (`doc_id`, `nsh`,
+    * `s` — [[Snapshot.postings]]' shape): the streamed clean loop's
+    * bootstrap epoch has already WRITTEN its arrival's posting delta,
+    * so the pair join reads those scalar rows back instead of running
+    * the tokenize+shingle kernel a second time over the text (VERDICT
+    * r15 #6). `docs` still feeds the score pass — quality needs the
+    * text either way. */
+  private[graft] def ledgerFromPostings(docs: DataFrame, postings: DataFrame,
+                                        maxShingleDf: Option[Int] = None,
+                                        ckptOut: Option[scala.collection.mutable.Buffer[DataFrame]] = None): DataFrame =
+    ledgerFromEdges(docs,
+      Dedup.ngramJaccardPairsFromPostings(postings, maxShingleDf = maxShingleDf)
+        .select(col("doc_id_1").as("src"), col("doc_id_2").as("dst")), ckptOut)
+
   /** [[ledgerFrom]] with a caller-supplied near-dup edge relation
     * (`src`, `dst`; either orientation, duplicates tolerated — CC
     * symmetrizes) — for a caller that already HAS the pair graph and

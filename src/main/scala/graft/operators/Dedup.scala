@@ -156,14 +156,26 @@ object Dedup {
     * anyway.
     */
   private[operators] def ngramJaccardPairs(shingled: DataFrame, threshold: Double = DefaultThreshold,
-                                           maxShingleDf: Option[Int] = None): DataFrame = {
+                                           maxShingleDf: Option[Int] = None): DataFrame =
     // Join on the 64-bit shingle hash, not the shingle string: identical
     // pair counts (collision odds ~|shingles|²/2⁶⁴) but the shuffle
     // moves 8-byte keys instead of ~25-byte strings and the sort-merge
     // compares longs — measured 7× faster at sf0.1.
-    val exAll = shingled
+    ngramJaccardPairsFromPostings(shingled
       .select(col("doc_id"), size(col("shingles")).as("nsh"),
-        explode(col("shingles")).as("s"))
+        explode(col("shingles")).as("s")), threshold, maxShingleDf)
+
+  /** [[ngramJaccardPairs]] over an ALREADY-EXPLODED posting relation
+    * (`doc_id`, `nsh`, `s` — [[graft.operators.Snapshot.postings]]'
+    * exact shape): for a caller whose postings already EXIST (the
+    * streamed clean loop's bootstrap epoch just wrote its arrival's
+    * posting delta to the chain), reading the scalar rows back is far
+    * cheaper than re-running the tokenize+shingle kernel over the
+    * text a second time (VERDICT r15 #6 — the bootstrap shared-pass
+    * lever). */
+  private[graft] def ngramJaccardPairsFromPostings(exAll: DataFrame,
+                                                   threshold: Double = DefaultThreshold,
+                                                   maxShingleDf: Option[Int] = None): DataFrame = {
     val ex = maxShingleDf match {
       case Some(cap) =>
         exAll.join(broadcast(hotShingles(exAll, cap)), Seq("s"), "left_anti")
