@@ -338,9 +338,11 @@ object Dedup {
     // have no release point and every capped call would pin a
     // corpus-wide band cache forever (r16 review) — the hot aggregate
     // re-runs the signature kernel over the caller's persisted shingle
-    // pass instead, and the one perf-sensitive capped caller
-    // ([[minhashLshCappedCheck]], the driver query) persists its own
-    // band pass and releases it at its materialization point.
+    // pass instead. BOTH perf-sensitive capped callers manage their
+    // own band pass and release it ([[minhashLshCappedCheck]] at its
+    // 1-row materialization, [[minhashNearDupVerdict]]'s capped arm at
+    // its eager pair checkpoint); only the spec-only public
+    // `minhashLsh(maxBandDf)` path pays the re-run.
     val banded = maxBandDf match {
       case Some(cap) => coldBands(bandedAll, cap)
       case None => bandedAll
@@ -371,8 +373,21 @@ object Dedup {
                             maxBandDf: Option[Int] = None): DataFrame = {
     // one shingle pass for signatures + both verify sides (see
     // ngramJaccard for the persist-not-checkpoint rationale)
-    val pairs = minhashLshPairs(shingleHashSets(docs).persist(), threshold,
-      maxBandDf = maxBandDf)
+    val shingled = shingleHashSets(docs).persist()
+    // capped arm: own the band pass (the hot aggregate plus the two
+    // candidate-join sides would otherwise each re-run the 128-perm
+    // kernel — r16 review) and release it at an eager pair-sized
+    // checkpoint, since the lazily-returned verdict has no later
+    // release point; the soak's sf1 capped equality gate collects
+    // through this path
+    val pairs = maxBandDf match {
+      case Some(cap) =>
+        val banded = bandRows(minhashSignatures(shingled)).persist()
+        try lshPairsFromBanded(coldBands(banded, cap), shingled, threshold)
+          .localCheckpoint(true)
+        finally banded.unpersist(blocking = false)
+      case None => minhashLshPairs(shingled, threshold)
+    }
     val best = pairs.groupBy(col("doc_id_2").as("doc_id"))
       .agg(min(col("doc_id_1")).as("partner_id"),
         min_by(col("jaccard"), col("doc_id_1")).as("jaccard"))

@@ -216,21 +216,36 @@ object Soak {
   private[graft] def classifyFloorPasses(acc: Double, majorityRate: Double): Boolean =
     acc >= majorityRate + ClassifyMarginOverMajority
 
-  /** Least-squares slope of ys over xs — the growth-exponent fit's
-    * kernel (xs = log data factors, ys = log stage seconds). */
-  private[graft] def fittedSlope(xs: Seq[Double], ys: Seq[Double]): Double = {
-    val n = xs.size.toDouble
-    val mx = xs.sum / n; val my = ys.sum / n
-    xs.zip(ys).map { case (x, y) => (x - mx) * (y - my) }.sum /
-      xs.map(x => (x - mx) * (x - mx)).sum
-  }
+  /** Local log-log slope of one scale segment — the exponent gate's
+    * kernel. A pure power law c·n^p reads exactly p on EVERY segment
+    * (the constant cancels inside the ratio), and a fixed overhead
+    * dilutes only the small-scale segments — so the TAIL segment
+    * (sf0.3 → sf1) is where the asymptotic exponent shows. A
+    * least-squares fit over (0, log3, log10) would NOT do: the
+    * midpoint's coefficient is ~0, so the fit is the endpoint ratio
+    * re-expressed — strictly looser than the r14 ratio gates and blind
+    * to curvature (r16 review: the original formulation was vacuous).
+    */
+  private[graft] def segmentSlope(tI: Double, tJ: Double, fI: Double, fJ: Double): Double =
+    math.log(tJ / tI) / math.log(fJ / fI)
 
-  // exponent limits (VERDICT r15 #3): a blast-radius stage growing past
-  // n^1.2, or an arrival-proportional one past n^1.3, is super-linear
-  // in a way the two-point ratio gates (which these ADD to, not
-  // replace) can miss when the constant is small
+  // tail-exponent limits (VERDICT r15 #3): a blast-radius stage whose
+  // TAIL segment grows past n^1.2, or an arrival-proportional one past
+  // n^1.3, is super-linear where it matters — the shape the two-point
+  // ratio gates (which these ADD to, not replace) wave through when a
+  // fixed constant dilutes the overall ratio: 1 + 0.1·n² reads a 10×
+  // ratio (under the 15× arrival limit) but tail slope ~1.46
+  // (SoakSpec pins the example).
   private val RemovalExponentMax = 1.2
   private val ArrivalExponentMax = 1.3
+  // curvature (tail slope minus head slope): zero for any pure power
+  // law, at most ~0.28 for constant-plus-linear (maximized near
+  // c ≈ 2.5a) — sustained acceleration above this is the
+  // small-constant super-linear signature. WARN, not fail: the suite
+  // contains accepted super-linear shapes (the uncapped bootstrap's
+  // pair join is the df² term the cap exists for), and the hard line
+  // is the tail-exponent limit above.
+  private val AccelWarn = 0.45
 
   def main(args: Array[String]): Unit = {
     val sf01 = args.lift(0).getOrElse("/root/testdata/sf0.1")
@@ -403,15 +418,18 @@ object Soak {
       failures ::= s"stream_ingest_neardup_capped sf1 diverged from the capped batch twin " +
         s"(${ndCapGot.size} vs ${ndCapBatch.size} rows)"
     val scaleHeader = scales.map(_._1 + " s").mkString(" | ")
-    println(s"| loop | stage | $scaleHeader | growth | exponent |")
-    println("|---|---|" + scales.map(_ => "---|").mkString + "---|---|")
-    val logFactors = scales.map(s => math.log(s._3))
+    println(s"| loop | stage | $scaleHeader | growth | tail exp | accel |")
+    println("|---|---|" + scales.map(_ => "---|").mkString + "---|---|---|")
+    val factors = scales.map(_._3)
     for ((loop, stage, ts) <- rows) {
       val cells = ts.map(t => f"$t%.2f").mkString(" | ")
       val g = if (ts.head > 0) f"${ts.last / ts.head}%.1f×" else "new"
-      val expo = if (ts.forall(_ > 0))
-        f"${fittedSlope(logFactors, ts.map(math.log(_)))}%.2f" else "-"
-      println(s"| $loop | $stage | $cells | $g | $expo |")
+      val (tail, accel) = if (ts.forall(_ > 0)) {
+        val s12 = segmentSlope(ts(0), ts(1), factors(0), factors(1))
+        val s23 = segmentSlope(ts(1), ts(2), factors(1), factors(2))
+        (f"$s23%.2f", f"${s23 - s12}%.2f")
+      } else ("-", "-")
+      println(s"| $loop | $stage | $cells | $g | $tail | $accel |")
     }
     // growth gates (VERDICT r14 #2): the profile table, asserted —
     // each pass's laps divided by ITS adjacent canary first, so a
@@ -460,27 +478,40 @@ object Soak {
         // failure: the gate's subject is growth, not label stability
         System.err.println(f"[soak] growth gate: $loop / $stage is NEW at sf1 " +
           f"($b%.2fs) — no sf0.1 baseline to gate against")
-      // the EXPONENT gate (VERDICT r15 #3): three points fit a slope
-      // in log-log space — the n^1.5-with-a-small-constant shape the
-      // two-point ratio gates can't see. Same two-sided discipline:
-      // hard-fail only when the raw AND canary-normalized fits both
-      // exceed the class limit; one-sided exceedances warn for an
-      // idle re-run.
+      // the TAIL-EXPONENT gate (VERDICT r15 #3, reworked after the r16
+      // review): the sf0.3→sf1 segment's local exponent is where a
+      // small-constant super-linear shape shows (the constant dilutes
+      // the overall ratio and the head segment, never the tail), so
+      // this catches what the ratio gate can't — e.g. 1 + 0.1·n² reads
+      // a 10× ratio but a ~1.46 tail slope. Same two-sided discipline:
+      // hard-fail only when the raw AND canary-normalized tails both
+      // exceed the class limit. Curvature (tail − head slope) above
+      // AccelWarn additionally warns — the early signature of the same
+      // shape before the tail crosses the hard line.
       if (ts.forall(_ > 0)) {
-        val expRaw = fittedSlope(logFactors, ts.map(math.log(_)))
-        val expNorm = fittedSlope(logFactors,
-          ts.zip(cs).map { case (t, c) => math.log(t / c) })
+        val factors = scales.map(_._3)
+        val normTs = ts.zip(cs).map { case (t, c) => t / c }
+        def tail(vals: Seq[Double]) =
+          segmentSlope(vals(1), vals(2), factors(1), factors(2))
+        val (tailRaw, tailNorm) = (tail(ts), tail(normTs))
         val (eLimit, cls) =
           if (isRemovalStage(stage)) (RemovalExponentMax, "removal-epoch blast-radius")
           else (ArrivalExponentMax, "arrival-proportional")
-        if (expNorm > eLimit && expRaw > eLimit)
-          failures ::= f"exponent gate: $loop / $stage grows ~n^$expNorm%.2f " +
-            f"canary-normalized (raw n^$expRaw%.2f; limit n^$eLimit%.1f, $cls; " +
-            s"seconds ${ts.map(t => f"$t%.2f").mkString("/")})"
-        else if (expNorm > eLimit || expRaw > eLimit)
-          System.err.println(f"[soak] exponent gate WARNING: $loop / $stage fits " +
-            f"n^$expNorm%.2f normalized / n^$expRaw%.2f raw against the " +
+        if (tailNorm > eLimit && tailRaw > eLimit)
+          failures ::= f"exponent gate: $loop / $stage tail segment grows " +
+            f"~n^$tailNorm%.2f canary-normalized (raw n^$tailRaw%.2f; limit " +
+            f"n^$eLimit%.1f, $cls; seconds ${ts.map(t => f"$t%.2f").mkString("/")})"
+        else if (tailNorm > eLimit || tailRaw > eLimit)
+          System.err.println(f"[soak] exponent gate WARNING: $loop / $stage tail " +
+            f"reads n^$tailNorm%.2f normalized / n^$tailRaw%.2f raw against the " +
             f"n^$eLimit%.1f limit — one-sided, re-run idle to adjudicate")
+        val accel = tailNorm -
+          segmentSlope(normTs(0), normTs(1), factors(0), factors(1))
+        if (accel > AccelWarn)
+          System.err.println(f"[soak] curvature WARNING: $loop / $stage " +
+            f"accelerates (tail − head slope = $accel%.2f > $AccelWarn%.2f; a " +
+            "power law reads 0, constant+linear ≤ ~0.28) — the small-constant " +
+            "super-linear signature; watch the tail exponent across rounds")
       }
     }
     if (failures.nonEmpty) {

@@ -26,24 +26,35 @@ class SoakSpec extends AnyFunSuite {
       "a zero margin would make the floor vacuous")
   }
 
-  test("exponent fit: recovers exact power laws and separates n^1.5 from linear") {
-    // The three-point gate's arithmetic (VERDICT r15 #3): times that
-    // ARE a power law t = c·n^p must fit exactly p regardless of the
-    // constant — so a linear stage with any constant passes the 1.3
-    // arrival limit, and an n^1.5 stage with a SMALL constant (the
-    // shape the two-point 15× ratio gate waves through: 10^1.5 ≈
-    // 31.6×... no — 1.5^... a 0.1s-at-sf0.1 stage reading 3.16s at
-    // sf1 is under the 15× ratio only via MinGateSecs, but its
-    // exponent reads 1.5 the moment it crosses the floor) fails it.
+  test("tail exponent: exact on power laws, catches quadratic-small-constant the ratio gate misses") {
+    // The three-point gate's arithmetic (VERDICT r15 #3, reworked
+    // after the r16 review found the least-squares form vacuous): the
+    // gated number is the TAIL segment's local slope, which a pure
+    // power law t = c·n^p reads as exactly p (the constant cancels in
+    // the ratio) and which a fixed overhead cannot dilute.
     import graft.tools.Soak
-    val xs = Seq(1.0, 3.0, 10.0).map(math.log)
+    def tail(ts: Seq[Double]) = Soak.segmentSlope(ts(1), ts(2), 3.0, 10.0)
+    def head(ts: Seq[Double]) = Soak.segmentSlope(ts(0), ts(1), 1.0, 3.0)
     def times(c: Double, p: Double) = Seq(1.0, 3.0, 10.0).map(n => c * math.pow(n, p))
-    assert(math.abs(Soak.fittedSlope(xs, times(7.0, 1.0).map(math.log)) - 1.0) < 1e-9)
-    assert(math.abs(Soak.fittedSlope(xs, times(0.4, 1.5).map(math.log)) - 1.5) < 1e-9)
-    assert(math.abs(Soak.fittedSlope(xs, times(2.0, 0.3).map(math.log)) - 0.3) < 1e-9)
-    // non-power-law noise fits BETWEEN its local slopes, never wilder
-    val noisy = Seq(1.0, 2.8, 11.5).map(math.log)
-    val s = Soak.fittedSlope(xs, noisy)
-    assert(s > 0.9 && s < 1.2, s"noisy fit $s")
+    for (p <- Seq(0.3, 1.0, 1.5); c <- Seq(0.4, 7.0)) {
+      assert(math.abs(tail(times(c, p)) - p) < 1e-9)
+      assert(math.abs(tail(times(c, p)) - head(times(c, p))) < 1e-9,
+        "a pure power law has zero curvature")
+    }
+    // THE non-vacuity case: fixed overhead + quadratic term,
+    // t = 1 + 0.1·n² → 1.1 / 1.9 / 11.0 seconds. Overall ratio 10×
+    // passes the 15× arrival ratio gate; the tail slope reads the
+    // quadratic through the dilution and trips the 1.3 limit.
+    val quad = Seq(1.1, 1.9, 11.0)
+    assert(quad.last / quad.head < 15.0, "the ratio gate must be blind to this shape")
+    assert(tail(quad) > 1.3, s"tail ${tail(quad)} must trip the arrival limit")
+    // constant-plus-LINEAR never reads as super-linear: tail < 1 and
+    // curvature bounded (~0.28 worst near c ≈ 2.5a) — the AccelWarn
+    // threshold sits above it so a benign fixed cost can't warn
+    for (c <- Seq(0.1, 1.0, 2.5, 5.0, 20.0)) {
+      val lin = Seq(1.0, 3.0, 10.0).map(n => c + n)
+      assert(tail(lin) < 1.0)
+      assert(tail(lin) - head(lin) < 0.45, s"linear+const c=$c curvature ${tail(lin) - head(lin)}")
+    }
   }
 }
