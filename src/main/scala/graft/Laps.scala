@@ -17,6 +17,7 @@ package graft
 object Laps {
   private val buf = new java.util.concurrent.ConcurrentLinkedQueue[(String, Double)]
   @volatile private var active = false
+  @volatile private var warnedCollision = false
 
   /** Label prefix for marks that are INTERNAL DETAIL of an enclosing
     * stage (the incremental pipeline's "manifest diff" / "closure
@@ -41,7 +42,7 @@ object Laps {
       System.err.println("[laps] WARNING: begin() while a window is " +
         "active — the previous window's marks are discarded " +
         "(single-owner contract; see Laps.begin doc)")
-    buf.clear(); active = true
+    buf.clear(); warnedCollision = false; active = true
   }
 
   /** Stop collecting and drain the recorded `(stage, seconds)` marks in
@@ -60,16 +61,30 @@ object Laps {
     * exact per-pass residual (ADVICE r15). */
   val ReservedTotalKey = "_total"
 
+  /** Escape prefix for labels that would collide with the reserved
+    * key. Applied to the reserved key itself AND to any label already
+    * carrying the prefix (recursively injective): a caller lap
+    * literally named "escaped: _total" becomes "escaped: escaped:
+    * _total" instead of silently merging with the escaped reserved key
+    * (ADVICE r16). */
+  private val EscapePrefix = "escaped: "
+
   private[graft] def record(stage: String, secs: Double): Unit =
     if (active) {
       // Escape rather than throw — a profiling guard must not kill a
-      // bench (same philosophy as begin()'s warn) — but loudly, and
-      // under a name that cannot collide with the reserved key.
-      val s = if (stage == ReservedTotalKey) {
-        System.err.println(s"[laps] WARNING: lap label \"$ReservedTotalKey\" collides " +
-          "with the reserved per-pass total key — recorded as \"escaped: _total\"")
-        "escaped: " + ReservedTotalKey
-      } else stage
+      // bench (same philosophy as begin()'s warn) — but loudly (once
+      // per window: a colliding label inside a per-epoch loop would
+      // otherwise spam one warning per iteration, ADVICE r16), and
+      // under a name no caller label can collide with.
+      val s =
+        if (stage == ReservedTotalKey || stage.startsWith(EscapePrefix)) {
+          if (stage == ReservedTotalKey && !warnedCollision) {
+            warnedCollision = true
+            System.err.println(s"[laps] WARNING: lap label \"$ReservedTotalKey\" collides " +
+              s"with the reserved per-pass total key — recorded as \"$EscapePrefix$ReservedTotalKey\"")
+          }
+          EscapePrefix + stage
+        } else stage
       buf.add((s, secs))
     }
 }

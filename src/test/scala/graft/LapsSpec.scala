@@ -37,6 +37,18 @@ class LapsSpec extends AnyFunSuite {
     assert(!got.exists(_._1 == Laps.ReservedTotalKey))
   }
 
+  test("the escape is injective: a label already carrying the prefix cannot merge with the escaped reserved key") {
+    // ADVICE r16: a caller lap literally named "escaped: _total" used
+    // to land under the SAME name as the escaped reserved key —
+    // silently merging two distinct stages. The prefix now recurses, so
+    // the two records stay distinguishable.
+    Laps.begin()
+    Laps.record(Laps.ReservedTotalKey, 2.0)
+    Laps.record("escaped: _total", 1.0)
+    val got = Laps.end()
+    assert(got == Seq(("escaped: _total", 2.0), ("escaped: escaped: _total", 1.0)))
+  }
+
   test("begin discards a previous window's leftovers") {
     Laps.begin()
     Laps.record("orphan", 9.0)
