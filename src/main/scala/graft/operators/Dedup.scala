@@ -370,7 +370,8 @@ object Dedup {
     * `pipe_clean_corpus`'s job.
     */
   def minhashNearDupVerdict(docs: DataFrame, threshold: Double = DefaultThreshold,
-                            maxBandDf: Option[Int] = None): DataFrame = {
+                            maxBandDf: Option[Int] = None,
+                            ckptOut: Option[scala.collection.mutable.Buffer[DataFrame]] = None): DataFrame = {
     // one shingle pass for signatures + both verify sides (see
     // ngramJaccard for the persist-not-checkpoint rationale)
     val shingled = shingleHashSets(docs).persist()
@@ -378,14 +379,22 @@ object Dedup {
     // candidate-join sides would otherwise each re-run the 128-perm
     // kernel — r16 review) and release it at an eager pair-sized
     // checkpoint, since the lazily-returned verdict has no later
-    // release point; the soak's sf1 capped equality gate collects
-    // through this path
+    // release point within this call. The checkpoint itself is the
+    // returned verdict's input, so it must OUTLIVE the call — `ckptOut`
+    // hands it back (the connectedComponents discipline, ADVICE r16):
+    // a repeat caller (soak gates, spec reruns) releases it via
+    // [[Corpus.releaseCheckpoint]] once the verdict is consumed; a
+    // one-shot caller may omit it and let session exit reclaim the
+    // single pair-sized block set.
     val pairs = maxBandDf match {
       case Some(cap) =>
         val banded = bandRows(minhashSignatures(shingled)).persist()
-        try lshPairsFromBanded(coldBands(banded, cap), shingled, threshold)
-          .localCheckpoint(true)
-        finally banded.unpersist(blocking = false)
+        try {
+          val p = lshPairsFromBanded(coldBands(banded, cap), shingled, threshold)
+            .localCheckpoint(true)
+          ckptOut.foreach(_ += p)
+          p
+        } finally banded.unpersist(blocking = false)
       case None => minhashLshPairs(shingled, threshold)
     }
     val best = pairs.groupBy(col("doc_id_2").as("doc_id"))

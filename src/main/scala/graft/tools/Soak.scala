@@ -412,8 +412,14 @@ object Soak {
     System.err.println(s"[soak] stream_ingest_neardup_capped batch-twin equality @ sf1")
     val ndCap = Some(graft.operators.Dedup.BandCapDf)
     val ndCapGot = Events.ingestNearDup(spark, sf1, maxBandDf = ndCap).collect().toSeq
-    val ndCapBatch = graft.operators.Dedup.minhashNearDupVerdict(
-      docs1, maxBandDf = ndCap).collect().toSeq
+    // release the capped verdict's pair checkpoint once collected — a
+    // soak calls this per scale and an unreleased checkpoint pins a
+    // pair-sized RDD for the process lifetime (ADVICE r16)
+    val ndCkpts = scala.collection.mutable.ListBuffer.empty[org.apache.spark.sql.DataFrame]
+    val ndCapBatch =
+      try graft.operators.Dedup.minhashNearDupVerdict(
+        docs1, maxBandDf = ndCap, ckptOut = Some(ndCkpts)).collect().toSeq
+      finally ndCkpts.foreach(graft.operators.Corpus.releaseCheckpoint)
     if (ndCapGot.isEmpty || ndCapGot != ndCapBatch)
       failures ::= s"stream_ingest_neardup_capped sf1 diverged from the capped batch twin " +
         s"(${ndCapGot.size} vs ${ndCapBatch.size} rows)"
