@@ -2377,8 +2377,20 @@ object Events {
     */
   def ingestNearDupCheck(spark: SparkSession, sfDir: String,
                          recallFloor: Double = 0.9): DataFrame = {
-    import graft.operators.Dedup
     val streamed = ingestNearDup(spark, sfDir) // local relation (detached)
+    nearDupContainmentVerdict(spark, sfDir, streamed, recallFloor, Nil)
+  }
+
+  /** The containment-verdict aggregate [[ingestNearDupCheck]] and
+    * [[ingestNearDupCappedCheck]] share over an already-converged
+    * streamed verdict relation — ONE definition, so the capped twin's
+    * invariants can never drift from the uncapped ones. `extra` columns
+    * (the capped twin's mid-stream cap-bite meters) append after the
+    * shared fields. */
+  private def nearDupContainmentVerdict(spark: SparkSession, sfDir: String,
+                                        streamed: DataFrame, recallFloor: Double,
+                                        extra: Seq[Column]): DataFrame = {
+    import graft.operators.Dedup
     // the check's own cost (the exact pair relation + containment
     // joins) gets a lap of its own, so the bench split doesn't lump
     // the oracle side into "other"
@@ -2415,13 +2427,53 @@ object Events {
       .crossJoin(broadcast(exactDupFollowers
         .join(streamed.filter(col("keep")), Seq("doc_id"), "left_semi")
         .agg(count(lit(1)).as("n_exact_dup_missed"))))
-      .select(col("n_docs"), col("n_exact_neardup_docs"), col("n_false_dups"),
+      .select(Seq(col("n_docs"), col("n_exact_neardup_docs"), col("n_false_dups"),
         col("n_jaccard_mismatch"), col("n_exact_dup_missed"),
         (col("n_dups") >= lit(recallFloor) * col("n_exact_neardup_docs"))
-          .as("recall_ok"))
+          .as("recall_ok")) ++ extra: _*)
     val out = Tables.materializeAndRelease(verdict, exact)
     oracleLap("oracle verify (exact pair containment)")
     out
+  }
+
+  /** Oracle-checkable contract of the CAPPED near-dup loop (VERDICT r16
+    * #5 — the pairing discipline's last gap: `stream_ingest_neardup_capped`
+    * was rows-only + spec while every sibling ends in an oracle row).
+    * Two facts make the uncapped containment SQL the right oracle here:
+    * the staged template flood is FULLY retracted by the final arrival,
+    * so the converged corpus is `documents` exactly; and
+    * [[graft.operators.Dedup.BandCapDf]] sits above any real band-bucket
+    * df in the corpora, so at convergence the capped truth equals the
+    * uncapped one (the flood's pairs are gone WITH the flood). The
+    * cap's bite is therefore pinned MID-STREAM, where it is real, via
+    * the loop's crossing meters (probe-counted, not assumed):
+    *
+    *  - `cap_quiet_at_bootstrap` — arrival 1 carries too few flood
+    *    copies to cross the cap: no up-crossing at epoch 0 (pinned);
+    *  - `cap_crossed_up` / `cap_crossed_down` — the flood topping
+    *    (epoch 1) pushed at least one band bucket over the cap, and the
+    *    flood retraction (epoch 2) brought it back (pinned true — the
+    *    non-vacuity meters: a loop whose hot plumbing is inert fails
+    *    them);
+    *  - `cap_cold_at_convergence` — every up-crossing was matched by a
+    *    down-crossing, so the final hot set is empty and the converged
+    *    relation is the full-recall one the shared containment verdict
+    *    (and floor) then gates (pinned true).
+    */
+  def ingestNearDupCappedCheck(spark: SparkSession, sfDir: String,
+                               recallFloor: Double = 0.9): DataFrame = {
+    val crossings = scala.collection.mutable.ListBuffer.empty[(Long, Long, Long)]
+    val streamed = ingestNearDup(spark, sfDir,
+      maxBandDf = Some(graft.operators.Dedup.BandCapDf),
+      capCrossingsProbe = Some(crossings)) // local relation (detached)
+    val quietBoot = crossings.forall { case (e, up, _) => e != 0L || up == 0L }
+    val up = crossings.exists { case (e, u, _) => e >= 1L && u > 0L }
+    val down = crossings.exists { case (e, _, d) => e >= 1L && d > 0L }
+    val cold = crossings.map(_._2).sum == crossings.map(_._3).sum
+    nearDupContainmentVerdict(spark, sfDir, streamed, recallFloor,
+      Seq(lit(quietBoot).as("cap_quiet_at_bootstrap"),
+        lit(up).as("cap_crossed_up"), lit(down).as("cap_crossed_down"),
+        lit(cold).as("cap_cold_at_convergence")))
   }
 
   /** Compact a `batch=<epoch>` delta-chain sink (the layout
@@ -2548,8 +2600,14 @@ object Events {
   /** Apply the drift wave to a vector relation (the `embedding` column
     * shifted by [[DriftWaveShift]] per dimension, float-preserved). */
   private[graft] def driftShift(df: DataFrame): DataFrame =
+    driftShiftBy(df, DriftWaveShift)
+
+  /** [[driftShift]] with a caller-chosen per-dimension delta — the
+    * second-wave staging shifts to the OPPOSITE side of the base cloud
+    * (−[[DriftWaveShift]]), outside every generation-2 centroid. */
+  private[graft] def driftShiftBy(df: DataFrame, delta: Float): DataFrame =
     df.withColumn("embedding",
-      transform(col("embedding"), x => (x + lit(DriftWaveShift)).cast("float")))
+      transform(col("embedding"), x => (x + lit(delta)).cast("float")))
 
   def ingestAnnIvf(spark: SparkSession, sfDir: String,
                    statePartitions: Option[Int] = Some(4),
@@ -2562,7 +2620,10 @@ object Events {
                    driftMaxCellShare: Option[Double] = None,
                    migrateBucketsPerEpoch: Int = 16,
                    driftWaveArrival2: Boolean = false,
-                   migrationProbe: Option[scala.collection.mutable.Buffer[(Long, String)]] = None): DataFrame = {
+                   driftSecondWave: Boolean = false,
+                   migrationProbe: Option[scala.collection.mutable.Buffer[(Long, String)]] = None,
+                   gateInputProbe: Option[scala.collection.mutable.Buffer[(Long, Int, Long)]] = None,
+                   generationsProbe: Option[scala.collection.mutable.Buffer[(Long, Seq[Int])]] = None): DataFrame = {
     import graft.operators.Similarity
     val ss = sessionFor(spark, statePartitions,
       Map("spark.sql.streaming.noDataMicroBatches.enabled" -> "false") ++ providerConf)
@@ -2579,31 +2640,49 @@ object Events {
           val assignDir = s"$store/assign"
           val cellStatsDir = s"$store/cellstats"
           val tombstoneDir = s"$store/tombstones"
-          // MIGRATION mode's extra stored state (VERDICT r15 #1 — the
-          // re-train/cutover the drift monitor exists for):
+          // MIGRATION mode's extra stored state (VERDICT r15 #1, made
+          // REPEATABLE r17 — the loop OPERATES migrations, it doesn't
+          // perform one):
           //  - `vectors/batch=e` — the live corpus VECTOR chain
           //    (neighbor-id-bucketed, shares the tombstone dir): the
           //    store the background re-assignment reads old vectors
           //    from, and the rerank source once the raw table's rows
-          //    can be stale (a drifted wave);
-          //  - `centroids_v2` + `assign_v2/batch=e` — quantizer v2 and
-          //    its OWN epoch chain, built in the background: each
-          //    post-trip epoch v2-assigns its own arrivals plus one
-          //    bucket-cursor CHUNK of pre-trip vectors (the cursor is
-          //    a pure function of the epoch number — replay-safe, no
-          //    mutable state);
-          //  - `migration_started` / `active_version` — tiny markers
-          //    (atomic tmp+move): the trip epoch, and the query-side
-          //    cutover flag, flipped only when v2's live assignment
-          //    count equals the live corpus count. v1 stays the
-          //    loop's commit/membership chain throughout (the flip is
-          //    the QUERY side's — retiring v1's chain is a deployment
-          //    cleanup once drained).
+          //    can be stale (a drifted wave). Generation-independent —
+          //    every migration reads the same chain;
+          //  - PER-GENERATION centroid/assign/cellstats chains
+          //    ([[centroidsDirG]] etc. — generation 1 keeps the plain
+          //    names, so the non-migrating loop's layout is
+          //    unchanged): each migration trains generation T = S+1
+          //    and builds its chains in the background — each
+          //    post-trip epoch T-assigns its own arrivals plus one
+          //    bucket-cursor CHUNK of old vectors (the cursor is a
+          //    pure function of epoch − trip epoch — replay-safe, no
+          //    mutable state). The target keeps its OWN additive
+          //    cellstats chain from the trip epoch on, so the
+          //    completeness gate is two scalar-chain sums (r16 #2) —
+          //    and so the NEXT migration's trip check has a stats
+          //    chain to poll once T is active;
+          //  - `active_gen` ("N@cutoverEpoch") / `migration` ("T@m0")
+          //    markers (atomic tmp+move): which generation serves
+          //    queries (and since when), and the in-flight migration's
+          //    target + trip epoch. The migration marker outlives its
+          //    cutover by exactly one epoch (deleted at the first
+          //    epoch STRICTLY past it — a replay of the cutover epoch
+          //    must reconstruct in-flight roles, or its arrival-only
+          //    commit write would overwrite the chunk rows); the
+          //    deletion IS the re-arm: the trip check runs again off
+          //    the active generation's stats chain, so v2→v3 and
+          //    beyond are the same code path. Drained generations'
+          //    chains are deleted on the compaction cadence.
           val vectorsDir = s"$store/vectors"
-          val centroidsV2Dir = s"$store/centroids_v2"
-          val assignV2Dir = s"$store/assign_v2"
-          val migStartPath = java.nio.file.Paths.get(s"$store/migration_started")
-          val activeV2Path = java.nio.file.Paths.get(s"$store/active_version")
+          def centroidsDirG(g: Int): String =
+            if (g == 1) centroidsDir else s"$store/centroids_g$g"
+          def assignDirG(g: Int): String =
+            if (g == 1) assignDir else s"$store/assign_g$g"
+          def cellStatsDirG(g: Int): String =
+            if (g == 1) cellStatsDir else s"$store/cellstats_g$g"
+          val activeGenPath = java.nio.file.Paths.get(s"$store/active_gen")
+          val migrationPath = java.nio.file.Paths.get(s"$store/migration")
           def writeMarker(p: java.nio.file.Path, content: String): Unit = {
             val tmp = p.resolveSibling(p.getFileName.toString + ".tmp")
             java.nio.file.Files.write(tmp, content.getBytes("UTF-8"))
@@ -2611,6 +2690,14 @@ object Events {
               java.nio.file.StandardCopyOption.ATOMIC_MOVE,
               java.nio.file.StandardCopyOption.REPLACE_EXISTING)
           }
+          // marker payloads are "gen@epoch" pairs
+          def readMarker(p: java.nio.file.Path): Option[(Int, Long)] =
+            if (!java.nio.file.Files.exists(p)) None
+            else {
+              val Array(g, e) = new String(java.nio.file.Files.readAllBytes(p),
+                "UTF-8").trim.split('@')
+              Some((g.toInt, e.toLong))
+            }
           // the assignment chain's value schema — explicit-schema reads
           // of possibly-empty delta dirs (a removal-only epoch assigns
           // nothing)
@@ -2651,9 +2738,37 @@ object Events {
               graft.GraftSession.registerFunctions(bss)
               // a crash mid-swap of the in-stream compaction below can
               // leave a chain whose newest prefix lives only in the
-              // stranded snapshot — repair before any chain read
-              Seq(assignDir, cellStatsDir, vectorsDir, assignV2Dir).foreach(d =>
-                recoverInterruptedCompaction(java.nio.file.Paths.get(d)))
+              // stranded snapshot — repair before any chain read (every
+              // generation chain present, whatever the marker state)
+              (Seq(assignDir, cellStatsDir, vectorsDir) ++
+                Option(new java.io.File(store.toString).listFiles()).toSeq.flatten
+                  .filter(f => f.isDirectory && (f.getName.startsWith("assign_g") ||
+                    f.getName.startsWith("cellstats_g")))
+                  .map(_.getPath))
+                .foreach(d => recoverInterruptedCompaction(java.nio.file.Paths.get(d)))
+              // ---- generation roles (r17: repeatable migrations) ----
+              // A pure function of (durable markers, epoch number), so
+              // a crash-replayed epoch reconstructs the SAME roles its
+              // original run used: in particular a replay of the
+              // cutover epoch still sees in-flight roles (the marker
+              // outlives the cutover by one epoch — deleting it at the
+              // cutover would flip the replay's commit chain to the
+              // target and its arrival-only overwrite would lose the
+              // epoch's chunk rows). The lazy deletion here is also
+              // the RE-ARM: with the marker gone, the trip check below
+              // polls the active generation's own stats chain, so a
+              // second drift triggers the next migration through the
+              // identical path.
+              val (activeGen, cutEpoch) =
+                readMarker(activeGenPath).getOrElse((1, -1L))
+              val migInFlight: Option[(Int, Long)] = readMarker(migrationPath) match {
+                case Some((t, _)) if t == activeGen && epoch > cutEpoch =>
+                  java.nio.file.Files.deleteIfExists(migrationPath); None
+                case other => other
+              }
+              // the COMMIT/membership generation: the migration source
+              // while one is in flight, the active generation otherwise
+              val commitGen = migInFlight.map(_._1 - 1).getOrElse(activeGen)
               // removals (embedding IS NULL) vs adds — see the query doc
               val removals = batch.filter(col("embedding").isNull)
                 .select(col("vec_id").as("neighbor_id")).persist()
@@ -2672,12 +2787,13 @@ object Events {
               // buckets and resolved through the PRIOR tombstones, so a
               // removed-then-re-added id is classified NEW whatever the
               // compaction timing.
-              val committedPrior = committedEpochsBelow(assignDir, epoch).nonEmpty
+              val committedPrior =
+                committedEpochsBelow(assignDirG(commitGen), epoch).nonEmpty
               val redelivered =
                 if (!committedPrior) removals.limit(0)
                 else arrived.select(col("vec_id").as("neighbor_id"))
                   .join(tombstoneResolvedRowsWith(
-                      prunedChainRows(bss, assignDir, epoch - 1,
+                      prunedChainRows(bss, assignDirG(commitGen), epoch - 1,
                         collectBuckets(arrived, col("vec_id")), Some(assignSchema)),
                       tombAggPrior, keyCol = "neighbor_id")
                     .select(col("neighbor_id")), Seq("neighbor_id"), "left_semi")
@@ -2704,13 +2820,13 @@ object Events {
                 // waits for the first real arrival (r12 review).
                 val haveAdds = !arrived.isEmpty
                 val centroidsOpt: Option[Array[Array[Double]]] =
-                  if (new java.io.File(s"$centroidsDir/_SUCCESS").exists &&
-                      epoch != 0L) Some(loadCentroids(bss))
+                  if (new java.io.File(s"${centroidsDirG(commitGen)}/_SUCCESS").exists &&
+                      epoch != 0L) Some(loadCentroids(bss, centroidsDirG(commitGen)))
                   else if (haveAdds) {
                     val c = Similarity.ivfTrain(arrived.orderBy(col("vec_id")))
                     c.zipWithIndex.map { case (v, i) => (i, v.toSeq) }.toSeq
                       .toDF("cell", "centroid")
-                      .write.mode("overwrite").parquet(centroidsDir)
+                      .write.mode("overwrite").parquet(centroidsDirG(commitGen))
                     Some(c)
                   } else None
                 // neighbor-id-bucketed delta (one file per touched
@@ -2723,7 +2839,7 @@ object Events {
                   .withColumn("bucket", chainBucket(col("neighbor_id")))
                   .repartition(col("bucket"))
                   .write.partitionBy("bucket").mode("overwrite")
-                  .parquet(s"$assignDir/batch=$epoch")
+                  .parquet(s"${assignDirG(commitGen)}/batch=$epoch")
                 // MIGRATION mode: the corpus vector chain — O(|batch|)
                 // per epoch, neighbor-id-bucketed, tombstone-shared.
                 // Written from epoch 0 (the background re-assignment
@@ -2745,34 +2861,54 @@ object Events {
                 // re-delivered batch's own fresh rows are never
                 // subtracted) and tombstone-resolved so a doubly-
                 // retired id can never be double-subtracted
-                val addStats = graft.operators.Similarity.ivfCellStats(
-                  bss.read.schema(assignSchema)
-                    .parquet(s"$assignDir/batch=$epoch"))
-                val remStats =
-                  if (!haveRetired || centroidsOpt.isEmpty) addStats.limit(0)
-                  else tombstoneResolvedRowsWith(
-                      prunedChainRows(bss, assignDir, epoch - 1,
-                        collectBuckets(retired, col("neighbor_id")),
-                        Some(assignSchema)),
-                      tombAggPrior, keyCol = "neighbor_id")
-                    .join(retired, Seq("neighbor_id"), "left_semi")
-                    .groupBy(col("cell"))
-                    .agg((-count(lit(1))).as("n"))
-                addStats.unionByName(remStats)
-                  .write.mode("overwrite").parquet(s"$cellStatsDir/batch=$epoch")
-                // ---- IVF re-train / cutover (VERDICT r15 #1) --------
-                // The consumer the drift monitor exists for. Trip: the
-                // summed stats chain's max-cell share over the
-                // threshold. Response: train quantizer v2 ONCE on a
-                // bounded deterministic sample of the LIVE corpus, then
-                // build v2's own epoch chain in the BACKGROUND — each
-                // epoch v2-assigns its arrivals plus one bucket-cursor
-                // chunk of old vectors (cursor = f(epoch − trip epoch),
-                // no mutable state, replay recomputes its own chunk) —
-                // and flip the query side only when v2's live count
-                // equals the live corpus count (the completeness gate;
-                // two scalar-chain counts per PRE-cutover epoch, the
-                // inherent price of certifying a migration complete).
+                // per-generation stats delta: the adds' cells PLUS
+                // negatives for the retired docs' prior rows in THAT
+                // generation's chain — shared by the commit chain here
+                // and the migration target below (whose sums feed the
+                // scalar completeness gate, r16 #2)
+                def statsDelta(gen: Int): DataFrame = {
+                  val addStats = graft.operators.Similarity.ivfCellStats(
+                    bss.read.schema(assignSchema)
+                      .parquet(s"${assignDirG(gen)}/batch=$epoch"))
+                  val remStats =
+                    if (!haveRetired ||
+                        committedEpochsBelow(assignDirG(gen), epoch).isEmpty)
+                      addStats.limit(0)
+                    else tombstoneResolvedRowsWith(
+                        prunedChainRows(bss, assignDirG(gen), epoch - 1,
+                          collectBuckets(retired, col("neighbor_id")),
+                          Some(assignSchema)),
+                        tombAggPrior, keyCol = "neighbor_id")
+                      .join(retired, Seq("neighbor_id"), "left_semi")
+                      .groupBy(col("cell"))
+                      .agg((-count(lit(1))).as("n"))
+                  addStats.unionByName(remStats)
+                }
+                statsDelta(commitGen)
+                  .write.mode("overwrite")
+                  .parquet(s"${cellStatsDirG(commitGen)}/batch=$epoch")
+                // ---- IVF re-train / cutover (VERDICT r15 #1; made
+                // REPEATABLE + scalar-gated r17, VERDICT r16 #2/#3) ---
+                // The consumer the drift monitor exists for. Trip (only
+                // when no migration is in flight — the marker deletion
+                // at epoch start is the re-arm): the ACTIVE
+                // generation's summed stats chain's max-cell share over
+                // the threshold. Response: train generation T = S+1
+                // ONCE on a bounded deterministic sample of the LIVE
+                // corpus, then build T's own epoch chains in the
+                // BACKGROUND — each epoch T-assigns its arrivals plus
+                // one bucket-cursor chunk of old vectors (cursor =
+                // f(epoch − trip epoch), no mutable state, replay
+                // recomputes its own chunk) and appends T's own
+                // additive stats delta — and flip the query side only
+                // when T's live count equals the live corpus count.
+                // The completeness gate is TWO SCALAR-CHAIN SUMS
+                // (O(epochs × nCells) rows each, r16 #2 — previously
+                // two corpus-width counts): sum(n) over a generation's
+                // stats chain IS its live row count (adds +1,
+                // retirements −1, re-deliveries net 0 — the invariant
+                // the cellStatsProbe spec pins against the one-shot
+                // live occupancy).
                 if (driftMaxCellShare.isDefined) {
                   val note = new StringBuilder
                   // the epoch's tombstone aggregate = prior ⊕ this
@@ -2795,47 +2931,73 @@ object Events {
                         "batch", "bucket")
                         .filter(col("batch") <= lit(epoch)).drop("bucket"),
                       tombAggE, keyCol = "neighbor_id")
-                    val activeV2 = java.nio.file.Files.exists(activeV2Path)
-                    if (!activeV2 && !java.nio.file.Files.exists(migStartPath)) {
+                    // a generation's LIVE row count off its additive
+                    // stats chain — the scalar read the completeness
+                    // gate runs instead of corpus-width counts (r16
+                    // #2). gateInputProbe accumulates the rows entering
+                    // each sum: the spec pins them to the stats chain's
+                    // size, never the corpus's.
+                    def statsLiveN(gen: Int): Long = {
+                      val chain = withChainPartitionCols(
+                          bss.read.schema(cellStatsSchema)
+                            .parquet(cellStatsDirG(gen)), "batch")
+                        .filter(col("batch") <= lit(epoch))
+                      // probe-only count job, keyed (epoch, generation)
+                      // so a crash-replayed epoch supersedes its own
+                      // entry (the probeAdd rule, per-gen here)
+                      gateInputProbe.foreach { buf =>
+                        val entry = (epoch, gen, chain.count())
+                        val i = buf.indexWhere(p => p._1 == epoch && p._2 == gen)
+                        if (i >= 0) buf(i) = entry else buf += entry
+                      }
+                      chain.agg(coalesce(sum(col("n")), lit(0L)).as("n"))
+                        .head().getLong(0)
+                    }
+                    // trip check — re-armed automatically once the
+                    // previous migration's marker is deleted: the poll
+                    // then reads the NEW active generation's own chain,
+                    // so generation N+1 drifting years later triggers
+                    // the next migration through this same branch
+                    val mig: Option[(Int, Long)] = migInFlight.orElse {
                       val share = Similarity.maxCellShare(
                         withChainPartitionCols(
-                          bss.read.schema(cellStatsSchema).parquet(cellStatsDir), "batch")
+                          bss.read.schema(cellStatsSchema)
+                            .parquet(cellStatsDirG(commitGen)), "batch")
                           .filter(col("batch") <= lit(epoch))
                           .groupBy(col("cell")).agg(sum(col("n")).as("n"))
                           .filter(col("n") > 0))
                       note ++= f"share=$share%.3f "
                       if (share > driftMaxCellShare.get) {
-                        writeMarker(migStartPath, epoch.toString)
+                        writeMarker(migrationPath, s"${commitGen + 1}@$epoch")
                         note ++= "trip "
-                      }
+                        Some((commitGen + 1, epoch))
+                      } else None
                     }
-                    if (java.nio.file.Files.exists(migStartPath)) {
-                      val m0 = new String(java.nio.file.Files
-                        .readAllBytes(migStartPath), "UTF-8").trim.toLong
-                      // v2: trained at the trip epoch on the live
-                      // corpus (bounded sample inside ivfTrain,
+                    mig.foreach { case (t, m0) =>
+                      // generation T: trained at the trip epoch on the
+                      // live corpus (bounded sample inside ivfTrain,
                       // deterministic order) — replay of m0 retrains
                       // identically and overwrites idempotently
-                      val v2 =
+                      val vT =
                         if (epoch == m0) {
                           val c = Similarity.ivfTrain(liveVectors()
                             .select(col("neighbor_id").as("vec_id"), col("embedding"))
                             .orderBy(col("vec_id")))
                           c.zipWithIndex.map { case (v, i) => (i, v.toSeq) }.toSeq
                             .toDF("cell", "centroid")
-                            .write.mode("overwrite").parquet(centroidsV2Dir)
-                          note ++= "v2-trained "
+                            .write.mode("overwrite").parquet(centroidsDirG(t))
+                          note ++= s"g$t-trained "
                           c
-                        } else loadCentroids(bss, centroidsV2Dir)
-                      // the epoch's v2 delta: its own arrivals + the
+                        } else loadCentroids(bss, centroidsDirG(t))
+                      // the epoch's T delta: its own arrivals + the
                       // cursor's chunk of OLD vectors — file-pruned to
                       // the cursor buckets, tombstone-resolved, and
-                      // anti-joined against v2's PRIOR-epoch ids (a
+                      // anti-joined against T's PRIOR-epoch ids (a
                       // replay must redo its own chunk) and this
-                      // epoch's arrivals (already assigned above).
-                      // Anti-join (not a batch<m0 filter) keeps the
-                      // chunk correct across compactions, which fold
-                      // old rows up to newer batch values.
+                      // epoch's arrivals (assigned with the batch
+                      // below). Anti-join (not a batch<m0 filter)
+                      // keeps the chunk correct across compactions,
+                      // which fold old rows up to newer batch values.
                       val b0 = ((epoch - m0) * migrateBucketsPerEpoch).toInt
                       val chunkBuckets =
                         (b0 until math.min(b0 + migrateBucketsPerEpoch, ChainBuckets)).toList
@@ -2843,11 +3005,11 @@ object Events {
                         if (chunkBuckets.isEmpty)
                           liveVectors().limit(0)
                         else {
-                          val v2PriorIds =
-                            if (committedEpochsBelow(assignV2Dir, epoch).isEmpty)
+                          val tPriorIds =
+                            if (committedEpochsBelow(assignDirG(t), epoch).isEmpty)
                               arrived.select(col("vec_id").as("neighbor_id")).limit(0)
                             else tombstoneResolvedRowsWith(
-                              prunedChainRows(bss, assignV2Dir, epoch - 1,
+                              prunedChainRows(bss, assignDirG(t), epoch - 1,
                                 chunkBuckets, Some(assignSchema)),
                               tombAggE, keyCol = "neighbor_id")
                               .select(col("neighbor_id"))
@@ -2855,36 +3017,41 @@ object Events {
                             prunedChainRows(bss, vectorsDir, epoch,
                               chunkBuckets, Some(vectorsSchema)),
                             tombAggE, keyCol = "neighbor_id")
-                            .join(v2PriorIds, Seq("neighbor_id"), "left_anti")
+                            .join(tPriorIds, Seq("neighbor_id"), "left_anti")
                             .join(arrived.select(col("vec_id").as("neighbor_id")),
                               Seq("neighbor_id"), "left_anti")
                         }
                       if (chunkBuckets.nonEmpty)
                         note ++= s"chunk=[${chunkBuckets.head},${chunkBuckets.last}] "
-                      Similarity.ivfAssign(arrived, v2)
+                      Similarity.ivfAssign(arrived, vT)
                         .unionByName(Similarity.ivfAssign(
                           chunkVecs.select(col("neighbor_id").as("vec_id"),
-                            col("embedding")), v2))
+                            col("embedding")), vT))
                         .withColumn("bucket", chainBucket(col("neighbor_id")))
                         .repartition(col("bucket"))
                         .write.partitionBy("bucket").mode("overwrite")
-                        .parquet(s"$assignV2Dir/batch=$epoch")
-                      // cutover: v2 is complete exactly when its live
-                      // ids equal the live corpus — flip the query
+                        .parquet(s"${assignDirG(t)}/batch=$epoch")
+                      // T's own additive stats delta — the same
+                      // statsDelta kernel as the commit chain's, so
+                      // sum(n) over T's chain is T's live row count:
+                      // the gate's right-hand side, and the chain the
+                      // NEXT migration's trip check polls once T is
+                      // active
+                      statsDelta(t)
+                        .write.mode("overwrite")
+                        .parquet(s"${cellStatsDirG(t)}/batch=$epoch")
+                      // cutover: T is complete exactly when its live
+                      // count equals the live corpus count — two
+                      // scalar-chain sums (r16 #2). Flip the query
                       // side once, atomically (replay of the cutover
                       // epoch sees the marker and just re-lands its
-                      // idempotent v2 delta)
-                      if (!activeV2) {
-                        val liveN = liveVectors().count()
-                        val v2N = tombstoneResolvedRowsWith(
-                          withChainPartitionCols(
-                            bss.read.schema(assignSchema).parquet(assignV2Dir),
-                            "batch", "bucket")
-                            .filter(col("batch") <= lit(epoch)).drop("bucket"),
-                          tombAggE, keyCol = "neighbor_id").count()
-                        note ++= s"v2=$v2N/$liveN "
-                        if (v2N == liveN) {
-                          writeMarker(activeV2Path, "2")
+                      // idempotent T delta).
+                      if (activeGen != t) {
+                        val liveN = statsLiveN(commitGen)
+                        val tN = statsLiveN(t)
+                        note ++= s"g$t=$tN/$liveN "
+                        if (tN == liveN) {
+                          writeMarker(activeGenPath, s"$t@$epoch")
                           note ++= "cutover "
                         }
                       }
@@ -2915,24 +3082,53 @@ object Events {
                 // only after every chain swapped, so a second call
                 // would find them already gone (the chunk reads are
                 // anti-join-based, so folding old vector rows up to
-                // newer batch values is harmless)
+                // newer batch values is harmless). The in-flight
+                // TARGET generation (read off the marker — a trip this
+                // epoch already wrote it) folds alongside.
+                val targetGen = readMarker(migrationPath).map(_._1)
+                  .filter(_ != commitGen)
                 val migChains =
                   (if (java.nio.file.Files.isDirectory(
                     java.nio.file.Paths.get(vectorsDir))) Seq(vectorsDir) else Nil) ++
-                  (if (java.nio.file.Files.isDirectory(
-                    java.nio.file.Paths.get(assignV2Dir))) Seq(assignV2Dir) else Nil)
-                compactTombstonedChains(bss, Seq(assignDir) ++ migChains, tombstoneDir,
+                  targetGen.map(assignDirG).filter(d =>
+                    java.nio.file.Files.isDirectory(java.nio.file.Paths.get(d)))
+                compactTombstonedChains(bss,
+                  Seq(assignDirG(commitGen)) ++ migChains, tombstoneDir,
                   keyCol = "neighbor_id",
                   partitionColsFor = _ => Seq("bucket"),
                   upTo = Some(epoch - 1),
                   dataSchemaFor = d =>
                     Some(if (d == vectorsDir) vectorsSchema else assignSchema))
-                compactAdditiveChain(bss, cellStatsDir, Seq("cell"), "n",
-                  upTo = Some(epoch - 1), dataSchema = Some(cellStatsSchema))
+                (Seq(commitGen) ++ targetGen).foreach { g =>
+                  if (java.nio.file.Files.isDirectory(
+                      java.nio.file.Paths.get(cellStatsDirG(g))))
+                    compactAdditiveChain(bss, cellStatsDirG(g), Seq("cell"), "n",
+                      upTo = Some(epoch - 1), dataSchema = Some(cellStatsSchema))
+                }
+                // retire DRAINED generations (r17, VERDICT r16 #1):
+                // every generation strictly below the COMMIT generation
+                // is unreadable by any future epoch (the commit,
+                // target and query roles all sit at or above it), so
+                // its centroid/assign/cellstats chains are deleted on
+                // this cadence — idempotent, replay-safe (a replayed
+                // epoch reconstructs the same roles and never reads
+                // below its commit generation)
+                (1 until commitGen).foreach { g =>
+                  Seq(centroidsDirG(g), assignDirG(g), cellStatsDirG(g))
+                    .map(java.nio.file.Paths.get(_))
+                    .filter(java.nio.file.Files.isDirectory(_))
+                    .foreach(deleteDirQuietly)
+                }
               }
+              // spec probe: which generations' assign chains survive on
+              // disk after this epoch's compaction — the drained-
+              // generation retirement meter (a dir listing, no jobs)
+              generationsProbe.foreach(buf => probeAdd(buf, (epoch,
+                (1 to 8).filter(g => java.nio.file.Files.isDirectory(
+                  java.nio.file.Paths.get(assignDirG(g)))))))
               deltaProbe.foreach(probeAdd(_, (epoch,
                 bss.read.schema(assignSchema)
-                  .parquet(s"$assignDir/batch=$epoch").count())))
+                  .parquet(s"${assignDirG(commitGen)}/batch=$epoch").count())))
               // the drift monitor a deployment polls after every append:
               // running per-cell occupancy summed off the STATS chain —
               // O(epochs × nCells) scalar rows per poll, with the full
@@ -2943,7 +3139,8 @@ object Events {
                 // cells to subtract) — the monitor must read empty,
                 // not fail analysis
                 val statsChain = withChainPartitionCols(
-                    bss.read.schema(cellStatsSchema).parquet(cellStatsDir), "batch")
+                    bss.read.schema(cellStatsSchema)
+                      .parquet(cellStatsDirG(commitGen)), "batch")
                   .filter(col("batch") <= lit(epoch))
                 cellStatsInputProbe.foreach(probeAdd(_, (epoch, statsChain.count())))
                 // n > 0: a cell fully drained by removals drops out,
@@ -3011,17 +3208,50 @@ object Events {
             outerLap("stage arrival 3")
             dr.drain()
             outerLap("drain 3 (removal epoch)")
+            if (driftSecondWave) {
+              // SECOND-WAVE staging (r17 — the repeatability leg,
+              // VERDICT r16 #1): a second engineered drift must carry
+              // the loop through v2→v3 on the SAME code path, with v1
+              // retired in between. Arrival 4 re-delivers the live
+              // wave slice shifted to the OPPOSITE side (−shift from
+              // the original cloud — outside both the base cloud and
+              // generation 2's wave-1 centroids, so generation 2's
+              // monitor trips exactly like generation 1's did).
+              driftShiftBy(
+                corpus.filter(col("vec_id") % 5 === 0 &&
+                  col("vec_id") % AnnRemovalMod =!= 0), -DriftWaveShift)
+                .stageArrival(src)
+              dr.drain()
+              // arrival 5: identical re-delivery of the live
+              // %10==EarlyRedeliveryRem slice — drives the second
+              // migration's final chunk + cutover without changing the
+              // live corpus (closed-form reconstruction holds)
+              corpus.filter(col("vec_id") % RedeliveryMod === EarlyRedeliveryRem &&
+                  col("vec_id") % AnnRemovalMod =!= 0)
+                .stageArrival(src)
+              dr.drain()
+              // arrival 6: one more identical re-delivery, one epoch
+              // PAST the second cutover — the migration marker is
+              // cleaned up (trip re-armed off generation 3's stats)
+              // and the compaction cadence retires generation 2's
+              // drained chains
+              corpus.filter(col("vec_id") % RedeliveryMod === 7 &&
+                  col("vec_id") % AnnRemovalMod =!= 0)
+                .stageArrival(src)
+              dr.drain()
+              outerLap("drains 4-6 (second wave + cutover + retire)")
+            }
           } finally dr.finish("graft_annstream")
           // query the maintained index: tombstone-resolved chain +
           // frozen quantizer — a removed vector never reaches the
-          // probe. The CUTOVER is here: once the active-version marker
-          // exists, the query side reads the v2 chain and quantizer —
-          // and in migration mode reranks against the LIVE vector
-          // chain (table rows are stale for a drifted wave), with the
-          // static query set still from the table.
-          val (qAssignDir, qCentroidsDir) =
-            if (java.nio.file.Files.exists(activeV2Path)) (assignV2Dir, centroidsV2Dir)
-            else (assignDir, centroidsDir)
+          // probe. The CUTOVER is here: the query side reads the
+          // ACTIVE generation's chain and quantizer (the marker the
+          // completeness gate flips) — and in migration mode reranks
+          // against the LIVE vector chain (table rows are stale for a
+          // drifted wave), with the static query set still from the
+          // table.
+          val qGen = readMarker(activeGenPath).map(_._1).getOrElse(1)
+          val (qAssignDir, qCentroidsDir) = (assignDirG(qGen), centroidsDirG(qGen))
           val assigned = tombstoneResolvedRows(spark,
             spark.read.schema(assignSchema).parquet(qAssignDir).drop("bucket"),
             tombstoneDir, keyCol = "neighbor_id")
@@ -4107,6 +4337,11 @@ object Events {
     // with crossing non-vacuity meters
     "stream_ingest_neardup_capped" -> ((s, d) =>
       ingestNearDup(s, d, maxBandDf = Some(graft.operators.Dedup.BandCapDf))),
+    // the capped loop's oracle row (VERDICT r16 #5): the flood is fully
+    // retracted and the cap sits above any real band df, so the
+    // converged relation obeys the uncapped containment SQL — with the
+    // cap's mid-stream bite pinned by the loop's own crossing meters
+    "stream_ingest_neardup_capped_check" -> ((s, d) => ingestNearDupCappedCheck(s, d)),
     "stream_ingest_ann" -> ((s, d) => ingestAnnIvf(s, d)),
     "stream_ingest_ann_check" -> ((s, d) => ingestAnnCheck(s, d)),
     // the drift-triggered re-train/cutover loop (r16): monitor armed,
@@ -4166,6 +4401,23 @@ object Events {
        |SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
        | CAST(count(*) AS BIGINT) AS n_arrivals
        |FROM tr GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Containment-verdict oracle of the streamed near-dup loop — the
+    * SHARED base of the uncapped and capped check twins (the capped one
+    * appends its cap-bite meter columns after `recall_ok`): real doc
+    * and exact-near-dup counts from the raw table, zero
+    * false/drifted/missed-exact verdicts, recall over the floor. The
+    * pair CTE is Dedup's shared definition. */
+  private val ingestNearDupCheckOracle =
+    s"""WITH ${graft.operators.Dedup.jaccardPairsCtes},
+       |nd AS (SELECT DISTINCT doc_id_2 AS doc_id FROM pairs
+       |  WHERE inter * 1.0 / (n1 + n2 - inter) >= 0.8)
+       |SELECT (SELECT count(*) FROM documents) AS n_docs,
+       | (SELECT count(*) FROM nd) AS n_exact_neardup_docs,
+       | CAST(0 AS BIGINT) AS n_false_dups,
+       | CAST(0 AS BIGINT) AS n_jaccard_mismatch,
+       | CAST(0 AS BIGINT) AS n_exact_dup_missed,
+       | true AS recall_ok""".stripMargin
 
   /** Tumbling-window oracle, shared by the memory-sink and file-sink
     * twins for the same drift-proofing reason. */
@@ -4231,16 +4483,21 @@ object Events {
     // pins its exact invariants from the raw table alone: real doc and
     // exact-near-dup counts, zero false/drifted/missed-exact verdicts,
     // recall over the floor. The pair CTE is Dedup's shared definition.
-    "stream_ingest_neardup_check" ->
-      s"""WITH ${graft.operators.Dedup.jaccardPairsCtes},
-         |nd AS (SELECT DISTINCT doc_id_2 AS doc_id FROM pairs
-         |  WHERE inter * 1.0 / (n1 + n2 - inter) >= 0.8)
-         |SELECT (SELECT count(*) FROM documents) AS n_docs,
-         | (SELECT count(*) FROM nd) AS n_exact_neardup_docs,
-         | CAST(0 AS BIGINT) AS n_false_dups,
-         | CAST(0 AS BIGINT) AS n_jaccard_mismatch,
-         | CAST(0 AS BIGINT) AS n_exact_dup_missed,
-         | true AS recall_ok""".stripMargin,
+    "stream_ingest_neardup_check" -> ingestNearDupCheckOracle,
+    // the CAPPED loop's twin (r17): the converged corpus is `documents`
+    // exactly (flood fully retracted) and the cap sits above any real
+    // band df, so the SAME containment SQL gates the converged relation
+    // — plus the mid-stream cap-bite meters, DuckDB constants by the
+    // staging's construction (quiet bootstrap, one up- and one
+    // down-crossing wave, cold at convergence). Appended to the shared
+    // base (recall_ok is its last column), so the two oracles can never
+    // drift on the shared fields.
+    "stream_ingest_neardup_capped_check" ->
+      (ingestNearDupCheckOracle +
+        """,
+          | true AS cap_quiet_at_bootstrap,
+          | true AS cap_crossed_up, true AS cap_crossed_down,
+          | true AS cap_cold_at_convergence""".stripMargin),
     // decontaminated train ingestion: train docs (content-hash split)
     // sharing NO word-5-gram with any test doc, exact-deduped — the
     // string-shingle self-join mirrors decontam_ngram's criterion

