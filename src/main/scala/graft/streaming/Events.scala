@@ -2911,6 +2911,13 @@ object Events {
                 // live occupancy).
                 if (driftMaxCellShare.isDefined) {
                   val note = new StringBuilder
+                  // per-stage soak laps (r17, VERDICT r16 #4: the
+                  // migration's epochs get their own three-point growth
+                  // record). Labels deliberately do NOT start with
+                  // "epoch N" — the soak classifies those as removal-
+                  // epoch blast-radius stages, while the chunk re-assign
+                  // is arrival-plus-chunk-proportional by design.
+                  val migLap = graft.operators.Snapshot.incrLap()
                   // the epoch's tombstone aggregate = prior ⊕ this
                   // batch's retired set (the ingestNearDup merge — no
                   // second chain read); may BE tombAggPrior
@@ -2967,6 +2974,7 @@ object Events {
                           .groupBy(col("cell")).agg(sum(col("n")).as("n"))
                           .filter(col("n") > 0))
                       note ++= f"share=$share%.3f "
+                      migLap(s"migration drift poll (epoch $epoch)")
                       if (share > driftMaxCellShare.get) {
                         writeMarker(migrationPath, s"${commitGen + 1}@$epoch")
                         note ++= "trip "
@@ -2987,6 +2995,7 @@ object Events {
                             .toDF("cell", "centroid")
                             .write.mode("overwrite").parquet(centroidsDirG(t))
                           note ++= s"g$t-trained "
+                          migLap(s"migration train (epoch $epoch)")
                           c
                         } else loadCentroids(bss, centroidsDirG(t))
                       // the epoch's T delta: its own arrivals + the
@@ -3037,9 +3046,11 @@ object Events {
                       // the gate's right-hand side, and the chain the
                       // NEXT migration's trip check polls once T is
                       // active
+                      migLap(s"migration chunk re-assign (epoch $epoch)")
                       statsDelta(t)
                         .write.mode("overwrite")
                         .parquet(s"${cellStatsDirG(t)}/batch=$epoch")
+                      migLap(s"migration target stats (epoch $epoch)")
                       // cutover: T is complete exactly when its live
                       // count equals the live corpus count — two
                       // scalar-chain sums (r16 #2). Flip the query
@@ -3050,6 +3061,7 @@ object Events {
                         val liveN = statsLiveN(commitGen)
                         val tN = statsLiveN(t)
                         note ++= s"g$t=$tN/$liveN "
+                        migLap(s"migration completeness gate (epoch $epoch)")
                         if (tN == liveN) {
                           writeMarker(activeGenPath, s"$t@$epoch")
                           note ++= "cutover "
@@ -3418,11 +3430,44 @@ object Events {
     * `compactEvery` epochs, prefix-bounded) folds the score chain
     * tombstone-resolved with its bucket layout preserved.
     */
+  /** `driftPosRateJump` arms the RE-TRAIN/CUTOVER loop (r17, VERDICT
+    * r16 top ask — the consumer the positive-rate drift alarm exists
+    * for, closing the last monitor-without-consumer): each epoch's
+    * delta pred-positive rate is compared against the ACTIVE model's
+    * stored training-time rate, and a deviation past the threshold
+    * trips a migration. The RE-LABEL CONTRACT mirrors the bootstrap's
+    * "first arrival is the labeled sample" rule: generation T's model
+    * trains on the first arrival AFTER the trip (the designated
+    * re-label delivery — the alarm is exactly the signal on which a
+    * deployment ships one), then T's score chain is built in the
+    * background: each epoch T-scores its own arrivals plus one
+    * bucket-cursor chunk of old docs' stored FEATURES (`feats/batch=e`,
+    * a doc-id-bucketed tombstone-shared chain migration mode maintains
+    * from epoch 0 — features, not text, because scoring consumes
+    * featurized rows and the chain then never re-tokenizes), and the
+    * query side flips when T's live count equals the live corpus
+    * count — both counts read off per-generation 1-row-per-epoch
+    * additive `counts_g*` chains (scalar sums, the IVF gate
+    * discipline). Markers, re-arm and drained-generation retirement
+    * are the [[ingestAnnIvf]] generational scheme verbatim
+    * (generation-valued `active_gen`/`migration`, lazy marker deletion
+    * one epoch past the cutover, chain deletion on the compaction
+    * cadence). Frozen-model determinism carries through: post-cutover
+    * the converged relation equals a fresh generation-T batch scoring
+    * of the live corpus (probs to the treeAggregate combine-order
+    * tolerance), which is what the `_check` twin pins.
+    */
   def ingestClassify(spark: SparkSession, sfDir: String,
                      statePartitions: Option[Int] = Some(4),
                      deltaProbe: Option[scala.collection.mutable.Buffer[(Long, Long, Long)]] = None,
                      compactEvery: Int = 8,
-                     crashAtEpoch: Option[Long] = None): DataFrame = {
+                     crashAtEpoch: Option[Long] = None,
+                     driftPosRateJump: Option[Double] = None,
+                     migrateBucketsPerEpoch: Int = 16,
+                     labelShiftArrival2: Boolean = false,
+                     migrationProbe: Option[scala.collection.mutable.Buffer[(Long, String)]] = None,
+                     gateInputProbe: Option[scala.collection.mutable.Buffer[(Long, Int, Long)]] = None,
+                     generationsProbe: Option[scala.collection.mutable.Buffer[(Long, Seq[Int])]] = None): DataFrame = {
     import graft.operators.Classifier
     val ss = sessionFor(spark, statePartitions,
       Map("spark.sql.streaming.noDataMicroBatches.enabled" -> "false") ++ providerConf)
@@ -3438,6 +3483,37 @@ object Events {
           val modelDir = s"$store/model"
           val scoresDir = s"$store/scores"
           val tombstoneDir = s"$store/tombstones"
+          // migration mode's extra state (see the driftPosRateJump
+          // doc): the live corpus FEATURE chain, per-generation model
+          // dirs / score chains / 1-row additive count chains, and the
+          // generation markers — the ingestAnnIvf layout, scores for
+          // assignments
+          val featsDir = s"$store/feats"
+          def modelDirG(g: Int): String =
+            if (g == 1) modelDir else s"$store/model_g$g"
+          def scoresDirG(g: Int): String =
+            if (g == 1) scoresDir else s"$store/scores_g$g"
+          def countsDirG(g: Int): String = s"$store/counts_g$g"
+          // the active model's training-time pred-positive rate — the
+          // drift monitor's baseline, written beside the model
+          def posRatePath(g: Int): java.nio.file.Path =
+            java.nio.file.Paths.get(s"$store/posrate_g$g")
+          val activeGenPath = java.nio.file.Paths.get(s"$store/active_gen")
+          val migrationPath = java.nio.file.Paths.get(s"$store/migration")
+          def writeMarker(p: java.nio.file.Path, content: String): Unit = {
+            val tmp = p.resolveSibling(p.getFileName.toString + ".tmp")
+            java.nio.file.Files.write(tmp, content.getBytes("UTF-8"))
+            java.nio.file.Files.move(tmp, p,
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          }
+          def readMarker(p: java.nio.file.Path): Option[(Int, Long)] =
+            if (!java.nio.file.Files.exists(p)) None
+            else {
+              val Array(g, e) = new String(java.nio.file.Files.readAllBytes(p),
+                "UTF-8").trim.split('@')
+              Some((g.toInt, e.toLong))
+            }
           // the score chain's value schema — explicit-schema reads of a
           // possibly-empty delta dir (a removal-only epoch scores nothing)
           val scoreSchema = org.apache.spark.sql.types.StructType(Seq(
@@ -3450,8 +3526,16 @@ object Events {
               org.apache.spark.sql.types.DoubleType),
             org.apache.spark.sql.types.StructField("pred",
               org.apache.spark.sql.types.BooleanType)))
+          val countsSchema = org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("cell",
+              org.apache.spark.sql.types.IntegerType),
+            org.apache.spark.sql.types.StructField("n", LongType)))
           val outerLap = graft.operators.Snapshot.incrLap()
           val docs = ss.read.parquet(staged.toString)
+          // the feature chain's value schema, derived at setup
+          // (analysis-only)
+          val featsSchema = Classifier.featurized(
+            docs.limit(0).select(col("doc_id"), col("text"))).schema
           // negative-id shadow copies, staged in arrival 2 — AFTER the
           // model froze on arrival 1, so the fitted weights equal the
           // batch twin's — and retracted in arrival 3 (query doc)
@@ -3471,7 +3555,26 @@ object Events {
               import bss.implicits._
               graft.GraftSession.registerFunctions(bss)
               // repair a crash-stranded compaction swap before any read
-              recoverInterruptedCompaction(java.nio.file.Paths.get(scoresDir))
+              // (every generation chain present, whatever the markers)
+              (Seq(scoresDir, featsDir) ++
+                Option(new java.io.File(store.toString).listFiles()).toSeq.flatten
+                  .filter(f => f.isDirectory && (f.getName.startsWith("scores_g") ||
+                    f.getName.startsWith("counts_g")))
+                  .map(_.getPath))
+                .foreach(d => recoverInterruptedCompaction(java.nio.file.Paths.get(d)))
+              // ---- generation roles (r17 — the ingestAnnIvf scheme,
+              // see its epoch-start doc: roles are a pure function of
+              // the durable markers + epoch number; the migration
+              // marker's lazy deletion one epoch past the cutover is
+              // also the trip RE-ARM) ----
+              val (activeGen, cutEpoch) =
+                readMarker(activeGenPath).getOrElse((1, -1L))
+              val migInFlight: Option[(Int, Long)] = readMarker(migrationPath) match {
+                case Some((t, _)) if t == activeGen && epoch > cutEpoch =>
+                  java.nio.file.Files.deleteIfExists(migrationPath); None
+                case other => other
+              }
+              val commitGen = migInFlight.map(_._1 - 1).getOrElse(activeGen)
               // removals (text IS NULL): tombstone-only, no scoring
               // work. RE-DELIVERED ids (r13): batch docs the score
               // chain already holds — the same tombstone supersedes
@@ -3490,22 +3593,34 @@ object Events {
                 .select(col("doc_id"))
               val tombAggPrior = tombstoneAggregate(bss, tombstoneDir,
                 upTo = Some(epoch - 1)).map(_.persist())
-              val committedPrior = committedEpochsBelow(scoresDir, epoch).nonEmpty
+              val committedPrior =
+                committedEpochsBelow(scoresDirG(commitGen), epoch).nonEmpty
               val redelivered =
                 if (!committedPrior) removalsC.limit(0)
                 else addIds.join(tombstoneResolvedRowsWith(
-                    prunedChainRows(bss, scoresDir, epoch - 1,
+                    prunedChainRows(bss, scoresDirG(commitGen), epoch - 1,
                       collectBuckets(addIds, col("doc_id")), Some(scoreSchema)),
                     tombAggPrior)
                   .select(col("doc_id")), Seq("doc_id"), "left_semi")
               val retired = removalsC.unionByName(redelivered).persist()
-              if (!retired.isEmpty)
+              val haveRetired = !retired.isEmpty
+              if (haveRetired)
                 retired.write.mode("overwrite")
                   .parquet(s"$tombstoneDir/batch=$epoch")
               val feats = Classifier.featurized(
                 batch.filter(col("text").isNotNull)
                   .select(col("doc_id"), col("text"))).persist()
               try {
+                // migration mode: the live corpus FEATURE chain —
+                // O(|batch|) per epoch, doc-id-bucketed, tombstone-
+                // shared; the store the background re-scoring reads old
+                // docs from (features, not text: scoring consumes
+                // featurized rows, so the chain never re-tokenizes)
+                if (driftPosRateJump.isDefined)
+                  feats.withColumn("bucket", chainBucket(col("doc_id")))
+                    .repartition(col("bucket"))
+                    .write.partitionBy("bucket").mode("overwrite")
+                    .parquet(s"$featsDir/batch=$epoch")
                 // committed-state gate, not `epoch == 0` — see
                 // ingestAnnIvf's note (reused-checkpoint starts).
                 // The store/load pair carries the sparse-weight
@@ -3514,14 +3629,15 @@ object Events {
                 // batch with NO adds (pure removal backlog) has
                 // nothing to train or score: the model waits for the
                 // first real arrival (r12 review).
-                val modelOpt: Option[Classifier.LrModel] =
-                  if (new java.io.File(s"$modelDir/_SUCCESS").exists &&
-                      epoch != 0L) Some(Classifier.loadModel(bss, modelDir))
+                val (modelOpt, trainedNow) =
+                  if (new java.io.File(s"${modelDirG(commitGen)}/_SUCCESS").exists &&
+                      epoch != 0L)
+                    (Some(Classifier.loadModel(bss, modelDirG(commitGen))), false)
                   else if (!feats.isEmpty) {
                     val m = Classifier.fit(feats)
-                    Classifier.storeModel(bss, m, modelDir)
-                    Some(m)
-                  } else None
+                    Classifier.storeModel(bss, m, modelDirG(commitGen))
+                    (Some(m), true)
+                  } else (None, false)
                 modelOpt match {
                   case Some(model) =>
                     // scoring via the handle form: the per-epoch model
@@ -3534,7 +3650,7 @@ object Events {
                       .withColumn("bucket", chainBucket(col("doc_id")))
                       .repartition(col("bucket")) // one file per bucket per epoch
                       .write.partitionBy("bucket").mode("overwrite")
-                      .parquet(s"$scoresDir/batch=$epoch")
+                      .parquet(s"${scoresDirG(commitGen)}/batch=$epoch")
                     finally bcModel.destroy()
                   case None =>
                     // schema-correct empty delta commits the epoch —
@@ -3547,7 +3663,197 @@ object Events {
                       .emptyRDD[org.apache.spark.sql.Row], scoreSchema)
                       .withColumn("bucket", chainBucket(col("doc_id")))
                       .write.partitionBy("bucket").mode("overwrite")
-                      .parquet(s"$scoresDir/batch=$epoch")
+                      .parquet(s"${scoresDirG(commitGen)}/batch=$epoch")
+                }
+                // ---- classifier re-train / cutover (r17, VERDICT r16
+                // top ask — see the driftPosRateJump doc) ----
+                if (driftPosRateJump.isDefined) {
+                  val note = new StringBuilder
+                  // per-stage soak laps (r17, VERDICT r16 #4) — labels
+                  // avoid the "epoch N" prefix, see ingestAnnIvf's note
+                  val migLap = graft.operators.Snapshot.incrLap()
+                  // the epoch's tombstone aggregate = prior ⊕ this
+                  // batch's retired set (the ingestNearDup merge)
+                  val tombAggE =
+                    if (!haveRetired) tombAggPrior
+                    else {
+                      val ours = retired.select(col("doc_id"))
+                        .withColumn("tomb_epoch", lit(epoch))
+                      Some(tombAggPrior.fold(ours)(p => p.unionByName(ours))
+                        .groupBy(col("doc_id"))
+                        .agg(max(col("tomb_epoch")).as("tomb_epoch"))
+                        .persist())
+                    }
+                  try {
+                    // a generation's 1-row additive count delta: +this
+                    // epoch's delta rows, − the retired docs' live rows
+                    // in THAT generation's chain (bucket-pruned, prior
+                    // epochs only) — sum(n) over the chain IS its live
+                    // row count, the scalar the completeness gate reads
+                    def countsDelta(gen: Int): DataFrame = {
+                      val added = bss.read.schema(scoreSchema)
+                        .parquet(s"${scoresDirG(gen)}/batch=$epoch").count()
+                      val removedN =
+                        if (!haveRetired ||
+                            committedEpochsBelow(scoresDirG(gen), epoch).isEmpty) 0L
+                        else tombstoneResolvedRowsWith(
+                            prunedChainRows(bss, scoresDirG(gen), epoch - 1,
+                              collectBuckets(retired, col("doc_id")),
+                              Some(scoreSchema)),
+                            tombAggPrior)
+                          .join(retired, Seq("doc_id"), "left_semi").count()
+                      Seq((0, added - removedN)).toDF("cell", "n")
+                    }
+                    countsDelta(commitGen).write.mode("overwrite")
+                      .parquet(s"${countsDirG(commitGen)}/batch=$epoch")
+                    def liveCount(gen: Int): Long = {
+                      val chain = withChainPartitionCols(
+                          bss.read.schema(countsSchema)
+                            .parquet(countsDirG(gen)), "batch")
+                        .filter(col("batch") <= lit(epoch))
+                      // probe-only count, keyed (epoch, generation) —
+                      // the spec pins gate reads to the scalar chains
+                      gateInputProbe.foreach { buf =>
+                        val entry = (epoch, gen, chain.count())
+                        val i = buf.indexWhere(p => p._1 == epoch && p._2 == gen)
+                        if (i >= 0) buf(i) = entry else buf += entry
+                      }
+                      chain.agg(coalesce(sum(col("n")), lit(0L)).as("n"))
+                        .head().getLong(0)
+                    }
+                    // the active model's drift baseline: its pred-
+                    // positive rate on ITS OWN labeled training arrival
+                    // — written once beside the model (the observable a
+                    // deployment compares epoch rates against)
+                    def writePosRate(gen: Int): Unit = {
+                      val d = bss.read.schema(scoreSchema)
+                        .parquet(s"${scoresDirG(gen)}/batch=$epoch")
+                        .join(addIds, Seq("doc_id"), "left_semi").persist()
+                      try {
+                        val n = d.count()
+                        if (n > 0)
+                          writeMarker(posRatePath(gen),
+                            (d.filter(col("pred")).count().toDouble / n).toString)
+                      } finally d.unpersist(blocking = false)
+                    }
+                    if (trainedNow && modelOpt.isDefined) writePosRate(commitGen)
+                    // this epoch's observed delta pred-positive rate —
+                    // the alarm input (None on a scoring-free epoch)
+                    val delta = bss.read.schema(scoreSchema)
+                      .parquet(s"${scoresDirG(commitGen)}/batch=$epoch").persist()
+                    val rateE =
+                      try {
+                        val n = delta.count()
+                        if (n == 0) None
+                        else Some(delta.filter(col("pred")).count().toDouble / n)
+                      } finally delta.unpersist(blocking = false)
+                    // trip check — only when no migration is in flight
+                    // (the marker deletion at epoch start is the re-arm)
+                    val mig: Option[(Int, Long)] = migInFlight.orElse {
+                      if (modelOpt.isEmpty ||
+                          !java.nio.file.Files.exists(posRatePath(commitGen))) None
+                      else rateE.flatMap { r =>
+                        val base = new String(java.nio.file.Files
+                          .readAllBytes(posRatePath(commitGen)), "UTF-8").trim.toDouble
+                        note ++= f"rate=$r%.3f base=$base%.3f "
+                        migLap(s"migration drift poll (epoch $epoch)")
+                        if (math.abs(r - base) > driftPosRateJump.get) {
+                          writeMarker(migrationPath, s"${commitGen + 1}@$epoch")
+                          note ++= "trip "
+                          Some((commitGen + 1, epoch))
+                        } else None
+                      }
+                    }
+                    mig.foreach { case (t, m0) =>
+                      // the RE-LABEL CONTRACT: generation T trains on
+                      // the first arrival AFTER the trip (the alarm is
+                      // the signal a deployment ships a labeled sample
+                      // in response to), mirroring the bootstrap's
+                      // "first arrival is the labeled sample" rule. The
+                      // training epoch is recorded durably (trained_gT
+                      // marker) so the backfill cursor is a pure
+                      // function of epoch − t0; a replay of t0 retrains
+                      // on its own arrival and overwrites idempotently.
+                      val trainedPath = java.nio.file.Paths.get(s"$store/trained_g$t")
+                      val t0Opt = readMarker(trainedPath).map(_._2)
+                      if (t0Opt.isEmpty && (epoch == m0 || feats.isEmpty)) {
+                        note ++= "awaiting-relabel "
+                      } else {
+                        val (mT, t0) =
+                          if (t0Opt.isEmpty || t0Opt.contains(epoch)) {
+                            val m = Classifier.fit(feats)
+                            Classifier.storeModel(bss, m, modelDirG(t))
+                            writeMarker(trainedPath, s"$t@$epoch")
+                            note ++= s"g$t-trained "
+                            migLap(s"migration train (epoch $epoch)")
+                            (m, epoch)
+                          } else
+                            (Classifier.loadModel(bss, modelDirG(t)), t0Opt.get)
+                        // the epoch's T delta: its own arrivals + the
+                        // cursor's chunk of OLD docs' stored features —
+                        // file-pruned to the cursor buckets, tombstone-
+                        // resolved, anti-joined against T's prior ids
+                        // (a replay redoes its own chunk) and this
+                        // epoch's arrivals
+                        val b0 = ((epoch - t0) * migrateBucketsPerEpoch).toInt
+                        val chunkBuckets =
+                          (b0 until math.min(b0 + migrateBucketsPerEpoch, ChainBuckets)).toList
+                        val chunkFeats =
+                          if (chunkBuckets.isEmpty) feats.limit(0)
+                          else {
+                            val tPriorIds =
+                              if (committedEpochsBelow(scoresDirG(t), epoch).isEmpty)
+                                addIds.limit(0)
+                              else tombstoneResolvedRowsWith(
+                                prunedChainRows(bss, scoresDirG(t), epoch - 1,
+                                  chunkBuckets, Some(scoreSchema)),
+                                tombAggE).select(col("doc_id"))
+                            tombstoneResolvedRowsWith(
+                              prunedChainRows(bss, featsDir, epoch,
+                                chunkBuckets, Some(featsSchema)),
+                              tombAggE)
+                              .join(tPriorIds, Seq("doc_id"), "left_anti")
+                              .join(addIds, Seq("doc_id"), "left_anti")
+                          }
+                        if (chunkBuckets.nonEmpty)
+                          note ++= s"chunk=[${chunkBuckets.head},${chunkBuckets.last}] "
+                        // ONE model broadcast scores arrivals + chunk
+                        val (scoredT, bcT) = Classifier.scoreWithHandle(
+                          feats.unionByName(
+                            chunkFeats.select(feats.columns.map(col): _*)), mT)
+                        try scoredT
+                          .withColumn("bucket", chainBucket(col("doc_id")))
+                          .repartition(col("bucket"))
+                          .write.partitionBy("bucket").mode("overwrite")
+                          .parquet(s"${scoresDirG(t)}/batch=$epoch")
+                        finally bcT.destroy()
+                        migLap(s"migration chunk re-score (epoch $epoch)")
+                        countsDelta(t).write.mode("overwrite")
+                          .parquet(s"${countsDirG(t)}/batch=$epoch")
+                        migLap(s"migration target counts (epoch $epoch)")
+                        // T's own drift baseline, off its training
+                        // arrival alone (the chunk is old-corpus mix —
+                        // not the steady-state observable)
+                        if (t0 == epoch) writePosRate(t)
+                        // cutover: T is complete exactly when its live
+                        // count equals the live corpus count — two
+                        // scalar-chain sums
+                        if (activeGen != t) {
+                          val liveN = liveCount(commitGen)
+                          val tN = liveCount(t)
+                          note ++= s"g$t=$tN/$liveN "
+                          migLap(s"migration completeness gate (epoch $epoch)")
+                          if (tN == liveN) {
+                            writeMarker(activeGenPath, s"$t@$epoch")
+                            note ++= "cutover "
+                          }
+                        }
+                      }
+                    }
+                  } finally tombAggE
+                    .filterNot(t => tombAggPrior.exists(_ eq t))
+                    .foreach(_.unpersist(blocking = false))
+                  migrationProbe.foreach(probeAdd(_, (epoch, note.toString.trim)))
                 }
               } finally {
                 feats.unpersist(blocking = false)
@@ -3557,15 +3863,49 @@ object Events {
               // in-stream compaction (r13): the score chain folds
               // tombstone-resolved (supersede tombstones leave one live
               // row per doc — no LWW needed) with its bucket layout
-              // preserved; prefix-bounded like every other loop
-              if (epoch > 0 && epoch % compactEvery.toLong == 0)
-                compactTombstonedChains(bss, Seq(scoresDir), tombstoneDir,
+              // preserved; prefix-bounded like every other loop. In
+              // migration mode the feature chain and the in-flight
+              // target's score chain fold alongside, the count chains
+              // fold additively, and DRAINED generations' stores are
+              // deleted (r17 — the ingestAnnIvf retirement rule).
+              if (epoch > 0 && epoch % compactEvery.toLong == 0) {
+                val targetGen = readMarker(migrationPath).map(_._1)
+                  .filter(_ != commitGen)
+                val migChains =
+                  (if (java.nio.file.Files.isDirectory(
+                    java.nio.file.Paths.get(featsDir))) Seq(featsDir) else Nil) ++
+                  targetGen.map(scoresDirG).filter(d =>
+                    java.nio.file.Files.isDirectory(java.nio.file.Paths.get(d)))
+                compactTombstonedChains(bss,
+                  Seq(scoresDirG(commitGen)) ++ migChains, tombstoneDir,
                   partitionColsFor = _ => Seq("bucket"),
                   upTo = Some(epoch - 1),
-                  dataSchemaFor = _ => Some(scoreSchema))
+                  dataSchemaFor = d =>
+                    Some(if (d == featsDir) featsSchema else scoreSchema))
+                (Seq(commitGen) ++ targetGen).foreach { g =>
+                  if (java.nio.file.Files.isDirectory(
+                      java.nio.file.Paths.get(countsDirG(g))))
+                    compactAdditiveChain(bss, countsDirG(g), Seq("cell"), "n",
+                      upTo = Some(epoch - 1), dataSchema = Some(countsSchema))
+                }
+                (1 until commitGen).foreach { g =>
+                  (Seq(modelDirG(g), scoresDirG(g), countsDirG(g))
+                    .map(java.nio.file.Paths.get(_))
+                    .filter(java.nio.file.Files.isDirectory(_)))
+                    .foreach(deleteDirQuietly)
+                  java.nio.file.Files.deleteIfExists(posRatePath(g))
+                  java.nio.file.Files.deleteIfExists(
+                    java.nio.file.Paths.get(s"$store/trained_g$g"))
+                }
+              }
+              // spec probe: surviving generations' score chains (the
+              // drained-generation retirement meter — a dir listing)
+              generationsProbe.foreach(buf => probeAdd(buf, (epoch,
+                (1 to 8).filter(g => java.nio.file.Files.isDirectory(
+                  java.nio.file.Paths.get(scoresDirG(g)))))))
               deltaProbe.foreach { buf =>
                 val d = bss.read.schema(scoreSchema)
-                  .parquet(s"$scoresDir/batch=$epoch")
+                  .parquet(s"${scoresDirG(commitGen)}/batch=$epoch")
                 // (epoch, delta rows, delta positives): the positive-rate
                 // drift alarm a frozen-filter deployment re-trains on
                 probeAdd(buf, (epoch, d.count(), d.filter(col("pred")).count()))
@@ -3582,33 +3922,84 @@ object Events {
           try {
             dr.drain()
             outerLap("drain 1 (bootstrap epoch)")
-            // arrival 2 also EARLY-re-delivers the %10==EarlyRedeliveryRem
-            // docs (arrival-1 members, identical text): their supersede
-            // tombstones land at epoch 1, so compactEvery=1 folds +
-            // consumes tombstones mid-stream (see EarlyRedeliveryRem)
-            docs.filter(col("doc_id") % 5 === 0).unionByName(shadows)
-              .unionByName(docs.filter(
+            if (labelShiftArrival2) {
+              // MIGRATE staging (see the driftPosRateJump doc): the
+              // label-shifted wave, a designated re-label arrival, and
+              // two identical-live-text re-deliveries driving the
+              // background chunks, the cutover, the marker cleanup and
+              // the drained-generation retirement. No shadows/removals
+              // here — the converged corpus must stay a closed-form
+              // function of the table (documents with the %5==0 slice's
+              // text label-shifted), so the check twin and the specs
+              // reconstruct it verbatim.
+              def liveText(df: DataFrame): DataFrame =
+                df.withColumn("text", when(col("doc_id") % 5 === 0,
+                  concat(col("text"), lit(LabelShiftSuffix)))
+                  .otherwise(col("text")))
+              // arrival 2 — the WAVE: every doc gains the shift suffix,
+              // so the delta's pred-positive rate jumps off the stored
+              // baseline and the monitor must trip
+              docs.filter(col("doc_id") % 5 === 0)
+                .withColumn("text", concat(col("text"), lit(LabelShiftSuffix)))
+                .stageArrival(src)
+              dr.drain()
+              // arrival 3 — the RE-LABEL delivery: a mixed
+              // deterministic slice (%3==0 — both splits, so the fit
+              // has a train side) re-delivered at its LIVE text:
+              // generation 2's labeled sample
+              liveText(docs.filter(col("doc_id") % 3 === 0)).stageArrival(src)
+              dr.drain()
+              // arrival 4: identical re-delivery — final chunk + cutover
+              // (the trip check is suspended while the migration is in
+              // flight, so this slice's composition is free)
+              liveText(docs.filter(
                 col("doc_id") % RedeliveryMod === EarlyRedeliveryRem))
-              .stageArrival(src)
-            outerLap("stage arrival 2")
-            dr.drain()
-            outerLap("drain 2 (incremental epoch)")
-            // arrival 3: RETRACT the shadows (text-null rows) — the
-            // tombstone is the whole update, scoring has no blast
-            // radius — and RE-deliver the %10 docs with identical text
-            // (the frozen model re-scores them identically; the
-            // supersede must tombstone their old rows or the consumer
-            // emits duplicates)
-            shadows.withColumn("text", lit(null).cast("string"))
-              .unionByName(docs.filter(col("doc_id") % RedeliveryMod === 0))
-              .stageArrival(src)
-            outerLap("stage arrival 3")
-            dr.drain()
-            outerLap("drain 3 (removal epoch)")
+                .stageArrival(src)
+              dr.drain()
+              // arrival 5: one epoch past the cutover — marker cleanup
+              // (re-armed poll) + drained-generation retirement. A
+              // UNIFORM slice (%3==1), like the re-label slice the
+              // baseline was measured on: the post-shift corpus is
+              // bimodal, so only a composition-representative arrival
+              // reads near the baseline — which is exactly what the
+              // re-armed check must stay QUIET on (a skewed slice
+              // deviating is the monitor working, not a defect)
+              liveText(docs.filter(col("doc_id") % 3 === 1))
+                .stageArrival(src)
+              dr.drain()
+              outerLap("drains 2-5 (wave, re-label, cutover, retire)")
+            } else {
+              // arrival 2 also EARLY-re-delivers the %10==EarlyRedeliveryRem
+              // docs (arrival-1 members, identical text): their supersede
+              // tombstones land at epoch 1, so compactEvery=1 folds +
+              // consumes tombstones mid-stream (see EarlyRedeliveryRem)
+              docs.filter(col("doc_id") % 5 === 0).unionByName(shadows)
+                .unionByName(docs.filter(
+                  col("doc_id") % RedeliveryMod === EarlyRedeliveryRem))
+                .stageArrival(src)
+              outerLap("stage arrival 2")
+              dr.drain()
+              outerLap("drain 2 (incremental epoch)")
+              // arrival 3: RETRACT the shadows (text-null rows) — the
+              // tombstone is the whole update, scoring has no blast
+              // radius — and RE-deliver the %10 docs with identical text
+              // (the frozen model re-scores them identically; the
+              // supersede must tombstone their old rows or the consumer
+              // emits duplicates)
+              shadows.withColumn("text", lit(null).cast("string"))
+                .unionByName(docs.filter(col("doc_id") % RedeliveryMod === 0))
+                .stageArrival(src)
+              outerLap("stage arrival 3")
+              dr.drain()
+              outerLap("drain 3 (removal epoch)")
+            }
           } finally dr.finish("graft_classify")
-          // consumer: tombstone-resolved chain — removed docs absent
+          // consumer: the ACTIVE generation's tombstone-resolved chain —
+          // removed docs absent; post-cutover this is the migrated
+          // generation's scoring
+          val qGen = readMarker(activeGenPath).map(_._1).getOrElse(1)
           val scored = tombstoneResolvedRows(spark,
-            spark.read.schema(scoreSchema).parquet(scoresDir).drop("bucket"),
+            spark.read.schema(scoreSchema).parquet(scoresDirG(qGen)).drop("bucket"),
             tombstoneDir)
             .select(col("doc_id"), col("label"), col("split"), col("prob"), col("pred"))
             .orderBy(col("doc_id"))
@@ -3645,6 +4036,96 @@ object Events {
       (accOf("holdout") >= Classifier.HoldoutFloor).as("holdout_acc_ok"))
     val out = graft.Tables.materializeAndRelease(verdict, streamed)
     oracleLap("oracle verify (floors + prob bounds)")
+    out
+  }
+
+  /** The classifier migrate staging's closed-form truth: the SHIFTED
+    * corpus — `documents` with the wave slice's text label-shifted —
+    * which IS the converged live corpus (arrivals 3-5 re-deliver live
+    * text verbatim). ONE definition for the check twin, the spec's
+    * fresh-v2 reconstruction and the oracle's CTE (interpolated from
+    * the same [[LabelShiftSuffix]]). */
+  private[graft] def classifyShiftedCorpus(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      when(col("doc_id") % 5 === 0, concat(col("text"), lit(LabelShiftSuffix)))
+        .otherwise(col("text")).as("text"))
+
+  /** Accuracy floors for the MIGRATED classifier (the `_migrate_check`
+    * twin): generation 2 trains on the designated re-label slice — a
+    * third of the corpus, not all of it — so its floors sit under the
+    * full-corpus trainer's. ≥8pp under measured accuracy at every test
+    * SF (the [[graft.operators.Classifier.TrainFloor]] discipline):
+    * train 0.79/0.81/0.87 and holdout 0.71/0.60/0.71 at
+    * sf0.001/0.01/0.1. Falsifiability note: the migrate holdout is the
+    * forced-positive shifted wave, where an all-true (zero-weight)
+    * model would score 1.0 — it is the TRAIN floor that kills the zero
+    * model here (it reads ~0.48 there), the holdout floor kills a
+    * model that lost the shifted mode. */
+  private[graft] val MigrateTrainFloor = 0.70
+  private[graft] val MigrateHoldoutFloor = 0.52
+
+  /** Oracle-checkable contract of the MIGRATING classifier loop (r17,
+    * the `stream_ingest_ann_migrate_check` pattern): runs
+    * [[ingestClassify]] with the drift monitor armed and the
+    * label-shifted wave staged, then pins the migration's whole
+    * contract in one row —
+    *
+    *  - `n_docs` / `n_label_pos` — real denominators over the SHIFTED
+    *    corpus (the oracle recomputes the shift and the label in SQL
+    *    from the same suffix constant);
+    *  - `drift_tripped` / `cutover_done` — the positive-rate alarm
+    *    fired at a post-bootstrap epoch and the query side flipped
+    *    (pinned true);
+    *  - `migrated_equals_fresh` — the converged relation equals a
+    *    from-scratch generation-2 scoring VERBATIM on every discrete
+    *    field, probs to the treeAggregate combine-order tolerance
+    *    (1e-6): fresh model = fit over the re-label slice of the
+    *    shifted corpus, scoring over the whole shifted corpus (pinned
+    *    true);
+    *  - `n_prob_oob` = 0 and the train/holdout accuracy floors of the
+    *    re-label-trained model over the shifted corpus (pinned).
+    */
+  def ingestClassifyMigrateCheck(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.Classifier
+    val probe = scala.collection.mutable.ListBuffer.empty[(Long, String)]
+    val streamed = ingestClassify(spark, sfDir,
+      driftPosRateJump = Some(DriftPosRateJumpDefault),
+      labelShiftArrival2 = true, migrationProbe = Some(probe)).persist()
+    val oracleLap = graft.operators.Snapshot.incrLap()
+    val shifted = classifyShiftedCorpus(Tables.documents(spark, sfDir))
+    val freshModel = Classifier.fit(
+      Classifier.featurized(shifted.filter(col("doc_id") % 3 === 0)))
+    val fresh = Classifier.score(Classifier.featurized(shifted), freshModel)
+      .orderBy(col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getString(2),
+        r.getDouble(3), r.getBoolean(4)))
+    val got = streamed
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getString(2),
+        r.getDouble(3), r.getBoolean(4)))
+    val equalsFresh = got.length == fresh.length && got.nonEmpty &&
+      got.zip(fresh).forall { case (s, b) =>
+        s._1 == b._1 && s._2 == b._2 && s._3 == b._3 && s._5 == b._5 &&
+          math.abs(s._4 - b._4) <= 1e-6
+      }
+    val tripped = probe.exists { case (e, s) => e >= 1 && s.contains("trip") }
+    val cutover = probe.exists(_._2.contains("cutover"))
+    def accOf(split: String): Column =
+      sum(when(col("split") === split && col("pred") === col("label"), 1L)
+        .otherwise(0L)).cast("double") /
+        sum(when(col("split") === split, 1L).otherwise(0L))
+    val verdict = streamed.agg(
+      count(lit(1)).as("n_docs"),
+      sum(when(col("label"), 1L).otherwise(0L)).as("n_label_pos"),
+      sum(when(col("prob") < 0.0 || col("prob") > 1.0, 1L).otherwise(0L))
+        .as("n_prob_oob"),
+      (accOf("train") >= MigrateTrainFloor).as("train_acc_ok"),
+      (accOf("holdout") >= MigrateHoldoutFloor).as("holdout_acc_ok"))
+      .select(col("n_docs"), col("n_label_pos"), col("n_prob_oob"),
+        lit(tripped).as("drift_tripped"), lit(cutover).as("cutover_done"),
+        lit(equalsFresh).as("migrated_equals_fresh"),
+        col("train_acc_ok"), col("holdout_acc_ok"))
+    val out = graft.Tables.materializeAndRelease(verdict, streamed)
+    oracleLap("oracle verify (fresh-g2 equality + floors)")
     out
   }
 
@@ -3697,6 +4178,26 @@ object Events {
     * AND qualifying edges die), so the capped result differs from the
     * uncapped and the oracle match is non-vacuous. */
   private[graft] val CleanCapDf = 4
+  /** The classifier migrate staging's engineered LABEL SHIFT: the wave
+    * arrives with this suffix appended, flipping its label (the token
+    * `spark` count crosses the ≥2 threshold) and the frozen model's
+    * pred-positive rate with it. ONE definition — the staged wave, the
+    * check twin's oracle (`text || '...'` interpolation) and the specs
+    * all shift with it. */
+  private[graft] val LabelShiftSuffix = " spark spark"
+
+  /** Default re-train trigger for the migrating classifier: the
+    * observed delta pred-positive rate deviating from the active
+    * model's stored training-time rate by more than this. Measured at
+    * sf0.001/0.01/0.1: the staged wave reads 0.20-0.25 over the stored
+    * baseline (the frozen model scores the label-shifted docs positive
+    * at ~0.61-0.72 — its accuracy on forced-positive text — against a
+    * 0.37-0.53 base), while stable arrivals (uniform slices of the
+    * same corpus) deviate ≤ 0.045 — as does the post-cutover poll
+    * against generation 2's own baseline (≤ 0.036). 0.1 sits between
+    * the bands with ~2x margin both ways. */
+  private[graft] val DriftPosRateJumpDefault = 0.1
+
   /** Ids `% RedeliveryMod == EarlyRedeliveryRem` are re-delivered
     * byte-identical in ARRIVAL 2 of the ANN and classify stagings —
     * the remainder is chosen so `% 5 != 0` (arrival-1 members), which
@@ -4352,6 +4853,13 @@ object Events {
     "stream_ingest_ann_migrate_check" -> ((s, d) => ingestAnnMigrateCheck(s, d)),
     "stream_ingest_classify" -> ((s, d) => ingestClassify(s, d)),
     "stream_ingest_classify_check" -> ((s, d) => ingestClassifyCheck(s, d)),
+    // the drift-triggered classifier re-train/cutover loop (r17 — the
+    // consumer the positive-rate alarm exists for): monitor armed,
+    // label-shifted wave staged — rows-only (iterative float weights);
+    // its check twin pins the whole migration contract under the oracle
+    "stream_ingest_classify_migrate" -> ((s, d) => ingestClassify(s, d,
+      driftPosRateJump = Some(DriftPosRateJumpDefault), labelShiftArrival2 = true)),
+    "stream_ingest_classify_migrate_check" -> ((s, d) => ingestClassifyMigrateCheck(s, d)),
     "stream_ingest_decontam" -> ((s, d) => ingestDecontam(s, d)),
     "stream_ingest_decontam_files" -> ((s, d) => ingestDecontamToFiles(s, d)),
     "stream_window_agg" -> ((s, d) => windowAgg(s, d)),
@@ -4475,6 +4983,28 @@ object Events {
         |SELECT CAST(count(*) AS BIGINT) AS n_docs,
         | CAST(count(*) FILTER (label) AS BIGINT) AS n_label_pos,
         | CAST(0 AS BIGINT) AS n_prob_oob,
+        | TRUE AS train_acc_ok,
+        | TRUE AS holdout_acc_ok
+        |FROM t""".stripMargin,
+    // stream_ingest_classify_migrate is rows-only (same float-weight
+    // status); its check twin pins the migration contract: real
+    // denominators over the SHIFTED corpus (the wave's label shift
+    // recomputed in SQL from the same suffix constant), the trip +
+    // cutover events, verbatim equality with a fresh generation-2
+    // scoring, and the re-label-trained model's accuracy floors
+    "stream_ingest_classify_migrate_check" ->
+      s"""WITH t0 AS (SELECT doc_id,
+        | CASE WHEN doc_id % 5 = 0 THEN text || '$LabelShiftSuffix'
+        |      ELSE text END AS text
+        |FROM documents),
+        |t AS (SELECT doc_id,
+        | ${graft.operators.Classifier.labelSql} AS label
+        |FROM t0)
+        |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(count(*) FILTER (label) AS BIGINT) AS n_label_pos,
+        | CAST(0 AS BIGINT) AS n_prob_oob,
+        | TRUE AS drift_tripped, TRUE AS cutover_done,
+        | TRUE AS migrated_equals_fresh,
         | TRUE AS train_acc_ok,
         | TRUE AS holdout_acc_ok
         |FROM t""".stripMargin,

@@ -384,6 +384,121 @@ class StreamingSpec extends AnyFunSuite {
       s"recall through two migrations ${hits.toDouble / brute.size} under the 0.7 floor")
   }
 
+  /** The classifier migrate staging's fresh generation-2 truth in
+    * closed form: the model fit over the designated re-label slice
+    * (%3==0 of the SHIFTED corpus), scoring the whole shifted corpus. */
+  private def classifyMigrateFreshBuild(): Seq[(Long, Boolean, String, Double, Boolean)] = {
+    import graft.operators.Classifier
+    val shifted = Events.classifyShiftedCorpus(Tables.documents(spark, TestSpark.sf))
+    val freshModel = Classifier.fit(
+      Classifier.featurized(shifted.filter(col("doc_id") % 3 === 0)))
+    Classifier.score(Classifier.featurized(shifted), freshModel)
+      .orderBy(col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getString(2),
+        r.getDouble(3), r.getBoolean(4))).toSeq
+  }
+
+  private def assertClassifyEquals(
+      got: Seq[(Long, Boolean, String, Double, Boolean)],
+      want: Seq[(Long, Boolean, String, Double, Boolean)], what: String): Unit = {
+    assert(got.nonEmpty && got.size == want.size, s"$what: ${got.size} vs ${want.size} rows")
+    got.zip(want).foreach { case (s, b) =>
+      assert(s._1 == b._1 && s._2 == b._2 && s._3 == b._3 && s._5 == b._5,
+        s"$what: discrete field drifted: $s vs $b")
+      assert(math.abs(s._4 - b._4) <= 1e-6, s"$what: prob drifted: $s vs $b")
+    }
+  }
+
+  test("classifier drift migration: the label shift trips the alarm, generation 2 trains on the re-label arrival, cutover equals a fresh build") {
+    // VERDICT r16 top ask — the consumer the positive-rate drift alarm
+    // exists for, mirroring the IVF migration's generational scheme:
+    // trip on the engineered label shift (never at bootstrap), train on
+    // the DESIGNATED RE-LABEL ARRIVAL (the first arrival after the
+    // trip — the trip epoch itself must wait), backfill old docs from
+    // the stored feature chain in bucket-cursor chunks, cut over on the
+    // scalar-chain completeness gate, re-arm, and retire the drained
+    // generation on the compaction cadence.
+    val probe = scala.collection.mutable.ListBuffer.empty[(Long, String)]
+    val gate = scala.collection.mutable.ListBuffer.empty[(Long, Int, Long)]
+    val gens = scala.collection.mutable.ListBuffer.empty[(Long, Seq[Int])]
+    val streamed = Events.ingestClassify(spark, TestSpark.sf,
+      driftPosRateJump = Some(Events.DriftPosRateJumpDefault),
+      labelShiftArrival2 = true, compactEvery = 1,
+      migrationProbe = Some(probe), gateInputProbe = Some(gate),
+      generationsProbe = Some(gens))
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getString(2),
+        r.getDouble(3), r.getBoolean(4))).toSeq
+    val events = probe.sortBy(_._1)
+    // quiet at bootstrap, trip exactly once at the wave epoch — and the
+    // trip epoch does NOT train (the re-label contract: the labeled
+    // sample arrives in RESPONSE to the alarm)
+    assert(!events.exists(e => e._1 == 0L && e._2.contains("trip")),
+      s"tripped at bootstrap: $events")
+    assert(events.exists(e => e._1 == 1L && e._2.contains("trip") &&
+      e._2.contains("awaiting-relabel")) &&
+      events.count(_._2.contains("trip")) == 1, s"trips: $events")
+    assert(events.count(_._2.contains("g2-trained")) == 1 &&
+      events.exists(e => e._1 == 2L && e._2.contains("g2-trained")),
+      s"trainings: $events")
+    // background chunks span epochs; cutover exactly once, at the
+    // completeness epoch
+    assert(events.exists(e => e._1 == 2L && e._2.contains("chunk=[0,15]")) &&
+      events.exists(e => e._1 == 3L && e._2.contains("chunk=[16,31]")),
+      s"chunks did not span epochs: $events")
+    assert(events.count(_._2.contains("cutover")) == 1 &&
+      events.exists(e => e._1 == 3L && e._2.contains("cutover")),
+      s"cutovers: $events")
+    // epoch 4: the migration marker cleaned up, the trip RE-ARMED off
+    // generation 2's own baseline — polled and quiet on the uniform
+    // re-delivery
+    assert(events.exists(e => e._1 == 4L && e._2.contains("rate=") &&
+      !e._2.contains("trip")), s"no re-armed quiet poll at epoch 4: $events")
+    // the drained generation's chains retire at the first post-cutover
+    // compaction
+    val gensByEpoch = gens.toMap
+    assert(gensByEpoch(2L) == Seq(1, 2) && gensByEpoch(3L) == Seq(1, 2),
+      s"pre-retirement generations: $gens")
+    assert(gensByEpoch(4L) == Seq(2), s"gen 1 not retired at epoch 4: $gens")
+    // the completeness gate reads the 1-row-per-epoch additive count
+    // chains, never the corpus (r16 #2 discipline)
+    val corpusN = Tables.documents(spark, TestSpark.sf).count()
+    assert(gate.nonEmpty && gate.forall { case (e, _, rows) =>
+      rows <= e + 1 && rows < corpusN },
+      s"completeness gate read more than the count chains (corpus $corpusN): $gate")
+    // post-cutover scores equal the fresh generation-2 build (discrete
+    // fields verbatim, probs at the treeAggregate combine tolerance)
+    assertClassifyEquals(streamed, classifyMigrateFreshBuild(),
+      "migrated vs fresh g2")
+  }
+
+  test("classifier drift migration: stable arrivals never trip; the crash-replayed cutover epoch converges") {
+    import graft.operators.Classifier
+    // falsifiability: monitor armed, staging UNshifted — no trip, no
+    // migration, the converged relation is still the batch twin's
+    val probe = scala.collection.mutable.ListBuffer.empty[(Long, String)]
+    val undrifted = Events.ingestClassify(spark, TestSpark.sf,
+      driftPosRateJump = Some(Events.DriftPosRateJumpDefault),
+      migrationProbe = Some(probe))
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getString(2),
+        r.getDouble(3), r.getBoolean(4))).toSeq
+    assert(probe.nonEmpty && !probe.exists(_._2.contains("trip")),
+      s"a distribution-stable corpus tripped the monitor: $probe")
+    val batch = Classifier.classify(spark, TestSpark.sf)
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getString(2),
+        r.getDouble(3), r.getBoolean(4))).toSeq
+    assertClassifyEquals(undrifted, batch, "armed-but-stable vs batch twin")
+    // crash at the cutover epoch (post-write, pre-checkpoint-commit):
+    // the replay reconstructs in-flight roles off the markers and
+    // re-lands its idempotent deltas — converging to the fresh build
+    val crashed = Events.ingestClassify(spark, TestSpark.sf,
+      driftPosRateJump = Some(Events.DriftPosRateJumpDefault),
+      labelShiftArrival2 = true, crashAtEpoch = Some(3L))
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getString(2),
+        r.getDouble(3), r.getBoolean(4))).toSeq
+    assertClassifyEquals(crashed, classifyMigrateFreshBuild(),
+      "crash-replayed migration vs fresh g2")
+  }
+
   test("stream_ingest_classify converges to the batch-trained scoring, appends only deltas") {
     import graft.operators.Classifier
     val probe = scala.collection.mutable.ListBuffer.empty[(Long, Long, Long)]
