@@ -254,8 +254,22 @@ object Snapshot {
         (coalesce(col("df_new"), lit(0L)) - col("shift")).as("df_old"))
       .filter((col("df_old") > maxDf) =!= (col("df_new") > maxDf))
       .select(col("s"))
-    val extraSeeds = touchedRows.join(crossing, Seq("s"), "left_semi")
-      .select(col("doc_id")).distinct()
+    // eager (r17, VERDICT r16 #6): the crossing-holder seeds are read
+    // THREE times downstream — the mates expansion, the seed union and
+    // (on the stored form) nothing else — and a lazy relation re-ran
+    // the df_new/shift aggregates over the cached touched rows inside
+    // the closure's seeds checkpoint each time (the "seeds" stage read
+    // 7.9s vs the uncapped 1.4s at sf1). Materializing the (small,
+    // crossing-holder-sized) id set here moves that work into the
+    // crossing stage where it belongs — and runs it ONCE.
+    val extraSeeds =
+      try touchedRows.join(crossing, Seq("s"), "left_semi")
+        .select(col("doc_id")).distinct()
+        .localCheckpoint(true)
+      catch { case t: Throwable =>
+        Seq(deltaPost, touchedRows).foreach(_.unpersist(blocking = false))
+        throw t
+      }
     // eager: the closure anti-joins the hot set EVERY round, and the
     // stored-chain caller persists it as the epoch's hot snapshot.
     // This checkpoint job is what materializes both caches — if it
@@ -266,6 +280,7 @@ object Snapshot {
         .unionByName(dfNew.filter(col("df_new") > maxDf).select(col("s")))
         .localCheckpoint(true)
       catch { case t: Throwable =>
+        Corpus.releaseCheckpoint(extraSeeds)
         Seq(deltaPost, touchedRows).foreach(_.unpersist(blocking = false))
         throw t
       }
@@ -652,7 +667,7 @@ object Snapshot {
         ids => newDocs.join(ids, Seq("doc_id"), "left_semi"), maxRounds, lap, delta,
         Some(extraSeeds))
       catch { case t: Throwable =>
-        Seq(delta, hotNext).foreach(Corpus.releaseCheckpoint)
+        Seq(delta, hotNext, extraSeeds).foreach(Corpus.releaseCheckpoint)
         throw t
       } finally {
         // the caches are fully consumed by the time the core returns:
@@ -662,6 +677,7 @@ object Snapshot {
         caches.foreach(_.unpersist(blocking = false))
       }
     Corpus.releaseCheckpoint(hotNext) // closure consumed it round-by-round
+    Corpus.releaseCheckpoint(extraSeeds) // folded into the seeds checkpoint
     val (recomputed, closure, dIds, _) = core
     val carried = prior
       .join(closure, Seq("doc_id"), "left_anti")
@@ -771,19 +787,23 @@ object Snapshot {
     val delta = diff(oldManifest, newManifest).localCheckpoint(true)
     lap("manifest diff")
     var hotNext: DataFrame = null
+    var extraSeeds: DataFrame = null
     var caches: Seq[DataFrame] = Nil
     try {
       val deltaIds = delta.select(col("doc_id"))
-      val (extraSeeds, hot, c) =
+      val (extra, hot, c) =
         capCrossings(deltaIds, postings, oldPostingsFor(deltaIds), hotPrior, maxDf)
-      hotNext = hot; caches = c
-      // own mark: the hot-advance checkpoint materialized the crossing
-      // machinery here — without this the core's first "manifest diff"
-      // mark would absorb it and misattribute the capped mode's cost
+      hotNext = hot; extraSeeds = extra; caches = c
+      // own mark: the hot-advance + crossing-seed checkpoints
+      // materialized the crossing machinery here — without this the
+      // core's first "manifest diff" mark would absorb it and
+      // misattribute the capped mode's cost
       lap("cap crossings (hot advance)")
       val (rec, closed, _, releasables) = recomputedLedgerRowsFromDelta(
         prior, newManifest, CappedPostings(postings, hotNext), docsFor,
         maxRounds, lap, delta, Some(extraSeeds))
+      // the crossing seeds folded into the closure's seeds checkpoint
+      Corpus.releaseCheckpoint(extraSeeds)
       val out =
         try rec.localCheckpoint(true)
         catch { case t: Throwable =>
@@ -797,6 +817,7 @@ object Snapshot {
       // that already released `delta` via `releasables` are safe here
       Corpus.releaseCheckpoint(delta)
       if (hotNext != null) Corpus.releaseCheckpoint(hotNext)
+      if (extraSeeds != null) Corpus.releaseCheckpoint(extraSeeds)
       postings.release() // idempotent; the success path released inside
       throw t
     } finally caches.foreach(_.unpersist(blocking = false))
