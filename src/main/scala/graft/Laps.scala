@@ -78,10 +78,11 @@ object Laps {
       // under a name no caller label can collide with.
       val s =
         if (stage == ReservedTotalKey || stage.startsWith(EscapePrefix)) {
-          if (stage == ReservedTotalKey && !warnedCollision) {
+          if (!warnedCollision) {
             warnedCollision = true
-            System.err.println(s"[laps] WARNING: lap label \"$ReservedTotalKey\" collides " +
-              s"with the reserved per-pass total key — recorded as \"$EscapePrefix$ReservedTotalKey\"")
+            System.err.println(s"[laps] WARNING: lap label \"$stage\" collides with " +
+              s"the reserved per-pass total key or its escape prefix — recorded " +
+              s"as \"$EscapePrefix$stage\"")
           }
           EscapePrefix + stage
         } else stage

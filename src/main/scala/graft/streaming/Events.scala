@@ -2683,21 +2683,6 @@ object Events {
             if (g == 1) cellStatsDir else s"$store/cellstats_g$g"
           val activeGenPath = java.nio.file.Paths.get(s"$store/active_gen")
           val migrationPath = java.nio.file.Paths.get(s"$store/migration")
-          def writeMarker(p: java.nio.file.Path, content: String): Unit = {
-            val tmp = p.resolveSibling(p.getFileName.toString + ".tmp")
-            java.nio.file.Files.write(tmp, content.getBytes("UTF-8"))
-            java.nio.file.Files.move(tmp, p,
-              java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-          }
-          // marker payloads are "gen@epoch" pairs
-          def readMarker(p: java.nio.file.Path): Option[(Int, Long)] =
-            if (!java.nio.file.Files.exists(p)) None
-            else {
-              val Array(g, e) = new String(java.nio.file.Files.readAllBytes(p),
-                "UTF-8").trim.split('@')
-              Some((g.toInt, e.toLong))
-            }
           // the assignment chain's value schema — explicit-schema reads
           // of possibly-empty delta dirs (a removal-only epoch assigns
           // nothing)
@@ -2746,29 +2731,11 @@ object Events {
                     f.getName.startsWith("cellstats_g")))
                   .map(_.getPath))
                 .foreach(d => recoverInterruptedCompaction(java.nio.file.Paths.get(d)))
-              // ---- generation roles (r17: repeatable migrations) ----
-              // A pure function of (durable markers, epoch number), so
-              // a crash-replayed epoch reconstructs the SAME roles its
-              // original run used: in particular a replay of the
-              // cutover epoch still sees in-flight roles (the marker
-              // outlives the cutover by one epoch — deleting it at the
-              // cutover would flip the replay's commit chain to the
-              // target and its arrival-only overwrite would lose the
-              // epoch's chunk rows). The lazy deletion here is also
-              // the RE-ARM: with the marker gone, the trip check below
-              // polls the active generation's own stats chain, so a
-              // second drift triggers the next migration through the
-              // identical path.
-              val (activeGen, cutEpoch) =
-                readMarker(activeGenPath).getOrElse((1, -1L))
-              val migInFlight: Option[(Int, Long)] = readMarker(migrationPath) match {
-                case Some((t, _)) if t == activeGen && epoch > cutEpoch =>
-                  java.nio.file.Files.deleteIfExists(migrationPath); None
-                case other => other
-              }
-              // the COMMIT/membership generation: the migration source
-              // while one is in flight, the active generation otherwise
-              val commitGen = migInFlight.map(_._1 - 1).getOrElse(activeGen)
+              // ---- generation roles (r17: repeatable migrations —
+              // see [[generationRoles]], the ONE copy of the
+              // replay-critical marker logic) ----
+              val (activeGen, migInFlight, commitGen) =
+                generationRoles(activeGenPath, migrationPath, epoch)
               // removals (embedding IS NULL) vs adds — see the query doc
               val removals = batch.filter(col("embedding").isNull)
                 .select(col("vec_id").as("neighbor_id")).persist()
@@ -2949,14 +2916,8 @@ object Events {
                           bss.read.schema(cellStatsSchema)
                             .parquet(cellStatsDirG(gen)), "batch")
                         .filter(col("batch") <= lit(epoch))
-                      // probe-only count job, keyed (epoch, generation)
-                      // so a crash-replayed epoch supersedes its own
-                      // entry (the probeAdd rule, per-gen here)
-                      gateInputProbe.foreach { buf =>
-                        val entry = (epoch, gen, chain.count())
-                        val i = buf.indexWhere(p => p._1 == epoch && p._2 == gen)
-                        if (i >= 0) buf(i) = entry else buf += entry
-                      }
+                      // probe-only count job (see probeAddGen)
+                      gateInputProbe.foreach(probeAddGen(_, epoch, gen, chain.count()))
                       chain.agg(coalesce(sum(col("n")), lit(0L)).as("n"))
                         .head().getLong(0)
                     }
@@ -2976,7 +2937,7 @@ object Events {
                       note ++= f"share=$share%.3f "
                       migLap(s"migration drift poll (epoch $epoch)")
                       if (share > driftMaxCellShare.get) {
-                        writeMarker(migrationPath, s"${commitGen + 1}@$epoch")
+                        writeGenMarker(migrationPath, s"${commitGen + 1}@$epoch")
                         note ++= "trip "
                         Some((commitGen + 1, epoch))
                       } else None
@@ -3063,7 +3024,7 @@ object Events {
                         note ++= s"g$t=$tN/$liveN "
                         migLap(s"migration completeness gate (epoch $epoch)")
                         if (tN == liveN) {
-                          writeMarker(activeGenPath, s"$t@$epoch")
+                          writeGenMarker(activeGenPath, s"$t@$epoch")
                           note ++= "cutover "
                         }
                       }
@@ -3097,7 +3058,7 @@ object Events {
                 // newer batch values is harmless). The in-flight
                 // TARGET generation (read off the marker — a trip this
                 // epoch already wrote it) folds alongside.
-                val targetGen = readMarker(migrationPath).map(_._1)
+                val targetGen = readGenMarker(migrationPath).map(_._1)
                   .filter(_ != commitGen)
                 val migChains =
                   (if (java.nio.file.Files.isDirectory(
@@ -3125,12 +3086,9 @@ object Events {
                 // this cadence — idempotent, replay-safe (a replayed
                 // epoch reconstructs the same roles and never reads
                 // below its commit generation)
-                (1 until commitGen).foreach { g =>
-                  Seq(centroidsDirG(g), assignDirG(g), cellStatsDirG(g))
-                    .map(java.nio.file.Paths.get(_))
-                    .filter(java.nio.file.Files.isDirectory(_))
-                    .foreach(deleteDirQuietly)
-                }
+                retireDrainedGenerations(commitGen,
+                  g => Seq(centroidsDirG(g), assignDirG(g), cellStatsDirG(g)),
+                  _ => Nil)
               }
               // spec probe: which generations' assign chains survive on
               // disk after this epoch's compaction — the drained-
@@ -3262,7 +3220,7 @@ object Events {
           // against the LIVE vector chain (table rows are stale for a
           // drifted wave), with the static query set still from the
           // table.
-          val qGen = readMarker(activeGenPath).map(_._1).getOrElse(1)
+          val qGen = readGenMarker(activeGenPath).map(_._1).getOrElse(1)
           val (qAssignDir, qCentroidsDir) = (assignDirG(qGen), centroidsDirG(qGen))
           val assigned = tombstoneResolvedRows(spark,
             spark.read.schema(assignSchema).parquet(qAssignDir).drop("bucket"),
@@ -3500,20 +3458,6 @@ object Events {
             java.nio.file.Paths.get(s"$store/posrate_g$g")
           val activeGenPath = java.nio.file.Paths.get(s"$store/active_gen")
           val migrationPath = java.nio.file.Paths.get(s"$store/migration")
-          def writeMarker(p: java.nio.file.Path, content: String): Unit = {
-            val tmp = p.resolveSibling(p.getFileName.toString + ".tmp")
-            java.nio.file.Files.write(tmp, content.getBytes("UTF-8"))
-            java.nio.file.Files.move(tmp, p,
-              java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-          }
-          def readMarker(p: java.nio.file.Path): Option[(Int, Long)] =
-            if (!java.nio.file.Files.exists(p)) None
-            else {
-              val Array(g, e) = new String(java.nio.file.Files.readAllBytes(p),
-                "UTF-8").trim.split('@')
-              Some((g.toInt, e.toLong))
-            }
           // the score chain's value schema — explicit-schema reads of a
           // possibly-empty delta dir (a removal-only epoch scores nothing)
           val scoreSchema = org.apache.spark.sql.types.StructType(Seq(
@@ -3562,19 +3506,10 @@ object Events {
                     f.getName.startsWith("counts_g")))
                   .map(_.getPath))
                 .foreach(d => recoverInterruptedCompaction(java.nio.file.Paths.get(d)))
-              // ---- generation roles (r17 — the ingestAnnIvf scheme,
-              // see its epoch-start doc: roles are a pure function of
-              // the durable markers + epoch number; the migration
-              // marker's lazy deletion one epoch past the cutover is
-              // also the trip RE-ARM) ----
-              val (activeGen, cutEpoch) =
-                readMarker(activeGenPath).getOrElse((1, -1L))
-              val migInFlight: Option[(Int, Long)] = readMarker(migrationPath) match {
-                case Some((t, _)) if t == activeGen && epoch > cutEpoch =>
-                  java.nio.file.Files.deleteIfExists(migrationPath); None
-                case other => other
-              }
-              val commitGen = migInFlight.map(_._1 - 1).getOrElse(activeGen)
+              // ---- generation roles (r17 — see [[generationRoles]],
+              // the ONE copy of the replay-critical marker logic) ----
+              val (activeGen, migInFlight, commitGen) =
+                generationRoles(activeGenPath, migrationPath, epoch)
               // removals (text IS NULL): tombstone-only, no scoring
               // work. RE-DELIVERED ids (r13): batch docs the score
               // chain already holds — the same tombstone supersedes
@@ -3685,14 +3620,21 @@ object Events {
                         .persist())
                     }
                   try {
+                    // ONE persisted read of the commit generation's
+                    // epoch delta serves its count delta, the baseline
+                    // write and the drift rate (r17 review: three
+                    // separate directory reads of the same delta)
+                    val commitDelta = bss.read.schema(scoreSchema)
+                      .parquet(s"${scoresDirG(commitGen)}/batch=$epoch").persist()
+                    val nCommitDelta = commitDelta.count()
                     // a generation's 1-row additive count delta: +this
                     // epoch's delta rows, − the retired docs' live rows
                     // in THAT generation's chain (bucket-pruned, prior
                     // epochs only) — sum(n) over the chain IS its live
                     // row count, the scalar the completeness gate reads
-                    def countsDelta(gen: Int): DataFrame = {
-                      val added = bss.read.schema(scoreSchema)
-                        .parquet(s"${scoresDirG(gen)}/batch=$epoch").count()
+                    def countsDelta(gen: Int, added: Option[Long] = None): DataFrame = {
+                      val a = added.getOrElse(bss.read.schema(scoreSchema)
+                        .parquet(s"${scoresDirG(gen)}/batch=$epoch").count())
                       val removedN =
                         if (!haveRetired ||
                             committedEpochsBelow(scoresDirG(gen), epoch).isEmpty) 0L
@@ -3702,22 +3644,17 @@ object Events {
                               Some(scoreSchema)),
                             tombAggPrior)
                           .join(retired, Seq("doc_id"), "left_semi").count()
-                      Seq((0, added - removedN)).toDF("cell", "n")
+                      Seq((0, a - removedN)).toDF("cell", "n")
                     }
-                    countsDelta(commitGen).write.mode("overwrite")
+                    countsDelta(commitGen, Some(nCommitDelta)).write.mode("overwrite")
                       .parquet(s"${countsDirG(commitGen)}/batch=$epoch")
                     def liveCount(gen: Int): Long = {
                       val chain = withChainPartitionCols(
                           bss.read.schema(countsSchema)
                             .parquet(countsDirG(gen)), "batch")
                         .filter(col("batch") <= lit(epoch))
-                      // probe-only count, keyed (epoch, generation) —
-                      // the spec pins gate reads to the scalar chains
-                      gateInputProbe.foreach { buf =>
-                        val entry = (epoch, gen, chain.count())
-                        val i = buf.indexWhere(p => p._1 == epoch && p._2 == gen)
-                        if (i >= 0) buf(i) = entry else buf += entry
-                      }
+                      // probe-only count job (see probeAddGen)
+                      gateInputProbe.foreach(probeAddGen(_, epoch, gen, chain.count()))
                       chain.agg(coalesce(sum(col("n")), lit(0L)).as("n"))
                         .head().getLong(0)
                     }
@@ -3725,28 +3662,24 @@ object Events {
                     // positive rate on ITS OWN labeled training arrival
                     // — written once beside the model (the observable a
                     // deployment compares epoch rates against)
-                    def writePosRate(gen: Int): Unit = {
-                      val d = bss.read.schema(scoreSchema)
-                        .parquet(s"${scoresDirG(gen)}/batch=$epoch")
-                        .join(addIds, Seq("doc_id"), "left_semi").persist()
+                    def writePosRate(gen: Int, deltaDf: DataFrame): Unit = {
+                      val d = deltaDf.join(addIds, Seq("doc_id"), "left_semi").persist()
                       try {
                         val n = d.count()
                         if (n > 0)
-                          writeMarker(posRatePath(gen),
+                          writeGenMarker(posRatePath(gen),
                             (d.filter(col("pred")).count().toDouble / n).toString)
                       } finally d.unpersist(blocking = false)
                     }
-                    if (trainedNow && modelOpt.isDefined) writePosRate(commitGen)
+                    if (trainedNow && modelOpt.isDefined)
+                      writePosRate(commitGen, commitDelta)
                     // this epoch's observed delta pred-positive rate —
                     // the alarm input (None on a scoring-free epoch)
-                    val delta = bss.read.schema(scoreSchema)
-                      .parquet(s"${scoresDirG(commitGen)}/batch=$epoch").persist()
                     val rateE =
-                      try {
-                        val n = delta.count()
-                        if (n == 0) None
-                        else Some(delta.filter(col("pred")).count().toDouble / n)
-                      } finally delta.unpersist(blocking = false)
+                      if (nCommitDelta == 0) None
+                      else Some(commitDelta.filter(col("pred")).count()
+                        .toDouble / nCommitDelta)
+                    commitDelta.unpersist(blocking = false)
                     // trip check — only when no migration is in flight
                     // (the marker deletion at epoch start is the re-arm)
                     val mig: Option[(Int, Long)] = migInFlight.orElse {
@@ -3758,7 +3691,7 @@ object Events {
                         note ++= f"rate=$r%.3f base=$base%.3f "
                         migLap(s"migration drift poll (epoch $epoch)")
                         if (math.abs(r - base) > driftPosRateJump.get) {
-                          writeMarker(migrationPath, s"${commitGen + 1}@$epoch")
+                          writeGenMarker(migrationPath, s"${commitGen + 1}@$epoch")
                           note ++= "trip "
                           Some((commitGen + 1, epoch))
                         } else None
@@ -3775,7 +3708,7 @@ object Events {
                       // function of epoch − t0; a replay of t0 retrains
                       // on its own arrival and overwrites idempotently.
                       val trainedPath = java.nio.file.Paths.get(s"$store/trained_g$t")
-                      val t0Opt = readMarker(trainedPath).map(_._2)
+                      val t0Opt = readGenMarker(trainedPath).map(_._2)
                       if (t0Opt.isEmpty && (epoch == m0 || feats.isEmpty)) {
                         note ++= "awaiting-relabel "
                       } else {
@@ -3783,7 +3716,7 @@ object Events {
                           if (t0Opt.isEmpty || t0Opt.contains(epoch)) {
                             val m = Classifier.fit(feats)
                             Classifier.storeModel(bss, m, modelDirG(t))
-                            writeMarker(trainedPath, s"$t@$epoch")
+                            writeGenMarker(trainedPath, s"$t@$epoch")
                             note ++= s"g$t-trained "
                             migLap(s"migration train (epoch $epoch)")
                             (m, epoch)
@@ -3834,7 +3767,9 @@ object Events {
                         // T's own drift baseline, off its training
                         // arrival alone (the chunk is old-corpus mix —
                         // not the steady-state observable)
-                        if (t0 == epoch) writePosRate(t)
+                        if (t0 == epoch)
+                          writePosRate(t, bss.read.schema(scoreSchema)
+                            .parquet(s"${scoresDirG(t)}/batch=$epoch"))
                         // cutover: T is complete exactly when its live
                         // count equals the live corpus count — two
                         // scalar-chain sums
@@ -3844,7 +3779,7 @@ object Events {
                           note ++= s"g$t=$tN/$liveN "
                           migLap(s"migration completeness gate (epoch $epoch)")
                           if (tN == liveN) {
-                            writeMarker(activeGenPath, s"$t@$epoch")
+                            writeGenMarker(activeGenPath, s"$t@$epoch")
                             note ++= "cutover "
                           }
                         }
@@ -3869,7 +3804,7 @@ object Events {
               // fold additively, and DRAINED generations' stores are
               // deleted (r17 — the ingestAnnIvf retirement rule).
               if (epoch > 0 && epoch % compactEvery.toLong == 0) {
-                val targetGen = readMarker(migrationPath).map(_._1)
+                val targetGen = readGenMarker(migrationPath).map(_._1)
                   .filter(_ != commitGen)
                 val migChains =
                   (if (java.nio.file.Files.isDirectory(
@@ -3888,15 +3823,10 @@ object Events {
                     compactAdditiveChain(bss, countsDirG(g), Seq("cell"), "n",
                       upTo = Some(epoch - 1), dataSchema = Some(countsSchema))
                 }
-                (1 until commitGen).foreach { g =>
-                  (Seq(modelDirG(g), scoresDirG(g), countsDirG(g))
-                    .map(java.nio.file.Paths.get(_))
-                    .filter(java.nio.file.Files.isDirectory(_)))
-                    .foreach(deleteDirQuietly)
-                  java.nio.file.Files.deleteIfExists(posRatePath(g))
-                  java.nio.file.Files.deleteIfExists(
-                    java.nio.file.Paths.get(s"$store/trained_g$g"))
-                }
+                retireDrainedGenerations(commitGen,
+                  g => Seq(modelDirG(g), scoresDirG(g), countsDirG(g)),
+                  g => Seq(posRatePath(g),
+                    java.nio.file.Paths.get(s"$store/trained_g$g")))
               }
               // spec probe: surviving generations' score chains (the
               // drained-generation retirement meter — a dir listing)
@@ -3947,7 +3877,7 @@ object Events {
               // deterministic slice (%3==0 — both splits, so the fit
               // has a train side) re-delivered at its LIVE text:
               // generation 2's labeled sample
-              liveText(docs.filter(col("doc_id") % 3 === 0)).stageArrival(src)
+              liveText(docs.filter(col("doc_id") % ReLabelMod === 0)).stageArrival(src)
               dr.drain()
               // arrival 4: identical re-delivery — final chunk + cutover
               // (the trip check is suspended while the migration is in
@@ -3964,7 +3894,7 @@ object Events {
               // reads near the baseline — which is exactly what the
               // re-armed check must stay QUIET on (a skewed slice
               // deviating is the monitor working, not a defect)
-              liveText(docs.filter(col("doc_id") % 3 === 1))
+              liveText(docs.filter(col("doc_id") % ReLabelMod === 1))
                 .stageArrival(src)
               dr.drain()
               outerLap("drains 2-5 (wave, re-label, cutover, retire)")
@@ -3997,7 +3927,7 @@ object Events {
           // consumer: the ACTIVE generation's tombstone-resolved chain —
           // removed docs absent; post-cutover this is the migrated
           // generation's scoring
-          val qGen = readMarker(activeGenPath).map(_._1).getOrElse(1)
+          val qGen = readGenMarker(activeGenPath).map(_._1).getOrElse(1)
           val scored = tombstoneResolvedRows(spark,
             spark.read.schema(scoreSchema).parquet(scoresDirG(qGen)).drop("bucket"),
             tombstoneDir)
@@ -4094,7 +4024,7 @@ object Events {
     val oracleLap = graft.operators.Snapshot.incrLap()
     val shifted = classifyShiftedCorpus(Tables.documents(spark, sfDir))
     val freshModel = Classifier.fit(
-      Classifier.featurized(shifted.filter(col("doc_id") % 3 === 0)))
+      Classifier.featurized(shifted.filter(col("doc_id") % ReLabelMod === 0)))
     val fresh = Classifier.score(Classifier.featurized(shifted), freshModel)
       .orderBy(col("doc_id"))
       .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getString(2),
@@ -4186,6 +4116,15 @@ object Events {
     * all shift with it. */
   private[graft] val LabelShiftSuffix = " spark spark"
 
+  /** The designated RE-LABEL slice of the classifier migrate staging:
+    * docs `% ReLabelMod == 0`, re-delivered at live text as generation
+    * 2's labeled sample (a uniform slice — both splits present, and
+    * composition-representative of the shifted corpus, which is what
+    * makes its pred rate the right post-cutover baseline). ONE
+    * definition — the staging, the check twin's fresh build, the soak
+    * gate and the specs all slice with it. */
+  private[graft] val ReLabelMod = 3L
+
   /** Default re-train trigger for the migrating classifier: the
     * observed delta pred-positive rate deviating from the active
     * model's stored training-time rate by more than this. Measured at
@@ -4231,6 +4170,81 @@ object Events {
     * a drifted second copy would silently prune AWAY matching files. */
   private[graft] def chainBucket(key: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     pmod(xxhash64(key), lit(ChainBuckets.toLong)).cast("int")
+
+  // ---- generational-migration scaffolding (r17), shared VERBATIM by
+  // the two migrating loops ([[ingestAnnIvf]], [[ingestClassify]]) —
+  // the marker format, the strict epoch > cutEpoch deletion rule and
+  // the t == activeGen guard are crash-replay-critical, so they live
+  // in exactly one place (r17 review) ----
+
+  /** Atomic tmp+move marker write. */
+  private def writeGenMarker(p: java.nio.file.Path, content: String): Unit = {
+    val tmp = p.resolveSibling(p.getFileName.toString + ".tmp")
+    java.nio.file.Files.write(tmp, content.getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp, p,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Parse a "gen@epoch" marker; absent file = None. */
+  private def readGenMarker(p: java.nio.file.Path): Option[(Int, Long)] =
+    if (!java.nio.file.Files.exists(p)) None
+    else {
+      val Array(g, e) = new String(java.nio.file.Files.readAllBytes(p),
+        "UTF-8").trim.split('@')
+      Some((g.toInt, e.toLong))
+    }
+
+  /** Generation roles for one epoch of a migrating loop — a pure
+    * function of the durable markers plus the epoch number, so a
+    * crash-replayed epoch reconstructs the SAME roles its original run
+    * used: in particular a replay of the cutover epoch still sees
+    * in-flight roles (the migration marker outlives the cutover by one
+    * epoch — deleting it at the cutover would flip the replay's commit
+    * chain to the target and its arrival-only overwrite would lose the
+    * epoch's chunk rows). The lazy deletion here is also the trip
+    * RE-ARM: with the marker gone, the trip check polls the active
+    * generation's own stats chain, so a second drift triggers the next
+    * migration through the identical path.
+    *
+    * Returns (active generation, in-flight migration (target, trip
+    * epoch) if any, COMMIT generation — the migration source while one
+    * is in flight, the active generation otherwise).
+    */
+  private def generationRoles(activeGenPath: java.nio.file.Path,
+                              migrationPath: java.nio.file.Path,
+                              epoch: Long): (Int, Option[(Int, Long)], Int) = {
+    val (activeGen, cutEpoch) = readGenMarker(activeGenPath).getOrElse((1, -1L))
+    val migInFlight: Option[(Int, Long)] = readGenMarker(migrationPath) match {
+      case Some((t, _)) if t == activeGen && epoch > cutEpoch =>
+        java.nio.file.Files.deleteIfExists(migrationPath); None
+      case other => other
+    }
+    (activeGen, migInFlight, migInFlight.map(_._1 - 1).getOrElse(activeGen))
+  }
+
+  /** Retire every generation strictly below the commit generation:
+    * unreadable by any future epoch (the commit, target and query roles
+    * all sit at or above it) — chains deleted, markers removed;
+    * idempotent, replay-safe. Runs on the compaction cadence. */
+  private def retireDrainedGenerations(commitGen: Int,
+                                       chainDirsFor: Int => Seq[String],
+                                       markerPathsFor: Int => Seq[java.nio.file.Path]): Unit =
+    (1 until commitGen).foreach { g =>
+      chainDirsFor(g).map(java.nio.file.Paths.get(_))
+        .filter(java.nio.file.Files.isDirectory(_))
+        .foreach(deleteDirQuietly)
+      markerPathsFor(g).foreach(java.nio.file.Files.deleteIfExists)
+    }
+
+  /** Probe-only (epoch, generation)-keyed insert for the completeness
+    * gates' input-row counters — a crash-replayed epoch supersedes its
+    * own entry per generation (the [[probeAdd]] rule, two-level key). */
+  private def probeAddGen(buf: scala.collection.mutable.Buffer[(Long, Int, Long)],
+                          epoch: Long, gen: Int, rows: Long): Unit = {
+    val i = buf.indexWhere(p => p._1 == epoch && p._2 == gen)
+    if (i >= 0) buf(i) = (epoch, gen, rows) else buf += ((epoch, gen, rows))
+  }
 
   /** Distinct store buckets a delta's keys land in — bounded by
     * min(|delta|, [[ChainBuckets]]) values, so the collect is a

@@ -381,7 +381,7 @@ object Soak {
     val migFresh = clsRows(graft.operators.Classifier.score(
       graft.operators.Classifier.featurized(migShifted),
       graft.operators.Classifier.fit(graft.operators.Classifier.featurized(
-        migShifted.filter(col("doc_id") % 3 === 0))))
+        migShifted.filter(col("doc_id") % Events.ReLabelMod === 0))))
       .orderBy(col("doc_id")))
     if (migGot.isEmpty || migGot.size != migFresh.size)
       failures ::= s"stream_ingest_classify_migrate sf1 row count ${migGot.size} != fresh ${migFresh.size}"
@@ -582,13 +582,23 @@ object Soak {
         val cs2 = passes2.map(_._2).toVector
         disputed.foreach { s =>
           val ts2 = passes2.map(_._1.getOrElse(s, 0.0)).toVector
-          val (fails2, still) = gateStage(loop, s, ts2, cs2)
-          fails = fails ++ fails2
-          if (still)
-            System.err.println(s"[soak] $loop / $s still one-sided after the " +
-              "re-run — left as a warning (persistently noisy machine)")
-          else if (fails2.isEmpty)
-            System.err.println(s"[soak] $loop / $s adjudicated clean by the re-run")
+          // a zero slot means the stage did NOT run in the re-run
+          // (renamed lap / conditional stage) — gateStage would skip
+          // both gates on it, and "clean" must never be concluded from
+          // a stage that never executed (r17 review)
+          if (ts2.exists(_ == 0.0))
+            System.err.println(s"[soak] $loop / $s absent from the re-run " +
+              s"(${ts2.mkString("/")}) — NOT adjudicated; original " +
+              "one-sided reading stands as a warning")
+          else {
+            val (fails2, still) = gateStage(loop, s, ts2, cs2)
+            fails = fails ++ fails2
+            if (still)
+              System.err.println(s"[soak] $loop / $s still one-sided after the " +
+                "re-run — left as a warning (persistently noisy machine)")
+            else if (fails2.isEmpty)
+              System.err.println(s"[soak] $loop / $s adjudicated clean by the re-run")
+          }
         }
       }
       failures = fails ++ failures

@@ -391,7 +391,7 @@ class StreamingSpec extends AnyFunSuite {
     import graft.operators.Classifier
     val shifted = Events.classifyShiftedCorpus(Tables.documents(spark, TestSpark.sf))
     val freshModel = Classifier.fit(
-      Classifier.featurized(shifted.filter(col("doc_id") % 3 === 0)))
+      Classifier.featurized(shifted.filter(col("doc_id") % Events.ReLabelMod === 0)))
     Classifier.score(Classifier.featurized(shifted), freshModel)
       .orderBy(col("doc_id"))
       .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getString(2),
@@ -676,8 +676,13 @@ class StreamingSpec extends AnyFunSuite {
     import graft.operators.Dedup
     val streamed = Events.ingestNearDup(spark, TestSpark.sf,
       maxBandDf = Some(Dedup.BandCapDf), crashAtEpoch = Some(1L)).collect().toSeq
-    val batch = Dedup.minhashNearDupVerdict(Tables.documents(spark, TestSpark.sf),
-      maxBandDf = Some(Dedup.BandCapDf)).collect().toSeq
+    // ckptOut: release the capped twin's pair checkpoint once collected
+    // (ADVICE r16 — same as the suite's other capped twin calls)
+    val twinCkpts = scala.collection.mutable.ListBuffer.empty[org.apache.spark.sql.DataFrame]
+    val batch =
+      try Dedup.minhashNearDupVerdict(Tables.documents(spark, TestSpark.sf),
+        maxBandDf = Some(Dedup.BandCapDf), ckptOut = Some(twinCkpts)).collect().toSeq
+      finally twinCkpts.foreach(graft.operators.Corpus.releaseCheckpoint)
     assert(streamed.nonEmpty && streamed == batch,
       "crash-replayed capped neardup loop diverged from the capped batch twin")
   }
