@@ -17,7 +17,14 @@ package graft
 object Laps {
   private val buf = new java.util.concurrent.ConcurrentLinkedQueue[(String, Double)]
   @volatile private var active = false
-  @volatile private var warnedCollision = false
+  // DISTINCT colliding labels warn once each per window (ADVICE r17: a
+  // single boolean deduped per-iteration spam of one label but silently
+  // swallowed a second, different colliding label). Bounded: capped at
+  // MaxWarnedLabels distinct entries — past that, collisions are still
+  // escaped, just no longer individually announced.
+  private val warnedLabels =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private val MaxWarnedLabels = 64
 
   /** Label prefix for marks that are INTERNAL DETAIL of an enclosing
     * stage (the incremental pipeline's "manifest diff" / "closure
@@ -42,7 +49,7 @@ object Laps {
       System.err.println("[laps] WARNING: begin() while a window is " +
         "active — the previous window's marks are discarded " +
         "(single-owner contract; see Laps.begin doc)")
-    buf.clear(); warnedCollision = false; active = true
+    buf.clear(); warnedLabels.clear(); active = true
   }
 
   /** Stop collecting and drain the recorded `(stage, seconds)` marks in
@@ -73,17 +80,16 @@ object Laps {
     if (active) {
       // Escape rather than throw — a profiling guard must not kill a
       // bench (same philosophy as begin()'s warn) — but loudly (once
-      // per window: a colliding label inside a per-epoch loop would
-      // otherwise spam one warning per iteration, ADVICE r16), and
-      // under a name no caller label can collide with.
+      // per window PER DISTINCT LABEL: the dedup exists to stop a
+      // per-epoch loop spamming one label's warning every iteration,
+      // not to hide a second, different colliding label — ADVICE r16
+      // then r17), and under a name no caller label can collide with.
       val s =
         if (stage == ReservedTotalKey || stage.startsWith(EscapePrefix)) {
-          if (!warnedCollision) {
-            warnedCollision = true
+          if (warnedLabels.size < MaxWarnedLabels && warnedLabels.add(stage))
             System.err.println(s"[laps] WARNING: lap label \"$stage\" collides with " +
               s"the reserved per-pass total key or its escape prefix — recorded " +
               s"as \"$EscapePrefix$stage\"")
-          }
           EscapePrefix + stage
         } else stage
       buf.add((s, secs))

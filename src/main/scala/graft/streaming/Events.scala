@@ -1804,6 +1804,14 @@ object Events {
             .foreachBatch { (batch: DataFrame, epoch: Long) =>
               val bss = batch.sparkSession
               graft.GraftSession.registerFunctions(bss)
+              // per-epoch DETAIL laps (r18, VERDICT r17 #5): the drains
+              // were this loop's only timing granularity, so grinding
+              // the capped harness's cost centers needed hand-run
+              // attribution. Detail-prefixed like the clean loop's
+              // closure marks — the bench split excludes them
+              // structurally, the soak profile table keeps them as
+              // stage rows (finer growth gates for free).
+              val ndLap = graft.operators.Snapshot.incrLap(detail = true)
               // a crash mid-swap of the IN-STREAM compaction below can
               // leave a chain whose newest prefix lives only in the
               // stranded snapshot — repair before any chain read
@@ -1875,6 +1883,7 @@ object Events {
                 if (haveRetired)
                   retired.write.mode("overwrite")
                     .parquet(s"$tombstoneDir/batch=$epoch")
+                ndLap(s"retire probe (epoch $epoch)")
                 // the epoch's aggregate = prior aggregate ⊕ this batch's
                 // retired set at epoch e — no second chain read; e
                 // exceeds every prior epoch so the max is exact (and a
@@ -1917,6 +1926,7 @@ object Events {
                     .repartition(col("bucket")) // one file per bucket per epoch
                     .write.partitionBy("bucket").mode("overwrite")
                     .parquet(s"$shinglesDir/batch=$epoch")
+                  ndLap(s"shingle write (epoch $epoch)")
                   // persisted: consumed 3× (store write, bucket collect,
                   // probe join) — without the cache each consumer re-runs
                   // the 128-perm minhash over the batch
@@ -1926,6 +1936,7 @@ object Events {
                     .repartition(col("bucket")) // one file per bucket per epoch
                     .write.partitionBy("bucket").mode("overwrite")
                     .parquet(s"$bandsDir/batch=$epoch")
+                  ndLap(s"band write (epoch $epoch)")
                   // ---- CAPPED mode: advance the hot band-bucket set,
                   // delta-stably (VERDICT r15 #2 — the maxShingleDf
                   // crossing machinery applied to the LSH index). Only
@@ -1972,6 +1983,7 @@ object Events {
                       .withColumn("df_prior", col("df_new") - col("shift"))
                       .localCheckpoint(true)
                     capRelease ::= touched
+                    ndLap(s"cap df shift (epoch $epoch)")
                     val hotPrior = committedEpochsBelow(verdictDir, epoch) match {
                       case es if es.nonEmpty =>
                         bss.read.schema(hotBandsSchema)
@@ -2004,6 +2016,7 @@ object Events {
                     }
                     hotNext.write.mode("overwrite")
                       .parquet(s"$hotBandsDir/batch=$epoch")
+                    ndLap(s"cap hot advance (epoch $epoch)")
                     (touched, hotNext)
                   }
                   // the one capped join shape: band rows in hot buckets
@@ -2031,6 +2044,7 @@ object Events {
                     try Dedup.nearDupCandidates(coldSide(batchBands), allBands)
                       .localCheckpoint(true) // delta-sized; read 3× below
                     finally batchBands.unpersist(blocking = false)
+                  ndLap(s"candidate probe (epoch $epoch)")
                   try {
                     // verify against ONLY the partners' shingle sets:
                     // the scan is pruned to the partners' doc_id buckets
@@ -2174,6 +2188,7 @@ object Events {
                         (removalAffected.toSeq ++ crossingAffected.toSeq)
                           .reduceOption(_ unionByName _)
                           .map(_.distinct().localCheckpoint(true))
+                      ndLap(s"blast-radius ids (epoch $epoch)")
                       val recomputeUpdates: Option[DataFrame] =
                         recomputeIds.map { affected =>
                           val affSh = prunedResolved(shinglesDir,
@@ -2211,6 +2226,7 @@ object Events {
                             } finally affBands.unpersist(blocking = false)
                           } finally affSh.unpersist(blocking = false)
                         }
+                      ndLap(s"blast-radius recompute (epoch $epoch)")
                       // a recomputed doc's row is authoritative; drop any
                       // same-epoch priorUpdates row for it (the two agree
                       // when both fire — the stored partner is the
@@ -2248,6 +2264,7 @@ object Events {
                         recomputeIds.foreach(
                           graft.operators.Corpus.releaseCheckpoint)
                       }
+                      ndLap(s"verdict write (epoch $epoch)")
                       priorFetchProbe.foreach(probeAdd(_, (epoch, fetchedIds, fetchedRows)))
                     } finally {
                       newBest.unpersist(blocking = false)
@@ -2295,6 +2312,7 @@ object Events {
                     Set(epoch) ++ committedEpochsBelow(verdictDir, epoch)
                       .sorted.lastOption,
                     epoch, hotDirsProbe)
+                ndLap(s"compaction (epoch $epoch)")
               }
               deltaProbe.foreach(probeAdd(_, (epoch,
                 bss.read.schema(verdictSchema)
@@ -2381,6 +2399,44 @@ object Events {
     nearDupContainmentVerdict(spark, sfDir, streamed, recallFloor, Nil)
   }
 
+  /** Session-scoped memo of the exact n-gram-Jaccard pair relation the
+    * two near-dup containment verdicts share (VERDICT r17 #5): within
+    * one [[graft.Verify]] run, `stream_ingest_neardup_check` and
+    * `stream_ingest_neardup_capped_check` each recompute
+    * [[graft.operators.Dedup.ngramJaccard]] over the SAME `documents`
+    * table. Enabled, the memo materializes that relation once per
+    * sfDir into a scratch parquet and serves every later caller a
+    * plain file read — a parquet file, not a cached plan, so it
+    * survives Verify's between-query `clearCache`. DISABLED by
+    * default and never enabled by [[graft.Bench]]: the bench measures
+    * each query cold by design (the r7 clearCache adjudication —
+    * colder is fairer), so cross-query reuse there would be
+    * cache-warming, not speed. */
+  private[graft] object OracleMemo {
+    @volatile private var root: Option[java.nio.file.Path] = None
+    private val paths = new java.util.concurrent.ConcurrentHashMap[String, String]()
+    def enable(): Unit = synchronized {
+      if (root.isEmpty)
+        root = Some(java.nio.file.Files.createTempDirectory("graft_oracle_memo"))
+    }
+    def clear(): Unit = synchronized {
+      root.foreach(deleteDirQuietly)
+      paths.clear()
+      root = None
+    }
+    def exactPairs(spark: SparkSession, sfDir: String)
+                  (compute: => DataFrame): DataFrame = root match {
+      case None => compute
+      case Some(r) =>
+        val p = paths.computeIfAbsent(sfDir, _ => {
+          val dir = r.resolve(s"exact_${paths.size()}").toString
+          compute.write.mode("overwrite").parquet(dir)
+          dir
+        })
+        spark.read.parquet(p)
+    }
+  }
+
   /** The containment-verdict aggregate [[ingestNearDupCheck]] and
     * [[ingestNearDupCappedCheck]] share over an already-converged
     * streamed verdict relation — ONE definition, so the capped twin's
@@ -2396,7 +2452,7 @@ object Events {
     // the oracle side into "other"
     val oracleLap = graft.operators.Snapshot.incrLap()
     val docs = Tables.documents(spark, sfDir)
-    val exact = Dedup.ngramJaccard(docs)
+    val exact = OracleMemo.exactPairs(spark, sfDir)(Dedup.ngramJaccard(docs))
       .select(col("doc_id_1").as("partner_id"), col("doc_id_2").as("doc_id"),
         col("jaccard").as("exact_jaccard"))
       .persist()
@@ -3628,13 +3684,14 @@ object Events {
                       .parquet(s"${scoresDirG(commitGen)}/batch=$epoch").persist()
                     val nCommitDelta = commitDelta.count()
                     // a generation's 1-row additive count delta: +this
-                    // epoch's delta rows, − the retired docs' live rows
-                    // in THAT generation's chain (bucket-pruned, prior
-                    // epochs only) — sum(n) over the chain IS its live
-                    // row count, the scalar the completeness gate reads
-                    def countsDelta(gen: Int, added: Option[Long] = None): DataFrame = {
-                      val a = added.getOrElse(bss.read.schema(scoreSchema)
-                        .parquet(s"${scoresDirG(gen)}/batch=$epoch").count())
+                    // epoch's delta rows (`added` — counted off the
+                    // caller's persisted delta, never a re-open of the
+                    // parquet it just wrote; VERDICT r17 #3), − the
+                    // retired docs' live rows in THAT generation's chain
+                    // (bucket-pruned, prior epochs only) — sum(n) over
+                    // the chain IS its live row count, the scalar the
+                    // completeness gate reads
+                    def countsDelta(gen: Int, added: Long): DataFrame = {
                       val removedN =
                         if (!haveRetired ||
                             committedEpochsBelow(scoresDirG(gen), epoch).isEmpty) 0L
@@ -3644,9 +3701,9 @@ object Events {
                               Some(scoreSchema)),
                             tombAggPrior)
                           .join(retired, Seq("doc_id"), "left_semi").count()
-                      Seq((0, a - removedN)).toDF("cell", "n")
+                      Seq((0, added - removedN)).toDF("cell", "n")
                     }
-                    countsDelta(commitGen, Some(nCommitDelta)).write.mode("overwrite")
+                    countsDelta(commitGen, nCommitDelta).write.mode("overwrite")
                       .parquet(s"${countsDirG(commitGen)}/batch=$epoch")
                     def liveCount(gen: Int): Long = {
                       val chain = withChainPartitionCols(
@@ -3671,7 +3728,18 @@ object Events {
                             (d.filter(col("pred")).count().toDouble / n).toString)
                       } finally d.unpersist(blocking = false)
                     }
-                    if (trainedNow && modelOpt.isDefined)
+                    // written on the training epoch — and REPAIRED on a
+                    // replay of it (ADVICE r17): bootstrap training at an
+                    // epoch > 0 (first epochs had no adds) that crashed
+                    // between storeModel and this write replays through
+                    // the LOAD branch (trainedNow false), and without the
+                    // repair the trip check would be permanently unarmed.
+                    // The crash is pre-commit, so the replayed epoch IS
+                    // the training epoch: its delta is the training
+                    // arrival, the exact rows the baseline is defined on.
+                    if (modelOpt.isDefined &&
+                        (trainedNow ||
+                          !java.nio.file.Files.exists(posRatePath(commitGen))))
                       writePosRate(commitGen, commitDelta)
                     // this epoch's observed delta pred-positive rate —
                     // the alarm input (None on a scoring-free epoch)
@@ -3683,9 +3751,19 @@ object Events {
                     // trip check — only when no migration is in flight
                     // (the marker deletion at epoch start is the re-arm)
                     val mig: Option[(Int, Long)] = migInFlight.orElse {
-                      if (modelOpt.isEmpty ||
-                          !java.nio.file.Files.exists(posRatePath(commitGen))) None
+                      if (modelOpt.isEmpty) None
                       else rateE.flatMap { r =>
+                        // a scored delta means this epoch had adds, so the
+                        // baseline write (or its replay repair) above has
+                        // already run — absence here is external marker
+                        // deletion, and silently returning None would
+                        // disarm the monitor FOREVER: fail loudly instead
+                        // (ADVICE r17)
+                        if (!java.nio.file.Files.exists(posRatePath(commitGen)))
+                          throw new IllegalStateException(
+                            s"drift baseline missing at ${posRatePath(commitGen)} " +
+                              "with a stored model and a scored delta — the " +
+                              "monitor would be permanently unarmed")
                         val base = new String(java.nio.file.Files
                           .readAllBytes(posRatePath(commitGen)), "UTF-8").trim.toDouble
                         note ++= f"rate=$r%.3f base=$base%.3f "
@@ -3750,26 +3828,34 @@ object Events {
                           }
                         if (chunkBuckets.nonEmpty)
                           note ++= s"chunk=[${chunkBuckets.head},${chunkBuckets.last}] "
-                        // ONE model broadcast scores arrivals + chunk
-                        val (scoredT, bcT) = Classifier.scoreWithHandle(
+                        // ONE model broadcast scores arrivals + chunk;
+                        // the scored delta is PERSISTED (the commit
+                        // path's commitDelta treatment, VERDICT r17 #3)
+                        // so its count delta and training-epoch baseline
+                        // read the cache, never re-opening the parquet
+                        // the epoch just wrote
+                        val (scoredTRaw, bcT) = Classifier.scoreWithHandle(
                           feats.unionByName(
                             chunkFeats.select(feats.columns.map(col): _*)), mT)
-                        try scoredT
-                          .withColumn("bucket", chainBucket(col("doc_id")))
-                          .repartition(col("bucket"))
-                          .write.partitionBy("bucket").mode("overwrite")
-                          .parquet(s"${scoresDirG(t)}/batch=$epoch")
-                        finally bcT.destroy()
-                        migLap(s"migration chunk re-score (epoch $epoch)")
-                        countsDelta(t).write.mode("overwrite")
-                          .parquet(s"${countsDirG(t)}/batch=$epoch")
-                        migLap(s"migration target counts (epoch $epoch)")
-                        // T's own drift baseline, off its training
-                        // arrival alone (the chunk is old-corpus mix —
-                        // not the steady-state observable)
-                        if (t0 == epoch)
-                          writePosRate(t, bss.read.schema(scoreSchema)
-                            .parquet(s"${scoresDirG(t)}/batch=$epoch"))
+                        val scoredT = scoredTRaw.persist()
+                        try {
+                          scoredT
+                            .withColumn("bucket", chainBucket(col("doc_id")))
+                            .repartition(col("bucket"))
+                            .write.partitionBy("bucket").mode("overwrite")
+                            .parquet(s"${scoresDirG(t)}/batch=$epoch")
+                          migLap(s"migration chunk re-score (epoch $epoch)")
+                          countsDelta(t, scoredT.count()).write.mode("overwrite")
+                            .parquet(s"${countsDirG(t)}/batch=$epoch")
+                          migLap(s"migration target counts (epoch $epoch)")
+                          // T's own drift baseline, off its training
+                          // arrival alone (the chunk is old-corpus mix —
+                          // not the steady-state observable)
+                          if (t0 == epoch) writePosRate(t, scoredT)
+                        } finally {
+                          bcT.destroy()
+                          scoredT.unpersist(blocking = false)
+                        }
                         // cutover: T is complete exactly when its live
                         // count equals the live corpus count — two
                         // scalar-chain sums
@@ -4026,17 +4112,12 @@ object Events {
     val freshModel = Classifier.fit(
       Classifier.featurized(shifted.filter(col("doc_id") % ReLabelMod === 0)))
     val fresh = Classifier.score(Classifier.featurized(shifted), freshModel)
-      .orderBy(col("doc_id"))
-      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getString(2),
-        r.getDouble(3), r.getBoolean(4)))
-    val got = streamed
-      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getString(2),
-        r.getDouble(3), r.getBoolean(4)))
-    val equalsFresh = got.length == fresh.length && got.nonEmpty &&
-      got.zip(fresh).forall { case (s, b) =>
-        s._1 == b._1 && s._2 == b._2 && s._3 == b._3 && s._5 == b._5 &&
-          math.abs(s._4 - b._4) <= 1e-6
-      }
+    // join-shaped equality, ONE mismatch-count scalar to the driver
+    // (VERDICT r17 #1 — the old shape collected both relations as
+    // corpus-width driver arrays); non-emptiness off the persisted
+    // streamed relation, so the check can't pass vacuously
+    val equalsFresh = streamed.limit(1).count() > 0 &&
+      scoredMismatchCount(streamed, fresh) == 0L
     val tripped = probe.exists { case (e, s) => e >= 1 && s.contains("trip") }
     val cutover = probe.exists(_._2.contains("cutover"))
     def accOf(split: String): Column =
@@ -4057,6 +4138,32 @@ object Events {
     val out = graft.Tables.materializeAndRelease(verdict, streamed)
     oracleLap("oracle verify (fresh-g2 equality + floors)")
     out
+  }
+
+  /** Distributed verbatim-equality over two scored classifier relations
+    * (`doc_id, label, split, prob, pred`): full-outer join on doc_id,
+    * discrete fields exact, probs at `tol` (the treeAggregate
+    * combine-order tolerance) — emits ONE mismatch-count scalar instead
+    * of collecting both relations as corpus-width driver arrays
+    * (VERDICT r17 #1). A doc present on only one side counts as a
+    * mismatch (the presence flags — field `=!=` alone would yield null
+    * against an unmatched row and silently drop it from the filter).
+    * Shared by [[ingestClassifyMigrateCheck]] and the soak's sf1
+    * equality gates — one definition, so the twins' equality semantics
+    * can never drift. */
+  private[graft] def scoredMismatchCount(got: DataFrame, want: DataFrame,
+                                         tol: Double = 1e-6): Long = {
+    def side(df: DataFrame, p: String): DataFrame =
+      df.select(col("doc_id"), lit(true).as(p + "present"),
+        col("label").as(p + "label"), col("split").as(p + "split"),
+        col("prob").as(p + "prob"), col("pred").as(p + "pred"))
+    side(got, "g_").join(side(want, "w_"), Seq("doc_id"), "full_outer")
+      .filter(col("g_present").isNull || col("w_present").isNull ||
+        col("g_label") =!= col("w_label") ||
+        col("g_split") =!= col("w_split") ||
+        col("g_pred") =!= col("w_pred") ||
+        abs(col("g_prob") - col("w_prob")) > tol)
+      .count()
   }
 
   /** Resolve a `batch=<epoch>` changelog chain last-write-wins per
@@ -4186,13 +4293,23 @@ object Events {
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
-  /** Parse a "gen@epoch" marker; absent file = None. */
-  private def readGenMarker(p: java.nio.file.Path): Option[(Int, Long)] =
+  /** Parse a "gen@epoch" marker; absent file = None. A malformed file
+    * fails with the path and raw contents in the message (ADVICE r17):
+    * the write side is atomic tmp+move, so corruption here means
+    * external interference — the one place the generational scheme
+    * must fail diagnosably rather than throw a bare MatchError deep
+    * inside foreachBatch. */
+  private[graft] def readGenMarker(p: java.nio.file.Path): Option[(Int, Long)] =
     if (!java.nio.file.Files.exists(p)) None
     else {
-      val Array(g, e) = new String(java.nio.file.Files.readAllBytes(p),
-        "UTF-8").trim.split('@')
-      Some((g.toInt, e.toLong))
+      val raw = new String(java.nio.file.Files.readAllBytes(p), "UTF-8").trim
+      raw.split('@') match {
+        case Array(g, e) if g.nonEmpty && e.nonEmpty &&
+            g.forall(_.isDigit) && e.forall(_.isDigit) =>
+          Some((g.toInt, e.toLong))
+        case _ => throw new IllegalStateException(
+          s"malformed generation marker at $p: '$raw' (expected <gen>@<epoch>)")
+      }
     }
 
   /** Generation roles for one epoch of a migrating loop — a pure

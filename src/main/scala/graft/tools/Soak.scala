@@ -280,6 +280,18 @@ object Soak {
       "stream_ingest_ann_migrate" -> (d => Events.ingestAnnIvf(spark, d,
         driftMaxCellShare = Some(Events.DriftMaxCellShareDefault),
         driftWaveArrival2 = true)),
+      // TWO-WAVE migration mode (r18, VERDICT r17 #6): the v1→v2→v3
+      // staging — the SECOND wave re-trips off generation 2's own
+      // stats chain through the re-armed marker path, so its stages
+      // (train, chunk re-assign, completeness gate) should profile
+      // like the first wave's at every scale. That sameness IS the
+      // generational claim, now gated at three scale points instead
+      // of asserted at spec scale only. Per-epoch lap labels keep the
+      // waves' stages distinct rows (wave 1 trains at epoch 1, wave 2
+      // at epoch 3+), so the growth gates bound each wave separately.
+      "stream_ingest_ann_migrate2" -> (d => Events.ingestAnnIvf(spark, d,
+        driftMaxCellShare = Some(Events.DriftMaxCellShareDefault),
+        driftWaveArrival2 = true, driftSecondWave = true)),
       "stream_ingest_classify" -> (d => Events.ingestClassify(spark, d)),
       "stream_ingest_classify_migrate" -> (d => Events.ingestClassify(spark, d,
         driftPosRateJump = Some(Events.DriftPosRateJumpDefault),
@@ -369,47 +381,50 @@ object Soak {
     }
     // the migrated classifier's convergence at 10× (floors excluded on
     // the synthetic corpus for the same capacity-dilution reason as the
-    // classify check — the scale question is fresh-g2 EQUALITY)
+    // classify check — the scale question is fresh-g2 EQUALITY). Both
+    // equality legs go through Events.scoredMismatchCount — the
+    // join-shaped comparison the `_check` twin uses (VERDICT r17 #1:
+    // these legs collected both relations as corpus-width driver
+    // arrays) — so the soak reads one mismatch-count scalar per leg.
     System.err.println(s"[soak] stream_ingest_classify_migrate fresh-g2 equality @ sf1")
-    def clsRows(df: DataFrame) = df.collect().map(r =>
-      (r.getLong(0), r.getBoolean(1), r.getString(2), r.getDouble(3), r.getBoolean(4))).toSeq
-    val migGot = clsRows(Events.ingestClassify(spark, sf1,
+    val migGot = Events.ingestClassify(spark, sf1,
       driftPosRateJump = Some(Events.DriftPosRateJumpDefault),
-      labelShiftArrival2 = true))
+      labelShiftArrival2 = true)
     val migShifted = Events.classifyShiftedCorpus(
       spark.read.parquet(s"$sf1/documents.parquet"))
-    val migFresh = clsRows(graft.operators.Classifier.score(
+    val migFresh = graft.operators.Classifier.score(
       graft.operators.Classifier.featurized(migShifted),
       graft.operators.Classifier.fit(graft.operators.Classifier.featurized(
         migShifted.filter(col("doc_id") % Events.ReLabelMod === 0))))
-      .orderBy(col("doc_id")))
-    if (migGot.isEmpty || migGot.size != migFresh.size)
-      failures ::= s"stream_ingest_classify_migrate sf1 row count ${migGot.size} != fresh ${migFresh.size}"
-    else migGot.zip(migFresh).foreach { case (g, b) =>
-      if (g._1 != b._1 || g._2 != b._2 || g._3 != b._3 || g._5 != b._5 ||
-          math.abs(g._4 - b._4) > 1e-6)
-        failures ::= s"stream_ingest_classify_migrate sf1 diverged from fresh g2: $g vs $b"
-    }
+    val nMigGot = migGot.count()
+    val migMismatch = Events.scoredMismatchCount(migGot, migFresh)
+    if (nMigGot == 0 || migMismatch != 0)
+      failures ::= s"stream_ingest_classify_migrate sf1 diverged from fresh g2 " +
+        s"($migMismatch mismatched docs of $nMigGot streamed)"
     System.err.println(s"[soak] stream_ingest_classify batch-twin equality @ sf1")
-    val clsBatch = clsRows(graft.operators.Classifier.classify(spark, sf1))
-    val clsGot = clsRows(Events.ingestClassify(spark, sf1))
-    if (clsGot.isEmpty || clsGot.size != clsBatch.size)
-      failures ::= s"stream_ingest_classify sf1 row count ${clsGot.size} != batch ${clsBatch.size}"
-    else clsGot.zip(clsBatch).foreach { case (g, b) =>
-      if (g._1 != b._1 || g._2 != b._2 || g._3 != b._3 || g._5 != b._5 ||
-          math.abs(g._4 - b._4) > 1e-6)
-        failures ::= s"stream_ingest_classify sf1 diverged from batch twin: $g vs $b"
-    }
-    if (!clsBatch.exists(_._2) || !clsBatch.exists(!_._2))
+    val clsBatch = graft.operators.Classifier.classify(spark, sf1)
+    val clsGot = Events.ingestClassify(spark, sf1)
+    val nClsGot = clsGot.count()
+    val clsMismatch = Events.scoredMismatchCount(clsGot, clsBatch)
+    if (nClsGot == 0 || clsMismatch != 0)
+      failures ::= s"stream_ingest_classify sf1 diverged from batch twin " +
+        s"($clsMismatch mismatched docs of $nClsGot streamed)"
+    val batchLabels = clsBatch.agg(
+      sum(when(col("label"), 1L).otherwise(0L)), count(lit(1))).head()
+    if (batchLabels.getLong(0) == 0L || batchLabels.getLong(0) == batchLabels.getLong(1))
       failures ::= "sf1 classify label degenerate — the spark-token restore regressed"
     // model-quality floor at sf1 (VERDICT r14 #3): whole-corpus
     // accuracy of the streamed scores vs the measured majority-class
     // baseline — the floor a constant predictor exactly fails
-    if (clsGot.nonEmpty) {
-      val n = clsGot.size.toDouble
-      val posRate = clsGot.count(_._2) / n
+    if (nClsGot > 0) {
+      val r = clsGot.agg(
+        (sum(when(col("label"), 1L).otherwise(0L)).cast("double") /
+          count(lit(1))).as("pos_rate"),
+        (sum(when(col("pred") === col("label"), 1L).otherwise(0L)).cast("double") /
+          count(lit(1))).as("acc")).head()
+      val posRate = r.getDouble(0)
       val majority = math.max(posRate, 1.0 - posRate)
-      val acc = clsGot.count(g => g._5 == g._2) / n
+      val acc = r.getDouble(1)
       System.err.println(f"[soak] sf1 classify accuracy $acc%.3f vs majority " +
         f"baseline $majority%.3f (floor = majority + $ClassifyMarginOverMajority)")
       if (!classifyFloorPasses(acc, majority))
@@ -590,6 +605,15 @@ object Soak {
             System.err.println(s"[soak] $loop / $s absent from the re-run " +
               s"(${ts2.mkString("/")}) — NOT adjudicated; original " +
               "one-sided reading stands as a warning")
+          else if (ts2.last < MinGateSecs)
+            // the primary gate's noise floor, re-applied to the RE-RUN's
+            // own timings (ADVICE r17): a stage that fell under the
+            // floor this time is fixed per-epoch overhead measured over
+            // tiny absolute seconds — hard-failing a ratio there is
+            // exactly what the floor exists to exclude
+            System.err.println(f"[soak] $loop / $s re-ran under the " +
+              f"$MinGateSecs%.1fs gate floor (${ts2.last}%.2fs at sf1) — " +
+              "NOT adjudicated; original one-sided reading stands as a warning")
           else {
             val (fails2, still) = gateStage(loop, s, ts2, cs2)
             fails = fails ++ fails2

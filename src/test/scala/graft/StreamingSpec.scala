@@ -499,6 +499,59 @@ class StreamingSpec extends AnyFunSuite {
       "crash-replayed migration vs fresh g2")
   }
 
+  test("classifier drift migration: a crash at the TRIP epoch replays idempotently over the durable migration marker") {
+    // VERDICT r17 #2's companion leg: the injected crash fires at the
+    // END of the trip epoch's foreachBatch — AFTER the migration-marker
+    // write, BEFORE the streaming checkpoint commits. The replayed
+    // epoch re-enters with the marker already durable: generationRoles
+    // must hand it IN-FLIGHT roles (the migInFlight arm short-circuits
+    // the trip check, so the marker is never re-written and no second
+    // migration starts), its deltas overwrite idempotently, and the run
+    // converges to the fresh generation-2 build like the uncrashed
+    // staging. The probe's epoch-1 entry is the REPLAY's (probeAdd
+    // supersedes): no "trip" token — the replay saw in-flight roles —
+    // but still awaiting-relabel, and the trip never re-fires later.
+    val probe = scala.collection.mutable.ListBuffer.empty[(Long, String)]
+    val crashed = Events.ingestClassify(spark, TestSpark.sf,
+      driftPosRateJump = Some(Events.DriftPosRateJumpDefault),
+      labelShiftArrival2 = true, crashAtEpoch = Some(1L),
+      migrationProbe = Some(probe))
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getString(2),
+        r.getDouble(3), r.getBoolean(4))).toSeq
+    val events = probe.sortBy(_._1)
+    assert(events.exists(e => e._1 == 1L && e._2.contains("awaiting-relabel")),
+      s"replayed trip epoch did not wait for the re-label arrival: $events")
+    assert(!events.exists(e => e._1 > 1L && e._2.contains("trip")),
+      s"the replayed marker re-tripped a second migration: $events")
+    assert(events.count(_._2.contains("cutover")) == 1 &&
+      events.count(_._2.contains("g2-trained")) == 1,
+      s"cutover/training not exactly-once under the trip-epoch replay: $events")
+    assertClassifyEquals(crashed, classifyMigrateFreshBuild(),
+      "crash-at-trip migration vs fresh g2")
+  }
+
+  test("generation markers parse defensively: well-formed round-trips, malformed fails with the path and contents") {
+    // ADVICE r17: the markers are written atomic tmp+move, so a
+    // malformed file means external interference — the parse must fail
+    // diagnosably, never with a bare MatchError deep inside foreachBatch
+    val dir = java.nio.file.Files.createTempDirectory("graft_marker_spec")
+    try {
+      val p = dir.resolve("active_gen")
+      assert(Events.readGenMarker(p).isEmpty, "absent marker must read None")
+      java.nio.file.Files.write(p, "3@17".getBytes("UTF-8"))
+      assert(Events.readGenMarker(p).contains((3, 17L)))
+      for (bad <- Seq("", "3", "@", "3@", "@17", "g@17", "3@e", "3@17@4")) {
+        java.nio.file.Files.write(p, bad.getBytes("UTF-8"))
+        val e = intercept[IllegalStateException](Events.readGenMarker(p))
+        assert(e.getMessage.contains(p.toString) && e.getMessage.contains(bad),
+          s"marker error for '$bad' lacks the path or contents: ${e.getMessage}")
+      }
+    } finally {
+      java.nio.file.Files.list(dir).forEach(f => java.nio.file.Files.delete(f))
+      java.nio.file.Files.delete(dir)
+    }
+  }
+
   test("stream_ingest_classify converges to the batch-trained scoring, appends only deltas") {
     import graft.operators.Classifier
     val probe = scala.collection.mutable.ListBuffer.empty[(Long, Long, Long)]
