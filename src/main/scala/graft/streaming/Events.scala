@@ -1964,24 +1964,34 @@ object Events {
                             tombAggPrior)
                             .join(retired, Seq("doc_id"), "left_semi")))
                         .select(col("band_id"), col("band_hash"))
+                    // PERSISTED (r18, VERDICT r17 #5): the shift subtree
+                    // contains oldBands' chain read + 128-perm minhash,
+                    // and it has two consumers — the bucket collect and
+                    // the touched checkpoint. Uncached, the minhash ran
+                    // twice per retirement epoch (measured ~1s/epoch of
+                    // the capped drains); released as soon as touched is
+                    // checkpointed.
                     val shift = batchBands
                       .select(col("band_id"), col("band_hash"), lit(1L).as("d"))
                       .unionByName(oldBands.withColumn("d", lit(-1L)))
                       .groupBy(col("band_id"), col("band_hash"))
                       .agg(sum(col("d")).as("shift"))
-                    val dfNew = prunedResolved(bandsDir,
-                        collectBuckets(shift, col("band_hash")), bandsSchema)
-                      .join(shift.select(col("band_id"), col("band_hash")),
-                        Seq("band_id", "band_hash"), "left_semi")
-                      .groupBy(col("band_id"), col("band_hash"))
-                      .agg(count(lit(1)).as("df_new"))
-                    // a touched bucket fully drained by retirements has
-                    // no chain row left — df_new 0, not a dropped key
-                    val touched = shift.join(dfNew,
-                        Seq("band_id", "band_hash"), "left")
-                      .na.fill(0L, Seq("df_new"))
-                      .withColumn("df_prior", col("df_new") - col("shift"))
-                      .localCheckpoint(true)
+                      .persist()
+                    val touched = try {
+                      val dfNew = prunedResolved(bandsDir,
+                          collectBuckets(shift, col("band_hash")), bandsSchema)
+                        .join(shift.select(col("band_id"), col("band_hash")),
+                          Seq("band_id", "band_hash"), "left_semi")
+                        .groupBy(col("band_id"), col("band_hash"))
+                        .agg(count(lit(1)).as("df_new"))
+                      // a touched bucket fully drained by retirements has
+                      // no chain row left — df_new 0, not a dropped key
+                      shift.join(dfNew,
+                          Seq("band_id", "band_hash"), "left")
+                        .na.fill(0L, Seq("df_new"))
+                        .withColumn("df_prior", col("df_new") - col("shift"))
+                        .localCheckpoint(true)
+                    } finally shift.unpersist(blocking = false)
                     capRelease ::= touched
                     ndLap(s"cap df shift (epoch $epoch)")
                     val hotPrior = committedEpochsBelow(verdictDir, epoch) match {
@@ -1997,25 +2007,34 @@ object Events {
                     // BEFORE the committing verdict write so every
                     // committed epoch has its snapshot (idempotent
                     // overwrite on replay, which re-advances from the
-                    // committed predecessor's snapshot).
-                    val hotNext = hotPrior
+                    // committed predecessor's snapshot). The snapshot
+                    // FILE is the materialization (r18): the write job
+                    // computes the advance off the checkpointed touched
+                    // rows + the prior snapshot, and every later
+                    // consumer (the cold-side anti-join, next epoch's
+                    // hotPrior) reads the bounded parquet back — the
+                    // old eager checkpoint was a second materialization
+                    // of the same rows one line before the write.
+                    hotPrior
                       .join(touched.select(col("band_id"), col("band_hash")),
                         Seq("band_id", "band_hash"), "left_anti")
                       .unionByName(touched.filter(col("df_new") > cap)
                         .select(col("band_id"), col("band_hash")))
-                      .localCheckpoint(true)
-                    capRelease ::= hotNext
+                      .write.mode("overwrite")
+                      .parquet(s"$hotBandsDir/batch=$epoch")
+                    val hotNext = bss.read.schema(hotBandsSchema)
+                      .parquet(s"$hotBandsDir/batch=$epoch")
                     capCrossingsProbe.foreach { buf =>
                       // probe-only counts (spec non-vacuity meters): an
-                      // unprobed run never executes them
-                      val up = touched.filter(col("df_prior") <= cap &&
-                        col("df_new") > cap).count()
-                      val down = touched.filter(col("df_prior") > cap &&
-                        col("df_new") <= cap).count()
-                      probeAdd(buf, (epoch, up, down))
+                      // unprobed run never executes them — ONE agg job,
+                      // not a count per direction (r18)
+                      val r = touched.agg(
+                        coalesce(sum(when(col("df_prior") <= cap &&
+                          col("df_new") > cap, 1L).otherwise(0L)), lit(0L)),
+                        coalesce(sum(when(col("df_prior") > cap &&
+                          col("df_new") <= cap, 1L).otherwise(0L)), lit(0L))).head()
+                      probeAdd(buf, (epoch, r.getLong(0), r.getLong(1)))
                     }
-                    hotNext.write.mode("overwrite")
-                      .parquet(s"$hotBandsDir/batch=$epoch")
                     ndLap(s"cap hot advance (epoch $epoch)")
                     (touched, hotNext)
                   }
@@ -2132,6 +2151,11 @@ object Events {
                       // Removed docs are excluded (the tombstone is
                       // their retraction) and so are batch docs
                       // (batchVerdict is authoritative for them).
+                      // released once recomputeIds below is checkpointed
+                      // (its only consumers: the bucket collect inside
+                      // priorLwwFor and the LWW semi-join — uncached,
+                      // the chain scan ran twice per retirement epoch)
+                      var touchIdsRelease: Option[DataFrame] = None
                       val removalAffected: Option[DataFrame] =
                         if (!haveRetired || !committedPrior) None
                         else {
@@ -2150,6 +2174,8 @@ object Events {
                                 .select(col("doc_id").as("partner_id"))),
                               Seq("partner_id"), "left_semi")
                             .select(col("doc_id")).distinct()
+                            .persist()
+                          touchIdsRelease = Some(touchIds)
                           Some(priorLwwFor(touchIds)
                             .join(retired.select(col("doc_id").as("partner_id")),
                               Seq("partner_id"), "left_semi")
@@ -2188,6 +2214,7 @@ object Events {
                         (removalAffected.toSeq ++ crossingAffected.toSeq)
                           .reduceOption(_ unionByName _)
                           .map(_.distinct().localCheckpoint(true))
+                      touchIdsRelease.foreach(_.unpersist(blocking = false))
                       ndLap(s"blast-radius ids (epoch $epoch)")
                       val recomputeUpdates: Option[DataFrame] =
                         recomputeIds.map { affected =>
