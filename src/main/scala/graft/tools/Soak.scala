@@ -265,7 +265,14 @@ object Soak {
     val scales = Seq(("sf0.1", sf01, 1.0), ("sf0.3", sf03, MidReplicas.toDouble),
       ("sf1", sf1, Replicas.toDouble))
     import graft.streaming.Events
-    val loops: Seq[(String, String => DataFrame)] = Seq(
+    // args beyond the three dirs = loop-name filter (r18): the
+    // throttle-adjudication tool — re-profile ONLY the disputed loops
+    // (growth/exponent gates still apply to them). A filtered run
+    // SKIPS the sf1 convergence-gate section: those gates belong to
+    // the full soak, and re-running every twin for a two-loop
+    // re-measure would bury the adjudication in unrelated hours.
+    val onlyLoops = args.drop(3).toSet
+    val loopsAll: Seq[(String, String => DataFrame)] = Seq(
       "stream_ingest_neardup" -> (d => Events.ingestNearDup(spark, d)),
       // the band-capped loop (r16): same staging plus the hot
       // band-bucket snapshot chain, the crossing machinery and the
@@ -301,6 +308,13 @@ object Soak {
       // snapshot chain and crossing machinery
       "stream_incremental_clean_capped" -> (d =>
         Events.streamIncrementalClean(spark, d, maxShingleDf = Some(Events.CleanCapDf))))
+    val loops =
+      if (onlyLoops.isEmpty) loopsAll
+      else {
+        val unknown = onlyLoops -- loopsAll.map(_._1).toSet
+        require(unknown.isEmpty, s"unknown loops: ${unknown.toSeq.sorted.mkString(", ")}")
+        loopsAll.filter(p => onlyLoops(p._1))
+      }
     // per (loop, stage): seconds at each scale point, scale-aligned
     val rows = scala.collection.mutable.ListBuffer.empty[(String, String, Vector[Double])]
     // per-loop per-scale canary normalizer (max of the pass's brackets)
@@ -355,6 +369,7 @@ object Soak {
     // question for the loop is CONVERGENCE, gated below by direct
     // streamed-vs-batch equality at sf1 (the StreamingSpec contract:
     // discrete fields verbatim, probs at 1e-6).
+    if (onlyLoops.isEmpty) {
     val checks = Seq(
       "stream_ingest_neardup_check" -> (() => Events.ingestNearDupCheck(spark, sf1)),
       "stream_ingest_ann_check" -> (() => Events.ingestAnnCheck(spark, sf1)),
@@ -474,6 +489,7 @@ object Soak {
     if (ndCapGot.isEmpty || ndCapGot != ndCapBatch)
       failures ::= s"stream_ingest_neardup_capped sf1 diverged from the capped batch twin " +
         s"(${ndCapGot.size} vs ${ndCapBatch.size} rows)"
+    } // end of the full-soak convergence-gate section (skipped when filtered)
     val scaleHeader = scales.map(_._1 + " s").mkString(" | ")
     println(s"| loop | stage | $scaleHeader | growth | tail exp | accel |")
     println("|---|---|" + scales.map(_ => "---|").mkString + "---|---|---|")
