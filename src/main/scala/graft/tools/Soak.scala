@@ -303,6 +303,15 @@ object Soak {
       "stream_ingest_classify_migrate" -> (d => Events.ingestClassify(spark, d,
         driftPosRateJump = Some(Events.DriftPosRateJumpDefault),
         labelShiftArrival2 = true)),
+      // TWO-WAVE classifier migration (r19, VERDICT r18 #5 — the
+      // classifier instance of the ANN two-wave row above): the second
+      // label shift re-trips off generation 2's OWN baseline through
+      // the re-armed marker path, driving g2→g3 on the same code path
+      // with g1 retired in between; its train/chunk/counts/gate stages
+      // should profile inside the first wave's bands at every scale
+      "stream_ingest_classify_migrate2" -> (d => Events.ingestClassify(spark, d,
+        driftPosRateJump = Some(Events.DriftPosRateJumpDefault),
+        labelShiftArrival2 = true, labelSecondWave = true)),
       "stream_incremental_clean" -> (d => Events.streamIncrementalClean(spark, d)),
       // the capped clean loop (r15): same staging, plus the hot-shingle
       // snapshot chain and crossing machinery
@@ -446,49 +455,69 @@ object Soak {
         failures ::= f"stream_ingest_classify sf1 accuracy $acc%.3f below the " +
           f"majority+margin floor ($majority%.3f + $ClassifyMarginOverMajority)"
     }
+    // the clean / capped-clean / capped-neardup batch-twin gates read
+    // ONE mismatch-count scalar each via Events.keyedMismatchCount
+    // (VERDICT r18 #2 — these legs previously collected both relations
+    // as corpus-width driver arrays; the classify legs were ported to
+    // the same shape in r18). The batch twins are persisted because
+    // each serves two gates (its equality leg + the cap-vacuity leg).
     System.err.println(s"[soak] stream_incremental_clean batch-twin equality @ sf1")
     val docs1 = spark.read.parquet(s"$sf1/documents.parquet")
     def keptView(cap: Option[Int]) = graft.operators.Corpus.ledger(docs1, cap)
       .filter(col("doc_id") === col("cluster_id") && col("quality") >= 0.75)
       .select(col("doc_id"), col("n_tokens"), col("quality"), col("lang_pred"))
-      .orderBy(col("doc_id")).collect().toSeq
-    val cleanBatch = keptView(None)
-    val cleanGot = Events.streamIncrementalClean(spark, sf1).collect().toSeq
-    if (cleanGot.isEmpty || cleanGot != cleanBatch)
-      failures ::= s"stream_incremental_clean sf1 diverged from batch twin " +
-        s"(${cleanGot.size} vs ${cleanBatch.size} rows)"
-    System.err.println(s"[soak] stream_incremental_clean_capped batch-twin equality @ sf1")
-    val cleanCapBatch = keptView(Some(Events.CleanCapDf))
-    val cleanCapGot = Events.streamIncrementalClean(spark, sf1,
-      maxShingleDf = Some(Events.CleanCapDf)).collect().toSeq
-    if (cleanCapGot.isEmpty || cleanCapGot != cleanCapBatch)
-      failures ::= s"stream_incremental_clean_capped sf1 diverged from capped batch twin " +
-        s"(${cleanCapGot.size} vs ${cleanCapBatch.size} rows)"
-    // non-vacuity at 10×: the per-replica word-mangle preserves each
-    // replica's shingle dfs, so the cap must keep biting at sf1 —
-    // stated on the two BATCH oracles (comparing the streamed output
-    // against the uncapped batch would misreport a cap-dropping stream
-    // bug as vacuity; r15 review)
-    if (cleanCapBatch == cleanBatch)
-      failures ::= s"cap ${Events.CleanCapDf} does not bite at sf1 — capped gate vacuous"
+    val cleanCols = Seq("n_tokens", "quality", "lang_pred")
+    val cleanBatch = keptView(None).persist()
+    val cleanCapBatch = keptView(Some(Events.CleanCapDf)).persist()
+    try {
+      val cleanGot = Events.streamIncrementalClean(spark, sf1)
+      val nCleanGot = cleanGot.count()
+      val cleanMismatch =
+        Events.keyedMismatchCount(cleanGot, cleanBatch, "doc_id", cleanCols)
+      if (nCleanGot == 0 || cleanMismatch != 0)
+        failures ::= s"stream_incremental_clean sf1 diverged from batch twin " +
+          s"($cleanMismatch mismatched docs of $nCleanGot streamed)"
+      System.err.println(s"[soak] stream_incremental_clean_capped batch-twin equality @ sf1")
+      val cleanCapGot = Events.streamIncrementalClean(spark, sf1,
+        maxShingleDf = Some(Events.CleanCapDf))
+      val nCleanCapGot = cleanCapGot.count()
+      val cleanCapMismatch =
+        Events.keyedMismatchCount(cleanCapGot, cleanCapBatch, "doc_id", cleanCols)
+      if (nCleanCapGot == 0 || cleanCapMismatch != 0)
+        failures ::= s"stream_incremental_clean_capped sf1 diverged from capped batch twin " +
+          s"($cleanCapMismatch mismatched docs of $nCleanCapGot streamed)"
+      // non-vacuity at 10×: the per-replica word-mangle preserves each
+      // replica's shingle dfs, so the cap must keep biting at sf1 —
+      // stated on the two BATCH oracles (comparing the streamed output
+      // against the uncapped batch would misreport a cap-dropping stream
+      // bug as vacuity; r15 review)
+      if (Events.keyedMismatchCount(cleanCapBatch, cleanBatch, "doc_id", cleanCols) == 0)
+        failures ::= s"cap ${Events.CleanCapDf} does not bite at sf1 — capped gate vacuous"
+    } finally {
+      cleanBatch.unpersist(blocking = false)
+      cleanCapBatch.unpersist(blocking = false)
+    }
     // the band-capped near-dup loop's convergence gate (r16): verbatim
     // equality with the CAPPED batch twin over the sf1 corpus — the
     // staged flood crosses the cap up and back down at 10× data, so
     // equality proves the crossing retractions restored every verdict
     System.err.println(s"[soak] stream_ingest_neardup_capped batch-twin equality @ sf1")
     val ndCap = Some(graft.operators.Dedup.BandCapDf)
-    val ndCapGot = Events.ingestNearDup(spark, sf1, maxBandDf = ndCap).collect().toSeq
-    // release the capped verdict's pair checkpoint once collected — a
+    val ndCapGot = Events.ingestNearDup(spark, sf1, maxBandDf = ndCap)
+    val nNdCapGot = ndCapGot.count()
+    // release the capped verdict's pair checkpoint once compared — a
     // soak calls this per scale and an unreleased checkpoint pins a
     // pair-sized RDD for the process lifetime (ADVICE r16)
     val ndCkpts = scala.collection.mutable.ListBuffer.empty[org.apache.spark.sql.DataFrame]
-    val ndCapBatch =
-      try graft.operators.Dedup.minhashNearDupVerdict(
-        docs1, maxBandDf = ndCap, ckptOut = Some(ndCkpts)).collect().toSeq
+    val ndCapMismatch =
+      try Events.keyedMismatchCount(ndCapGot,
+        graft.operators.Dedup.minhashNearDupVerdict(
+          docs1, maxBandDf = ndCap, ckptOut = Some(ndCkpts)),
+        "doc_id", Seq("keep", "partner_id", "jaccard"))
       finally ndCkpts.foreach(graft.operators.Corpus.releaseCheckpoint)
-    if (ndCapGot.isEmpty || ndCapGot != ndCapBatch)
+    if (nNdCapGot == 0 || ndCapMismatch != 0)
       failures ::= s"stream_ingest_neardup_capped sf1 diverged from the capped batch twin " +
-        s"(${ndCapGot.size} vs ${ndCapBatch.size} rows)"
+        s"($ndCapMismatch mismatched docs of $nNdCapGot streamed)"
     } // end of the full-soak convergence-gate section (skipped when filtered)
     val scaleHeader = scales.map(_._1 + " s").mkString(" | ")
     println(s"| loop | stage | $scaleHeader | growth | tail exp | accel |")

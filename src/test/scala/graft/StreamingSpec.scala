@@ -552,6 +552,171 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("classifier drift migration is REPEATABLE: a second label shift drives g2→g3, drained generations retire, equals a fresh g3 build") {
+    import graft.operators.Classifier
+    // VERDICT r18 #5 — the classifier instance of the ANN two-wave
+    // leg: the migration must OPERATE, not perform once. A second
+    // engineered label shift (the %5==1 slice re-delivered with the
+    // shift suffix) has to trip generation 2's OWN monitor through the
+    // re-armed check, train generation 3 on its designated re-label
+    // arrival, background-chunk the old corpus, cut over exactly once
+    // more, and retire each drained generation on the compaction
+    // cadence — all on the same code path as wave 1.
+    val probe = scala.collection.mutable.ListBuffer.empty[(Long, String)]
+    val gate = scala.collection.mutable.ListBuffer.empty[(Long, Int, Long)]
+    val gens = scala.collection.mutable.ListBuffer.empty[(Long, Seq[Int])]
+    val streamed = Events.ingestClassify(spark, TestSpark.sf,
+      driftPosRateJump = Some(Events.DriftPosRateJumpDefault),
+      labelShiftArrival2 = true, labelSecondWave = true, compactEvery = 1,
+      migrationProbe = Some(probe), gateInputProbe = Some(gate),
+      generationsProbe = Some(gens))
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getString(2),
+        r.getDouble(3), r.getBoolean(4))).toSeq
+    val events = probe.sortBy(_._1)
+    // two trips at the two wave epochs — and ONLY there; each trip
+    // epoch waits for its re-label arrival (the re-label contract)
+    assert(events.exists(e => e._1 == 1L && e._2.contains("trip")) &&
+      events.exists(e => e._1 == 5L && e._2.contains("trip")) &&
+      events.count(_._2.contains("trip")) == 2, s"trips: $events")
+    assert(events.exists(e => e._1 == 5L && e._2.contains("awaiting-relabel")),
+      s"second trip epoch did not wait for the re-label arrival: $events")
+    // one training per target generation, through the same code path
+    assert(events.count(_._2.contains("g2-trained")) == 1 &&
+      events.count(_._2.contains("g3-trained")) == 1, s"trainings: $events")
+    // wave 2's background chunks span epochs like wave 1's; each
+    // migration cuts over exactly once, at its completeness epoch
+    assert(events.exists(e => e._1 == 6L && e._2.contains("chunk=[0,15]")) &&
+      events.exists(e => e._1 == 7L && e._2.contains("chunk=[16,31]")),
+      s"wave-2 chunks did not span epochs: $events")
+    assert(events.exists(e => e._1 == 3L && e._2.contains("cutover")) &&
+      events.exists(e => e._1 == 7L && e._2.contains("cutover")) &&
+      events.count(_._2.contains("cutover")) == 2, s"cutovers: $events")
+    // epoch 8: the second migration's marker cleaned up, the trip
+    // RE-ARMED off generation 3's own baseline — polled (rate note
+    // present) and quiet on the uniform re-delivery
+    assert(events.exists(e => e._1 == 8L && e._2.contains("rate=") &&
+      !e._2.contains("trip")), s"no re-armed quiet poll at epoch 8: $events")
+    // drained generations retire on the compaction cadence: gen 1 dies
+    // at the first post-cutover compaction (epoch 4), gen 2 at epoch 8
+    val gensByEpoch = gens.toMap
+    assert(gensByEpoch(3L) == Seq(1, 2) && gensByEpoch(4L) == Seq(2),
+      s"gen 1 not retired at epoch 4: $gens")
+    assert(gensByEpoch(6L) == Seq(2, 3) && gensByEpoch(7L) == Seq(2, 3),
+      s"pre-retirement generations: $gens")
+    assert(gensByEpoch(8L) == Seq(3), s"gen 2 not retired at epoch 8: $gens")
+    // the completeness gate reads the 1-row-per-epoch additive count
+    // chains, never the corpus (r16 #2 discipline) — through BOTH waves
+    val corpusN = Tables.documents(spark, TestSpark.sf).count()
+    assert(gate.nonEmpty && gate.forall { case (e, _, rows) =>
+      rows <= e + 1 && rows < corpusN },
+      s"completeness gate read more than the count chains (corpus $corpusN): $gate")
+    // post-second-cutover scores equal a fresh generation-3 build over
+    // the closed-form twice-shifted corpus
+    val shifted2 = Events.classifyShifted2Corpus(Tables.documents(spark, TestSpark.sf))
+    val fresh = Classifier.score(Classifier.featurized(shifted2),
+      Classifier.fit(Classifier.featurized(
+        shifted2.filter(col("doc_id") % Events.ReLabelMod === 0))))
+      .orderBy(col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getString(2),
+        r.getDouble(3), r.getBoolean(4))).toSeq
+    assertClassifyEquals(streamed, fresh, "two-wave migrated vs fresh g3")
+  }
+
+  test("externally deleting the drift baseline fails loudly at the next scored epoch — never a silent rebaseline") {
+    // ADVICE r18 medium: the r17 replay-repair fired on ANY epoch that
+    // found the baseline missing, silently rebaselining an externally
+    // deleted file to the current epoch's rate (r == base that epoch,
+    // so drift that already happened could never trip) — the exact
+    // disarm the guard claims to prevent. With the repair gated on the
+    // durable training-epoch marker, deletion at a later epoch must
+    // reach the trip check's loud IllegalStateException.
+    val tamper: (Long, java.nio.file.Path) => Unit = (epoch, store) =>
+      if (epoch == 2L)
+        java.nio.file.Files.deleteIfExists(store.resolve("posrate_g1"))
+    val e = intercept[Exception] {
+      Events.ingestClassify(spark, TestSpark.sf,
+        driftPosRateJump = Some(Events.DriftPosRateJumpDefault),
+        storeTamper = Some(tamper))
+    }
+    def causes(t: Throwable, seen: Set[Throwable] = Set.empty): List[Throwable] =
+      if (t == null || seen(t)) Nil else t :: causes(t.getCause, seen + t)
+    assert(causes(e).exists(c =>
+      String.valueOf(c.getMessage).contains("drift baseline missing")),
+      s"deletion did not reach the loud guard: $e")
+  }
+
+  test("keyedMismatchCount flags duplicate keys, side-count skew and null drift — not just field mismatches") {
+    // ADVICE r18 low: the first full-outer shape passed a side whose
+    // duplicate doc_id rows matched the partner field-by-field — the
+    // row-count leg the old collect-and-zip comparison carried. The
+    // per-key pre-aggregation (cnt != 1) restores it in the same
+    // single-scalar job.
+    import spark.implicits._
+    val want = Seq((1L, true, "train", 0.9, true), (2L, false, "holdout", 0.2, false))
+      .toDF("doc_id", "label", "split", "prob", "pred")
+    assert(Events.scoredMismatchCount(want, want) == 0L)
+    // a duplicated row whose fields MATCH the partner still counts
+    val dup = want.union(want.filter(col("doc_id") === 1L))
+    assert(Events.scoredMismatchCount(dup, want) == 1L, "duplicate got-side row passed")
+    assert(Events.scoredMismatchCount(want, dup) == 1L, "duplicate want-side row passed")
+    // a key present on one side only counts once
+    assert(Events.scoredMismatchCount(want.filter(col("doc_id") === 1L), want) == 1L)
+    // prob drift beyond tol counts; within tol does not
+    val nudged = want.withColumn("prob",
+      when(col("doc_id") === 1L, col("prob") + 1e-3).otherwise(col("prob")))
+    assert(Events.scoredMismatchCount(nudged, want) == 1L)
+    assert(Events.scoredMismatchCount(nudged, want, tol = 1e-2) == 0L)
+    // null-safe exact compare (the neardup twins' nullable partner_id):
+    // null == null passes, null vs value counts
+    val a = Seq((1L, Option(2L)), (2L, Option.empty[Long])).toDF("doc_id", "partner_id")
+    val b = Seq((1L, Option(2L)), (2L, Option(3L))).toDF("doc_id", "partner_id")
+    assert(Events.keyedMismatchCount(a, a, "doc_id", Seq("partner_id")) == 0L)
+    assert(Events.keyedMismatchCount(a, b, "doc_id", Seq("partner_id")) == 1L)
+  }
+
+  test("OracleMemo: disabled by default, one compute per (kind, sfDir), distinct keys get distinct files, clear() removes the scratch") {
+    // VERDICT r18 #6: the memo changes Verify's oracle dataflow (it is
+    // enabled ONLY by graft.Verify, which clears it in a finally;
+    // nothing in graft.Bench references it, so a bench run's oracle
+    // path always computes fresh — pinned here as disabled-by-default).
+    import spark.implicits._
+    val memo = Events.OracleMemo
+    memo.clear() // pristine even if a prior leg enabled it
+    assert(!memo.enabled, "memo must be disabled by default")
+    var n = 0
+    def compute(tag: String) = { n += 1; Seq((tag, n)).toDF("tag", "n") }
+    memo.exactPairs(spark, "/tmp/sfA")(compute("a"))
+    memo.exactPairs(spark, "/tmp/sfA")(compute("a"))
+    assert(n == 2, "disabled memo must compute fresh on every call")
+    memo.enable()
+    try {
+      assert(memo.enabled)
+      n = 0
+      val a = memo.exactPairs(spark, "/tmp/sfA")(compute("a"))
+      memo.exactPairs(spark, "/tmp/sfA")(compute("a"))
+      assert(n == 1, "enabled memo must compute once per sfDir")
+      // a second sfDir and a second RELATION for the same sfDir each
+      // get their own memo file (ADVICE r18: the old dir name was the
+      // racy paths.size(), and the key ignored the compute identity)
+      val b = memo.exactPairs(spark, "/tmp/sfB")(compute("b"))
+      val c = memo.memo(spark, "other_relation", "/tmp/sfA")(compute("c"))
+      assert(n == 3)
+      assert(a.select("tag").head().getString(0) == "a" &&
+        b.select("tag").head().getString(0) == "b" &&
+        c.select("tag").head().getString(0) == "c",
+        "distinct memo keys aliased one scratch file")
+      val memoDir = java.nio.file.Paths
+        .get(new java.net.URI(a.inputFiles.head)).getParent
+      assert(java.nio.file.Files.isDirectory(memoDir))
+      memo.clear()
+      assert(!java.nio.file.Files.exists(memoDir),
+        "clear() left the memo scratch dir behind")
+      // post-clear calls compute fresh again (Verify's finally path)
+      memo.exactPairs(spark, "/tmp/sfA")(compute("a"))
+      assert(n == 4)
+    } finally memo.clear()
+  }
+
   test("stream_ingest_classify converges to the batch-trained scoring, appends only deltas") {
     import graft.operators.Classifier
     val probe = scala.collection.mutable.ListBuffer.empty[(Long, Long, Long)]
