@@ -220,17 +220,32 @@ object Events {
     * re-evaluates from disk like any other table.
     */
   private def detach(target: SparkSession, result: DataFrame): DataFrame = {
-    val dir = java.nio.file.Files.createTempDirectory("graft_detach")
-    detachDirs.add(dir)
-    val out = dir.resolve("result").toString
-    // coalesce(1): ONE file, so the read-back preserves the consumer
-    // views' ORDER BY (multi-file read-back packs FilePartitions by
-    // size, not name — the specs' ordered comparisons would flake).
-    // Safe by the same bounded-result contract that let the old code
-    // collect(); a single-partition write of a sorted frame keeps
-    // global order, and a one-file scan reads splits in offset order.
-    result.coalesce(1).write.mode("overwrite").parquet(out)
-    target.read.parquet(out)
+    val t0 = System.nanoTime()
+    val r =
+      if (sys.env.get("SPARK_GRAFT_DETACH_COLLECT").contains("1")) {
+        // Diagnostic-only fallback (the pre-r19 shape): collect to the
+        // driver and re-root as a local relation. Holds a SECOND driver
+        // copy of the result (VERDICT r18 #3) — never the default; it
+        // exists so a bench A/B can attribute detach's own cost.
+        val rows = result.collect()
+        target.createDataFrame(
+          java.util.Arrays.asList(rows: _*), result.schema)
+      } else {
+        val dir = java.nio.file.Files.createTempDirectory("graft_detach")
+        detachDirs.add(dir)
+        val out = dir.resolve("result").toString
+        // coalesce(1): ONE file, so the read-back preserves the consumer
+        // views' ORDER BY (multi-file read-back packs FilePartitions by
+        // size, not name — the specs' ordered comparisons would flake).
+        // Safe by the same bounded-result contract that let the old code
+        // collect(); a single-partition write of a sorted frame keeps
+        // global order, and a one-file scan reads splits in offset order.
+        result.coalesce(1).write.mode("overwrite").parquet(out)
+        target.read.parquet(out)
+      }
+    if (sys.env.get("SPARK_GRAFT_STREAM_DEBUG").contains("1"))
+      System.err.println(f"[stream-debug] detach took ${(System.nanoTime()-t0)/1e9}%.3f s")
+    r
   }
 
   /** Opt-in per-batch diagnostics (SPARK_GRAFT_STREAM_DEBUG=1): batch
