@@ -247,11 +247,19 @@ object Snapshot {
     // superset result is then restricted to exactly the touched set
     val touchedRows = postings.forShinglesOf(deltaPost)
       .join(touchedS, Seq("s"), "left_semi").persist()
-    val dfNew = touchedRows.groupBy(col("s")).agg(count(lit(1)).as("df_new"))
-    val shift = deltaPost.groupBy(col("s")).agg(sum(col("side")).as("shift"))
-    val crossing = shift.join(dfNew, Seq("s"), "left")
+    // ONE aggregated row per touched shingle — df_new beside the
+    // delta's shift — persisted SMALL (touched-shingle-count rows), so
+    // the crossing filter and the hot advance both read this relation.
+    // Unfused, the df_new count over the (much larger) cached touched
+    // rows ran TWICE: once under the seed checkpoint via `crossing`,
+    // once under the hot-snapshot checkpoint — the duplicated agg was
+    // ~2s/epoch of the crossing stage's cost at sf0.1.
+    val touchedStats = deltaPost.groupBy(col("s")).agg(sum(col("side")).as("shift"))
+      .join(touchedRows.groupBy(col("s")).agg(count(lit(1)).as("df_new")), Seq("s"), "left")
       .select(col("s"), coalesce(col("df_new"), lit(0L)).as("df_new"),
         (coalesce(col("df_new"), lit(0L)) - col("shift")).as("df_old"))
+      .persist()
+    val crossing = touchedStats
       .filter((col("df_old") > maxDf) =!= (col("df_new") > maxDf))
       .select(col("s"))
     // eager (r17, VERDICT r16 #6): the crossing-holder seeds are read
@@ -267,24 +275,29 @@ object Snapshot {
         .select(col("doc_id")).distinct()
         .localCheckpoint(true)
       catch { case t: Throwable =>
-        Seq(deltaPost, touchedRows).foreach(_.unpersist(blocking = false))
+        Seq(deltaPost, touchedRows, touchedStats).foreach(_.unpersist(blocking = false))
         throw t
       }
     // eager: the closure anti-joins the hot set EVERY round, and the
     // stored-chain caller persists it as the epoch's hot snapshot.
-    // This checkpoint job is what materializes both caches — if it
+    // This checkpoint job is what materializes the caches — if it
     // dies, no caller ever receives the caches seq, so the failure
-    // path must unpersist here (release-before-throw; r15 review)
+    // path must unpersist here (release-before-throw; r15 review).
+    // Both arms read the cached touchedStats: its domain is exactly
+    // the touched set (every touched shingle has a shift row; absent
+    // df_new coalesces to 0, which the > maxDf filter excludes), so
+    // the anti-join and the hot filter see the same sets the unfused
+    // touchedS/dfNew pair produced.
     val hotNext =
-      try hotPrior.join(touchedS, Seq("s"), "left_anti")
-        .unionByName(dfNew.filter(col("df_new") > maxDf).select(col("s")))
+      try hotPrior.join(touchedStats.select(col("s")), Seq("s"), "left_anti")
+        .unionByName(touchedStats.filter(col("df_new") > maxDf).select(col("s")))
         .localCheckpoint(true)
       catch { case t: Throwable =>
         Corpus.releaseCheckpoint(extraSeeds)
-        Seq(deltaPost, touchedRows).foreach(_.unpersist(blocking = false))
+        Seq(deltaPost, touchedRows, touchedStats).foreach(_.unpersist(blocking = false))
         throw t
       }
-    (extraSeeds, hotNext, Seq(deltaPost, touchedRows))
+    (extraSeeds, hotNext, Seq(deltaPost, touchedRows, touchedStats))
   }
 
   /** BFS over the TRUE Jaccard pair graph from `seeds`, probing a
