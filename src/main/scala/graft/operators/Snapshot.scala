@@ -218,9 +218,12 @@ object Snapshot {
   /** The cap-crossing machinery shared by the in-memory capped overload
     * and the stored-chain capped delta ([[incrementalLedgerDeltaCheckpointedCapped]]):
     * given the epoch's delta ids, the UNCAPPED new-index probe, the
-    * delta docs' OLD posting rows and the prior epoch's hot set,
-    * returns (extra closure seeds, the NEXT hot set as an eager
-    * checkpoint, the caches to unpersist once the closure has
+    * delta docs' NEW posting rows (supplied by the caller — a
+    * maintained-index deployment reads its own just-written delta back
+    * rather than re-shingling the arrival; the stored-DF form passes
+    * `probe.forDocs(deltaIds)`), their OLD posting rows and the prior
+    * epoch's hot set, returns (extra closure seeds, the NEXT hot set as
+    * an eager checkpoint, the caches to unpersist once the closure has
     * materialized its seeds).
     *
     * Only delta-doc shingles can change df, so: the df SHIFT per
@@ -236,9 +239,9 @@ object Snapshot {
     * `df_new` — so hot(e) is exact by induction from an exact hot(0).
     */
   private def capCrossings(deltaIds: DataFrame, postings: PostingsProbe,
+                           newDeltaPost: DataFrame,
                            oldDeltaPost: DataFrame, hotPrior: DataFrame, maxDf: Int)
       : (DataFrame, DataFrame, Seq[DataFrame]) = {
-    val newDeltaPost = postings.forDocs(deltaIds)
     val deltaPost = newDeltaPost.select(col("s"), lit(1L).as("side"))
       .unionByName(oldDeltaPost.select(col("s"), lit(-1L).as("side"))).persist()
     val touchedS = deltaPost.select(col("s")).distinct()
@@ -672,7 +675,7 @@ object Snapshot {
     // ONE shared boundary definition, Dedup.hotShingles
     val hotPrior = Dedup.hotShingles(cap.oldPostings, cap.maxDf)
     val (extraSeeds, hotNext, caches) =
-      try capCrossings(deltaIds, probe,
+      try capCrossings(deltaIds, probe, probe.forDocs(deltaIds),
         cap.oldPostings.join(deltaIds, Seq("doc_id"), "left_semi"), hotPrior, cap.maxDf)
       catch { case t: Throwable => Corpus.releaseCheckpoint(delta); throw t }
     val core =
@@ -795,7 +798,8 @@ object Snapshot {
       prior: DataFrame, oldManifest: DataFrame, newManifest: DataFrame,
       postings: PostingsProbe, docsFor: DataFrame => DataFrame,
       maxRounds: Int, maxDf: Int, hotPrior: DataFrame,
-      oldPostingsFor: DataFrame => DataFrame): (DataFrame, DataFrame) = {
+      oldPostingsFor: DataFrame => DataFrame,
+      newPostingsFor: Option[DataFrame => DataFrame] = None): (DataFrame, DataFrame) = {
     val lap = incrLap(detail = true)
     val delta = diff(oldManifest, newManifest).localCheckpoint(true)
     lap("manifest diff")
@@ -804,8 +808,21 @@ object Snapshot {
     var caches: Seq[DataFrame] = Nil
     try {
       val deltaIds = delta.select(col("doc_id"))
+      // NEW-side delta postings: a maintained-index caller already WROTE
+      // this epoch's posting rows to its chain before calling here (the
+      // index-maintenance contract), so `newPostingsFor` lets it hand
+      // back that bounded delta (a file read + delta-id semi-join)
+      // instead of paying the kernel's SECOND shingle pass over the
+      // arrival text this epoch (r19 optimization — the r15 bootstrap
+      // "file is the materialization" rule, applied to the crossing
+      // stage; provably the same relation: the delta ids' corpus rows
+      // at this epoch ARE the arrival's, and removed ids have no rows
+      // either way). Default keeps the probe's re-shingle for callers
+      // without a stored delta.
       val (extra, hot, c) =
-        capCrossings(deltaIds, postings, oldPostingsFor(deltaIds), hotPrior, maxDf)
+        capCrossings(deltaIds, postings,
+          newPostingsFor.getOrElse(postings.forDocs _)(deltaIds),
+          oldPostingsFor(deltaIds), hotPrior, maxDf)
       hotNext = hot; extraSeeds = extra; caches = c
       // own mark: the hot-advance + crossing-seed checkpoints
       // materialized the crossing machinery here — without this the

@@ -248,6 +248,43 @@ object Events {
     r
   }
 
+  /** Resident-store memo for per-generation FROZEN artifacts (r19):
+    * the classify loops re-read their model parquet and the ANN loops
+    * re-collect their centroids EVERY epoch, though both are written
+    * once per generation and frozen — a deployment's scorer holds them
+    * in memory across micro-batches. Keyed on the store dir plus its
+    * `_SUCCESS` fingerprint (mtime + summed data-file size), so a
+    * training-epoch replay that overwrites the store is picked up (the
+    * overwrite rewrites `_SUCCESS`, seconds later) and distinct
+    * generations/dirs can never alias. Never a RESULT cache: entries
+    * hold model weights/centroids (KB-sized loop state), the dirs are
+    * per-run scratch paths (no cross-run reuse is possible — each
+    * bench rep stages fresh dirs), and a store without `_SUCCESS` is
+    * never consulted (callers gate on it). Bounded by eviction.
+    */
+  private[graft] object FrozenStoreMemo {
+    private val cache =
+      new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), AnyRef]()
+    private val MaxEntries = 64
+    private def fingerprint(dir: String): Option[(Long, Long)] = {
+      val d = new java.io.File(dir)
+      val ok = new java.io.File(d, "_SUCCESS")
+      if (!ok.exists) None
+      else Some((ok.lastModified,
+        Option(d.listFiles()).toSeq.flatten.map(_.length()).sum))
+    }
+    def cached[T <: AnyRef](dir: String)(load: => T): T =
+      fingerprint(dir) match {
+        case None => load // no commit marker: defer to the caller's read
+        case Some((m, s)) =>
+          if (cache.size > MaxEntries) cache.clear()
+          cache.computeIfAbsent((dir, m, s), _ => load).asInstanceOf[T]
+      }
+    /** Spec observability. */
+    private[graft] def size: Int = cache.size
+    private[graft] def clear(): Unit = cache.clear()
+  }
+
   /** Opt-in per-batch diagnostics (SPARK_GRAFT_STREAM_DEBUG=1): batch
     * duration breakdown + state-store op counts per micro-batch, straight
     * off the engine's own StreamingQueryProgress — the data needed to
@@ -1425,9 +1462,36 @@ object Events {
                                   Some(docSchema)),
                                 tombAggPrev)
                                 .join(ids, Seq("doc_id"), "left_semi"))
+                          // NEW-side delta postings for the crossing
+                          // machinery: the epoch WROTE exactly these rows
+                          // two steps up (`postings delta` — the file IS
+                          // the materialization, the bootstrap's r15
+                          // rule), so hand the read-back semi-joined to
+                          // the delta ids instead of re-shingling the
+                          // arrival text a second time this epoch.
+                          // Equal by the chain contract: a delta id's
+                          // resolved corpus rows at this epoch are the
+                          // arrival's own (removed ids have no epoch-e
+                          // rows on either path; an unchanged
+                          // re-delivery is in neither deltaIds nor the
+                          // diff) — SnapshotSpec/StreamingSpec pin the
+                          // capped loop == batch ledger row-for-row.
+                          val newPostingsFor: DataFrame => DataFrame = ids =>
+                            bss.read.schema(postingsSchema)
+                              .parquet(s"$postingsByShingleDir/batch=$epoch")
+                              .drop("bucket")
+                              .join(ids, Seq("doc_id"), "left_semi")
+                          // Diagnostic-only fallback (never the default):
+                          // restores the pre-r19 re-shingle on the SAME
+                          // binary so a bench A/B can attribute the
+                          // read-back's own delta (the detach-A/B
+                          // pattern).
+                          val newOpt =
+                            if (sys.env.get("SPARK_GRAFT_CAP_RESHINGLE").contains("1")) None
+                            else Some(newPostingsFor)
                           val (d, h) = Snapshot.incrementalLedgerDeltaCheckpointedCapped(
                             prior, priorManifest, nextManifest, probe, docsFor,
-                            25, capDf, hotPrior, oldPostingsFor)
+                            25, capDf, hotPrior, oldPostingsFor, newOpt)
                           (d, Some(h))
                         } finally tombAggPrev.foreach(_.unpersist(blocking = false))
                     }
@@ -2845,10 +2909,15 @@ object Events {
               rawSchema(ss, sfDir, "embeddings")("embedding").dataType)))
           // column selected BY NAME: a positional read would silently
           // return wrong vectors if the stored column order ever changed
+          // resident across epochs via FrozenStoreMemo (r19): a
+          // generation's centroids are written once and FROZEN, yet
+          // were re-collected from parquet every epoch
           def loadCentroids(s2: SparkSession, dir: String = centroidsDir): Array[Array[Double]] =
-            s2.read.parquet(dir).orderBy(col("cell"))
-              .select(col("centroid"))
-              .collect().map(_.getSeq[Double](0).toArray)
+            FrozenStoreMemo.cached(dir) {
+              s2.read.parquet(dir).orderBy(col("cell"))
+                .select(col("centroid"))
+                .collect().map(_.getSeq[Double](0).toArray)
+            }
           val outerLap = graft.operators.Snapshot.incrLap()
           val emb = ss.read.parquet(staged.toString)
           // the stream carries CORPUS vectors; the query set is static
@@ -3726,7 +3795,11 @@ object Events {
                 val (modelOpt, trainedNow) =
                   if (new java.io.File(s"${modelDirG(commitGen)}/_SUCCESS").exists &&
                       epoch != 0L)
-                    (Some(Classifier.loadModel(bss, modelDirG(commitGen))), false)
+                    // resident across epochs (r19): the generation's
+                    // model is frozen once trained, yet was re-read
+                    // from parquet every epoch
+                    (Some(FrozenStoreMemo.cached(modelDirG(commitGen))(
+                      Classifier.loadModel(bss, modelDirG(commitGen)))), false)
                   else if (!feats.isEmpty) {
                     val m = Classifier.fit(feats)
                     Classifier.storeModel(bss, m, modelDirG(commitGen))
@@ -3788,7 +3861,15 @@ object Events {
                     // separate directory reads of the same delta)
                     val commitDelta = bss.read.schema(scoreSchema)
                       .parquet(s"${scoresDirG(commitGen)}/batch=$epoch").persist()
-                    val nCommitDelta = commitDelta.count()
+                    // ONE agg job for the delta's two scalars (r19: the
+                    // count and the pred-positive count previously ran
+                    // as separate jobs per epoch — same cached relation,
+                    // fused like the crossing meters)
+                    val commitRow = commitDelta.agg(
+                      count(lit(1)),
+                      coalesce(sum(when(col("pred"), 1L).otherwise(0L)), lit(0L))).head()
+                    val (nCommitDelta, nCommitPred) =
+                      (commitRow.getLong(0), commitRow.getLong(1))
                     // a generation's 1-row additive count delta: +this
                     // epoch's delta rows (`added` — counted off the
                     // caller's persisted delta, never a re-open of the
@@ -3826,13 +3907,17 @@ object Events {
                     // — written once beside the model (the observable a
                     // deployment compares epoch rates against)
                     def writePosRate(gen: Int, deltaDf: DataFrame): Unit = {
-                      val d = deltaDf.join(addIds, Seq("doc_id"), "left_semi").persist()
-                      try {
-                        val n = d.count()
-                        if (n > 0)
-                          writeGenMarker(posRatePath(gen),
-                            (d.filter(col("pred")).count().toDouble / n).toString)
-                      } finally d.unpersist(blocking = false)
+                      // ONE agg job over the arrival-restricted delta
+                      // (r19): count + pred-count previously ran as two
+                      // jobs against a persist whose only consumers they
+                      // were — the semi gate folds into the single pass
+                      val r = deltaDf.join(addIds, Seq("doc_id"), "left_semi")
+                        .agg(count(lit(1)),
+                          coalesce(sum(when(col("pred"), 1L).otherwise(0L)), lit(0L)))
+                        .head()
+                      if (r.getLong(0) > 0)
+                        writeGenMarker(posRatePath(gen),
+                          (r.getLong(1).toDouble / r.getLong(0)).toString)
                     }
                     // written on the training epoch — and REPAIRED only
                     // on a genuine REPLAY of it (ADVICE r17/r18):
@@ -3868,8 +3953,7 @@ object Events {
                     // the alarm input (None on a scoring-free epoch)
                     val rateE =
                       if (nCommitDelta == 0) None
-                      else Some(commitDelta.filter(col("pred")).count()
-                        .toDouble / nCommitDelta)
+                      else Some(nCommitPred.toDouble / nCommitDelta)
                     commitDelta.unpersist(blocking = false)
                     // trip check — only when no migration is in flight
                     // (the marker deletion at epoch start is the re-arm)
@@ -3922,7 +4006,8 @@ object Events {
                             migLap(s"migration train (epoch $epoch)")
                             (m, epoch)
                           } else
-                            (Classifier.loadModel(bss, modelDirG(t)), t0Opt.get)
+                            (FrozenStoreMemo.cached(modelDirG(t))(
+                              Classifier.loadModel(bss, modelDirG(t))), t0Opt.get)
                         // the epoch's T delta: its own arrivals + the
                         // cursor's chunk of OLD docs' stored features —
                         // file-pruned to the cursor buckets, tombstone-

@@ -674,6 +674,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(Events.keyedMismatchCount(a, b, "doc_id", Seq("partner_id")) == 1L)
   }
 
+  test("FrozenStoreMemo: one load per store fingerprint, rotates on overwrite, defers without _SUCCESS") {
+    // r19: the resident-model/centroid memo. Pure file-level contract —
+    // no Spark needed: the fingerprint is (_SUCCESS mtime, Σ file
+    // sizes), and `load` is an arbitrary thunk.
+    val dir = java.nio.file.Files.createTempDirectory("graft_memo_spec")
+    try {
+      val data = dir.resolve("part-0")
+      val ok = dir.resolve("_SUCCESS")
+      var loads = 0
+      def get(): String =
+        Events.FrozenStoreMemo.cached(dir.toString) { loads += 1; s"v$loads" }
+      // no _SUCCESS: every call defers to the raw load, nothing cached
+      assert(get() == "v1" && get() == "v2",
+        "an uncommitted store must never be served from the memo")
+      java.nio.file.Files.write(data, "abc".getBytes("UTF-8"))
+      java.nio.file.Files.write(ok, Array.emptyByteArray)
+      assert(get() == "v3" && get() == "v3",
+        "a committed store loads once and is then served resident")
+      // overwrite changes the summed size → the key rotates even if the
+      // marker mtime collides within one clock tick (the replay case)
+      java.nio.file.Files.write(data, "abcd".getBytes("UTF-8"))
+      assert(get() == "v4" && get() == "v4",
+        "an overwritten store (training-epoch replay) must be re-read")
+    } finally {
+      Events.FrozenStoreMemo.clear()
+      Seq("part-0", "_SUCCESS").foreach(f =>
+        java.nio.file.Files.deleteIfExists(dir.resolve(f)))
+      java.nio.file.Files.deleteIfExists(dir)
+    }
+  }
+
   test("OracleMemo: disabled by default, one compute per (kind, sfDir), distinct keys get distinct files, clear() removes the scratch") {
     // VERDICT r18 #6: the memo changes Verify's oracle dataflow (it is
     // enabled ONLY by graft.Verify, which clears it in a finally;
