@@ -260,30 +260,110 @@ object Events {
     * hold model weights/centroids (KB-sized loop state), the dirs are
     * per-run scratch paths (no cross-run reuse is possible — each
     * bench rep stages fresh dirs), and a store without `_SUCCESS` is
-    * never consulted (callers gate on it). Bounded by eviction.
+    * never consulted (callers gate on it). Bounded by LRU eviction
+    * (r20, ADVICE r19: the clear-all eviction dropped hot entries and
+    * forced a reload burst), and the fingerprint walks the WHOLE tree
+    * (file count + summed size + max mtime over every regular file) so
+    * a nested/partitioned store layout — where a data-file change
+    * would not move the top-level directory listing — still rotates
+    * the key.
     */
   private[graft] object FrozenStoreMemo {
-    private val cache =
-      new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), AnyRef]()
     private val MaxEntries = 64
+    // access-ordered LinkedHashMap = LRU; synchronized wrapper because
+    // concurrent callers exist (pool-submitted epoch jobs). A duplicate
+    // load under the get/put race is one extra read, never a wrong
+    // value — the key pins the store's content.
+    private val cache = java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[(String, Long, Long), AnyRef](16, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[(String, Long, Long), AnyRef]): Boolean =
+          size() > MaxEntries
+      })
     private def fingerprint(dir: String): Option[(Long, Long)] = {
       val d = new java.io.File(dir)
       val ok = new java.io.File(d, "_SUCCESS")
       if (!ok.exists) None
-      else Some((ok.lastModified,
-        Option(d.listFiles()).toSeq.flatten.map(_.length()).sum))
+      else {
+        def walk(f: java.io.File): Iterator[java.io.File] =
+          if (f.isDirectory)
+            Option(f.listFiles()).toSeq.flatten.iterator.flatMap(walk)
+          else Iterator.single(f)
+        // count, bytes and newest mtime folded into one Long: any
+        // file added, removed, resized or rewritten moves it (Long
+        // wrap-around is fine — equality is all the key needs)
+        val files = walk(d).toList
+        Some((ok.lastModified,
+          files.size.toLong * 1000003L + files.map(_.length()).sum +
+            files.map(_.lastModified()).foldLeft(0L)(math.max)))
+      }
     }
     def cached[T <: AnyRef](dir: String)(load: => T): T =
       fingerprint(dir) match {
         case None => load // no commit marker: defer to the caller's read
         case Some((m, s)) =>
-          if (cache.size > MaxEntries) cache.clear()
-          cache.computeIfAbsent((dir, m, s), _ => load).asInstanceOf[T]
+          val k = (dir, m, s)
+          Option(cache.get(k)).getOrElse {
+            val v = load; cache.put(k, v); v
+          }.asInstanceOf[T]
       }
     /** Spec observability. */
     private[graft] def size: Int = cache.size
     private[graft] def clear(): Unit = cache.clear()
   }
+
+  /** Submit independent per-epoch store writes concurrently (r20,
+    * guide §2.6 "overlap independent jobs"): the staged loops' epochs
+    * serialize 2-4 independent non-committing delta writes (neardup:
+    * tombstone/shingle/band; clean: tombstone/postings/manifest; ANN:
+    * tombstone/assign/vectors; classify: tombstone/feats) before the
+    * committing write, and each is a small fixed-latency job whose
+    * tail would otherwise leave every executor idle. Actions are only
+    * sequential because the driver calls them sequentially — Spark's
+    * scheduler runs concurrent jobs fine, and FIFO scheduling
+    * back-fills the current job's tail with the next job's tasks.
+    *
+    * Caller contract: (a) pass only writes with no read-after-write
+    * edge between them; (b) this call is the BARRIER — nothing may
+    * read any of the writes back before it returns; (c) the epoch's
+    * COMMITTING write stays strictly after it. Crash semantics are
+    * unchanged in kind: a crash mid-group strands some SUBSET of
+    * non-committing deltas (the sequential code could already strand
+    * any PREFIX), and the replay re-derives and idempotently
+    * overwrites every one of them before anything reads them —
+    * StreamingSpec's post-stores crash leg pins it.
+    *
+    * Every submitted task is awaited even when one fails (no ambiguity
+    * about which writes ran); the first failure is rethrown. Job
+    * group/description are InheritableThreadLocals, so pool threads —
+    * created at submit time by this thread — carry the caller's
+    * labels.
+    */
+  private[graft] def concurrentWrites(tasks: Seq[() => Unit]): Unit =
+    // Diagnostic-only fallback (never the default): run the group
+    // sequentially on the SAME binary so a bench A/B can attribute the
+    // overlap's own delta (the r19 CAP_RESHINGLE pattern).
+    if (sys.env.get("SPARK_GRAFT_SEQ_WRITES").contains("1")) tasks.foreach(_())
+    else if (tasks.sizeIs <= 1) tasks.foreach(_())
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(tasks.size)
+      try {
+        val futs = tasks.map(t =>
+          pool.submit(new java.util.concurrent.Callable[Unit] {
+            def call(): Unit = t()
+          }))
+        var firstFailure: Option[Throwable] = None
+        futs.foreach { f =>
+          try f.get()
+          catch {
+            case e: java.util.concurrent.ExecutionException =>
+              if (firstFailure.isEmpty)
+                firstFailure = Some(Option(e.getCause).getOrElse(e))
+          }
+        }
+        firstFailure.foreach(t => throw t)
+      } finally pool.shutdown()
+    }
 
   /** Opt-in per-batch diagnostics (SPARK_GRAFT_STREAM_DEBUG=1): batch
     * duration breakdown + state-store op counts per micro-batch, straight
@@ -1301,21 +1381,34 @@ object Events {
                   .join(batchManifest.select(col("doc_id")), Seq("doc_id"), "left_semi")
                   .select(col("doc_id"))
                   .unionByName(removals)
-                if (!tomb.isEmpty)
-                  tomb.write.mode("overwrite").parquet(s"$tombstoneDir/batch=$epoch")
+                val haveTomb = !tomb.isEmpty
                 lap(s"epoch $epoch: tombstones (incl. prior-state resolve)")
-                Snapshot.postings(arrived)
-                  .withColumn("bucket", chainBucket(col("s")))
-                  .repartition(col("bucket"))
-                  .write.partitionBy("bucket").mode("overwrite")
-                  .parquet(s"$postingsByShingleDir/batch=$epoch")
-                lap(s"epoch $epoch: postings delta (shingle-bucketed)")
-                // 4. the manifest delta — the batch's own rows, O(|batch|);
-                // the resolved chain IS the next manifest. Written BEFORE
-                // the ledger (the commit gate's first half).
-                batchManifest
-                  .write.mode("overwrite").parquet(s"$manifestDir/batch=$epoch")
-                lap(s"epoch $epoch: manifest delta")
+                // 4. the epoch's three independent non-committing deltas
+                // — tombstones, the shingle-bucketed postings delta and
+                // the manifest delta (the commit gate's first half,
+                // still strictly before the ledger) — submitted as ONE
+                // concurrent group (r20, guide §2.6 / VERDICT r19 #4):
+                // no read-after-write edge exists among them (tombAggE,
+                // nextManifest and the postings read-back all run after
+                // this barrier), and the committing ledger write stays
+                // last. A crash inside the group strands a SUBSET of
+                // deltas where the sequential code stranded a PREFIX —
+                // the replay overwrites each idempotently either way
+                // (the between-markers crash leg sits right after this
+                // group, unchanged).
+                concurrentWrites(
+                  (if (haveTomb) Seq(() =>
+                    tomb.write.mode("overwrite")
+                      .parquet(s"$tombstoneDir/batch=$epoch")) else Seq.empty) ++
+                  Seq(
+                    () => Snapshot.postings(arrived)
+                      .withColumn("bucket", chainBucket(col("s")))
+                      .repartition(col("bucket"))
+                      .write.partitionBy("bucket").mode("overwrite")
+                      .parquet(s"$postingsByShingleDir/batch=$epoch"),
+                    () => batchManifest
+                      .write.mode("overwrite").parquet(s"$manifestDir/batch=$epoch")))
+                lap(s"epoch $epoch: store deltas (tombstone+postings+manifest, parallel)")
                 // spec hook (VERDICT r13 #3 — THE clean-loop crash
                 // state): die BETWEEN the two commit markers — the
                 // epoch's manifest `_SUCCESS` exists, its ledger write
@@ -1811,7 +1904,8 @@ object Events {
                     crashAtEpoch: Option[Long] = None,
                     maxBandDf: Option[Int] = None,
                     capCrossingsProbe: Option[scala.collection.mutable.Buffer[(Long, Long, Long)]] = None,
-                    hotDirsProbe: Option[scala.collection.mutable.Buffer[(Long, Seq[Long])]] = None): DataFrame = {
+                    hotDirsProbe: Option[scala.collection.mutable.Buffer[(Long, Seq[Long])]] = None,
+                    crashAfterStores: Option[Long] = None): DataFrame = {
     import graft.operators.Dedup
     val ss = sessionFor(spark, statePartitions,
       Map("spark.sql.streaming.noDataMicroBatches.enabled" -> "false") ++ providerConf)
@@ -1912,6 +2006,7 @@ object Events {
           outerLap("stage arrival 1")
           val stream = ss.readStream.schema(rawSchema(ss, sfDir, "documents")).parquet(src.toString)
           @volatile var crashArmed = crashAtEpoch.isDefined
+          @volatile var storesCrashArmed = crashAfterStores.isDefined
           def startQ(): StreamingQuery = stream.writeStream
             .outputMode(OutputMode.Append)
             .option("checkpointLocation", ckpt.toString)
@@ -1994,9 +2089,6 @@ object Events {
               var capRelease: List[DataFrame] = Nil
               try {
                 val haveRetired = !retired.isEmpty
-                if (haveRetired)
-                  retired.write.mode("overwrite")
-                    .parquet(s"$tombstoneDir/batch=$epoch")
                 ndLap(s"retire probe (epoch $epoch)")
                 // the epoch's aggregate = prior aggregate ⊕ this batch's
                 // retired set at epoch e — no second chain read; e
@@ -2036,21 +2128,46 @@ object Events {
                 // reads can prune FILES, not just rows
                 val batchSh = Dedup.shingleHashSets(arrived).persist()
                 try {
-                  batchSh.withColumn("bucket", chainBucket(col("doc_id")))
-                    .repartition(col("bucket")) // one file per bucket per epoch
-                    .write.partitionBy("bucket").mode("overwrite")
-                    .parquet(s"$shinglesDir/batch=$epoch")
-                  ndLap(s"shingle write (epoch $epoch)")
                   // persisted: consumed 3× (store write, bucket collect,
                   // probe join) — without the cache each consumer re-runs
                   // the 128-perm minhash over the batch
                   val batchBands = Dedup.bandRows(Dedup.minhashSignatures(batchSh))
                     .persist()
-                  batchBands.withColumn("bucket", chainBucket(col("band_hash")))
-                    .repartition(col("bucket")) // one file per bucket per epoch
-                    .write.partitionBy("bucket").mode("overwrite")
-                    .parquet(s"$bandsDir/batch=$epoch")
-                  ndLap(s"band write (epoch $epoch)")
+                  // the epoch's three independent non-committing deltas —
+                  // tombstone, shingle and band — as ONE concurrent group
+                  // (r20, guide §2.6 / VERDICT r19 #4): tombAgg is
+                  // in-memory, and every chain read of any of the three
+                  // (the capped df count, the candidate probe, the
+                  // verify fetch) runs after this barrier; the committing
+                  // verdict write stays strictly last. Concurrent cache
+                  // materialization of batchSh/batchBands is block-
+                  // manager-locked (one computes, the other reads).
+                  concurrentWrites(
+                    (if (haveRetired) Seq(() =>
+                      retired.write.mode("overwrite")
+                        .parquet(s"$tombstoneDir/batch=$epoch")) else Seq.empty) ++
+                    Seq(
+                      () => batchSh.withColumn("bucket", chainBucket(col("doc_id")))
+                        .repartition(col("bucket")) // one file per bucket per epoch
+                        .write.partitionBy("bucket").mode("overwrite")
+                        .parquet(s"$shinglesDir/batch=$epoch"),
+                      () => batchBands.withColumn("bucket", chainBucket(col("band_hash")))
+                        .repartition(col("bucket")) // one file per bucket per epoch
+                        .write.partitionBy("bucket").mode("overwrite")
+                        .parquet(s"$bandsDir/batch=$epoch")))
+                  ndLap(s"store deltas (epoch $epoch, parallel)")
+                  // spec hook (r20, the parallel-group replay pin): die
+                  // BETWEEN the concurrent non-committing store group and
+                  // everything that reads it back — tombstone/shingle/
+                  // band deltas all on disk, no hot snapshot, no verdict,
+                  // no stream commit. The replay must re-derive the same
+                  // deltas and overwrite each idempotently whatever
+                  // subset order the pool landed them in.
+                  if (storesCrashArmed && crashAfterStores.contains(epoch)) {
+                    storesCrashArmed = false
+                    throw new InjectedCrash(
+                      s"injected post-stores pre-verdict crash at epoch $epoch")
+                  }
                   // ---- CAPPED mode: advance the hot band-bucket set,
                   // delta-stably (VERDICT r15 #2 — the maxShingleDf
                   // crossing machinery applied to the LSH index). Only
@@ -2236,50 +2353,35 @@ object Events {
                         }
                         resolveLww(rows, Seq("doc_id"))
                       }
-                      // prior docs whose verdict this batch's ADDS lower
-                      val priorUpdates =
-                        if (!committedPrior) batchVerdict.limit(0)
-                        else {
-                          val cands = newBest
-                            .join(arrived.select(col("doc_id")),
-                              Seq("doc_id"), "left_anti")
-                          cands
-                            .join(priorLwwFor(cands.select(col("doc_id")))
-                                .select(col("doc_id"),
-                                  col("partner_id").as("old_partner")),
-                              Seq("doc_id"))
-                            .filter(col("old_partner").isNull ||
-                              col("partner_id") < col("old_partner"))
-                            .select(col("doc_id"), col("partner_id"), col("jaccard"))
-                        }
-                      // the RETIREMENT blast radius: prior docs whose
-                      // current partner was removed OR re-delivered
-                      // this epoch (either can erase the edge) — each
-                      // re-verdicted against the stored index (bands
-                      // rebuilt from its stored shingle set, probed
-                      // tombstone-resolved so retired rows can't
-                      // match; a re-delivered partner's NEW bands are
-                      // live, so a surviving edge is re-found).
-                      // Eagerly checkpointed: its delta-sized inputs
-                      // are released before the write consumes it.
-                      // Removed docs are excluded (the tombstone is
-                      // their retraction) and so are batch docs
-                      // (batchVerdict is authoritative for them).
-                      // released once recomputeIds below is checkpointed
-                      // (its only consumers: the bucket collect inside
-                      // priorLwwFor and the LWW semi-join — uncached,
-                      // the chain scan ran twice per retirement epoch)
+                      // prior docs whose verdict this batch's ADDS
+                      // lower — the candidate ids; their chain fetch is
+                      // FUSED with the removal blast radius's below
+                      // (r20, VERDICT r19 #1): a retirement epoch
+                      // previously ran TWO bucket collects + two pruned
+                      // chain reads + two LWW aggregates over the same
+                      // verdict chain. LWW resolution is independent
+                      // per doc_id, so ONE fetch of the UNION of the
+                      // two id sets, materialized once and restricted
+                      // per leg (the inner join on the candidate ids
+                      // here; a semi-join on touchIds below), is
+                      // row-for-row identical per leg.
+                      val candsOpt: Option[DataFrame] =
+                        if (!committedPrior) None
+                        else Some(newBest.join(arrived.select(col("doc_id")),
+                          Seq("doc_id"), "left_anti"))
+                      // the RETIREMENT blast radius's candidate ids:
+                      // docs with ANY chain row naming a retired
+                      // partner, in ONE map-only broadcast-semi pass
+                      // over the chain (no shuffle, no text; the
+                      // distinct shuffles only the candidate set). The
+                      // bucket-pruned LWW fetch of those docs'
+                      // histories then decides whose CURRENT partner
+                      // retired. Released once recomputeIds below is
+                      // checkpointed.
                       var touchIdsRelease: Option[DataFrame] = None
-                      val removalAffected: Option[DataFrame] =
+                      val touchIdsOpt: Option[DataFrame] =
                         if (!haveRetired || !committedPrior) None
                         else {
-                          // candidate ids in ONE map-only broadcast-semi
-                          // pass over the chain: docs with ANY row
-                          // naming a retired partner (no shuffle, no
-                          // text; the distinct shuffles only the
-                          // candidate set). The bucket-pruned LWW fetch
-                          // of exactly those docs' histories then
-                          // decides whose CURRENT partner retired.
                           val touchIds = withChainPartitionCols(
                               bss.read.schema(verdictSchema).parquet(verdictDir),
                               "batch")
@@ -2290,13 +2392,82 @@ object Events {
                             .select(col("doc_id")).distinct()
                             .persist()
                           touchIdsRelease = Some(touchIds)
-                          Some(priorLwwFor(touchIds)
+                          Some(touchIds)
+                        }
+                      // the fused union fetch: ONLY when both legs are
+                      // live (touchIdsOpt ⇒ committedPrior ⇒ candsOpt);
+                      // eagerly checkpointed — one row per requested id,
+                      // blast-radius-sized, never manifest-width —
+                      // because its two consumers materialize at
+                      // different points of the epoch (recomputeIds'
+                      // checkpoint, then the verdict write). Released
+                      // after the verdict write. A non-retirement epoch
+                      // keeps the single inline lazy fetch: there the
+                      // fetch has ONE consumer and materializing it
+                      // would ADD a job.
+                      var priorFetchedRelease: Option[DataFrame] = None
+                      // Diagnostic-only fallback (never the default):
+                      // SPARK_GRAFT_SPLIT_PRIOR_FETCH=1 restores the
+                      // pre-r20 two-fetch shape on the SAME binary for
+                      // the matched-canary bench A/B.
+                      val priorFetchedUnion: Option[DataFrame] =
+                        if (sys.env.get("SPARK_GRAFT_SPLIT_PRIOR_FETCH").contains("1")) None
+                        else for { cands <- candsOpt; touchIds <- touchIdsOpt } yield {
+                          val f = priorLwwFor(cands.select(col("doc_id"))
+                              .unionByName(touchIds).distinct())
+                            .localCheckpoint(true)
+                          priorFetchedRelease = Some(f)
+                          f
+                        }
+                      val priorUpdates = candsOpt match {
+                        case None => batchVerdict.limit(0)
+                        case Some(cands) =>
+                          // extra union rows (touch-only ids) die in
+                          // this inner join on the candidate ids —
+                          // identical rows to a cands-only fetch
+                          val fetched = priorFetchedUnion.getOrElse(
+                            priorLwwFor(cands.select(col("doc_id"))))
+                          cands
+                            .join(fetched
+                                .select(col("doc_id"),
+                                  col("partner_id").as("old_partner")),
+                              Seq("doc_id"))
+                            .filter(col("old_partner").isNull ||
+                              col("partner_id") < col("old_partner"))
+                            .select(col("doc_id"), col("partner_id"), col("jaccard"))
+                      }
+                      // the RETIREMENT blast radius: prior docs whose
+                      // current partner was removed OR re-delivered
+                      // this epoch (either can erase the edge) — each
+                      // re-verdicted against the stored index (bands
+                      // rebuilt from its stored shingle set, probed
+                      // tombstone-resolved so retired rows can't
+                      // match; a re-delivered partner's NEW bands are
+                      // live, so a surviving edge is re-found).
+                      // Removed docs are excluded (the tombstone is
+                      // their retraction) and so are batch docs
+                      // (batchVerdict is authoritative for them).
+                      val removalAffected: Option[DataFrame] =
+                        touchIdsOpt.map { touchIds =>
+                          // the union fetch restricted back to this
+                          // leg's ids — the semi-join makes the subset
+                          // argument local (a cands-only id whose LWW
+                          // row named a retired partner would be in
+                          // touchIds by definition anyway, but the
+                          // restriction keeps the legs' equivalence
+                          // line-by-line). touchIdsOpt defined implies
+                          // priorFetchedUnion defined, except under the
+                          // diagnostic split-fetch flag, whose fallback
+                          // is the pre-r20 direct fetch.
+                          priorFetchedUnion
+                            .map(_.join(touchIds, Seq("doc_id"), "left_semi"))
+                            .getOrElse(priorLwwFor(touchIds))
                             .join(retired.select(col("doc_id").as("partner_id")),
                               Seq("partner_id"), "left_semi")
                             .join(removals, Seq("doc_id"), "left_anti")
                             .join(arrived.select(col("doc_id")),
                               Seq("doc_id"), "left_anti")
-                            .select(col("doc_id")))
+                            .select(col("doc_id"))
                         }
                       // CAPPED: the crossing buckets' MEMBER docs join
                       // the blast radius — an up-crossing retracts every
@@ -2404,6 +2575,10 @@ object Events {
                           graft.operators.Corpus.releaseCheckpoint)
                         recomputeIds.foreach(
                           graft.operators.Corpus.releaseCheckpoint)
+                        // the fused prior fetch's last consumer is the
+                        // verdict write just above
+                        priorFetchedRelease.foreach(
+                          graft.operators.Corpus.releaseCheckpoint)
                       }
                       ndLap(s"verdict write (epoch $epoch)")
                       priorFetchProbe.foreach(probeAdd(_, (epoch, fetchedIds, fetchedRows)))
@@ -2473,7 +2648,8 @@ object Events {
               }
             }
             .start()
-          val dr = new ReplayingDrain(() => startQ(), crashAtEpoch.isDefined)
+          val dr = new ReplayingDrain(() => startQ(),
+            crashAtEpoch.isDefined || crashAfterStores.isDefined)
           try {
             dr.drain()
             outerLap("drain 1 (bootstrap epoch)")
@@ -2988,9 +3164,6 @@ object Events {
                 // replay recomputes the same set, so the conditional is
                 // idempotent)
                 val haveRetired = !retired.isEmpty
-                if (haveRetired)
-                  retired.write.mode("overwrite")
-                    .parquet(s"$tombstoneDir/batch=$epoch")
                 // gate on COMMITTED stored state, not `epoch == 0` (the
                 // ingestNearDup ADVICE-r10 rule): a reused streaming
                 // checkpoint over a recreated store starts at epoch > 0
@@ -3010,28 +3183,41 @@ object Events {
                       .write.mode("overwrite").parquet(centroidsDirG(commitGen))
                     Some(c)
                   } else None
-                // neighbor-id-bucketed delta (one file per touched
-                // bucket) — the same store shape as every other chain;
-                // schema-correct empty when there is nothing to assign
-                centroidsOpt.fold(
-                  bss.createDataFrame(bss.sparkContext
-                    .emptyRDD[org.apache.spark.sql.Row], assignSchema))(
-                  c => Similarity.ivfAssign(arrived, c))
-                  .withColumn("bucket", chainBucket(col("neighbor_id")))
-                  .repartition(col("bucket"))
-                  .write.partitionBy("bucket").mode("overwrite")
-                  .parquet(s"${assignDirG(commitGen)}/batch=$epoch")
-                // MIGRATION mode: the corpus vector chain — O(|batch|)
-                // per epoch, neighbor-id-bucketed, tombstone-shared.
-                // Written from epoch 0 (the background re-assignment
-                // reads PRE-trip vectors from it) and doubling as the
-                // rerank source once table rows can be stale.
-                if (driftMaxCellShare.isDefined)
-                  arrived.select(col("vec_id").as("neighbor_id"), col("embedding"))
-                    .withColumn("bucket", chainBucket(col("neighbor_id")))
-                    .repartition(col("bucket"))
-                    .write.partitionBy("bucket").mode("overwrite")
-                    .parquet(s"$vectorsDir/batch=$epoch")
+                // the epoch's independent non-committing deltas — the
+                // tombstone, the neighbor-id-bucketed assignment delta
+                // (the same store shape as every other chain; schema-
+                // correct empty when there is nothing to assign) and,
+                // in MIGRATION mode, the corpus vector chain (written
+                // from epoch 0: the background re-assignment reads
+                // PRE-trip vectors from it, and it doubles as the
+                // rerank source once table rows can be stale) — as ONE
+                // concurrent group (r20, guide §2.6 / VERDICT r19 #4).
+                // No read-after-write edge: the stats delta reads the
+                // assignment delta back AFTER this barrier, the
+                // centroid train/store above stays sequential (the
+                // assign write consumes its result), and the committing
+                // stats write stays last. Crash subsets replay exactly
+                // like the sequential prefixes did (idempotent
+                // overwrites; the existing trip-epoch crash legs).
+                concurrentWrites(
+                  (if (haveRetired) Seq(() =>
+                    retired.write.mode("overwrite")
+                      .parquet(s"$tombstoneDir/batch=$epoch")) else Seq.empty) ++
+                  Seq(() =>
+                    centroidsOpt.fold(
+                      bss.createDataFrame(bss.sparkContext
+                        .emptyRDD[org.apache.spark.sql.Row], assignSchema))(
+                      c => Similarity.ivfAssign(arrived, c))
+                      .withColumn("bucket", chainBucket(col("neighbor_id")))
+                      .repartition(col("bucket"))
+                      .write.partitionBy("bucket").mode("overwrite")
+                      .parquet(s"${assignDirG(commitGen)}/batch=$epoch")) ++
+                  (if (driftMaxCellShare.isDefined) Seq(() =>
+                    arrived.select(col("vec_id").as("neighbor_id"), col("embedding"))
+                      .withColumn("bucket", chainBucket(col("neighbor_id")))
+                      .repartition(col("bucket"))
+                      .write.partitionBy("bucket").mode("overwrite")
+                      .parquet(s"$vectorsDir/batch=$epoch")) else Seq.empty))
                 // the monitor's per-epoch state delta: THIS batch's
                 // per-cell counts, O(nCells) rows — never the corpus —
                 // PLUS negative counts for the RETIRED vectors' prior
@@ -3767,23 +3953,30 @@ object Events {
                   .select(col("doc_id")), Seq("doc_id"), "left_semi")
               val retired = removalsC.unionByName(redelivered).persist()
               val haveRetired = !retired.isEmpty
-              if (haveRetired)
-                retired.write.mode("overwrite")
-                  .parquet(s"$tombstoneDir/batch=$epoch")
               val feats = Classifier.featurized(
                 batch.filter(col("text").isNotNull)
                   .select(col("doc_id"), col("text"))).persist()
               try {
-                // migration mode: the live corpus FEATURE chain —
-                // O(|batch|) per epoch, doc-id-bucketed, tombstone-
-                // shared; the store the background re-scoring reads old
-                // docs from (features, not text: scoring consumes
-                // featurized rows, so the chain never re-tokenizes)
-                if (driftPosRateJump.isDefined)
-                  feats.withColumn("bucket", chainBucket(col("doc_id")))
-                    .repartition(col("bucket"))
-                    .write.partitionBy("bucket").mode("overwrite")
-                    .parquet(s"$featsDir/batch=$epoch")
+                // the epoch's independent non-committing deltas — the
+                // tombstone and, in migration mode, the live corpus
+                // FEATURE chain (O(|batch|) per epoch, doc-id-bucketed,
+                // tombstone-shared; the store the background re-scoring
+                // reads old docs from — features, not text: scoring
+                // consumes featurized rows, so the chain never
+                // re-tokenizes) — as ONE concurrent group (r20, guide
+                // §2.6 / VERDICT r19 #4). The model fit/score below
+                // consumes the persisted in-memory `feats`, every chain
+                // read of either dir runs after this barrier, and the
+                // committing scores write stays last.
+                concurrentWrites(
+                  (if (haveRetired) Seq(() =>
+                    retired.write.mode("overwrite")
+                      .parquet(s"$tombstoneDir/batch=$epoch")) else Seq.empty) ++
+                  (if (driftPosRateJump.isDefined) Seq(() =>
+                    feats.withColumn("bucket", chainBucket(col("doc_id")))
+                      .repartition(col("bucket"))
+                      .write.partitionBy("bucket").mode("overwrite")
+                      .parquet(s"$featsDir/batch=$epoch")) else Seq.empty))
                 // committed-state gate, not `epoch == 0` — see
                 // ingestAnnIvf's note (reused-checkpoint starts).
                 // The store/load pair carries the sparse-weight

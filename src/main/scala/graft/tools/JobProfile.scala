@@ -66,7 +66,21 @@ object JobProfile {
         }
       }
     }
+    // SPARK_GRAFT_PROFILE_CANARY=1: time Bench's pure-CPU canary (the
+    // 100M-row xor-sum noop) immediately before each profiled query so
+    // a targeted same-binary A/B can be canary-matched like the full
+    // bench (r20; the r19 matched-canary methodology for flag A/Bs).
+    // Runs BEFORE the listener attaches — the census stays the query's.
+    val canaryOn = sys.env.get("SPARK_GRAFT_PROFILE_CANARY").contains("1")
     for (name <- args) {
+      if (canaryOn) {
+        import org.apache.spark.sql.functions.{sum, col}
+        val c0 = System.nanoTime()
+        spark.range(0, 100000000L, 1, 32)
+          .select(sum(col("id").bitwiseXOR(2654435761L)).as("x"))
+          .write.format("noop").mode("overwrite").save()
+        println(f"CANARY $name ${(System.nanoTime() - c0) / 1e9}%.3f")
+      }
       jobs.set(0); stages.set(0); tasks.set(0); taskNanos.set(0)
       shuffleRead.set(0); shuffleWrite.set(0)
       spark.sparkContext.addSparkListener(listener)

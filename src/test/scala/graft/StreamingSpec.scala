@@ -697,12 +697,107 @@ class StreamingSpec extends AnyFunSuite {
       java.nio.file.Files.write(data, "abcd".getBytes("UTF-8"))
       assert(get() == "v4" && get() == "v4",
         "an overwritten store (training-epoch replay) must be re-read")
+      // r20 (ADVICE r19): the fingerprint walks the WHOLE tree — a
+      // data-file change inside a SUBDIRECTORY (nested/partitioned
+      // store layout) must rotate the key even though the top-level
+      // listing is unchanged
+      val sub = java.nio.file.Files.createDirectory(dir.resolve("part=0"))
+      val nested = java.nio.file.Files.write(sub.resolve("data"),
+        "x".getBytes("UTF-8"))
+      assert(get() == "v5" && get() == "v5",
+        "a new nested data file must rotate the key")
+      java.nio.file.Files.write(nested, "xy".getBytes("UTF-8"))
+      assert(get() == "v6",
+        "a nested data-file rewrite must rotate the key")
+      java.nio.file.Files.delete(nested)
+      java.nio.file.Files.delete(sub)
     } finally {
       Events.FrozenStoreMemo.clear()
       Seq("part-0", "_SUCCESS").foreach(f =>
         java.nio.file.Files.deleteIfExists(dir.resolve(f)))
       java.nio.file.Files.deleteIfExists(dir)
     }
+  }
+
+  test("FrozenStoreMemo: LRU eviction keeps hot entries instead of clearing the cache") {
+    // r20 (ADVICE r19): eviction was `if (size > Max) cache.clear()` —
+    // a wholesale clear that dropped hot entries and forced a reload
+    // burst. Now an access-ordered LRU: overflow evicts the coldest
+    // entry only, and a just-touched entry survives.
+    val base = java.nio.file.Files.createTempDirectory("graft_memo_lru")
+    def store(i: Int): String = {
+      val d = java.nio.file.Files.createDirectories(base.resolve(s"s$i"))
+      java.nio.file.Files.write(d.resolve("part-0"), s"data$i".getBytes("UTF-8"))
+      java.nio.file.Files.write(d.resolve("_SUCCESS"), Array.emptyByteArray)
+      d.toString
+    }
+    try {
+      Events.FrozenStoreMemo.clear()
+      var loads = 0
+      def get(dir: String): String =
+        Events.FrozenStoreMemo.cached(dir) { loads += 1; dir }
+      val hot = store(0)
+      get(hot)
+      // fill past MaxEntries (64), touching `hot` along the way so LRU
+      // order keeps it warm
+      (1 to 70).foreach { i => get(store(i)); if (i % 10 == 0) get(hot) }
+      assert(Events.FrozenStoreMemo.size <= 64,
+        s"cache exceeded its bound: ${Events.FrozenStoreMemo.size}")
+      val before = loads
+      get(hot)
+      assert(loads == before,
+        "the hot entry was evicted — eviction regressed to clear-all")
+    } finally {
+      Events.FrozenStoreMemo.clear()
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(base).sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
+  test("concurrentWrites: every task runs even when one fails, the first failure propagates, single-task falls back inline") {
+    // r20 (guide §2.6): the loops submit independent per-epoch store
+    // writes from a pool. The harness contract the epochs lean on: ALL
+    // submitted writes are awaited (a failure must not leave an
+    // in-flight write racing the epoch's finally-releases), the first
+    // failure reaches the caller, and a 0/1-task group never pays for
+    // a pool.
+    val ran = new java.util.concurrent.atomic.AtomicInteger
+    Events.concurrentWrites(Seq(
+      () => { ran.incrementAndGet(); () },
+      () => { ran.incrementAndGet(); () },
+      () => { ran.incrementAndGet(); () }))
+    assert(ran.get == 3)
+    val ran2 = new java.util.concurrent.atomic.AtomicInteger
+    val e = intercept[RuntimeException](Events.concurrentWrites(Seq(
+      () => { ran2.incrementAndGet(); () },
+      () => throw new RuntimeException("boom"),
+      () => { ran2.incrementAndGet(); () })))
+    assert(e.getMessage == "boom", s"wrong failure surfaced: $e")
+    assert(ran2.get == 2, "a sibling write was abandoned on failure")
+    val ran3 = new java.util.concurrent.atomic.AtomicInteger
+    Events.concurrentWrites(Seq(() => { ran3.incrementAndGet(); () }))
+    Events.concurrentWrites(Seq.empty)
+    assert(ran3.get == 1)
+  }
+
+  test("stream_ingest_neardup survives a crash BETWEEN the concurrent store group and the verdict write") {
+    // r20 (VERDICT r19 #4): the epoch's tombstone/shingle/band deltas
+    // are submitted from a thread pool; this hook dies AFTER the
+    // group's barrier and BEFORE anything reads the deltas back or the
+    // committing verdict write runs — the torn state the parallel
+    // group can strand (every non-committing delta on disk, no
+    // verdict, no stream commit). The replay must re-derive the same
+    // deltas and overwrite each idempotently whatever subset order the
+    // pool landed them in, and still converge to the batch twin.
+    // Epoch 2 = the removal epoch (retirement + blast radius — the
+    // epoch where all THREE group members are live).
+    val got = Events.ingestNearDup(spark, TestSpark.sf,
+      crashAfterStores = Some(2L)).collect().toSeq
+    val want = graft.operators.Dedup.minhashNearDupVerdict(
+      Tables.documents(spark, TestSpark.sf)).collect().toSeq
+    assert(got.nonEmpty && got == want,
+      "post-stores pre-verdict crash replay diverged from the batch twin")
   }
 
   test("OracleMemo: disabled by default, one compute per (kind, sfDir), distinct keys get distinct files, clear() removes the scratch") {
